@@ -1,0 +1,90 @@
+"""SDFS-as-API catalog: named datasets with put/get/ls/store/delete.
+
+Mirrors the reference command surface (mp3/src/main.go:179-229;
+RpcPut mp3/src/sdfs.go:108-178, RpcGet :180-227, RpcDelete :251-261,
+ls/RpcListIPs :230-248, Store mp3/src/sdfsmaster.go:206-222) on a
+directory of Parquet datasets:
+
+- replication/blocks are the storage layer's job (HDFS/S3 at scale);
+- the per-file writer lock service (mp3/src/sdfslock.go) is replaced by
+  atomic write-to-temp + rename commit;
+- the master metadata maps (fileMap/numBlocks, mp3/src/sdfsmaster.go:17-25)
+  collapse to "name -> directory" resolved by listing.
+
+At 100 TB the catalog would point at a real metastore; this class keeps
+the same narrow API so callers never touch paths.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        if "/" in name or name.startswith("."):
+            raise ValueError(f"invalid dataset name: {name!r}")
+        return os.path.join(self.root, name)
+
+    def put(self, name: str, df: DataFrame, mode: str = "error") -> str:
+        """Write a DataFrame as the named dataset (atomic commit).
+
+        ≅ reference ``put localfilename sdfsfilename``. The reference takes
+        a master writer lock for the whole upload (mp3/src/sdfslock.go:57-76);
+        we write to a temp dir and rename — same all-or-nothing visibility
+        without a lock service.
+        """
+        dest = self._path(name)
+        if os.path.exists(dest):
+            if mode == "error":
+                raise FileExistsError(name)
+            if mode == "ignore":
+                return dest
+        tmp = os.path.join(self.root, f".tmp-{name}-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(dest):
+            shutil.rmtree(dest)
+        os.rename(tmp, dest)
+        return dest
+
+    def get(self, name: str) -> DataFrame:
+        """≅ reference ``get sdfsfilename localfilename``."""
+        path = self._path(name)
+        if not os.path.exists(path):
+            raise FileNotFoundError(name)
+        return self.spark.read.parquet(path)
+
+    def ls(self, name: str) -> list[dict]:
+        """Per-file layout of a dataset (≅ ``ls`` replica listing,
+        mp3/src/sdfs.go:230-248 — block/replica map becomes file list)."""
+        path = self._path(name)
+        out = []
+        for f in sorted(os.listdir(path)):
+            full = os.path.join(path, f)
+            if os.path.isfile(full) and not f.startswith((".", "_")):
+                out.append({"file": f, "bytes": os.path.getsize(full)})
+        return out
+
+    def store(self) -> list[str]:
+        """All dataset names (≅ ``store``, mp3/src/sdfsmaster.go:206-222)."""
+        return sorted(
+            d
+            for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d)) and not d.startswith(".")
+        )
+
+    def delete(self, name: str) -> None:
+        """≅ reference ``delete sdfsfilename`` (mp3/src/sdfs.go:251-261)."""
+        path = self._path(name)
+        if not os.path.exists(path):
+            raise FileNotFoundError(name)
+        shutil.rmtree(path)

@@ -1,0 +1,125 @@
+"""Condorcet voting — reference application #3 (two MapReduce rounds).
+
+Reference round 1: for each ballot (a comma-separated permutation,
+most-preferred first) emit, for every unordered candidate pair, the
+pair key ``"(a b)"`` with a/b ordered lexicographically and value "1"
+if the lexicographically-smaller candidate was preferred, else "0"
+(mp3/src/maple/condorcet_1.go:8-24); juice declares the pair winner,
+ties going to the smaller candidate (``count1 >= count0``,
+mp3/src/juice/condorcet_1.go:3-20).
+
+Reference round 2: tally pairwise wins per candidate; a candidate with
+``numCandidates-1`` wins is the Condorcet winner, else emit the argmax
+set — including zero-win candidates when maxCount==0 — with the exact
+strings of mp3/src/juice/condorcet_2.go:9-47 (note the trailing comma
+in the tie set).
+
+Spark shape: the reference shuffles one line per (ballot, pair) —
+45 rows per ballot for m=10 — then shuffles again globally. Here the
+pair expansion happens inside one narrow stage with higher-order array
+functions (no self-join, no Python), partial aggregation combines
+map-side, and only (m·(m-1)/2) pair rows ever cross the shuffle.
+Round 2 operates on ≤ m(m-1)/2 rows — broadcast territory.
+
+Divergence documented per SURVEY §7.3.2: the reference's pair-string
+surgery (``key[0]+key[3]+key[2]+key[1]+key[4]``) only works for
+single-digit candidates; we compare candidates numerically, which is
+identical for m ≤ 10 and well-defined beyond.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# For each position i, pair ballot[i] with every later candidate:
+# (least, greatest, vote) where vote=1 iff the smaller candidate is the
+# earlier (preferred) one — exactly the reference maple's emit rule.
+_PAIRS_EXPR = """
+flatten(
+  transform({b}, (x, i) ->
+    transform(slice({b}, i + 2, size({b})), y ->
+      struct(least(x, y) AS a, greatest(x, y) AS b,
+             CASE WHEN x < y THEN 1 ELSE 0 END AS vote))))
+"""
+
+
+def pairwise_preferences(df: DataFrame, ballot_col: str = "ballot") -> DataFrame:
+    """Round 1. DataFrame[a int, b int, a_pref bigint, b_pref bigint,
+    winner int] with a < b; ties award the pair to ``a``."""
+    pairs = df.select(
+        F.explode(F.expr(_PAIRS_EXPR.format(b=ballot_col))).alias("p")
+    ).select("p.a", "p.b", "p.vote")
+    return (
+        pairs.groupBy("a", "b")
+        .agg(
+            F.sum("vote").alias("a_pref"),
+            F.sum(F.lit(1) - F.col("vote")).alias("b_pref"),
+        )
+        .withColumn(
+            "winner",
+            F.when(F.col("a_pref") >= F.col("b_pref"), F.col("a")).otherwise(F.col("b")),
+        )
+        .orderBy("a", "b")
+    )
+
+
+def condorcet_wins(df: DataFrame, ballot_col: str = "ballot",
+                   num_candidates: int | None = None) -> DataFrame:
+    """Round 2 tally. DataFrame[candidate int, wins bigint] for every
+    candidate 0..m-1 (zero-win candidates included, as the reference's
+    fixed-size votes array does)."""
+    if num_candidates is None:
+        num_candidates = df.select(
+            F.max(F.array_max(F.col(ballot_col))).alias("m")
+        ).first()["m"] + 1
+    spark = df.sparkSession
+    candidates = spark.range(num_candidates).select(F.col("id").cast("int").alias("candidate"))
+    tallies = (
+        pairwise_preferences(df, ballot_col)
+        .groupBy("winner")
+        .agg(F.count("*").alias("wins"))
+    )
+    return (
+        candidates.join(F.broadcast(tallies), candidates.candidate == tallies.winner, "left")
+        .select("candidate", F.coalesce("wins", F.lit(0)).alias("wins"))
+        .orderBy("candidate")
+    )
+
+
+def condorcet(df: DataFrame, ballot_col: str = "ballot",
+              num_candidates: int | None = None) -> DataFrame:
+    """Full two-round query with the reference's exact output strings:
+    DataFrame[key string, value string] — either
+    ``("<i>", " is the condorcet winner!")`` or
+    ``("<i>,<j>,", " have the highest condorcet counts, no winner.")``.
+    """
+    if num_candidates is None:
+        num_candidates = df.select(
+            F.max(F.array_max(F.col(ballot_col))).alias("m")
+        ).first()["m"] + 1
+    wins = condorcet_wins(df, ballot_col, num_candidates)
+    # ≤ m rows from here on; stays in DataFrame land via a broadcast of
+    # the 1-row max (SURVEY §2.4 A3 allows a driver-side final step —
+    # we avoid even that).
+    mx = wins.agg(F.max("wins").alias("_mx"))
+    annotated = wins.crossJoin(F.broadcast(mx))
+    champion = annotated.filter(F.col("wins") == num_candidates - 1)
+    tie_set = (
+        annotated.filter(F.col("wins") == F.col("_mx"))
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list("candidate")),
+                                 lambda c: F.concat(c.cast("string"), F.lit(",")))
+            ).alias("key")
+        )
+        .select("key", F.lit(" have the highest condorcet counts, no winner.").alias("value"))
+    )
+    champ_row = champion.select(
+        F.col("candidate").cast("string").alias("key"),
+        F.lit(" is the condorcet winner!").alias("value"),
+    ).limit(1)
+    # Reference returns early on a champion; emulate with an anti-gate:
+    # tie_set only when no champion exists.
+    has_champ = champion.count() > 0
+    return champ_row if has_champ else tie_set
