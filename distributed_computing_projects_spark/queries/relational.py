@@ -1,0 +1,372 @@
+"""Relational surface (SURVEY §2.7, §7.1 M4): joins, aggregations,
+windows, set ops, rollup, sorts/limits, time buckets, sessionization,
+as-of join — "engine extension, built-in Spark" per the survey (the
+reference implements none of these; they come free with DataFrame/SQL).
+
+Determinism contract with the DuckDB oracle:
+- SUMs over doubles go through DECIMAL (order-independent, exact) and
+  are cast to DOUBLE at the end — both engines produce identical bits.
+  The fragments below are embedded verbatim in BOTH the Spark plan
+  (``F.expr``) and the oracle SQL.
+- Averages are one double division of two deterministic values.
+- Every LIMIT has a total tie-break order.
+
+Plan-shape notes (asserted in tests/test_plans.py):
+- dimension filters push to the parquet scan;
+- region/nation/supplier joins broadcast (dims ≪ fact);
+- top-k is TakeOrderedAndProject, not a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from distributed_computing_projects_spark.queries import query
+from distributed_computing_projects_spark.sources.registry import load_table
+
+# Shared decimal-exact aggregate fragments (see module docstring).
+#
+# Determinism rules (verified empirically against both engines):
+# 1. NO cast may ever round: Spark rounds HALF_UP, DuckDB HALF_EVEN.
+#    The driver data is exact at 2 decimals (prices, discount, tax,
+#    events.value) and l_quantity is integral, so scale-2 casts of the
+#    doubles are exact in both engines, and products only GROW scale.
+# 2. The final decimal sum must stay under 2^53 base units so the
+#    decimal->double cast is an exact int + one correctly-rounded
+#    divide by 10^scale in both engines. Scale <=6 with sums <=~1e9
+#    at the correctness SF (0.01) keeps us well inside that.
+SUM_QTY = "CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE)"
+SUM_BASE = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)"
+DISC_PRICE_TERM = (
+    "CAST(l_extendedprice AS DECIMAL(14,2))"
+    " * CAST(1 - l_discount AS DECIMAL(8,2))"
+)
+SUM_DISC_PRICE = f"CAST(SUM({DISC_PRICE_TERM}) AS DOUBLE)"
+SUM_CHARGE = (
+    f"CAST(SUM({DISC_PRICE_TERM}"
+    " * CAST(1 + l_tax AS DECIMAL(8,2))) AS DOUBLE)"
+)
+SUM_TOTALPRICE = "CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)"
+SUM_DISC_REVENUE = (
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))"
+    " * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE)"
+)
+SUM_VALUE = "CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE)"
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {SUM_QTY} AS sum_qty,
+           {SUM_BASE} AS sum_base_price,
+           {SUM_DISC_PRICE} AS sum_disc_price,
+           {SUM_CHARGE} AS sum_charge,
+           {SUM_QTY} / count(*) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+    doc="TPC-H Q1 shape: scan + 6-agg groupBy, filter pushed to parquet.",
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr(SUM_QTY).alias("sum_qty"),
+            F.expr(SUM_BASE).alias("sum_base_price"),
+            F.expr(SUM_DISC_PRICE).alias("sum_disc_price"),
+            F.expr(SUM_CHARGE).alias("sum_charge"),
+            (F.expr(SUM_QTY) / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey, {SUM_DISC_PRICE} AS revenue, o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    headline=True,
+    doc="TPC-H Q3 shape: dim-filtered 3-way join + top-k with total order.",
+)
+def q3_shipping_priority(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.expr(SUM_DISC_PRICE).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, {SUM_DISC_PRICE} AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+    headline=True,
+    doc="TPC-H Q5 shape: 6-way join, small dims broadcast, one shuffle "
+        "agg on n_name.",
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ["customer", "orders", "lineitem", "supplier", "nation", "region"]}
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    region = t["region"].filter(F.col("r_name") == "ASIA")
+    return (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            t["customer"],
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.expr(SUM_DISC_PRICE).alias("revenue"))
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {SUM_DISC_REVENUE} AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.08
+      AND l_quantity < 25
+    """,
+    doc="TPC-H Q6 shape: pure scan-filter-agg; every predicate pushes "
+        "to parquet.",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.08)
+            & (F.col("l_quantity") < 25)
+        ).agg(
+            F.expr(SUM_DISC_REVENUE).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    doc="Top-k per group via window (SURVEY §2.6 — absent in reference, "
+        "built-in here).",
+)
+def q_top3_orders_per_customer(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        ).filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "supplier_part_stats",
+    oracle="""
+    SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(14,4))) AS DOUBLE) AS total_qty
+    FROM lineitem GROUP BY l_suppkey
+    """,
+    doc="Distinct aggregation (SURVEY §2.4 A8 — absent in reference).",
+)
+def q_supplier_part_stats(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_items"),
+        F.expr(SUM_QTY).alias("total_qty"),
+    )
+
+
+@query(
+    "returnflag_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, {SUM_QTY} AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="Rollup / grouping sets (SURVEY §2.4 A8).",
+)
+def q_returnflag_rollup(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.expr(SUM_QTY).alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+@query(
+    "repeat_customers_setop",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="Set operations (SURVEY §2.7 — absent in reference).",
+)
+def q_repeat_customers_setop(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    open_ = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    filled = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_.intersect(filled)
+
+
+@query(
+    "orders_by_month",
+    oracle=f"""
+    SELECT date_trunc('month', o_orderdate) AS month, o_orderpriority,
+           count(*) AS n_orders, {SUM_TOTALPRICE} AS total
+    FROM orders GROUP BY 1, 2
+    """,
+    doc="Calendar bucketing (date_trunc) + agg.",
+)
+def q_orders_by_month(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month"), "o_orderpriority"
+    ).agg(F.count("*").alias("n_orders"), F.expr(SUM_TOTALPRICE).alias("total"))
+
+
+@query(
+    "events_hourly",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS bucket, event_type,
+           count(*) AS n, {SUM_VALUE} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    headline=True,
+    doc="Tumbling-window aggregation over the events table (batch twin "
+        "of the streaming query, SURVEY §2.9 extension).",
+)
+def q_events_hourly(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.expr(SUM_VALUE).alias("total_value"))
+        .select(F.col("w.start").alias("bucket"), "event_type", "n", "total_value")
+    )
+
+
+@query(
+    "user_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+    doc="Sessionization: 30-min inactivity gap via lag window + cumsum "
+        "(streaming twin uses session_window).",
+)
+def q_user_sessions(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        F.lag("ts").over(w).isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    return (
+        ev.select("user_id", "event_id", "ts")
+        .withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+@query(
+    "asof_last_click_before_purchase",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, max(c.ts) AS last_click_ts
+    FROM events p
+    LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click'
+     AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+    doc="As-of join (Spark lacks a native one): carry the latest prior "
+        "click per user with a running window — one shuffle, no "
+        "range-join blowup (SURVEY §7 / pyspark guide OLAP patterns).",
+)
+def q_asof_last_click(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    return (
+        ev.withColumn("last_click_ts", F.last(click_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_click_ts")
+    )
