@@ -1,0 +1,187 @@
+"""Dual-dialect text/hashing expression builders.
+
+Every builder renders the SAME computation as a SQL fragment in two
+dialects: ``spark`` (consumed via ``F.expr`` inside DataFrame plans —
+stays in whole-stage codegen, no Python UDFs) and ``duck`` (embedded in
+the DuckDB oracle SQL). Generating both sides from one template is what
+guarantees the differential harness compares identical math.
+
+Hashing is md5-based because md5 is the one string hash both engines
+share bit-for-bit; numeric hashes are the first 8 hex chars parsed as
+an integer (< 2^32, so every subsequent ``a*h+b mod p`` stays far from
+int64 overflow — DuckDB raises on overflow, Spark wraps, so staying
+bounded is a correctness requirement, not a style choice).
+
+MinHash/SimHash design follows the standard constructions (Broder '97;
+Charikar '02) as used in large-scale web dedup; parameters are module
+constants so Spark plan and oracle can never drift.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+# ---------------------------------------------------------------------------
+# Deterministic constants (derived from md5 so no RNG / no seeds to drift).
+# ---------------------------------------------------------------------------
+
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
+N_PERMS = 16  # minhash signature length
+N_BANDS = 4  # LSH bands (rows per band = N_PERMS // N_BANDS)
+ROWS_PER_BAND = N_PERMS // N_BANDS
+SIMHASH_BITS = 32
+N_PLANES = 8  # hyperplane LSH for embeddings -> 2^8 buckets
+EMBEDDING_DIM = 64
+
+
+def _h32(tag: str) -> int:
+    return int(hashlib.md5(tag.encode()).hexdigest()[:8], 16)
+
+
+MINHASH_A = [(_h32(f"minhash-a-{i}") % (MERSENNE_P - 1)) + 1 for i in range(N_PERMS)]
+MINHASH_B = [_h32(f"minhash-b-{i}") % MERSENNE_P for i in range(N_PERMS)]
+
+# Hyperplanes with 3-decimal components in [-1, 1]: decimal literals of
+# this form parse to identical doubles in every IEEE engine.
+HYPERPLANES = [
+    [((_h32(f"plane-{p}-{j}") % 2001) - 1000) / 1000.0 for j in range(EMBEDDING_DIM)]
+    for p in range(N_PLANES)
+]
+
+
+def _check(dialect: str) -> None:
+    if dialect not in ("spark", "duck"):
+        raise ValueError(f"unknown dialect {dialect!r}")
+
+
+# ---------------------------------------------------------------------------
+# Tokens & shingles
+# ---------------------------------------------------------------------------
+
+def tokens(text: str, dialect: str) -> str:
+    """Whitespace tokens, empties dropped (same split the reference's
+    wordcount uses — strings.Fields, mp3/src/maple/wordcount.go:11)."""
+    _check(dialect)
+    if dialect == "spark":
+        return f"filter(split({text}, '\\\\s+'), x -> x <> '')"
+    return f"list_filter(string_split_regex({text}, '\\s+'), x -> x <> '')"
+
+
+def shingles(text: str, n: int, dialect: str) -> str:
+    """Distinct word n-gram shingles of ``text`` (space-joined)."""
+    _check(dialect)
+    toks = tokens(text, dialect)
+    if dialect == "spark":
+        parts = ", ".join(f"element_at(T, i + {k})" for k in range(n))
+        gram = f"transform(sequence(1, size(T) - {n - 1}), i -> concat_ws(' ', {parts}))"
+        body = (
+            f"CASE WHEN size(T) >= {n} THEN array_distinct({gram}) "
+            f"ELSE CAST(array() AS array<string>) END"
+        )
+        # bind T once via a lambda over a singleton array
+        return f"transform(array({toks}), T -> {body})[0]"
+    parts = ", ".join(f"T[i + {k}]" for k in range(n))
+    gram = f"list_transform(range(1, len(T) - {n - 2}), i -> concat_ws(' ', {parts}))"
+    body = (
+        f"CASE WHEN len(T) >= {n} THEN list_distinct({gram}) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+    return f"list_transform([{toks}], T -> {body})[1]"
+
+
+# ---------------------------------------------------------------------------
+# Hashes
+# ---------------------------------------------------------------------------
+
+def hash32(expr: str, dialect: str) -> str:
+    """First 32 bits of md5 as BIGINT — the portable base hash."""
+    _check(dialect)
+    if dialect == "spark":
+        return f"CAST(conv(substring(md5({expr}), 1, 8), 16, 10) AS BIGINT)"
+    return f"CAST(concat('0x', substring(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def minhash_sig(hashes_arr: str, dialect: str) -> list[str]:
+    """One fragment per permutation i: min over the doc's shingle hashes
+    of (a_i * h + b_i) mod p. ``hashes_arr`` is an array<bigint> expr
+    already reduced mod p."""
+    _check(dialect)
+    amin = "array_min" if dialect == "spark" else "list_min"
+    tr = "transform" if dialect == "spark" else "list_transform"
+    return [
+        f"{amin}({tr}({hashes_arr}, h -> ({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MERSENNE_P}))"
+        for i in range(N_PERMS)
+    ]
+
+
+def simhash(hashes_arr: str, dialect: str) -> str:
+    """Weighted SimHash over 32-bit token hashes: bit j of the output is
+    the sign of sum(+1/-1 for bit j of each token hash). All-integer
+    math, so bit-identical across engines."""
+    _check(dialect)
+    terms = []
+    for j in range(SIMHASH_BITS):
+        vote = f"CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END"
+        if dialect == "spark":
+            s = f"aggregate({hashes_arr}, 0L, (acc, h) -> acc + {vote})"
+        else:
+            s = f"list_sum(list_transform({hashes_arr}, h -> {vote}))"
+        terms.append(f"(CASE WHEN {s} >= 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def hamming(a: str, b: str, dialect: str) -> str:
+    _check(dialect)
+    if dialect == "spark":
+        return f"bit_count({a} ^ {b})"
+    return f"bit_count(xor({a}, {b}))"  # ^ is power in DuckDB
+
+
+# ---------------------------------------------------------------------------
+# Embedding math (verified bit-identical across engines on the driver
+# data: sequential left-to-right double accumulation in both).
+# ---------------------------------------------------------------------------
+
+def _float_array_literal(vals: list[float], dialect: str) -> str:
+    body = ", ".join(repr(v) for v in vals)
+    if dialect == "spark":
+        return f"array({body})"
+    return f"[{body}]"
+
+
+def dot(a: str, b: str, dialect: str) -> str:
+    """Sequential double dot product: fold is ((p1+p2)+p3)+... in both
+    engines (Spark aggregate starts at 0.0 which is exact)."""
+    _check(dialect)
+    if dialect == "spark":
+        prods = f"zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))"
+        return f"aggregate({prods}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    prods = (
+        f"list_transform(list_zip({a}, {b}),"
+        f" p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))"
+    )
+    return f"list_reduce({prods}, (acc, x) -> acc + x)"
+
+
+def sq_norm(a: str, dialect: str) -> str:
+    return dot(a, a, dialect)
+
+
+def cosine(dot_expr: str, na: str, nb: str) -> str:
+    """cos = dot / sqrt(na*nb): three correctly-rounded IEEE ops —
+    dialect-independent once the inputs are bit-identical."""
+    return f"({dot_expr} / sqrt({na} * {nb}))"
+
+
+def plane_dot(emb: str, plane: int, dialect: str) -> str:
+    return dot(emb, _float_array_literal(HYPERPLANES[plane], dialect), dialect)
+
+
+def lsh_bucket(emb: str, dialect: str) -> str:
+    """Sign-bit hyperplane bucket in [0, 2^N_PLANES)."""
+    _check(dialect)
+    bits = [
+        f"(CASE WHEN {plane_dot(emb, p, dialect)} >= 0 THEN {2**p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    ]
+    return "(" + " + ".join(bits) + ")"

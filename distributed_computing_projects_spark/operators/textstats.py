@@ -1,0 +1,110 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, heuristic language-ID, and document fingerprinting
+(BASELINE.json scale extensions; the reference has no text analytics
+beyond grep/wordcount).
+
+Everything is built-in-function expression work (whole-stage codegen);
+ratios are single double divisions of exact integer counts, so every
+query here is oracle-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from distributed_computing_projects_spark.functions import text as T
+
+# Tiny function-word lists for the heuristic scorer. On real corpora
+# these would be per-language stopword tables; the driver's synthetic
+# docs share one vocabulary, so the classifier's value here is the
+# *plumbing* (deterministic scoring + argmax), not accuracy.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "los", "y", "es"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "zh": ["de", "le", "shi", "he", "zai"],
+}
+
+PUNCT_RE = "[.,;:!?]"
+
+
+def _str_list(vals: list[str], dialect: str) -> str:
+    body = ", ".join(f"'{v}'" for v in vals)
+    return f"array({body})" if dialect == "spark" else f"[{body}]"
+
+
+def lang_score(tokens_arr: str, lang: str, dialect: str) -> str:
+    """# tokens that are markers of ``lang`` (per-occurrence, like the
+    wine token count — F3 semantics)."""
+    lst = _str_list(LANG_MARKERS[lang], dialect)
+    if dialect == "spark":
+        return f"size(filter({tokens_arr}, x -> array_contains({lst}, x)))"
+    return f"len(list_filter({tokens_arr}, x -> list_contains({lst}, x)))"
+
+
+def lang_pred(tokens_arr: str, dialect: str) -> str:
+    """argmax over language scores; ties go to the lexicographically
+    first language code (deterministic in both engines)."""
+    langs = sorted(LANG_MARKERS)
+    scores = {lg: lang_score(tokens_arr, lg, dialect) for lg in langs}
+    best = f"greatest({', '.join(scores.values())})"
+    cases = " ".join(
+        f"WHEN {scores[lg]} = {best} THEN '{lg}'" for lg in langs
+    )
+    return f"(CASE {cases} END)"
+
+
+def token_count(df: DataFrame, text_col: str) -> DataFrame:
+    toks = T.tokens(text_col, "spark")
+    return df.select(
+        "*",
+        F.expr(f"size({toks})").alias("n_tokens"),
+        F.expr(f"size(array_distinct({toks}))").alias("n_distinct_tokens"),
+    )
+
+
+def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features.
+
+    All counts are exact integers; ratios are one double division each.
+    """
+    toks = T.tokens(text_col, "spark")
+    stop = _str_list(LANG_MARKERS["en"], "spark")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.length(text_col).alias("n_chars"),
+        F.expr(f"size({toks})").alias("n_tokens"),
+        F.expr(f"size(array_distinct({toks}))").alias("n_distinct_tokens"),
+        F.expr(
+            f"CAST(size(array_distinct({toks})) AS DOUBLE)"
+            f" / CAST(size({toks}) AS DOUBLE)"
+        ).alias("distinct_ratio"),
+        F.expr(
+            f"CAST(size(filter({toks}, x -> array_contains({stop}, x))) AS DOUBLE)"
+            f" / CAST(size({toks}) AS DOUBLE)"
+        ).alias("stopword_ratio"),
+        (
+            F.expr(
+                f"CAST(length(regexp_replace({text_col}, '{PUNCT_RE}', '')) AS DOUBLE)"
+            ) / F.length(text_col).cast("double")
+        ).alias("alpha_ratio"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    toks = T.tokens(text_col, "spark")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(lang_pred(toks, "spark")).alias("pred_lang"),
+    )
+
+
+def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace-normalized md5 fingerprint + 32-bit numeric form."""
+    norm = f"lower(regexp_replace({text_col}, '\\\\s+', ' '))"
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"md5({norm})").alias("fingerprint"),
+        F.expr(T.hash32(norm, "spark")).alias("fingerprint32"),
+    )

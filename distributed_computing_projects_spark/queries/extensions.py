@@ -1,3 +1,398 @@
-"""Large-scale training-data pipeline extensions (placeholder module;
-populated by the dedup / similarity / text-analysis / multimodal query
-sets)."""
+"""Scale-extension queries (SURVEY.md §7.1 M6 / BASELINE.json):
+deduplication, similarity search, text analysis, multimodal plumbing —
+the operations a 100 TB training-data pipeline needs on top of the
+reference surface.
+
+Every oracle is generated from the SAME dual-dialect fragment builders
+(``functions/text.py``) as the Spark plan, so the differential harness
+compares identical math. The one Python-side operator
+(``multimodal_features``, Arrow mapInPandas) is registered without an
+oracle — the driver records its rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_computing_projects_spark.functions import text as T
+from distributed_computing_projects_spark.operators import dedup as D
+from distributed_computing_projects_spark.operators import multimodal as M
+from distributed_computing_projects_spark.operators import similarity as S
+from distributed_computing_projects_spark.operators import textstats as X
+from distributed_computing_projects_spark.queries import query
+from distributed_computing_projects_spark.sources.registry import load_table
+
+# ---------------------------------------------------------------------------
+# Shared oracle CTEs (duck dialect)
+# ---------------------------------------------------------------------------
+
+_SH_D = T.shingles("text", 3, "duck")
+_HASHES_D = f"list_transform({_SH_D}, s -> {T.hash32('s', 'duck')} % {T.MERSENNE_P})"
+_SIG_D = ", ".join(T.minhash_sig("hs", "duck"))
+
+_BAND_SELECTS = " UNION ALL ".join(
+    f"SELECT id, sig, {b} AS band, concat_ws(',', "
+    + ", ".join(f"sig[{b * T.ROWS_PER_BAND + r + 1}]" for r in range(T.ROWS_PER_BAND))
+    + ") AS key FROM sigs"
+    for b in range(T.N_BANDS)
+)
+
+_N_EQ_D = " + ".join(
+    f"(CASE WHEN sig_a[{i + 1}] = sig_b[{i + 1}] THEN 1 ELSE 0 END)"
+    for i in range(T.N_PERMS)
+)
+
+_LSH_CTES = f"""
+    hashed AS (SELECT doc_id AS id, {_HASHES_D} AS hs FROM documents),
+    sigs AS (SELECT id, [{_SIG_D}] AS sig FROM hashed WHERE len(hs) >= 1),
+    bands AS ({_BAND_SELECTS}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+"""
+
+MINHASH_THRESHOLD = 0.25
+JACCARD_THRESHOLD = 0.2
+SIMHASH_MAX_HAMMING = 3
+COSINE_THRESHOLD = 0.3  # driver embeddings are near-orthogonal; in-bucket max ~0.40
+ANN_K = 10
+ANN_PROBE_HAMMING = 2
+
+# Fixed ANN query vector, same derivation as the hyperplanes.
+ANN_QUERY_VEC = [
+    ((T._h32(f"query-{j}") % 2001) - 1000) / 1000.0 for j in range(T.EMBEDDING_DIM)
+]
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    SELECT {D.NORM_TEXT_DUCK.format(col='text')} AS text_hash,
+           min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    doc="Exact dedup: hash-groupBy on normalized text; survivor = min id.",
+)
+def q_dedup_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, "doc_id", "text")
+
+
+@query(
+    "minhash_signature",
+    oracle=f"""
+    WITH hashed AS (SELECT doc_id AS id, {_HASHES_D} AS hs FROM documents),
+    sigs AS (SELECT id, [{_SIG_D}] AS sig FROM hashed WHERE len(hs) >= 1)
+    SELECT id, concat_ws(',', {', '.join(f'sig[{i + 1}]' for i in range(T.N_PERMS))})
+           AS sig_str
+    FROM sigs
+    """,
+    doc=f"{T.N_PERMS}-perm MinHash signatures over 3-word shingles "
+        "(signature serialized for the hash compare).",
+)
+def q_minhash_signature(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, "doc_id", "text")
+    return sigs.select(
+        "id",
+        F.concat_ws(",", *[F.col("sig")[i].cast("string")
+                           for i in range(T.N_PERMS)]).alias("sig_str"),
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_LSH_CTES}
+    SELECT id_a, id_b, ({_N_EQ_D}) / {float(T.N_PERMS)} AS est_jaccard
+    FROM cand
+    WHERE ({_N_EQ_D}) / {float(T.N_PERMS)} >= {MINHASH_THRESHOLD}
+    """,
+    headline=True,
+    doc="MinHash+LSH near-dup candidates: banded bucket equi-join, "
+        "estimated Jaccard from signature agreement.",
+)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=MINHASH_THRESHOLD)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_LSH_CTES},
+    sh AS (SELECT doc_id AS id, {_SH_D} AS sh FROM documents),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS n_inter,
+             len(sa.sh) AS la, len(sb.sh) AS lb
+      FROM cand c
+      JOIN sh sa ON sa.id = c.id_a
+      JOIN sh sb ON sb.id = c.id_b)
+    SELECT id_a, id_b,
+           CAST(n_inter AS DOUBLE) / CAST(la + lb - n_inter AS DOUBLE) AS jaccard
+    FROM scored
+    WHERE CAST(n_inter AS DOUBLE) / CAST(la + lb - n_inter AS DOUBLE)
+          >= {JACCARD_THRESHOLD}
+    """,
+    doc="EXACT n-gram Jaccard, verified only on LSH candidates (the "
+        "scale path: no all-pairs set intersection).",
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=JACCARD_THRESHOLD)
+
+
+_TOKS_D = T.tokens("text", "duck")
+_THASHES_D = f"list_transform({_TOKS_D}, s -> {T.hash32('s', 'duck')})"
+
+
+@query(
+    "simhash_fingerprint",
+    oracle=f"""
+    SELECT doc_id AS id, {T.simhash(_THASHES_D, 'duck')} AS simhash
+    FROM documents WHERE len({_TOKS_D}) > 0
+    """,
+    doc=f"{T.SIMHASH_BITS}-bit weighted SimHash fingerprints (all-integer "
+        "math, bit-identical across engines).",
+)
+def q_simhash_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_fingerprints(docs, "doc_id", "text")
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id AS id, {T.simhash(_THASHES_D, 'duck')} AS simhash
+      FROM documents WHERE len({_TOKS_D}) > 0),
+    banded AS (
+      {' UNION ALL '.join(
+          f"SELECT id, simhash, {b} AS band, (simhash >> {8 * b}) & 255 AS byte FROM fp"
+          for b in range(4))}),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             {T.hamming('a.simhash', 'b.simhash', 'duck')} AS hamming
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.byte = b.byte AND a.id < b.id)
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {SIMHASH_MAX_HAMMING}
+    """,
+    doc="SimHash near-dup pairs within hamming<=3, via the pigeonhole "
+        "band join (>=1 of 4 bytes must agree).",
+)
+def q_dedup_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, "doc_id", "text", max_hamming=SIMHASH_MAX_HAMMING)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id AS id, embedding AS v,
+             {T.lsh_bucket('embedding', 'duck')} AS bucket,
+             {T.sq_norm('embedding', 'duck')} AS nrm
+      FROM embeddings)
+    SELECT a.id AS id_a, b.id AS id_b,
+           {T.cosine(T.dot('a.v', 'b.v', 'duck'), 'a.nrm', 'b.nrm')} AS cosine
+    FROM b a JOIN b b ON a.bucket = b.bucket AND a.id < b.id
+    WHERE {T.cosine(T.dot('a.v', 'b.v', 'duck'), 'a.nrm', 'b.nrm')}
+          >= {COSINE_THRESHOLD}
+    """,
+    doc="Embedding-cosine near-dup, blocked by hyperplane LSH bucket "
+        "(equi-join on the 8-bit bucket, never all-pairs).",
+)
+def q_dedup_embedding_cosine(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=COSINE_THRESHOLD
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_QLIT_D = S._query_literal(ANN_QUERY_VEC, "duck")
+_COS_Q_D = T.cosine(
+    T.dot("embedding", _QLIT_D, "duck"),
+    T.sq_norm("embedding", "duck"),
+    T.sq_norm(_QLIT_D, "duck"),
+)
+
+
+@query(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    SELECT vec_id AS id, {_COS_Q_D} AS cosine
+    FROM embeddings
+    ORDER BY cosine DESC, id LIMIT {ANN_K}
+    """,
+    headline=True,
+    doc="Exact cosine top-k vs a fixed query vector — the ANN recall "
+        "baseline; TakeOrderedAndProject, no global sort.",
+)
+def q_ann_bruteforce_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, ANN_QUERY_VEC, ANN_K, "vec_id", "embedding")
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id AS id, embedding,
+             {T.lsh_bucket('embedding', 'duck')} AS bucket
+      FROM embeddings)
+    SELECT id, {_COS_Q_D} AS cosine
+    FROM b
+    WHERE {T.hamming('bucket', str(S.query_bucket(ANN_QUERY_VEC)), 'duck')}
+          <= {ANN_PROBE_HAMMING}
+    ORDER BY cosine DESC, id LIMIT {ANN_K}
+    """,
+    doc="LSH-bucketed ANN: multi-probe hyperplane buckets prune the "
+        "scan; at scale the bucket is a partition key -> partition "
+        "pruning instead of a full scan.",
+)
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_topk(
+        emb, ANN_QUERY_VEC, ANN_K, "vec_id", "embedding",
+        probe_hamming=ANN_PROBE_HAMMING,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id AS id, length(text) AS n_chars,
+           len({_TOKS_D}) AS n_tokens,
+           len(list_distinct({_TOKS_D})) AS n_distinct_tokens,
+           CAST(len(list_distinct({_TOKS_D})) AS DOUBLE)
+             / CAST(len({_TOKS_D}) AS DOUBLE) AS distinct_ratio,
+           CAST(len(list_filter({_TOKS_D},
+                x -> list_contains({X._str_list(X.LANG_MARKERS['en'], 'duck')}, x)))
+                AS DOUBLE)
+             / CAST(len({_TOKS_D}) AS DOUBLE) AS stopword_ratio,
+           CAST(length(regexp_replace(text, '{X.PUNCT_RE}', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE) AS alpha_ratio
+    FROM documents
+    """,
+    doc="Quality features: exact counts + single-division ratios "
+        "(length, distinct-token, stopword, punctuation).",
+)
+def q_text_quality(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return X.quality_scores(docs, "doc_id", "text")
+
+
+@query(
+    "language_id",
+    oracle=f"""
+    SELECT lang, {X.lang_pred(_TOKS_D, 'duck')} AS pred_lang, count(*) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+    doc="Heuristic marker-token language-ID, reported as a confusion "
+        "matrix vs the labeled lang column.",
+)
+def q_language_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text", "spark")
+    return (
+        docs.select("lang", F.expr(X.lang_pred(toks, "spark")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_NORM_D = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
+_FP32_D = T.hash32(_NORM_D, "duck")
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id AS id,
+           md5({_NORM_D}) AS fingerprint,
+           {_FP32_D} AS fingerprint32
+    FROM documents
+    """,
+    doc="Whitespace-normalized md5 document fingerprints (+32-bit form).",
+)
+def q_doc_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return X.fingerprints(docs, "doc_id", "text")
+
+
+@query(
+    "token_stats",
+    oracle=f"""
+    SELECT sum(len({_TOKS_D})) AS total_tokens,
+           count(*) AS n_docs,
+           (SELECT count(DISTINCT w) FROM (
+              SELECT unnest({_TOKS_D}) AS w FROM documents))
+             AS distinct_tokens,
+           CAST(sum(len({_TOKS_D})) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS avg_tokens_per_doc
+    FROM documents
+    """,
+    doc="Corpus token statistics (BPE-ish counting is the same plumbing "
+        "with a different split regex).",
+)
+def q_token_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text", "spark")
+    totals = docs.agg(
+        F.sum(F.expr(f"size({toks})")).alias("total_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+    distinct = (
+        docs.select(F.explode(F.expr(toks)).alias("w"))
+        .agg(F.countDistinct("w").alias("distinct_tokens"))
+    )
+    return totals.crossJoin(distinct).withColumn(
+        "avg_tokens_per_doc",
+        F.col("total_tokens").cast("double") / F.col("n_docs").cast("double"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_payload_stats",
+    oracle="""
+    SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,
+           'text/plain' AS mime
+    FROM documents
+    """,
+    doc="Metadata-only stage over binary payloads: byte length + mime, "
+        "no Python, runs before any decode at scale.",
+)
+def q_multimodal_payload_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return M.payload_stats(docs, "doc_id", "text")
+
+
+@query(
+    "multimodal_features",
+    oracle=None,  # the one genuinely non-SQL op: Arrow mapInPandas
+    doc="Arrow-batched mapInPandas feature extraction over binary "
+        "payloads (decode stubbed with deterministic byte features; "
+        "rows-only check).",
+)
+def q_multimodal_features(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = M.attach_payload(docs, "doc_id", "text")
+    return M.decode_features(payloads)

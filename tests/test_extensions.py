@@ -1,0 +1,164 @@
+"""Unit tests for the scale-extension operators: dedup families,
+similarity search, text analysis, multimodal plumbing. Semantics are
+pinned with tiny hand-built frames (closed-form answers); the
+engine-vs-DuckDB value parity is covered by tools/check_oracle.py and
+the driver's correctness gate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from distributed_computing_projects_spark.functions import text as T
+from distributed_computing_projects_spark.operators import (
+    dedup as D,
+    multimodal as M,
+    similarity as S,
+    textstats as X,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+def test_exact_dedup_groups_normalized_copies(spark):
+    df = _docs(spark, ["a b  c", "a b c", "A b C", "x y z"])
+    out = {r.keep_id: r.n_copies for r in
+           D.exact_dedup(df, "doc_id", "text").collect()}
+    # "a b  c" and "a b c" and "A b C" normalize (lower + ws-collapse) equal
+    assert out == {0: 3, 3: 1}
+
+
+def test_minhash_identical_docs_have_identical_signatures(spark):
+    df = _docs(spark, ["one two three four five", "one two three four five",
+                       "totally different words here now"])
+    sigs = {r.id: r.sig for r in
+            D.minhash_signatures(df, "doc_id", "text").collect()}
+    assert sigs[0] == sigs[1] != sigs[2]
+    assert len(sigs[0]) == T.N_PERMS
+
+
+def test_minhash_short_docs_excluded(spark):
+    df = _docs(spark, ["only two", "a b c d"])
+    ids = [r.id for r in D.minhash_signatures(df, "doc_id", "text").collect()]
+    assert ids == [1]  # < 3 tokens -> no shingles -> excluded
+
+
+def test_lsh_finds_near_duplicates_not_distinct_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " tail"
+    far = "completely unrelated content about spark shuffles and parquet files"
+    df = _docs(spark, [base, near, far])
+    pairs = {(r.id_a, r.id_b): r.est_jaccard
+             for r in D.minhash_lsh_pairs(df, "doc_id", "text", 0.25).collect()}
+    assert (0, 1) in pairs
+    assert all(k == (0, 1) for k in pairs)
+    assert 0.25 <= pairs[(0, 1)] <= 1.0
+
+
+def test_exact_jaccard_identical_docs_is_one(spark):
+    df = _docs(spark, ["w1 w2 w3 w4 w5", "w1 w2 w3 w4 w5"])
+    rows = D.ngram_jaccard_pairs(df, "doc_id", "text", 0.5).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in rows] == [(0, 1, 1.0)]
+
+
+def test_simhash_close_texts_close_fingerprints(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    df = _docs(spark, [base, base + "iota", "x0 x1 x2 x3 x4 x5 x6 x7"])
+    fps = {r.id: r.simhash for r in
+           D.simhash_fingerprints(df, "doc_id", "text").collect()}
+    ham01 = bin(fps[0] ^ fps[1]).count("1")
+    ham02 = bin(fps[0] ^ fps[2]).count("1")
+    assert ham01 < ham02
+    assert 0 <= fps[0] < 2 ** T.SIMHASH_BITS
+
+
+def test_simhash_pairs_pigeonhole_guard():
+    with pytest.raises(ValueError):
+        D.simhash_pairs(None, "doc_id", "text", max_hamming=4)
+
+
+def test_embedding_neardup_finds_scaled_copy(spark):
+    v = [0.1 * ((i % 7) - 3) for i in range(T.EMBEDDING_DIM)]
+    v2 = [x * 2.0 for x in v]  # same direction -> cosine 1.0
+    opp = [-x for x in v]
+    df = spark.createDataFrame(
+        [Row(vec_id=0, embedding=v), Row(vec_id=1, embedding=v2),
+         Row(vec_id=2, embedding=opp)]
+    )
+    rows = D.embedding_neardup_pairs(df, "vec_id", "embedding", 0.99).collect()
+    assert [(r.id_a, r.id_b) for r in rows] == [(0, 1)]
+    assert rows[0].cosine == pytest.approx(1.0)
+
+
+def test_brute_force_topk_self_is_nearest(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    first = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    top = S.brute_force_topk(emb, list(first), 3, "vec_id", "embedding").collect()
+    assert top[0].id == 0
+    assert top[0].cosine == pytest.approx(1.0)
+    assert top[0].cosine >= top[1].cosine >= top[2].cosine
+
+
+def test_lsh_topk_subset_of_bruteforce_universe(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = list(emb.filter(F.col("vec_id") == 7).collect()[0].embedding)
+    lsh = S.lsh_topk(emb, q, 5, "vec_id", "embedding", probe_hamming=2).collect()
+    assert lsh, "query's own bucket must at least contain the query vector"
+    assert lsh[0].id == 7  # self survives single/multi probe by construction
+    exact = {r.id: r.cosine
+             for r in S.brute_force_topk(emb, q, 500, "vec_id", "embedding").collect()}
+    for r in lsh:  # scores agree with the exact scorer
+        assert exact[r.id] == r.cosine
+
+
+def test_query_bucket_matches_column_expression(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(20)
+    rows = emb.select(
+        "vec_id", "embedding",
+        F.expr(T.lsh_bucket("embedding", "spark")).alias("bucket"),
+    ).collect()
+    for r in rows:
+        assert S.query_bucket(list(r.embedding)) == r.bucket
+
+
+def test_quality_scores_closed_form(spark):
+    df = _docs(spark, ["the cat, the hat."])
+    r = X.quality_scores(df, "doc_id", "text").collect()[0]
+    assert r.n_tokens == 4
+    assert r.n_distinct_tokens == 3  # {'the', 'cat,', 'hat.'}
+    assert r.stopword_ratio == 0.5  # two 'the' of four tokens
+    assert r.alpha_ratio == pytest.approx((len("the cat, the hat.") - 2)
+                                          / len("the cat, the hat."))
+
+
+def test_language_id_prefers_marked_language(spark):
+    df = _docs(spark, ["the fast join of the table", "der und das ist der"])
+    out = dict(X.language_id(df, "doc_id", "text").collect())
+    assert out == {0: "en", 1: "de"}
+
+
+def test_fingerprints_normalize_whitespace_and_case(spark):
+    df = _docs(spark, ["Hello   World", "hello world", "other"])
+    rows = X.fingerprints(df, "doc_id", "text").collect()
+    fp = {r.id: (r.fingerprint, r.fingerprint32) for r in rows}
+    assert fp[0] == fp[1] != fp[2]
+
+
+def test_multimodal_payload_roundtrip_and_features(spark):
+    df = _docs(spark, ["abc", ""])
+    feats = {r.id: r for r in
+             M.decode_features(M.attach_payload(df, "doc_id", "text")).collect()}
+    assert feats[0].n_bytes == 3
+    assert feats[0].first_byte == ord("a")
+    assert feats[0].byte_checksum == ord("a") + ord("b") + ord("c")
+    assert feats[1].n_bytes == 0 and feats[1].first_byte == -1
+    assert feats[0].mime == "text/plain"
+
+
+def test_decode_image_is_documented_stub():
+    with pytest.raises(NotImplementedError):
+        M.decode_image(None)
