@@ -1,0 +1,187 @@
+"""Structured Streaming over the ``events`` table (SURVEY.md §2.9/§7.1
+M7 — the reference is strictly batch; this is a labeled extension).
+
+The transformations are written against a plain DataFrame, so the SAME
+function builds both the streaming query (``readStream`` input) and its
+batch twin (``spark.read`` input) — batch parity is the test strategy,
+mirroring the reference's engine-vs-Hadoop differential idea
+(SURVEY.md §5.1).
+
+Scale notes:
+- watermarks bound state: every aggregation here takes one so state
+  for closed windows is dropped instead of growing without bound;
+- window aggs are hash aggs keyed by (window, key) — one shuffle,
+  partial aggregation map-side, same plan shape as the batch twin;
+- the custom stateful op uses ``applyInPandasWithState`` (Arrow
+  batches, state per user_id partition) — the pattern for operators
+  watermark+window can't express.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Explicit schema: streaming sources cannot infer. ts arrives as
+# TIMESTAMP(NANOS) => bigint under the session's nanosAsLong setting
+# (see session.py) and is converted exactly like the batch reader.
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one file = one
+    micro-batch under availableNow; a directory of files streams
+    incrementally — same code path on a real landing zone)."""
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        # file streams need a directory source; select just the events
+        # file(s) from the table dir (a real landing zone would be its
+        # own directory of arriving files)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-(window, event_type) count + decimal-exact value sum. Works
+    on a stream (late rows beyond the watermark dropped, state pruned)
+    and on a batch frame (watermark is a no-op)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(25,2)")).cast("double")
+            .alias("total_value"),
+        )
+        .select(F.col("w.start").alias("bucket"), "event_type", "n", "total_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window event counts: each row lands in width/slide
+    overlapping windows (Spark expands them without data duplication
+    in the shuffle beyond the window column)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_aggregate(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows with a 30-min inactivity gap —
+    ``session_window`` on streams; the batch twin of the lag/cumsum
+    sessionization in queries/relational.py (user_sessions)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+RUNNING_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user event count + value
+    total, emitted once per micro-batch per updated user.
+
+    ``applyInPandasWithState`` = Arrow-batched groups + explicit state,
+    the escape hatch for semantics watermark+window can't express
+    (counters, ML feature state, CDC merges). Processing-time timeout
+    keeps abandoned users' state collectable.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> None:
+    """Drain a stream into an in-memory table with availableNow (test
+    harness; production sinks are parquet/kafka writeStream)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,101 @@
+"""Streaming extension tests: every windowed transformation is built by
+ONE function run against both readStream and spark.read — the test
+asserts the streaming result equals the batch result (differential
+testing, same strategy as the reference's MapleJuice-vs-Hadoop twins).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_computing_projects_spark.sources.registry import load_table
+from distributed_computing_projects_spark.streaming import (
+    read_events_stream,
+    running_user_totals,
+    session_aggregate,
+    sliding_counts,
+    tumbling_counts,
+)
+from distributed_computing_projects_spark.streaming.windows import run_to_memory_sink
+
+
+def _sorted_rows(df, *cols):
+    return [tuple(r) for r in df.orderBy(*cols).collect()]
+
+
+def test_tumbling_counts_stream_matches_batch(spark, sf_dir):
+    stream = tumbling_counts(read_events_stream(spark, sf_dir))
+    assert stream.isStreaming
+    run_to_memory_sink(stream, "t_tumbling")
+    got = _sorted_rows(spark.table("t_tumbling"), "bucket", "event_type")
+    want = _sorted_rows(
+        tumbling_counts(load_table(spark, sf_dir, "events")), "bucket", "event_type"
+    )
+    assert got == want and len(got) > 0
+
+
+def test_sliding_counts_stream_matches_batch(spark, sf_dir):
+    stream = sliding_counts(read_events_stream(spark, sf_dir))
+    run_to_memory_sink(stream, "t_sliding")
+    got = _sorted_rows(spark.table("t_sliding"), "w_start", "event_type")
+    want = _sorted_rows(
+        sliding_counts(load_table(spark, sf_dir, "events")),
+        "w_start", "event_type",
+    )
+    assert got == want
+    # every event lands in width/slide = 4 overlapping windows:
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r[3] for r in got) == 4 * n_events
+
+
+def test_session_aggregate_stream_matches_batch(spark, sf_dir):
+    stream = session_aggregate(read_events_stream(spark, sf_dir))
+    run_to_memory_sink(stream, "t_sessions")
+    got = _sorted_rows(spark.table("t_sessions"), "user_id", "session_start")
+    want = _sorted_rows(
+        session_aggregate(load_table(spark, sf_dir, "events")),
+        "user_id", "session_start",
+    )
+    assert got == want and len(got) > 0
+
+
+def test_session_aggregate_agrees_with_lag_cumsum_twin(spark, sf_dir):
+    """The streaming session_window and the batch lag/cumsum query
+    (user_sessions) must count the same sessions per user."""
+    from distributed_computing_projects_spark.queries import load_registry
+
+    sessions = session_aggregate(load_table(spark, sf_dir, "events"))
+    by_window = {
+        r.user_id: r.n
+        for r in sessions.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    by_lag = {
+        r.user_id: r.n_sessions
+        for r in load_registry()["user_sessions"].fn(spark, sf_dir).collect()
+    }
+    assert by_window == by_lag
+
+
+def test_running_user_totals_final_state_matches_batch_agg(spark, sf_dir):
+    stream = running_user_totals(read_events_stream(spark, sf_dir))
+    run_to_memory_sink(stream, "t_running", output_mode="update")
+    # last update per user == overall totals
+    got = {
+        r.user_id: (r.n_events, pytest.approx(r.total_value))
+        for r in spark.table("t_running")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value"))
+        .withColumnRenamed("max(n_events)", "n_events")
+        .collect()
+    }
+    want = {
+        r.user_id: (r.n, r.total)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert {u: v[0] for u, v in got.items()} == {u: v[0] for u, v in want.items()}
+    for u in want:
+        assert got[u][1] == want[u][1]
