@@ -1,0 +1,100 @@
+"""Physical-plan regression tests: the shape assertions that keep the
+engine honest at 100 TB (SURVEY §4.2 — pushdown, pruning, broadcast,
+top-k, no-cartesian). Run at sf0.001; the plan shape is SF-invariant.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from distributed_computing_projects_spark.plans.inspect import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    assert_read_schema_only,
+    assert_topk_not_global_sort,
+    physical_plan,
+)
+from distributed_computing_projects_spark.queries import load_registry
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_registry()
+
+
+def test_q1_filter_pushed_to_parquet(spark, sf_dir, registry):
+    df = registry["q1_pricing_summary"].fn(spark, sf_dir)
+    assert_pushed_filters(df, "l_shipdate")
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir, registry):
+    df = registry["q6_forecast_revenue"].fn(spark, sf_dir)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert_pushed_filters(df, col)
+
+
+def test_q3_broadcasts_dim_and_uses_topk(spark, sf_dir, registry):
+    df = registry["q3_shipping_priority"].fn(spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_topk_not_global_sort(df)
+
+
+def test_q5_broadcasts_small_dims(spark, sf_dir, registry):
+    df = registry["q5_local_supplier_volume"].fn(spark, sf_dir)
+    assert_broadcast_join(df, at_least=2)
+    assert_no_cartesian(df)
+
+
+def test_grep_prunes_unused_document_columns(spark, sf_dir, registry):
+    df = registry["grep"].fn(spark, sf_dir)
+    assert_read_schema_only(df, "documents.parquet", {"doc_id", "text"})
+
+
+def test_q1_scan_prunes_to_used_columns(spark, sf_dir, registry):
+    df = registry["q1_pricing_summary"].fn(spark, sf_dir)
+    assert_read_schema_only(
+        df,
+        "lineitem.parquet",
+        {
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate",
+        },
+    )
+
+
+def test_ann_topk_avoids_global_sort(spark, sf_dir, registry):
+    for name in ("ann_bruteforce_topk", "ann_lsh_topk"):
+        assert_topk_not_global_sort(registry[name].fn(spark, sf_dir))
+
+
+def test_lsh_self_joins_are_equi_joins(spark, sf_dir, registry):
+    """Candidate generation for every near-dup family must never plan
+    a cartesian/nested-loop product."""
+    for name in ("dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
+                 "dedup_ngram_jaccard"):
+        assert_no_cartesian(registry[name].fn(spark, sf_dir))
+
+
+def test_condorcet_round1_is_shuffle_join(spark, sf_dir, registry):
+    assert_no_cartesian(registry["condorcet_round1"].fn(spark, sf_dir))
+
+
+def test_wordcount_plan_is_codegen_only(spark, sf_dir, registry):
+    """explode+count stays entirely in whole-stage codegen: no Python
+    evaluation node may appear in the hot path."""
+    plan = physical_plan(registry["wordcount"].fn(spark, sf_dir))
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan
+    # AQE shows codegen spans only in the final plan; pre-execution the
+    # guard that matters is that no Python node interrupts the stages.
+    assert "HashAggregate" in plan
+
+
+def test_extension_expressions_stay_jvm_side(spark, sf_dir, registry):
+    """MinHash/SimHash/cosine are expression work, not UDFs."""
+    for name in ("minhash_signature", "simhash_fingerprint",
+                 "dedup_embedding_cosine", "ann_bruteforce_topk"):
+        plan = physical_plan(registry[name].fn(spark, sf_dir))
+        for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert bad not in plan, f"{name} fell off the JVM path: {bad}"
