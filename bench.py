@@ -41,9 +41,18 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     for name, spec in sorted(headliners.items()):
-        t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best of 2: first run can absorb one-off codegen/JIT compile of
+        # this plan shape; the repeat is the engine's steady throughput
+        best = float("inf")
+        for _ in range(2):
+            # fairness: operators may persist() intermediates; clearing
+            # between runs means the repeat measures real recompute,
+            # not a cache read
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

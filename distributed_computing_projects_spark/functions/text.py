@@ -114,6 +114,51 @@ def minhash_sig(hashes_arr: str, dialect: str) -> list[str]:
     ]
 
 
+def minhash_sig_onepass(hashes_arr: str) -> str:
+    """Spark-only single-pass signature: fold the hash array ONCE,
+    keeping all N_PERMS running minima in an accumulator array.
+
+    The per-permutation fragments of :func:`minhash_sig` inline
+    ``hashes_arr`` N_PERMS times — Catalyst does not share the
+    subexpression across projection columns, so the md5 work runs 16x
+    (measured 15x slower at sf0.1). Here the array appears once.
+    Empty-shingle docs fold to all-MERSENNE_P sentinels (every real
+    min is < P) — filter ``sig[0] < P`` afterwards so the hash
+    expression is not duplicated into a pre-filter.
+    """
+    a_lit = f"array({', '.join(str(a) for a in MINHASH_A)})"
+    b_lit = f"array({', '.join(str(b) for b in MINHASH_B)})"
+    init = f"array_repeat(CAST({MERSENNE_P} AS BIGINT), {N_PERMS})"
+    step = (
+        f"zip_with(acc, sequence(0, {N_PERMS - 1}), (a, i) -> "
+        f"least(a, (element_at({a_lit}, i + 1) * h"
+        f" + element_at({b_lit}, i + 1)) % {MERSENNE_P}))"
+    )
+    return f"aggregate({hashes_arr}, {init}, (acc, h) -> {step})"
+
+
+def simhash_onepass(hashes_arr: str) -> str:
+    """Spark-only single-pass SimHash: one fold accumulates all
+    SIMHASH_BITS bit-counters (the per-bit form of :func:`simhash`
+    re-evaluates ``hashes_arr`` 32x), then a constant-size fold turns
+    counter signs into the fingerprint. Same integer math as
+    :func:`simhash` — the oracle keeps the per-bit form."""
+    # NB: the `>>` operator does not parse inside Spark SQL lambdas —
+    # shiftright()/shiftleft() function forms only.
+    counts = (
+        f"aggregate({hashes_arr}, array_repeat(CAST(0 AS BIGINT), {SIMHASH_BITS}),"
+        f" (acc, h) -> zip_with(acc, sequence(0, {SIMHASH_BITS - 1}), (a, j) ->"
+        f" a + CASE WHEN shiftright(h, CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END))"
+    )
+    fold_bits = (
+        f"aggregate(zip_with(C, sequence(0, {SIMHASH_BITS - 1}), (c, j) ->"
+        f" CASE WHEN c >= 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"
+        f" ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    # bind the counters array once via a singleton-transform
+    return f"transform(array({counts}), C -> {fold_bits})[0]"
+
+
 def simhash(hashes_arr: str, dialect: str) -> str:
     """Weighted SimHash over 32-bit token hashes: bit j of the output is
     the sign of sum(+1/-1 for bit j of each token hash). All-integer
@@ -121,7 +166,8 @@ def simhash(hashes_arr: str, dialect: str) -> str:
     _check(dialect)
     terms = []
     for j in range(SIMHASH_BITS):
-        vote = f"CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END"
+        vote_sr = f"CASE WHEN shiftright(h, {j}) & 1 = 1 THEN 1 ELSE -1 END"
+        vote = vote_sr if dialect == "spark" else f"CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END"
         if dialect == "spark":
             s = f"aggregate({hashes_arr}, 0L, (acc, h) -> acc + {vote})"
         else:
