@@ -370,3 +370,72 @@ def q_asof_last_click(spark, sf_dir):
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "ts", "last_click_ts")
     )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT
+      CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {DISC_PRICE_TERM}
+               ELSE CAST(0 AS DECIMAL(22,4)) END) AS DOUBLE)
+        AS promo_revenue,
+      {SUM_DISC_PRICE} AS total_revenue,
+      count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+    doc="TPC-H Q14 shape: fact-dim join + conditional aggregation "
+        "(CASE inside a decimal-exact SUM).",
+)
+def q14_promo_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    promo = (
+        f"CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {DISC_PRICE_TERM}"
+        f" ELSE CAST(0 AS DECIMAL(22,4)) END) AS DOUBLE)"
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.expr(promo).alias("promo_revenue"),
+            F.expr(SUM_DISC_PRICE).alias("total_revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    doc="Anti join (SURVEY §2.7 — absent in reference, built-in here).",
+)
+def q_customers_without_orders(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "suppliers_with_returns",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+    """,
+    doc="Semi join (SURVEY §2.7): suppliers having returned items.",
+)
+def q_suppliers_with_returns(spark, sf_dir):
+    sup = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return sup.join(
+        li, sup.s_suppkey == li.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
