@@ -30,6 +30,15 @@ TABLE_NAMES = [
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    # Runtime-settable confs the queries depend on, applied here (not
+    # only in session.py) so results are correct under a session we
+    # didn't build, e.g. the driver's own harness:
+    # - nanosAsLong: events.parquet stores TIMESTAMP(NANOS), which the
+    #   parquet reader otherwise rejects outright;
+    # - UTC session TZ: timestamp values must render identically to the
+    #   DuckDB oracle's naive-UTC timestamps wherever the host TZ.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong it
     # arrives as a bigint of nanoseconds — convert (µs resolution,
