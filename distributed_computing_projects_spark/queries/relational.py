@@ -439,3 +439,35 @@ def q_suppliers_with_returns(spark, sf_dir):
     return sup.join(
         li, sup.s_suppkey == li.l_suppkey, "left_semi"
     ).select("s_suppkey", "s_name")
+
+
+# SQL passthrough (SURVEY §7.1 M4): the SAME ANSI string runs on
+# spark.sql (over registered temp views) and on the DuckDB oracle —
+# the strongest possible statement of SQL-surface compatibility.
+_NATION_REVENUE_SQL = f"""
+WITH nation_rev AS (
+  SELECT n.n_name, n.n_regionkey, {SUM_DISC_PRICE} AS revenue,
+         count(*) AS n_items
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name, n.n_regionkey
+)
+SELECT r.r_name, nr.n_name, nr.revenue, nr.n_items,
+       rank() OVER (PARTITION BY r.r_name ORDER BY nr.revenue DESC, nr.n_name)
+         AS rank_in_region
+FROM nation_rev nr JOIN region r ON nr.n_regionkey = r.r_regionkey
+"""
+
+
+@query(
+    "sql_nation_revenue_rank",
+    oracle=_NATION_REVENUE_SQL,
+    doc="SQL passthrough: one ANSI string (CTE + joins + window rank) "
+        "executed verbatim by BOTH spark.sql and the DuckDB oracle.",
+)
+def q_sql_nation_revenue_rank(spark, sf_dir):
+    from distributed_computing_projects_spark.sources.registry import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_NATION_REVENUE_SQL)

@@ -1,0 +1,86 @@
+"""Property-based invariants (hypothesis) over the MapleJuice API and
+dedup operators — randomized inputs, closed-form properties. Example
+counts are small because every example runs Spark jobs; the properties,
+not the volume, carry the value.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+
+from distributed_computing_projects_spark.operators import dedup as D
+from distributed_computing_projects_spark.operators.maplejuice import juice, maple
+from distributed_computing_projects_spark.operators.wordcount import wordcount
+
+WORD = st.text(alphabet="abcxyz", min_size=1, max_size=4)
+TEXT = st.lists(WORD, min_size=0, max_size=12).map(" ".join)
+
+PROP = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(texts=st.lists(TEXT, min_size=1, max_size=6))
+@PROP
+def test_maplejuice_wordcount_equals_dataframe_wordcount(spark, texts):
+    df = spark.createDataFrame([Row(text=t) for t in texts])
+
+    def wc_maple(line):
+        for w in line.split():
+            yield w, "1"
+
+    def wc_juice(key, values):
+        return str(sum(int(v) for v in values))
+
+    via_api = {
+        (r.key, int(r.value))
+        for r in juice(maple(df, wc_maple), wc_juice).collect()
+    }
+    via_df = {(r[0], r[1]) for r in wordcount(df, "text").collect()}
+    assert via_api == via_df
+
+
+@given(
+    kvs=st.lists(
+        st.tuples(st.sampled_from("abcde"), st.integers(0, 9)),
+        min_size=1, max_size=20,
+    ),
+    n=st.integers(1, 4),
+)
+@PROP
+def test_juice_hash_and_range_partitioning_agree(spark, kvs, n):
+    """Partitioning strategy is a physical choice — results must be
+    identical (the reference's partitioner only places keys,
+    mp3/src/partition.go:9-38)."""
+    df = spark.createDataFrame([Row(key=k, value=str(v)) for k, v in kvs])
+
+    def add(key, values):
+        return str(sum(int(v) for v in values))
+
+    h = [tuple(r) for r in juice(df, add, num_juices=n, partition="hash").collect()]
+    r = [tuple(r) for r in juice(df, add, num_juices=n, partition="range").collect()]
+    assert h == r  # both key-sorted, same content
+
+
+@given(texts=st.lists(TEXT.filter(lambda t: t.strip()), min_size=1, max_size=8))
+@PROP
+def test_exact_dedup_partitions_the_corpus(spark, texts):
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    rows = D.exact_dedup(df, "doc_id", "text").collect()
+    assert sum(r.n_copies for r in rows) == len(texts)  # partition, no loss
+    keep = [r.keep_id for r in rows]
+    assert len(keep) == len(set(keep))  # one survivor per group
+
+
+@given(words=st.lists(WORD, min_size=3, max_size=10))
+@PROP
+def test_minhash_estimate_bounds_and_self_similarity(spark, words):
+    t = " ".join(words)
+    df = spark.createDataFrame([Row(doc_id=0, text=t), Row(doc_id=1, text=t)])
+    pairs = D.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.0).collect()
+    # identical docs always collide in every band with estimate exactly 1
+    assert [(p.id_a, p.id_b, p.est_jaccard) for p in pairs] == [(0, 1, 1.0)]
