@@ -89,6 +89,21 @@ def shingles(text: str, n: int, dialect: str) -> str:
     return f"list_transform([{toks}], T -> {body})[1]"
 
 
+def bpe_tokens(text: str, dialect: str) -> str:
+    """BPE-ish pre-tokenization (GPT-2-style split classes: contraction
+    suffixes, letter runs, digit runs, punctuation runs, with leading
+    space attached). Both engines use leftmost-first alternation, so
+    token streams are identical — verified on punctuated text.
+    """
+    _check(dialect)
+    pat = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+    if dialect == "spark":
+        esc = pat.replace("\\", "\\\\").replace("'", "\\'")
+        return f"regexp_extract_all({text}, '{esc}', 0)"
+    esc = pat.replace("'", "''")
+    return f"regexp_extract_all({text}, '{esc}')"
+
+
 # ---------------------------------------------------------------------------
 # Hashes
 # ---------------------------------------------------------------------------
@@ -112,6 +127,49 @@ def minhash_sig(hashes_arr: str, dialect: str) -> list[str]:
         f"{amin}({tr}({hashes_arr}, h -> ({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MERSENNE_P}))"
         for i in range(N_PERMS)
     ]
+
+
+def winnow(text: str, k: int, w: int, dialect: str) -> str:
+    """Winnowing document fingerprint (Schleimer/Wilkerson/Aiken '03):
+    hash every character k-gram (rolling window of the text), then keep
+    the minimum hash of each window of ``w`` consecutive k-gram hashes.
+    Output: sorted distinct selected hashes — robust to local edits,
+    the standard near-copy fingerprint. All integer math via the md5
+    base hash, so bit-identical across engines."""
+    _check(dialect)
+    if dialect == "spark":
+        # NB: Spark sequence(1, 0) DESCENDS instead of being empty —
+        # every sequence needs an emptiness CASE guard.
+        grams = (
+            f"CASE WHEN length({text}) >= {k} THEN"
+            f" transform(sequence(1, length({text}) - {k - 1}),"
+            f" i -> substring({text}, i, {k}))"
+            f" ELSE CAST(array() AS array<string>) END"
+        )
+        hashes = f"transform({grams}, g -> {hash32('g', 'spark')} % {MERSENNE_P})"
+        mins = (
+            f"CASE WHEN size(H) >= {w} THEN"
+            f" transform(sequence(1, size(H) - {w - 1}),"
+            f" j -> array_min(slice(H, j, {w})))"
+            f" ELSE CAST(array() AS array<bigint>) END"
+        )
+        return (
+            f"transform(array({hashes}), H ->"
+            f" array_sort(array_distinct({mins})))[0]"
+        )
+    grams = (
+        f"list_transform(range(1, greatest(length({text}) - {k - 2}, 1)),"
+        f" i -> substring({text}, i, {k}))"
+    )
+    hashes = f"list_transform({grams}, g -> {hash32('g', 'duck')} % {MERSENNE_P})"
+    mins = (
+        f"list_transform(range(1, greatest(len(H) - {w - 2}, 1)),"
+        f" j -> list_min(H[j:j + {w - 1}]))"
+    )
+    return (
+        f"list_transform([{hashes}], H ->"
+        f" list_sort(list_distinct({mins})))[1]"
+    )
 
 
 def minhash_sig_onepass(hashes_arr: str) -> str:

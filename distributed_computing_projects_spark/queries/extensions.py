@@ -396,3 +396,54 @@ def q_multimodal_features(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     payloads = M.attach_payload(docs, "doc_id", "text")
     return M.decode_features(payloads)
+
+
+_BPE_D = T.bpe_tokens("text", "duck")
+_WINNOW_D = T.winnow("text", 5, 4, "duck")
+
+
+@query(
+    "token_stats_bpe",
+    oracle=f"""
+    SELECT doc_id AS id,
+           len({_BPE_D}) AS n_bpe_tokens,
+           len(list_distinct({_BPE_D})) AS n_distinct_bpe,
+           len({_TOKS_D}) AS n_ws_tokens
+    FROM documents
+    """,
+    doc="BPE-ish pre-tokenization counts (GPT-2-style split classes) "
+        "next to whitespace counts — both leftmost-first regex engines "
+        "produce identical token streams.",
+)
+def q_token_stats_bpe(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = T.bpe_tokens("text", "spark")
+    ws = T.tokens("text", "spark")
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        F.expr(f"size({bpe})").alias("n_bpe_tokens"),
+        F.expr(f"size(array_distinct({bpe}))").alias("n_distinct_bpe"),
+        F.expr(f"size({ws})").alias("n_ws_tokens"),
+    )
+
+
+@query(
+    "doc_winnow_fingerprint",
+    oracle=f"""
+    SELECT doc_id AS id,
+           array_to_string({_WINNOW_D}, ',') AS winnow_fp,
+           len({_WINNOW_D}) AS n_selected
+    FROM documents
+    """,
+    doc="Winnowing fingerprints (rolling k-gram hash, window minima — "
+        "Schleimer et al. '03): the near-copy-detection fingerprint, "
+        "serialized for the hash compare.",
+)
+def q_doc_winnow_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    wn = T.winnow("text", 5, 4, "spark")
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        F.expr(f"concat_ws(',', {wn})").alias("winnow_fp"),
+        F.expr(f"size({wn})").alias("n_selected"),
+    )
