@@ -471,3 +471,29 @@ def q_sql_nation_revenue_rank(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_NATION_REVENUE_SQL)
+
+
+@query(
+    "events_props_json",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Semi-structured JSON property extraction (SURVEY §2.8: JSON "
+        "functions absent in the reference, built-in here) + integer "
+        "aggregates — exact in both engines.",
+)
+def q_events_props_json(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
