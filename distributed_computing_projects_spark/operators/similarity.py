@@ -62,6 +62,86 @@ def query_bucket(query_vec: list[float]) -> int:
     return bucket
 
 
+N_CENTROIDS = 16
+
+# Fixed coarse quantizer: md5-derived centroids (same derivation as the
+# hyperplanes), normalized to the UNIT SPHERE — with unnormalized
+# centroids every near-orthogonal vector collapses into the
+# smallest-norm cell (argmin |c|^2 - 2<v,c> ~ argmin |c|^2). On the
+# sphere the assignment is by direction (spherical k-means). A
+# production IVF trains the centroids; a FIXED quantizer keeps the
+# assignment deterministic and oracle-checkable while exercising the
+# identical plan shape (assign -> partition by cell -> probe nearest).
+def _unit(vec: list[float]) -> list[float]:
+    n = sum(x * x for x in vec) ** 0.5
+    return [x / n for x in vec]
+
+
+IVF_CENTROIDS = [
+    _unit([((T._h32(f"centroid-{c}-{j}") % 2001) - 1000) / 1000.0
+           for j in range(T.EMBEDDING_DIM)])
+    for c in range(N_CENTROIDS)
+]
+
+
+def ivf_cell_expr(vec_col: str, dialect: str) -> str:
+    """argmin over squared L2 distance to each centroid; ties go to the
+    lower centroid id. dist^2 = |v|^2 - 2<v,c> + |c|^2 — |v|^2 is
+    common to all cells, so comparing (-2<v,c> + |c|^2) suffices and
+    halves the float work. Scores are double folds — bit-identical
+    across engines, so the argmin is too."""
+    scores = []
+    for c in range(N_CENTROIDS):
+        lit = T._float_array_literal(IVF_CENTROIDS[c], dialect)
+        c2 = sum(x * x for x in IVF_CENTROIDS[c])  # python double, exact literal
+        scores.append(f"({repr(c2)} - 2 * {T.dot(vec_col, lit, dialect)})")
+    arr = f"array({', '.join(scores)})" if dialect == "spark" else f"[{', '.join(scores)}]"
+    if dialect == "spark":
+        return (
+            f"transform(array({arr}), A ->"
+            f" array_position(A, array_min(A)))[0] - 1"
+        )
+    return f"list_transform([{arr}], A -> list_position(A, list_min(A)))[1] - 1"
+
+
+def ivf_cells(query_vec: list[float], probes: int) -> list[int]:
+    """Driver-side: the ``probes`` nearest cells to the query vector
+    (same float math as the column expression)."""
+    scored = []
+    for c in range(N_CENTROIDS):
+        d = sum((float(x) - y) ** 2 for x, y in zip(query_vec, IVF_CENTROIDS[c]))
+        scored.append((d, c))
+    return [c for _, c in sorted(scored)[:probes]]
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int,
+    id_col: str,
+    vec_col: str,
+    probes: int = 2,
+) -> DataFrame:
+    """IVF-flat ANN: scan only the ``probes`` inverted lists nearest the
+    query. At scale the table is written partitioned by cell, so the
+    IN-filter becomes partition pruning — the scan touches
+    probes/N_CENTROIDS of the data."""
+    cells = ivf_cells(query_vec, probes)
+    scored = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.expr(ivf_cell_expr(vec_col, "spark")).alias("cell"),
+    ).filter(F.col("cell").isin(cells))
+    q = _query_literal(query_vec, "spark")
+    cos = T.cosine(T.dot("v", q, "spark"), T.sq_norm("v", "spark"),
+                   T.sq_norm(q, "spark"))
+    return (
+        scored.select("id", F.expr(cos).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     query_vec: list[float],

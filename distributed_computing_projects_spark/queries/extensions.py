@@ -447,3 +447,30 @@ def q_doc_winnow_fingerprint(spark, sf_dir):
         F.expr(f"concat_ws(',', {wn})").alias("winnow_fp"),
         F.expr(f"size({wn})").alias("n_selected"),
     )
+
+
+ANN_IVF_PROBES = 2
+_IVF_CELLS = S.ivf_cells(ANN_QUERY_VEC, ANN_IVF_PROBES)
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT vec_id AS id, embedding,
+             {S.ivf_cell_expr('embedding', 'duck')} AS cell
+      FROM embeddings)
+    SELECT id, {_COS_Q_D} AS cosine
+    FROM assigned
+    WHERE cell IN ({', '.join(str(c) for c in _IVF_CELLS)})
+    ORDER BY cosine DESC, id LIMIT {ANN_K}
+    """,
+    doc="IVF-flat ANN: fixed md5-derived coarse quantizer, probe the 2 "
+        "nearest inverted lists — at scale the cell is a partition key "
+        "so the probe is partition pruning, not a scan.",
+)
+def q_ann_ivf_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        emb, ANN_QUERY_VEC, ANN_K, "vec_id", "embedding", probes=ANN_IVF_PROBES
+    )

@@ -162,3 +162,23 @@ def test_multimodal_payload_roundtrip_and_features(spark):
 def test_decode_image_is_documented_stub():
     with pytest.raises(NotImplementedError):
         M.decode_image(None)
+
+
+def test_ivf_topk_scores_match_exact_scorer(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = list(emb.filter(F.col("vec_id") == 3).collect()[0].embedding)
+    ivf = S.ivf_topk(emb, q, 5, "vec_id", "embedding", probes=4).collect()
+    assert ivf, "probed cells must be non-empty"
+    exact = {r.id: r.cosine
+             for r in S.brute_force_topk(emb, q, 500, "vec_id", "embedding").collect()}
+    for r in ivf:
+        assert exact[r.id] == r.cosine
+
+
+def test_ivf_cells_balanced_and_deterministic(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from pyspark.sql import functions as SF
+    cells = (emb.select(F.expr(S.ivf_cell_expr("embedding", "spark")).alias("c"))
+             .groupBy("c").count().collect())
+    assert all(0 <= r.c < S.N_CENTROIDS for r in cells)
+    assert len(cells) > S.N_CENTROIDS // 2  # spherical assignment spreads
