@@ -8,6 +8,7 @@ from distributed_computing_projects_spark.operators.condorcet import (
 from distributed_computing_projects_spark.operators.maplejuice import (
     maple,
     juice,
+    juice_tree,
     maple_exec,
     juice_exec,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "pairwise_preferences",
     "maple",
     "juice",
+    "juice_tree",
     "maple_exec",
     "juice_exec",
 ]

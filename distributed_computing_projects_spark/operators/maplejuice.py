@@ -110,6 +110,50 @@ def juice(
     return kv.groupBy("key").applyInPandas(reduce_group, KV_SCHEMA).orderBy("key")
 
 
+def juice_tree(
+    kv: DataFrame,
+    fn: JuiceFn,
+    num_juices: int | None = None,
+    partition: str = "hash",
+) -> DataFrame:
+    """Juice for ASSOCIATIVE reducers, safe on giant groups.
+
+    Plain ``juice`` gathers a key's full value list into one pandas
+    group — the reference has the same failure mode (its juicer holds
+    all values in memory, mp3/src/juice/juicer.go:25-28, and its own
+    stress generator makes 5M values for ONE key,
+    mp3/src/juice/generateMockMap.py:1-9). When ``fn`` is associative
+    and value-closed (fn(k, [fn(k, chunk)...]) == fn(k, all)), combine
+    per shuffle partition first, then reduce the per-partition partials
+    — the hot key's state never exceeds one partition's slice.
+    """
+    if num_juices:
+        if partition == "range":
+            kv = kv.repartitionByRange(num_juices, "key")
+        else:
+            kv = kv.repartition(num_juices, "key")
+
+    def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            g = pdf.groupby("key", sort=False)["value"]
+            yield pd.DataFrame(
+                {
+                    "key": list(g.groups),
+                    "value": [str(fn(k, list(v))) for k, v in g],
+                }
+            )
+
+    partials = kv.mapInPandas(combine, KV_SCHEMA)
+
+    def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf["key"].iloc[0]
+        return pd.DataFrame({"key": [key], "value": [str(fn(key, list(pdf["value"])))]})
+
+    return partials.groupBy("key").applyInPandas(reduce_group, KV_SCHEMA).orderBy("key")
+
+
 def maple_exec(df: DataFrame, cmd: str, line_col: str | None = None) -> DataFrame:
     """Exec-compat maple: pipe lines through ``cmd`` (one process per
     partition, not per block), parse ``key,value`` stdout exactly like

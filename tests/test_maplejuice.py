@@ -98,3 +98,32 @@ def test_native_wordcount_matches_python_on_documents(spark, sf_dir):
     for r in docs.select("text").collect():
         want.update(r["text"].split())
     assert got == dict(want)
+
+
+def test_juice_tree_matches_juice_on_hot_key(spark):
+    """The reference's own shuffle stress is 5M identical values for ONE
+    key (mp3/src/juice/generateMockMap.py); juice_tree combines
+    per-partition so the hot key never materializes as one list."""
+    from pyspark.sql import functions as F
+
+    from distributed_computing_projects_spark.operators.maplejuice import (
+        juice,
+        juice_tree,
+    )
+
+    n = 200_000
+    kv = (
+        spark.range(n)
+        .select(
+            F.when(F.col("id") % 100 == 0, F.lit("cold")).otherwise(F.lit("hot")).alias("key"),
+            F.lit("1").alias("value"),
+        )
+        .repartition(8)
+    )
+
+    def add(key, values):
+        return str(sum(int(v) for v in values))
+
+    tree = {(r.key, r.value) for r in juice_tree(kv, add).collect()}
+    flat = {(r.key, r.value) for r in juice(kv, add).collect()}
+    assert tree == flat == {("hot", str(n - n // 100)), ("cold", str(n // 100))}
