@@ -56,6 +56,41 @@ class Catalog:
         os.rename(tmp, dest)
         return dest
 
+    def put_bucketed(
+        self,
+        name: str,
+        df: DataFrame,
+        bucket_cols: list[str],
+        n_buckets: int = 32,
+        sort_cols: list[str] | None = None,
+    ) -> None:
+        """Write a BUCKETED managed table: rows hash-partitioned into
+        ``n_buckets`` files by ``bucket_cols`` at write time.
+
+        This is the co-located-join primitive the reference lacks: two
+        tables bucketed the same way join WITHOUT a shuffle (the
+        exchange disappears from the plan — asserted in
+        tests/test_bucketing.py). At 100 TB, bucketing the fact tables
+        on their join keys once turns every subsequent join/aggregation
+        on those keys into a shuffle-free stage.
+        """
+        table = f"bucketed_{name}"
+        # the in-memory catalog forgets tables across sessions but the
+        # warehouse files persist -> clear both or saveAsTable raises
+        # LOCATION_ALREADY_EXISTS
+        self.spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = self.spark.conf.get("spark.sql.warehouse.dir", "")
+        loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
+        if loc and os.path.exists(loc):
+            shutil.rmtree(loc)
+        writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.saveAsTable(table)
+
+    def get_bucketed(self, name: str) -> DataFrame:
+        return self.spark.table(f"bucketed_{name}")
+
     def get(self, name: str) -> DataFrame:
         """≅ reference ``get sdfsfilename localfilename``."""
         path = self._path(name)

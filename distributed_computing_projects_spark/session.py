@@ -51,6 +51,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # bucketed tables (catalog.put_bucketed) need a warehouse; keep
+        # it out of the repo tree
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/dcp-spark-warehouse"))
         # events.parquet stores TIMESTAMP(NANOS), which the vectorized
         # reader rejects; read as long and convert in sources.registry
         # (values are µs-resolution — lossless).
