@@ -56,6 +56,25 @@ class Catalog:
         os.rename(tmp, dest)
         return dest
 
+    def put_partitioned(
+        self, name: str, df: DataFrame, partition_cols: list[str]
+    ) -> str:
+        """Write a dataset hive-partitioned by ``partition_cols``.
+
+        Partition pruning is the single biggest 100 TB lever: a filter
+        on a partition column becomes directory pruning — the scan
+        never opens non-matching files (PartitionFilters in the plan,
+        asserted in tests/test_bucketing.py). Choose low-cardinality,
+        always-filtered columns (event date, language, source).
+        """
+        dest = self._path(name)
+        tmp = os.path.join(self.root, f".tmp-{name}-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
+        if os.path.exists(dest):
+            shutil.rmtree(dest)
+        os.rename(tmp, dest)
+        return dest
+
     def put_bucketed(
         self,
         name: str,

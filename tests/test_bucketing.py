@@ -75,3 +75,18 @@ def test_bucketed_join_matches_plain_join(spark, sf_dir, bucketed):
     b = load_table(spark, sf_dir, "orders")
     want = a.join(b, a.l_orderkey == b.o_orderkey).count()
     assert got == want
+
+
+def test_partitioned_dataset_prunes_partitions(spark, sf_dir, tmp_path):
+    """A filter on the partition column must become directory pruning
+    (PartitionFilters), not a data filter over every file."""
+    from pyspark.sql import functions as F
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    docs = load_table(spark, sf_dir, "documents")
+    cat.put_partitioned("docs_by_lang", docs, ["lang"])
+    part = cat.get("docs_by_lang").filter(F.col("lang") == "en")
+    plan = physical_plan(part)
+    assert "PartitionFilters" in plan
+    assert "lang" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert part.count() == docs.filter(F.col("lang") == "en").count()
