@@ -497,3 +497,36 @@ def q_events_props_json(spark, sf_dir):
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
     )
+
+
+@query(
+    "order_fulfillment_latency",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           CAST(sum(date_diff('day', o_orderdate, l_shipdate)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS avg_ship_days,
+           max(date_diff('day', o_orderdate, l_shipdate)) AS max_ship_days,
+           min(date_diff('day', o_orderdate, l_shipdate)) AS min_ship_days
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="Date arithmetic (SURVEY §2.8: date functions absent in the "
+        "reference): day deltas between order and ship dates, exact "
+        "integer day counts in both engines (midnight-aligned data).",
+)
+def q_order_fulfillment_latency(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            (F.sum(days).cast("double") / F.count("*").cast("double"))
+            .alias("avg_ship_days"),
+            F.max(days).alias("max_ship_days"),
+            F.min(days).alias("min_ship_days"),
+        )
+    )
