@@ -93,7 +93,7 @@ class Catalog:
         on their join keys once turns every subsequent join/aggregation
         on those keys into a shuffle-free stage.
         """
-        table = f"bucketed_{name}"
+        table = self._bucketed_table(name)
         # the in-memory catalog forgets tables across sessions but the
         # warehouse files persist -> clear both or saveAsTable raises
         # LOCATION_ALREADY_EXISTS
@@ -107,8 +107,23 @@ class Catalog:
             writer = writer.sortBy(*sort_cols)
         writer.saveAsTable(table)
 
+    def _bucketed_table(self, name: str) -> str:
+        """Warehouse table name for this catalog's bucketed dataset.
+
+        Bucketed tables live in the session warehouse, not under
+        ``self.root`` (bucket metadata needs the table catalog), so the
+        name is namespaced by a hash of the root — two Catalog
+        instances must never clobber each other's tables. ``_path``
+        validates the user-facing name first.
+        """
+        import hashlib
+
+        self._path(name)  # reuse name validation
+        ns = hashlib.md5(os.path.abspath(self.root).encode()).hexdigest()[:8]
+        return f"bucketed_{ns}_{name}"
+
     def get_bucketed(self, name: str) -> DataFrame:
-        return self.spark.table(f"bucketed_{name}")
+        return self.spark.table(self._bucketed_table(name))
 
     def get(self, name: str) -> DataFrame:
         """≅ reference ``get sdfsfilename localfilename``."""

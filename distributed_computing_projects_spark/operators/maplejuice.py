@@ -165,20 +165,26 @@ def maple_exec(df: DataFrame, cmd: str, line_col: str | None = None) -> DataFram
     argv = shlex.split(cmd)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            payload = "\n".join(str(x) for x in pdf["_line"]) + "\n"
-            out = subprocess.run(
-                argv, input=payload, capture_output=True, text=True, check=True
-            ).stdout
-            keys, vals = [], []
-            for line in out.splitlines():
-                parts = line.split(",")
-                if len(parts) >= 2:
-                    keys.append(parts[0])
-                    vals.append(parts[1])
-            yield pd.DataFrame({"key": keys, "value": vals})
+        # gather the WHOLE partition before exec'ing: mapInPandas
+        # delivers ~10k-row Arrow chunks, and one process per chunk
+        # would break execs whose output depends on their full block
+        # (per-block dedup/counters — the reference runs the binary
+        # once per block). Memory = one partition of lines, the same
+        # bound the reference's per-block exec has.
+        all_lines = [str(x) for pdf in batches for x in pdf["_line"]]
+        if not all_lines:
+            return
+        payload = "\n".join(all_lines) + "\n"
+        out = subprocess.run(
+            argv, input=payload, capture_output=True, text=True, check=True
+        ).stdout
+        keys, vals = [], []
+        for line in out.splitlines():
+            parts = line.split(",")
+            if len(parts) >= 2:
+                keys.append(parts[0])
+                vals.append(parts[1])
+        yield pd.DataFrame({"key": keys, "value": vals})
 
     return lines.mapInPandas(run, KV_SCHEMA)
 

@@ -27,15 +27,23 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join ``big ⋈ small`` on columns ``on``, salted.
 
-    The big side's salt comes from hashing the whole row (deterministic
-    under task retry — no rand()); the small side explodes a 0..salt-1
-    sequence. The join keys become (on..., _salt), so one hot key's
-    rows land in ``salt`` different shuffle partitions.
+    The big side's salt hashes the row CONTENT plus a per-row ordinal —
+    content alone would give every copy of a fully-duplicated hot row
+    the same salt (the canonical skew case is N identical rows), and
+    rand() is not stable under task retry. monotonically_increasing_id
+    is deterministic for a deterministic input ordering, which parquet
+    scans provide. The small side explodes a 0..salt-1 sequence. The
+    join keys become (on..., _salt), so one hot key's rows land in
+    ``salt`` different shuffle partitions.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left (small side is replicated)")
     big_s = big.withColumn(
-        "_salt", F.pmod(F.hash(F.struct(*big.columns)), F.lit(salt))
+        "_salt",
+        F.pmod(
+            F.hash(F.struct(*big.columns), F.monotonically_increasing_id()),
+            F.lit(salt),
+        ),
     )
     small_s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

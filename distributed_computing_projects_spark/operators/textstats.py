@@ -45,14 +45,33 @@ def lang_score(tokens_arr: str, lang: str, dialect: str) -> str:
 
 def lang_pred(tokens_arr: str, dialect: str) -> str:
     """argmax over language scores; ties go to the lexicographically
-    first language code (deterministic in both engines)."""
+    first language code (deterministic in both engines — position
+    lookup finds the FIRST maximum).
+
+    Both the token array and the score array are bound ONCE via the
+    singleton-transform idiom: the naive greatest()+CASE form inlined
+    the full tokenize-and-filter expression ~35x per row (the Catalyst
+    no-CSE trap, see functions/text.py minhash_sig_onepass).
+    """
     langs = sorted(LANG_MARKERS)
-    scores = {lg: lang_score(tokens_arr, lg, dialect) for lg in langs}
-    best = f"greatest({', '.join(scores.values())})"
-    cases = " ".join(
-        f"WHEN {scores[lg]} = {best} THEN '{lg}'" for lg in langs
+    if dialect == "spark":
+        scores = ", ".join(lang_score("TK", lg, "spark") for lg in langs)
+        lang_lits = ", ".join(f"'{lg}'" for lg in langs)
+        pick = (
+            f"element_at(array({lang_lits}),"
+            f" CAST(array_position(SC, array_max(SC)) AS INT))"
+        )
+        return (
+            f"transform(array({tokens_arr}), TK ->"
+            f" transform(array(array({scores})), SC -> {pick})[0])[0]"
+        )
+    scores = ", ".join(lang_score("TK", lg, "duck") for lg in langs)
+    lang_lits = ", ".join(f"'{lg}'" for lg in langs)
+    pick = f"list_extract([{lang_lits}], list_position(SC, list_max(SC)))"
+    return (
+        f"list_transform([{tokens_arr}], TK ->"
+        f" list_transform([[{scores}]], SC -> {pick})[1])[1]"
     )
-    return f"(CASE {cases} END)"
 
 
 def token_count(df: DataFrame, text_col: str) -> DataFrame:

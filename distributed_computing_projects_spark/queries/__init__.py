@@ -31,6 +31,10 @@ REGISTRY: dict[str, QuerySpec] = {}
 def query(name: str, oracle: str | None = None, headline: bool = False,
           doc: str = ""):
     def deco(fn):
+        if name in REGISTRY:
+            # a silent overwrite would drop a query from the driver's
+            # correctness matrix with no failing signal
+            raise ValueError(f"duplicate query name {name!r}")
         REGISTRY[name] = QuerySpec(name, fn, oracle, headline, doc)
         return fn
     return deco

@@ -227,8 +227,15 @@ def q_maplejuice_wordcount(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("text")
 
     def wc_maple(line):
-        for w in line.split():
-            yield w, "1"
+        # ASCII \s+ split: Python str.split() breaks on Unicode
+        # whitespace (e.g. \xa0) where the oracle's RE2 and the
+        # DataFrame twin's Java regex do not — the token streams must
+        # match for the value-hash compare.
+        import re
+
+        for w in re.split(r"\s+", line, flags=re.ASCII):
+            if w:
+                yield w, "1"
 
     def wc_juice(key, values):
         total = 0

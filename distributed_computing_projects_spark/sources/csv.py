@@ -109,11 +109,24 @@ def write_tab_kv(kv: DataFrame, path: str, key_col: str = "key",
     CollectJuices mp3/src/maplejuice.go:540-568 — but Go-map iteration
     makes the global order nondeterministic; we define sorted order,
     SURVEY §4.3). One file per partition: ``coalesce(1)`` upstream only
-    if single-file parity is required."""
+    if single-file parity is required.
+
+    Written through the TEXT sink, not the CSV writer: the reference
+    emits raw ``key + "\\t" + value`` bytes (hadoop_wine Emit), while a
+    CSV writer would quote/escape values containing quotes or tabs and
+    render empty strings as ``\"\"`` — corrupting the contract for any
+    split-on-first-tab consumer."""
+    from pyspark.sql import functions as F
+
     (
-        kv.select(key_col, value_col)
-        .sortWithinPartitions(key_col)
+        kv.sortWithinPartitions(key_col)
+        .select(
+            F.concat(
+                F.col(key_col).cast("string"),
+                F.lit("\t"),
+                F.col(value_col).cast("string"),
+            ).alias("value")
+        )
         .write.mode("overwrite")
-        .option("sep", "\t")
-        .csv(path)
+        .text(path)
     )

@@ -33,34 +33,31 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# Explicit schema: streaming sources cannot infer. ts arrives as
-# TIMESTAMP(NANOS) => bigint under the session's nanosAsLong setting
-# (see session.py) and is converted exactly like the batch reader.
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file = one
     micro-batch under availableNow; a directory of files streams
-    incrementally — same code path on a real landing zone)."""
+    incrementally — same code path on a real landing zone).
+
+    Streaming sources cannot infer schemas, so the raw schema comes
+    from a batch footer read — under the session's nanosAsLong conf a
+    TIMESTAMP(NANOS) ``ts`` arrives as bigint (converted below, same
+    as the batch reader), while a plain µs timestamp passes through
+    unchanged. A hardcoded Long schema would break on the latter.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         # file streams need a directory source; select just the events
         # file(s) from the table dir (a real landing zone would be its
         # own directory of arriving files)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def tumbling_counts(

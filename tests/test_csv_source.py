@@ -71,3 +71,15 @@ def test_tab_kv_sink_roundtrip(spark, tmp_path):
     write_tab_kv(kv, out)
     [part] = glob.glob(f"{out}/part-*")
     assert open(part).read() == "a\t1\nb\t2\nc\t3\n"
+
+
+def test_tab_kv_sink_writes_raw_bytes_not_csv_escapes(spark, tmp_path):
+    """The reference emits raw key\\tvalue lines; quotes must not be
+    escaped nor empty values rendered as quoted empties."""
+    kv = spark.createDataFrame(
+        [("q", 'he said "hi"'), ("e", ""), ("c", "a,b")], ["key", "value"]
+    ).coalesce(1)
+    out = str(tmp_path / "raw")
+    write_tab_kv(kv, out)
+    [part] = glob.glob(f"{out}/part-*")
+    assert open(part).read() == 'c\ta,b\ne\t\nq\the said "hi"\n'

@@ -53,3 +53,19 @@ def test_salted_join_rejects_replication_unsafe_modes(skewed):
     big, small = skewed
     with pytest.raises(ValueError):
         salted_join(big, small, ["k"], how="right")
+
+
+def test_salt_spreads_fully_duplicated_rows(spark):
+    """The canonical hot key is N IDENTICAL rows — content-only hashing
+    would give them all one salt and spread nothing."""
+    big = spark.createDataFrame([Row(k=0, v=1)] * 4000).repartition(4)
+    salts = (
+        big.withColumn(
+            "_salt",
+            F.pmod(F.hash(F.struct(*big.columns), F.monotonically_increasing_id()),
+                   F.lit(8)),
+        )
+        .groupBy("_salt").count().collect()
+    )
+    assert len(salts) == 8
+    assert max(r["count"] for r in salts) < 4000
