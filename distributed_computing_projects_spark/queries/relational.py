@@ -530,3 +530,150 @@ def q_order_fulfillment_latency(spark, sf_dir):
             F.min(days).alias("min_ship_days"),
         )
     )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    WITH part_avg AS (
+      SELECT l_partkey,
+             {SUM_QTY} / CAST(count(*) AS DOUBLE) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {SUM_BASE} / 7.0 AS avg_yearly,
+           count(*) AS n_items
+    FROM lineitem JOIN part_avg USING (l_partkey)
+    WHERE l_quantity < 0.2 * avg_qty
+    """,
+    doc="TPC-H Q17 shape: correlated per-part average as the filter "
+        "threshold. Spark side uses a window avg over l_partkey — ONE "
+        "shuffle of lineitem instead of the groupBy+self-join's two; "
+        "decimal sums make the threshold bit-identical in both engines.",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = F.expr(
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)))"
+        " OVER (PARTITION BY l_partkey) AS DOUBLE)"
+        " / CAST(COUNT(*) OVER (PARTITION BY l_partkey) AS DOUBLE)"
+    )
+    return (
+        li.withColumn("avg_qty", avg_qty)
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            (F.expr(SUM_BASE) / F.lit(7.0)).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q4_late_shipment_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND date_diff('day', o_orderdate, l_shipdate) > 90)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: EXISTS with a cross-table inequality -> left "
+        "semi join (each order counted once however many lineitems "
+        "qualify), then count by priority.",
+)
+def q4_late_shipment_priority(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "range_join_clicks_before_purchase",
+    oracle="""
+    SELECT p.event_id, p.user_id, count(c.event_id) AS n_clicks_prev_hour
+    FROM events p
+    LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id
+    """,
+    doc="Range join (interval containment), the second as-of-family "
+        "operator Spark lacks natively: clicks in the hour before each "
+        "purchase. Implemented as a RANGE window frame over "
+        "unix_micros(ts) per user — one shuffle, no O(n*m) range-join "
+        "blowup; frame [-1h, -1us] = the oracle's closed-open interval.",
+)
+def q_range_join_clicks(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, -1)
+    )
+    n = F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).over(w)
+    return (
+        ev.withColumn("n_clicks_prev_hour", F.coalesce(n, F.lit(0)))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "n_clicks_prev_hour")
+    )
+
+
+@query(
+    "quantity_quartiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q1_qty,
+           median(l_quantity) AS median_qty,
+           quantile_cont(l_quantity, 0.75) AS q3_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact quantiles (SURVEY §2.4 A8-adjacent: absent in reference). "
+        "Linear-interpolation percentiles agree bitwise across engines "
+        "because l_quantity is integral and quarter-interpolations are "
+        "exact in binary. At 100 TB swap for approx_percentile "
+        "(t-digest, no global sort) and drop the oracle to rows-only.",
+)
+def q_quantity_quartiles(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("q1_qty"),
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.percentile("l_quantity", 0.75).alias("q3_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "orders_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           {SUM_TOTALPRICE} AS total_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over (status, priority) — all four grouping sets in one "
+        "pass (SURVEY §2.4 A8: grouping sets absent in reference, "
+        "built-in here; Spark expands then partial-aggregates map-side).",
+)
+def q_orders_cube(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.expr(SUM_TOTALPRICE).alias("total_price"),
+    )

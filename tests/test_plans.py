@@ -91,6 +91,32 @@ def test_wordcount_plan_is_codegen_only(spark, sf_dir, registry):
     assert "HashAggregate" in plan
 
 
+def test_q17_single_lineitem_shuffle(spark, sf_dir, registry):
+    """The window-avg formulation must shuffle lineitem ONCE (by
+    l_partkey), not twice like a groupBy+self-join would."""
+    plan = physical_plan(registry["q17_small_quantity_revenue"].fn(spark, sf_dir))
+    assert plan.count("hashpartitioning(l_partkey") == 1
+    assert "Window" in plan and "Join" not in plan
+
+
+def test_range_join_is_window_not_join(spark, sf_dir, registry):
+    """Clicks-before-purchase compiles to one window over user_id —
+    no O(n*m) range join, no Python nodes."""
+    plan = physical_plan(
+        registry["range_join_clicks_before_purchase"].fn(spark, sf_dir)
+    )
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert_no_cartesian(registry["range_join_clicks_before_purchase"].fn(spark, sf_dir))
+
+
+def test_q4_semi_join_counts_each_order_once(spark, sf_dir, registry):
+    plan = physical_plan(registry["q4_late_shipment_priority"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert_pushed_filters(registry["q4_late_shipment_priority"].fn(spark, sf_dir),
+                          "o_orderdate")
+
+
 def test_extension_expressions_stay_jvm_side(spark, sf_dir, registry):
     """MinHash/SimHash/cosine are expression work, not UDFs."""
     for name in ("minhash_signature", "simhash_fingerprint",
