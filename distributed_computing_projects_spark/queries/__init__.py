@@ -46,5 +46,6 @@ def load_registry() -> dict[str, QuerySpec]:
         reference,
         relational,
         extensions,
+        streaming_queries,
     )
     return REGISTRY
