@@ -411,14 +411,22 @@ def q14_promo_revenue(spark, sf_dir):
 @query(
     "customers_without_orders",
     oracle="""
-    SELECT c_custkey, c_name FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '1998-01-01')
     """,
-    doc="Anti join (SURVEY §2.7 — absent in reference, built-in here).",
+    doc="Anti join (SURVEY §2.7 — absent in reference, built-in here): "
+        "lapsed customers with no order since 1998. The date predicate "
+        "keeps the result non-empty (every customer has SOME order in "
+        "the driver data, which made the unqualified version vacuous).",
 )
 def q_customers_without_orders(spark, sf_dir):
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
