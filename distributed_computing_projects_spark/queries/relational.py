@@ -553,6 +553,7 @@ def q_order_fulfillment_latency(spark, sf_dir):
     FROM lineitem JOIN part_avg USING (l_partkey)
     WHERE l_quantity < 0.2 * avg_qty
     """,
+    headline=True,
     doc="TPC-H Q17 shape: correlated per-part average as the filter "
         "threshold. Spark side uses a window avg over l_partkey — ONE "
         "shuffle of lineitem instead of the groupBy+self-join's two; "
@@ -619,6 +620,7 @@ def q4_late_shipment_priority(spark, sf_dir):
     WHERE p.event_type = 'purchase'
     GROUP BY p.event_id, p.user_id
     """,
+    headline=True,
     doc="Range join (interval containment), the second as-of-family "
         "operator Spark lacks natively: clicks in the hour before each "
         "purchase. Implemented as a RANGE window frame over "
