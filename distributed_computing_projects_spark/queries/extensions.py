@@ -337,7 +337,7 @@ def q_doc_fingerprint(spark, sf_dir):
 @query(
     "token_stats",
     oracle=f"""
-    SELECT sum(len({_TOKS_D})) AS total_tokens,
+    SELECT CAST(sum(len({_TOKS_D})) AS BIGINT) AS total_tokens,
            count(*) AS n_docs,
            (SELECT count(DISTINCT w) FROM (
               SELECT unnest({_TOKS_D}) AS w FROM documents))

@@ -106,8 +106,8 @@ _BALLOT_RANKS_SQL = """
     oracle=f"""
     WITH ranks AS ({_BALLOT_RANKS_SQL})
     SELECT r1.l_suppkey AS a, r2.l_suppkey AS b,
-           sum(CASE WHEN r1.rank < r2.rank THEN 1 ELSE 0 END) AS a_pref,
-           sum(CASE WHEN r1.rank > r2.rank THEN 1 ELSE 0 END) AS b_pref,
+           CAST(sum(CASE WHEN r1.rank < r2.rank THEN 1 ELSE 0 END) AS BIGINT) AS a_pref,
+           CAST(sum(CASE WHEN r1.rank > r2.rank THEN 1 ELSE 0 END) AS BIGINT) AS b_pref,
            CASE WHEN sum(CASE WHEN r1.rank < r2.rank THEN 1 ELSE 0 END)
                      >= sum(CASE WHEN r1.rank > r2.rank THEN 1 ELSE 0 END)
                 THEN r1.l_suppkey ELSE r2.l_suppkey END AS winner

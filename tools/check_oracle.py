@@ -55,6 +55,15 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
     if len(a) == len(b):
         for c in a.columns:
             av, bv = a[c], b[c]
+            # The driver's hash gate is dtype-sensitive: DuckDB sum(int)
+            # yields HUGEINT (-> float64/object via pandas) while Spark
+            # yields int64. Flag the kind mismatch instead of silently
+            # coercing both sides to float and reporting OK.
+            if av.dtype.kind != bv.dtype.kind and {av.dtype.kind, bv.dtype.kind} & {"i", "u"}:
+                problems.append(
+                    f"dtype kind differs in col {c!r}: spark={av.dtype} duck={bv.dtype}"
+                    " (driver hash gate would FAIL; cast the oracle side)"
+                )
             if av.dtype.kind == "f" or bv.dtype.kind == "f":
                 ok = all(
                     (math.isnan(x) and math.isnan(y)) or x == y
