@@ -29,7 +29,7 @@ identical for m ≤ 10 and well-defined beyond.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # For each position i, pair ballot[i] with every later candidate:
@@ -64,47 +64,76 @@ def pairwise_preferences(df: DataFrame, ballot_col: str = "ballot") -> DataFrame
     )
 
 
+def _candidate_df(df: DataFrame, ballot_col: str,
+                  num_candidates: int | None,
+                  candidates: DataFrame | None) -> DataFrame:
+    """Candidate universe as DataFrame[candidate] — explicit frame, or
+    ``range(num_candidates)`` (the reference's fixed-size votes array,
+    mp3/src/juice/condorcet_2.go:11), or — fully lazily — the distinct
+    candidates appearing in any ballot. The lazy form equals the
+    reference whenever every candidate is ranked at least once (always
+    true for permutation ballots); it avoids the driver-side ``first()``
+    the eager inference needed."""
+    if candidates is not None:
+        return candidates.toDF("candidate")
+    if num_candidates is not None:
+        spark = df.sparkSession
+        return spark.range(num_candidates).select(
+            F.col("id").cast("int").alias("candidate"))
+    return (
+        df.select(F.explode(F.col(ballot_col)).alias("candidate")).distinct()
+    )
+
+
 def condorcet_wins(df: DataFrame, ballot_col: str = "ballot",
-                   num_candidates: int | None = None) -> DataFrame:
-    """Round 2 tally. DataFrame[candidate int, wins bigint] for every
-    candidate 0..m-1 (zero-win candidates included, as the reference's
-    fixed-size votes array does)."""
-    if num_candidates is None:
-        num_candidates = df.select(
-            F.max(F.array_max(F.col(ballot_col))).alias("m")
-        ).first()["m"] + 1
-    spark = df.sparkSession
-    candidates = spark.range(num_candidates).select(F.col("id").cast("int").alias("candidate"))
+                   num_candidates: int | None = None,
+                   candidates: DataFrame | None = None) -> DataFrame:
+    """Round 2 tally. DataFrame[candidate, wins bigint] for every
+    candidate in the universe (zero-win candidates included, as the
+    reference's fixed-size votes array does)."""
+    cand = _candidate_df(df, ballot_col, num_candidates, candidates)
     tallies = (
         pairwise_preferences(df, ballot_col)
         .groupBy("winner")
         .agg(F.count("*").alias("wins"))
     )
     return (
-        candidates.join(F.broadcast(tallies), candidates.candidate == tallies.winner, "left")
+        cand.join(F.broadcast(tallies), cand.candidate == tallies.winner, "left")
         .select("candidate", F.coalesce("wins", F.lit(0)).alias("wins"))
         .orderBy("candidate")
     )
 
 
 def condorcet(df: DataFrame, ballot_col: str = "ballot",
-              num_candidates: int | None = None) -> DataFrame:
+              num_candidates: int | None = None,
+              candidates: DataFrame | None = None) -> DataFrame:
     """Full two-round query with the reference's exact output strings:
     DataFrame[key string, value string] — either
     ``("<i>", " is the condorcet winner!")`` or
     ``("<i>,<j>,", " have the highest condorcet counts, no winner.")``.
+
+    Fully lazy — zero driver-side actions at build time (the round-1
+    rewrite removed a ``first()`` + ``count()`` pair that re-ran the
+    whole pipeline when no winner existed). The champion-vs-tie branch
+    (mp3/src/juice/condorcet_2.go:23-45) is expressed IN the plan: both
+    candidate rows are built from the same persisted ``wins`` (≤ m
+    rows, one pipeline materialization), unioned with a priority flag,
+    and a whole-frame ``min`` keeps the champion row iff one exists.
     """
-    if num_candidates is None:
-        num_candidates = df.select(
-            F.max(F.array_max(F.col(ballot_col))).alias("m")
-        ).first()["m"] + 1
-    wins = condorcet_wins(df, ballot_col, num_candidates)
-    # ≤ m rows from here on; stays in DataFrame land via a broadcast of
-    # the 1-row max (SURVEY §2.4 A3 allows a driver-side final step —
-    # we avoid even that).
-    mx = wins.agg(F.max("wins").alias("_mx"))
-    annotated = wins.crossJoin(F.broadcast(mx))
-    champion = annotated.filter(F.col("wins") == num_candidates - 1)
+    wins = condorcet_wins(df, ballot_col, num_candidates, candidates).persist()
+    # All scalars stay lazy 1-row frames broadcast into the plan:
+    # m (candidate count) for the champion test, mx for the argmax set.
+    stats = wins.agg(F.count("*").alias("_m"), F.max("wins").alias("_mx"))
+    annotated = wins.crossJoin(F.broadcast(stats))
+    champ_row = (
+        annotated.filter(F.col("wins") == F.col("_m") - 1)
+        .orderBy("candidate")
+        .limit(1)
+        .select(
+            F.col("candidate").cast("string").alias("key"),
+            F.lit(" is the condorcet winner!").alias("value"),
+        )
+    )
     tie_set = (
         annotated.filter(F.col("wins") == F.col("_mx"))
         .agg(
@@ -115,11 +144,12 @@ def condorcet(df: DataFrame, ballot_col: str = "ballot",
         )
         .select("key", F.lit(" have the highest condorcet counts, no winner.").alias("value"))
     )
-    champ_row = champion.select(
-        F.col("candidate").cast("string").alias("key"),
-        F.lit(" is the condorcet winner!").alias("value"),
-    ).limit(1)
-    # Reference returns early on a champion; emulate with an anti-gate:
-    # tie_set only when no champion exists.
-    has_champ = champion.count() > 0
-    return champ_row if has_champ else tie_set
+    both = champ_row.withColumn("_pri", F.lit(0)).unionByName(
+        tie_set.withColumn("_pri", F.lit(1))
+    )
+    whole = Window.partitionBy(F.lit(1))
+    return (
+        both.withColumn("_best", F.min("_pri").over(whole))
+        .filter(F.col("_pri") == F.col("_best"))
+        .select("key", "value")
+    )

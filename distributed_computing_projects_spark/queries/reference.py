@@ -11,16 +11,29 @@ mp3/src/{maple,juice}/condorcet_*.go, on relational data.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
+from distributed_computing_projects_spark.operators.condorcet import condorcet
 from distributed_computing_projects_spark.operators.grep import grep, tail_n
 from distributed_computing_projects_spark.operators.maplejuice import juice, maple
 from distributed_computing_projects_spark.operators.wine import token_occurrence_agg
 from distributed_computing_projects_spark.operators.wordcount import wordcount
 from distributed_computing_projects_spark.queries import query
+from distributed_computing_projects_spark.sources.csv import WINE_SCHEMA, read_csv
 from distributed_computing_projects_spark.sources.registry import load_table
+from distributed_computing_projects_spark.sources.text import read_lines
 
 GREP_PATTERN = "key.*join"
+
+# Checked-in fixtures (tools/gen_fixtures.py, FIXTURES.md §1/§4) for the
+# reference-parity paths the driver tables can't exercise: multi-file
+# log provenance and the 11-column wine CSV with malformed records.
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+LOGS_DIR = os.path.join(_REPO, "fixtures", "logs")
+WINE_CSV = os.path.join(_REPO, "fixtures", "wine", "wine_reviews.csv")
+LOGS_PATTERN = "(Marked member failed|Finished Maple)"
 
 
 @query(
@@ -196,6 +209,146 @@ def q_condorcet_wins(spark, sf_dir):
         .groupBy("candidate")
         .agg(F.sum(F.coalesce("wins", F.lit(0))).alias("wins"))
     )
+
+
+@query(
+    "condorcet_winner",
+    oracle=f"""
+    WITH ranks AS ({_BALLOT_RANKS_SQL}),
+    round1 AS (
+      SELECT CASE WHEN sum(CASE WHEN r1.rank < r2.rank THEN 1 ELSE 0 END)
+                       >= sum(CASE WHEN r1.rank > r2.rank THEN 1 ELSE 0 END)
+                  THEN r1.l_suppkey ELSE r2.l_suppkey END AS winner
+      FROM ranks r1 JOIN ranks r2
+        ON r1.l_orderkey = r2.l_orderkey AND r1.l_suppkey < r2.l_suppkey
+      GROUP BY r1.l_suppkey, r2.l_suppkey
+    ),
+    wins AS (
+      SELECT s.s_suppkey AS candidate, count(round1.winner) AS wins
+      FROM supplier s LEFT JOIN round1 ON round1.winner = s.s_suppkey
+      GROUP BY s.s_suppkey
+    ),
+    stats AS (SELECT max(wins) AS mx, count(*) AS m FROM wins),
+    champ AS (
+      SELECT CAST(candidate AS VARCHAR) AS key,
+             ' is the condorcet winner!' AS "value"
+      FROM wins, stats WHERE wins = m - 1 ORDER BY candidate LIMIT 1
+    ),
+    tie AS (
+      SELECT string_agg(CAST(candidate AS VARCHAR) || ',', '' ORDER BY candidate) AS key,
+             ' have the highest condorcet counts, no winner.' AS "value"
+      FROM wins, stats WHERE wins = mx
+    )
+    SELECT key, "value" FROM champ
+    UNION ALL
+    SELECT key, "value" FROM tie
+    WHERE NOT EXISTS (SELECT 1 FROM champ)
+    """,
+    doc="Full two-round condorcet with the reference's EXACT output "
+        "strings — '<i> is the condorcet winner!' or the "
+        "trailing-comma argmax set '<i>,<j>, have the highest "
+        "condorcet counts, no winner.' (mp3/src/juice/condorcet_2.go:"
+        "23-45) — over lineitem-derived ballots with the supplier "
+        "table as the candidate universe (zero-win candidates count).",
+)
+def q_condorcet_winner(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    ranks = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.min("l_linenumber").alias("r")
+    )
+    ballots = ranks.groupBy("l_orderkey").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(r, l_suppkey))),"
+            " x -> x.l_suppkey)"
+        ).alias("ballot")
+    )
+    candidates = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("candidate")
+    )
+    return condorcet(ballots, "ballot", candidates=candidates)
+
+
+@query(
+    "wine_csv_agg",
+    oracle=f"""
+    SELECT coalesce(region_2, '') AS region_2, count(*) AS occurrences
+    FROM (
+      SELECT region_2,
+             unnest(string_split_regex(description, '\\s+')) AS tok
+      -- all_varchar: DuckDB's typed scan recovers from a cast error by
+      -- corrupting fields of the FOLLOWING record; reading varchar and
+      -- applying the type policy explicitly sidesteps the quirk and
+      -- states the reference's drop rule (bad int/double => skip row,
+      -- mp3/src/mj_wine/wine_maple.go:10-13) in the oracle itself.
+      -- ignore_errors still skips field-count-mismatched lines, which
+      -- the per-line parser also drops.
+      FROM read_csv('{WINE_CSV}', header=true, ignore_errors=true,
+                    all_varchar=true,
+                    columns={{'row_id': 'VARCHAR', 'country': 'VARCHAR',
+                              'description': 'VARCHAR', 'designation': 'VARCHAR',
+                              'points': 'VARCHAR', 'price': 'VARCHAR',
+                              'province': 'VARCHAR', 'region_1': 'VARCHAR',
+                              'region_2': 'VARCHAR', 'variety': 'VARCHAR',
+                              'winery': 'VARCHAR'}})
+      WHERE variety = 'Chardonnay'
+        AND try_cast(row_id AS INTEGER) IS NOT NULL
+        AND try_cast(points AS INTEGER) IS NOT NULL
+        AND (price IS NULL OR try_cast(price AS DOUBLE) IS NOT NULL)
+    )
+    WHERE tok = 'succulent'
+    GROUP BY 1
+    """,
+    doc="Wine reviews END-TO-END as the reference runs it: 11-column "
+        "CSV through the per-line parser with malformed-record DROP "
+        "(mp3/src/mj_wine/wine_maple.go:9-13) into the per-occurrence "
+        "filter-aggregate (:15-20). Pins S3+F2+F3+F5 together in one "
+        "driver row; the fixture interleaves field-count and bad-int "
+        "records both parsers must reject identically.",
+)
+def q_wine_csv_agg(spark, sf_dir):
+    wine = read_csv(spark, WINE_CSV, WINE_SCHEMA, header=True, malformed="drop")
+    agg = token_occurrence_agg(
+        wine, F.col("variety") == "Chardonnay", "description", "succulent",
+        "region_2",
+    )
+    # '' and NULL region_2 normalize to '' on both sides (Spark's CSV
+    # parse reads the empty field as NULL, DuckDB as '' — same group).
+    return (
+        agg.groupBy(F.coalesce("region_2", F.lit("")).alias("region_2"))
+        .agg(F.sum("occurrences").alias("occurrences"))
+    )
+
+
+@query(
+    "grep_logs",
+    oracle=f"""
+    WITH numbered AS (
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS machine,
+             CAST(row_number() OVER (
+               PARTITION BY filename
+               ORDER BY regexp_extract(line, '(\\d{{4}}/\\d{{2}}/\\d{{2}} \\d{{2}}:\\d{{2}}:\\d{{2}})', 1)
+             ) - 1 AS BIGINT) AS line_no,
+             line
+      FROM read_csv('{LOGS_DIR}/*.log',
+                    columns={{'line': 'VARCHAR'}},
+                    delim='\t', quote='', header=false, filename=true)
+    )
+    SELECT machine, line_no, line
+    FROM numbered
+    WHERE regexp_matches(line, '{LOGS_PATTERN}')
+    """,
+    doc="Grep with FULL provenance over a multi-file logs fixture: "
+        "(machine, line_no, line) exactly as the reference's MatchRes "
+        "(mp3/src/logs.go:26-30; 0-based numbering :188-193). The "
+        "engine reconstructs line_no from PHYSICAL order "
+        "(sources/text.py); the oracle reconstructs it from the "
+        "strictly-increasing per-machine timestamps in the line CONTENT "
+        "— a genuine differential on the provenance path.",
+)
+def q_grep_logs(spark, sf_dir):
+    logs = read_lines(spark, LOGS_DIR)
+    return grep(logs, LOGS_PATTERN, text_col="line",
+                provenance_cols=["machine", "line_no"])
 
 
 @query(
