@@ -43,6 +43,10 @@ class Catalog:
         we write to a temp dir and rename — same all-or-nothing visibility
         without a lock service.
         """
+        if mode not in ("error", "ignore", "overwrite"):
+            raise ValueError(
+                f"mode must be 'error', 'ignore' or 'overwrite', got {mode!r}"
+            )
         dest = self._path(name)
         if os.path.exists(dest):
             if mode == "error":

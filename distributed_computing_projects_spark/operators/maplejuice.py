@@ -87,15 +87,21 @@ def juice(
     fn: JuiceFn,
     num_juices: int | None = None,
     partition: str = "hash",
+    sorted_output: bool = True,
 ) -> DataFrame:
     """Native juice: group by key, apply ``fn(key, values) -> value``.
 
     ``partition='hash'|'range'`` mirrors mp3/src/partition.go:9-38
     (hash = FNV mod n there, Murmur3 here — assignment differs, results
     identical; range = sorted contiguous runs ≅ repartitionByRange).
-    Output is sorted by key: the reference's output order is Go-map
-    nondeterministic (mp3/src/maplejuice.go:552) and we deliberately
-    define a deterministic one (SURVEY §4.3).
+
+    ``sorted_output``: by default output is key-sorted — the
+    reference's output order is Go-map nondeterministic
+    (mp3/src/maplejuice.go:552) and we deliberately define a
+    deterministic one (SURVEY §4.3). That determinism costs a full
+    range-shuffle sort of the OUTPUT on every job; pass
+    ``sorted_output=False`` when juice feeds another pipeline stage
+    (the parity default only matters for user-facing output files).
     """
     if num_juices:
         if partition == "range":
@@ -107,7 +113,8 @@ def juice(
         key = pdf["key"].iloc[0]
         return pd.DataFrame({"key": [key], "value": [str(fn(key, list(pdf["value"])))]})
 
-    return kv.groupBy("key").applyInPandas(reduce_group, KV_SCHEMA).orderBy("key")
+    out = kv.groupBy("key").applyInPandas(reduce_group, KV_SCHEMA)
+    return out.orderBy("key") if sorted_output else out
 
 
 def juice_tree(
@@ -115,6 +122,7 @@ def juice_tree(
     fn: JuiceFn,
     num_juices: int | None = None,
     partition: str = "hash",
+    sorted_output: bool = True,
 ) -> DataFrame:
     """Juice for ASSOCIATIVE reducers, safe on giant groups.
 
@@ -151,7 +159,8 @@ def juice_tree(
         key = pdf["key"].iloc[0]
         return pd.DataFrame({"key": [key], "value": [str(fn(key, list(pdf["value"])))]})
 
-    return partials.groupBy("key").applyInPandas(reduce_group, KV_SCHEMA).orderBy("key")
+    out = partials.groupBy("key").applyInPandas(reduce_group, KV_SCHEMA)
+    return out.orderBy("key") if sorted_output else out
 
 
 def maple_exec(df: DataFrame, cmd: str, line_col: str | None = None) -> DataFrame:

@@ -474,3 +474,43 @@ def q_ann_ivf_topk(spark, sf_dir):
     return S.ivf_topk(
         emb, ANN_QUERY_VEC, ANN_K, "vec_id", "embedding", probes=ANN_IVF_PROBES
     )
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_CTES},
+    pairs AS (
+      SELECT id_a, id_b FROM cand
+      WHERE ({_N_EQ_D}) / {float(T.N_PERMS)} >= {MINHASH_THRESHOLD}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+      WHERE e.v <> r.u),
+    labels AS (
+      SELECT u AS id, least(u, min(v)) AS cluster_id
+      FROM reach GROUP BY u),
+    sizes AS (
+      SELECT cluster_id, count(*) AS cluster_size
+      FROM labels GROUP BY cluster_id)
+    SELECT l.id, l.cluster_id, l.id = l.cluster_id AS is_keeper,
+           s.cluster_size
+    FROM labels l JOIN sizes s ON l.cluster_id = s.cluster_id
+    """,
+    doc="Near-dup clustering: connected components over the LSH pair "
+        "graph via alternating large-star/small-star (O(log n) rounds; "
+        "SoCC '14), emitting one keeper per cluster. Oracle = recursive "
+        "CTE transitive closure over the SAME dual-dialect pair SQL "
+        "(closure is fine at oracle scale; the star algorithm is the "
+        "100 TB path).",
+)
+def q_dedup_clusters(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text",
+                                threshold=MINHASH_THRESHOLD)
+    return D.neardup_clusters(pairs)

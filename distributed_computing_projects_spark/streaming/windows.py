@@ -132,14 +132,22 @@ _STATE_SCHEMA = StructType(
 )
 
 
-def running_user_totals(events: DataFrame) -> DataFrame:
+def running_user_totals(
+    events: DataFrame, state_ttl_ms: int | None = None
+) -> DataFrame:
     """Custom stateful operator: running per-user event count + value
     total, emitted once per micro-batch per updated user.
 
     ``applyInPandasWithState`` = Arrow-batched groups + explicit state,
     the escape hatch for semantics watermark+window can't express
-    (counters, ML feature state, CDC merges). Processing-time timeout
-    keeps abandoned users' state collectable.
+    (counters, ML feature state, CDC merges).
+
+    State lifetime: with the default ``state_ttl_ms=None`` state is
+    kept forever (NoTimeout) — exact totals for bounded replays, but
+    unbounded state on a continuous stream. Pass a TTL to evict a
+    user's counters after that much processing-time idleness; a user
+    who reappears later restarts from zero. At 100 TB/day the TTL
+    form is the only deployable one.
     """
 
     def update(
@@ -147,15 +155,25 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
         state.update((n, total))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
         )
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         events.select("user_id", "value")
         .groupBy("user_id")
@@ -164,21 +182,72 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             outputStructType=RUNNING_TOTALS_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )
 
 
 def run_to_memory_sink(
-    stream_df: DataFrame, name: str, output_mode: str = "complete"
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    drain: str = "availableNow",
+    max_wait_s: float = 180.0,
 ) -> None:
-    """Drain a stream into an in-memory table with availableNow (test
-    harness; production sinks are parquet/kafka writeStream)."""
-    q = (
+    """Drain a stream into an in-memory table (test harness; production
+    sinks are parquet/kafka writeStream).
+
+    ``drain='availableNow'`` runs a self-terminating bounded replay —
+    the default. ``drain='untilIdle'`` starts a continuous query, polls
+    progress until a micro-batch with ``numInputRows == 0`` commits
+    (proof every currently-available source row has been absorbed),
+    then stops it.
+
+    The second form exists because a stateful operator with
+    ProcessingTimeTimeout reports ``shouldRunAnotherBatch=true``
+    forever (processing time always advances, so a timeout could
+    always fire next batch). That makes BOTH standard bounded drains
+    hang: availableNow keeps constructing empty micro-batches until
+    the TTL actually fires (hour-scale), and ``processAllAvailable()``
+    blocks on the engine's ``noNewData`` flag, which is only raised
+    when the engine decides NOT to construct a batch — which it never
+    does here. An observed empty batch is the one signal that doesn't
+    depend on the engine idling.
+    """
+    writer = (
         stream_df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    if drain == "availableNow":
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    elif drain == "untilIdle":
+        import time as _time
+
+        q = writer.start()
+        try:
+            deadline = _time.monotonic() + max_wait_s
+            drained = False
+            while _time.monotonic() < deadline:
+                for p in q.recentProgress:
+                    rows = p["numInputRows"] if isinstance(p, dict) else p.numInputRows
+                    if rows == 0:
+                        drained = True
+                        break
+                if drained or q.exception() is not None:
+                    break
+                _time.sleep(0.25)
+            if q.exception() is not None:
+                raise q.exception()
+            if not drained:
+                raise TimeoutError(
+                    f"stream {name!r} saw no empty micro-batch in {max_wait_s}s"
+                )
+        finally:
+            q.stop()
+        q.awaitTermination()
+    else:
+        raise ValueError(
+            f"drain must be 'availableNow' or 'untilIdle', got {drain!r}"
+        )

@@ -32,3 +32,17 @@ def test_put_refuses_silent_overwrite(spark, sf_dir, tmp_path):
     except FileExistsError:
         raised = True
     assert raised
+
+
+def test_put_rejects_unknown_mode(spark, sf_dir, tmp_path):
+    """A typo'd mode ('append') must raise, not silently overwrite —
+    round-1 advisor finding."""
+    cat = Catalog(spark, str(tmp_path / "cat3"))
+    nation = load_table(spark, sf_dir, "nation")
+    cat.put("nation", nation)
+    try:
+        cat.put("nation", nation, mode="append")
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised

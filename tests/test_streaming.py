@@ -99,3 +99,41 @@ def test_running_user_totals_final_state_matches_batch_agg(spark, sf_dir):
     assert {u: v[0] for u, v in got.items()} == {u: v[0] for u, v in want.items()}
     for u in want:
         assert got[u][1] == want[u][1]
+
+
+def test_running_user_totals_with_state_ttl_matches_on_bounded_replay(
+    spark, sf_dir
+):
+    """The ProcessingTimeTimeout variant (state_ttl_ms set) must agree
+    with the NoTimeout variant on a bounded replay whose wall-clock run
+    is far shorter than the TTL — evictions change long-horizon memory,
+    never short-horizon values."""
+    stream = running_user_totals(
+        read_events_stream(spark, sf_dir), state_ttl_ms=3_600_000
+    )
+    # availableNow/processAllAvailable both hang under
+    # ProcessingTimeTimeout (shouldRunAnotherBatch is always true);
+    # 'untilIdle' stops after the first observed empty micro-batch.
+    run_to_memory_sink(
+        stream, "t_running_ttl", output_mode="update", drain="untilIdle"
+    )
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.table("t_running_ttl")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+        .collect()
+    }
+    want = {
+        r.user_id: (r.n, r.total)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert {u: v[0] for u, v in got.items()} == {u: v[0] for u, v in want.items()}
+    for u in want:
+        assert got[u][1] == pytest.approx(want[u][1])
