@@ -18,6 +18,8 @@ backfill trigger, the same code runs continuously on a live source.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import functions as F
 
 from distributed_computing_projects_spark.queries import query
@@ -29,6 +31,27 @@ from distributed_computing_projects_spark.streaming.windows import (
 )
 
 _SUM_VALUE = "CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE)"
+
+
+@contextmanager
+def _state_partitions(spark, n: int = 32):
+    """Pin ``spark.sql.shuffle.partitions`` while a streaming query
+    STARTS (the stateful operator fixes its state-store partition count
+    from this conf at query start, and a foreign session's default of
+    200 means 200 state stores × Arrow python workers for a sf0.01
+    drain — measured 12 s vs ~4 s at 32). Restored afterwards so a
+    host harness session is left untouched; results are exact under
+    any partition count."""
+    key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(key, None)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
 
 
 @query(
@@ -45,7 +68,8 @@ _SUM_VALUE = "CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE)"
 def q_streaming_events_hourly(spark, sf_dir):
     stream = read_events_stream(spark, sf_dir)
     agg = tumbling_counts(stream, width="1 hour", watermark="2 hours")
-    run_to_memory_sink(agg, "q_stream_events_hourly", "complete")
+    with _state_partitions(spark):
+        run_to_memory_sink(agg, "q_stream_events_hourly", "complete")
     return spark.table("q_stream_events_hourly")
 
 
@@ -61,7 +85,8 @@ def q_streaming_events_hourly(spark, sf_dir):
 def q_streaming_user_running_totals(spark, sf_dir):
     stream = read_events_stream(spark, sf_dir)
     totals = running_user_totals(stream)
-    run_to_memory_sink(totals, "q_stream_user_totals", "update")
+    with _state_partitions(spark):
+        run_to_memory_sink(totals, "q_stream_user_totals", "update")
     # value sums are float-accumulated inside the stateful op; round to
     # cents for a stable cross-run hash (driver does rows+schema only,
     # but determinism costs nothing)

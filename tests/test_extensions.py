@@ -94,6 +94,34 @@ def test_embedding_neardup_finds_scaled_copy(spark):
     assert rows[0].cosine == pytest.approx(1.0)
 
 
+def test_neardup_clusters_chain_and_components(spark):
+    """A 30-node chain has diameter 30 — plain min-label propagation
+    would need 30 rounds; the large-star/small-star alternation must
+    close it well inside max_iter (O(log n)). Plus a disjoint triangle
+    and an isolated pair, to pin multi-component labeling."""
+    chain = [(i, i + 1) for i in range(30)]
+    tri = [(100, 101), (101, 102), (100, 102)]
+    pair = [(200, 201)]
+    pairs = spark.createDataFrame(
+        chain + tri + pair, "id_a long, id_b long"
+    )
+    out = {r.id: r for r in D.neardup_clusters(pairs, max_iter=10).collect()}
+    assert len(out) == 31 + 3 + 2
+    assert all(out[i].cluster_id == 0 for i in range(31))
+    assert out[0].cluster_size == 31
+    assert all(out[i].cluster_id == 100 for i in (100, 101, 102))
+    assert out[200].cluster_id == 200 and out[201].cluster_id == 200
+    keepers = {i for i, r in out.items() if r.is_keeper}
+    assert keepers == {0, 100, 200}
+
+
+def test_neardup_clusters_raises_when_not_converged(spark):
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(20)],
+                                  "id_a long, id_b long")
+    with pytest.raises(RuntimeError):
+        D.neardup_clusters(pairs, max_iter=1)
+
+
 def test_brute_force_topk_self_is_nearest(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     first = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
