@@ -24,9 +24,13 @@ from pyspark.sql import functions as F
 
 from distributed_computing_projects_spark.queries import query
 from distributed_computing_projects_spark.streaming.windows import (
+    dedup_within_watermark,
+    interval_join_clicks_purchases,
     read_events_stream,
     run_to_memory_sink,
     running_user_totals,
+    session_aggregate,
+    sliding_counts,
     tumbling_counts,
 )
 
@@ -98,3 +102,123 @@ def q_streaming_user_running_totals(spark, sf_dir):
             F.round(F.max("total_value"), 2).alias("total_value"),
         )
     )
+
+
+@query(
+    "streaming_user_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts)
+               AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+    doc="Per-user session windows (30-min inactivity gap) computed by a "
+        "REAL streaming session_window aggregation; oracle is the "
+        "batch lag/cumsum sessionization. session_end = last event + "
+        "gap, Spark's session_window convention. Boundary note: Spark "
+        "starts a new session when the gap is >= the window gap, the "
+        "batch user_sessions query uses strict >; event times here are "
+        "microsecond-random so no gap lands exactly on 30:00.000000 "
+        "and both conventions agree (asserted by the hash match).",
+)
+def q_streaming_user_sessions(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    sess = session_aggregate(stream, gap="30 minutes", watermark="2 hours")
+    with _state_partitions(spark):
+        run_to_memory_sink(sess, "q_stream_user_sessions", "complete")
+    return spark.table("q_stream_user_sessions")
+
+
+@query(
+    "streaming_sliding_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts)
+             - INTERVAL '15 minutes' * i AS w_start,
+           time_bucket(INTERVAL '15 minutes', ts)
+             - INTERVAL '15 minutes' * i + INTERVAL 1 HOUR AS w_end,
+           event_type, count(*) AS n
+    FROM events, unnest([0, 1, 2, 3]) AS t(i)
+    GROUP BY 1, 2, 3
+    """,
+    doc="Sliding 1-hour/15-min windows on a real stream. Oracle expands "
+        "each event into the exact 4 windows that contain it (starts "
+        "aligned to 15 min in (ts-1h, ts]) — the same expansion Spark's "
+        "window(ts, width, slide) performs.",
+)
+def q_streaming_sliding_counts(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    agg = sliding_counts(stream, width="1 hour", slide="15 minutes",
+                         watermark="2 hours")
+    with _state_partitions(spark):
+        run_to_memory_sink(agg, "q_stream_sliding", "complete")
+    return spark.table("q_stream_sliding")
+
+
+@query(
+    "streaming_dedup_events",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    """,
+    doc="Streaming deduplication with bounded state "
+        "(dropDuplicatesWithinWatermark): the stream is the events "
+        "source UNIONed with itself — every event arrives twice, "
+        "exactly one copy survives. Oracle = the distinct base table. "
+        "State holds a key only until the watermark passes it, so "
+        "state size tracks the watermark horizon, not stream lifetime.",
+)
+def q_streaming_dedup_events(spark, sf_dir):
+    dup = read_events_stream(spark, sf_dir).union(
+        read_events_stream(spark, sf_dir)
+    )
+    deduped = dedup_within_watermark(dup, ["event_id"], watermark="2 hours")
+    out = deduped.select("event_id", "user_id", "event_type", "value")
+    with _state_partitions(spark):
+        run_to_memory_sink(out, "q_stream_dedup", "append")
+    return spark.table("q_stream_dedup")
+
+
+@query(
+    "streaming_click_purchase_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    doc="Stream-stream inner join: each purchase paired with every "
+        "click by the same user in the preceding hour, both sides real "
+        "streams with watermarks. The interval predicate bounds join "
+        "state (clicks older than watermark+horizon are evicted); "
+        "oracle is the plain batch join.",
+)
+def q_streaming_click_purchase_join(spark, sf_dir):
+    ev = read_events_stream(spark, sf_dir)
+    joined = interval_join_clicks_purchases(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        horizon="1 hour",
+        watermark="2 hours",
+    )
+    with _state_partitions(spark):
+        run_to_memory_sink(joined, "q_stream_cp_join", "append")
+    return spark.table("q_stream_cp_join")

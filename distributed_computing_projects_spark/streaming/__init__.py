@@ -1,4 +1,6 @@
 from distributed_computing_projects_spark.streaming.windows import (
+    dedup_within_watermark,
+    interval_join_clicks_purchases,
     read_events_stream,
     session_aggregate,
     sliding_counts,
@@ -12,4 +14,6 @@ __all__ = [
     "sliding_counts",
     "session_aggregate",
     "running_user_totals",
+    "dedup_within_watermark",
+    "interval_join_clicks_purchases",
 ]

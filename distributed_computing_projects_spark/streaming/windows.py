@@ -119,6 +119,70 @@ def session_aggregate(
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming deduplication with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key in the state store
+    only until the watermark passes its event time, so at 100 TB/day
+    state is proportional to the watermark horizon, not the stream's
+    lifetime (plain ``dropDuplicates`` on a stream grows forever).
+
+    Guarantee within that horizon: exactly-one survivor per key —
+    which is the deduplication contract that matters for at-least-once
+    sources (Kafka redeliveries, file-landing retries). Batch frames
+    fall back to plain dropDuplicates (no watermark semantics needed).
+    """
+    keys = keys or ["event_id"]
+    if not events.isStreaming:
+        return events.dropDuplicates(keys)
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def interval_join_clicks_purchases(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INNER join on user with a time-interval predicate:
+    each purchase pairs with every click by the same user in the
+    preceding ``horizon``.
+
+    The interval condition is what makes this deployable: it gives the
+    engine a provable state bound (a click older than
+    ``watermark + horizon`` can never match again and is evicted).
+    An equality-only stream-stream join would buffer both streams
+    forever. Batch frames take the same code path minus watermarks —
+    Catalyst compiles the predicate to an equi-join on user_id with a
+    range filter.
+    """
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if p.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return p.join(c, cond, "inner").select(
+        "purchase_id", "click_id", "user_id", "click_ts", "purchase_ts"
+    )
+
+
 RUNNING_TOTALS_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

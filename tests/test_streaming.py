@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 
 from distributed_computing_projects_spark.sources.registry import load_table
 from distributed_computing_projects_spark.streaming import (
+    dedup_within_watermark,
+    interval_join_clicks_purchases,
     read_events_stream,
     running_user_totals,
     session_aggregate,
@@ -75,6 +77,51 @@ def test_session_aggregate_agrees_with_lag_cumsum_twin(spark, sf_dir):
         for r in load_registry()["user_sessions"].fn(spark, sf_dir).collect()
     }
     assert by_window == by_lag
+
+
+def test_dedup_within_watermark_drops_every_duplicate(spark, sf_dir):
+    """events ∪ events through the streaming dedup must equal DISTINCT
+    events — exactly one survivor per event_id within the watermark
+    horizon (both copies arrive in the same micro-batch here)."""
+    dup = read_events_stream(spark, sf_dir).union(
+        read_events_stream(spark, sf_dir)
+    )
+    deduped = dedup_within_watermark(dup, ["event_id"]).select(
+        "event_id", "user_id", "value"
+    )
+    assert deduped.isStreaming
+    run_to_memory_sink(deduped, "t_dedup_stream", output_mode="append")
+    got = _sorted_rows(spark.table("t_dedup_stream"), "event_id")
+    want = _sorted_rows(
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value"
+        ),
+        "event_id",
+    )
+    assert got == want and len(got) > 0
+
+
+def test_interval_join_stream_matches_batch(spark, sf_dir):
+    """Stream-stream interval join must produce exactly the batch join
+    (same operator, watermarks attached) — purchases paired with every
+    same-user click in the preceding hour."""
+    ev_s = read_events_stream(spark, sf_dir)
+    joined = interval_join_clicks_purchases(
+        ev_s.filter(F.col("event_type") == "click"),
+        ev_s.filter(F.col("event_type") == "purchase"),
+    )
+    assert joined.isStreaming
+    run_to_memory_sink(joined, "t_cp_join", output_mode="append")
+    ev_b = load_table(spark, sf_dir, "events")
+    want = _sorted_rows(
+        interval_join_clicks_purchases(
+            ev_b.filter(F.col("event_type") == "click"),
+            ev_b.filter(F.col("event_type") == "purchase"),
+        ),
+        "purchase_id", "click_id",
+    )
+    got = _sorted_rows(spark.table("t_cp_join"), "purchase_id", "click_id")
+    assert got == want and len(got) > 0
 
 
 def test_running_user_totals_final_state_matches_batch_agg(spark, sf_dir):
