@@ -13,7 +13,16 @@ over ``hex(encode(text))``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from distributed_computing_projects_spark.functions import text as T
 from distributed_computing_projects_spark.operators import dedup as D
@@ -541,3 +550,53 @@ def q_dedup_clusters(spark, sf_dir):
     pairs = D.minhash_lsh_pairs(docs, "doc_id", "text",
                                 threshold=MINHASH_THRESHOLD)
     return D.neardup_clusters(pairs)
+
+
+# ---------------------------------------------------------------------------
+# JSONL source (fixture-based, like wine_csv_agg / grep_logs)
+# ---------------------------------------------------------------------------
+
+_JSONL_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures", "events_jsonl",
+)
+
+JSONL_EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+@query(
+    "jsonl_events_agg",
+    oracle=f"""
+    SELECT event_type, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+    FROM read_ndjson('{_JSONL_DIR}/*.jsonl',
+      columns={{'event_id': 'BIGINT', 'user_id': 'BIGINT',
+                'event_type': 'VARCHAR', 'value': 'DOUBLE'}},
+      ignore_errors=true)
+    WHERE event_id IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="JSONL source end-to-end over a fixture that interleaves "
+        "truncated objects, bare garbage, and non-object JSON: per-line "
+        "from_json with malformed-record DROP (sources/json.py, the "
+        "CSV-source policy applied to JSONL), then a filter-aggregate. "
+        "DuckDB's ignore_errors NULLs whole failed rows instead of "
+        "dropping them, so the oracle filters event_id IS NOT NULL — "
+        "both engines then see exactly the 11 well-formed records.",
+)
+def q_jsonl_events_agg(spark, sf_dir):
+    from distributed_computing_projects_spark.sources.json import read_jsonl
+
+    ev = read_jsonl(spark, f"{_JSONL_DIR}/*.jsonl", JSONL_EVENTS_SCHEMA)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+        .alias("total_value"),
+    )

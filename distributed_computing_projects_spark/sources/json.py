@@ -1,0 +1,76 @@
+"""JSONL (newline-delimited JSON) source with the same malformed-record
+policy as the CSV source — an engine extension (the reference's only
+record format is the text line, mp3/src/maple/mapler.go:41-43; JSONL is
+how event/log payloads actually land in a modern pipeline).
+
+Policy parity with ``sources/csv.py``: parse each LINE independently,
+DROP records that fail to parse. Per-line ``from_json`` (not the json
+datasource) keeps the semantics split-invariant: a physical split
+boundary can never change which records parse, because no record spans
+lines. Drop policy covers SYNTACTIC failures (truncated objects, bare
+garbage, non-object lines). A well-formed object whose field fails the
+schema's type (``"value": "abc"`` for a double) keeps the record with
+that field null — Spark's PERMISSIVE convention; callers needing
+strictness filter on required columns.
+
+Scale: the text scan splits like any line source (S2 delegated to
+Spark split planning); ``from_json`` is a codegen'd JVM expression —
+no Python in the parse path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    malformed: str = "drop",
+) -> DataFrame:
+    """Schema'd JSONL scan with an explicit malformed-record policy.
+
+    ``malformed='drop'``: skip lines that don't parse as a JSON object
+    (CSV-source parity). ``'fail'``: raise on first malformed line via
+    FAILFAST. ``'keep'``: malformed lines survive with every schema
+    column null plus the raw line in ``_corrupt_record`` — the
+    quarantine pattern (route them to a dead-letter sink at scale
+    instead of silently shrinking the input).
+    """
+    if malformed not in ("drop", "fail", "keep"):
+        raise ValueError(f"malformed must be drop|fail|keep, got {malformed!r}")
+    marked = StructType(
+        list(schema.fields) + [StructField("_corrupt_record", StringType())]
+    )
+    marked_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in marked.fields
+    )
+    mode = "FAILFAST" if malformed == "fail" else "PERMISSIVE"
+    parsed = (
+        spark.read.text(path)
+        .filter(F.trim("value") != "")  # blank lines are not records
+        .select(
+            F.from_json(
+                F.col("value"),
+                marked_ddl,
+                {"mode": mode, "columnNameOfCorruptRecord": "_corrupt_record"},
+            ).alias("r"),
+            F.col("value").alias("_raw"),
+        )
+    )
+    if malformed == "keep":
+        # from_json leaves _corrupt_record unset in some whole-line
+        # failure shapes; normalize: corrupt <=> carry the raw line
+        return parsed.select(
+            "r.*", "_raw"
+        ).withColumn(
+            "_corrupt_record",
+            F.when(F.col("_corrupt_record").isNotNull(), F.col("_raw")),
+        ).drop("_raw")
+    return (
+        parsed.select("r.*")
+        .filter(F.col("_corrupt_record").isNull())
+        .drop("_corrupt_record")
+    )

@@ -1,0 +1,55 @@
+"""JSONL source: malformed-record policies over the checked-in fixture
+(fixtures/events_jsonl — 11 well-formed records interleaved with a
+truncated object, bare garbage, a non-object JSON line, and a blank
+line across two files)."""
+
+from __future__ import annotations
+
+import pytest
+from py4j.protocol import Py4JJavaError
+
+from distributed_computing_projects_spark.queries.extensions import (
+    _JSONL_DIR,
+    JSONL_EVENTS_SCHEMA,
+)
+from distributed_computing_projects_spark.sources.json import read_jsonl
+
+GLOB = f"{_JSONL_DIR}/*.jsonl"
+
+
+def test_drop_skips_exactly_the_malformed_lines(spark):
+    df = read_jsonl(spark, GLOB, JSONL_EVENTS_SCHEMA)
+    ids = sorted(r.event_id for r in df.collect())
+    # event_id 4 is the truncated object — its line must NOT survive
+    assert ids == [1, 2, 3, 5, 6, 7, 8, 9, 10, 11, 12]
+    assert "_corrupt_record" not in df.columns
+
+
+def test_missing_field_is_null_not_dropped(spark):
+    """A well-formed object missing 'value' keeps its record (field
+    null) — only SYNTACTIC failures drop."""
+    df = read_jsonl(spark, GLOB, JSONL_EVENTS_SCHEMA)
+    row = df.filter("event_id = 9").collect()[0]
+    assert row.value is None and row.event_type == "view"
+
+
+def test_keep_quarantines_corrupt_lines(spark):
+    df = read_jsonl(spark, GLOB, JSONL_EVENTS_SCHEMA, malformed="keep")
+    corrupt = df.filter("_corrupt_record IS NOT NULL")
+    assert corrupt.count() == 4
+    raws = [r._corrupt_record for r in corrupt.collect()]
+    assert "not json at all" in raws
+    # quarantined rows carry the raw line and null schema fields
+    assert all(r.event_id is None for r in corrupt.collect())
+    assert df.filter("_corrupt_record IS NULL").count() == 11
+
+
+def test_fail_mode_raises_on_malformed(spark):
+    df = read_jsonl(spark, GLOB, JSONL_EVENTS_SCHEMA, malformed="fail")
+    with pytest.raises(Py4JJavaError):
+        df.collect()
+
+
+def test_rejects_unknown_policy(spark):
+    with pytest.raises(ValueError):
+        read_jsonl(spark, GLOB, JSONL_EVENTS_SCHEMA, malformed="bogus")
