@@ -41,10 +41,12 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     for name, spec in sorted(headliners.items()):
-        # best of 2: first run can absorb one-off codegen/JIT compile of
-        # this plan shape; the repeat is the engine's steady throughput
+        # best of 3: the first run absorbs one-off codegen/JIT compile
+        # of this plan shape, and a single repeat is still exposed to
+        # transient host contention (observed 10-70x spikes on a shared
+        # box); three samples make the minimum a stable throughput read
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             # fairness: operators may persist() intermediates; clearing
             # between runs means the repeat measures real recompute,
             # not a cache read

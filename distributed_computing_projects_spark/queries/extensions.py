@@ -27,6 +27,7 @@ from pyspark.sql.types import (
 from distributed_computing_projects_spark.functions import text as T
 from distributed_computing_projects_spark.operators import dedup as D
 from distributed_computing_projects_spark.operators import multimodal as M
+from distributed_computing_projects_spark.operators import sampling as SP
 from distributed_computing_projects_spark.operators import similarity as S
 from distributed_computing_projects_spark.operators import textstats as X
 from distributed_computing_projects_spark.queries import query
@@ -600,3 +601,61 @@ def q_jsonl_events_agg(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
         .alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / dataset splits
+# ---------------------------------------------------------------------------
+
+SPLIT_WEIGHTS_BP = {"train": 8000, "val": 1000, "test": 1000}
+STRAT_RATES_BP = {"en": 2500, "zh": 10000, "es": 5000}
+STRAT_DEFAULT_BP = 1000
+
+
+@query(
+    "dataset_split_counts",
+    oracle=f"""
+    SELECT {SP.split_case_sql('doc_id', SPLIT_WEIGHTS_BP)} AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Train/val/test assignment (80/10/10) by content-addressed hash "
+        "buckets — per-id stable across runs, engines, partitionings, "
+        "and corpus growth, unlike df.sample(). Pure codegen'd "
+        "projection; oracle runs the identical md5 bucket arithmetic.",
+)
+def q_dataset_split_counts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        SP.split_assign(docs, "doc_id", SPLIT_WEIGHTS_BP)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "stratified_sample_counts",
+    oracle=f"""
+    SELECT lang, count(*) AS n_kept
+    FROM documents
+    WHERE {SP.bucket_sql('doc_id', 'strat')} <
+          CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 10000
+                    WHEN 'es' THEN 5000 ELSE 1000 END
+    GROUP BY lang
+    """,
+    doc="Language-rebalancing stratified sample (downsample en 25%, "
+        "keep all zh, es 50%, others 10%) as a pure deterministic "
+        "filter — no shuffle, no per-group materialization; the "
+        "training-mixture primitive at corpus scale.",
+)
+def q_stratified_sample_counts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    kept = SP.stratified_sample(
+        docs, "lang", "doc_id", STRAT_RATES_BP, default_bp=STRAT_DEFAULT_BP
+    )
+    return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
