@@ -59,6 +59,7 @@ _MATRIX_FIRST = [
     "jsonl_events_agg",
     "dataset_split_counts",
     "stratified_sample_counts",
+    "pack_documents",
     "multimodal_features",  # rows-only in r1, value oracle now
     "quantity_quartiles",  # implementation changed to approx_percentile
 ]

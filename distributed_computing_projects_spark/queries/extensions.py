@@ -364,7 +364,7 @@ def q_token_stats(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     toks = T.tokens("text", "spark")
     totals = docs.agg(
-        F.sum(F.expr(f"size({toks})")).alias("total_tokens"),
+        F.sum(F.expr(f"size(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))")).alias("total_tokens"),
         F.count("*").alias("n_docs"),
     )
     distinct = (
@@ -659,3 +659,53 @@ def q_stratified_sample_counts(spark, sf_dir):
         docs, "lang", "doc_id", STRAT_RATES_BP, default_bp=STRAT_DEFAULT_BP
     )
     return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 256
+PACK_SHARDS = 8
+
+
+@query(
+    "pack_documents",
+    oracle=f"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id AS id,
+             CAST(doc_id % {PACK_SHARDS} AS INTEGER) AS shard,
+             CAST(len({_TOKS_D}) AS BIGINT) AS n_tokens,
+             row_number() OVER (
+               PARTITION BY doc_id % {PACK_SHARDS} ORDER BY doc_id
+             ) AS rn
+      FROM documents
+    ),
+    packed AS (
+      SELECT shard, rn, id, n_tokens,
+             n_tokens AS acc, CAST(0 AS BIGINT) AS pack_id
+      FROM docs WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.rn, d.id, d.n_tokens,
+             CASE WHEN p.acc > 0 AND p.acc + d.n_tokens > {PACK_BUDGET}
+                  THEN d.n_tokens ELSE p.acc + d.n_tokens END,
+             CASE WHEN p.acc > 0 AND p.acc + d.n_tokens > {PACK_BUDGET}
+                  THEN p.pack_id + 1 ELSE p.pack_id END
+      FROM docs d JOIN packed p ON d.shard = p.shard AND d.rn = p.rn + 1
+    )
+    SELECT id, shard, pack_id, n_tokens FROM packed
+    """,
+    doc="Sequence packing: greedy assignment of docs (id order, per "
+        "shard) into <=256-token packs — the trainer-side concat step "
+        "as a shard-parallel applyInPandas (the sequential scan is the "
+        "textbook case for it). Oracle replays the identical greedy "
+        "recurrence as a recursive CTE per shard.",
+)
+def q_pack_documents(spark, sf_dir):
+    from distributed_computing_projects_spark.operators.packing import (
+        pack_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_documents(docs, "doc_id", "text", PACK_BUDGET,
+                          n_shards=PACK_SHARDS)
