@@ -120,6 +120,13 @@ def condorcet(df: DataFrame, ballot_col: str = "ballot",
     rows, one pipeline materialization), unioned with a priority flag,
     and a whole-frame ``min`` keeps the champion row iff one exists.
     """
+    # The persist is what makes one pipeline run serve both branches.
+    # Its lifetime is intentionally the session's: the frame is <= m
+    # rows (m = candidate count, bytes not gigabytes), there is no
+    # post-return hook to unpersist from, and unpersisting before the
+    # caller's action would re-run the pipeline twice — the round-1
+    # weakness this rewrite removed. spark.catalog.clearCache() is the
+    # caller-side reset if m is ever pathological.
     wins = condorcet_wins(df, ballot_col, num_candidates, candidates).persist()
     # All scalars stay lazy 1-row frames broadcast into the plan:
     # m (candidate count) for the champion test, mx for the argmax set.

@@ -23,14 +23,19 @@ with the cluster (each shard's doc list must fit a task — thousands of
 shards, not 8); packing quality is unaffected because packs never
 cross shards anyway.
 
-The per-shard scan is NumPy (cumulative running total with reset), not
-a Python row loop — ~10^7 docs/shard/s; the token count itself is
-counted JVM-side before the shuffle.
+The per-shard scan is a Python loop over a NumPy array of per-doc
+token counts (the reset-on-overflow recurrence doesn't vectorize);
+that bounds shard size to ~10^6 docs for a seconds-scale task — size
+``n_shards`` accordingly. The token count itself is computed JVM-side
+before the shuffle, so Python only ever sees (id, shard, n_tokens).
+
+The group function takes the WHOLE shard as one pandas frame (the
+non-iterator ``applyInPandas`` form) — the iterator form streams a
+group in Arrow-batch chunks (default 10k rows), and a per-chunk scan
+would silently reset pack state mid-shard.
 """
 
 from __future__ import annotations
-
-from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -55,26 +60,25 @@ def pack_documents(
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
 
-    def _pack(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in pdfs:
-            pdf = pdf.sort_values("id", ignore_index=True)
-            ns = pdf["n_tokens"].to_numpy()
-            pack_ids = []
-            pack, acc = 0, 0
-            for n in ns:
-                if acc and acc + n > budget:
-                    pack += 1
-                    acc = 0
-                acc += n
-                pack_ids.append(pack)
-            yield pd.DataFrame(
-                {
-                    "id": pdf["id"],
-                    "shard": pdf["shard"],
-                    "pack_id": pd.Series(pack_ids, dtype="int64"),
-                    "n_tokens": pdf["n_tokens"],
-                }
-            )
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id", ignore_index=True)
+        ns = pdf["n_tokens"].to_numpy()
+        pack_ids = []
+        pack, acc = 0, 0
+        for n in ns:
+            if acc and acc + n > budget:
+                pack += 1
+                acc = 0
+            acc += n
+            pack_ids.append(pack)
+        return pd.DataFrame(
+            {
+                "id": pdf["id"],
+                "shard": pdf["shard"],
+                "pack_id": pd.Series(pack_ids, dtype="int64"),
+                "n_tokens": pdf["n_tokens"],
+            }
+        )
 
     counted = df.select(
         F.col(id_col).alias("id"),

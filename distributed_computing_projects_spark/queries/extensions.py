@@ -364,7 +364,7 @@ def q_token_stats(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     toks = T.tokens("text", "spark")
     totals = docs.agg(
-        F.sum(F.expr(f"size(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))")).alias("total_tokens"),
+        F.sum(F.expr(f"size({toks})")).alias("total_tokens"),
         F.count("*").alias("n_docs"),
     )
     distinct = (

@@ -66,6 +66,28 @@ def test_pack_stats_fill_rate(spark):
     assert stats[1].fill_rate == pytest.approx(10 / 30, abs=1e-4)
 
 
+def test_shard_larger_than_arrow_batch_packs_correctly(spark):
+    """A shard spanning multiple Arrow batches must still be packed as
+    ONE sequence — the iterator form of applyInPandas streams a group
+    in ~10k-row chunks and would reset pack state mid-shard (regression
+    guard for exactly that bug)."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    saved = spark.conf.get(key, None)
+    spark.conf.set(key, "3")
+    try:
+        df = _corpus(spark, [10] * 12)  # one shard, 4 Arrow chunks
+        out = {r.id: r.pack_id for r in
+               pack_documents(df, "doc_id", "text", budget=30,
+                              n_shards=1).collect()}
+        # greedy over the WHOLE shard: 3 docs per pack -> packs 0..3
+        assert out == {i: i // 3 for i in range(12)}
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+
+
 def test_rejects_nonpositive_budget(spark):
     df = _corpus(spark, [1])
     with pytest.raises(ValueError):
