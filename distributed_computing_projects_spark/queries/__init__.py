@@ -60,6 +60,10 @@ _MATRIX_FIRST = [
     "dataset_split_counts",
     "stratified_sample_counts",
     "pack_documents",
+    "q13_order_count_distribution",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "q22_lapsed_rich_customers",
     "multimodal_features",  # rows-only in r1, value oracle now
     "quantity_quartiles",  # implementation changed to approx_percentile
 ]

@@ -698,3 +698,171 @@ def q_orders_cube(spark, sf_dir):
         F.count("*").alias("n_orders"),
         F.expr(SUM_TOTALPRICE).alias("total_price"),
     )
+
+
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    doc="TPC-H q13 shape: order-count distribution over a LEFT join "
+        "whose join condition (not a post-filter) excludes urgent "
+        "orders — customers with zero surviving orders must appear in "
+        "the c_count=0 bucket, which an inner join would drop.",
+)
+def q_q13_order_count_distribution(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q18_large_volume_orders",
+    oracle=f"""
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) AS DOUBLE)
+             AS o_totalprice,
+           {SUM_QTY} AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o_totalprice DESC, o.o_orderkey LIMIT 20
+    """,
+    doc="TPC-H q18 shape: orders whose total quantity exceeds a "
+        "threshold (HAVING subquery -> semi join), rejoined to "
+        "customer, top-20 by price with a key tie-break. The IN "
+        "subquery compiles to an aggregate + LeftSemi, not a "
+        "correlated rescan.",
+)
+def q_q18_large_volume_orders(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.expr(SUM_QTY).alias("total_qty"))
+        .select(
+            "c_name", "o_orderkey", "o_orderdate",
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DOUBLE)")
+            .alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT {SUM_DISC_PRICE} AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 15)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 45)
+    """,
+    doc="TPC-H q19 shape: revenue under a 3-way DISJUNCTION of "
+        "brand/size/quantity brackets. Catalyst extracts the common "
+        "p_partkey equi-join and pushes the brand/size disjunction to "
+        "the part scan; the OR never degenerates to a cartesian.",
+)
+def q_q19_disjunctive_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    bracket = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 15))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 45))
+    )
+    return joined.filter(bracket).agg(F.expr(SUM_DISC_PRICE).alias("revenue"))
+
+
+@query(
+    "q22_lapsed_rich_customers",
+    oracle="""
+    WITH pos AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DECIMAL(24,2))
+               AS total,
+             count(*) AS n
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE)
+             AS totacctbal
+    FROM customer, pos
+    WHERE CAST(c_acctbal AS DECIMAL(14,2)) * n > total
+      AND c_custkey NOT IN (
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= DATE '1998-01-01')
+    GROUP BY c_nationkey
+    """,
+    doc="TPC-H q22 shape: customers with above-average balance and no "
+        "RECENT orders (lapsed since 1998 — every customer has some "
+        "order in this data, so the plain no-orders form is vacuous), "
+        "per nation. The average is compared as exact decimal "
+        "cross-multiplication (bal * n > total) — a float threshold "
+        "would make boundary membership order-dependent and break the "
+        "cross-engine hash. NOT IN compiles to a null-aware anti join "
+        "(o_custkey is never null here).",
+)
+def q_q22_lapsed_rich_customers(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    pos = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DECIMAL(24,2))"
+            ).alias("total"),
+            F.count("*").alias("n"),
+        )
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(F.expr("CAST(c_acctbal AS DECIMAL(14,2)) * n > total"))
+    )
+    recent = orders.filter(F.col("o_orderdate") >= F.lit("1998-01-01"))
+    lapsed = rich.join(
+        recent, rich.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return lapsed.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        F.expr("CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE)")
+        .alias("totacctbal"),
+    )

@@ -124,3 +124,31 @@ def test_extension_expressions_stay_jvm_side(spark, sf_dir, registry):
         plan = physical_plan(registry[name].fn(spark, sf_dir))
         for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert bad not in plan, f"{name} fell off the JVM path: {bad}"
+
+
+def test_q19_disjunction_pushed_and_equi_joined(spark, sf_dir, registry):
+    """The 3-way OR must not defeat the p_partkey equi-join, and the
+    part-side brand/size disjunction must reach the parquet scan."""
+    df = registry["q19_disjunctive_revenue"].fn(spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = physical_plan(df)
+    assert "PushedFilters" in plan and "Or(" in plan
+
+
+def test_q18_having_subquery_is_semi_join(spark, sf_dir, registry):
+    plan = physical_plan(registry["q18_large_volume_orders"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_q13_preserves_every_customer(spark, sf_dir, registry):
+    """The priority exclusion must live in the JOIN, not a post-filter:
+    the distribution must account for EVERY customer (an inner join or
+    post-filter would drop zero-order ones)."""
+    from distributed_computing_projects_spark.sources.registry import load_table
+
+    rows = registry["q13_order_count_distribution"].fn(spark, sf_dir).collect()
+    assert sum(r.custdist for r in rows) == load_table(
+        spark, sf_dir, "customer"
+    ).count()
+    plan = physical_plan(registry["q13_order_count_distribution"].fn(spark, sf_dir))
+    assert "LeftOuter" in plan
