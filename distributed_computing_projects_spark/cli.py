@@ -1,0 +1,189 @@
+"""Command-line surface mirroring the reference's interactive commands
+(mp3/src/main.go:130-304): grep, the SDFS file commands, MapleJuice job
+submission, plus `query` for the engine's registered query catalog.
+
+    python -m distributed_computing_projects_spark grep ERROR /var/logs
+    python -m distributed_computing_projects_spark put data.parquet mytable
+    python -m distributed_computing_projects_spark ls mytable
+    python -m distributed_computing_projects_spark maple mymod:tokenize docs/
+    python -m distributed_computing_projects_spark query q1_pricing_summary
+
+Differences from the reference CLI, on purpose:
+- no membership commands (join/leave/kill, main.go:146-178) — cluster
+  membership is Spark's problem here;
+- `maple`/`juice` take a ``module:function`` Python callable (native
+  tier) or ``--exec`` with a shell command (exec-compat tier,
+  RDD.pipe) instead of a compiled Go binary;
+- `query` is new: the reference has no query catalog.
+
+Output goes line-by-line through ``toLocalIterator`` — the driver
+never materializes a whole result (grep over 100 TB of logs streams).
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def _load_callable(spec: str):
+    """Resolve ``module:function`` to a Python callable."""
+    mod_name, _, fn_name = spec.partition(":")
+    if not fn_name:
+        raise SystemExit(f"expected module:function, got {spec!r}")
+    mod = importlib.import_module(mod_name)
+    try:
+        return getattr(mod, fn_name)
+    except AttributeError as exc:
+        raise SystemExit(f"{mod_name} has no function {fn_name!r}") from exc
+
+
+def _emit(df, sep: str = "\t") -> int:
+    n = 0
+    for row in df.toLocalIterator():
+        print(sep.join("" if v is None else str(v) for v in row))
+        n += 1
+    return n
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="distributed_computing_projects_spark",
+        description="PySpark analytics engine — reference-parity CLI",
+    )
+    p.add_argument("--root", default="./catalog",
+                   help="catalog root directory (SDFS stand-in)")
+    p.add_argument("--cpus", type=int, default=None,
+                   help="local[N] cores (default: all)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("grep", help="regex over a logs path, with provenance")
+    g.add_argument("pattern")
+    g.add_argument("path")
+    g.add_argument("--count", action="store_true",
+                   help="print only the hit count (reference `grep -c`)")
+
+    for name, args in [
+        ("put", ["local_path", "name"]),
+        ("get", ["name", "local_path"]),
+        ("ls", ["name"]),
+        ("store", []),
+        ("delete", ["name"]),
+    ]:
+        sp = sub.add_parser(name, help=f"catalog {name} (SDFS {name})")
+        for a in args:
+            sp.add_argument(a)
+
+    m = sub.add_parser("maple", help="map phase over a text path")
+    m.add_argument("fn", help="module:function -> list[(key, value)] per line")
+    m.add_argument("src_path")
+    m.add_argument("--exec", dest="exec_cmd", default=None,
+                   help="exec-compat tier: shell command over stdin lines")
+
+    j = sub.add_parser("juice", help="reduce phase over maple output")
+    j.add_argument("fn", help="module:function (key, values) -> value")
+    j.add_argument("src_path", help="parquet of (key, value) maple output")
+    j.add_argument("--num-juices", type=int, default=None)
+    j.add_argument("--partition", choices=["hash", "range"], default="hash")
+
+    q = sub.add_parser("query", help="run a registered catalog query")
+    q.add_argument("name", nargs="?", default=None,
+                   help="query name (omit to list all)")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
+    return p
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.cmd == "query" and args.name is None:
+        # listing needs no session
+        from distributed_computing_projects_spark.queries import load_registry
+
+        for name, spec in load_registry().items():
+            print(f"{name}\t{'oracle' if spec.oracle else 'rows-only'}")
+        return 0
+
+    own_session = spark is None
+    if own_session:
+        from distributed_computing_projects_spark.session import get_spark
+
+        spark = get_spark(app_name="cli", cpus=args.cpus)
+    try:
+        if args.cmd == "grep":
+            from distributed_computing_projects_spark.operators.grep import (
+                grep,
+                grep_count,
+            )
+            from distributed_computing_projects_spark.sources.text import (
+                read_lines,
+            )
+
+            lines = read_lines(spark, args.path)
+            if args.count:
+                print(grep_count(lines, args.pattern, text_col="line"))
+            else:
+                _emit(grep(lines, args.pattern, text_col="line",
+                           provenance_cols=["machine", "line_no"]), sep=":")
+        elif args.cmd in ("put", "get", "ls", "store", "delete"):
+            from distributed_computing_projects_spark.catalog import Catalog
+
+            cat = Catalog(spark, args.root)
+            if args.cmd == "put":
+                cat.put(args.name, spark.read.parquet(args.local_path))
+            elif args.cmd == "get":
+                cat.get(args.name).write.mode("error").parquet(args.local_path)
+            elif args.cmd == "ls":
+                for f in cat.ls(args.name):
+                    print(f"{f['file']}\t{f['bytes']}")
+            elif args.cmd == "store":
+                for name in cat.store():
+                    print(name)
+            else:
+                cat.delete(args.name)
+        elif args.cmd == "maple":
+            from distributed_computing_projects_spark.operators.maplejuice import (
+                maple,
+                maple_exec,
+            )
+
+            lines = spark.read.text(args.src_path).withColumnRenamed(
+                "value", "line"
+            )
+            if args.exec_cmd:
+                out = maple_exec(lines, args.exec_cmd, line_col="line")
+            else:
+                out = maple(lines, _load_callable(args.fn), line_col="line")
+            _emit(out)
+        elif args.cmd == "juice":
+            from distributed_computing_projects_spark.operators.maplejuice import (
+                juice,
+            )
+
+            kv = spark.read.parquet(args.src_path)
+            _emit(juice(kv, _load_callable(args.fn),
+                        num_juices=args.num_juices,
+                        partition=args.partition))
+        elif args.cmd == "query":
+            from distributed_computing_projects_spark.queries import (
+                load_registry,
+            )
+
+            reg = load_registry()
+            if args.name not in reg:
+                raise SystemExit(
+                    f"unknown query {args.name!r}; run `query` to list"
+                )
+            _emit(reg[args.name].fn(spark, args.sf_dir))
+        return 0
+    finally:
+        if own_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,103 @@
+"""CLI surface (reference main.go command parity): dispatch + output
+format, driven through main(argv, spark=...) so the suite's session is
+reused — no subprocess JVM startups."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from distributed_computing_projects_spark.cli import main
+
+LOGS_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "fixtures", "logs")
+
+
+_FNS_SRC = '''
+def tokenize_for_cli(line):
+    return [(w, "1") for w in line.split()]
+
+
+def sum_for_cli(key, values):
+    return sum(int(v) for v in values)
+'''
+
+
+def test_grep_prints_provenance_lines(spark, capsys):
+    rc = main(["grep", "GET", LOGS_DIR], spark=spark)
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0 and len(out) > 0
+    machine, line_no, rest = out[0].split(":", 2)
+    assert machine.endswith(".log") and line_no.isdigit()
+
+
+def test_grep_count_matches_line_count(spark, capsys):
+    main(["grep", "GET", LOGS_DIR], spark=spark)
+    n_lines = len(capsys.readouterr().out.strip().splitlines())
+    main(["grep", "--count", "GET", LOGS_DIR], spark=spark)
+    assert int(capsys.readouterr().out.strip()) == n_lines
+
+
+def test_catalog_roundtrip(spark, sf_dir, tmp_path, capsys):
+    root = str(tmp_path / "cat")
+    src = f"{sf_dir}/nation.parquet"
+    assert main(["--root", root, "put", src, "nation"], spark=spark) == 0
+    main(["--root", root, "store"], spark=spark)
+    assert capsys.readouterr().out.strip() == "nation"
+    main(["--root", root, "ls", "nation"], spark=spark)
+    assert len(capsys.readouterr().out.strip().splitlines()) >= 1
+    out_dir = str(tmp_path / "out.parquet")
+    assert main(["--root", root, "get", "nation", out_dir], spark=spark) == 0
+    assert spark.read.parquet(out_dir).count() == 25
+    assert main(["--root", root, "delete", "nation"], spark=spark) == 0
+    main(["--root", root, "store"], spark=spark)
+    assert capsys.readouterr().out.strip() == ""
+
+
+def test_maple_juice_pipeline_via_cli(spark, sf_dir, tmp_path, capsys):
+    """maple over a tiny text file -> parquet -> juice sums per key.
+    The UDF module is shipped like a real CLI user would (--py-files ≅
+    addPyFile) so executors can import it — a module-level function in
+    tests/ pickles by reference and fails on workers."""
+    import sys
+
+    mod = tmp_path / "cli_udfs.py"
+    mod.write_text(_FNS_SRC)
+    sys.path.insert(0, str(tmp_path))
+    spark.sparkContext.addPyFile(str(mod))
+    try:
+        txt_dir = tmp_path / "txt"
+        txt_dir.mkdir()
+        (txt_dir / "a.txt").write_text("x y x\nz x\n")
+        assert main(
+            ["maple", "cli_udfs:tokenize_for_cli", str(txt_dir)], spark=spark
+        ) == 0
+        kv_lines = [l.split("\t") for l in
+                    capsys.readouterr().out.strip().splitlines()]
+        assert sorted(kv_lines) == [["x", "1"], ["x", "1"], ["x", "1"],
+                                    ["y", "1"], ["z", "1"]]
+        kv_path = str(tmp_path / "kv.parquet")
+        spark.createDataFrame([(k, v) for k, v in kv_lines],
+                              "key string, value string").write.parquet(kv_path)
+        assert main([
+            "juice", "cli_udfs:sum_for_cli", kv_path
+        ], spark=spark) == 0
+        out = dict(l.split("\t") for l in
+                   capsys.readouterr().out.strip().splitlines())
+        assert out == {"x": "3", "y": "1", "z": "1"}
+    finally:
+        sys.path.remove(str(tmp_path))
+
+
+def test_query_list_and_run(spark, sf_dir, capsys):
+    assert main(["query"], spark=spark) == 0
+    listing = capsys.readouterr().out
+    assert "wordcount\toracle" in listing
+    assert main(["query", "grep_count", "--sf-dir", sf_dir], spark=spark) == 0
+    assert capsys.readouterr().out.strip().isdigit()
+
+
+def test_query_unknown_name_exits(spark):
+    with pytest.raises(SystemExit):
+        main(["query", "no_such_query"], spark=spark)
