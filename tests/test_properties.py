@@ -84,3 +84,54 @@ def test_minhash_estimate_bounds_and_self_similarity(spark, words):
     pairs = D.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.0).collect()
     # identical docs always collide in every band with estimate exactly 1
     assert [(p.id_a, p.id_b, p.est_jaccard) for p in pairs] == [(0, 1, 1.0)]
+
+
+@given(ns=st.lists(st.integers(0, 40), min_size=1, max_size=20),
+       budget=st.integers(5, 50))
+@PROP
+def test_packing_invariants(spark, ns, budget):
+    """For ANY token-count sequence and budget: every doc packed exactly
+    once; pack ids contiguous from 0; every multi-doc pack within
+    budget (only singleton packs may exceed it)."""
+    from distributed_computing_projects_spark.operators.packing import (
+        pack_documents,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(["w"] * n)) for i, n in enumerate(ns)]
+    )
+    rows = pack_documents(df, "doc_id", "text", budget, n_shards=1).collect()
+    assert sorted(r.id for r in rows) == list(range(len(ns)))
+    packs: dict[int, list[int]] = {}
+    for r in rows:
+        packs.setdefault(r.pack_id, []).append(r.n_tokens)
+    assert sorted(packs) == list(range(len(packs)))
+    for members in packs.values():
+        if len(members) > 1:
+            assert sum(members) <= budget
+
+
+@given(ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=30,
+                    unique=True),
+       rate=st.integers(0, 10_000))
+@PROP
+def test_sampling_invariants(spark, ids, rate):
+    """Membership is a pure per-id function: the sample of a subset is
+    the subset of the sample; rate 0 keeps nothing, 10000 everything."""
+    from distributed_computing_projects_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    df = spark.createDataFrame([Row(doc_id=i) for i in ids])
+    kept = {r.doc_id for r in
+            deterministic_sample(df, "doc_id", rate).collect()}
+    if rate == 0:
+        assert kept == set()
+    if rate == 10_000:
+        assert kept == set(ids)
+    half = ids[: len(ids) // 2]
+    if half:
+        sub = spark.createDataFrame([Row(doc_id=i) for i in half])
+        sub_kept = {r.doc_id for r in
+                    deterministic_sample(sub, "doc_id", rate).collect()}
+        assert sub_kept == kept & set(half)
