@@ -52,6 +52,7 @@ _MATRIX_FIRST = [
     "streaming_sliding_counts",
     "streaming_dedup_events",
     "streaming_click_purchase_join",
+    "streaming_jsonl_agg",
     "grep_logs",
     "condorcet_winner",
     "wine_csv_agg",

@@ -18,6 +18,7 @@ backfill trigger, the same code runs continuously on a live source.
 
 from __future__ import annotations
 
+import os
 from contextlib import contextmanager
 
 from pyspark.sql import functions as F
@@ -192,6 +193,49 @@ def q_streaming_dedup_events(spark, sf_dir):
     with _state_partitions(spark):
         run_to_memory_sink(out, "q_stream_dedup", "append")
     return spark.table("q_stream_dedup")
+
+
+_JSONL_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures", "events_jsonl",
+)
+
+
+@query(
+    "streaming_jsonl_agg",
+    oracle=f"""
+    SELECT event_type, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+    FROM read_ndjson('{_JSONL_DIR}/*.jsonl',
+      columns={{'event_id': 'BIGINT', 'user_id': 'BIGINT',
+                'event_type': 'VARCHAR', 'value': 'DOUBLE'}},
+      ignore_errors=true)
+    WHERE event_id IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="Streaming ingest of the JSONL landing-zone fixture: text file "
+        "stream -> per-line from_json with malformed-record DROP (the "
+        "batch source's policy, applied before any state) -> grouped "
+        "aggregate. Same oracle as the batch jsonl_events_agg — batch "
+        "and stream must agree record-for-record.",
+)
+def q_streaming_jsonl_agg(spark, sf_dir):
+    from distributed_computing_projects_spark.queries.extensions import (
+        JSONL_EVENTS_SCHEMA,
+    )
+    from distributed_computing_projects_spark.sources.json import (
+        read_jsonl_stream,
+    )
+
+    stream = read_jsonl_stream(spark, _JSONL_DIR, JSONL_EVENTS_SCHEMA)
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+        .alias("total_value"),
+    )
+    with _state_partitions(spark):
+        run_to_memory_sink(agg, "q_stream_jsonl", "complete")
+    return spark.table("q_stream_jsonl")
 
 
 @query(

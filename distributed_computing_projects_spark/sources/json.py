@@ -74,3 +74,45 @@ def read_jsonl(
         .filter(F.col("_corrupt_record").isNull())
         .drop("_corrupt_record")
     )
+
+
+def read_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+):
+    """Streaming twin of ``read_jsonl(malformed='drop')``: a text file
+    stream (the landing-zone pattern — files arriving in a directory)
+    parsed per line with the same drop policy. Identical parse
+    expression, so batch and stream agree record-for-record; the
+    malformed-drop filter runs before any stateful operator, keeping
+    corrupt lines out of state stores entirely."""
+    marked = StructType(
+        list(schema.fields) + [StructField("_corrupt_record", StringType())]
+    )
+    marked_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in marked.fields
+    )
+    return (
+        spark.readStream.text(path)
+        .filter(F.trim("value") != "")
+        .select(
+            F.from_json(
+                F.col("value"),
+                marked_ddl,
+                {"mode": "PERMISSIVE",
+                 "columnNameOfCorruptRecord": "_corrupt_record"},
+            ).alias("r")
+        )
+        .select("r.*")
+        .filter(F.col("_corrupt_record").isNull())
+        .drop("_corrupt_record")
+    )
+
+
+def write_jsonl(df, path: str, mode: str = "overwrite") -> None:
+    """JSONL sink (symmetric with the source): one JSON object per
+    line via Spark's json writer — null fields are OMITTED from the
+    object (standard JSONL convention; a reader's missing-field policy
+    treats them as null, so roundtrip preserves values)."""
+    df.write.mode(mode).json(path)

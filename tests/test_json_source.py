@@ -53,3 +53,35 @@ def test_fail_mode_raises_on_malformed(spark):
 def test_rejects_unknown_policy(spark):
     with pytest.raises(ValueError):
         read_jsonl(spark, GLOB, JSONL_EVENTS_SCHEMA, malformed="bogus")
+
+
+def test_stream_agrees_with_batch_record_for_record(spark):
+    from distributed_computing_projects_spark.sources.json import (
+        read_jsonl_stream,
+    )
+    from distributed_computing_projects_spark.streaming.windows import (
+        run_to_memory_sink,
+    )
+
+    stream = read_jsonl_stream(spark, _JSONL_DIR, JSONL_EVENTS_SCHEMA)
+    assert stream.isStreaming
+    run_to_memory_sink(stream, "t_jsonl_stream", output_mode="append")
+    got = sorted(
+        (r.event_id, r.user_id, r.event_type, r.value)
+        for r in spark.table("t_jsonl_stream").collect()
+    )
+    want = sorted(
+        (r.event_id, r.user_id, r.event_type, r.value)
+        for r in read_jsonl(spark, GLOB, JSONL_EVENTS_SCHEMA).collect()
+    )
+    assert got == want and len(got) == 11
+
+
+def test_write_jsonl_roundtrips(spark, tmp_path):
+    from distributed_computing_projects_spark.sources.json import write_jsonl
+
+    src = read_jsonl(spark, GLOB, JSONL_EVENTS_SCHEMA)
+    out = str(tmp_path / "out_jsonl")
+    write_jsonl(src, out)
+    back = spark.read.schema(JSONL_EVENTS_SCHEMA).json(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
