@@ -64,12 +64,17 @@ def pack_documents(
         pdf = pdf.sort_values("id", ignore_index=True)
         ns = pdf["n_tokens"].to_numpy()
         pack_ids = []
-        pack, acc = 0, 0
+        # "pack is non-empty" must be a member COUNT, not acc truthiness:
+        # a zero-token doc opens a pack with acc == 0, and an over-budget
+        # doc must still start a fresh pack after it (the docstring's
+        # "a doc longer than the budget gets a pack of its own").
+        pack, acc, in_pack = 0, 0, 0
         for n in ns:
-            if acc and acc + n > budget:
+            if in_pack and acc + n > budget:
                 pack += 1
-                acc = 0
+                acc, in_pack = 0, 0
             acc += n
+            in_pack += 1
             pack_ids.append(pack)
         return pd.DataFrame(
             {
@@ -83,7 +88,13 @@ def pack_documents(
     counted = df.select(
         F.col(id_col).alias("id"),
         (F.col(id_col) % n_shards).cast("int").alias("shard"),
-        F.expr(f"size({tokens(text_col, 'spark')})")
+        # NULL text must count as 0 tokens, not NULL/-1 (size() of a null
+        # array is -1 under legacy sizeOfNull, NULL otherwise — either
+        # would silently perturb the greedy sums and diverge from the
+        # oracle's len() = NULL).
+        F.expr(
+            f"greatest(coalesce(size({tokens(text_col, 'spark')}), 0), 0)"
+        )
         .cast("bigint")
         .alias("n_tokens"),
     )

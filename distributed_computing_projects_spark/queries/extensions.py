@@ -675,7 +675,7 @@ PACK_SHARDS = 8
     WITH RECURSIVE docs AS (
       SELECT doc_id AS id,
              CAST(doc_id % {PACK_SHARDS} AS INTEGER) AS shard,
-             CAST(len({_TOKS_D}) AS BIGINT) AS n_tokens,
+             CAST(coalesce(len({_TOKS_D}), 0) AS BIGINT) AS n_tokens,
              row_number() OVER (
                PARTITION BY doc_id % {PACK_SHARDS} ORDER BY doc_id
              ) AS rn
@@ -686,10 +686,15 @@ PACK_SHARDS = 8
              n_tokens AS acc, CAST(0 AS BIGINT) AS pack_id
       FROM docs WHERE rn = 1
       UNION ALL
+      -- the previous state p always has >= 1 doc in its current pack
+      -- (the doc p itself placed), so "pack non-empty" needs no guard
+      -- here: the open-a-new-pack condition is exactly the overflow
+      -- test. An `acc > 0` guard would replay the zero-token-doc bug
+      -- the Spark side fixed (a 0-token doc opens a pack with acc = 0).
       SELECT d.shard, d.rn, d.id, d.n_tokens,
-             CASE WHEN p.acc > 0 AND p.acc + d.n_tokens > {PACK_BUDGET}
+             CASE WHEN p.acc + d.n_tokens > {PACK_BUDGET}
                   THEN d.n_tokens ELSE p.acc + d.n_tokens END,
-             CASE WHEN p.acc > 0 AND p.acc + d.n_tokens > {PACK_BUDGET}
+             CASE WHEN p.acc + d.n_tokens > {PACK_BUDGET}
                   THEN p.pack_id + 1 ELSE p.pack_id END
       FROM docs d JOIN packed p ON d.shard = p.shard AND d.rn = p.rn + 1
     )
