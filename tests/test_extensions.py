@@ -115,6 +115,33 @@ def test_neardup_clusters_chain_and_components(spark):
     assert keepers == {0, 100, 200}
 
 
+def test_neardup_clusters_action_budget(spark):
+    """Pin the driver-side action count per convergence round: one
+    localCheckpoint materialization + one count, plus one
+    exceptAll().isEmpty() only on rounds where the counts agree. The
+    former check ran count+count+subtract().count() (the subtract a
+    full extra shuffle) EVERY round — a regression back to that shape
+    trips this budget. Jobs are counted via a dedicated job group
+    (statusTracker survives across tests; a fresh group isolates us)."""
+    sc = spark.sparkContext
+    group = "neardup-action-budget"
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(16)] + [(100, 101)],
+        "id_a long, id_b long",
+    )
+    sc.setJobGroup(group, "convergence action budget")
+    try:
+        D.neardup_clusters(pairs, max_iter=10).collect()
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+    # AQE materializes several jobs per action, so the budget is measured,
+    # not derived: this 17-edge fixture runs ~68 jobs end-to-end with the
+    # count+isEmpty check, vs ~93 for the old triple's convergence LOOP
+    # ALONE (before the assign/sizes phase). 80 sits between the two.
+    assert jobs <= 80, f"action budget blown: {jobs} jobs"
+
+
 def test_neardup_clusters_raises_when_not_converged(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(20)],
                                   "id_a long, id_b long")
