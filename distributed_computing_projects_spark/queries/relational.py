@@ -55,6 +55,19 @@ SUM_DISC_REVENUE = (
 SUM_VALUE = "CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE)"
 
 
+def _ts_micros(col):
+    """Microseconds-since-epoch for a timestamp column of EITHER type.
+
+    Parquet naive ``timestamp[us]`` reads as TIMESTAMP_NTZ under Spark 4's
+    ``parquet.inferTimestampNTZ``, and ``unix_micros`` rejects NTZ input.
+    The session timezone is pinned UTC (session.py), so the NTZ->LTZ cast
+    is value-identical and this stays a pure column expression (window
+    ordering key only — never a scan filter, so pushdown is unaffected).
+    """
+    return F.unix_micros(F.col(col).cast("timestamp") if isinstance(col, str)
+                         else col.cast("timestamp"))
+
+
 @query(
     "q1_pricing_summary",
     oracle=f"""
@@ -328,7 +341,7 @@ def q_events_hourly(spark, sf_dir):
 def q_user_sessions(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    gap_us = _ts_micros("ts") - _ts_micros(F.lag("ts").over(w))
     new_session = F.when(
         F.lag("ts").over(w).isNull() | (gap_us > 30 * 60 * 1_000_000), 1
     ).otherwise(0)
@@ -633,7 +646,7 @@ def q_range_join_clicks(spark, sf_dir):
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(_ts_micros("ts"))
         .rangeBetween(-3_600_000_000, -1)
     )
     n = F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).over(w)

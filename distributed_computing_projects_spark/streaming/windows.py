@@ -57,6 +57,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if dict(raw.dtypes).get("ts") == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(raw.dtypes).get("ts") == "timestamp_ntz":
+        # Naive parquet timestamps read as NTZ under Spark 4's
+        # inferTimestampNTZ, but event-time watermarks require LTZ.
+        # Session tz is pinned UTC, so the cast is value-identical.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 
