@@ -113,10 +113,11 @@ def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
         )
         .withColumn(
             "fill_rate",
-            F.round(
-                F.least(F.col("pack_tokens"), F.lit(budget))
-                / F.lit(float(budget)),
-                4,
-            ),
+            # raw IEEE division, deliberately NOT rounded: a correctly-
+            # rounded double divide is bit-identical across engines,
+            # while round(x, 4) ties (pack_tokens = 8 mod 16 at
+            # budget 256) split HALF_UP (Spark) vs HALF_EVEN (DuckDB)
+            F.least(F.col("pack_tokens"), F.lit(budget))
+            / F.lit(float(budget)),
         )
     )

@@ -47,26 +47,44 @@ def query(name: str, oracle: str | None = None, headline: bool = False,
 # put queries that still NEED a first driver verdict at the front and
 # leave the tail to queries already green in a previous round's matrix.
 _MATRIX_FIRST = [
-    "streaming_user_running_totals",  # the row round 1 never got
-    "streaming_user_sessions",
-    "streaming_sliding_counts",
-    "streaming_dedup_events",
-    "streaming_click_purchase_join",
-    "streaming_jsonl_agg",
-    "grep_logs",
-    "condorcet_winner",
-    "wine_csv_agg",
-    "dedup_clusters",
-    "jsonl_events_agg",
-    "dataset_split_counts",
-    "stratified_sample_counts",
-    "pack_documents",
-    "q13_order_count_distribution",
-    "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
-    "q22_lapsed_rich_customers",
-    "multimodal_features",  # rows-only in r1, value oracle now
-    "quantity_quartiles",  # implementation changed to approx_percentile
+    # The 18 queries the r1-r3 matrices never reached post-change (the
+    # driver records ~50 rows; these rode on r1 rows or none at all).
+    "token_stats",  # only driver row ever is the r1 FAIL; fix needs a row
+    "orders_cube",
+    "dedup_exact",
+    "minhash_signature",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "simhash_fingerprint",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "text_quality",
+    "language_id",
+    "doc_fingerprint",
+    "doc_winnow_fingerprint",
+    "multimodal_payload_stats",
+    "token_stats_bpe",
+    # New or changed in round 4 — need their first driver verdict.
+    "pack_stats",
+    "user_running_totals_final",
+    "q16_supplier_part_counts",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q7_nation_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_item_customers",
+    "q11_important_stock",
+    "q12_priority_shipmode",
+    "q15_top_supplier",
+    "q20_part_promotion_suppliers",
+    # Changed this round (TIMESTAMP_NTZ tolerance touched these paths).
+    "user_sessions",
+    "range_join_clicks_before_purchase",
+    "streaming_user_running_totals",
 ]
 
 

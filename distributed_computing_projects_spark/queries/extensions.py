@@ -515,6 +515,7 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 @query(
     "dedup_clusters",
+    headline=True,
     oracle=f"""
     WITH RECURSIVE {_LSH_CTES},
     pairs AS (
@@ -669,9 +670,9 @@ PACK_BUDGET = 256
 PACK_SHARDS = 8
 
 
-@query(
-    "pack_documents",
-    oracle=f"""
+# Shared greedy-packing replay (recursive CTE per shard) — used by both
+# the pack assignment oracle and the fill-rate oracle.
+_PACKED_CTE = f"""
     WITH RECURSIVE docs AS (
       SELECT doc_id AS id,
              CAST(doc_id % {PACK_SHARDS} AS INTEGER) AS shard,
@@ -698,8 +699,15 @@ PACK_SHARDS = 8
                   THEN p.pack_id + 1 ELSE p.pack_id END
       FROM docs d JOIN packed p ON d.shard = p.shard AND d.rn = p.rn + 1
     )
+"""
+
+
+@query(
+    "pack_documents",
+    oracle=_PACKED_CTE + """
     SELECT id, shard, pack_id, n_tokens FROM packed
     """,
+    headline=True,
     doc="Sequence packing: greedy assignment of docs (id order, per "
         "shard) into <=256-token packs — the trainer-side concat step "
         "as a shard-parallel applyInPandas (the sequential scan is the "
@@ -714,3 +722,30 @@ def q_pack_documents(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return pack_documents(docs, "doc_id", "text", PACK_BUDGET,
                           n_shards=PACK_SHARDS)
+
+
+@query(
+    "pack_stats",
+    oracle=_PACKED_CTE + f"""
+    SELECT shard, pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           least(CAST(sum(n_tokens) AS BIGINT), {PACK_BUDGET})
+             / CAST({PACK_BUDGET} AS DOUBLE) AS fill_rate
+    FROM packed GROUP BY shard, pack_id
+    """,
+    doc="Pack fill-rate monitoring over the greedy packing output — the "
+        "number a training pipeline actually watches (wasted tokens = "
+        "wasted accelerator time). fill_rate is a raw IEEE divide "
+        "(bit-identical across engines; round() ties are not).",
+)
+def q_pack_stats(spark, sf_dir):
+    from distributed_computing_projects_spark.operators.packing import (
+        pack_documents,
+        pack_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_documents(docs, "doc_id", "text", PACK_BUDGET,
+                            n_shards=PACK_SHARDS)
+    return pack_stats(packed, PACK_BUDGET)
