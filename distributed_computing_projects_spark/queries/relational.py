@@ -879,3 +879,134 @@ def q_q22_lapsed_rich_customers(spark, sf_dir):
         F.expr("CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE)")
         .alias("totacctbal"),
     )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE n.n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+      AND o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+    doc="TPC-H q21 shape (suppliers who kept orders waiting — adapted: "
+        "l_returnflag = 'R' stands in for receipt > commit, which the "
+        "schema lacks): correlated EXISTS -> LeftSemi self-join on "
+        "l_orderkey with a suppkey inequality, correlated NOT EXISTS "
+        "-> LeftAnti on the same key. Both self-joins shuffle lineitem "
+        "on l_orderkey (exchange reused), never a per-row rescan; "
+        "supplier/nation broadcast. Reference: no analog (join shapes "
+        "are 'engine extension, built-in Spark' per SURVEY §2.7).",
+)
+def q_q21_waiting_suppliers(spark, sf_dir):
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    target_sup = (
+        sup.join(
+            F.broadcast(
+                nat.filter(
+                    F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11")
+                )
+            ),
+            sup.s_nationkey == nat.n_nationkey,
+        )
+        .select("s_suppkey", "s_name")
+    )
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(F.broadcast(target_sup),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    fo = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+
+    waited = (
+        l1.join(fo, l1.l_orderkey == fo.o_orderkey, "left_semi")
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        waited.groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#12' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND ps.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    doc="TPC-H q16 shape (supplier counts by part attribute — the "
+        "partsupp analog is the DISTINCT (l_partkey, l_suppkey) pairs "
+        "actually traded, since the schema has no partsupp table; "
+        "negative account balance stands in for the complaints "
+        "predicate): NOT IN + count(DISTINCT). The NOT IN is written "
+        "as an explicit LeftAnti against a broadcast 6-row supplier "
+        "set — s_suppkey is never null, so anti join IS NOT IN, and "
+        "Spark's null-aware BroadcastNestedLoopJoin fallback never "
+        "enters the plan (asserted in tests/test_plans.py).",
+)
+def q_q16_supplier_part_counts(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    pf = part.filter(
+        (F.col("p_brand") != "Brand#12")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_sup = sup.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(F.broadcast(bad_sup),
+                ps.l_suppkey == bad_sup.s_suppkey, "left_anti")
+        .join(F.broadcast(pf), ps.l_partkey == pf.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )

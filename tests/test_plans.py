@@ -152,3 +152,26 @@ def test_q13_preserves_every_customer(spark, sf_dir, registry):
     ).count()
     plan = physical_plan(registry["q13_order_count_distribution"].fn(spark, sf_dir))
     assert "LeftOuter" in plan
+
+
+def test_q21_self_joins_are_hash_not_nested_loop(spark, sf_dir, registry):
+    """The correlated EXISTS / NOT EXISTS must compile to semi/anti
+    hash joins on l_orderkey — a BroadcastNestedLoopJoin here means a
+    per-row rescan of lineitem, which is quadratic at scale."""
+    df = registry["q21_waiting_suppliers"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert_no_cartesian(df)
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_q16_not_in_is_plain_anti_join(spark, sf_dir, registry):
+    """NOT IN written as an explicit LeftAnti on a never-null key must
+    stay a broadcast hash anti join — Spark's null-aware NOT IN
+    fallback is a BroadcastNestedLoopJoin."""
+    df = registry["q16_supplier_part_counts"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert_broadcast_join(df)
