@@ -106,6 +106,37 @@ def q_streaming_user_running_totals(spark, sf_dir):
 
 
 @query(
+    "user_running_totals_final",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    doc="Oracle-bearing twin of streaming_user_running_totals: the SAME "
+        "applyInPandasWithState path, but checked at value level — the "
+        "final state after a bounded replay IS a batch aggregate, so a "
+        "plain SQL oracle pins the stateful operator's arithmetic, not "
+        "just its row count. Cents-rounding is hash-safe: events.value "
+        "is exact at 2 decimals, so both engines' float sums round to "
+        "the same cent (no tie at the 3rd decimal to split HALF_UP vs "
+        "HALF_EVEN).",
+)
+def q_user_running_totals_final(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    totals = running_user_totals(stream)
+    with _state_partitions(spark):
+        run_to_memory_sink(totals, "q_stream_user_totals_final", "update")
+    return (
+        spark.table("q_stream_user_totals_final")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.round(F.max("total_value"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
     "streaming_user_sessions",
     oracle="""
     WITH flagged AS (
