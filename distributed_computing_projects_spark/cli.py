@@ -136,6 +136,12 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             if args.cmd == "put":
                 cat.put(args.name, spark.read.parquet(args.local_path))
             elif args.cmd == "get":
+                # Re-encodes through a DataFrame write rather than
+                # byte-copying the stored files: row-identical output
+                # (tests/test_cli.py asserts it), but file layout,
+                # compression, and footer metadata may differ from the
+                # original upload — cheap at CLI scale; a bulk export
+                # would copy files through the FileSystem API instead.
                 cat.get(args.name).write.mode("error").parquet(args.local_path)
             elif args.cmd == "ls":
                 for f in cat.ls(args.name):

@@ -49,7 +49,12 @@ def test_catalog_roundtrip(spark, sf_dir, tmp_path, capsys):
     assert len(capsys.readouterr().out.strip().splitlines()) >= 1
     out_dir = str(tmp_path / "out.parquet")
     assert main(["--root", root, "get", "nation", out_dir], spark=spark) == 0
-    assert spark.read.parquet(out_dir).count() == 25
+    # get re-encodes (new files, same rows): assert full row equality,
+    # not just cardinality
+    got = spark.read.parquet(out_dir)
+    orig = spark.read.parquet(src)
+    assert got.count() == 25
+    assert got.exceptAll(orig).isEmpty() and orig.exceptAll(got).isEmpty()
     assert main(["--root", root, "delete", "nation"], spark=spark) == 0
     main(["--root", root, "store"], spark=spark)
     assert capsys.readouterr().out.strip() == ""
