@@ -78,7 +78,7 @@ _MATRIX_FIRST = [
     "q9_product_profit",
     "q10_returned_item_customers",
     "q11_important_stock",
-    "q12_priority_shipmode",
+    "q12_late_shipment_priority_counts",
     "q15_top_supplier",
     "q20_part_promotion_suppliers",
     # Changed this round (TIMESTAMP_NTZ tolerance touched these paths).

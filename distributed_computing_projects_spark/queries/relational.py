@@ -1010,3 +1010,570 @@ def q_q16_supplier_part_counts(spark, sf_dir):
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+# The schema has no partsupp table: the part-supplier cost analog used
+# by the q2/q20 shapes is the DISTINCT (l_partkey, l_suppkey) pairs
+# actually traded, with cost = min unit price. A single IEEE divide of
+# two exact-at-2-decimals doubles is bit-identical across engines, and
+# min() is order-independent, so cost equality survives the
+# cross-engine hash.
+_PS_COST_CTE = """
+    ps AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+"""
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH {_PS_COST_CTE},
+    eligible AS (
+      SELECT p.p_partkey, p.p_name, s.s_name,
+             CAST(CAST(s.s_acctbal AS DECIMAL(14,2)) AS DOUBLE)
+               AS s_acctbal,
+             n.n_name, ps.cost
+      FROM ps
+      JOIN part p ON p.p_partkey = ps.l_partkey AND p.p_type = 'LARGE'
+      JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+                   AND r.r_name = 'EUROPE'
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name, e.p_partkey, e.p_name, e.cost
+    FROM eligible e
+    WHERE e.cost = (SELECT min(e2.cost) FROM eligible e2
+                    WHERE e2.p_partkey = e.p_partkey)
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, e.p_partkey
+    LIMIT 20
+    """,
+    doc="TPC-H q2 shape (min-cost supplier per part; partsupp analog "
+        "per _PS_COST_CTE): the correlated scalar subquery compiles to "
+        "a min() window over the part key plus an equality filter — "
+        "one shuffle on p_partkey, never a per-row rescan of the "
+        "eligible set.",
+)
+def q_q2_min_cost_supplier(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+
+    ps = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+             .alias("cost"))
+    )
+    sup_geo = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(
+            F.broadcast(reg.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eligible = (
+        ps.join(
+            F.broadcast(
+                part.filter(F.col("p_type") == "LARGE")
+                .select("p_partkey", "p_name")
+            ),
+            ps.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(sup_geo), ps.l_suppkey == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        eligible.withColumn("_min_cost", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("_min_cost"))
+        .select(
+            F.expr("CAST(CAST(s_acctbal AS DECIMAL(14,2)) AS DOUBLE)")
+            .alias("s_acctbal"),
+            "s_name", "n_name", "p_partkey", "p_name", "cost",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q7_nation_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {SUM_DISC_PRICE.replace('l_extendedprice', 'volume_price')
+                           .replace('l_discount', 'volume_disc')}
+             AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l.l_shipdate) AS l_year,
+             l.l_extendedprice AS volume_price,
+             l.l_discount AS volume_disc
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H q7 shape: bidirectional nation-pair trade volume by "
+        "ship year. Both nation joins broadcast; the pair disjunction "
+        "is a post-join filter on two broadcast-joined columns; date "
+        "range pushed to the lineitem scan.",
+)
+def q_q7_nation_volume_shipping(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    n1 = nat.select(F.col("n_nationkey").alias("nk1"),
+                    F.col("n_name").alias("supp_nation"))
+    n2 = nat.select(F.col("n_nationkey").alias("nk2"),
+                    F.col("n_name").alias("cust_nation"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1")
+         & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2")
+           & (F.col("cust_nation") == "NATION_1"))
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .filter(pair)
+        .select(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            F.col("l_extendedprice").alias("volume_price"),
+            F.col("l_discount").alias("volume_disc"),
+        )
+    )
+    rev = (SUM_DISC_PRICE.replace("l_extendedprice", "volume_price")
+                         .replace("l_discount", "volume_disc"))
+    return (
+        joined.groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.expr(rev).alias("revenue"))
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_5'
+                         THEN {DISC_PRICE_TERM}
+                         ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)
+             / CAST(SUM({DISC_PRICE_TERM}) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT year(o.o_orderdate) AS o_year,
+             l.l_extendedprice, l.l_discount, n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n2.n_regionkey
+                   AND r.r_name = 'AMERICA'
+    ) all_nations
+    GROUP BY o_year
+    """,
+    doc="TPC-H q8 shape: one nation's market share of ECONOMY-part "
+        "volume sold into AMERICA, by order year. Share = one double "
+        "divide of two decimal-exact sums (identical bits both "
+        "engines); conditional numerator keeps decimal type via the "
+        "typed ELSE 0.",
+)
+def q_q8_market_share(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+
+    n1 = nat.select(F.col("n_nationkey").alias("nk1"),
+                    F.col("n_name").alias("supp_nation"))
+    amer_nat = (
+        nat.join(
+            F.broadcast(reg.filter(F.col("r_name") == "AMERICA")),
+            nat.n_regionkey == reg.r_regionkey,
+        )
+        .select(F.col("n_nationkey").alias("nk2"))
+    )
+    base = (
+        li.join(
+            F.broadcast(
+                part.filter(F.col("p_type") == "ECONOMY")
+                .select("p_partkey")
+            ),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(amer_nat), F.col("c_nationkey") == F.col("nk2"),
+              "left_semi")
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            "l_extendedprice", "l_discount", "supp_nation",
+        )
+    )
+    num = (
+        f"CAST(SUM(CASE WHEN supp_nation = 'NATION_5' "
+        f"THEN {DISC_PRICE_TERM} "
+        f"ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)"
+    )
+    den = f"CAST(SUM({DISC_PRICE_TERM}) AS DOUBLE)"
+    return base.groupBy("o_year").agg(
+        (F.expr(num) / F.expr(den)).alias("mkt_share")
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation, o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                      * CAST(1 - l_discount AS DECIMAL(8,2))
+                    - CAST(p_retailprice AS DECIMAL(14,2))
+                      * CAST(l_quantity AS DECIMAL(14,2))
+                      * CAST(0.2 AS DECIMAL(3,1))) AS DOUBLE) AS profit
+    FROM (
+      SELECT n.n_name, year(o.o_orderdate) AS o_year,
+             l.l_extendedprice, l.l_discount, l.l_quantity,
+             p.p_retailprice
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+                 AND p.p_name LIKE '%red%'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ) profit_base
+    GROUP BY n_name, o_year
+    """,
+    doc="TPC-H q9 shape (product-line profit by supplier nation and "
+        "year; supply cost proxied as 20% of retail price — the "
+        "schema has no ps_supplycost): profit term stays decimal to "
+        "scale 5 (exact: 2-dec price * integral qty * one-decimal "
+        "rate), one final cast to double.",
+)
+def q_q9_product_profit(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+
+    base = (
+        li.join(
+            F.broadcast(
+                part.filter(F.col("p_name").like("%red%"))
+                .select("p_partkey", "p_retailprice")
+            ),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "n_name",
+            F.year("o_orderdate").alias("o_year"),
+            "l_extendedprice", "l_discount", "l_quantity", "p_retailprice",
+        )
+    )
+    profit = (
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))"
+        " * CAST(1 - l_discount AS DECIMAL(8,2))"
+        " - CAST(p_retailprice AS DECIMAL(14,2))"
+        " * CAST(l_quantity AS DECIMAL(14,2))"
+        " * CAST(0.2 AS DECIMAL(3,1))) AS DOUBLE)"
+    )
+    return (
+        base.groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(F.expr(profit).alias("profit"))
+    )
+
+
+@query(
+    "q10_returned_item_customers",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, {SUM_DISC_PRICE} AS revenue,
+           CAST(CAST(c.c_acctbal AS DECIMAL(14,2)) AS DOUBLE)
+             AS c_acctbal,
+           n.n_name
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H q10 shape: top returned-revenue customers for a "
+        "quarter. Both scan filters pushed; nation broadcast; top-20 "
+        "with key tie-break is TakeOrderedAndProject.",
+)
+def q_q10_returned_item_customers(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.expr(SUM_DISC_PRICE).alias("revenue"))
+        .select(
+            "c_custkey", "c_name", "revenue",
+            F.expr("CAST(CAST(c_acctbal AS DECIMAL(14,2)) AS DOUBLE)")
+            .alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH nat_value AS (
+      SELECT l.l_partkey,
+             SUM(CAST(l.l_quantity AS DECIMAL(14,2))
+                   * CAST(p.p_retailprice AS DECIMAL(14,2))) AS val
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+                   AND n.n_name = 'NATION_9'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, CAST(val AS DOUBLE) AS total_value
+    FROM nat_value, (SELECT SUM(val) AS total FROM nat_value) t
+    WHERE val * 1000 > total
+    """,
+    doc="TPC-H q11 shape (parts representing a significant share of "
+        "one nation's traded value; lineitem qty * retail price is the "
+        "partsupp-value analog): the HAVING-fraction scalar subquery "
+        "is a 1-row broadcast cross join; the threshold compare "
+        "cross-multiplies in exact decimal (val * 1000 > total), never "
+        "a float fraction, so boundary membership is order-independent "
+        "and identical in both engines.",
+)
+def q_q11_important_stock(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+
+    nat_sup = (
+        sup.join(
+            F.broadcast(nat.filter(F.col("n_name") == "NATION_9")),
+            sup.s_nationkey == nat.n_nationkey,
+        )
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(F.broadcast(nat_sup), li.l_suppkey == F.col("s_suppkey"),
+                "left_semi")
+        .join(F.broadcast(part.select("p_partkey", "p_retailprice")),
+              li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.expr(
+                "SUM(CAST(l_quantity AS DECIMAL(14,2))"
+                " * CAST(p_retailprice AS DECIMAL(14,2)))"
+            ).alias("val")
+        )
+    )
+    total = val.agg(F.expr("SUM(val)").alias("total"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.expr("val * 1000 > total"))
+        .select("l_partkey", F.expr("CAST(val AS DOUBLE)")
+                .alias("total_value"))
+    )
+
+
+@query(
+    "q12_late_shipment_priority_counts",
+    oracle="""
+    SELECT l.l_returnflag AS late_class,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY l.l_returnflag
+    """,
+    doc="TPC-H q12 shape (priority mix of late shipments; the schema "
+        "has no l_shipmode, so the group key is l_returnflag and "
+        "lateness is ship > order + 90 days): conditional counts via "
+        "the classic CASE-sum pair; the inter-column date predicate "
+        "evaluates post-scan (not pushable), the ship-year range IS "
+        "pushed.",
+)
+def q_q12_late_priority_counts(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    hi = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.expr("l_shipdate > o_orderdate + INTERVAL 90 DAY"))
+        .groupBy(F.col("l_returnflag").alias("late_class"))
+        .agg(
+            F.expr(f"CAST(SUM(CASE WHEN {hi} THEN 1 ELSE 0 END) AS BIGINT)")
+            .alias("high_line_count"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN NOT ({hi}) THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey,
+             SUM({DISC_PRICE_TERM}) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_rev AS DOUBLE) AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM revenue)
+    """,
+    doc="TPC-H q15 shape (top supplier by quarterly revenue): the "
+        "scalar max subquery is a 1-row broadcast cross join against "
+        "the same aggregate (computed once, reused); the equality "
+        "compares exact decimals, so ties surface identically in both "
+        "engines.",
+)
+def q_q15_top_supplier(spark, sf_dir):
+    sup = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.expr(f"SUM({DISC_PRICE_TERM})").alias("total_rev"))
+    )
+    best = rev.agg(F.max("total_rev").alias("_max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .filter(F.col("total_rev") == F.col("_max_rev"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .select(
+            "s_suppkey", "s_name",
+            F.expr("CAST(total_rev AS DOUBLE)").alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q20_part_promotion_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l.l_suppkey,
+             SUM(CASE WHEN l.l_shipdate >= TIMESTAMP '1996-01-01'
+                       AND l.l_shipdate < TIMESTAMP '1997-01-01'
+                      THEN CAST(l.l_quantity AS DECIMAL(14,2))
+                      ELSE CAST(0 AS DECIMAL(14,2)) END) AS qty96,
+             SUM(CAST(l.l_quantity AS DECIMAL(14,2))) AS qty_all
+      FROM lineitem l
+      WHERE l.l_partkey IN
+            (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      GROUP BY l.l_suppkey
+    )
+    SELECT s.s_name, n.n_name,
+           CAST(CAST(s.s_acctbal AS DECIMAL(14,2)) AS DOUBLE) AS s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN
+          (SELECT l_suppkey FROM shipped WHERE qty96 * 5 > qty_all)
+    """,
+    doc="TPC-H q20 shape (suppliers concentrating 'red' part shipments "
+        "in the promotion year; the availqty comparison is adapted to "
+        "year-vs-lifetime quantity share — over 20%, vs the 1/7 a "
+        "uniform spread would give — since the schema has no partsupp): "
+        "nested IN -> semi joins both levels; the share threshold "
+        "cross-multiplies exact decimals (qty96*5 > qty_all), no float "
+        "fraction.",
+)
+def q_q20_part_promotion_suppliers(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+
+    red = part.filter(F.col("p_name").like("red%")).select("p_partkey")
+    in96 = (
+        "l_shipdate >= TIMESTAMP '1996-01-01'"
+        " AND l_shipdate < TIMESTAMP '1997-01-01'"
+    )
+    shipped = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey,
+                "left_semi")
+        .groupBy("l_suppkey")
+        .agg(
+            F.expr(
+                f"SUM(CASE WHEN {in96} THEN CAST(l_quantity AS DECIMAL(14,2))"
+                " ELSE CAST(0 AS DECIMAL(14,2)) END)"
+            ).alias("qty96"),
+            F.expr("SUM(CAST(l_quantity AS DECIMAL(14,2)))")
+            .alias("qty_all"),
+        )
+    )
+    promo_sup = shipped.filter(F.expr("qty96 * 5 > qty_all")) \
+        .select("l_suppkey")
+    return (
+        sup.join(F.broadcast(promo_sup),
+                 sup.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select(
+            "s_name", "n_name",
+            F.expr("CAST(CAST(s_acctbal AS DECIMAL(14,2)) AS DOUBLE)")
+            .alias("s_acctbal"),
+        )
+    )

@@ -175,3 +175,31 @@ def test_q16_not_in_is_plain_anti_join(spark, sf_dir, registry):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "LeftAnti" in plan, plan
     assert_broadcast_join(df)
+
+
+def test_q2_min_cost_is_window_not_rescan(spark, sf_dir, registry):
+    """The correlated scalar subquery (min cost per part) must compile
+    to a window aggregate over the eligible set, not a second scan of
+    lineitem joined back per row."""
+    df = registry["q2_min_cost_supplier"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("FileScan parquet") <= 5, plan  # each table once
+    assert_topk_not_global_sort(df)
+
+
+def test_q8_q9_broadcast_dims_no_cartesian(spark, sf_dir, registry):
+    for name in ("q8_market_share", "q9_product_profit"):
+        df = registry[name].fn(spark, sf_dir)
+        assert_no_cartesian(df)
+        assert_broadcast_join(df, at_least=2)
+
+
+def test_q11_q15_scalar_subquery_is_broadcast(spark, sf_dir, registry):
+    """The 1-row total/max comparison must be a broadcast of one row,
+    never a shuffled join of the aggregate against itself."""
+    for name in ("q11_important_stock", "q15_top_supplier"):
+        df = registry[name].fn(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastExchange" in plan, plan
