@@ -81,6 +81,8 @@ _MATRIX_FIRST = [
     "q12_late_shipment_priority_counts",
     "q15_top_supplier",
     "q20_part_promotion_suppliers",
+    "chunk_documents",
+    "corpus_shuffle_head",
     # Changed this round (TIMESTAMP_NTZ tolerance touched these paths).
     "user_sessions",
     "range_join_clicks_before_purchase",

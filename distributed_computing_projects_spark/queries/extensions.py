@@ -749,3 +749,79 @@ def q_pack_stats(spark, sf_dir):
     packed = pack_documents(docs, "doc_id", "text", PACK_BUDGET,
                             n_shards=PACK_SHARDS)
     return pack_stats(packed, PACK_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# Document chunking + deterministic corpus shuffle
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+_CHUNK_STEP = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+@query(
+    "chunk_documents",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_D} AS t FROM documents
+    ),
+    nonempty AS (
+      SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+    ),
+    starts AS (
+      SELECT doc_id, t, n,
+             unnest(generate_series(0, n - 1, {_CHUNK_STEP})) AS start
+      FROM nonempty
+    )
+    SELECT doc_id,
+           CAST(start // {_CHUNK_STEP} AS BIGINT) AS chunk_id,
+           CAST(start AS BIGINT) AS start_token,
+           CAST(least({CHUNK_TOKENS}, n - start) AS BIGINT) AS n_tokens,
+           array_to_string(t[start + 1 : start + {CHUNK_TOKENS}], ' ')
+             AS chunk_text
+    FROM starts
+    """,
+    doc="Overlapping fixed-token chunking (64-token windows, 16-token "
+        "overlap) — the retrieval/training chunker as a pure narrow "
+        "flatMap (sequence + slice + explode, zero shuffle, zero "
+        "Python). Oracle replays the same windows via generate_series "
+        "+ list slicing.",
+)
+def q_chunk_documents(spark, sf_dir):
+    from distributed_computing_projects_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", CHUNK_TOKENS,
+                           CHUNK_OVERLAP)
+
+
+@query(
+    "corpus_shuffle_head",
+    oracle="""
+    SELECT doc_id, md5(concat(CAST(doc_id AS VARCHAR), ':42')) AS shuffle_key
+    FROM documents
+    ORDER BY shuffle_key, doc_id
+    LIMIT 50
+    """,
+    doc="Deterministic corpus shuffle: global pseudo-random but "
+        "reproducible ordering by md5(doc_id || seed) — the trainer's "
+        "epoch shuffle without rand() (nondeterministic under retries "
+        "at scale; a content hash is retry-stable and engine-portable). "
+        "Top-50 here so the oracle pins the exact permutation prefix; "
+        "at 100 TB the same expression feeds a total-order "
+        "repartitionByRange write, not a LIMIT.",
+)
+def q_corpus_shuffle_head(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42")))
+            .alias("shuffle_key"),
+        )
+        .orderBy("shuffle_key", "doc_id")
+        .limit(50)
+    )

@@ -237,3 +237,69 @@ def test_ivf_cells_balanced_and_deterministic(spark, sf_dir):
              .groupBy("c").count().collect())
     assert all(0 <= r.c < S.N_CENTROIDS for r in cells)
     assert len(cells) > S.N_CENTROIDS // 2  # spherical assignment spreads
+
+
+def test_chunking_invariants(spark):
+    """Chunk windows tile every doc: starts advance by step, the last
+    chunk covers the tail, n_tokens never exceeds the window, and a
+    zero-token doc yields no chunks."""
+    from distributed_computing_projects_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 tokens
+            (2, "a b c"),                               # 3 tokens < chunk
+            (3, ""),                                    # 0 tokens
+            (4, "   "),                                 # whitespace only
+            (5, "x " * 8),                              # exactly 2 windows
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, "doc_id", "text", chunk_tokens=4,
+                          overlap_tokens=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 2, 5}  # empty docs produce no chunks
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_id)
+        for i, r in enumerate(rows):
+            assert r.chunk_id == i
+            assert r.start_token == i * 3  # step = 4 - 1
+            assert 1 <= r.n_tokens <= 4
+            assert len(r.chunk_text.split()) == r.n_tokens
+    # doc 1: 10 tokens, step 3 -> starts 0,3,6,9; tail chunk 1 token
+    assert [r.n_tokens for r in by_doc[1]] == [4, 4, 4, 1]
+    # consecutive chunks overlap by exactly 1 token
+    c0, c1 = by_doc[1][0], by_doc[1][1]
+    assert c0.chunk_text.split()[-1] == c1.chunk_text.split()[0]
+    assert [r.n_tokens for r in by_doc[2]] == [3]
+
+
+def test_chunking_rejects_bad_windows(spark):
+    from distributed_computing_projects_spark.operators.chunking import (
+        chunk_documents,
+    )
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, "doc_id", "text", 0)
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, "doc_id", "text", 4, 4)
+
+
+def test_chunking_is_narrow_no_shuffle(spark, sf_dir):
+    """Chunking must stay a narrow flatMap: no Exchange in the plan."""
+    from distributed_computing_projects_spark.operators.chunking import (
+        chunk_documents,
+    )
+    from distributed_computing_projects_spark.plans.inspect import (
+        physical_plan,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = physical_plan(chunk_documents(docs, "doc_id", "text", 64, 16))
+    assert "Exchange" not in plan, plan
