@@ -127,3 +127,44 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.expr(f"md5({norm})").alias("fingerprint"),
         F.expr(T.hash32(norm, "spark")).alias("fingerprint32"),
     )
+
+
+# Cross-engine-safe PII patterns: character classes + bounded repeats
+# only (identical semantics in Java regex and RE2-style engines; no
+# backrefs, no lookaround). Order matters: emails first, or the phone
+# pattern eats digit runs inside addresses.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"),
+    ("phone", r"\+?[0-9][0-9 ()-]{7,}[0-9]"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"),
+]
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """DataFrame[doc_id, redacted_text, n_email, n_phone, n_ipv4]:
+    regex-scrub emails / phone numbers / IPv4 addresses to typed
+    placeholders, with per-kind match counts for pipeline monitoring —
+    the pre-training privacy scrub as a pure narrow projection (JVM
+    regexp_replace, zero shuffle, zero Python; at 100 TB this
+    pipelines inside the scan like every other row-local transform).
+
+    Counts are computed BEFORE replacement (on the original text) so
+    overlapping kinds report what each pattern saw, and redaction
+    applies the same patterns in the same order.
+    """
+    out = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    red = F.col("_t")
+    counts = []
+    for kind, pat in PII_PATTERNS:
+        # regexp_extract_all, not split: split()'s trailing-empty-string
+        # trimming differs between engines and would undercount matches
+        # at the end of a document
+        counts.append(
+            F.size(F.regexp_extract_all("_t", F.lit(pat), 0))
+            .cast("bigint")
+            .alias(f"n_{kind}")
+        )
+        red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
+    return out.select(
+        "doc_id", red.alias("redacted_text"), *counts
+    )

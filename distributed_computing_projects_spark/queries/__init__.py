@@ -83,6 +83,7 @@ _MATRIX_FIRST = [
     "q20_part_promotion_suppliers",
     "chunk_documents",
     "corpus_shuffle_head",
+    "pii_redact",
     # Changed this round (TIMESTAMP_NTZ tolerance touched these paths).
     "user_sessions",
     "range_join_clicks_before_purchase",

@@ -825,3 +825,59 @@ def q_corpus_shuffle_head(spark, sf_dir):
         .orderBy("shuffle_key", "doc_id")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus carries no PII, so the query injects a
+# deterministic doc_id-derived contact string before scrubbing — both
+# engines replay the identical injection, making replace+count logic
+# value-checked on EVERY row rather than vacuously green on zero
+# matches. Patterns mirror operators/textstats.PII_PATTERNS.
+_PII_SUFFIX_SPARK = (
+    "concat(text, ' contact user', CAST(doc_id AS STRING),"
+    " '@example.com or +1 (555) 010-', CAST(doc_id % 10000 AS STRING),"
+    " ' from 10.0.', CAST(doc_id % 256 AS STRING), '.1')"
+)
+_PII_SUFFIX_DUCK = (
+    "concat(text, ' contact user', CAST(doc_id AS VARCHAR),"
+    " '@example.com or +1 (555) 010-', CAST(doc_id % 10000 AS VARCHAR),"
+    " ' from 10.0.', CAST(doc_id % 256 AS VARCHAR), '.1')"
+)
+
+
+@query(
+    "pii_redact",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id, {_PII_SUFFIX_DUCK} AS t FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t,
+                 '{X.PII_PATTERNS[0][1]}', '<EMAIL>', 'g'),
+               '{X.PII_PATTERNS[1][1]}', '<PHONE>', 'g'),
+             '{X.PII_PATTERNS[2][1]}', '<IPV4>', 'g') AS redacted_text,
+           CAST(len(regexp_extract_all(t, '{X.PII_PATTERNS[0][1]}'))
+                AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, '{X.PII_PATTERNS[1][1]}'))
+                AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(t, '{X.PII_PATTERNS[2][1]}'))
+                AS BIGINT) AS n_ipv4
+    FROM seeded
+    """,
+    doc="PII scrub (emails / phones / IPv4 -> typed placeholders, with "
+        "per-kind counts): the pre-training privacy pass as a pure "
+        "narrow JVM regexp projection — no shuffle, no Python. "
+        "Patterns are engine-portable (character classes + bounded "
+        "repeats only; no lookaround/backrefs, so Java regex and RE2 "
+        "agree). Deterministic doc_id-seeded PII injection makes the "
+        "oracle exercise every row.",
+)
+def q_pii_redact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select("doc_id", F.expr(_PII_SUFFIX_SPARK).alias("text"))
+    return X.redact_pii(seeded, "doc_id", "text")

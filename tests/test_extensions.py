@@ -303,3 +303,43 @@ def test_chunking_is_narrow_no_shuffle(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = physical_plan(chunk_documents(docs, "doc_id", "text", 64, 16))
     assert "Exchange" not in plan, plan
+
+
+def test_pii_redaction_values(spark):
+    from distributed_computing_projects_spark.operators.textstats import (
+        redact_pii,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b-c_1@sub.example.org now"),
+            (2, "call +1 (555) 123-4567 or 5551234567890"),
+            (3, "host 192.168.0.1 and 10.0.0.255"),
+            (4, "clean text only"),
+            (5, "x@y.io ends the doc x@y.io"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in
+            redact_pii(docs, "doc_id", "text").collect()}
+    assert rows[1].n_email == 1 and "<EMAIL>" in rows[1].redacted_text
+    assert "a.b-c_1@" not in rows[1].redacted_text
+    assert rows[2].n_phone == 2 and rows[2].redacted_text.count("<PHONE>") == 2
+    assert rows[3].n_ipv4 == 2 and rows[3].redacted_text.count("<IPV4>") == 2
+    assert rows[4].redacted_text == "clean text only"
+    assert (rows[4].n_email, rows[4].n_phone, rows[4].n_ipv4) == (0, 0, 0)
+    # match at end of string must be counted AND replaced
+    assert rows[5].n_email == 2 and rows[5].redacted_text.endswith("<EMAIL>")
+
+
+def test_pii_redaction_is_narrow_no_shuffle(spark, sf_dir):
+    from distributed_computing_projects_spark.operators.textstats import (
+        redact_pii,
+    )
+    from distributed_computing_projects_spark.plans.inspect import (
+        physical_plan,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = physical_plan(redact_pii(docs, "doc_id", "text"))
+    assert "Exchange" not in plan, plan
