@@ -21,7 +21,7 @@ the top-k ranking — are oracle-exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from distributed_computing_projects_spark.functions import text as T
 
@@ -168,4 +168,46 @@ def lsh_topk(
         pruned.select("id", F.expr(cos).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("id"))
         .limit(k)
+    )
+
+
+def knn_join(
+    emb: DataFrame, id_col: str, vec_col: str, k: int
+) -> DataFrame:
+    """Top-k nearest neighbours for EVERY vector (id, neighbour_id,
+    cosine, rank) — the KNN self-join between the fixed-query top-k
+    and the threshold-pair dedup: what an embedding-dedup or
+    retrieval-eval pipeline runs corpus-wide.
+
+    Candidates are blocked by the same 8-bit hyperplane LSH bucket as
+    ``dedup.embedding_neardup_pairs`` (equi-join, never all-pairs: at
+    N rows ~N^2/256 candidate pairs, and the plane count is the recall
+    /cost knob). Ranking is one row_number window per source id with a
+    (cosine desc, neighbour id) total order, so ties are deterministic.
+    Two shuffles total at any scale: the bucket join and the rank
+    window (the window repartitions by source id).
+    """
+    b = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.expr(T.lsh_bucket(vec_col, "spark")).alias("bucket"),
+        F.expr(T.sq_norm(vec_col, "spark")).alias("nrm"),
+    )
+    a, bb = b.alias("a"), b.alias("b")
+    cos = T.cosine(T.dot("a.v", "b.v", "spark"), "a.nrm", "b.nrm")
+    pairs = (
+        a.join(bb, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") != F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id"),
+            F.col("b.id").alias("neighbour_id"),
+            F.expr(cos).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.desc("cosine"), F.asc("neighbour_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
     )

@@ -84,6 +84,7 @@ _MATRIX_FIRST = [
     "chunk_documents",
     "corpus_shuffle_head",
     "pii_redact",
+    "knn_join_topk",
     # Changed this round (TIMESTAMP_NTZ tolerance touched these paths).
     "user_sessions",
     "range_join_clicks_before_purchase",

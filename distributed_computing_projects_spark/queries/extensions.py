@@ -881,3 +881,38 @@ def q_pii_redact(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     seeded = docs.select("doc_id", F.expr(_PII_SUFFIX_SPARK).alias("text"))
     return X.redact_pii(seeded, "doc_id", "text")
+
+
+KNN_K = 3
+
+
+@query(
+    "knn_join_topk",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id AS id, embedding AS v,
+             {T.lsh_bucket('embedding', 'duck')} AS bucket,
+             {T.sq_norm('embedding', 'duck')} AS nrm
+      FROM embeddings),
+    pairs AS (
+      SELECT a.id AS id, b.id AS neighbour_id,
+             {T.cosine(T.dot('a.v', 'b.v', 'duck'), 'a.nrm', 'b.nrm')}
+               AS cosine
+      FROM b a JOIN b b ON a.bucket = b.bucket AND a.id <> b.id),
+    ranked AS (
+      SELECT id, neighbour_id, cosine,
+             CAST(row_number() OVER (
+               PARTITION BY id ORDER BY cosine DESC, neighbour_id
+             ) AS BIGINT) AS rank
+      FROM pairs)
+    SELECT id, neighbour_id, cosine, rank FROM ranked
+    WHERE rank <= {KNN_K}
+    """,
+    doc="Corpus-wide KNN self-join (top-3 neighbours per vector, "
+        "LSH-bucket blocked): the similarity-search operator between "
+        "fixed-query top-k and threshold pairs — two shuffles at any "
+        "scale (bucket equi-join + rank window), never all-pairs.",
+)
+def q_knn_join_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.knn_join(emb, "vec_id", "embedding", KNN_K)

@@ -203,3 +203,12 @@ def test_q11_q15_scalar_subquery_is_broadcast(spark, sf_dir, registry):
         plan = physical_plan(df)
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastExchange" in plan, plan
+
+
+def test_knn_join_is_bucketed_equi_join(spark, sf_dir, registry):
+    """The KNN self-join must block on the LSH bucket (equi-join) —
+    a cartesian/nested-loop here is the all-pairs N^2 trap."""
+    df = registry["knn_join_topk"].fn(spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
