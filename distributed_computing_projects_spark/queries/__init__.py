@@ -85,6 +85,7 @@ _MATRIX_FIRST = [
     "corpus_shuffle_head",
     "pii_redact",
     "knn_join_topk",
+    "decontaminate_eval",
     # Changed this round (TIMESTAMP_NTZ tolerance touched these paths).
     "user_sessions",
     "range_join_clicks_before_purchase",

@@ -916,3 +916,58 @@ KNN_K = 3
 def q_knn_join_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return S.knn_join(emb, "vec_id", "embedding", KNN_K)
+
+
+EVAL_SOURCE = "src0"
+
+
+@query(
+    "decontaminate_eval",
+    oracle=f"""
+    WITH {_LSH_CTES},
+    hits AS (
+      SELECT id_a, id_b, ({_N_EQ_D}) / {float(T.N_PERMS)} AS est_jaccard
+      FROM cand
+      WHERE ({_N_EQ_D}) / {float(T.N_PERMS)} >= {MINHASH_THRESHOLD}),
+    srcs AS (SELECT doc_id, source FROM documents)
+    SELECT CASE WHEN sa.source = '{EVAL_SOURCE}' THEN h.id_a ELSE h.id_b END
+             AS eval_id,
+           CASE WHEN sa.source = '{EVAL_SOURCE}' THEN h.id_b ELSE h.id_a END
+             AS train_id,
+           h.est_jaccard
+    FROM hits h
+    JOIN srcs sa ON sa.doc_id = h.id_a
+    JOIN srcs sb ON sb.doc_id = h.id_b
+    WHERE (sa.source = '{EVAL_SOURCE}') <> (sb.source = '{EVAL_SOURCE}')
+    """,
+    doc="Train/eval decontamination: training docs that near-duplicate "
+        "an eval-set doc (source = src0), as a cross-source filter over "
+        "the SAME MinHash-LSH candidate pairs dedup uses — pure "
+        "operator composition, no new join shape, so the scale "
+        "argument (banded equi-join, never all-pairs) is inherited. "
+        "The step every pre-training pipeline runs before a benchmark "
+        "is trusted.",
+)
+def q_decontaminate_eval(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text",
+                                threshold=MINHASH_THRESHOLD)
+    srcs = docs.select("doc_id", "source")
+    sa = srcs.select(F.col("doc_id").alias("id_a"),
+                     F.col("source").alias("src_a"))
+    sb = srcs.select(F.col("doc_id").alias("id_b"),
+                     F.col("source").alias("src_b"))
+    is_eval_a = F.col("src_a") == EVAL_SOURCE
+    is_eval_b = F.col("src_b") == EVAL_SOURCE
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(is_eval_a != is_eval_b)
+        .select(
+            F.when(is_eval_a, F.col("id_a")).otherwise(F.col("id_b"))
+            .alias("eval_id"),
+            F.when(is_eval_a, F.col("id_b")).otherwise(F.col("id_a"))
+            .alias("train_id"),
+            "est_jaccard",
+        )
+    )
