@@ -105,3 +105,45 @@ def decode_image(payloads: DataFrame) -> DataFrame:
         "media decode requires imaging libraries not present in this "
         "environment; see decode_features for the working plumbing"
     )
+
+
+FRAME_BYTES = 16
+
+
+def frame_sample(
+    payloads: DataFrame, frame_bytes: int = FRAME_BYTES, stride: int = 4
+) -> DataFrame:
+    """Frame sampling over binary payloads: (id, frame_no, frame) for
+    every ``stride``-th fixed-size frame — the video-ingest sampling
+    step's Spark-side plumbing, entirely JVM-side (sequence + explode +
+    binary substring; NO Python — sampling needs only byte offsets, so
+    the expensive Arrow hop is reserved for actual decode, which then
+    runs on the sampled frames only, stride-times cheaper).
+
+    Payload layout is the demo convention (contiguous fixed-size
+    frames); a real container format would first demux via a
+    decode_features-style mapInPandas and keep this sampling shape.
+    Partial trailing frames are dropped (a real sampler's behavior).
+    """
+    if frame_bytes <= 0 or stride <= 0:
+        raise ValueError("frame_bytes and stride must be positive")
+    n_frames = F.floor(F.octet_length("payload") / frame_bytes)
+    return (
+        payloads.select("id", "payload")
+        .withColumn("_n", n_frames)
+        .filter(F.col("_n") > 0)
+        .select(
+            "id",
+            "payload",
+            F.explode(F.expr(f"sequence(0, _n - 1, {stride})"))
+            .alias("frame_no"),
+        )
+        .select(
+            "id",
+            F.col("frame_no").cast("bigint").alias("frame_no"),
+            F.expr(
+                f"substring(payload, frame_no * {frame_bytes} + 1,"
+                f" {frame_bytes})"
+            ).alias("frame"),
+        )
+    )

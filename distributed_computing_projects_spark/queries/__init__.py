@@ -86,6 +86,7 @@ _MATRIX_FIRST = [
     "pii_redact",
     "knn_join_topk",
     "decontaminate_eval",
+    "multimodal_frame_sample",
     # Changed this round (TIMESTAMP_NTZ tolerance touched these paths).
     "user_sessions",
     "range_join_clicks_before_purchase",

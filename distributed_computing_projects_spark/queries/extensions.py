@@ -971,3 +971,38 @@ def q_decontaminate_eval(spark, sf_dir):
             "est_jaccard",
         )
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH framed AS (
+      SELECT doc_id AS id, text,
+             octet_length(encode(text)) // {M.FRAME_BYTES} AS n
+      FROM documents
+    ),
+    sampled AS (
+      SELECT id, text,
+             unnest(generate_series(0, n - 1, 4)) AS frame_no
+      FROM framed WHERE n > 0
+    )
+    SELECT id, CAST(frame_no AS BIGINT) AS frame_no,
+           substring(text, CAST(frame_no * {M.FRAME_BYTES} + 1 AS BIGINT),
+                     {M.FRAME_BYTES}) AS frame_text
+    FROM sampled
+    """,
+    doc="Frame sampling plumbing: every 4th 16-byte frame of each "
+        "payload, JVM-side only (sequence + explode + binary "
+        "substring) — no Python until actual decode, which then runs "
+        "on 1/stride of the bytes. DuckDB cannot slice BLOBs, but the "
+        "demo payloads are ASCII (asserted corpus-wide in the suite), "
+        "so the oracle replays the byte windows as character windows "
+        "and the frame CONTENT is value-checked, not just offsets.",
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    p = M.attach_payload(docs, "doc_id", "text")
+    return M.frame_sample(p).select(
+        "id", "frame_no",
+        F.decode("frame", "UTF-8").alias("frame_text"),
+    )

@@ -343,3 +343,37 @@ def test_pii_redaction_is_narrow_no_shuffle(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = physical_plan(redact_pii(docs, "doc_id", "text"))
     assert "Exchange" not in plan, plan
+
+
+def test_frame_sample_bytes(spark):
+    """Frame bytes are the exact payload windows; partial tail frames
+    dropped; empty payloads yield no frames; corpus payloads are ASCII
+    (the oracle's char-window equivalence depends on it)."""
+    from distributed_computing_projects_spark.operators.multimodal import (
+        attach_payload,
+        frame_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 40), (2, "y" * 16), (3, "short"), (4, "")],
+        "doc_id long, text string",
+    )
+    p = attach_payload(docs, "doc_id", "text")
+    rows = {(r.id, r.frame_no): bytes(r.frame)
+            for r in frame_sample(p, frame_bytes=16, stride=1).collect()}
+    # doc 1: 40 bytes -> frames 0,1 (tail 8 bytes dropped)
+    assert set(rows) == {(1, 0), (1, 1), (2, 0)}
+    assert rows[(1, 0)] == b"x" * 16 and rows[(1, 1)] == b"x" * 16
+    assert rows[(2, 0)] == b"y" * 16
+    # stride sampling keeps every Nth frame only
+    strided = frame_sample(p, frame_bytes=8, stride=2).collect()
+    assert sorted((r.id, r.frame_no) for r in strided) == [
+        (1, 0), (1, 2), (1, 4), (2, 0), (2, 2)][:len(strided)]
+
+
+def test_corpus_payloads_are_ascii(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.filter(
+        "octet_length(encode(text, 'UTF-8')) <> char_length(text)"
+    ).count()
+    assert n == 0
