@@ -1377,16 +1377,20 @@ def q_q10_returned_item_customers(spark, sf_dir):
       GROUP BY l.l_partkey
     )
     SELECT l_partkey, CAST(val AS DOUBLE) AS total_value
-    FROM nat_value, (SELECT SUM(val) AS total FROM nat_value) t
-    WHERE val * 1000 > total
+    FROM nat_value,
+         (SELECT SUM(val) AS total, COUNT(*) AS n FROM nat_value) t
+    WHERE val * n > 2 * total
     """,
     doc="TPC-H q11 shape (parts representing a significant share of "
         "one nation's traded value; lineitem qty * retail price is the "
         "partsupp-value analog): the HAVING-fraction scalar subquery "
-        "is a 1-row broadcast cross join; the threshold compare "
-        "cross-multiplies in exact decimal (val * 1000 > total), never "
-        "a float fraction, so boundary membership is order-independent "
-        "and identical in both engines.",
+        "is a 1-row broadcast cross join. The threshold is SCALE-"
+        "INVARIANT — part value > 2x the average part value (classic "
+        "q11 divides its fraction by SF for the same reason; a fixed "
+        "fraction empties out as the part count grows) — and the "
+        "compare cross-multiplies in exact decimal (val * n > "
+        "2 * total), never a float fraction, so boundary membership "
+        "is order-independent and identical in both engines.",
 )
 def q_q11_important_stock(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
@@ -1414,10 +1418,11 @@ def q_q11_important_stock(spark, sf_dir):
             ).alias("val")
         )
     )
-    total = val.agg(F.expr("SUM(val)").alias("total"))
+    total = val.agg(F.expr("SUM(val)").alias("total"),
+                    F.count("*").alias("n"))
     return (
         val.crossJoin(F.broadcast(total))
-        .filter(F.expr("val * 1000 > total"))
+        .filter(F.expr("val * n > 2 * total"))
         .select("l_partkey", F.expr("CAST(val AS DOUBLE)")
                 .alias("total_value"))
     )
