@@ -42,3 +42,28 @@ def test_read_lines_provenance(spark, tmp_path):
     assert rows[("m1.log", 2)] == "gamma"
     assert rows[("m2.log", 1)] == "beta"
     assert len(rows) == 5
+
+
+def test_grep_reads_gzip_logs_transparently(spark, tmp_path):
+    """Compressed landing zones come free with the text datasource:
+    the same read_lines + grep path works on .gz files (one whole-file
+    split per gzip member — fine for log-sized files; a 100 TB zone
+    would use a splittable codec, same code)."""
+    import gzip
+    import shutil
+
+    src = "fixtures/logs/machine.1.log"
+    gz = tmp_path / "machine.1.log.gz"
+    with open(src, "rb") as f_in, gzip.open(gz, "wb") as f_out:
+        shutil.copyfileobj(f_in, f_out)
+
+    from distributed_computing_projects_spark.operators.grep import grep
+    from distributed_computing_projects_spark.sources.text import read_lines
+
+    plain = grep(read_lines(spark, src), "GET", text_col="line",
+                 provenance_cols=["line_no"]).select("line_no", "line")
+    gzed = grep(read_lines(spark, str(tmp_path)), "GET", text_col="line",
+                provenance_cols=["line_no"]).select("line_no", "line")
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, gzed.collect()))
+    assert plain.count() > 0
