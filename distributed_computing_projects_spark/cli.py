@@ -93,6 +93,8 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("name", nargs="?", default=None,
                    help="query name (omit to list all)")
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--explain", action="store_true",
+                   help="print the formatted physical plan instead of rows")
 
     return p
 
@@ -184,7 +186,15 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 raise SystemExit(
                     f"unknown query {args.name!r}; run `query` to list"
                 )
-            _emit(reg[args.name].fn(spark, args.sf_dir))
+            df = reg[args.name].fn(spark, args.sf_dir)
+            if args.explain:
+                from distributed_computing_projects_spark.plans.inspect import (
+                    physical_plan,
+                )
+
+                print(physical_plan(df))
+            else:
+                _emit(df)
         return 0
     finally:
         if own_session:

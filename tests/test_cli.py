@@ -106,3 +106,11 @@ def test_query_list_and_run(spark, sf_dir, capsys):
 def test_query_unknown_name_exits(spark):
     with pytest.raises(SystemExit):
         main(["query", "no_such_query"], spark=spark)
+
+
+def test_query_explain_prints_plan(spark, sf_dir, capsys):
+    assert main(["query", "q1_pricing_summary", "--sf-dir", sf_dir,
+                 "--explain"], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out or "HashAggregate" in out
+    assert "PushedFilters" in out
