@@ -762,6 +762,7 @@ _CHUNK_STEP = CHUNK_TOKENS - CHUNK_OVERLAP
 
 @query(
     "chunk_documents",
+    headline=True,
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, {_TOKS_D} AS t FROM documents
@@ -888,6 +889,7 @@ KNN_K = 3
 
 @query(
     "knn_join_topk",
+    headline=True,
     oracle=f"""
     WITH b AS (
       SELECT vec_id AS id, embedding AS v,
