@@ -135,3 +135,45 @@ def test_sampling_invariants(spark, ids, rate):
         sub_kept = {r.doc_id for r in
                     deterministic_sample(sub, "doc_id", rate).collect()}
         assert sub_kept == kept & set(half)
+
+
+@given(
+    texts=st.lists(TEXT, min_size=1, max_size=6),
+    chunk=st.integers(1, 8),
+    overlap_frac=st.integers(0, 99),
+)
+@PROP
+def test_chunking_reconstructs_documents(spark, texts, chunk, overlap_frac):
+    """For ANY text/window/overlap: concatenating each doc's chunks
+    with the overlap dropped reproduces the doc's token stream exactly
+    — no token lost, duplicated, or reordered. Plus: every chunk but
+    the last is full-size is NOT guaranteed (the tail is short), but
+    every chunk is non-empty and within budget."""
+    from distributed_computing_projects_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    overlap = (chunk * overlap_frac) // 100  # always < chunk
+    step = chunk - overlap
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    out = chunk_documents(df, "doc_id", "text", chunk, overlap).collect()
+    chunks = {}
+    for r in out:
+        assert 1 <= r.n_tokens <= chunk
+        assert r.start_token == r.chunk_id * step
+        toks = r.chunk_text.split()
+        assert len(toks) == r.n_tokens
+        chunks.setdefault(r.doc_id, []).append((r.chunk_id, toks))
+    for i, t in enumerate(texts):
+        want = t.split()
+        got = []
+        for cid, toks in sorted(chunks.get(i, [])):
+            got.extend(toks if cid == 0 else toks[overlap:])
+        # overlapped tokens must agree between neighbouring chunks
+        for (c1, t1), (c2, t2) in zip(sorted(chunks.get(i, [])),
+                                      sorted(chunks.get(i, []))[1:]):
+            if overlap and len(t1) == chunk:
+                assert t1[step:] == t2[: len(t1[step:])]
+        assert got == want
