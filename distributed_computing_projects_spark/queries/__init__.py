@@ -87,6 +87,8 @@ _MATRIX_FIRST = [
     "knn_join_topk",
     "decontaminate_eval",
     "multimodal_frame_sample",
+    "tfidf_top_terms",
+    "dedup_survivors",
     # Changed this round (TIMESTAMP_NTZ tolerance touched these paths).
     "user_sessions",
     "range_join_clicks_before_purchase",

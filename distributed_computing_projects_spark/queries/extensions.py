@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -1007,4 +1008,127 @@ def q_multimodal_frame_sample(spark, sf_dir):
     return M.frame_sample(p).select(
         "id", "frame_no",
         F.decode("frame", "UTF-8").alias("frame_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF and the deduped-corpus output
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_N = 3
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_D}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             tf.tf * ln((1.0 + n.n_docs) / (1.0 + df.df)) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tf, df,
+             CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term
+             ) AS BIGINT) AS rnk
+      FROM scored)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           rnk
+    FROM ranked WHERE rnk <= {TFIDF_TOP_N}
+    """,
+    doc="TF-IDF top-3 terms per document — the classic text-analysis "
+        "op the engine's surface lacked: explode -> two aggregations "
+        "(term-per-doc TF, distinct-doc DF) -> broadcast doc count -> "
+        "rank window. The idf uses the smoothed ln((1+N)/(1+df)) form. "
+        "The compared columns are the exact integers (tf, df) plus the "
+        "rank — NOT the raw score: libm and Math.log differ in the "
+        "last ulp, so hashing ln() output is cross-engine-unstable, "
+        "while the RANKING is stable (equal (tf, df) give bit-equal "
+        "scores within each engine, falling to the term tie-break "
+        "identically; distinct (tf, df) on small-integer data give "
+        "score gaps orders of magnitude above ulp).",
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr(T.tokens("text", "spark"))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            (F.col("tf")
+             * F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))))
+            .alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TFIDF_TOP_N)
+        .select("doc_id", "term", "tf", "df", "rnk")
+    )
+
+
+@query(
+    "dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_CTES},
+    pairs AS (
+      SELECT id_a, id_b FROM cand
+      WHERE ({_N_EQ_D}) / {float(T.N_PERMS)} >= {MINHASH_THRESHOLD}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs),
+    reach(id, root) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.id
+      WHERE r.root < e.v
+    ),
+    comp AS (SELECT id, min(root) AS cluster_id FROM reach GROUP BY id),
+    drops AS (SELECT id FROM comp WHERE id <> cluster_id)
+    SELECT d.doc_id, d.lang, d.source FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id FROM drops)
+    """,
+    doc="The deduped corpus itself: documents minus every non-keeper "
+        "near-dup cluster member — near-dup pairs -> connected "
+        "components -> LEFT ANTI join back to the corpus (the join "
+        "every pipeline actually ships; keeper = min id per cluster, "
+        "matching neardup_clusters). The anti join's right side is the "
+        "drop set (tiny: docs in clusters minus keepers), so at scale "
+        "it broadcasts.",
+)
+def q_dedup_survivors(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text",
+                                threshold=MINHASH_THRESHOLD)
+    clusters = D.neardup_clusters(pairs)
+    drops = clusters.filter(~F.col("is_keeper")).select(
+        F.col("id").alias("doc_id")
+    )
+    return (
+        docs.join(F.broadcast(drops), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
     )
