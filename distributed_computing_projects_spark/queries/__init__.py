@@ -89,6 +89,7 @@ _MATRIX_FIRST = [
     "multimodal_frame_sample",
     "tfidf_top_terms",
     "dedup_survivors",
+    "corpus_quality_gate",
     # Changed this round (TIMESTAMP_NTZ tolerance touched these paths).
     "user_sessions",
     "range_join_clicks_before_purchase",

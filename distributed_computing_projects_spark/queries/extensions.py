@@ -1132,3 +1132,57 @@ def q_dedup_survivors(spark, sf_dir):
         docs.join(F.broadcast(drops), "doc_id", "left_anti")
         .select("doc_id", "lang", "source")
     )
+
+
+GATE_MIN_TOKENS = 20
+GATE_MIN_DISTINCT = 0.3
+
+
+@query(
+    "corpus_quality_gate",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len({_TOKS_D}) AS n_tokens,
+             CAST(len(list_distinct({_TOKS_D})) AS DOUBLE)
+               / CAST(len({_TOKS_D}) AS DOUBLE) AS distinct_ratio,
+             {X.lang_pred(_TOKS_D, 'duck')} AS pred_lang
+      FROM documents
+    )
+    SELECT lang,
+           CAST(sum(CASE WHEN n_tokens >= {GATE_MIN_TOKENS}
+                          AND distinct_ratio >= {GATE_MIN_DISTINCT}
+                          AND pred_lang = lang
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           count(*) AS n_docs
+    FROM scored GROUP BY lang
+    """,
+    doc="Corpus selection gate: per-language pass counts under the "
+        "combined quality filter (min tokens, min distinct-token "
+        "ratio, language-ID agrees with the label) — the filter stage "
+        "a training pipeline runs between scoring and materialization, "
+        "as one narrow projection + one aggregate. Threshold "
+        "membership is engine-stable: the ratios are single IEEE "
+        "divides of exact integers, bit-identical in both engines.",
+)
+def q_corpus_quality_gate(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text", "spark")
+    scored = docs.select(
+        "lang",
+        F.expr(f"size({toks})").alias("n_tokens"),
+        F.expr(
+            f"CAST(size(array_distinct({toks})) AS DOUBLE)"
+            f" / CAST(size({toks}) AS DOUBLE)"
+        ).alias("distinct_ratio"),
+        F.expr(X.lang_pred(toks, "spark")).alias("pred_lang"),
+    )
+    passed = (
+        (F.col("n_tokens") >= GATE_MIN_TOKENS)
+        & (F.col("distinct_ratio") >= GATE_MIN_DISTINCT)
+        & (F.col("pred_lang") == F.col("lang"))
+    )
+    return scored.groupBy("lang").agg(
+        F.sum(F.when(passed, 1).otherwise(0)).cast("bigint").alias("n_pass"),
+        F.count("*").alias("n_docs"),
+    )
