@@ -43,19 +43,54 @@ flatten(
              CASE WHEN x < y THEN 1 ELSE 0 END AS vote))))
 """
 
+# Rank-aware variant over array<struct<r, s>> sorted by (r, s): a RANK
+# TIE awards the pair to NEITHER side (the reference's strict-list
+# ballots cannot tie, but rank-derived ballots — min line number per
+# supplier — tie constantly, and collapsing a tie into list order
+# would hand the pair to the smaller id: a real bug this expression
+# replaces, caught by the sf0.001 driver gate). Since the array is
+# sorted, y never outranks x: x.r < y.r means x preferred, x.r = y.r
+# means no vote.
+_RANKED_PAIRS_EXPR = """
+flatten(
+  transform({b}, (x, i) ->
+    transform(slice({b}, i + 2, size({b})), y ->
+      struct(least(x.s, y.s) AS a, greatest(x.s, y.s) AS b,
+             CASE WHEN x.r < y.r AND x.s < y.s THEN 1 ELSE 0 END
+               AS a_vote,
+             CASE WHEN x.r < y.r AND x.s > y.s THEN 1 ELSE 0 END
+               AS b_vote))))
+"""
 
-def pairwise_preferences(df: DataFrame, ballot_col: str = "ballot") -> DataFrame:
+
+def pairwise_preferences(df: DataFrame, ballot_col: str = "ballot",
+                         ranked: bool = False) -> DataFrame:
     """Round 1. DataFrame[a int, b int, a_pref bigint, b_pref bigint,
-    winner int] with a < b; ties award the pair to ``a``."""
-    pairs = df.select(
-        F.explode(F.expr(_PAIRS_EXPR.format(b=ballot_col))).alias("p")
-    ).select("p.a", "p.b", "p.vote")
+    winner int] with a < b; PAIR ties (a_pref == b_pref) award the
+    pair to ``a``.
+
+    ``ranked=False``: ``ballot_col`` is a strict preference list (the
+    reference's permutation ballots) — every pair votes one way.
+    ``ranked=True``: ``ballot_col`` is array<struct<r, s>> sorted by
+    (r, s); a RANK tie (equal r) votes for neither side, matching the
+    raw-rank comparison semantics of the round1 SQL oracle.
+    """
+    if ranked:
+        pairs = df.select(
+            F.explode(F.expr(_RANKED_PAIRS_EXPR.format(b=ballot_col)))
+            .alias("p")
+        ).select("p.a", "p.b", "p.a_vote", "p.b_vote")
+        agg = [F.sum("a_vote").alias("a_pref"),
+               F.sum("b_vote").alias("b_pref")]
+    else:
+        pairs = df.select(
+            F.explode(F.expr(_PAIRS_EXPR.format(b=ballot_col))).alias("p")
+        ).select("p.a", "p.b", "p.vote")
+        agg = [F.sum("vote").alias("a_pref"),
+               F.sum(F.lit(1) - F.col("vote")).alias("b_pref")]
     return (
         pairs.groupBy("a", "b")
-        .agg(
-            F.sum("vote").alias("a_pref"),
-            F.sum(F.lit(1) - F.col("vote")).alias("b_pref"),
-        )
+        .agg(*agg)
         .withColumn(
             "winner",
             F.when(F.col("a_pref") >= F.col("b_pref"), F.col("a")).otherwise(F.col("b")),
@@ -66,7 +101,8 @@ def pairwise_preferences(df: DataFrame, ballot_col: str = "ballot") -> DataFrame
 
 def _candidate_df(df: DataFrame, ballot_col: str,
                   num_candidates: int | None,
-                  candidates: DataFrame | None) -> DataFrame:
+                  candidates: DataFrame | None,
+                  ranked: bool = False) -> DataFrame:
     """Candidate universe as DataFrame[candidate] — explicit frame, or
     ``range(num_candidates)`` (the reference's fixed-size votes array,
     mp3/src/juice/condorcet_2.go:11), or — fully lazily — the distinct
@@ -80,20 +116,21 @@ def _candidate_df(df: DataFrame, ballot_col: str,
         spark = df.sparkSession
         return spark.range(num_candidates).select(
             F.col("id").cast("int").alias("candidate"))
-    return (
-        df.select(F.explode(F.col(ballot_col)).alias("candidate")).distinct()
-    )
+    exploded = df.select(F.explode(F.col(ballot_col)).alias("_e"))
+    cand = F.col("_e.s") if ranked else F.col("_e")
+    return exploded.select(cand.alias("candidate")).distinct()
 
 
 def condorcet_wins(df: DataFrame, ballot_col: str = "ballot",
                    num_candidates: int | None = None,
-                   candidates: DataFrame | None = None) -> DataFrame:
+                   candidates: DataFrame | None = None,
+                   ranked: bool = False) -> DataFrame:
     """Round 2 tally. DataFrame[candidate, wins bigint] for every
     candidate in the universe (zero-win candidates included, as the
     reference's fixed-size votes array does)."""
-    cand = _candidate_df(df, ballot_col, num_candidates, candidates)
+    cand = _candidate_df(df, ballot_col, num_candidates, candidates, ranked)
     tallies = (
-        pairwise_preferences(df, ballot_col)
+        pairwise_preferences(df, ballot_col, ranked=ranked)
         .groupBy("winner")
         .agg(F.count("*").alias("wins"))
     )
@@ -106,7 +143,8 @@ def condorcet_wins(df: DataFrame, ballot_col: str = "ballot",
 
 def condorcet(df: DataFrame, ballot_col: str = "ballot",
               num_candidates: int | None = None,
-              candidates: DataFrame | None = None) -> DataFrame:
+              candidates: DataFrame | None = None,
+              ranked: bool = False) -> DataFrame:
     """Full two-round query with the reference's exact output strings:
     DataFrame[key string, value string] — either
     ``("<i>", " is the condorcet winner!")`` or
@@ -127,7 +165,8 @@ def condorcet(df: DataFrame, ballot_col: str = "ballot",
     # caller's action would re-run the pipeline twice — the round-1
     # weakness this rewrite removed. spark.catalog.clearCache() is the
     # caller-side reset if m is ever pathological.
-    wins = condorcet_wins(df, ballot_col, num_candidates, candidates).persist()
+    wins = condorcet_wins(df, ballot_col, num_candidates, candidates,
+                          ranked).persist()
     # All scalars stay lazy 1-row frames broadcast into the plan:
     # m (candidate count) for the champion test, mx for the argmax set.
     stats = wins.agg(F.count("*").alias("_m"), F.max("wins").alias("_mx"))

@@ -251,20 +251,26 @@ def q_condorcet_wins(spark, sf_dir):
         "table as the candidate universe (zero-win candidates count).",
 )
 def q_condorcet_winner(spark, sf_dir):
+    # Ballots carry RANKS, not just order: two suppliers in one order
+    # routinely share a min line number, and the tie must award the
+    # pair to NEITHER side (matching round1's raw-rank comparison and
+    # its oracle). Flattening ties into list order handed every tied
+    # pair to the smaller id — inflating small-id win counts; the
+    # sf0.001 driver gate caught the divergence (sf0.01 happened to
+    # agree on the final winner despite it).
     li = load_table(spark, sf_dir, "lineitem")
     ranks = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.min("l_linenumber").alias("r")
     )
     ballots = ranks.groupBy("l_orderkey").agg(
         F.expr(
-            "transform(array_sort(collect_list(struct(r, l_suppkey))),"
-            " x -> x.l_suppkey)"
+            "array_sort(collect_list(struct(r AS r, l_suppkey AS s)))"
         ).alias("ballot")
     )
     candidates = load_table(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("candidate")
     )
-    return condorcet(ballots, "ballot", candidates=candidates)
+    return condorcet(ballots, "ballot", candidates=candidates, ranked=True)
 
 
 @query(

@@ -139,3 +139,31 @@ def test_condorcet_wins_includes_zero_win_candidates(spark):
     df = spark.createDataFrame(rows, "ballot_id long, ballot array<int>")
     got = {r["candidate"]: r["wins"] for r in condorcet_wins(df).collect()}
     assert got == {0: 2, 1: 1, 2: 0}
+
+
+def test_condorcet_rank_ties_vote_for_neither(spark):
+    """Two candidates sharing a rank in a ballot must not vote either
+    way for that pair (the raw-rank semantics round1's oracle uses) —
+    flattening ties into list order silently favours smaller ids."""
+    from pyspark.sql import functions as F
+
+    from distributed_computing_projects_spark.operators.condorcet import (
+        pairwise_preferences,
+    )
+
+    # ballot 1: candidates 0 and 1 TIED at rank 1, candidate 2 at rank 2
+    # ballot 2: strict order 1 < 0 < 2
+    rows = [
+        (1, [(1, 0), (1, 1), (2, 2)]),
+        (2, [(1, 1), (2, 0), (3, 2)]),
+    ]
+    df = spark.createDataFrame(
+        rows, "ballot_id long, ballot array<struct<r: int, s: int>>"
+    ).select("ballot_id", F.expr("array_sort(ballot)").alias("ballot"))
+    got = {(r.a, r.b): (r.a_pref, r.b_pref, r.winner)
+           for r in pairwise_preferences(df, ranked=True).collect()}
+    # (0,1): ballot1 tie -> no vote; ballot2 prefers 1 -> b_pref=1
+    assert got[(0, 1)] == (0, 1, 1)
+    # (0,2) and (1,2): both ballots strictly prefer the smaller id
+    assert got[(0, 2)] == (2, 0, 0)
+    assert got[(1, 2)] == (2, 0, 1)
