@@ -90,10 +90,14 @@ _MATRIX_FIRST = [
     "tfidf_top_terms",
     "dedup_survivors",
     "corpus_quality_gate",
-    # Changed this round (TIMESTAMP_NTZ tolerance touched these paths).
+    # Changed this round (TIMESTAMP_NTZ tolerance, condorcet pre-agg +
+    # rank-tie fix touched these paths).
     "user_sessions",
     "range_join_clicks_before_purchase",
     "streaming_user_running_totals",
+    "condorcet_winner",
+    "condorcet_round1",
+    "condorcet_wins",
 ]
 
 
