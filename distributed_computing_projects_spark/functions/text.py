@@ -30,7 +30,17 @@ N_PERMS = 16  # minhash signature length
 N_BANDS = 4  # LSH bands (rows per band = N_PERMS // N_BANDS)
 ROWS_PER_BAND = N_PERMS // N_BANDS
 SIMHASH_BITS = 32
-N_PLANES = 8  # hyperplane LSH for embeddings -> 2^8 buckets
+# DEFAULT hyperplane count for the embedding LSH -> 2^8 buckets. This
+# is the recall/cost knob of every bucketed embedding operator: a
+# within-bucket self-join touches ~N^2/2^n_planes candidate pairs, so
+# size n_planes ~ log2(N / target_bucket_size) — e.g. ~1k-row buckets
+# need n_planes ~ 17 at N=10^8 and ~20 at 10^9. Callers of
+# ``lsh_bucket`` / ``knn_join`` / ``embedding_neardup_pairs`` /
+# ``lsh_topk`` pass ``n_planes`` per call; the default matches the
+# driver-scale oracles. Plane p's coefficients depend only on p, so
+# raising n_planes REFINES the same bucketing (each bucket splits in
+# two) rather than reshuffling it.
+N_PLANES = 8
 EMBEDDING_DIM = 64
 
 
@@ -42,11 +52,22 @@ MINHASH_A = [(_h32(f"minhash-a-{i}") % (MERSENNE_P - 1)) + 1 for i in range(N_PE
 MINHASH_B = [_h32(f"minhash-b-{i}") % MERSENNE_P for i in range(N_PERMS)]
 
 # Hyperplanes with 3-decimal components in [-1, 1]: decimal literals of
-# this form parse to identical doubles in every IEEE engine.
-HYPERPLANES = [
-    [((_h32(f"plane-{p}-{j}") % 2001) - 1000) / 1000.0 for j in range(EMBEDDING_DIM)]
-    for p in range(N_PLANES)
-]
+# this form parse to identical doubles in every IEEE engine. Generated
+# on demand so any plane count is available; plane p is a pure function
+# of p (not of the total count).
+_HYPERPLANE_CACHE: dict[int, list[float]] = {}
+
+
+def hyperplane(p: int) -> list[float]:
+    if p not in _HYPERPLANE_CACHE:
+        _HYPERPLANE_CACHE[p] = [
+            ((_h32(f"plane-{p}-{j}") % 2001) - 1000) / 1000.0
+            for j in range(EMBEDDING_DIM)
+        ]
+    return _HYPERPLANE_CACHE[p]
+
+
+HYPERPLANES = [hyperplane(p) for p in range(N_PLANES)]  # default-count view
 
 
 def _check(dialect: str) -> None:
@@ -278,14 +299,17 @@ def cosine(dot_expr: str, na: str, nb: str) -> str:
 
 
 def plane_dot(emb: str, plane: int, dialect: str) -> str:
-    return dot(emb, _float_array_literal(HYPERPLANES[plane], dialect), dialect)
+    return dot(emb, _float_array_literal(hyperplane(plane), dialect), dialect)
 
 
-def lsh_bucket(emb: str, dialect: str) -> str:
-    """Sign-bit hyperplane bucket in [0, 2^N_PLANES)."""
+def lsh_bucket(emb: str, dialect: str, n_planes: int = N_PLANES) -> str:
+    """Sign-bit hyperplane bucket in [0, 2^n_planes). ``n_planes`` is
+    the candidate-volume knob (see the ``N_PLANES`` comment); buckets
+    nest as planes are added, so the first ``N_PLANES`` bits agree with
+    the default bucketing."""
     _check(dialect)
     bits = [
         f"(CASE WHEN {plane_dot(emb, p, dialect)} >= 0 THEN {2**p} ELSE 0 END)"
-        for p in range(N_PLANES)
+        for p in range(n_planes)
     ]
     return "(" + " + ".join(bits) + ")"

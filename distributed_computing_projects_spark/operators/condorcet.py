@@ -74,6 +74,12 @@ def pairwise_preferences(df: DataFrame, ballot_col: str = "ballot",
     ``ranked=True``: ``ballot_col`` is array<struct<r, s>> sorted by
     (r, s); a RANK tie (equal r) votes for neither side, matching the
     raw-rank comparison semantics of the round1 SQL oracle.
+
+    Output is UNORDERED: callers that present the pair table sort it
+    themselves (``.orderBy("a", "b")``). Sorting here would range-
+    shuffle the pair frame inside a building block that
+    :func:`condorcet_wins` immediately re-aggregates — the same wasted
+    exchange that made ``juice()``'s output sort opt-out.
     """
     if ranked:
         pairs = df.select(
@@ -95,7 +101,6 @@ def pairwise_preferences(df: DataFrame, ballot_col: str = "ballot",
             "winner",
             F.when(F.col("a_pref") >= F.col("b_pref"), F.col("a")).otherwise(F.col("b")),
         )
-        .orderBy("a", "b")
     )
 
 

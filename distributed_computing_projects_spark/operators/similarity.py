@@ -6,13 +6,23 @@ Two tiers (SURVEY.md §7.1 M6 / BASELINE.json scale extensions):
   ``zip_with``/``aggregate`` math, ``TakeOrderedAndProject`` for the
   top-k (no global sort). The right baseline at any scale where a full
   scan is acceptable, and the recall oracle for the bucketed tier.
-- ``lsh_topk``: sign-bit hyperplane LSH (8 fixed planes -> 256
-  buckets). The query's bucket prunes the scan to ~1/256 of the data
-  at the cost of recall; multi-probe = widen ``probe_hamming``.
+- ``lsh_topk``: sign-bit hyperplane LSH (``n_planes`` planes ->
+  2^n_planes buckets; default 8 -> 256). The query's bucket prunes
+  the scan to ~2^-n_planes of the data at the cost of recall;
+  multi-probe = widen ``probe_hamming``.
+
+``n_planes`` is the scale knob on every bucketed entry point here and
+in ``dedup.embedding_neardup_pairs``: size it ~ log2(N /
+target_bucket_size) so buckets stay roughly constant-sized as the
+corpus grows (see the ``N_PLANES`` comment in ``functions/text.py``).
 
 At 100 TB the bucketed variant is the difference between scanning
-everything and scanning one partition-pruned slice: write the table
-partitioned by ``bucket`` and the filter becomes partition pruning.
+everything and scanning one partition-pruned slice:
+``write_bucketed`` writes the table hive-partitioned by ``bucket``
+and ``lsh_topk_bucketed`` probes it with an explicit bucket IN-list,
+which Spark resolves as PartitionFilters — directory pruning, no data
+read outside the probed buckets (plan-asserted in
+``tests/test_plans.py``).
 
 Dot products fold left-to-right in double in both engines (verified
 bit-identical on the driver data), so cosine scores — and therefore
@@ -51,15 +61,36 @@ def brute_force_topk(
     )
 
 
-def query_bucket(query_vec: list[float]) -> int:
+def query_bucket(query_vec: list[float], n_planes: int = T.N_PLANES) -> int:
     """Driver-side bucket of the query vector (same sign-bit formula as
     the column expression; plain Python floats are IEEE doubles)."""
     bucket = 0
-    for p in range(T.N_PLANES):
-        d = sum(float(x) * c for x, c in zip(query_vec, T.HYPERPLANES[p]))
+    for p in range(n_planes):
+        d = sum(float(x) * c for x, c in zip(query_vec, T.hyperplane(p)))
         if d >= 0:
             bucket += 1 << p
     return bucket
+
+
+def probe_buckets(query_vec: list[float], probe_hamming: int,
+                  n_planes: int = T.N_PLANES) -> list[int]:
+    """All buckets within ``probe_hamming`` sign-bits of the query's —
+    the explicit multi-probe IN-list. Driver-side enumeration is
+    C(n_planes, <=probe_hamming) values (tiny for the small probe
+    radii that make sense), and an explicit value list is what lets a
+    hive-partitioned store prune directories instead of evaluating
+    bit_count per partition."""
+    from itertools import combinations
+
+    qb = query_bucket(query_vec, n_planes)
+    out = []
+    for h in range(probe_hamming + 1):
+        for flips in combinations(range(n_planes), h):
+            b = qb
+            for p in flips:
+                b ^= 1 << p
+            out.append(b)
+    return sorted(out)
 
 
 N_CENTROIDS = 16
@@ -149,14 +180,19 @@ def lsh_topk(
     id_col: str,
     vec_col: str,
     probe_hamming: int = 0,
+    n_planes: int = T.N_PLANES,
 ) -> DataFrame:
     """Top-k within LSH buckets whose sign pattern is within
-    ``probe_hamming`` bits of the query's bucket (0 = single probe)."""
-    qb = query_bucket(query_vec)
+    ``probe_hamming`` bits of the query's bucket (0 = single probe).
+
+    Computes buckets on the fly (full scan, pruned compute); for the
+    scan-pruned variant over a pre-bucketed store see
+    :func:`lsh_topk_bucketed`."""
+    qb = query_bucket(query_vec, n_planes)
     scored = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        F.expr(T.lsh_bucket(vec_col, "spark")).alias("bucket"),
+        F.expr(T.lsh_bucket(vec_col, "spark", n_planes)).alias("bucket"),
     )
     pruned = scored.filter(
         F.expr(T.hamming("bucket", str(qb), "spark")) <= probe_hamming
@@ -172,25 +208,28 @@ def lsh_topk(
 
 
 def knn_join(
-    emb: DataFrame, id_col: str, vec_col: str, k: int
+    emb: DataFrame, id_col: str, vec_col: str, k: int,
+    n_planes: int = T.N_PLANES,
 ) -> DataFrame:
     """Top-k nearest neighbours for EVERY vector (id, neighbour_id,
     cosine, rank) — the KNN self-join between the fixed-query top-k
     and the threshold-pair dedup: what an embedding-dedup or
     retrieval-eval pipeline runs corpus-wide.
 
-    Candidates are blocked by the same 8-bit hyperplane LSH bucket as
-    ``dedup.embedding_neardup_pairs`` (equi-join, never all-pairs: at
-    N rows ~N^2/256 candidate pairs, and the plane count is the recall
-    /cost knob). Ranking is one row_number window per source id with a
-    (cosine desc, neighbour id) total order, so ties are deterministic.
-    Two shuffles total at any scale: the bucket join and the rank
-    window (the window repartitions by source id).
+    Candidates are blocked by the same ``n_planes``-bit hyperplane LSH
+    bucket as ``dedup.embedding_neardup_pairs`` (equi-join, never
+    all-pairs: at N rows ~N^2/2^n_planes candidate pairs). Size
+    ``n_planes`` ~ log2(N / target_bucket_size) so per-bucket work
+    stays constant as N grows; the measured candidate-count curve is
+    in README "Scale design". Ranking is one row_number window per
+    source id with a (cosine desc, neighbour id) total order, so ties
+    are deterministic. Two shuffles total at any scale: the bucket
+    join and the rank window (the window repartitions by source id).
     """
     b = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        F.expr(T.lsh_bucket(vec_col, "spark")).alias("bucket"),
+        F.expr(T.lsh_bucket(vec_col, "spark", n_planes)).alias("bucket"),
         F.expr(T.sq_norm(vec_col, "spark")).alias("nrm"),
     )
     a, bb = b.alias("a"), b.alias("b")
@@ -210,4 +249,54 @@ def knn_join(
     return (
         pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
+    )
+
+
+def write_bucketed(
+    emb: DataFrame, path: str, id_col: str, vec_col: str,
+    n_planes: int = T.N_PLANES,
+) -> None:
+    """Materialize the embedding table hive-partitioned by its LSH
+    bucket: one directory per bucket, bucket assignment computed once
+    at write time. This is the scale path the on-the-fly operators
+    approximate — a probe against this store reads ONLY the probed
+    buckets' directories (PartitionFilters), so query cost is
+    ~(probed buckets / 2^n_planes) of the corpus regardless of corpus
+    size. Write cost: one pass + one hash exchange on bucket so each
+    partition directory is written by one task (no small-file spray:
+    2^n_planes output files, not tasks x buckets)."""
+    bucketed = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.expr(T.lsh_bucket(vec_col, "spark", n_planes)).alias("bucket"),
+    )
+    bucketed.repartition("bucket").write.partitionBy("bucket").mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def lsh_topk_bucketed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int,
+    probe_hamming: int = 0,
+    n_planes: int = T.N_PLANES,
+) -> DataFrame:
+    """Top-k cosine probe against a :func:`write_bucketed` store.
+
+    The multi-probe set is enumerated driver-side
+    (:func:`probe_buckets`) and applied as ``bucket IN (...)`` — on a
+    hive-partitioned store that is partition PRUNING: non-probed
+    directories are never listed into the scan. ``n_planes`` must
+    match the value the store was written with."""
+    buckets = probe_buckets(query_vec, probe_hamming, n_planes)
+    pruned = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
+    q = _query_literal(query_vec, "spark")
+    cos = T.cosine(T.dot("v", q, "spark"), T.sq_norm("v", "spark"),
+                   T.sq_norm(q, "spark"))
+    return (
+        pruned.select("id", F.expr(cos).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
     )

@@ -150,7 +150,14 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Counts are computed BEFORE replacement (on the original text) so
     overlapping kinds report what each pattern saw, and redaction
-    applies the same patterns in the same order.
+    applies the same patterns in the same order. Consequence (by
+    contract, mirrored exactly by the oracle): when kinds overlap —
+    e.g. a digit run inside an email address — a later pattern's count
+    can include matches whose text was already consumed by an earlier
+    replacement, so ``n_phone``/``n_ipv4`` may EXCEED the number of
+    ``<PHONE>``/``<IPV4>`` placeholders emitted in ``redacted_text``.
+    The counts answer "what did each detector see", not "how many
+    placeholders were written".
     """
     out = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
     red = F.col("_t")

@@ -131,7 +131,13 @@ def q_user_running_totals_final(spark, sf_dir):
         .groupBy("user_id")
         .agg(
             F.max("n_events").alias("n_events"),
-            F.round(F.max("total_value"), 2).alias("total_value"),
+            # the row with the most events IS the final state — taking
+            # max(total_value) independently is only equivalent while
+            # event values are strictly positive (running totals
+            # monotone); max_by stays correct under negative/zero
+            # value adjustments too
+            F.round(F.max_by("total_value", "n_events"), 2)
+            .alias("total_value"),
         )
     )
 

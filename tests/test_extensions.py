@@ -180,6 +180,57 @@ def test_query_bucket_matches_column_expression(spark, sf_dir):
         assert S.query_bucket(list(r.embedding)) == r.bucket
 
 
+def test_lsh_buckets_nest_as_planes_are_added(spark, sf_dir):
+    """Raising n_planes must REFINE the bucketing: the low n bits of
+    the (n+m)-plane bucket are the n-plane bucket. This is what makes
+    the plane count a safe scale knob — re-bucketing with more planes
+    splits buckets instead of reshuffling them."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    rows = emb.select(
+        F.expr(T.lsh_bucket("embedding", "spark", 8)).alias("b8"),
+        F.expr(T.lsh_bucket("embedding", "spark", 12)).alias("b12"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.b12 % 256 == r.b8
+        assert 0 <= r.b12 < 4096
+
+
+def test_more_planes_shrink_candidate_volume(spark, sf_dir):
+    """The scale contract of the n_planes knob: candidate-pair count
+    is non-increasing in the plane count (each added plane splits
+    buckets, never merges them)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    counts = {}
+    for n in (4, 8, 12):
+        counts[n] = D.embedding_neardup_pairs(
+            emb, "vec_id", "embedding", threshold=-1.0, n_planes=n
+        ).count()
+    assert counts[4] >= counts[8] >= counts[12]
+    # and surviving high-threshold pairs at more planes are a subset
+    # of the default's (bucket refinement can only drop pairs)
+    base = {(r.id_a, r.id_b) for r in D.embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.0, n_planes=8).collect()}
+    fine = {(r.id_a, r.id_b) for r in D.embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.0, n_planes=12).collect()}
+    assert fine <= base
+
+
+def test_knn_join_n_planes_parameter(spark, sf_dir):
+    """knn_join at a higher plane count returns (per id) a subset of
+    each id's candidate universe with identical cosine math."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(60)
+    coarse = {(r.id, r.neighbour_id): r.cosine
+              for r in S.knn_join(emb, "vec_id", "embedding", 3,
+                                  n_planes=4).collect()}
+    fine = S.knn_join(emb, "vec_id", "embedding", 3, n_planes=8).collect()
+    assert fine, "default buckets must produce some neighbours"
+    for r in fine:
+        # same pair ranked under both bucketings => same score
+        if (r.id, r.neighbour_id) in coarse:
+            assert coarse[(r.id, r.neighbour_id)] == r.cosine
+
+
 def test_quality_scores_closed_form(spark):
     df = _docs(spark, ["the cat, the hat."])
     r = X.quality_scores(df, "doc_id", "text").collect()[0]

@@ -212,3 +212,44 @@ def test_knn_join_is_bucketed_equi_join(spark, sf_dir, registry):
     assert_no_cartesian(df)
     plan = physical_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bucketed_ann_store_partition_prunes(spark, sf_dir, tmp_path):
+    """The write_bucketed store must turn the probe's bucket IN-list
+    into PartitionFilters (directory pruning) — the scan may touch
+    only the probed buckets' files, never the whole corpus."""
+    from distributed_computing_projects_spark.operators import similarity as S
+    from distributed_computing_projects_spark.sources.registry import load_table
+    from distributed_computing_projects_spark.queries.extensions import ANN_QUERY_VEC
+
+    path = str(tmp_path / "emb_bucketed")
+    emb = load_table(spark, sf_dir, "embeddings")
+    S.write_bucketed(emb, path, "vec_id", "embedding")
+    df = S.lsh_topk_bucketed(spark, path, ANN_QUERY_VEC, 5, probe_hamming=1)
+    plan = physical_plan(df)
+    assert "PartitionFilters" in plan, plan
+    # the bucket predicate must be a partition filter, NOT a pushed
+    # data filter (that would mean the directories were all listed)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("bucket" in ln for ln in pf), plan
+    # and the pruning is real AT EXECUTION: input_file_name() reflects
+    # the files the scan actually touched (df.inputFiles() lists the
+    # relation pre-pruning, so it cannot prove this)
+    from pyspark.sql import functions as SF
+
+    probed = set(S.probe_buckets(ANN_QUERY_VEC, 1))
+    touched = (
+        spark.read.parquet(path)
+        .filter(SF.col("bucket").isin(sorted(probed)))
+        .select(SF.input_file_name().alias("f")).distinct().collect()
+    )
+    assert touched
+    for r in touched:
+        b = int(r.f.split("bucket=")[1].split("/")[0])
+        assert b in probed, f"scan read unprobed bucket {b}"
+    # probe result matches the on-the-fly operator exactly
+    direct = S.lsh_topk(emb, ANN_QUERY_VEC, 5, "vec_id", "embedding",
+                        probe_hamming=1).collect()
+    assert [(r.id, round(r.cosine, 12)) for r in df.collect()] == [
+        (r.id, round(r.cosine, 12)) for r in direct
+    ]
