@@ -40,65 +40,14 @@ def query(name: str, oracle: str | None = None, headline: bool = False,
     return deco
 
 
-# Queries whose driver verdict is new or changed this round, listed
-# FIRST in the matrix. Round 1 recorded rows for exactly the first 50
-# registered queries and silently dropped the 51st — whether the driver
-# caps the matrix or exhausts a time budget, the defense is the same:
-# put queries that still NEED a first driver verdict at the front and
-# leave the tail to queries already green in a previous round's matrix.
-_MATRIX_FIRST = [
-    # The 18 queries the r1-r3 matrices never reached post-change (the
-    # driver records ~50 rows; these rode on r1 rows or none at all).
-    "token_stats",  # only driver row ever is the r1 FAIL; fix needs a row
-    "orders_cube",
-    "dedup_exact",
-    "minhash_signature",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "simhash_fingerprint",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "text_quality",
-    "language_id",
-    "doc_fingerprint",
-    "doc_winnow_fingerprint",
-    "multimodal_payload_stats",
-    "token_stats_bpe",
-    # New or changed in round 4 — need their first driver verdict.
-    "pack_stats",
-    "user_running_totals_final",
-    "q16_supplier_part_counts",
-    "q21_waiting_suppliers",
-    "q2_min_cost_supplier",
-    "q7_nation_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_item_customers",
-    "q11_important_stock",
-    "q12_late_shipment_priority_counts",
-    "q15_top_supplier",
-    "q20_part_promotion_suppliers",
-    "chunk_documents",
-    "corpus_shuffle_head",
-    "pii_redact",
-    "knn_join_topk",
-    "decontaminate_eval",
-    "multimodal_frame_sample",
-    "tfidf_top_terms",
-    "dedup_survivors",
-    "corpus_quality_gate",
-    # Changed this round (TIMESTAMP_NTZ tolerance, condorcet pre-agg +
-    # rank-tie fix touched these paths).
-    "user_sessions",
-    "range_join_clicks_before_purchase",
-    "streaming_user_running_totals",
-    "condorcet_winner",
-    "condorcet_round1",
-    "condorcet_wins",
-]
+# Matrix ordering: the driver records ~50 CORRECTNESS rows per round
+# in registration order over a 90+ query registry, so queries that
+# still NEED a fresh driver verdict must come first. The order is
+# GENERATED (never-green, then changed-since-last-green by content
+# hash, then stalest-green-first) by ``tools/matrix_rotation.py`` into
+# ``_matrix_first.py``; ``tests/test_matrix_rotation.py`` fails when a
+# code change leaves that file stale — hand-curating this list twice
+# left changed queries riding stale green rows (r3, r4).
 
 
 def load_registry() -> dict[str, QuerySpec]:
@@ -109,6 +58,12 @@ def load_registry() -> dict[str, QuerySpec]:
         relational,
         extensions,
     )
-    first = {n: REGISTRY[n] for n in _MATRIX_FIRST if n in REGISTRY}
+    try:
+        from distributed_computing_projects_spark.queries._matrix_first import (
+            MATRIX_ORDER,
+        )
+    except ImportError:  # pre-generation bootstrap: registration order
+        MATRIX_ORDER = []
+    first = {n: REGISTRY[n] for n in MATRIX_ORDER if n in REGISTRY}
     rest = {n: s for n, s in REGISTRY.items() if n not in first}
     return {**first, **rest}

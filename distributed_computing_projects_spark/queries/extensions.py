@@ -180,6 +180,7 @@ def q_simhash_fingerprint(spark, sf_dir):
 
 @query(
     "dedup_simhash",
+    headline=True,
     oracle=f"""
     WITH fp AS (
       SELECT doc_id AS id, {T.simhash(_THASHES_D, 'duck')} AS simhash
@@ -512,6 +513,62 @@ def q_ann_ivf_topk(spark, sf_dir):
     return S.ivf_topk(
         emb, ANN_QUERY_VEC, ANN_K, "vec_id", "embedding", probes=ANN_IVF_PROBES
     )
+
+
+@query(
+    "ann_recall",
+    oracle=f"""
+    WITH exact AS (
+      SELECT vec_id AS id FROM embeddings
+      ORDER BY {_COS_Q_D} DESC, vec_id LIMIT {ANN_K}),
+    lsh AS (
+      SELECT vec_id AS id FROM embeddings
+      WHERE {T.hamming(T.lsh_bucket('embedding', 'duck'),
+                       str(S.query_bucket(ANN_QUERY_VEC)), 'duck')}
+            <= {ANN_PROBE_HAMMING}
+      ORDER BY {_COS_Q_D} DESC, vec_id LIMIT {ANN_K}),
+    ivf AS (
+      SELECT vec_id AS id FROM embeddings
+      WHERE {S.ivf_cell_expr('embedding', 'duck')}
+            IN ({', '.join(str(c) for c in _IVF_CELLS)})
+      ORDER BY {_COS_Q_D} DESC, vec_id LIMIT {ANN_K})
+    SELECT 'lsh' AS method, CAST(count(*) AS BIGINT) AS hits,
+           CAST({ANN_K} AS BIGINT) AS k
+    FROM lsh JOIN exact USING (id)
+    UNION ALL
+    SELECT 'ivf' AS method, CAST(count(*) AS BIGINT) AS hits,
+           CAST({ANN_K} AS BIGINT) AS k
+    FROM ivf JOIN exact USING (id)
+    """,
+    doc="Recall@k of the two approximate ANN tiers against the exact "
+        "brute-force top-k at their default parameters — the measured "
+        "link between the pruned scans and the recall they pay for it. "
+        "Integer hit counts, so the oracle check is drift-free.",
+)
+def q_ann_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = S.brute_force_topk(
+        emb, ANN_QUERY_VEC, ANN_K, "vec_id", "embedding"
+    ).select("id")
+    approx = {
+        "lsh": S.lsh_topk(emb, ANN_QUERY_VEC, ANN_K, "vec_id", "embedding",
+                          probe_hamming=ANN_PROBE_HAMMING),
+        "ivf": S.ivf_topk(emb, ANN_QUERY_VEC, ANN_K, "vec_id", "embedding",
+                          probes=ANN_IVF_PROBES),
+    }
+    # the exact top-k is k rows — each semi join broadcasts it; the
+    # per-method scans are the same scans the underlying queries run
+    parts = [
+        a.select("id").join(F.broadcast(exact), "id", "left_semi")
+        .agg(F.count("*").alias("hits"))
+        .select(
+            F.lit(m).alias("method"),
+            "hits",
+            F.lit(ANN_K).cast("bigint").alias("k"),
+        )
+        for m, a in approx.items()
+    ]
+    return parts[0].unionAll(parts[1])
 
 
 @query(
@@ -1020,6 +1077,7 @@ TFIDF_TOP_N = 3
 
 @query(
     "tfidf_top_terms",
+    headline=True,
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, unnest({_TOKS_D}) AS term FROM documents

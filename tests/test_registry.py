@@ -1,8 +1,9 @@
 """Registry meta-invariants: the guards that keep the driver matrix
 honest without running the full differential harness.
 
-- every ``_MATRIX_FIRST`` name must resolve (a typo would silently
-  drop a query from the front of the driver's ~50-row matrix);
+- every generated ``MATRIX_ORDER`` name must resolve (a stale name
+  would silently drop a query from the front of the driver's ~50-row
+  matrix);
 - every oracle must parse AND bind in DuckDB over the real tables;
 - Spark and oracle column sets must agree for every query (the
   driver's hash compare sorts columns BY NAME — a mismatch fails the
@@ -20,9 +21,9 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from distributed_computing_projects_spark.queries import (
-    _MATRIX_FIRST,
-    load_registry,
+from distributed_computing_projects_spark.queries import load_registry
+from distributed_computing_projects_spark.queries._matrix_first import (
+    MATRIX_ORDER,
 )
 from distributed_computing_projects_spark.sources.registry import TABLE_NAMES
 
@@ -47,12 +48,12 @@ def _is_streaming(name: str) -> bool:
 
 
 def test_matrix_first_names_resolve(registry):
-    missing = [n for n in _MATRIX_FIRST if n not in registry]
-    assert missing == [], f"_MATRIX_FIRST references unknown queries: {missing}"
+    missing = [n for n in MATRIX_ORDER if n not in registry]
+    assert missing == [], f"MATRIX_ORDER references unknown queries: {missing}"
 
 
 def test_no_duplicate_matrix_entries():
-    assert len(_MATRIX_FIRST) == len(set(_MATRIX_FIRST))
+    assert len(MATRIX_ORDER) == len(set(MATRIX_ORDER))
 
 
 def test_every_oracle_parses_and_binds(registry, duck):

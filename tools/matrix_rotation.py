@@ -1,0 +1,388 @@
+"""Automated correctness-matrix rotation.
+
+The driver records ~50 CORRECTNESS rows per round over a 90+ query
+registry, in registration order. Twice (r3: token_stats; r4: the six
+NTZ-touched streaming queries) a hand-curated front-load list left a
+CHANGED query riding on a stale green row. This tool removes the hand
+from the loop:
+
+- ``hash``: print each query's content hash — an md5 over (a) the
+  AST-normalized source of the query function plus, transitively, the
+  same-module functions it calls (docstring/comment edits don't churn
+  it), (b) its oracle SQL, and (c) the AST-normalized sources of every
+  package module reachable from the modules the function's code
+  references through its module's import aliases (so an operator or
+  fragment-builder edit flags every query whose Spark-side plan it can
+  affect, while an edit to an unrelated operator doesn't).
+- ``snapshot <round>``: record current hashes as the code state the
+  driver's round-``<round>`` matrix ran against
+  (``tools/query_hashes.json``). Run at END of each round, right
+  before the final commit the driver evaluates.
+- ``order``: compute the matrix order and write it to
+  ``queries/_matrix_first.py``. Segments:
+    0. queries with NO green driver row in any CORRECTNESS_r*.json;
+    1. queries whose current hash differs from their hash at the last
+       green round (per the snapshot taken that round) — plus, while
+       rounds before the first snapshot remain un-snapshotted, the
+       bootstrap FORCE list below;
+    2. everything else, stalest green round first.
+  Within a segment, registry order is kept.
+
+``tests/test_matrix_rotation.py`` asserts the committed
+``_matrix_first.py`` matches a fresh ``order`` computation, so any
+code change that moves a query into segment 1 fails CI until the list
+is regenerated — a changed query can no longer hide in the tail.
+"""
+
+from __future__ import annotations
+
+import ast
+import hashlib
+import inspect
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+PKG = "distributed_computing_projects_spark"
+PKG_DIR = os.path.join(REPO, PKG)
+SNAPSHOT_PATH = os.path.join(REPO, "tools", "query_hashes.json")
+ORDER_PATH = os.path.join(PKG_DIR, "queries", "_matrix_first.py")
+
+# Bootstrap-only: rounds 1-4 predate snapshotting, so "changed since
+# last green row" is undecidable from hashes for queries whose last
+# green row is r3/r4. These are the queries KNOWN changed after their
+# last green driver row as of round 5 (VERDICT r4 + this round's
+# edits); once every query has a green row at a snapshotted round the
+# hash diff takes over and this list is dead weight to delete.
+BOOTSTRAP_FORCE = [
+    # r4 NTZ change rode on r3 rows (VERDICT r4 "What's missing" #1)
+    "streaming_events_hourly",
+    "streaming_user_sessions",
+    "streaming_sliding_counts",
+    "streaming_dedup_events",
+    "streaming_jsonl_agg",
+    "streaming_click_purchase_join",
+    # r5 code changes on r4-green queries
+    "user_running_totals_final",
+    "condorcet_round1",
+    "condorcet_wins",
+    "condorcet_winner",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "knn_join_topk",
+    "dedup_embedding_cosine",
+    "minhash_signature",
+    "simhash_fingerprint",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_exact",
+    "dedup_clusters",
+    "dedup_survivors",
+    "decontaminate_eval",
+]
+
+
+# ---------------------------------------------------------------------------
+# Module graph + normalized hashing
+# ---------------------------------------------------------------------------
+
+def _pkg_modules() -> dict[str, str]:
+    """dotted module name -> file path, for every module in the package."""
+    out = {}
+    for root, _dirs, files in os.walk(PKG_DIR):
+        for f in files:
+            if f.endswith(".py"):
+                path = os.path.join(root, f)
+                rel = os.path.relpath(path, REPO)[:-3].replace(os.sep, ".")
+                out[rel] = path
+    return out
+
+
+class _DocStripper(ast.NodeTransformer):
+    def _strip(self, node):
+        if (node.body and isinstance(node.body[0], ast.Expr)
+                and isinstance(node.body[0].value, ast.Constant)
+                and isinstance(node.body[0].value.value, str)):
+            node.body = node.body[1:] or [ast.Pass()]
+        return node
+
+    def visit_FunctionDef(self, node):
+        self.generic_visit(node)
+        return self._strip(node)
+
+    visit_AsyncFunctionDef = visit_FunctionDef
+
+    def visit_ClassDef(self, node):
+        self.generic_visit(node)
+        return self._strip(node)
+
+    def visit_Module(self, node):
+        self.generic_visit(node)
+        return self._strip(node)
+
+
+def _normalize(source: str) -> str:
+    """Comment- and docstring-insensitive canonical form."""
+    tree = ast.parse(source)
+    return ast.unparse(_DocStripper().visit(tree))
+
+
+def _module_imports(path: str) -> set[str]:
+    """Package-internal modules imported by the file at ``path``."""
+    tree = ast.parse(open(path).read())
+    found = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name.startswith(PKG):
+                    found.add(a.name)
+        elif isinstance(node, ast.ImportFrom) and node.module and node.module.startswith(PKG):
+            found.add(node.module)
+            for a in node.names:
+                found.add(f"{node.module}.{a.name}")
+    return found
+
+
+def _import_closure(mod: str, modules: dict[str, str],
+                    graph_cache: dict[str, set[str]]) -> set[str]:
+    seen, stack = set(), [mod]
+    while stack:
+        m = stack.pop()
+        if m in seen or m not in modules:
+            continue
+        seen.add(m)
+        if m not in graph_cache:
+            graph_cache[m] = _module_imports(modules[m])
+        stack.extend(graph_cache[m])
+    return seen
+
+
+def _alias_map(path: str, modules: dict[str, str]) -> dict[str, str]:
+    """local name -> package module it binds (``import ... as D`` etc.)."""
+    tree = ast.parse(open(path).read())
+    out = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name in modules:
+                    out[(a.asname or a.name).split(".")[0]] = a.name
+        elif isinstance(node, ast.ImportFrom) and node.module and node.module.startswith(PKG):
+            for a in node.names:
+                dotted = f"{node.module}.{a.name}"
+                if dotted in modules:
+                    out[a.asname or a.name] = dotted
+    return out
+
+
+def _module_functions(path: str) -> dict[str, str]:
+    """top-level def name -> source segment."""
+    src = open(path).read()
+    tree = ast.parse(src)
+    return {
+        node.name: ast.get_source_segment(src, node)
+        for node in tree.body
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef))
+    }
+
+
+def query_hashes() -> dict[str, str]:
+    from distributed_computing_projects_spark.queries import load_registry
+
+    modules = _pkg_modules()
+    graph_cache: dict[str, set[str]] = {}
+    mod_hash_cache: dict[str, str] = {}
+    alias_cache: dict[str, dict[str, str]] = {}
+    fns_cache: dict[str, dict[str, str]] = {}
+
+    def mod_hash(m: str) -> str:
+        if m not in mod_hash_cache:
+            mod_hash_cache[m] = hashlib.md5(
+                _normalize(open(modules[m]).read()).encode()
+            ).hexdigest()
+        return mod_hash_cache[m]
+
+    out = {}
+    for name, spec in load_registry().items():
+        qmod = spec.fn.__module__
+        qpath = modules[qmod]
+        if qpath not in alias_cache:
+            alias_cache[qpath] = _alias_map(qpath, modules)
+            fns_cache[qpath] = _module_functions(qpath)
+        aliases, fns = alias_cache[qpath], fns_cache[qpath]
+
+        # the fn source plus same-module functions it calls, transitively
+        snippets, todo, done = [], [spec.fn.__name__], set()
+        while todo:
+            f = todo.pop()
+            if f in done or f not in fns:
+                continue
+            done.add(f)
+            snippets.append(fns[f])
+            for called in re.findall(r"\b(\w+)\s*\(", fns[f]):
+                if called in fns:
+                    todo.append(called)
+        body = "\n".join(_normalize(s) for s in sorted(snippets))
+
+        # package modules the snippet code can reach
+        reach = set()
+        for alias, mod in aliases.items():
+            if re.search(rf"\b{re.escape(alias)}\b", body):
+                reach |= _import_closure(mod, modules, graph_cache)
+        dep_hashes = "".join(mod_hash(m) for m in sorted(reach))
+
+        out[name] = hashlib.md5(
+            (body + "\x00" + (spec.oracle or "") + "\x00" + dep_hashes).encode()
+        ).hexdigest()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Correctness history
+# ---------------------------------------------------------------------------
+
+def correctness_rounds() -> list[int]:
+    return sorted(
+        int(m.group(1))
+        for f in os.listdir(REPO)
+        if (m := re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f))
+    )
+
+
+def green_rounds(rounds: list[int] | None = None) -> dict[str, int]:
+    """query -> latest round with a green driver row (hash_match, or
+    rows+schema for oracle-less queries). ``rounds`` restricts which
+    CORRECTNESS files count — the generated order file records the
+    rounds it saw, so the currency test stays reproducible after the
+    driver adds a new round's file."""
+    from distributed_computing_projects_spark.queries import load_registry
+
+    registry = load_registry()
+    out: dict[str, int] = {}
+    for rnd in rounds if rounds is not None else correctness_rounds():
+        f = f"CORRECTNESS_r{rnd:02d}.json"
+        if not os.path.exists(os.path.join(REPO, f)):
+            f = f"CORRECTNESS_r{rnd}.json"
+        rows = json.load(open(os.path.join(REPO, f)))
+        for q, row in rows.items():
+            if q not in registry:
+                continue
+            if registry[q].oracle is None:
+                # rows-only-by-design: the driver records err='no_oracle'
+                # with the produced row count — that IS its green row
+                ok = (row.get("err") in (None, "no_oracle")
+                      and row.get("spark_rows") is not None)
+            else:
+                ok = not row.get("err") and row.get("hash_match")
+            if ok:
+                out[q] = max(out.get(q, 0), rnd)
+    return out
+
+
+def load_snapshots() -> dict[str, dict[str, str]]:
+    if os.path.exists(SNAPSHOT_PATH):
+        return json.load(open(SNAPSHOT_PATH)).get("rounds", {})
+    return {}
+
+
+# ---------------------------------------------------------------------------
+# Ordering
+# ---------------------------------------------------------------------------
+
+def compute_order(
+    rounds: list[int] | None = None,
+) -> tuple[list[str], dict[str, str]]:
+    from distributed_computing_projects_spark.queries import load_registry, REGISTRY
+
+    load_registry()
+    names = list(REGISTRY)  # raw registration order, no front-load applied
+    hashes = query_hashes()
+    greens = green_rounds(rounds)
+    snaps = load_snapshots()
+
+    reasons: dict[str, str] = {}
+
+    def segment(q: str) -> int:
+        g = greens.get(q)
+        if g is None:
+            reasons[q] = "never green"
+            return 0
+        snap = snaps.get(str(g))
+        if snap is not None and q in snap:
+            if snap[q] != hashes[q]:
+                reasons[q] = f"changed since green r{g}"
+                return 1
+        elif q in BOOTSTRAP_FORCE:
+            reasons[q] = f"bootstrap-forced (green r{g} pre-snapshot)"
+            return 1
+        reasons[q] = f"green r{g}"
+        return 2
+
+    segs = {q: segment(q) for q in names}
+    order = sorted(
+        names,
+        key=lambda q: (segs[q], greens.get(q, 0) if segs[q] == 2 else 0,
+                       names.index(q)),
+    )
+    return order, reasons
+
+
+def write_order() -> None:
+    rounds = correctness_rounds()
+    order, reasons = compute_order(rounds)
+    lines = [
+        '"""GENERATED by tools/matrix_rotation.py — do not hand-edit.',
+        "",
+        "Matrix order for the driver's ~50-row correctness matrix:",
+        "queries needing a fresh driver verdict first (never-green, then",
+        "changed-since-last-green), then the rest stalest-first. Regenerate",
+        "with `python tools/matrix_rotation.py order` after code changes;",
+        "tests/test_matrix_rotation.py fails until this file is current.",
+        '"""',
+        "",
+        f"GENERATED_FROM_ROUNDS = {rounds!r}",
+        "",
+        "MATRIX_ORDER = [",
+    ]
+    for q in order:
+        lines.append(f"    {q!r},  # {reasons[q]}")
+    lines.append("]")
+    with open(ORDER_PATH, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {ORDER_PATH} ({len(order)} queries)")
+    n_new = sum(1 for q in order if reasons[q] == "never green")
+    n_chg = sum(1 for q in order if reasons[q].startswith(("changed", "bootstrap")))
+    print(f"segments: {n_new} never-green, {n_chg} changed, "
+          f"{len(order) - n_new - n_chg} stale-rotation")
+
+
+def snapshot(rnd: int) -> None:
+    snaps = load_snapshots()
+    snaps[str(rnd)] = query_hashes()
+    with open(SNAPSHOT_PATH, "w") as f:
+        json.dump({"rounds": snaps}, f, indent=1, sort_keys=True)
+    print(f"snapshotted {len(snaps[str(rnd)])} query hashes as round {rnd}")
+
+
+def main() -> int:
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "order"
+    if cmd == "hash":
+        for q, h in query_hashes().items():
+            print(f"{h}  {q}")
+    elif cmd == "snapshot":
+        snapshot(int(sys.argv[2]))
+    elif cmd == "order":
+        write_order()
+    else:
+        print(__doc__)
+        return 2
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
