@@ -324,10 +324,13 @@ def compute_order(
         return 2
 
     segs = {q: segment(q) for q in names}
+    # tie-break by NAME, not registration index: REGISTRY order depends
+    # on which module a caller happened to import first (e.g. a test
+    # importing queries.extensions directly), and the generated order
+    # must be identical no matter who computes it
     order = sorted(
         names,
-        key=lambda q: (segs[q], greens.get(q, 0) if segs[q] == 2 else 0,
-                       names.index(q)),
+        key=lambda q: (segs[q], greens.get(q, 0) if segs[q] == 2 else 0, q),
     )
     return order, reasons
 
