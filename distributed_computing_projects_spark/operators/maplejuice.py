@@ -168,6 +168,16 @@ def maple_exec(df: DataFrame, cmd: str, line_col: str | None = None) -> DataFram
     partition, not per block), parse ``key,value`` stdout exactly like
     WriteMapleKeys (mp3/src/maplejuice.go:342-355): split on "," keeping
     fields [0] and [1], skip lines with fewer than 2 fields.
+
+    Memory bound: one PARTITION of lines is buffered in the Python
+    worker before exec'ing (see the note in ``run``) — the same bound
+    the reference's per-block exec has, PROVIDED partitions stay
+    block-sized. Inputs read through this engine's sources respect
+    ``spark.sql.files.maxPartitionBytes`` (128 MB default), so the
+    bound holds; if a caller hands a frame with giant partitions
+    (e.g. after a heavy ``coalesce``), ``repartition`` first — there
+    is deliberately no silent chunked-exec fallback because execs may
+    depend on seeing their whole block (per-block dedup/counters).
     """
     col = line_col or _first_string_col(df)
     lines = df.select(F.col(col).alias("_line"))

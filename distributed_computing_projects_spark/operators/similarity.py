@@ -252,27 +252,71 @@ def knn_join(
     )
 
 
+def _write_partitioned_store(
+    emb: DataFrame, path: str, id_col: str, vec_col: str,
+    key_expr: str, key_name: str,
+) -> None:
+    """Materialize (id, v, <key>) hive-partitioned by the ANN key: one
+    directory per key value, assignment computed once at write time.
+    This is the scale path the on-the-fly operators approximate — a
+    probe reads ONLY the probed keys' directories (PartitionFilters),
+    so query cost tracks the probed fraction regardless of corpus
+    size. Write cost: one pass + one hash exchange on the key so each
+    partition directory is written by one task (no small-file spray:
+    one output file per key value, not tasks x keys)."""
+    keyed = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.expr(key_expr).alias(key_name),
+    )
+    keyed.repartition(key_name).write.partitionBy(key_name).mode(
+        "overwrite"
+    ).parquet(path)
+
+
 def write_bucketed(
     emb: DataFrame, path: str, id_col: str, vec_col: str,
     n_planes: int = T.N_PLANES,
 ) -> None:
-    """Materialize the embedding table hive-partitioned by its LSH
-    bucket: one directory per bucket, bucket assignment computed once
-    at write time. This is the scale path the on-the-fly operators
-    approximate — a probe against this store reads ONLY the probed
-    buckets' directories (PartitionFilters), so query cost is
-    ~(probed buckets / 2^n_planes) of the corpus regardless of corpus
-    size. Write cost: one pass + one hash exchange on bucket so each
-    partition directory is written by one task (no small-file spray:
-    2^n_planes output files, not tasks x buckets)."""
-    bucketed = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.expr(T.lsh_bucket(vec_col, "spark", n_planes)).alias("bucket"),
+    """LSH store: hive-partitioned by the ``n_planes``-bit hyperplane
+    bucket (2^n_planes directories); probe with
+    :func:`lsh_topk_bucketed`."""
+    _write_partitioned_store(
+        emb, path, id_col, vec_col,
+        T.lsh_bucket(vec_col, "spark", n_planes), "bucket",
     )
-    bucketed.repartition("bucket").write.partitionBy("bucket").mode(
-        "overwrite"
-    ).parquet(path)
+
+
+def write_ivf(emb: DataFrame, path: str, id_col: str, vec_col: str) -> None:
+    """IVF store: hive-partitioned by coarse-quantizer cell (the
+    inverted lists, N_CENTROIDS directories); probe with
+    :func:`ivf_topk_partitioned`."""
+    _write_partitioned_store(
+        emb, path, id_col, vec_col, ivf_cell_expr(vec_col, "spark"), "cell"
+    )
+
+
+def ivf_topk_partitioned(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int,
+    probes: int = 2,
+) -> DataFrame:
+    """Top-k cosine probe against a :func:`write_ivf` store: the
+    ``probes`` nearest inverted lists become a ``cell IN (...)``
+    partition filter — directory pruning, the scan reads
+    probes/N_CENTROIDS of the corpus."""
+    cells = ivf_cells(query_vec, probes)
+    pruned = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    q = _query_literal(query_vec, "spark")
+    cos = T.cosine(T.dot("v", q, "spark"), T.sq_norm("v", "spark"),
+                   T.sq_norm(q, "spark"))
+    return (
+        pruned.select("id", F.expr(cos).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
 
 
 def lsh_topk_bucketed(

@@ -253,3 +253,25 @@ def test_bucketed_ann_store_partition_prunes(spark, sf_dir, tmp_path):
     assert [(r.id, round(r.cosine, 12)) for r in df.collect()] == [
         (r.id, round(r.cosine, 12)) for r in direct
     ]
+
+
+def test_ivf_store_partition_prunes(spark, sf_dir, tmp_path):
+    """Same contract for the IVF inverted-list store: the probes'
+    cell IN-list must be a PartitionFilter and the probe must equal
+    the on-the-fly ivf_topk."""
+    from distributed_computing_projects_spark.operators import similarity as S
+    from distributed_computing_projects_spark.sources.registry import load_table
+    from distributed_computing_projects_spark.queries.extensions import ANN_QUERY_VEC
+
+    path = str(tmp_path / "emb_ivf")
+    emb = load_table(spark, sf_dir, "embeddings")
+    S.write_ivf(emb, path, "vec_id", "embedding")
+    df = S.ivf_topk_partitioned(spark, path, ANN_QUERY_VEC, 5, probes=2)
+    plan = physical_plan(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("cell" in ln for ln in pf), plan
+    direct = S.ivf_topk(emb, ANN_QUERY_VEC, 5, "vec_id", "embedding",
+                        probes=2).collect()
+    assert [(r.id, round(r.cosine, 12)) for r in df.collect()] == [
+        (r.id, round(r.cosine, 12)) for r in direct
+    ]
