@@ -228,6 +228,37 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+FINE_N_PLANES = 10
+
+
+@query(
+    "dedup_embedding_cosine_fine",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id AS id, embedding AS v,
+             {T.lsh_bucket('embedding', 'duck', FINE_N_PLANES)} AS bucket,
+             {T.sq_norm('embedding', 'duck')} AS nrm
+      FROM embeddings)
+    SELECT a.id AS id_a, b.id AS id_b,
+           {T.cosine(T.dot('a.v', 'b.v', 'duck'), 'a.nrm', 'b.nrm')} AS cosine
+    FROM b a JOIN b b ON a.bucket = b.bucket AND a.id < b.id
+    WHERE {T.cosine(T.dot('a.v', 'b.v', 'duck'), 'a.nrm', 'b.nrm')}
+          >= {COSINE_THRESHOLD}
+    """,
+    doc=f"Embedding near-dup at a NON-DEFAULT plane count "
+        f"({FINE_N_PLANES} planes -> {2**FINE_N_PLANES} buckets): the "
+        "driver-checked proof that the n_planes scale knob produces "
+        "identical bucketing cross-engine at any setting, not just "
+        "the default.",
+)
+def q_dedup_embedding_cosine_fine(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=COSINE_THRESHOLD,
+        n_planes=FINE_N_PLANES,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

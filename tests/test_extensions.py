@@ -180,6 +180,25 @@ def test_query_bucket_matches_column_expression(spark, sf_dir):
         assert S.query_bucket(list(r.embedding)) == r.bucket
 
 
+def test_probe_buckets_enumerates_the_hamming_ball():
+    """The driver-side multi-probe IN-list must be exactly the set of
+    buckets within probe_hamming sign-flips of the query's bucket."""
+    from math import comb
+
+    q = [1.0] + [0.0] * (T.EMBEDDING_DIM - 1)
+    qb = S.query_bucket(q)
+    for h in (0, 1, 2):
+        got = S.probe_buckets(q, h)
+        assert len(got) == len(set(got)) == sum(
+            comb(T.N_PLANES, i) for i in range(h + 1)
+        )
+        assert all(bin(b ^ qb).count("1") <= h for b in got)
+        assert qb in got
+    # non-default plane count stays within range
+    wide = S.probe_buckets(q, 1, n_planes=12)
+    assert len(wide) == 13 and all(0 <= b < 4096 for b in wide)
+
+
 def test_lsh_buckets_nest_as_planes_are_added(spark, sf_dir):
     """Raising n_planes must REFINE the bucketing: the low n bits of
     the (n+m)-plane bucket are the n-plane bucket. This is what makes
