@@ -143,8 +143,16 @@ def q_condorcet_round1(spark, sf_dir):
     # faster with far lower variance at sf0.1/local[32]. Orders hold
     # <= 7 items, so the per-row O(k^2) expansion is constant-bounded.
     li = load_table(spark, sf_dir, "lineitem")
+    # ONE exchange for both aggregates: hash-partitioning by
+    # l_orderkey alone satisfies the clustering of groupBy(l_orderkey,
+    # l_suppkey) AND groupBy(l_orderkey), so the explicit repartition
+    # replaces two narrower exchanges (per-supplier partial rows, then
+    # per-order rows) with a single shuffle of the pruned scan —
+    # half the shuffled bytes, and AQE still coalesces its partitions.
     per_sup = (
-        li.groupBy("l_orderkey", "l_suppkey")
+        li.select("l_orderkey", "l_suppkey", "l_linenumber")
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
         .agg(F.min("l_linenumber").alias("r"))
     )
     # sort_array on struct<s, r> orders by s (distinct per order) —
@@ -259,8 +267,13 @@ def q_condorcet_winner(spark, sf_dir):
     # sf0.001 driver gate caught the divergence (sf0.01 happened to
     # agree on the final winner despite it).
     li = load_table(spark, sf_dir, "lineitem")
-    ranks = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.min("l_linenumber").alias("r")
+    # same single-exchange shape as q_condorcet_round1: partition by
+    # l_orderkey once, both aggregates reuse it
+    ranks = (
+        li.select("l_orderkey", "l_suppkey", "l_linenumber")
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.min("l_linenumber").alias("r"))
     )
     ballots = ranks.groupBy("l_orderkey").agg(
         F.expr(
