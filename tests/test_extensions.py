@@ -65,6 +65,18 @@ def test_exact_jaccard_identical_docs_is_one(spark):
     assert [(r.id_a, r.id_b, r.jaccard) for r in rows] == [(0, 1, 1.0)]
 
 
+def test_ngram_jaccard_candidate_only_path_is_identical(spark, sf_dir):
+    """The scale plan (shingle only candidate docs) must produce the
+    exact same pair set and values as the default."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted((r.id_a, r.id_b, r.jaccard) for r in
+               D.ngram_jaccard_pairs(docs, "doc_id", "text", 0.2).collect())
+    b = sorted((r.id_a, r.id_b, r.jaccard) for r in
+               D.ngram_jaccard_pairs(docs, "doc_id", "text", 0.2,
+                                     candidate_only=True).collect())
+    assert a == b and a
+
+
 def test_simhash_close_texts_close_fingerprints(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta " * 4
     df = _docs(spark, [base, base + "iota", "x0 x1 x2 x3 x4 x5 x6 x7"])
