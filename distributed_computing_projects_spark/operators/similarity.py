@@ -210,6 +210,7 @@ def lsh_topk(
 def knn_join(
     emb: DataFrame, id_col: str, vec_col: str, k: int,
     n_planes: int = T.N_PLANES,
+    persist: bool = True,
 ) -> DataFrame:
     """Top-k nearest neighbours for EVERY vector (id, neighbour_id,
     cosine, rank) — the KNN self-join between the fixed-query top-k
@@ -225,6 +226,12 @@ def knn_join(
     source id with a (cosine desc, neighbour id) total order, so ties
     are deterministic. Two shuffles total at any scale: the bucket
     join and the rank window (the window repartitions by source id).
+
+    ``persist``: the aliased self-join evaluates both sides and
+    exchange reuse does not fire across them (verified: 2 FileScans,
+    0 ReusedExchange) — without caching, the scan and the
+    n_planes x dim bucket/norm float work run twice. Same pattern and
+    opt-out as ``dedup.minhash_lsh_pairs``.
     """
     b = emb.select(
         F.col(id_col).alias("id"),
@@ -232,6 +239,8 @@ def knn_join(
         F.expr(T.lsh_bucket(vec_col, "spark", n_planes)).alias("bucket"),
         F.expr(T.sq_norm(vec_col, "spark")).alias("nrm"),
     )
+    if persist:
+        b = b.persist()
     a, bb = b.alias("a"), b.alias("b")
     cos = T.cosine(T.dot("a.v", "b.v", "spark"), "a.nrm", "b.nrm")
     pairs = (
