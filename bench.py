@@ -41,12 +41,15 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     for name, spec in sorted(headliners.items()):
-        # best of 3: the first run absorbs one-off codegen/JIT compile
-        # of this plan shape, and a single repeat is still exposed to
-        # transient host contention (observed 10-70x spikes on a shared
-        # box); three samples make the minimum a stable throughput read
+        # best of 5 (was 3 through r4): the first run absorbs one-off
+        # codegen/JIT compile of this plan shape, and repeats are still
+        # exposed to transient host contention — r5 observed identical
+        # code swinging 1.7x run-to-run and single queries 4x on the
+        # shared box, so two more samples buy a materially stabler
+        # minimum. Min-of-5 <= min-of-3, so cross-round comparisons
+        # should lean on the per-query values, not the protocol delta.
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             # fairness: operators may persist() intermediates; clearing
             # between runs means the repeat measures real recompute,
             # not a cache read
