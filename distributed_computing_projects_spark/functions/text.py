@@ -110,6 +110,30 @@ def shingles(text: str, n: int, dialect: str) -> str:
     return f"list_transform([{toks}], T -> {body})[1]"
 
 
+def ngrams(text: str, n: int, dialect: str) -> str:
+    """ALL word n-grams of ``text`` (space-joined), duplicates kept —
+    the multiset :func:`shingles` collapses with its ``array_distinct``.
+    Repetition metrics need the multiset: the duplicated-n-gram
+    fraction is 1 - |distinct| / |all|."""
+    _check(dialect)
+    toks = tokens(text, dialect)
+    if dialect == "spark":
+        parts = ", ".join(f"element_at(T, i + {k})" for k in range(n))
+        gram = f"transform(sequence(1, size(T) - {n - 1}), i -> concat_ws(' ', {parts}))"
+        body = (
+            f"CASE WHEN size(T) >= {n} THEN {gram} "
+            f"ELSE CAST(array() AS array<string>) END"
+        )
+        return f"transform(array({toks}), T -> {body})[0]"
+    parts = ", ".join(f"T[i + {k}]" for k in range(n))
+    gram = f"list_transform(range(1, len(T) - {n - 2}), i -> concat_ws(' ', {parts}))"
+    body = (
+        f"CASE WHEN len(T) >= {n} THEN {gram} "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+    return f"list_transform([{toks}], T -> {body})[1]"
+
+
 def bpe_tokens(text: str, dialect: str) -> str:
     """BPE-ish pre-tokenization (GPT-2-style split classes: contraction
     suffixes, letter runs, digit runs, punctuation runs, with leading

@@ -175,3 +175,68 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return out.select(
         "doc_id", red.alias("redacted_text"), *counts
     )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Intra-document repetition signals (the Gopher/MassiveText-style
+    repetition filters: Rae et al. '21 §A1.1): for each doc,
+
+    - ``n_tokens``             total whitespace tokens;
+    - ``distinct_token_ratio`` |distinct tokens| / n_tokens;
+    - ``dup_bigram_frac``      1 - |distinct 2-grams| / |all 2-grams|
+      (0.0 when the doc has fewer than 2 tokens);
+    - ``top_token_frac``       occurrences of the most frequent token
+      / n_tokens.
+
+    Heavily repeated machine-generated text scores low on the ratios
+    and high on the fractions; pipelines threshold these before
+    training. The reference has no text analytics beyond grep/wordcount
+    (mp3/src/maple/wordcount.go) — this is BASELINE.json extension
+    surface.
+
+    Shape: the array ratios are narrow codegen projections
+    (size/array_distinct — no shuffle); only ``top_token_frac`` needs
+    token counts, done explode -> two hash aggregates (same
+    one-row-per-doc-per-token shape as ``minhash_signatures``, partial
+    aggregation finishes each doc map-side). Two shuffles total at any
+    scale, each carrying counts, never text. Token-less docs produce no
+    explode rows and are excluded (same rule as the signature
+    operators; the oracle filters identically).
+    """
+    toks = T.tokens(text_col, "spark")
+    grams = T.ngrams(text_col, 2, "spark")
+    narrow = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.expr(toks)).alias("tok"),
+        F.expr(
+            f"CASE WHEN size({grams}) > 0 THEN"
+            f" 1.0d - CAST(size(array_distinct({grams})) AS DOUBLE)"
+            f" / CAST(size({grams}) AS DOUBLE) ELSE 0.0d END"
+        ).alias("dup_bigram_frac"),
+    )
+    per_tok = narrow.groupBy("id", "tok").agg(
+        F.count("*").alias("c"),
+        F.first("dup_bigram_frac").alias("dbf"),
+    )
+    return (
+        per_tok.groupBy("id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_c"),
+            F.first("dbf").alias("dup_bigram_frac"),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            F.round(
+                F.col("n_distinct").cast("double")
+                / F.col("n_tokens").cast("double"), 4
+            ).alias("distinct_token_ratio"),
+            F.round(F.col("dup_bigram_frac"), 4).alias("dup_bigram_frac"),
+            F.round(
+                F.col("top_c").cast("double")
+                / F.col("n_tokens").cast("double"), 4
+            ).alias("top_token_frac"),
+        )
+    )

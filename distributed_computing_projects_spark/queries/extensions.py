@@ -1275,3 +1275,83 @@ def q_corpus_quality_gate(spark, sf_dir):
         F.sum(F.when(passed, 1).otherwise(0)).cast("bigint").alias("n_pass"),
         F.count("*").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition filters & incremental dedup (round 5)
+# ---------------------------------------------------------------------------
+
+_GRAMS2_D = T.ngrams("text", 2, "duck")
+INCR_BATCH_SOURCE = "src0"
+
+# Same band projection as _BAND_SELECTS, with the source column riding
+# along so the oracle can split batch vs corpus after banding.
+_BAND_SELECTS_SRC = " UNION ALL ".join(
+    f"SELECT id, source, sig, {b} AS band, concat_ws(',', "
+    + ", ".join(f"sig[{b * T.ROWS_PER_BAND + r + 1}]" for r in range(T.ROWS_PER_BAND))
+    + ") AS key FROM sigs"
+    for b in range(T.N_BANDS)
+)
+
+
+@query(
+    "repetition_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             CASE WHEN len({_GRAMS2_D}) > 0 THEN
+               round(1.0 - CAST(len(list_distinct({_GRAMS2_D})) AS DOUBLE)
+                     / CAST(len({_GRAMS2_D}) AS DOUBLE), 4)
+             ELSE 0.0 END AS dup_bigram_frac,
+             unnest({_TOKS_D}) AS tok
+      FROM documents),
+    per_tok AS (
+      SELECT id, tok, count(*) AS c, min(dup_bigram_frac) AS dbf
+      FROM toks GROUP BY id, tok)
+    SELECT id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4)
+             AS distinct_token_ratio,
+           min(dbf) AS dup_bigram_frac,
+           round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4)
+             AS top_token_frac
+    FROM per_tok GROUP BY id
+    """,
+    doc="Per-doc repetition filters (Gopher-style): distinct-token "
+        "ratio, duplicated-bigram fraction, top-token fraction. Array "
+        "ratios are narrow codegen; top-token needs explode + two hash "
+        "aggregates (counts only ever cross the shuffle).",
+)
+def q_repetition_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return X.repetition_stats(docs, "doc_id", "text")
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH hashed AS (SELECT doc_id AS id, source, {_HASHES_D} AS hs FROM documents),
+    sigs AS (SELECT id, source, [{_SIG_D}] AS sig FROM hashed WHERE len(hs) >= 1),
+    bands AS ({_BAND_SELECTS_SRC}),
+    cand AS (
+      SELECT DISTINCT a.id AS new_id, b.id AS corpus_id,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key
+       AND a.source = '{INCR_BATCH_SOURCE}' AND b.source <> '{INCR_BATCH_SOURCE}')
+    SELECT new_id, corpus_id, ({_N_EQ_D}) / {float(T.N_PERMS)} AS est_jaccard
+    FROM cand
+    WHERE ({_N_EQ_D}) / {float(T.N_PERMS)} >= {MINHASH_THRESHOLD}
+    """,
+    doc="Incremental dedup: MinHash-banded equi-join of a NEW ingest "
+        "batch (one source) against the EXISTING corpus (the rest) — "
+        "the day-2 pipeline shape; batch side broadcasts under AQE, "
+        "the corpus never self-joins.",
+)
+def q_dedup_incremental(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    new_batch = docs.filter(F.col("source") == INCR_BATCH_SOURCE)
+    corpus = docs.filter(F.col("source") != INCR_BATCH_SOURCE)
+    return D.lsh_incremental_pairs(
+        new_batch, corpus, "doc_id", "text", threshold=MINHASH_THRESHOLD
+    )

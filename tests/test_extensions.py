@@ -459,3 +459,49 @@ def test_corpus_payloads_are_ascii(spark, sf_dir):
         "octet_length(encode(text, 'UTF-8')) <> char_length(text)"
     ).count()
     assert n == 0
+
+
+def test_repetition_stats_closed_form(spark):
+    df = _docs(spark, [
+        "a a a a",          # 4 tokens, 1 distinct, 3 bigrams all "a a"
+        "w x y z",          # all distinct, 3 distinct bigrams
+        "",                 # token-less: excluded
+    ])
+    out = {r.id: r for r in
+           X.repetition_stats(df, "doc_id", "text").collect()}
+    assert set(out) == {0, 1}
+    r0 = out[0]
+    assert r0.n_tokens == 4
+    assert r0.distinct_token_ratio == 0.25
+    assert r0.dup_bigram_frac == round(1 - 1 / 3, 4)
+    assert r0.top_token_frac == 1.0
+    r1 = out[1]
+    assert r1.n_tokens == 4
+    assert r1.distinct_token_ratio == 1.0
+    assert r1.dup_bigram_frac == 0.0
+    assert r1.top_token_frac == 0.25
+
+
+def test_lsh_incremental_finds_cross_corpus_duplicates(spark):
+    text = "one two three four five six seven eight"
+    new = _docs(spark, [text, "completely unrelated fresh material today"])
+    corpus = spark.createDataFrame(
+        [Row(doc_id=100, text=text),
+         Row(doc_id=101, text="other existing corpus document words")]
+    )
+    out = D.lsh_incremental_pairs(new, corpus, "doc_id", "text",
+                                  threshold=0.5).collect()
+    # identical doc collides with est_jaccard 1.0; nothing else pairs
+    assert [(r.new_id, r.corpus_id, r.est_jaccard) for r in out] == [
+        (0, 100, 1.0)
+    ]
+
+
+def test_lsh_incremental_is_equi_join(spark, sf_dir):
+    from distributed_computing_projects_spark.plans.inspect import (
+        assert_no_cartesian,
+    )
+    from distributed_computing_projects_spark.queries import load_registry
+    assert_no_cartesian(
+        load_registry()["dedup_incremental"].fn(spark, sf_dir)
+    )
