@@ -1350,8 +1350,8 @@ def q_repetition_stats(spark, sf_dir):
 )
 def q_dedup_incremental(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    new_batch = docs.filter(F.col("source") == INCR_BATCH_SOURCE)
-    corpus = docs.filter(F.col("source") != INCR_BATCH_SOURCE)
-    return D.lsh_incremental_pairs(
-        new_batch, corpus, "doc_id", "text", threshold=MINHASH_THRESHOLD
+    return D.lsh_incremental_pairs_single_scan(
+        docs, "doc_id", "text",
+        F.col("source") == INCR_BATCH_SOURCE,
+        threshold=MINHASH_THRESHOLD,
     )

@@ -505,3 +505,25 @@ def test_lsh_incremental_is_equi_join(spark, sf_dir):
     assert_no_cartesian(
         load_registry()["dedup_incremental"].fn(spark, sf_dir)
     )
+
+
+def test_lsh_incremental_single_scan_matches_two_frame(spark):
+    rows = [
+        Row(doc_id=i, text=t, src=("new" if i < 2 else "old"))
+        for i, t in enumerate([
+            "one two three four five six",
+            "alpha beta gamma delta epsilon zeta",
+            "one two three four five six",
+            "alpha beta gamma delta epsilon eta",
+            "totally different corpus doc here",
+        ])
+    ]
+    df = spark.createDataFrame(rows)
+    two = D.lsh_incremental_pairs(
+        df.filter(F.col("src") == "new"), df.filter(F.col("src") == "old"),
+        "doc_id", "text", threshold=0.0,
+    )
+    one = D.lsh_incremental_pairs_single_scan(
+        df, "doc_id", "text", F.col("src") == "new", threshold=0.0,
+    )
+    assert sorted(map(tuple, two.collect())) == sorted(map(tuple, one.collect()))
