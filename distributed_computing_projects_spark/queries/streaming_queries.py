@@ -25,7 +25,9 @@ from pyspark.sql import functions as F
 
 from distributed_computing_projects_spark.queries import query
 from distributed_computing_projects_spark.streaming.windows import (
+    EVENT_CATEGORIES,
     dedup_within_watermark,
+    enrich_with_static,
     interval_join_clicks_purchases,
     read_events_stream,
     run_to_memory_sink,
@@ -303,3 +305,40 @@ def q_streaming_click_purchase_join(spark, sf_dir):
     with _state_partitions(spark):
         run_to_memory_sink(joined, "q_stream_cp_join", "append")
     return spark.table("q_stream_cp_join")
+
+
+def _event_categories_values_sql() -> str:
+    rows = ", ".join(f"('{t}', '{c}')" for t, c in EVENT_CATEGORIES)
+    return f"(VALUES {rows}) AS dim(event_type, category)"
+
+
+@query(
+    "streaming_enriched_category_totals",
+    oracle=f"""
+    SELECT dim.category, count(*) AS n, {_SUM_VALUE} AS total_value
+    FROM events JOIN {_event_categories_values_sql()}
+      ON events.event_type = dim.event_type
+    GROUP BY dim.category
+    """,
+    doc="Stream-static enrichment: events stream inner-joined to a "
+        "static event-type dimension (explicit broadcast — stateless, "
+        "no state store), then a per-category complete-mode aggregate. "
+        "Oracle is the identical batch join over a VALUES dimension.",
+)
+def q_streaming_enriched_category_totals(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    dim = spark.createDataFrame(
+        EVENT_CATEGORIES, "event_type string, category string"
+    )
+    agg = (
+        enrich_with_static(stream, dim)
+        .groupBy("category")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(25,2)")).cast("double")
+            .alias("total_value"),
+        )
+    )
+    with _state_partitions(spark):
+        run_to_memory_sink(agg, "q_stream_enriched", "complete")
+    return spark.table("q_stream_enriched")

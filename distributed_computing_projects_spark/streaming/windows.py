@@ -83,6 +83,28 @@ def tumbling_counts(
     )
 
 
+# Static event-type dimension for the stream-static enrichment join.
+# One (event_type, category) row per type the generator emits; a real
+# pipeline would load this from a catalog table.
+EVENT_CATEGORIES: list[tuple[str, str]] = [
+    ("click", "engagement"),
+    ("view", "engagement"),
+    ("purchase", "conversion"),
+    ("signup", "conversion"),
+    ("error", "ops"),
+]
+
+
+def enrich_with_static(stream: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static inner join: enrich each streamed event with a
+    static dimension row. Stateless — no watermark, no state store;
+    the static side is re-planned each micro-batch and explicitly
+    broadcast (a few rows of dimension data vs an unbounded stream:
+    broadcast is the only sane side at any scale). The canonical
+    lookup-table enrichment shape."""
+    return stream.join(F.broadcast(dim), "event_type", "inner")
+
+
 def sliding_counts(
     events: DataFrame,
     width: str = "1 hour",

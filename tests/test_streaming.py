@@ -184,3 +184,25 @@ def test_running_user_totals_with_state_ttl_matches_on_bounded_replay(
     assert {u: v[0] for u, v in got.items()} == {u: v[0] for u, v in want.items()}
     for u in want:
         assert got[u][1] == pytest.approx(want[u][1])
+
+
+def test_enrich_with_static_stream_matches_batch(spark, sf_dir):
+    from distributed_computing_projects_spark.streaming.windows import (
+        EVENT_CATEGORIES,
+        enrich_with_static,
+    )
+
+    dim = spark.createDataFrame(
+        EVENT_CATEGORIES, "event_type string, category string"
+    )
+    stream = enrich_with_static(read_events_stream(spark, sf_dir), dim)
+    assert stream.isStreaming
+    agg = stream.groupBy("category").agg(F.count("*").alias("n"))
+    run_to_memory_sink(agg, "t_enriched")
+    got = _sorted_rows(spark.table("t_enriched"), "category")
+    want = _sorted_rows(
+        enrich_with_static(load_table(spark, sf_dir, "events"), dim)
+        .groupBy("category").agg(F.count("*").alias("n")),
+        "category",
+    )
+    assert got == want and len(got) == 3
