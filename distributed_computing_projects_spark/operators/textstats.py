@@ -240,3 +240,33 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).alias("top_token_frac"),
         )
     )
+
+
+def boilerplate_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5,
+    min_docs: int = 2, top: int = 200,
+) -> DataFrame:
+    """Cross-document repeated spans: the ``top`` word ``n``-grams that
+    appear in at least ``min_docs`` DISTINCT documents, with their
+    document frequencies — the corpus-level boilerplate signal
+    (headers, footers, license blocks, templated spam) that per-doc
+    repetition stats cannot see. Pipelines strip or down-weight these
+    spans before training (cf. the duplicated-substring analyses of
+    Lee et al. '21).
+
+    Shape: per-doc DISTINCT shingles (so a span repeated inside one
+    doc counts that doc once) -> explode -> one hash aggregate keyed
+    by the gram (partial aggregation collapses within-partition
+    repeats map-side) -> TakeOrderedAndProject for the top slice (no
+    global sort). One shuffle of (gram, count) rows at any scale.
+    Ties are broken by the gram itself, so the slice is deterministic.
+    """
+    sh = T.shingles(text_col, n, "spark")
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.expr(sh)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), F.asc("ngram"))
+        .limit(top)
+    )

@@ -1355,3 +1355,32 @@ def q_dedup_incremental(spark, sf_dir):
         F.col("source") == INCR_BATCH_SOURCE,
         threshold=MINHASH_THRESHOLD,
     )
+
+
+BOILERPLATE_N = 5
+BOILERPLATE_MIN_DOCS = 2
+BOILERPLATE_TOP = 200
+
+
+@query(
+    "boilerplate_ngrams",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id AS id, unnest({T.shingles("text", 5, "duck")}) AS ngram
+      FROM documents),
+    df AS (
+      SELECT ngram, count(*) AS n_docs FROM grams GROUP BY ngram
+      HAVING count(*) >= {BOILERPLATE_MIN_DOCS})
+    SELECT ngram, n_docs FROM df
+    ORDER BY n_docs DESC, ngram ASC LIMIT {BOILERPLATE_TOP}
+    """,
+    doc="Corpus-level boilerplate spans: top word 5-grams by DISTINCT "
+        "document frequency (per-doc-distinct shingles -> explode -> "
+        "one hash aggregate -> TakeOrderedAndProject).",
+)
+def q_boilerplate_ngrams(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return X.boilerplate_ngrams(
+        docs, "doc_id", "text",
+        n=BOILERPLATE_N, min_docs=BOILERPLATE_MIN_DOCS, top=BOILERPLATE_TOP,
+    )

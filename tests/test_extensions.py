@@ -527,3 +527,15 @@ def test_lsh_incremental_single_scan_matches_two_frame(spark):
         df, "doc_id", "text", F.col("src") == "new", threshold=0.0,
     )
     assert sorted(map(tuple, two.collect())) == sorted(map(tuple, one.collect()))
+
+
+def test_boilerplate_ngrams_counts_docs_once(spark):
+    df = _docs(spark, [
+        "a b c d e a b c d e",   # span repeated WITHIN one doc
+        "a b c d e x y z w q",   # same span in a second doc
+        "p q r s t u v w x y",
+    ])
+    out = X.boilerplate_ngrams(df, "doc_id", "text", n=5, min_docs=2, top=10)
+    rows = {r.ngram: r.n_docs for r in out.collect()}
+    # "a b c d e" appears in docs 0 and 1; within-doc repeat counts once
+    assert rows == {"a b c d e": 2}
