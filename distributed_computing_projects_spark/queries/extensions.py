@@ -1329,6 +1329,7 @@ def q_repetition_stats(spark, sf_dir):
 
 @query(
     "dedup_incremental",
+    headline=True,
     oracle=f"""
     WITH hashed AS (SELECT doc_id AS id, source, {_HASHES_D} AS hs FROM documents),
     sigs AS (SELECT id, source, [{_SIG_D}] AS sig FROM hashed WHERE len(hs) >= 1),
