@@ -177,3 +177,57 @@ def test_chunking_reconstructs_documents(spark, texts, chunk, overlap_frac):
             if overlap and len(t1) == chunk:
                 assert t1[step:] == t2[: len(t1[step:])]
         assert got == want
+
+
+@given(texts=st.lists(TEXT, min_size=1, max_size=6))
+@PROP
+def test_repetition_stats_invariants(spark, texts):
+    """Closed-form cross-checks against Python on arbitrary word
+    streams: exact token counts, ratio bounds, and the dup-bigram
+    fraction identity 1 - distinct/all."""
+    from distributed_computing_projects_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame([Row(doc_id=i, text=t)
+                                for i, t in enumerate(texts)])
+    out = {r.id: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        if not toks:
+            assert i not in out
+            continue
+        r = out[i]
+        assert r.n_tokens == len(toks)
+        assert r.distinct_token_ratio == round(len(set(toks)) / len(toks), 4)
+        grams = [" ".join(toks[j:j + 2]) for j in range(len(toks) - 1)]
+        want = round(1 - len(set(grams)) / len(grams), 4) if grams else 0.0
+        assert r.dup_bigram_frac == want
+        top = max(toks.count(w) for w in set(toks))
+        assert r.top_token_frac == round(top / len(toks), 4)
+
+
+@given(texts=st.lists(TEXT, min_size=2, max_size=6))
+@PROP
+def test_incremental_pairs_subset_of_self_join_pairs(spark, texts):
+    """Every (new, corpus) incremental pair must appear in the corpus-
+    wide self-join at the same threshold (as an unordered id pair) —
+    incremental dedup is a restriction, never a new candidate source."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t, src="new" if i % 2 == 0 else "old")
+         for i, t in enumerate(texts)]
+    )
+    full = {
+        frozenset((r.id_a, r.id_b))
+        for r in D.minhash_lsh_pairs(df, "doc_id", "text",
+                                     threshold=0.0).collect()
+    }
+    incr = {
+        frozenset((r.new_id, r.corpus_id))
+        for r in D.lsh_incremental_pairs_single_scan(
+            df, "doc_id", "text", F.col("src") == "new", threshold=0.0
+        ).collect()
+    }
+    assert incr <= full
