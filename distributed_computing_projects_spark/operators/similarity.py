@@ -61,6 +61,21 @@ def brute_force_topk(
     )
 
 
+def suggest_n_planes(n_rows: int, target_bucket_size: int = 1024) -> int:
+    """The documented sizing rule as code: the plane count that keeps
+    expected bucket occupancy at ``target_bucket_size`` for an
+    ``n_rows`` corpus — ceil(log2(n_rows / target_bucket_size)),
+    floored at 1. Within-bucket self-join work is then
+    ~n_rows * target_bucket_size regardless of corpus size (linear,
+    not quadratic). Plane p depends only on p, so re-sizing on a grown
+    corpus REFINES the existing bucketing rather than reshuffling it."""
+    import math
+
+    if n_rows <= target_bucket_size:
+        return 1
+    return max(1, math.ceil(math.log2(n_rows / target_bucket_size)))
+
+
 def query_bucket(query_vec: list[float], n_planes: int = T.N_PLANES) -> int:
     """Driver-side bucket of the query vector (same sign-bit formula as
     the column expression; plain Python floats are IEEE doubles)."""

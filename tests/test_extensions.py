@@ -539,3 +539,14 @@ def test_boilerplate_ngrams_counts_docs_once(spark):
     rows = {r.ngram: r.n_docs for r in out.collect()}
     # "a b c d e" appears in docs 0 and 1; within-doc repeat counts once
     assert rows == {"a b c d e": 2}
+
+
+def test_suggest_n_planes_sizing_rule():
+    # at or below target occupancy: 1 plane minimum
+    assert S.suggest_n_planes(1000, 1024) == 1
+    # 2^17 buckets keeps 10^8-row corpora at ~1k/bucket (docstring example)
+    assert S.suggest_n_planes(10**8, 1024) == 17
+    assert S.suggest_n_planes(10**9, 1024) == 20
+    # occupancy is bounded by target as N doubles: +1 plane per doubling
+    assert (S.suggest_n_planes(2 * 10**8, 1024)
+            == S.suggest_n_planes(10**8, 1024) + 1)
