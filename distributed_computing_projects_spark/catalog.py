@@ -35,7 +35,17 @@ class Catalog:
             raise ValueError(f"invalid dataset name: {name!r}")
         return os.path.join(self.root, name)
 
-    def put(self, name: str, df: DataFrame, mode: str = "error") -> str:
+    # Dataset formats. The reference's SDFS stores raw bytes and is
+    # format-blind (mp3/src/sdfs.go:108-178); here a dataset remembers
+    # its format on disk (part-file extensions) so ``get`` needs no
+    # side metadata. parquet is the default (columnar, pushdown); orc
+    # is the other splittable columnar option; json = JSONL
+    # interchange (line-oriented like every reference record, schema
+    # re-inferred on read unless the caller supplies one).
+    FORMATS = ("parquet", "orc", "json")
+
+    def put(self, name: str, df: DataFrame, mode: str = "error",
+            fmt: str = "parquet") -> str:
         """Write a DataFrame as the named dataset (atomic commit).
 
         ≅ reference ``put localfilename sdfsfilename``. The reference takes
@@ -47,6 +57,8 @@ class Catalog:
             raise ValueError(
                 f"mode must be 'error', 'ignore' or 'overwrite', got {mode!r}"
             )
+        if fmt not in self.FORMATS:
+            raise ValueError(f"fmt must be one of {self.FORMATS}, got {fmt!r}")
         dest = self._path(name)
         if os.path.exists(dest):
             if mode == "error":
@@ -54,11 +66,20 @@ class Catalog:
             if mode == "ignore":
                 return dest
         tmp = os.path.join(self.root, f".tmp-{name}-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(tmp)
+        df.write.mode("overwrite").format(fmt).save(tmp)
         if os.path.exists(dest):
             shutil.rmtree(dest)
         os.rename(tmp, dest)
         return dest
+
+    def _detect_fmt(self, path: str) -> str:
+        for f in os.listdir(path):
+            if f.startswith(("_", ".")):
+                continue
+            for fmt in self.FORMATS:
+                if f.endswith(f".{fmt}") or f".{fmt}." in f:
+                    return fmt
+        return "parquet"
 
     def put_partitioned(
         self, name: str, df: DataFrame, partition_cols: list[str]
@@ -130,11 +151,13 @@ class Catalog:
         return self.spark.table(self._bucketed_table(name))
 
     def get(self, name: str) -> DataFrame:
-        """≅ reference ``get sdfsfilename localfilename``."""
+        """≅ reference ``get sdfsfilename localfilename``. The storage
+        format is detected from the part-file extensions, so callers
+        stay format-agnostic."""
         path = self._path(name)
         if not os.path.exists(path):
             raise FileNotFoundError(name)
-        return self.spark.read.parquet(path)
+        return self.spark.read.format(self._detect_fmt(path)).load(path)
 
     def ls(self, name: str) -> list[dict]:
         """Per-file layout of a dataset (≅ ``ls`` replica listing,

@@ -46,3 +46,35 @@ def test_put_rejects_unknown_mode(spark, sf_dir, tmp_path):
     except ValueError:
         raised = True
     assert raised
+
+
+def test_put_get_roundtrip_every_format(spark, sf_dir, tmp_path):
+    """Format is remembered on disk (part-file extensions); get() is
+    format-agnostic and rows round-trip exactly in all formats."""
+    from pyspark.sql import functions as F
+
+    cat = Catalog(spark, str(tmp_path / "cat4"))
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    want = sorted(map(tuple, nation.collect()))
+    for fmt in Catalog.FORMATS:
+        cat.put(f"nation_{fmt}", nation, fmt=fmt)
+        got = cat.get(f"nation_{fmt}")
+        # JSON re-infers types; compare on a stable cast
+        got = got.select(
+            F.col("n_nationkey").cast("bigint"), "n_name",
+            F.col("n_regionkey").cast("bigint"),
+        )
+        assert sorted(map(tuple, got.collect())) == want
+
+
+def test_put_rejects_unknown_format(spark, sf_dir, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "cat5"))
+    nation = load_table(spark, sf_dir, "nation")
+    try:
+        cat.put("nation", nation, fmt="avro")
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
