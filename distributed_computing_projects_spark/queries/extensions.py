@@ -1385,3 +1385,88 @@ def q_boilerplate_ngrams(spark, sf_dir):
         docs, "doc_id", "text",
         n=BOILERPLATE_N, min_docs=BOILERPLATE_MIN_DOCS, top=BOILERPLATE_TOP,
     )
+
+
+@query(
+    "training_corpus_summary",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, text, lang, source,
+             len({_TOKS_D}) AS n_tokens,
+             CAST(len(list_distinct({_TOKS_D})) AS DOUBLE)
+               / CAST(len({_TOKS_D}) AS DOUBLE) AS distinct_ratio,
+             {X.lang_pred(_TOKS_D, 'duck')} AS pred_lang
+      FROM documents),
+    gated AS (
+      SELECT doc_id, text, source FROM scored
+      WHERE n_tokens >= {GATE_MIN_TOKENS}
+        AND distinct_ratio >= {GATE_MIN_DISTINCT}
+        AND pred_lang = lang),
+    survivors AS (
+      SELECT doc_id, text, source FROM gated
+      QUALIFY doc_id = min(doc_id)
+        OVER (PARTITION BY {D.NORM_TEXT_DUCK.format(col='text')})),
+    toks AS (
+      SELECT doc_id, source, {_TOKS_D} AS t, len({_TOKS_D}) AS n
+      FROM survivors WHERE len({_TOKS_D}) > 0),
+    starts AS (
+      SELECT doc_id, source, n,
+             unnest(generate_series(0, n - 1, {_CHUNK_STEP})) AS start
+      FROM toks)
+    SELECT source,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_chunks,
+           CAST(sum(least({CHUNK_TOKENS}, n - start)) AS BIGINT)
+             AS total_chunk_tokens
+    FROM starts GROUP BY source
+    """,
+    doc="END-TO-END pipeline composition: quality gate (min tokens / "
+        "distinct ratio / language-ID agreement) -> exact-dedup "
+        "survivors (window-min over the normalized-text hash, one "
+        "shuffle) -> overlapping token chunking (narrow flatMap) -> "
+        "per-source training-readiness stats. One query from raw "
+        "corpus to chunk counts, all stages the same operators the "
+        "standalone queries test.",
+)
+def q_training_corpus_summary(spark, sf_dir):
+    from distributed_computing_projects_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text", "spark")
+    gated = docs.select(
+        "doc_id", "text", "source",
+        F.expr(f"size({toks})").alias("n_tokens"),
+        F.expr(
+            f"CAST(size(array_distinct({toks})) AS DOUBLE)"
+            f" / CAST(size({toks}) AS DOUBLE)"
+        ).alias("distinct_ratio"),
+        F.expr(X.lang_pred(toks, "spark")).alias("pred_lang"),
+        "lang",
+    ).filter(
+        (F.col("n_tokens") >= GATE_MIN_TOKENS)
+        & (F.col("distinct_ratio") >= GATE_MIN_DISTINCT)
+        & (F.col("pred_lang") == F.col("lang"))
+    )
+    w = Window.partitionBy(
+        F.expr(D.NORM_TEXT_SPARK.format(col="text"))
+    )
+    survivors = (
+        gated.withColumn("_keep", F.col("doc_id") == F.min("doc_id").over(w))
+        .filter(F.col("_keep"))
+        .select("doc_id", "text", "source")
+    )
+    chunks = chunk_documents(
+        survivors, "doc_id", "text", CHUNK_TOKENS, CHUNK_OVERLAP
+    )
+    src = survivors.select("doc_id", "source")
+    return (
+        chunks.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tokens").alias("total_chunk_tokens"),
+        )
+    )
