@@ -34,9 +34,12 @@ def chunk_documents(
     text_col: str,
     chunk_tokens: int,
     overlap_tokens: int = 0,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """DataFrame[doc_id, chunk_id, start_token, n_tokens, chunk_text]:
-    overlapping fixed-token windows over each document."""
+    """DataFrame[doc_id, chunk_id, start_token, n_tokens, chunk_text
+    (+ carry...)]: overlapping fixed-token windows over each document.
+    ``carry`` columns (e.g. source/lang) pass through to every chunk
+    row — still a narrow flatMap, no join needed for provenance."""
     if chunk_tokens <= 0:
         raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
     if not 0 <= overlap_tokens < chunk_tokens:
@@ -49,18 +52,21 @@ def chunk_documents(
     return (
         df.select(
             F.col(id_col).alias("doc_id"),
+            *[F.col(c) for c in carry],
             F.expr(toks).alias("_t"),
         )
         .withColumn("_n", F.size("_t"))
         .filter(F.col("_n") > 0)
         .select(
             "doc_id",
+            *carry,
             "_t",
             "_n",
             F.explode(F.expr(f"sequence(0, _n - 1, {step})")).alias("_start"),
         )
         .select(
             "doc_id",
+            *carry,
             (F.col("_start") / step).cast("bigint").alias("chunk_id"),
             F.col("_start").cast("bigint").alias("start_token"),
             F.least(F.lit(chunk_tokens), F.col("_n") - F.col("_start"))

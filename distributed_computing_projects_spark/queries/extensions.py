@@ -1457,13 +1457,14 @@ def q_training_corpus_summary(spark, sf_dir):
         .filter(F.col("_keep"))
         .select("doc_id", "text", "source")
     )
+    # source rides through the narrow chunker (carry=), so no join
+    # back and the corpus is scanned exactly once
     chunks = chunk_documents(
-        survivors, "doc_id", "text", CHUNK_TOKENS, CHUNK_OVERLAP
+        survivors, "doc_id", "text", CHUNK_TOKENS, CHUNK_OVERLAP,
+        carry=("source",),
     )
-    src = survivors.select("doc_id", "source")
     return (
-        chunks.join(src, "doc_id")
-        .groupBy("source")
+        chunks.groupBy("source")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
             F.count("*").alias("n_chunks"),
