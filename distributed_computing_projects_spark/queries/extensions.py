@@ -1389,6 +1389,7 @@ def q_boilerplate_ngrams(spark, sf_dir):
 
 @query(
     "training_corpus_summary",
+    headline=True,
     oracle=f"""
     WITH scored AS (
       SELECT doc_id, text, lang, source,
