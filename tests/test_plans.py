@@ -275,3 +275,17 @@ def test_ivf_store_partition_prunes(spark, sf_dir, tmp_path):
     assert [(r.id, round(r.cosine, 12)) for r in df.collect()] == [
         (r.id, round(r.cosine, 12)) for r in direct
     ]
+
+
+def test_pipeline_summary_is_single_scan_no_join(spark, sf_dir, registry):
+    """The end-to-end gate->dedup->chunk pipeline must read the corpus
+    exactly once: provenance rides through the narrow chunker (carry=),
+    so there is no join back and no second FileScan."""
+    df = registry["training_corpus_summary"].fn(spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = physical_plan(df)
+    # formatted mode prints each node in the tree AND the details
+    # section; count the numbered detail entries (one per scan node)
+    import re
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    assert len(scans) == 1, plan
