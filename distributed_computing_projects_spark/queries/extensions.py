@@ -1472,3 +1472,50 @@ def q_training_corpus_summary(spark, sf_dir):
             F.sum("n_tokens").alias("total_chunk_tokens"),
         )
     )
+
+
+@query(
+    "lsh_bucket_label_purity",
+    oracle=f"""
+    WITH b AS (
+      SELECT label, {T.lsh_bucket('embedding', 'duck')} AS bucket
+      FROM embeddings),
+    counts AS (
+      SELECT bucket, label, count(*) AS n FROM b GROUP BY bucket, label),
+    ranked AS (
+      SELECT bucket, label, n,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY n DESC, label ASC) AS rn,
+             CAST(sum(n) OVER (PARTITION BY bucket) AS BIGINT) AS n_vecs
+      FROM counts)
+    SELECT bucket, n_vecs, label AS top_label, n AS top_label_n
+    FROM ranked WHERE rn = 1
+    """,
+    doc="ANN diagnostic over the labeled embeddings: per hyperplane-LSH "
+        "bucket, its size and majority label (ties to the smaller "
+        "label) — measures whether the bucketing preserves label "
+        "locality. Integer-only output, so cross-engine exact; one "
+        "aggregation + one window, both on (bucket,label) counts.",
+)
+def q_lsh_bucket_label_purity(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    counts = (
+        emb.select(
+            "label",
+            F.expr(T.lsh_bucket("embedding", "spark")).alias("bucket"),
+        )
+        .groupBy("bucket", "label")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("bucket")
+    ranked = counts.select(
+        "bucket", "label", "n",
+        F.row_number().over(
+            Window.partitionBy("bucket").orderBy(F.desc("n"), F.asc("label"))
+        ).alias("rn"),
+        F.sum("n").over(w).alias("n_vecs"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "bucket", "n_vecs", F.col("label").alias("top_label"),
+        F.col("n").alias("top_label_n"),
+    )
