@@ -1519,3 +1519,76 @@ def q_lsh_bucket_label_purity(spark, sf_dir):
         "bucket", "n_vecs", F.col("label").alias("top_label"),
         F.col("n").alias("top_label_n"),
     )
+
+
+@query(
+    "knn_label_accuracy",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id AS id, embedding AS v, label,
+             {T.lsh_bucket('embedding', 'duck')} AS bucket,
+             {T.sq_norm('embedding', 'duck')} AS nrm
+      FROM embeddings),
+    pairs AS (
+      SELECT a.id AS id, a.label AS label, b.label AS n_label,
+             {T.cosine(T.dot('a.v', 'b.v', 'duck'), 'a.nrm', 'b.nrm')}
+               AS cosine, b.id AS neighbour_id
+      FROM b a JOIN b b ON a.bucket = b.bucket AND a.id <> b.id),
+    ranked AS (
+      SELECT id, label, n_label,
+             row_number() OVER (
+               PARTITION BY id ORDER BY cosine DESC, neighbour_id
+             ) AS rank
+      FROM pairs),
+    votes AS (
+      SELECT id, label, n_label, count(*) AS n
+      FROM ranked WHERE rank <= __KNN_K__
+      GROUP BY id, label, n_label),
+    pred AS (
+      SELECT id, label, n_label AS pred_label
+      FROM votes
+      QUALIFY row_number() OVER (
+        PARTITION BY id ORDER BY n DESC, n_label ASC) = 1)
+    SELECT label,
+           CAST(sum(CASE WHEN pred_label = label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           count(*) AS n_total
+    FROM pred GROUP BY label
+    """.replace("__KNN_K__", str(KNN_K)),
+    doc="kNN label-vote accuracy: each vector's label predicted by the "
+        "majority label of its LSH-bucket k nearest neighbours (ties: "
+        "smaller label), reported per true label — the retrieval-eval "
+        "composition over knn_join. Integer-only output.",
+)
+def q_knn_label_accuracy(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = S.knn_join(emb, "vec_id", "embedding", KNN_K)
+    lab = emb.select(F.col("vec_id").alias("id"), "label")
+    nlab = emb.select(
+        F.col("vec_id").alias("neighbour_id"), F.col("label").alias("n_label")
+    )
+    votes = (
+        knn.join(nlab, "neighbour_id")
+        .groupBy("id", "n_label")
+        .agg(F.count("*").alias("n"))
+    )
+    pred = (
+        votes.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.desc("n"), F.asc("n_label"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("id", F.col("n_label").alias("pred_label"))
+    )
+    return (
+        pred.join(lab, "id")
+        .groupBy("label")
+        .agg(
+            F.sum(
+                F.when(F.col("pred_label") == F.col("label"), 1).otherwise(0)
+            ).cast("bigint").alias("n_correct"),
+            F.count("*").alias("n_total"),
+        )
+    )
