@@ -1592,3 +1592,42 @@ def q_knn_label_accuracy(spark, sf_dir):
             F.count("*").alias("n_total"),
         )
     )
+
+
+@query(
+    "doc_length_histogram",
+    oracle=f"""
+    WITH lens AS (
+      SELECT len({_TOKS_D}) AS n_tokens FROM documents),
+    bucketed AS (
+      SELECT n_tokens,
+             CAST(floor(log2(n_tokens + 1)) AS BIGINT) AS bucket
+      FROM lens)
+    SELECT bucket,
+           CAST(pow(2, bucket) - 1 AS BIGINT) AS bucket_min_tokens,
+           count(*) AS n_docs,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+    FROM bucketed GROUP BY bucket
+    """,
+    doc="Doc-length histogram in log2 token buckets (bucket b covers "
+        "[2^b - 1, 2^(b+1) - 2]) — the length-distribution diagnostic "
+        "that drives chunk/pack sizing. Integer-only; one narrow "
+        "projection + one aggregate. log2/floor on exact integers is "
+        "engine-stable for any corpus below 2^53 tokens per doc.",
+)
+def q_doc_length_histogram(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text", "spark")
+    bucketed = docs.select(
+        F.expr(f"size({toks})").alias("n_tokens"),
+        F.expr(f"CAST(floor(log2(size({toks}) + 1)) AS BIGINT)")
+        .alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.expr("CAST(pow(2, bucket) - 1 AS BIGINT)")
+        .alias("bucket_min_tokens"),
+        F.count("*").alias("n_docs"),
+        F.min("n_tokens").cast("bigint").alias("min_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+    )
