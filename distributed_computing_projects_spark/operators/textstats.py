@@ -179,24 +179,34 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Intra-document repetition signals (the Gopher/MassiveText-style
-    repetition filters: Rae et al. '21 §A1.1): for each doc,
+    repetition filters: Rae et al. '21 §A1.1) as INTEGER counts:
 
-    - ``n_tokens``             total whitespace tokens;
-    - ``distinct_token_ratio`` |distinct tokens| / n_tokens;
-    - ``dup_bigram_frac``      1 - |distinct 2-grams| / |all 2-grams|
-      (0.0 when the doc has fewer than 2 tokens);
-    - ``top_token_frac``       occurrences of the most frequent token
-      / n_tokens.
+    - ``n_tokens``       total whitespace tokens;
+    - ``n_distinct``     distinct tokens;
+    - ``top_c``          occurrences of the most frequent token;
+    - ``n_bigrams``      total 2-grams (0 for docs under 2 tokens);
+    - ``n_dup_bigrams``  n_bigrams - |distinct 2-grams|.
 
-    Heavily repeated machine-generated text scores low on the ratios
-    and high on the fractions; pipelines threshold these before
+    The Gopher thresholds are ratios of these (distinct-token ratio =
+    n_distinct/n_tokens, duplicated-bigram fraction =
+    n_dup_bigrams/n_bigrams, top-token fraction = top_c/n_tokens) —
+    derive them with :func:`with_repetition_ratios`. Counts, not
+    pre-rounded ratios, are what this emits: ``round(x, 4)`` resolves
+    exact 4-decimal ties differently across engines (Spark rounds the
+    shortest-decimal repr HALF_UP, DuckDB rounds the binary double), so
+    a 160-token doc could hash-mismatch on a .xxxx5 tie. Same contract
+    as ``pack_stats`` fill_rate: integers cross the engine boundary,
+    consumers do the IEEE divide.
+
+    Heavily repeated machine-generated text scores low on the distinct
+    ratios and high on the fractions; pipelines threshold these before
     training. The reference has no text analytics beyond grep/wordcount
     (mp3/src/maple/wordcount.go) — this is BASELINE.json extension
     surface.
 
-    Shape: the array ratios are narrow codegen projections
-    (size/array_distinct — no shuffle); only ``top_token_frac`` needs
-    token counts, done explode -> two hash aggregates (same
+    Shape: the bigram counts are narrow codegen projections
+    (size/array_distinct — no shuffle); only ``top_c`` needs token
+    counts, done explode -> two hash aggregates (same
     one-row-per-doc-per-token shape as ``minhash_signatures``, partial
     aggregation finishes each doc map-side). Two shuffles total at any
     scale, each carrying counts, never text. Token-less docs produce no
@@ -208,37 +218,40 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     narrow = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.expr(toks)).alias("tok"),
+        F.expr(f"CAST(size({grams}) AS BIGINT)").alias("n_bigrams"),
         F.expr(
-            f"CASE WHEN size({grams}) > 0 THEN"
-            f" 1.0d - CAST(size(array_distinct({grams})) AS DOUBLE)"
-            f" / CAST(size({grams}) AS DOUBLE) ELSE 0.0d END"
-        ).alias("dup_bigram_frac"),
+            f"CAST(size({grams}) - size(array_distinct({grams})) AS BIGINT)"
+        ).alias("n_dup_bigrams"),
     )
     per_tok = narrow.groupBy("id", "tok").agg(
         F.count("*").alias("c"),
-        F.first("dup_bigram_frac").alias("dbf"),
+        F.first("n_bigrams").alias("nb"),
+        F.first("n_dup_bigrams").alias("nd"),
     )
-    return (
-        per_tok.groupBy("id")
-        .agg(
-            F.sum("c").alias("n_tokens"),
-            F.count("*").alias("n_distinct"),
-            F.max("c").alias("top_c"),
-            F.first("dbf").alias("dup_bigram_frac"),
-        )
-        .select(
-            "id",
-            "n_tokens",
-            F.round(
-                F.col("n_distinct").cast("double")
-                / F.col("n_tokens").cast("double"), 4
-            ).alias("distinct_token_ratio"),
-            F.round(F.col("dup_bigram_frac"), 4).alias("dup_bigram_frac"),
-            F.round(
-                F.col("top_c").cast("double")
-                / F.col("n_tokens").cast("double"), 4
-            ).alias("top_token_frac"),
-        )
+    return per_tok.groupBy("id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_c"),
+        F.first("nb").alias("n_bigrams"),
+        F.first("nd").alias("n_dup_bigrams"),
+    )
+
+
+def with_repetition_ratios(stats: DataFrame) -> DataFrame:
+    """Derive the Gopher threshold ratios from :func:`repetition_stats`
+    output as raw IEEE doubles (no rounding — see the count contract
+    there): adds ``distinct_token_ratio``, ``dup_bigram_frac`` (0.0 for
+    docs without bigrams) and ``top_token_frac``. Narrow projection."""
+    return stats.select(
+        "*",
+        (F.col("n_distinct").cast("double")
+         / F.col("n_tokens").cast("double")).alias("distinct_token_ratio"),
+        F.when(F.col("n_bigrams") > 0,
+               F.col("n_dup_bigrams").cast("double")
+               / F.col("n_bigrams").cast("double"))
+        .otherwise(F.lit(0.0)).alias("dup_bigram_frac"),
+        (F.col("top_c").cast("double")
+         / F.col("n_tokens").cast("double")).alias("top_token_frac"),
     )
 
 

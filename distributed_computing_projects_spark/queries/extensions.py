@@ -1296,31 +1296,34 @@ _BAND_SELECTS_SRC = " UNION ALL ".join(
 
 @query(
     "repetition_stats",
+    headline=True,
     oracle=f"""
     WITH toks AS (
       SELECT doc_id AS id,
-             CASE WHEN len({_GRAMS2_D}) > 0 THEN
-               round(1.0 - CAST(len(list_distinct({_GRAMS2_D})) AS DOUBLE)
-                     / CAST(len({_GRAMS2_D}) AS DOUBLE), 4)
-             ELSE 0.0 END AS dup_bigram_frac,
+             CAST(len({_GRAMS2_D}) AS BIGINT) AS n_bigrams,
+             CAST(len({_GRAMS2_D}) - len(list_distinct({_GRAMS2_D}))
+                  AS BIGINT) AS n_dup_bigrams,
              unnest({_TOKS_D}) AS tok
       FROM documents),
     per_tok AS (
-      SELECT id, tok, count(*) AS c, min(dup_bigram_frac) AS dbf
+      SELECT id, tok, count(*) AS c,
+             min(n_bigrams) AS nb, min(n_dup_bigrams) AS nd
       FROM toks GROUP BY id, tok)
     SELECT id,
            CAST(sum(c) AS BIGINT) AS n_tokens,
-           round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4)
-             AS distinct_token_ratio,
-           min(dbf) AS dup_bigram_frac,
-           round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4)
-             AS top_token_frac
+           count(*) AS n_distinct,
+           CAST(max(c) AS BIGINT) AS top_c,
+           CAST(min(nb) AS BIGINT) AS n_bigrams,
+           CAST(min(nd) AS BIGINT) AS n_dup_bigrams
     FROM per_tok GROUP BY id
     """,
-    doc="Per-doc repetition filters (Gopher-style): distinct-token "
-        "ratio, duplicated-bigram fraction, top-token fraction. Array "
-        "ratios are narrow codegen; top-token needs explode + two hash "
-        "aggregates (counts only ever cross the shuffle).",
+    doc="Per-doc repetition filters (Gopher-style) as integer counts "
+        "(token / distinct-token / top-token / bigram / dup-bigram); "
+        "consumers derive the threshold ratios as raw IEEE divides "
+        "(with_repetition_ratios) — pre-rounded ratios can resolve "
+        "exact 4-decimal ties differently across engines. Bigram "
+        "counts are narrow codegen; top-token needs explode + two "
+        "hash aggregates (counts only ever cross the shuffle).",
 )
 def q_repetition_stats(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
@@ -1365,6 +1368,7 @@ BOILERPLATE_TOP = 200
 
 @query(
     "boilerplate_ngrams",
+    headline=True,
     oracle=f"""
     WITH grams AS (
       SELECT doc_id AS id, unnest({T.shingles("text", 5, "duck")}) AS ngram
@@ -1613,8 +1617,11 @@ def q_knn_label_accuracy(spark, sf_dir):
     doc="Doc-length histogram in log2 token buckets (bucket b covers "
         "[2^b - 1, 2^(b+1) - 2]) — the length-distribution diagnostic "
         "that drives chunk/pack sizing. Integer-only; one narrow "
-        "projection + one aggregate. log2/floor on exact integers is "
-        "engine-stable for any corpus below 2^53 tokens per doc.",
+        "projection + one aggregate. floor(log2(n+1)) in double is "
+        "engine-stable up to ~2^47 tokens per doc (beyond that, "
+        "log2(2^k - 1) can round up to exactly k and shift a boundary "
+        "doc one bucket) — far past any physical document; an engine "
+        "needing true 2^63 coverage would bucket by length(bin(n+1)).",
 )
 def q_doc_length_histogram(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")

@@ -468,15 +468,18 @@ def test_repetition_stats_closed_form(spark):
         "",                 # token-less: excluded
     ])
     out = {r.id: r for r in
-           X.repetition_stats(df, "doc_id", "text").collect()}
+           X.with_repetition_ratios(
+               X.repetition_stats(df, "doc_id", "text")).collect()}
     assert set(out) == {0, 1}
     r0 = out[0]
-    assert r0.n_tokens == 4
+    assert (r0.n_tokens, r0.n_distinct, r0.top_c) == (4, 1, 4)
+    assert (r0.n_bigrams, r0.n_dup_bigrams) == (3, 2)
     assert r0.distinct_token_ratio == 0.25
-    assert r0.dup_bigram_frac == round(1 - 1 / 3, 4)
+    assert r0.dup_bigram_frac == 2 / 3
     assert r0.top_token_frac == 1.0
     r1 = out[1]
-    assert r1.n_tokens == 4
+    assert (r1.n_tokens, r1.n_distinct, r1.top_c) == (4, 4, 1)
+    assert (r1.n_bigrams, r1.n_dup_bigrams) == (3, 0)
     assert r1.distinct_token_ratio == 1.0
     assert r1.dup_bigram_frac == 0.0
     assert r1.top_token_frac == 0.25

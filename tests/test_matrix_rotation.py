@@ -1,6 +1,6 @@
 """The generated matrix order must stay current: a code change that
 moves a query into the needs-a-driver-row segments (never-green /
-changed-since-last-green) fails here until
+changed-since-last-green / pre-snapshot-green) fails here until
 ``python tools/matrix_rotation.py order`` is re-run — the automation
 the hand-curated list lacked when it twice left changed queries on
 stale green rows (r3: token_stats; r4: the NTZ streaming six)."""
@@ -10,7 +10,7 @@ from __future__ import annotations
 import importlib.util
 import os
 
-MATRIX_CAP = 50  # rows the driver records per round (observed r1-r4)
+MATRIX_CAP = 50  # rows the driver records per round (observed r1-r5)
 
 
 def _tool():
@@ -40,21 +40,75 @@ def test_matrix_order_file_is_current():
     )
 
 
-def test_needy_queries_fit_the_matrix_cap():
-    """Every query needing a fresh driver verdict must land inside the
-    rows the driver will actually record."""
+def test_urgent_queries_fit_the_matrix_cap():
+    """Never-green and proven-changed queries (whose green rows are
+    known invalid) must land inside the rows the driver will actually
+    record. Pre-snapshot conservative re-verifies MAY overflow the cap
+    in the rounds that burn down the pre-snapshot backlog — but any
+    overflow must consist ONLY of those lowest-priority re-verifies."""
     from distributed_computing_projects_spark.queries._matrix_first import (
         GENERATED_FROM_ROUNDS,
     )
 
     order, reasons = _tool().compute_order(GENERATED_FROM_ROUNDS)
-    needy = [q for q in order if reasons[q] == "never green"
-             or reasons[q].startswith(("changed", "bootstrap"))]
-    for q in needy:
+    urgent = [q for q in order if reasons[q] == "never green"
+              or reasons[q].startswith("changed")]
+    for q in urgent:
         assert order.index(q) < MATRIX_CAP, (
             f"{q} needs a driver row ({reasons[q]}) but sits at "
             f"position {order.index(q)} >= cap {MATRIX_CAP}"
         )
+    for q in order[MATRIX_CAP:]:
+        assert not reasons[q].startswith("changed"), (
+            f"proven-changed {q} pushed past the cap"
+        )
+
+
+def test_pre_snapshot_green_is_treated_as_changed():
+    """The conservative fallback (VERDICT r5 'What's wrong' #1): a
+    query whose last green round has NO snapshot cannot prove itself
+    unchanged, so it must sort into the needs-verification segment —
+    ahead of every snapshot-confirmed green — regardless of any
+    hand-curated list."""
+    tool = _tool()
+    hashes = tool.query_hashes()
+    greens = tool.green_rounds()
+    snaps = tool.load_snapshots()
+    # pick any query green at a snapshotted round vs one green at an
+    # un-snapshotted round; synthesize if the repo state lacks either
+    snap_rounds = {int(r) for r in snaps}
+    pre = [q for q, g in greens.items() if g not in snap_rounds]
+    post = [q for q, g in greens.items()
+            if g in snap_rounds and q in snaps[str(g)]
+            and snaps[str(g)][q] == hashes[q]]
+    if not pre or not post:
+        # backlog burned down (the goal state): simulate one pre-snapshot
+        # green by dropping a query from every snapshot
+        q0 = post[0]
+        for snap in snaps.values():
+            snap.pop(q0, None)
+        tool.load_snapshots = lambda: snaps  # compute_order re-reads disk
+        pre = [q0]
+        post = post[1:]
+        assert post, "need at least two green queries for this test"
+    order, reasons = tool.compute_order()
+    assert all(
+        order.index(p) < order.index(s) for p in pre for s in post
+    ), "pre-snapshot green must outrank snapshot-confirmed green"
+    for p in pre:
+        assert reasons[p].startswith("pre-snapshot"), reasons[p]
+
+
+def test_priority_list_never_affects_membership():
+    """PRE_SNAPSHOT_PRIORITY is an ordering hint only: emptying it must
+    not move any query across the needs-verification boundary."""
+    tool = _tool()
+    order, reasons = tool.compute_order()
+    tool.PRE_SNAPSHOT_PRIORITY = []
+    order2, reasons2 = tool.compute_order()
+    needs = {q for q, r in reasons.items() if not r.startswith("green")}
+    needs2 = {q for q, r in reasons2.items() if not r.startswith("green")}
+    assert needs == needs2
 
 
 def test_registry_order_follows_generated_file():

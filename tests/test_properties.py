@@ -183,28 +183,36 @@ def test_chunking_reconstructs_documents(spark, texts, chunk, overlap_frac):
 @PROP
 def test_repetition_stats_invariants(spark, texts):
     """Closed-form cross-checks against Python on arbitrary word
-    streams: exact token counts, ratio bounds, and the dup-bigram
-    fraction identity 1 - distinct/all."""
+    streams: exact integer counts, plus the derived-ratio identities
+    (raw IEEE divides — bit-comparable against Python's float division
+    by construction, no rounding contract needed)."""
     from distributed_computing_projects_spark.operators.textstats import (
         repetition_stats,
+        with_repetition_ratios,
     )
 
     df = spark.createDataFrame([Row(doc_id=i, text=t)
                                 for i, t in enumerate(texts)])
-    out = {r.id: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    out = {r.id: r for r in with_repetition_ratios(
+        repetition_stats(df, "doc_id", "text")).collect()}
     for i, t in enumerate(texts):
         toks = t.split()
         if not toks:
             assert i not in out
             continue
         r = out[i]
-        assert r.n_tokens == len(toks)
-        assert r.distinct_token_ratio == round(len(set(toks)) / len(toks), 4)
         grams = [" ".join(toks[j:j + 2]) for j in range(len(toks) - 1)]
-        want = round(1 - len(set(grams)) / len(grams), 4) if grams else 0.0
-        assert r.dup_bigram_frac == want
         top = max(toks.count(w) for w in set(toks))
-        assert r.top_token_frac == round(top / len(toks), 4)
+        assert r.n_tokens == len(toks)
+        assert r.n_distinct == len(set(toks))
+        assert r.top_c == top
+        assert r.n_bigrams == len(grams)
+        assert r.n_dup_bigrams == len(grams) - len(set(grams))
+        assert r.distinct_token_ratio == len(set(toks)) / len(toks)
+        assert r.dup_bigram_frac == (
+            (len(grams) - len(set(grams))) / len(grams) if grams else 0.0
+        )
+        assert r.top_token_frac == top / len(toks)
 
 
 @given(texts=st.lists(TEXT, min_size=2, max_size=6))

@@ -21,12 +21,20 @@ from the loop:
 - ``order``: compute the matrix order and write it to
   ``queries/_matrix_first.py``. Segments:
     0. queries with NO green driver row in any CORRECTNESS_r*.json;
-    1. queries whose current hash differs from their hash at the last
-       green round (per the snapshot taken that round) — plus, while
-       rounds before the first snapshot remain un-snapshotted, the
-       bootstrap FORCE list below;
+    1. queries needing re-verification: current hash differs from the
+       hash at the last green round (per the snapshot taken that
+       round), OR the last green round has no snapshot at all — the
+       conservative fallback: without a snapshot, "unchanged since
+       green" is unprovable, so the query is treated as changed
+       (the r5 blind spot: r5-edited closures of r4-green queries
+       missing from the old hand-curated force list silently rode
+       stale rows). Ordered: proven-changed first (their green rows
+       are KNOWN invalid), then pre-snapshot greens stalest-first.
     2. everything else, stalest green round first.
-  Within a segment, registry order is kept.
+  Segment 1 can exceed the driver's ~50-row cap in the round that
+  first applies the conservative rule; overflow is drawn from the
+  newest pre-snapshot greens and self-heals: every row the driver
+  does record is snapshot-covered from then on.
 
 ``tests/test_matrix_rotation.py`` asserts the committed
 ``_matrix_first.py`` matches a fresh ``order`` computation, so any
@@ -52,39 +60,22 @@ PKG_DIR = os.path.join(REPO, PKG)
 SNAPSHOT_PATH = os.path.join(REPO, "tools", "query_hashes.json")
 ORDER_PATH = os.path.join(PKG_DIR, "queries", "_matrix_first.py")
 
-# Bootstrap-only: rounds 1-4 predate snapshotting, so "changed since
-# last green row" is undecidable from hashes for queries whose last
-# green row is r3/r4. These are the queries KNOWN changed after their
-# last green driver row as of round 5 (VERDICT r4 + this round's
-# edits); once every query has a green row at a snapshotted round the
-# hash diff takes over and this list is dead weight to delete.
-BOOTSTRAP_FORCE = [
-    # r4 NTZ change rode on r3 rows (VERDICT r4 "What's missing" #1)
-    "streaming_events_hourly",
-    "streaming_user_sessions",
-    "streaming_sliding_counts",
-    "streaming_dedup_events",
-    "streaming_jsonl_agg",
-    "streaming_click_purchase_join",
-    # r5 code changes on r4-green queries
-    "user_running_totals_final",
-    "condorcet_round1",
-    "condorcet_wins",
-    "condorcet_winner",
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "knn_join_topk",
-    "dedup_embedding_cosine",
-    "minhash_signature",
-    "simhash_fingerprint",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_exact",
-    "dedup_clusters",
-    "dedup_survivors",
-    "decontaminate_eval",
+# Ordering hint only — NEVER affects segment membership (the
+# conservative no-snapshot-at-green rule does that). These are the
+# pre-snapshot greens whose import closures are KNOWN to have been
+# edited in r5 (VERDICT r5 "What's wrong" #1: the r5 edits the old
+# BOOTSTRAP_FORCE list missed), so within the pre-snapshot group they
+# verify before queries that are merely stale. Dead weight to delete
+# once every query has a green row at a snapshotted round (expected
+# after r6/r7).
+PRE_SNAPSHOT_PRIORITY = [
+    "chunk_documents",
+    "language_id",
+    "maplejuice_wordcount",
+    "pii_redact",
+    "text_quality",
+    "token_stats",
+    "token_stats_bpe",
 ]
 
 
@@ -307,31 +298,34 @@ def compute_order(
 
     reasons: dict[str, str] = {}
 
-    def segment(q: str) -> int:
+    def sort_key(q: str) -> tuple:
         g = greens.get(q)
         if g is None:
             reasons[q] = "never green"
-            return 0
+            return (0, 0, 0, q)
         snap = snaps.get(str(g))
         if snap is not None and q in snap:
             if snap[q] != hashes[q]:
+                # green row exists but the code it ran against differs
+                # from today's — the row is KNOWN invalid, verify first
                 reasons[q] = f"changed since green r{g}"
-                return 1
-        elif q in BOOTSTRAP_FORCE:
-            reasons[q] = f"bootstrap-forced (green r{g} pre-snapshot)"
-            return 1
-        reasons[q] = f"green r{g}"
-        return 2
+                return (1, 0, g, q)
+            reasons[q] = f"green r{g}"
+            return (2, 0, g, q)
+        # conservative fallback: last green round predates snapshotting,
+        # so "unchanged since green" is unprovable — treat as changed.
+        # Known-edited closures (PRE_SNAPSHOT_PRIORITY) verify before
+        # merely-stale ones; both groups stalest-green-first.
+        sub = 1 if q in PRE_SNAPSHOT_PRIORITY else 2
+        reasons[q] = f"pre-snapshot green r{g} — conservative re-verify"
+        return (1, sub, g, q)
 
-    segs = {q: segment(q) for q in names}
     # tie-break by NAME, not registration index: REGISTRY order depends
     # on which module a caller happened to import first (e.g. a test
     # importing queries.extensions directly), and the generated order
     # must be identical no matter who computes it
-    order = sorted(
-        names,
-        key=lambda q: (segs[q], greens.get(q, 0) if segs[q] == 2 else 0, q),
-    )
+    keys = {q: sort_key(q) for q in names}
+    order = sorted(names, key=keys.__getitem__)
     return order, reasons
 
 
@@ -359,9 +353,10 @@ def write_order() -> None:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {ORDER_PATH} ({len(order)} queries)")
     n_new = sum(1 for q in order if reasons[q] == "never green")
-    n_chg = sum(1 for q in order if reasons[q].startswith(("changed", "bootstrap")))
-    print(f"segments: {n_new} never-green, {n_chg} changed, "
-          f"{len(order) - n_new - n_chg} stale-rotation")
+    n_chg = sum(1 for q in order if reasons[q].startswith("changed"))
+    n_pre = sum(1 for q in order if reasons[q].startswith("pre-snapshot"))
+    print(f"segments: {n_new} never-green, {n_chg} changed, {n_pre} "
+          f"pre-snapshot, {len(order) - n_new - n_chg - n_pre} stale-rotation")
 
 
 def snapshot(rnd: int) -> None:
