@@ -1,0 +1,193 @@
+"""Auto-sized LSH blocking: derive ``n_planes`` from the corpus size
+instead of asking the caller to know the sizing rule.
+
+``similarity.suggest_n_planes`` codifies the rule (keep expected bucket
+occupancy at ``target_bucket_size``: ceil(log2(n_rows / target))); this
+module wires it into the entry points a 100 TB user actually calls, so
+"size the knob with the corpus" is a default, not documentation. The
+derivation here (:func:`resolve_n_planes`) is the INTEGER-EXACT form of
+the same rule — smallest k with 2^k * target >= n_rows, computed with
+integer ceil-division + bit length, no float log2 — because the driver
+oracle mirrors it in SQL (``length(bin(...))``) and both engines must
+pick the identical plane count for the differential hash to hold.
+Equality with the float form is pinned by ``tests/test_autoplanes.py``.
+
+Cost of ``auto``: one ``df.count()`` — on a parquet source that is a
+metadata-only job (row counts come from footer statistics; no column
+data is read), and at scale the row count is usually already in the
+catalog/metastore, in which case call :func:`resolve_n_planes` with it
+directly and skip the job. The count is taken BEFORE blocking, so the
+derived value is deterministic for a given corpus.
+
+Buckets nest as planes are added (plane p depends only on p — see
+``functions/text.lsh_bucket``), so re-deriving on a grown corpus
+REFINES the existing bucketing rather than reshuffling it; a store
+written by :func:`write_bucketed_auto` records its plane count in the
+returned value and can be probed with the same ``n_planes``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from distributed_computing_projects_spark.functions import text as T
+from distributed_computing_projects_spark.operators import similarity as S
+
+DEFAULT_TARGET_BUCKET = 1024
+
+# Plane-index stride between band-OR hash tables: table t draws its
+# planes from [t*TABLE_STRIDE, t*TABLE_STRIDE + n_planes). A fixed
+# stride (not t*n_planes) keeps each table's plane set independent of
+# the derived plane count, so growing n_planes REFINES every table's
+# bucketing in place (prefix nesting per table) and a differential
+# oracle can compute the full stride-wide bucket statically and mask
+# to the derived count. 24 bits bounds n_planes at 2^24 buckets per
+# table — far past any sane target occupancy.
+TABLE_STRIDE = 24
+
+
+def resolve_n_planes(
+    n_rows: int, target_bucket_size: int = DEFAULT_TARGET_BUCKET
+) -> int:
+    """Integer-exact ``suggest_n_planes``: the smallest k >= 1 with
+    2^k * target_bucket_size >= n_rows. Since 2^k is an integer,
+    2^k >= n/t iff 2^k >= ceil(n/t), so k = bit_length(ceil(n/t) - 1)
+    — no float log2, hence no 1-ulp ceil() hazards at power-of-two
+    boundaries and an exact SQL mirror via ``length(bin(...))``."""
+    if n_rows <= target_bucket_size:
+        return 1
+    ceil_div = -(-n_rows // target_bucket_size)
+    return max(1, (ceil_div - 1).bit_length())
+
+
+def auto_n_planes(
+    df: DataFrame, target_bucket_size: int = DEFAULT_TARGET_BUCKET
+) -> int:
+    """Derive the plane count from the DataFrame's row count (one
+    metadata-only count job on a parquet source; see module doc)."""
+    return resolve_n_planes(df.count(), target_bucket_size)
+
+
+def knn_join_auto(
+    emb: DataFrame, id_col: str, vec_col: str, k: int,
+    target_bucket_size: int = DEFAULT_TARGET_BUCKET,
+    persist: bool = True,
+) -> DataFrame:
+    """:func:`similarity.knn_join` with ``n_planes`` derived from the
+    corpus size — the corpus-wide KNN a user should reach for when they
+    do not want to hold the sizing rule in their head."""
+    n = auto_n_planes(emb, target_bucket_size)
+    return S.knn_join(emb, id_col, vec_col, k, n_planes=n, persist=persist)
+
+
+def lsh_bucket_table(
+    vec_col: str, dialect: str, n_planes: int, table: int,
+    stride: int = TABLE_STRIDE,
+) -> str:
+    """Sign-bit bucket of hash table ``table``: same construction as
+    ``functions.text.lsh_bucket`` but over planes
+    [table*stride, table*stride + n_planes). Table 0 with the default
+    stride IS the standard bucket (bit-identical), so single-table
+    callers and band-OR callers agree on table 0."""
+    if n_planes > stride:
+        raise ValueError(f"n_planes {n_planes} exceeds table stride {stride}")
+    off = table * stride
+    bits = [
+        f"(CASE WHEN {T.plane_dot(vec_col, off + p, dialect)} >= 0"
+        f" THEN {2 ** p} ELSE 0 END)"
+        for p in range(n_planes)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def knn_join_tables(
+    emb: DataFrame, id_col: str, vec_col: str, k: int,
+    n_planes: int, n_tables: int,
+    persist: bool = True,
+) -> DataFrame:
+    """Band-OR KNN self-join: ``n_tables`` INDEPENDENT hyperplane hash
+    tables (disjoint plane sets, :func:`lsh_bucket_table`); a pair is a
+    candidate if it collides in ANY table — the MinHash-bands trick
+    applied to hyperplane LSH. Per-pair collision probability rises
+    from p^n (one table) to 1-(1-p^n)^L, which is what rescues recall
+    when neighbours sit at wide angles (p = 1 - θ/π per plane); the
+    candidate volume rises at most L-fold, so the blocked-join scale
+    argument is unchanged (equi-join on (table, bucket), never
+    all-pairs — L·N²/2^n_planes candidates).
+
+    Shape mirrors ``dedup.minhash_lsh_pairs``: ONE scan explodes each
+    vector to L (table, bucket) rows, the self-join is an equi-join on
+    (table, bucket), cosine is computed per collision and the pair list
+    is distinct'd on (id, neighbour, cosine) — the double is a pure
+    function of the pair, so cross-table duplicates collapse — then one
+    rank window. ``persist`` caches the exploded frame (same two-sided
+    self-join rationale and opt-out as ``similarity.knn_join``).
+
+    Output schema = ``similarity.knn_join`` (id, neighbour_id, cosine,
+    rank); ``knn_join_tables(.., n_tables=1)`` ≡ ``knn_join`` at the
+    same plane count.
+    """
+    tbls = F.array(*[
+        F.struct(
+            F.lit(t).alias("tbl"),
+            F.expr(lsh_bucket_table(vec_col, "spark", n_planes, t))
+            .alias("bucket"),
+        )
+        for t in range(n_tables)
+    ])
+    b = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.expr(T.sq_norm(vec_col, "spark")).alias("nrm"),
+        F.explode(tbls).alias("tb"),
+    ).select("id", "v", "nrm",
+             F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    if persist:
+        b = b.persist()
+    a, bb = b.alias("a"), b.alias("b")
+    cos = T.cosine(T.dot("a.v", "b.v", "spark"), "a.nrm", "b.nrm")
+    pairs = (
+        a.join(bb, (F.col("a.tbl") == F.col("b.tbl"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") != F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id"),
+            F.col("b.id").alias("neighbour_id"),
+            F.expr(cos).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.desc("cosine"), F.asc("neighbour_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_join_tables_auto(
+    emb: DataFrame, id_col: str, vec_col: str, k: int, n_tables: int,
+    target_bucket_size: int = DEFAULT_TARGET_BUCKET,
+    persist: bool = True,
+) -> DataFrame:
+    """:func:`knn_join_tables` with ``n_planes`` derived from the
+    corpus size (same rule as :func:`knn_join_auto`; per-table bucket
+    occupancy is what the rule controls, so the derivation is
+    unchanged — candidate volume scales with ``n_tables``)."""
+    n = auto_n_planes(emb, target_bucket_size)
+    return knn_join_tables(emb, id_col, vec_col, k, n, n_tables,
+                           persist=persist)
+
+
+def write_bucketed_auto(
+    emb: DataFrame, path: str, id_col: str, vec_col: str,
+    target_bucket_size: int = DEFAULT_TARGET_BUCKET,
+) -> int:
+    """:func:`similarity.write_bucketed` with ``n_planes`` derived at
+    write time (the row count is on hand exactly once — when the store
+    is built). Returns the derived plane count; probes
+    (``lsh_topk_bucketed``) must pass the same value."""
+    n = auto_n_planes(emb, target_bucket_size)
+    S.write_bucketed(emb, path, id_col, vec_col, n_planes=n)
+    return n

@@ -1638,3 +1638,191 @@ def q_doc_length_histogram(spark, sf_dir):
         F.min("n_tokens").cast("bigint").alias("min_tokens"),
         F.max("n_tokens").cast("bigint").alias("max_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide KNN recall (auto-sized blocking)
+# ---------------------------------------------------------------------------
+
+RECALL_KS = (1, 3, 10)
+RECALL_SAMPLE_MOD = 5  # measure recall on ids ≡ 0 (mod 5): exact side is O(N²/5), not O(N²)
+RECALL_TARGET_BUCKET = 64  # auto-derived planes: sf0.01 N=500 → 3 planes, sf0.1 N=2000 → 5
+RECALL_N_TABLES = 4  # band-OR tables for the multi-table tier
+
+
+def _knn_recall_oracle() -> str:
+    from distributed_computing_projects_spark.operators import (
+        autoplanes as AUTOP,
+    )
+
+    cos_ap = T.cosine(T.dot("a.v", "b.v", "duck"), "a.nrm", "b.nrm")
+    max_k = max(RECALL_KS)
+
+    def hit_cols(src: str) -> str:
+        return ", ".join(
+            f"CAST(coalesce(sum(CASE WHEN rl <= {k} AND re <= {k} THEN 1"
+            f" END), 0) AS BIGINT) AS h{k}"
+            for k in RECALL_KS
+        )
+
+    def stack(method: str, h: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT '{method}' AS method, CAST({k} AS BIGINT) AS k,"
+            f" h{k} AS hits, CAST({k} AS BIGINT) * nq AS total"
+            f" FROM {h}, nq"
+            for k in RECALL_KS
+        )
+
+    # full stride-wide bucket per table, statically generated; the
+    # derived plane count masks it (prefix nesting within each table)
+    tbl_buckets = ", ".join(
+        f"{AUTOP.lsh_bucket_table('embedding', 'duck', AUTOP.TABLE_STRIDE, t)}"
+        f" AS bt{t}"
+        for t in range(RECALL_N_TABLES)
+    )
+    tbl_union = " UNION ALL ".join(
+        f"SELECT id, v, nrm, {t} AS t, bt{t} AS braw FROM base"
+        for t in range(RECALL_N_TABLES)
+    )
+    return f"""
+    WITH nrows AS (SELECT count(*) AS c FROM embeddings),
+    np AS (
+      SELECT CASE WHEN c <= {RECALL_TARGET_BUCKET} THEN 1
+             ELSE greatest(1, length(bin(CAST(
+               (c + {RECALL_TARGET_BUCKET - 1}) // {RECALL_TARGET_BUCKET} - 1
+               AS BIGINT)))) END AS n
+      FROM nrows),
+    base AS (
+      SELECT vec_id AS id, embedding AS v,
+             {T.sq_norm('embedding', 'duck')} AS nrm,
+             {tbl_buckets}
+      FROM embeddings),
+    bk AS (
+      SELECT id, v, nrm,
+             bt0 % (CAST(1 AS BIGINT) << (SELECT n FROM np)) AS bucket
+      FROM base),
+    bkt AS (
+      SELECT id, v, nrm, t,
+             braw % (CAST(1 AS BIGINT) << (SELECT n FROM np)) AS bucket
+      FROM ({tbl_union})),
+    ap AS (
+      SELECT a.id, b.id AS nb,
+             row_number() OVER (
+               PARTITION BY a.id ORDER BY {cos_ap} DESC, b.id) AS rl
+      FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id <> b.id
+      WHERE a.id % {RECALL_SAMPLE_MOD} = 0),
+    apb_pairs AS (
+      SELECT DISTINCT a.id, b.id AS nb, {cos_ap} AS cosine
+      FROM bkt a JOIN bkt b
+        ON a.t = b.t AND a.bucket = b.bucket AND a.id <> b.id
+      WHERE a.id % {RECALL_SAMPLE_MOD} = 0),
+    apb AS (
+      SELECT id, nb,
+             row_number() OVER (
+               PARTITION BY id ORDER BY cosine DESC, nb) AS rl
+      FROM apb_pairs),
+    ex AS (
+      SELECT a.id, b.id AS nb,
+             row_number() OVER (
+               PARTITION BY a.id ORDER BY {cos_ap} DESC, b.id) AS re
+      FROM base a JOIN base b ON a.id <> b.id
+      WHERE a.id % {RECALL_SAMPLE_MOD} = 0),
+    j1 AS (
+      SELECT ap.rl, ex.re FROM ap
+      JOIN ex ON ap.id = ex.id AND ap.nb = ex.nb
+      WHERE ap.rl <= {max_k} AND ex.re <= {max_k}),
+    j2 AS (
+      SELECT apb.rl, ex.re FROM apb
+      JOIN ex ON apb.id = ex.id AND apb.nb = ex.nb
+      WHERE apb.rl <= {max_k} AND ex.re <= {max_k}),
+    h1 AS (SELECT {hit_cols('j1')} FROM j1),
+    h2 AS (SELECT {hit_cols('j2')} FROM j2),
+    nq AS (SELECT CAST(count(*) AS BIGINT) AS nq FROM embeddings
+           WHERE vec_id % {RECALL_SAMPLE_MOD} = 0)
+    {stack('blocked', 'h1')}
+    UNION ALL
+    {stack('bandor', 'h2')}
+    """
+
+
+@query(
+    "knn_join_recall",
+    oracle=_knn_recall_oracle(),
+    doc="Corpus-wide recall of the LSH-blocked KNN self-join against "
+        "brute-force exact top-k, at an AUTO-derived plane count "
+        "(resolve_n_planes: smallest k with 2^k·target ≥ N, integer "
+        "bit-length math mirrored exactly in SQL via length(bin(..))) "
+        "— for both the single-table blocking ('blocked') and the "
+        "band-OR multi-table blocking ('bandor', 4 independent plane "
+        "sets; collision prob 1-(1-p^n)^L vs p^n). Recall is measured "
+        "on a deterministic 1-in-5 id sample so the exact side is "
+        "O(N²/5) — at scale you sample harder, the blocked sides stay "
+        "the production knn_join plans. Integer (method, k, hits, "
+        "total) rows; hits@k counts pairs in BOTH the blocked and "
+        "exact top-k. The driver corpus is ADVERSARIAL for LSH (near-"
+        "orthogonal random vectors: per-plane agreement ≈ 0.5) — the "
+        "measured blocked-vs-bandor gap is the point of the query.",
+)
+def q_knn_join_recall(spark, sf_dir):
+    from distributed_computing_projects_spark.operators import (
+        autoplanes as AUTOP,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_k = max(RECALL_KS)
+    approxes = {
+        "blocked": AUTOP.knn_join_auto(
+            emb, "vec_id", "embedding", max_k,
+            target_bucket_size=RECALL_TARGET_BUCKET),
+        "bandor": AUTOP.knn_join_tables_auto(
+            emb, "vec_id", "embedding", max_k, RECALL_N_TABLES,
+            target_bucket_size=RECALL_TARGET_BUCKET),
+    }
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("v"),
+        F.expr(T.sq_norm("embedding", "spark")).alias("nrm"),
+    )
+    sample = base.filter(F.col("id") % RECALL_SAMPLE_MOD == 0)
+    a, b = sample.alias("a"), base.alias("b")
+    cos = T.cosine(T.dot("a.v", "b.v", "spark"), "a.nrm", "b.nrm")
+    # exact side: the SAMPLE broadcasts (N/5 rows) against the corpus —
+    # a BroadcastNestedLoopJoin by construction, never a shuffled
+    # cartesian; rank is one window per sampled id
+    w = Window.partitionBy("id").orderBy(F.desc("cosine"), F.asc("nb"))
+    exact = (
+        F.broadcast(a).join(b, F.col("a.id") != F.col("b.id"))
+        .select(F.col("a.id").alias("id"), F.col("b.id").alias("nb"),
+                F.expr(cos).alias("cosine"))
+        .withColumn("re", F.row_number().over(w))
+        .filter(F.col("re") <= max_k)
+        .select("id", "nb", "re")
+    )
+    nq = sample.agg(F.count("*").alias("nq"))
+    stack = ", ".join(
+        f"CAST({k} AS BIGINT), h{k}, CAST({k} AS BIGINT) * nq"
+        for k in RECALL_KS
+    )
+    parts = []
+    for method, ap in approxes.items():
+        joined = (
+            ap.filter(F.col("id") % RECALL_SAMPLE_MOD == 0)
+            .select("id", F.col("neighbour_id").alias("nb"),
+                    F.col("rank").alias("rl"))
+            .join(exact, ["id", "nb"])
+        )
+        hits = joined.agg(*[
+            F.coalesce(
+                F.sum(F.when((F.col("rl") <= k) & (F.col("re") <= k), 1)),
+                F.lit(0),
+            ).cast("bigint").alias(f"h{k}")
+            for k in RECALL_KS
+        ])
+        parts.append(
+            hits.crossJoin(F.broadcast(nq)).select(
+                F.lit(method).alias("method"),
+                F.expr(f"stack({len(RECALL_KS)}, {stack})"
+                       " AS (k, hits, total)"),
+            )
+        )
+    return parts[0].unionAll(parts[1])

@@ -1,0 +1,114 @@
+"""Auto-sized LSH blocking (operators/autoplanes.py): the integer
+sizing rule, its equivalence to the float rule it mirrors, the band-OR
+multi-table join, and the auto-sized bucketed store."""
+
+from __future__ import annotations
+
+
+import pytest
+
+from distributed_computing_projects_spark.operators import autoplanes as AP
+from distributed_computing_projects_spark.operators import similarity as S
+
+
+def test_resolve_matches_float_rule_exhaustively():
+    """resolve_n_planes (integer bit-length) must agree with
+    suggest_n_planes (float log2) everywhere the float form is exact —
+    including every power-of-two boundary, where a 1-ulp log2 error
+    would flip ceil()."""
+    for target in (1, 2, 64, 1024, 4096):
+        for n in range(1, 5000):
+            assert AP.resolve_n_planes(n, target) == S.suggest_n_planes(
+                n, target
+            ), (n, target)
+    # large boundary sweep: k planes exactly at n = target * 2^k
+    for k in range(1, 40):
+        t = 1024
+        n = t * (1 << k)
+        assert AP.resolve_n_planes(n, t) == k
+        assert AP.resolve_n_planes(n + 1, t) == k + 1
+        assert AP.resolve_n_planes(n - 1, t) == k
+
+
+def test_resolve_floor_and_smallest_property():
+    assert AP.resolve_n_planes(0) == 1
+    assert AP.resolve_n_planes(1) == 1
+    assert AP.resolve_n_planes(1024, 1024) == 1
+    # smallest k with 2^k * target >= n
+    for n, t in ((500, 64), (2000, 64), (10**9, 1024), (7, 2)):
+        k = AP.resolve_n_planes(n, t)
+        assert (1 << k) * t >= n
+        assert k == 1 or (1 << (k - 1)) * t < n
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_knn_join_auto_uses_derived_count(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    n = AP.auto_n_planes(emb, 64)
+    assert n == AP.resolve_n_planes(emb.count(), 64)
+    auto = AP.knn_join_auto(emb, "vec_id", "embedding", 3,
+                            target_bucket_size=64)
+    explicit = S.knn_join(emb, "vec_id", "embedding", 3, n_planes=n)
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+
+
+def test_knn_join_tables_one_table_equals_knn_join(spark, sf_dir):
+    """Table 0 of the band-OR join uses the standard plane set, so
+    n_tables=1 must reproduce similarity.knn_join bit-for-bit."""
+    emb = _emb(spark, sf_dir)
+    one = AP.knn_join_tables(emb, "vec_id", "embedding", 3,
+                             n_planes=4, n_tables=1)
+    std = S.knn_join(emb, "vec_id", "embedding", 3, n_planes=4)
+    assert sorted(map(tuple, one.collect())) == sorted(
+        map(tuple, std.collect())
+    )
+
+
+def test_knn_join_tables_recall_dominates_single_table(spark, sf_dir):
+    """More tables can only ADD candidate pairs (table 0 is the single
+    table), so for every id the band-OR top-1 cosine must be >= the
+    single-table top-1 cosine."""
+    emb = _emb(spark, sf_dir).limit(200)
+    single = {r.id: r.cosine for r in S.knn_join(
+        emb, "vec_id", "embedding", 1, n_planes=4).collect()}
+    multi = {r.id: r.cosine for r in AP.knn_join_tables(
+        emb, "vec_id", "embedding", 1, n_planes=4, n_tables=3).collect()}
+    assert set(single) <= set(multi)
+    for i, c in single.items():
+        assert multi[i] >= c - 1e-12, i
+
+
+def test_lsh_bucket_table_zero_is_standard_bucket():
+    from distributed_computing_projects_spark.functions import text as T
+
+    assert AP.lsh_bucket_table("e", "spark", 5, 0) == T.lsh_bucket(
+        "e", "spark", 5
+    )
+    with pytest.raises(ValueError):
+        AP.lsh_bucket_table("e", "spark", AP.TABLE_STRIDE + 1, 0)
+
+
+def test_write_bucketed_auto_roundtrip(spark, sf_dir, tmp_path):
+    """The auto-sized store must be probe-able with the RETURNED plane
+    count and agree with the on-the-fly lsh_topk at that count."""
+    emb = _emb(spark, sf_dir)
+    path = str(tmp_path / "store")
+    n = AP.write_bucketed_auto(emb, path, "vec_id", "embedding",
+                               target_bucket_size=64)
+    assert n == AP.resolve_n_planes(emb.count(), 64)
+    q = [0.5 if j % 3 else -0.25 for j in range(64)]
+    got = S.lsh_topk_bucketed(spark, path, q, 5, probe_hamming=1,
+                              n_planes=n).collect()
+    want = S.lsh_topk(emb, q, 5, "vec_id", "embedding",
+                      probe_hamming=1, n_planes=n).collect()
+    assert [(r.id, r.cosine) for r in got] == [(r.id, r.cosine)
+                                              for r in want]
+    # bucket directories bounded by the derived count
+    import os
+    dirs = [d for d in os.listdir(path) if d.startswith("bucket=")]
+    assert 0 < len(dirs) <= 2 ** n
