@@ -1330,10 +1330,7 @@ def q_repetition_stats(spark, sf_dir):
     return X.repetition_stats(docs, "doc_id", "text")
 
 
-@query(
-    "dedup_incremental",
-    headline=True,
-    oracle=f"""
+_INCR_ORACLE = f"""
     WITH hashed AS (SELECT doc_id AS id, source, {_HASHES_D} AS hs FROM documents),
     sigs AS (SELECT id, source, [{_SIG_D}] AS sig FROM hashed WHERE len(hs) >= 1),
     bands AS ({_BAND_SELECTS_SRC}),
@@ -1346,7 +1343,13 @@ def q_repetition_stats(spark, sf_dir):
     SELECT new_id, corpus_id, ({_N_EQ_D}) / {float(T.N_PERMS)} AS est_jaccard
     FROM cand
     WHERE ({_N_EQ_D}) / {float(T.N_PERMS)} >= {MINHASH_THRESHOLD}
-    """,
+    """
+
+
+@query(
+    "dedup_incremental",
+    headline=True,
+    oracle=_INCR_ORACLE,
     doc="Incremental dedup: MinHash-banded equi-join of a NEW ingest "
         "batch (one source) against the EXISTING corpus (the rest) — "
         "the day-2 pipeline shape; batch side broadcasts under AQE, "
@@ -1358,6 +1361,40 @@ def q_dedup_incremental(spark, sf_dir):
         docs, "doc_id", "text",
         F.col("source") == INCR_BATCH_SOURCE,
         threshold=MINHASH_THRESHOLD,
+    )
+
+
+@query(
+    "dedup_incremental_store",
+    oracle=_INCR_ORACLE,
+    doc="Incremental dedup against a PERSISTED band store: the corpus "
+        "band table is materialized once (bandstore.write_bands, hive-"
+        "partitioned by a key-hash prefix kb), then the batch probe "
+        "prunes to its kb directories (driver-enumerated IN-list -> "
+        "PartitionFilters) and equi-joins on (band, key) — probe cost "
+        "tracks the batch, not the corpus. Same oracle as "
+        "dedup_incremental: the store is a cache of the corpus-side "
+        "computation, so the pairs are identical. The store write "
+        "inside the query makes the driver row cover the full "
+        "write->prune->probe path end-to-end.",
+)
+def q_dedup_incremental_store(spark, sf_dir):
+    import tempfile
+
+    from distributed_computing_projects_spark.operators import (
+        bandstore as BSTORE,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != INCR_BATCH_SOURCE)
+    batch = docs.filter(F.col("source") == INCR_BATCH_SOURCE)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"dcp_bandstore_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    BSTORE.write_bands(corpus, path, "doc_id", "text")
+    return BSTORE.incremental_pairs_against_store(
+        spark, path, batch, "doc_id", "text", threshold=MINHASH_THRESHOLD
     )
 
 

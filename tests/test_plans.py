@@ -289,3 +289,46 @@ def test_pipeline_summary_is_single_scan_no_join(spark, sf_dir, registry):
     import re
     scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
     assert len(scans) == 1, plan
+
+
+def test_band_store_partition_prunes_on_key_hash(spark, sf_dir, tmp_path):
+    """The incremental-dedup band store must turn the batch's kb
+    IN-list into PartitionFilters (directory pruning): a small batch
+    reads only the key-hash directories it touches, never the whole
+    corpus store."""
+    from pyspark.sql import Row, functions as SF
+
+    from distributed_computing_projects_spark.operators import (
+        bandstore as BS,
+    )
+    from distributed_computing_projects_spark.sources.registry import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "bands")
+    BS.write_bands(docs, path, "doc_id", "text")
+    # a 1-doc batch touches at most N_BANDS of the KB_PARTS directories
+    batch = spark.createDataFrame(
+        [Row(doc_id=10**9, text="one two three four five six seven")]
+    )
+    df = BS.incremental_pairs_against_store(
+        spark, path, batch, "doc_id", "text", threshold=0.0
+    )
+    plan = physical_plan(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("kb" in ln for ln in pf), plan
+    # pruning is real at execution: the store scan under the batch's
+    # kb filter touches only those directories' files
+    kbs = {r.kb for r in BS.banded_rows(batch, "doc_id", "text")
+           .select("kb").distinct().collect()}
+    assert 0 < len(kbs) <= 16  # N_BANDS
+    touched = (
+        spark.read.parquet(path)
+        .filter(SF.col("kb").isin(sorted(kbs)))
+        .select(SF.input_file_name().alias("f")).distinct().collect()
+    )
+    assert touched
+    for r in touched:
+        kb = int(r.f.split("kb=")[1].split("/")[0])
+        assert kb in kbs, f"scan read unprobed kb dir {kb}"
