@@ -37,12 +37,20 @@ class Catalog:
 
     # Dataset formats. The reference's SDFS stores raw bytes and is
     # format-blind (mp3/src/sdfs.go:108-178); here a dataset remembers
-    # its format on disk (part-file extensions) so ``get`` needs no
-    # side metadata. parquet is the default (columnar, pushdown); orc
-    # is the other splittable columnar option; json = JSONL
-    # interchange (line-oriented like every reference record, schema
-    # re-inferred on read unless the caller supplies one).
+    # its format on disk so ``get`` needs no caller-side metadata.
+    # parquet is the default (columnar, pushdown); orc is the other
+    # splittable columnar option; json = JSONL interchange.
+    #
+    # The format (plus, for json, the exact schema — JSONL is not
+    # self-describing: re-inference narrows int widths and re-types
+    # timestamps) is recorded in a ``_format`` sidecar written inside
+    # the same atomic rename as the data, so it can never disagree
+    # with the part-files. Part-file extension sniffing remains only
+    # as a fallback for pre-sidecar datasets and RAISES when nothing
+    # matches (an empty dataset dir used to silently default to
+    # parquet and fail confusingly downstream).
     FORMATS = ("parquet", "orc", "json")
+    SIDECAR = "_format"
 
     def put(self, name: str, df: DataFrame, mode: str = "error",
             fmt: str = "parquet") -> str:
@@ -67,19 +75,41 @@ class Catalog:
                 return dest
         tmp = os.path.join(self.root, f".tmp-{name}-{uuid.uuid4().hex}")
         df.write.mode("overwrite").format(fmt).save(tmp)
+        self._write_sidecar(tmp, fmt, df)
         if os.path.exists(dest):
             shutil.rmtree(dest)
         os.rename(tmp, dest)
         return dest
 
-    def _detect_fmt(self, path: str) -> str:
+    def _write_sidecar(self, data_dir: str, fmt: str, df: DataFrame) -> None:
+        import json
+
+        meta = {"format": fmt}
+        if fmt == "json":
+            meta["schema"] = json.loads(df.schema.json())
+        with open(os.path.join(data_dir, self.SIDECAR), "w") as f:
+            json.dump(meta, f)
+
+    def _read_meta(self, path: str) -> dict:
+        """Dataset metadata: the sidecar when present, else extension
+        sniffing (pre-sidecar datasets). Raises on an undetectable
+        dataset instead of guessing."""
+        import json
+
+        sidecar = os.path.join(path, self.SIDECAR)
+        if os.path.exists(sidecar):
+            return json.load(open(sidecar))
         for f in os.listdir(path):
             if f.startswith(("_", ".")):
                 continue
             for fmt in self.FORMATS:
                 if f.endswith(f".{fmt}") or f".{fmt}." in f:
-                    return fmt
-        return "parquet"
+                    return {"format": fmt}
+        raise ValueError(
+            f"cannot determine format of dataset at {path}: no "
+            f"{self.SIDECAR} sidecar and no part-file with a known "
+            f"extension {self.FORMATS}"
+        )
 
     def put_partitioned(
         self, name: str, df: DataFrame, partition_cols: list[str]
@@ -95,6 +125,7 @@ class Catalog:
         dest = self._path(name)
         tmp = os.path.join(self.root, f".tmp-{name}-{uuid.uuid4().hex}")
         df.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
+        self._write_sidecar(tmp, "parquet", df)
         if os.path.exists(dest):
             shutil.rmtree(dest)
         os.rename(tmp, dest)
@@ -152,12 +183,19 @@ class Catalog:
 
     def get(self, name: str) -> DataFrame:
         """≅ reference ``get sdfsfilename localfilename``. The storage
-        format is detected from the part-file extensions, so callers
-        stay format-agnostic."""
+        format (and, for JSON, the exact write-time schema) comes from
+        the ``_format`` sidecar, so callers stay format-agnostic and
+        JSON round-trips losslessly — no re-inference."""
         path = self._path(name)
         if not os.path.exists(path):
             raise FileNotFoundError(name)
-        return self.spark.read.format(self._detect_fmt(path)).load(path)
+        meta = self._read_meta(path)
+        reader = self.spark.read
+        if meta.get("schema") is not None:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(meta["schema"]))
+        return reader.format(meta["format"]).load(path)
 
     def ls(self, name: str) -> list[dict]:
         """Per-file layout of a dataset (≅ ``ls`` replica listing,

@@ -49,10 +49,9 @@ def test_put_rejects_unknown_mode(spark, sf_dir, tmp_path):
 
 
 def test_put_get_roundtrip_every_format(spark, sf_dir, tmp_path):
-    """Format is remembered on disk (part-file extensions); get() is
-    format-agnostic and rows round-trip exactly in all formats."""
-    from pyspark.sql import functions as F
-
+    """Format (and for JSON the exact schema) is remembered in the
+    _format sidecar; get() is format-agnostic and both rows AND
+    dtypes round-trip exactly in all formats — no re-inference."""
     cat = Catalog(spark, str(tmp_path / "cat4"))
     nation = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
@@ -61,12 +60,49 @@ def test_put_get_roundtrip_every_format(spark, sf_dir, tmp_path):
     for fmt in Catalog.FORMATS:
         cat.put(f"nation_{fmt}", nation, fmt=fmt)
         got = cat.get(f"nation_{fmt}")
-        # JSON re-infers types; compare on a stable cast
-        got = got.select(
-            F.col("n_nationkey").cast("bigint"), "n_name",
-            F.col("n_regionkey").cast("bigint"),
-        )
+        assert got.schema == nation.schema, fmt
         assert sorted(map(tuple, got.collect())) == want
+
+
+def test_empty_json_dataset_roundtrips(spark, sf_dir, tmp_path):
+    """An all-filtered JSON dataset has no data lines to infer from;
+    the sidecar schema makes get() return the exact empty frame
+    (this used to mis-detect as parquet and fail confusingly)."""
+    cat = Catalog(spark, str(tmp_path / "cat6"))
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    empty = nation.filter("n_nationkey < 0")
+    cat.put("none", empty, fmt="json")
+    got = cat.get("none")
+    assert got.schema == empty.schema
+    assert got.count() == 0
+
+
+def test_undetectable_dataset_raises(spark, tmp_path):
+    """A dataset dir with no sidecar and no recognizable part files
+    must raise, not silently default to parquet."""
+    import os
+
+    cat = Catalog(spark, str(tmp_path / "cat7"))
+    os.makedirs(os.path.join(cat.root, "mystery"))
+    try:
+        cat.get("mystery")
+        raised = False
+    except ValueError as e:
+        raised = "cannot determine format" in str(e)
+    assert raised
+
+
+def test_pre_sidecar_dataset_falls_back_to_extension(spark, sf_dir,
+                                                     tmp_path):
+    import os
+
+    cat = Catalog(spark, str(tmp_path / "cat8"))
+    nation = load_table(spark, sf_dir, "nation")
+    cat.put("legacy", nation)
+    os.remove(os.path.join(cat.root, "legacy", Catalog.SIDECAR))
+    assert cat.get("legacy").count() == nation.count()
 
 
 def test_put_rejects_unknown_format(spark, sf_dir, tmp_path):
