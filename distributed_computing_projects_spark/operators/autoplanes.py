@@ -125,8 +125,12 @@ def knn_join_tables(
 
     Output schema = ``similarity.knn_join`` (id, neighbour_id, cosine,
     rank); ``knn_join_tables(.., n_tables=1)`` ≡ ``knn_join`` at the
-    same plane count.
+    same plane count. Input is ``spread()`` for the same
+    compute-dense-probe reason as ``knn_join``.
     """
+    from distributed_computing_projects_spark.operators.dedup import spread
+
+    emb = spread(emb)
     tbls = F.array(*[
         F.struct(
             F.lit(t).alias("tbl"),

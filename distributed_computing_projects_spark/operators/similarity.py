@@ -247,8 +247,17 @@ def knn_join(
     0 ReusedExchange) — without caching, the scan and the
     n_planes x dim bucket/norm float work run twice. Same pattern and
     opt-out as ``dedup.minhash_lsh_pairs``.
+
+    Input is ``spread()`` like every other CPU-heavy self-join here:
+    the per-pair cosine work is compute-dense but byte-light, and with
+    a small single-split input the broadcast-join probe side inherits
+    ONE partition — every candidate cosine on one core (measured 13x
+    on the 10x stress corpus, SCALE.md). On a many-split 100 TB table
+    spread() is a no-op.
     """
-    b = emb.select(
+    from distributed_computing_projects_spark.operators.dedup import spread
+
+    b = spread(emb).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.expr(T.lsh_bucket(vec_col, "spark", n_planes)).alias("bucket"),
