@@ -553,3 +553,37 @@ def test_suggest_n_planes_sizing_rule():
     # occupancy is bounded by target as N doubles: +1 plane per doubling
     assert (S.suggest_n_planes(2 * 10**8, 1024)
             == S.suggest_n_planes(10**8, 1024) + 1)
+
+
+def test_neardup_clusters_durable_checkpoint_swap(spark, tmp_path, monkeypatch):
+    """neardup_clusters documents swapping per-round localCheckpoint
+    for durable checkpoint() on multi-hour runs (dedup.py — lineage
+    survives executor loss via the checkpoint dir). Exercise exactly
+    that swap: with a checkpoint dir set and every localCheckpoint
+    call routed to reliable checkpoint(), the algorithm must converge
+    to the identical clustering and actually write checkpoint data.
+    (r7 note: promote the swap to a `durable=` parameter; this pins
+    the documented behavior until then.)"""
+    import os
+
+    # instances are the CLASSIC subclass (Spark 4), which overrides
+    # localCheckpoint — patching the abstract base would never fire
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+
+    def durable(self, eager=True):
+        return DataFrame.checkpoint(self, eager=eager)
+
+    chain = [(i, i + 1) for i in range(12)] + [(100, 101)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    want = sorted(map(tuple, D.neardup_clusters(pairs, max_iter=10)
+                      .collect()))
+    monkeypatch.setattr(DataFrame, "localCheckpoint", durable)
+    got = sorted(map(tuple, D.neardup_clusters(pairs, max_iter=10)
+                     .collect()))
+    assert got == want
+    ckpt_files = []
+    for root, _dirs, files in os.walk(str(tmp_path / "ckpt")):
+        ckpt_files += files
+    assert ckpt_files, "durable checkpoint wrote nothing"
