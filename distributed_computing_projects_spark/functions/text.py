@@ -301,6 +301,11 @@ def _float_array_literal(vals: list[float], dialect: str) -> str:
 def dot(a: str, b: str, dialect: str) -> str:
     """Sequential double dot product: fold is ((p1+p2)+p3)+... in both
     engines (Spark aggregate starts at 0.0 which is exact)."""
+    # measured r6: this higher-order form beats a fully-expanded
+    # 64-term codegen sum (a.v[0]*b.v[0] + ...) by ~6x on Spark 4
+    # (0.95 s vs 5.8 s over ~500k pairs, local[8]) — per-element
+    # element_at null-checking dwarfs the lambda dispatch; do NOT
+    # "optimize" this into an unrolled expression
     _check(dialect)
     if dialect == "spark":
         prods = f"zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))"
