@@ -312,10 +312,21 @@ def compute_order(
                 return (1, 0, g, q)
             reasons[q] = f"green r{g}"
             return (2, 0, g, q)
-        # conservative fallback: last green round predates snapshotting,
-        # so "unchanged since green" is unprovable — treat as changed.
-        # Known-edited closures (PRE_SNAPSHOT_PRIORITY) verify before
-        # merely-stale ones; both groups stalest-green-first.
+        # no snapshot at the green round — but a LATER snapshot still
+        # proves changes made after it: if the hash differs from the
+        # latest snapshot, the green row is KNOWN invalid (this is how
+        # an edit to a pre-snapshot-green query in the current round
+        # outranks merely-stale ones)
+        later = [int(r) for r in snaps if int(r) > g and q in snaps[r]]
+        if later:
+            latest = str(max(later))
+            if snaps[latest][q] != hashes[q]:
+                reasons[q] = (f"changed since r{latest} snapshot "
+                              f"(green r{g} pre-snapshot)")
+                return (1, 0, g, q)
+        # conservative fallback: "unchanged since green" is unprovable —
+        # treat as changed. Known-edited closures (PRE_SNAPSHOT_PRIORITY)
+        # verify before merely-stale ones; both groups stalest-green-first.
         sub = 1 if q in PRE_SNAPSHOT_PRIORITY else 2
         reasons[q] = f"pre-snapshot green r{g} — conservative re-verify"
         return (1, sub, g, q)
