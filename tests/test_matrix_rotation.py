@@ -96,7 +96,11 @@ def test_pre_snapshot_green_is_treated_as_changed():
         order.index(p) < order.index(s) for p in pre for s in post
     ), "pre-snapshot green must outrank snapshot-confirmed green"
     for p in pre:
-        assert reasons[p].startswith("pre-snapshot"), reasons[p]
+        # either the conservative fallback, or the stronger verdict a
+        # LATER snapshot proves (changed after that snapshot)
+        assert reasons[p].startswith(("pre-snapshot", "changed since")), (
+            reasons[p]
+        )
 
 
 def test_priority_list_never_affects_membership():
