@@ -103,7 +103,11 @@ def incremental_pairs_against_store(
     never shuffles.
     """
     batch = banded_rows(new_df, id_col, text_col, kb_parts).persist()
-    store = spark.read.parquet(path)
+    # the store schema is KNOWN (it is the banded-rows shape) — supply
+    # it instead of inferring: skips footer sampling at scale and keeps
+    # a degenerate store readable (an all-short-doc corpus bands to
+    # zero rows, whose parquet dir has no part files to infer from)
+    store = spark.read.schema(batch.schema).parquet(path)
     if prune:
         kbs = sorted(
             r.kb for r in batch.select("kb").distinct().collect()

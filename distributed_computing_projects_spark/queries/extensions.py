@@ -1932,3 +1932,65 @@ def q_decontaminate_ngram_hits(spark, sf_dir):
         )
         .filter(F.col("n_hits") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary induction
+# ---------------------------------------------------------------------------
+
+VOCAB_TOP = 500
+
+
+@query(
+    "vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS_D}) AS token FROM documents),
+    counts AS (
+      SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+    top AS (
+      SELECT token, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, token)
+                  AS BIGINT) AS rank
+      FROM counts
+      QUALIFY rank <= {VOCAB_TOP}),
+    total AS (SELECT CAST(count(*) AS BIGINT) AS total_cnt FROM toks)
+    SELECT rank, token, cnt,
+           CAST(sum(cnt) OVER (
+             ORDER BY rank ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_cnt,
+           total_cnt
+    FROM top, total
+    """,
+    doc=f"Tokenizer-vocabulary induction: the top {VOCAB_TOP} corpus "
+        "tokens by frequency with cumulative-coverage counts — what a "
+        "vocab/tokenizer build reads to pick V (coverage fraction = "
+        "cum_cnt/total_cnt, the caller's divide; integers only cross "
+        "the engine boundary). Shape: explode -> one hash aggregate "
+        "(partial agg map-side) -> TakeOrderedAndProject for the top "
+        f"slice -> cumulative window over the {VOCAB_TOP} surviving "
+        "rows (single-partition window is fine AT ANY corpus scale: "
+        "it runs on the top slice, never the corpus) -> broadcast "
+        "1-row total. Ties break by token, so the slice and ranks are "
+        "deterministic.",
+)
+def q_vocab_coverage(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.expr(T.tokens("text", "spark"))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(VOCAB_TOP)
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    total = toks.agg(F.count("*").alias("total_cnt"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "cum_cnt",
+            F.sum("cnt").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .crossJoin(F.broadcast(total))
+        .select("rank", "token", "cnt", "cum_cnt", "total_cnt")
+    )

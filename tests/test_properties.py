@@ -239,3 +239,63 @@ def test_incremental_pairs_subset_of_self_join_pairs(spark, texts):
         ).collect()
     }
     assert incr <= full
+
+
+@given(texts=st.lists(TEXT, min_size=2, max_size=6),
+       split=st.integers(min_value=1, max_value=5))
+@PROP
+def test_bandstore_probe_equals_direct_incremental(spark, tmp_path_factory,
+                                                   texts, split):
+    """For ANY corpus/batch split, probing the persisted band store
+    must yield exactly the pairs of the direct two-frame incremental
+    join — the store is a cache, never a semantics change."""
+    from distributed_computing_projects_spark.operators import (
+        bandstore as BS,
+    )
+
+    df = spark.createDataFrame([Row(doc_id=i, text=t)
+                                for i, t in enumerate(texts)])
+    k = split % len(texts) or 1
+    corpus = df.filter(f"doc_id < {k}")
+    batch = df.filter(f"doc_id >= {k}")
+    path = str(tmp_path_factory.mktemp("bands") / "store")
+    BS.write_bands(corpus, path, "doc_id", "text")
+    got = sorted((r.new_id, r.corpus_id, round(r.est_jaccard, 9))
+                 for r in BS.incremental_pairs_against_store(
+                     spark, path, batch, "doc_id", "text",
+                     threshold=0.25).collect())
+    want = sorted((r.new_id, r.corpus_id, round(r.est_jaccard, 9))
+                  for r in D.lsh_incremental_pairs(
+                      batch, corpus, "doc_id", "text",
+                      threshold=0.25).collect())
+    assert got == want
+
+
+@given(seed=st.integers(min_value=0, max_value=10**6))
+@PROP
+def test_knn_tables_candidates_superset_of_single(spark, seed):
+    """Band-OR blocking with L tables must never LOSE a pair the
+    single-table blocking found (table 0 is the single table), for
+    arbitrary deterministic vector sets."""
+    from distributed_computing_projects_spark.functions import text as T
+    from distributed_computing_projects_spark.operators import (
+        autoplanes as AP,
+        similarity as S,
+    )
+
+    vecs = [
+        Row(vec_id=i, embedding=[
+            (((seed + i * 31 + j * 7) % 2001) - 1000) / 1000.0
+            for j in range(T.EMBEDDING_DIM)
+        ])
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(vecs)
+    single = {(r.id, r.neighbour_id) for r in S.knn_join(
+        df, "vec_id", "embedding", 11, n_planes=3,
+        persist=False).collect()}
+    multi = {(r.id, r.neighbour_id) for r in AP.knn_join_tables(
+        df, "vec_id", "embedding", 11, n_planes=3, n_tables=2,
+        persist=False).collect()}
+    # k = N-1, so top-k IS the candidate set: superset must hold
+    assert single <= multi
