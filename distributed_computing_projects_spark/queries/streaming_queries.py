@@ -342,3 +342,74 @@ def q_streaming_enriched_category_totals(spark, sf_dir):
     with _state_partitions(spark):
         run_to_memory_sink(agg, "q_stream_enriched", "complete")
     return spark.table("q_stream_enriched")
+
+
+from distributed_computing_projects_spark.queries.extensions import (
+    _INCR_ORACLE,
+)
+
+
+@query(
+    "streaming_dedup_ingest",
+    # identical contract to dedup_incremental / dedup_incremental_store:
+    # the stream is just the delivery mechanism for the batch
+    oracle=_INCR_ORACLE,
+    doc="CONTINUOUS-INGEST dedup: documents arrive as a file stream, "
+        "and every micro-batch is probed against the PERSISTED corpus "
+        "band store via foreachBatch reusing the batch operator "
+        "(bandstore.incremental_pairs_against_store — kb directory "
+        "pruning and all). The composition every landing zone runs: "
+        "stream in, dedup against what is already ingested, append "
+        "survivors. Hash-matches the same SQL oracle as the batch "
+        "incremental queries — the stream must change NOTHING.",
+)
+def q_streaming_dedup_ingest(spark, sf_dir):
+    import tempfile
+
+    from distributed_computing_projects_spark.operators import (
+        bandstore as BSTORE,
+    )
+    from distributed_computing_projects_spark.queries.extensions import (
+        INCR_BATCH_SOURCE,
+        MINHASH_THRESHOLD,
+    )
+    from distributed_computing_projects_spark.sources.registry import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != INCR_BATCH_SOURCE)
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"dcp_stream_bandstore_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    BSTORE.write_bands(corpus, store, "doc_id", "text")
+
+    work = tempfile.mkdtemp(prefix="dcp_stream_ingest_")
+    out_dir = os.path.join(work, "pairs")
+    ckpt = os.path.join(work, "ckpt")
+    schema = docs.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+    def probe_batch(batch_df, _batch_id):
+        batch = batch_df.filter(F.col("source") == INCR_BATCH_SOURCE)
+        BSTORE.incremental_pairs_against_store(
+            spark, store, batch, "doc_id", "text",
+            threshold=MINHASH_THRESHOLD,
+        ).write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(probe_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.read.schema(
+        "new_id bigint, corpus_id bigint, est_jaccard double"
+    ).parquet(out_dir)
+

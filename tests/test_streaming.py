@@ -206,3 +206,21 @@ def test_enrich_with_static_stream_matches_batch(spark, sf_dir):
         "category",
     )
     assert got == want and len(got) == 3
+
+
+def test_streaming_dedup_ingest_matches_batch_incremental(spark, sf_dir):
+    """The stream is only the delivery mechanism: foreachBatch probing
+    of the band store must produce exactly the batch incremental
+    pairs."""
+    from distributed_computing_projects_spark.queries import load_registry
+
+    reg = load_registry()
+    via_stream = sorted(
+        (r.new_id, r.corpus_id, round(r.est_jaccard, 9))
+        for r in reg["streaming_dedup_ingest"].fn(spark, sf_dir).collect()
+    )
+    via_batch = sorted(
+        (r.new_id, r.corpus_id, round(r.est_jaccard, 9))
+        for r in reg["dedup_incremental"].fn(spark, sf_dir).collect()
+    )
+    assert via_stream == via_batch
