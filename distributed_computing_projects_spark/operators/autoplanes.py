@@ -12,9 +12,9 @@ oracle mirrors it in SQL (``length(bin(...))``) and both engines must
 pick the identical plane count for the differential hash to hold.
 Equality with the float form is pinned by ``tests/test_autoplanes.py``.
 
-Cost of ``auto``: one ``df.count()`` — on a parquet source that is a
-metadata-only job (row counts come from footer statistics; no column
-data is read), and at scale the row count is usually already in the
+Cost of ``auto``: one ``df.count()`` — on a parquet source the scan
+decodes no column data (the count comes from row-group metadata), and
+at scale the row count is usually already in the
 catalog/metastore, in which case call :func:`resolve_n_planes` with it
 directly and skip the job. The count is taken BEFORE blocking, so the
 derived value is deterministic for a given corpus.
