@@ -96,6 +96,26 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--explain", action="store_true",
                    help="print the formatted physical plan instead of rows")
 
+    bw = sub.add_parser(
+        "bandstore-write",
+        help="materialize a corpus' MinHash band table (incremental-"
+             "dedup store, hive-partitioned by key-hash prefix)",
+    )
+    bw.add_argument("corpus_path", help="parquet with (doc_id, text)")
+    bw.add_argument("store_path")
+
+    bp = sub.add_parser(
+        "bandstore-probe",
+        help="probe a batch against a band store; prints "
+             "(new_id, corpus_id, est_jaccard) pairs",
+    )
+    bp.add_argument("store_path")
+    bp.add_argument("batch_path", help="parquet with (doc_id, text)")
+    bp.add_argument("--threshold", type=float, default=0.5)
+    bp.add_argument("--append", action="store_true",
+                    help="after probing, append the batch's bands to "
+                         "the store (epochal ingest)")
+
     return p
 
 
@@ -195,6 +215,26 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 print(physical_plan(df))
             else:
                 _emit(df)
+        elif args.cmd == "bandstore-write":
+            from distributed_computing_projects_spark.operators import (
+                bandstore,
+            )
+
+            corpus = spark.read.parquet(args.corpus_path)
+            bandstore.write_bands(corpus, args.store_path, "doc_id", "text")
+        elif args.cmd == "bandstore-probe":
+            from distributed_computing_projects_spark.operators import (
+                bandstore,
+            )
+
+            batch = spark.read.parquet(args.batch_path)
+            _emit(bandstore.incremental_pairs_against_store(
+                spark, args.store_path, batch, "doc_id", "text",
+                threshold=args.threshold,
+            ))
+            if args.append:
+                bandstore.append_bands(batch, args.store_path,
+                                       "doc_id", "text")
         return 0
     finally:
         if own_session:

@@ -114,3 +114,37 @@ def test_query_explain_prints_plan(spark, sf_dir, capsys):
     out = capsys.readouterr().out
     assert "Physical Plan" in out or "HashAggregate" in out
     assert "PushedFilters" in out
+
+
+def test_cli_bandstore_write_probe_append(spark, sf_dir, tmp_path, capsys):
+    """End-to-end ingest workflow through the CLI: write corpus store,
+    probe a duplicate batch, append, probe the next epoch."""
+    from distributed_computing_projects_spark.cli import main
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus_p = str(tmp_path / "corpus.parquet")
+    batch_p = str(tmp_path / "batch.parquet")
+    docs.filter("source <> 'src0'").select("doc_id", "text") \
+        .write.parquet(corpus_p)
+    docs.filter("source = 'src0'").select("doc_id", "text") \
+        .write.parquet(batch_p)
+    store = str(tmp_path / "store")
+
+    assert main(["bandstore-write", corpus_p, store], spark=spark) == 0
+    assert main(["bandstore-probe", store, batch_p, "--threshold", "0.25",
+                 "--append"], spark=spark) == 0
+    out1 = capsys.readouterr().out.strip().splitlines()
+    # pairs match the batch operator directly
+    from distributed_computing_projects_spark.operators import dedup as D
+
+    direct = D.lsh_incremental_pairs(
+        spark.read.parquet(batch_p), spark.read.parquet(corpus_p),
+        "doc_id", "text", threshold=0.25,
+    ).count()
+    assert len(out1) == direct
+    # after --append, probing the SAME batch again must now self-hit
+    assert main(["bandstore-probe", store, batch_p, "--threshold", "0.99"],
+                spark=spark) == 0
+    out2 = capsys.readouterr().out.strip().splitlines()
+    n_batch = spark.read.parquet(batch_p).count()
+    assert len(out2) >= n_batch  # every appended doc collides with itself
