@@ -63,8 +63,8 @@ def resolve_n_planes(
 def auto_n_planes(
     df: DataFrame, target_bucket_size: int = DEFAULT_TARGET_BUCKET
 ) -> int:
-    """Derive the plane count from the DataFrame's row count (one
-    metadata-only count job on a parquet source; see module doc)."""
+    """Derive the plane count from the DataFrame's row count (a
+    column-pruned count job on a parquet source; see module doc)."""
     return resolve_n_planes(df.count(), target_bucket_size)
 
 

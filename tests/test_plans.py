@@ -332,3 +332,35 @@ def test_band_store_partition_prunes_on_key_hash(spark, sf_dir, tmp_path):
     for r in touched:
         kb = int(r.f.split("kb=")[1].split("/")[0])
         assert kb in kbs, f"scan read unprobed kb dir {kb}"
+
+
+def test_vocab_coverage_topk_not_global_sort(spark, sf_dir, registry):
+    """The vocab slice must be TakeOrderedAndProject (top-V without a
+    global sort); the cumulative window then runs on that slice."""
+    df = registry["vocab_coverage"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    # the only nested-loop join is the deliberate 1-row broadcast of
+    # the corpus total; a shuffled product is still forbidden
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_decontaminate_ngram_broadcasts_eval_grams(spark, sf_dir, registry):
+    """The eval gram set must broadcast: the train side never shuffles
+    for the join (eval sets are small by nature at any corpus scale)."""
+    df = registry["decontaminate_ngram_hits"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert_no_cartesian(df)
+
+
+def test_knn_join_recall_blocked_sides_stay_equi_joins(spark, sf_dir,
+                                                       registry):
+    """The two blocked tiers must stay bucket equi-joins; the only
+    nested-loop join allowed is the exact side's deliberate broadcast
+    of the 1-in-5 sample (never a shuffled cartesian)."""
+    df = registry["knn_join_recall"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the exact side
