@@ -385,7 +385,18 @@ def q_streaming_dedup_ingest(spark, sf_dir):
     )
     BSTORE.write_bands(corpus, store, "doc_id", "text")
 
-    work = tempfile.mkdtemp(prefix="dcp_stream_ingest_")
+    # deterministic workdir, cleared on entry: the returned DataFrame
+    # lazily reads out_dir (so this call cannot clean up after itself)
+    # — a fixed path bounds the leak to one copy across driver reruns.
+    # The checkpoint must die with it or the file source would consider
+    # the input already processed and run zero batches.
+    import shutil
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"dcp_stream_ingest_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
     out_dir = os.path.join(work, "pairs")
     ckpt = os.path.join(work, "ckpt")
     schema = docs.schema
