@@ -112,3 +112,47 @@ def test_write_bucketed_auto_roundtrip(spark, sf_dir, tmp_path):
     import os
     dirs = [d for d in os.listdir(path) if d.startswith("bucket=")]
     assert 0 < len(dirs) <= 2 ** n
+
+
+def test_spread_fans_out_single_split_sources(spark, sf_dir, tmp_path):
+    """spread() must fan a small single-file parquet out to the
+    session's full parallelism (the compute-dense self-join guard),
+    be a no-op on many-file sources, and never change rows."""
+    from distributed_computing_projects_spark.operators.dedup import spread
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    target = spark.sparkContext.defaultParallelism
+    out = spread(emb)
+    assert out.rdd.getNumPartitions() >= target
+    assert sorted(r.vec_id for r in out.collect()) == sorted(
+        r.vec_id for r in emb.collect()
+    )
+    # many-file source: no repartition inserted (plan unchanged)
+    many = str(tmp_path / "many")
+    emb.repartition(target + 4).write.parquet(many)
+    again = spark.read.parquet(many)
+    assert spread(again) is again
+    # in-memory frame (no input files at all): untouched
+    local = spark.createDataFrame([(1, "a")], "id long, s string")
+    assert spread(local) is local
+
+
+def test_knn_join_recall_internal_consistency(spark):
+    """hits@k is monotone in k and bounded by total; both methods
+    present; band-OR hits >= single-table hits at every k (its
+    candidate set is a superset and ranking ties are deterministic)."""
+    from distributed_computing_projects_spark.queries import load_registry
+
+    rows = load_registry()["knn_join_recall"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_method: dict = {}
+    for r in rows:
+        by_method.setdefault(r.method, {})[r.k] = (r.hits, r.total)
+    assert set(by_method) == {"blocked", "bandor"}
+    for method, ks in by_method.items():
+        seq = sorted(ks.items())
+        for (k, (h, t)) in seq:
+            assert 0 <= h <= t and t > 0, (method, k)
+        hits = [h for _, (h, _) in seq]
+        assert hits == sorted(hits), f"{method} hits not monotone in k"
