@@ -312,16 +312,17 @@ def compute_order(
                 return (1, 0, g, q)
             reasons[q] = f"green r{g}"
             return (2, 0, g, q)
-        # no snapshot at the green round — but a LATER snapshot still
-        # proves changes made after it: if the hash differs from the
-        # latest snapshot, the green row is KNOWN invalid (this is how
-        # an edit to a pre-snapshot-green query in the current round
-        # outranks merely-stale ones)
-        later = [int(r) for r in snaps if int(r) > g and q in snaps[r]]
-        if later:
-            latest = str(max(later))
-            if snaps[latest][q] != hashes[q]:
-                reasons[q] = (f"changed since r{latest} snapshot "
+        # no snapshot at the green round — but ANY later snapshot whose
+        # recorded hash differs from today's proves a change after that
+        # round (> g), i.e. the green row is KNOWN invalid. Checking
+        # every later snapshot (not just the latest) matters: the
+        # round-close snapshot matches current code by construction,
+        # and must not launder a mid-round edit that an earlier
+        # snapshot still witnesses.
+        for r in sorted((int(r) for r in snaps if int(r) > g
+                         and q in snaps[str(r)])):
+            if snaps[str(r)][q] != hashes[q]:
+                reasons[q] = (f"changed since r{r} snapshot "
                               f"(green r{g} pre-snapshot)")
                 return (1, 0, g, q)
         # conservative fallback: "unchanged since green" is unprovable —
