@@ -124,3 +124,30 @@ def test_registry_order_follows_generated_file():
     got = list(load_registry())
     known = [q for q in MATRIX_ORDER if q in got]
     assert got[: len(known)] == known
+
+
+def test_round_close_snapshot_cannot_launder_midround_edits():
+    """The round-close snapshot matches current code by construction;
+    an edit made mid-round to a pre-snapshot-green query must STILL be
+    proven changed by the earlier snapshot that witnessed the old hash
+    (the bug: comparing only against the latest snapshot)."""
+    tool = _tool()
+    hashes = tool.query_hashes()
+    q = next(iter(hashes))
+    fake_snaps = {
+        "5": {q: "0" * 32},        # witnessed a DIFFERENT hash
+        "6": {q: hashes[q]},       # round-close snapshot: matches
+    }
+    tool.load_snapshots = lambda: fake_snaps
+    # force q's green round to 4 (pre-snapshot) while keeping every
+    # other query out of the way
+    real_greens = tool.green_rounds
+
+    def fake_greens(rounds=None):
+        g = real_greens(rounds)
+        g[q] = 4
+        return g
+
+    tool.green_rounds = fake_greens
+    order, reasons = tool.compute_order()
+    assert reasons[q] == "changed since r5 snapshot (green r4 pre-snapshot)"
