@@ -195,3 +195,108 @@ def write_bucketed_auto(
     n = auto_n_planes(emb, target_bucket_size)
     S.write_bucketed(emb, path, id_col, vec_col, n_planes=n)
     return n
+
+
+def query_bucket_table(
+    query_vec: list[float], n_planes: int, table: int,
+    stride: int = TABLE_STRIDE,
+) -> int:
+    """Driver-side bucket of the query vector in hash table ``table``
+    (same sign-bit formula as :func:`lsh_bucket_table`; plain Python
+    floats are IEEE doubles, so it agrees with the column expression)."""
+    off = table * stride
+    bucket = 0
+    for p in range(n_planes):
+        d = sum(float(x) * c for x, c in zip(query_vec, T.hyperplane(off + p)))
+        if d >= 0:
+            bucket += 1 << p
+    return bucket
+
+
+def probe_buckets_table(
+    query_vec: list[float], probe_hamming: int, n_planes: int, table: int,
+    stride: int = TABLE_STRIDE,
+) -> list[int]:
+    """Multi-probe IN-list for one table: all buckets within
+    ``probe_hamming`` sign-bits of the query's bucket in that table."""
+    from itertools import combinations
+
+    qb = query_bucket_table(query_vec, n_planes, table, stride)
+    out = []
+    for h in range(probe_hamming + 1):
+        for flips in combinations(range(n_planes), h):
+            b = qb
+            for p in flips:
+                b ^= 1 << p
+            out.append(b)
+    return sorted(out)
+
+
+def write_bucketed_tables(
+    emb: DataFrame, path: str, id_col: str, vec_col: str,
+    n_planes: int, n_tables: int,
+) -> None:
+    """Band-OR probe store: one row per (vector, table), hive-
+    partitioned by (tbl, bucket) — ``n_tables`` directories of
+    2^n_planes buckets each. Storage is L× the single-table store
+    (:func:`similarity.write_bucketed`); in exchange a fixed query's
+    recall gets the 1-(1-p^n)^L band-OR lift while each probe still
+    reads only partition-pruned directories. Write cost: one pass +
+    one hash exchange on the partition key (one file per directory)."""
+    tbls = F.array(*[
+        F.struct(
+            F.lit(t).alias("tbl"),
+            F.expr(lsh_bucket_table(vec_col, "spark", n_planes, t))
+            .alias("bucket"),
+        )
+        for t in range(n_tables)
+    ])
+    keyed = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.explode(tbls).alias("tb"),
+    ).select("id", "v", F.col("tb.tbl").alias("tbl"),
+             F.col("tb.bucket").alias("bucket"))
+    keyed.repartition("tbl", "bucket").write.partitionBy(
+        "tbl", "bucket"
+    ).mode("overwrite").parquet(path)
+
+
+def lsh_topk_tables(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int,
+    n_planes: int,
+    n_tables: int,
+    probe_hamming: int = 0,
+) -> DataFrame:
+    """Top-k cosine probe against a :func:`write_bucketed_tables`
+    store: the per-table probe IN-lists are enumerated driver-side and
+    applied as an OR of (tbl, bucket IN ...) conjunctions over the two
+    partition columns — still pure directory pruning (plan-asserted).
+    A vector found by several tables is deduped on (id, cosine) before
+    ranking (cosine is a pure function of the id). ``n_planes`` /
+    ``n_tables`` must match the store's write parameters."""
+    from functools import reduce
+
+    pred = reduce(
+        lambda a, b: a | b,
+        [
+            (F.col("tbl") == t)
+            & F.col("bucket").isin(
+                probe_buckets_table(query_vec, probe_hamming, n_planes, t)
+            )
+            for t in range(n_tables)
+        ],
+    )
+    pruned = spark.read.parquet(path).filter(pred)
+    q = T._float_array_literal([float(x) for x in query_vec], "spark")
+    cos = T.cosine(T.dot("v", q, "spark"), T.sq_norm("v", "spark"),
+                   T.sq_norm(q, "spark"))
+    return (
+        pruned.select("id", F.expr(cos).alias("cosine"))
+        .distinct()
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )

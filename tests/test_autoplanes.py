@@ -156,3 +156,56 @@ def test_knn_join_recall_internal_consistency(spark):
             assert 0 <= h <= t and t > 0, (method, k)
         hits = [h for _, (h, _) in seq]
         assert hits == sorted(hits), f"{method} hits not monotone in k"
+
+
+def test_band_or_store_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    """The (tbl, bucket)-partitioned store must (a) prune directories
+    at execution, (b) return exactly the top-k over the UNION of the
+    probed tables' candidates, deduped, (c) dominate the single-table
+    store's best candidate set."""
+    from pyspark.sql import functions as F
+
+    from distributed_computing_projects_spark.functions import text as T
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "tables_store")
+    n_planes, n_tables, k = 4, 3, 5
+    AP.write_bucketed_tables(emb, path, "vec_id", "embedding",
+                             n_planes, n_tables)
+    q = [0.4 if j % 5 else -0.3 for j in range(T.EMBEDDING_DIM)]
+    got = AP.lsh_topk_tables(spark, path, q, k, n_planes, n_tables,
+                             probe_hamming=1).collect()
+    # expected: on-the-fly union of per-table candidates, exact cosine
+    cand_ids = set()
+    for t in range(n_tables):
+        probes = AP.probe_buckets_table(q, 1, n_planes, t)
+        b = emb.select(
+            F.col("vec_id").alias("id"),
+            F.expr(AP.lsh_bucket_table("embedding", "spark", n_planes, t))
+            .alias("bucket"),
+        )
+        cand_ids |= {r.id for r in
+                     b.filter(F.col("bucket").isin(probes)).collect()}
+    qs = T._float_array_literal([float(x) for x in q], "spark")
+    cos = T.cosine(T.dot("embedding", qs, "spark"),
+                   T.sq_norm("embedding", "spark"), T.sq_norm(qs, "spark"))
+    want = (
+        emb.filter(F.col("vec_id").isin(sorted(cand_ids)))
+        .select(F.col("vec_id").alias("id"), F.expr(cos).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id")).limit(k).collect()
+    )
+    assert [(r.id, r.cosine) for r in got] == [(r.id, r.cosine)
+                                              for r in want]
+    # no duplicate ids despite multi-table membership
+    assert len({r.id for r in got}) == len(got)
+    # pruning is real at execution
+    touched = (
+        spark.read.parquet(path)
+        .filter((F.col("tbl") == 0) & F.col("bucket").isin(
+            AP.probe_buckets_table(q, 1, n_planes, 0)))
+        .select(F.input_file_name().alias("f")).distinct().collect()
+    )
+    for r in touched:
+        t = int(r.f.split("tbl=")[1].split("/")[0])
+        b = int(r.f.split("bucket=")[1].split("/")[0])
+        assert t == 0 and b in AP.probe_buckets_table(q, 1, n_planes, 0)
