@@ -4,11 +4,12 @@ Convention (SURVEY.md §1.3 / BASELINE.json): an opaque ``binary``
 payload column plus a typed metadata struct
 (mime/width/height/duration). The decode / feature-extraction step is
 the one place Python enters: an Arrow-batched ``mapInPandas`` whose
-batch shape, schema, and partitioning are real and tested. The actual
-media decode is STUBBED (no image/audio libs in this container):
-``decode_features`` computes deterministic byte-level features, and
-``decode_image`` raises ``NotImplementedError`` with the integration
-point documented.
+batch shape, schema, and partitioning are real and tested.
+``decode_features`` computes deterministic byte-level features;
+``decode_image`` REALLY decodes the formats a library-free container
+can (binary PPM / uncompressed 24-bit BMP, pure numpy) and drops the
+rest — compressed codecs (JPEG/PNG/audio/video) remain the documented
+external-library integration point.
 
 At scale the payloads dominate: keep them in their own parquet column
 (never in shuffle keys), size ``spark.sql.files.maxPartitionBytes`` to
@@ -92,18 +93,111 @@ def decode_features(payloads: DataFrame) -> DataFrame:
     return cols.mapInPandas(_featurize, schema=FEATURE_SCHEMA)
 
 
-def decode_image(payloads: DataFrame) -> DataFrame:
-    """Real image decode (resize / pixel stats) — STUB.
+IMAGE_SCHEMA = (
+    "id bigint, width int, height int, n_px bigint,"
+    " sum_r bigint, sum_g bigint, sum_b bigint"
+)
 
-    The container has no imaging libraries; integrate by replacing the
-    body with a ``mapInPandas`` that PIL-opens ``payload`` and emits
-    (id, width, height, mean_rgb array<double>). The Spark-side
-    contract (binary in, fixed-schema Arrow batches out) is exactly
-    ``decode_features``'s.
+
+def _decode_ppm(b: bytes):
+    """Binary PPM (P6): 'P6' <ws> width <ws> height <ws> maxval <ws-1>
+    raw RGB. Handles arbitrary whitespace and '#' comments in the
+    header. Returns (w, h, HxWx3 uint8 array) or None."""
+    import numpy as np
+
+    if not b.startswith(b"P6"):
+        return None
+    i, tokens = 2, []
+    while len(tokens) < 3 and i < len(b):
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":
+            while i < len(b) and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        tokens.append(b[i:j])
+        i = j
+    i += 1  # the single whitespace byte after maxval
+    try:
+        w, h, maxval = (int(t) for t in tokens)
+    except ValueError:
+        return None
+    if maxval != 255 or w <= 0 or h <= 0 or len(b) < i + w * h * 3:
+        return None
+    px = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=i)
+    return w, h, px.reshape(h, w, 3)
+
+
+def _decode_bmp(b: bytes):
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up rows,
+    4-byte row padding, BGR order). Returns (w, h, HxWx3 RGB uint8
+    array) or None."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 54 or not b.startswith(b"BM"):
+        return None
+    off = struct.unpack_from("<I", b, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", b, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", b, 26)
+    if hdr_size < 40 or bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    flipped = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    if len(b) < off + row_bytes * h:
+        return None
+    rows = np.frombuffer(b, dtype=np.uint8, count=row_bytes * h,
+                         offset=off).reshape(h, row_bytes)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    if flipped:
+        bgr = bgr[::-1]
+    return w, h, bgr[..., ::-1]  # BGR -> RGB
+
+
+def decode_image(payloads: DataFrame) -> DataFrame:
+    """REAL image decode for the formats a library-free container can
+    decode: binary PPM (P6) and uncompressed 24-bit BMP, parsed with
+    numpy inside an Arrow-batched ``mapInPandas`` (same contract as
+    ``decode_features``: binary in, fixed-schema batches out). Emits
+    (id, width, height, n_px, per-channel byte SUMS) — integer outputs,
+    so a differential oracle can check the decode exactly; means are
+    the caller's divide.
+
+    Undecodable payloads (wrong magic, truncated, compressed formats)
+    are DROPPED — the engine's malformed-record policy (sources/csv.py)
+    applied to media. JPEG/PNG/audio/video decode needs external
+    libraries (PIL/ffmpeg — absent here); plug a codec in by extending
+    the per-format dispatch below, keeping the same schema.
     """
-    raise NotImplementedError(
-        "media decode requires imaging libraries not present in this "
-        "environment; see decode_features for the working plumbing"
+    import numpy as np
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("id", "width", "height", "n_px",
+                                   "sum_r", "sum_g", "sum_b")}
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                b = bytes(payload)
+                decoded = _decode_ppm(b) or _decode_bmp(b)
+                if decoded is None:
+                    continue
+                w, h, px = decoded
+                sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                out["id"].append(i)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_px"].append(w * h)
+                out["sum_r"].append(int(sums[0]))
+                out["sum_g"].append(int(sums[1]))
+                out["sum_b"].append(int(sums[2]))
+            yield pd.DataFrame(out)
+
+    return payloads.select("id", "payload").mapInPandas(
+        _decode, schema=IMAGE_SCHEMA
     )
 
 

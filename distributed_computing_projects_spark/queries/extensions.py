@@ -1994,3 +1994,57 @@ def q_vocab_coverage(spark, sf_dir):
         .crossJoin(F.broadcast(total))
         .select("rank", "token", "cnt", "cum_cnt", "total_cnt")
     )
+
+
+# ---------------------------------------------------------------------------
+# Real image decode (library-free formats)
+# ---------------------------------------------------------------------------
+
+IMG_W, IMG_H = 4, 3
+_IMG_BYTES = IMG_W * IMG_H * 3
+_PPM_HEADER = f"P6\n{IMG_W} {IMG_H}\n255\n".encode()
+
+
+@query(
+    "multimodal_image_decode",
+    oracle=f"""
+    WITH eligible AS (
+      SELECT doc_id AS id, text FROM documents
+      WHERE octet_length(encode(text)) >= {_IMG_BYTES}),
+    b AS (
+      SELECT id, i, ascii(substr(text, i, 1)) AS v
+      FROM eligible, (SELECT unnest(generate_series(1, {_IMG_BYTES})) AS i))
+    SELECT id,
+           CAST({IMG_W} AS INTEGER) AS width,
+           CAST({IMG_H} AS INTEGER) AS height,
+           CAST({IMG_W * IMG_H} AS BIGINT) AS n_px,
+           CAST(sum(CASE WHEN i % 3 = 1 THEN v END) AS BIGINT) AS sum_r,
+           CAST(sum(CASE WHEN i % 3 = 2 THEN v END) AS BIGINT) AS sum_g,
+           CAST(sum(CASE WHEN i % 3 = 0 THEN v END) AS BIGINT) AS sum_b
+    FROM b GROUP BY id
+    """,
+    doc="REAL image decode end-to-end: a binary PPM (P6) payload is "
+        "built in-plan per doc (header + the doc's first 36 text "
+        "bytes as 4x3 RGB pixels — the corpus is ASCII, pytest-"
+        "pinned), then numpy-decoded inside the Arrow mapInPandas "
+        "(operators/multimodal.py:decode_image — no imaging library "
+        "involved, which is exactly why this container CAN run it; "
+        "JPEG/PNG stay the documented codec integration point). "
+        "Integer per-channel byte sums make the decode differentially "
+        "checkable: the oracle recomputes them from character codes.",
+)
+def q_multimodal_image_decode(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = (
+        docs.filter(
+            F.expr(f"octet_length(encode(text, 'UTF-8')) >= {_IMG_BYTES}")
+        )
+        .select(
+            F.col("doc_id").alias("id"),
+            F.concat(
+                F.lit(bytearray(_PPM_HEADER)),
+                F.expr(f"substring(encode(text, 'UTF-8'), 1, {_IMG_BYTES})"),
+            ).alias("payload"),
+        )
+    )
+    return M.decode_image(payloads)

@@ -296,9 +296,58 @@ def test_multimodal_payload_roundtrip_and_features(spark):
     assert feats[0].mime == "text/plain"
 
 
-def test_decode_image_is_documented_stub():
-    with pytest.raises(NotImplementedError):
-        M.decode_image(None)
+def _ppm(w, h, px_bytes, comment=False):
+    hdr = b"P6\n" + (b"# c\n" if comment else b"") + \
+        f"{w} {h}\n255\n".encode()
+    return hdr + px_bytes
+
+
+def _bmp24(w, h, rows_rgb):
+    """Bottom-up 24-bit BMP from top-down RGB row tuples."""
+    import struct
+
+    row_bytes = (w * 3 + 3) & ~3
+    pad = row_bytes - w * 3
+    body = b""
+    for row in reversed(rows_rgb):
+        for (r, g, b) in row:
+            body += bytes([b, g, r])
+        body += b"\x00" * pad
+    off = 54
+    header = (b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+              + struct.pack("<Iii", 40, w, h)
+              + struct.pack("<HHI", 1, 24, 0) + b"\x00" * 20)
+    return header + body
+
+
+def test_decode_image_ppm_and_bmp_closed_form(spark):
+    """Real decode: byte-exact channel sums for hand-built PPM and BMP
+    payloads; undecodable payloads (bad magic, truncated) drop — the
+    malformed-record policy applied to media."""
+    from pyspark.sql import Row
+
+    px = bytes(range(36))  # 4x3 RGB
+    ppm = _ppm(4, 3, px, comment=True)
+    bmp = _bmp24(2, 2, [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (10, 11, 12)]])
+    rows = [
+        Row(id=1, payload=bytearray(ppm)),
+        Row(id=2, payload=bytearray(bmp)),
+        Row(id=3, payload=bytearray(b"JPEG???not really")),
+        Row(id=4, payload=bytearray(_ppm(4, 3, px[:10]))),  # truncated
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {r.id: r for r in M.decode_image(df).collect()}
+    assert set(out) == {1, 2}
+    p = out[1]
+    assert (p.width, p.height, p.n_px) == (4, 3, 12)
+    assert p.sum_r == sum(px[0::3])
+    assert p.sum_g == sum(px[1::3])
+    assert p.sum_b == sum(px[2::3])
+    b = out[2]
+    assert (b.width, b.height, b.n_px) == (2, 2, 4)
+    assert (b.sum_r, b.sum_g, b.sum_b) == (1 + 4 + 7 + 10,
+                                           2 + 5 + 8 + 11,
+                                           3 + 6 + 9 + 12)
 
 
 def test_ivf_topk_scores_match_exact_scorer(spark, sf_dir):
