@@ -241,3 +241,79 @@ def frame_sample(
             ).alias("frame"),
         )
     )
+
+
+AUDIO_SCHEMA = (
+    "id bigint, sample_rate int, channels int, n_samples bigint,"
+    " sum_amplitude bigint, peak_amplitude int"
+)
+
+
+def _decode_wav(b: bytes):
+    """Uncompressed 16-bit PCM WAV (RIFF/WAVE, fmt tag 1): returns
+    (sample_rate, channels, int16 sample array) or None. Walks the
+    chunk list, so extra chunks (LIST/fact) before data are fine."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = struct.unpack_from("<I", b, pos + 4)[0]
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    audio_fmt, channels, rate, _br, _ba, bits = fmt
+    if audio_fmt != 1 or bits != 16 or channels <= 0:
+        return None
+    n = len(data) // 2
+    if n == 0:
+        return None
+    samples = np.frombuffer(data, dtype="<i2", count=n)
+    return rate, channels, samples
+
+
+def decode_audio(payloads: DataFrame) -> DataFrame:
+    """REAL audio decode for the format a library-free container can
+    decode: uncompressed 16-bit PCM WAV, parsed with numpy inside the
+    same Arrow ``mapInPandas`` contract as :func:`decode_image`.
+    Emits integer aggregates (sample count, amplitude sum, peak |amp|)
+    so the decode is differentially checkable; undecodable payloads
+    (other codecs, truncated, non-PCM) DROP. MP3/AAC/Opus need
+    external codecs — the documented integration point, same as
+    JPEG/PNG for images."""
+    import numpy as np
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("id", "sample_rate", "channels",
+                                   "n_samples", "sum_amplitude",
+                                   "peak_amplitude")}
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                decoded = _decode_wav(bytes(payload))
+                if decoded is None:
+                    continue
+                rate, channels, samples = decoded
+                out["id"].append(i)
+                out["sample_rate"].append(rate)
+                out["channels"].append(channels)
+                out["n_samples"].append(len(samples))
+                out["sum_amplitude"].append(
+                    int(samples.sum(dtype=np.int64))
+                )
+                out["peak_amplitude"].append(
+                    int(np.abs(samples.astype(np.int32)).max())
+                )
+            yield pd.DataFrame(out)
+
+    return payloads.select("id", "payload").mapInPandas(
+        _decode, schema=AUDIO_SCHEMA
+    )

@@ -2048,3 +2048,70 @@ def q_multimodal_image_decode(spark, sf_dir):
         )
     )
     return M.decode_image(payloads)
+
+
+AUDIO_RATE = 8000
+_AUDIO_BYTES = 36  # -> 18 int16 mono samples per doc
+
+
+def _wav_header() -> bytes:
+    import struct
+
+    chunks = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, 1, AUDIO_RATE, AUDIO_RATE * 2, 2, 16
+    ) + b"data" + struct.pack("<I", _AUDIO_BYTES)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks) + _AUDIO_BYTES) \
+        + b"WAVE" + chunks
+
+
+@query(
+    "multimodal_audio_decode",
+    oracle=f"""
+    WITH eligible AS (
+      SELECT doc_id AS id, text FROM documents
+      WHERE octet_length(encode(text)) >= {_AUDIO_BYTES}),
+    s AS (
+      SELECT id, i,
+             ascii(substr(text, 2 * i - 1, 1))
+               + 256 * ascii(substr(text, 2 * i, 1)) AS v
+      FROM eligible,
+           (SELECT unnest(generate_series(1, {_AUDIO_BYTES // 2})) AS i)),
+    signed AS (
+      SELECT id, CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS v
+      FROM s)
+    SELECT id,
+           CAST({AUDIO_RATE} AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS channels,
+           CAST({_AUDIO_BYTES // 2} AS BIGINT) AS n_samples,
+           CAST(sum(v) AS BIGINT) AS sum_amplitude,
+           CAST(max(abs(v)) AS INTEGER) AS peak_amplitude
+    FROM signed GROUP BY id
+    """,
+    doc="REAL audio decode end-to-end: a 16-bit PCM WAV payload is "
+        "built in-plan per doc (44-byte RIFF header + the doc's first "
+        "36 text bytes as 18 little-endian mono samples), then "
+        "numpy-decoded inside the Arrow mapInPandas "
+        "(operators/multimodal.py:decode_audio — library-free, like "
+        "the PPM/BMP image path; MP3/AAC stay the documented codec "
+        "integration point). Integer aggregates (sample sum, peak "
+        "|amplitude|) make the decode differentially checkable: the "
+        "oracle reassembles the samples from character codes, signed "
+        "16-bit correction included.",
+)
+def q_multimodal_audio_decode(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = (
+        docs.filter(
+            F.expr(f"octet_length(encode(text, 'UTF-8')) >= {_AUDIO_BYTES}")
+        )
+        .select(
+            F.col("doc_id").alias("id"),
+            F.concat(
+                F.lit(bytearray(_wav_header())),
+                F.expr(
+                    f"substring(encode(text, 'UTF-8'), 1, {_AUDIO_BYTES})"
+                ),
+            ).alias("payload"),
+        )
+    )
+    return M.decode_audio(payloads)

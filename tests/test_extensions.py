@@ -636,3 +636,43 @@ def test_neardup_clusters_durable_checkpoint_swap(spark, tmp_path, monkeypatch):
     for root, _dirs, files in os.walk(str(tmp_path / "ckpt")):
         ckpt_files += files
     assert ckpt_files, "durable checkpoint wrote nothing"
+
+
+def _wav16(rate, channels, samples, extra_chunk=False):
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    chunks = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16
+    )
+    if extra_chunk:
+        chunks += b"LIST" + struct.pack("<I", 4) + b"INFO"
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_audio_pcm_wav_closed_form(spark):
+    """Real WAV decode: exact integer aggregates incl. negative
+    samples and peak; chunk-walking survives extra LIST chunks;
+    non-PCM and garbage drop."""
+    import struct
+
+    from pyspark.sql import Row
+
+    samples = [100, -200, 32767, -32768, 0, 5]
+    wav = _wav16(8000, 1, samples, extra_chunk=True)
+    bad_fmt = _wav16(8000, 1, samples).replace(
+        struct.pack("<HH", 1, 1), struct.pack("<HH", 3, 1), 1
+    )  # float PCM tag -> unsupported
+    rows = [
+        Row(id=1, payload=bytearray(wav)),
+        Row(id=2, payload=bytearray(b"OggS not a wav")),
+        Row(id=3, payload=bytearray(bad_fmt)),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {r.id: r for r in M.decode_audio(df).collect()}
+    assert set(out) == {1}
+    a = out[1]
+    assert (a.sample_rate, a.channels, a.n_samples) == (8000, 1, 6)
+    assert a.sum_amplitude == sum(samples)
+    assert a.peak_amplitude == 32768
