@@ -92,24 +92,40 @@ class Catalog:
 
     def _read_meta(self, path: str) -> dict:
         """Dataset metadata: the sidecar when present, else extension
-        sniffing (pre-sidecar datasets). Raises on an undetectable
-        dataset instead of guessing."""
+        sniffing (pre-sidecar datasets — including hive-partitioned
+        ones, whose part files sit under ``col=val/`` subdirectories).
+        Raises on an undetectable dataset instead of guessing."""
         import json
 
         sidecar = os.path.join(path, self.SIDECAR)
         if os.path.exists(sidecar):
             return json.load(open(sidecar))
-        for f in os.listdir(path):
-            if f.startswith(("_", ".")):
-                continue
-            for fmt in self.FORMATS:
-                if f.endswith(f".{fmt}") or f".{fmt}." in f:
-                    return {"format": fmt}
+        fmt = self._sniff_format(path)
+        if fmt is not None:
+            return {"format": fmt}
         raise ValueError(
             f"cannot determine format of dataset at {path}: no "
             f"{self.SIDECAR} sidecar and no part-file with a known "
             f"extension {self.FORMATS}"
         )
+
+    def _sniff_format(self, path: str) -> str | None:
+        """Part-file extension sniff, recursing into partition-style
+        (``name=value``) subdirectories so pre-sidecar hive-partitioned
+        datasets stay readable."""
+        for f in sorted(os.listdir(path)):
+            if f.startswith(("_", ".")):
+                continue
+            full = os.path.join(path, f)
+            if os.path.isdir(full) and "=" in f:
+                fmt = self._sniff_format(full)
+                if fmt is not None:
+                    return fmt
+                continue
+            for fmt in self.FORMATS:
+                if f.endswith(f".{fmt}") or f".{fmt}." in f:
+                    return fmt
+        return None
 
     def put_partitioned(
         self, name: str, df: DataFrame, partition_cols: list[str]

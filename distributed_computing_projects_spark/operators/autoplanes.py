@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from distributed_computing_projects_spark.functions import text as T
 from distributed_computing_projects_spark.operators import similarity as S
+from distributed_computing_projects_spark.operators import storemeta
 
 DEFAULT_TARGET_BUCKET = 1024
 
@@ -178,8 +179,15 @@ def knn_join_tables_auto(
     """:func:`knn_join_tables` with ``n_planes`` derived from the
     corpus size (same rule as :func:`knn_join_auto`; per-table bucket
     occupancy is what the rule controls, so the derivation is
-    unchanged — candidate volume scales with ``n_tables``)."""
-    n = auto_n_planes(emb, target_bucket_size)
+    unchanged — candidate volume scales with ``n_tables``).
+
+    The derived count is clamped to ``TABLE_STRIDE``: past
+    ~target_bucket_size * 2^24 rows the per-table plane budget is
+    exhausted, and the right trade is bigger buckets (more per-bucket
+    work) over a hard failure deep in SQL generation — callers who
+    want more planes than the stride allow must widen TABLE_STRIDE
+    explicitly (a store-layout change)."""
+    n = min(auto_n_planes(emb, target_bucket_size), TABLE_STRIDE)
     return knn_join_tables(emb, id_col, vec_col, k, n, n_tables,
                            persist=persist)
 
@@ -190,8 +198,9 @@ def write_bucketed_auto(
 ) -> int:
     """:func:`similarity.write_bucketed` with ``n_planes`` derived at
     write time (the row count is on hand exactly once — when the store
-    is built). Returns the derived plane count; probes
-    (``lsh_topk_bucketed``) must pass the same value."""
+    is built). Returns the derived plane count for logging; probes
+    (``lsh_topk_bucketed``) resolve it from the store's ``_params``
+    sidecar, so nothing needs to carry the value out-of-band."""
     n = auto_n_planes(emb, target_bucket_size)
     S.write_bucketed(emb, path, id_col, vec_col, n_planes=n)
     return n
@@ -260,6 +269,11 @@ def write_bucketed_tables(
     keyed.repartition("tbl", "bucket").write.partitionBy(
         "tbl", "bucket"
     ).mode("overwrite").parquet(path)
+    storemeta.write_params(
+        path, "lsh_tables",
+        {"n_planes": n_planes, "n_tables": n_tables,
+         "stride": TABLE_STRIDE},
+    )
 
 
 def lsh_topk_tables(
@@ -267,8 +281,8 @@ def lsh_topk_tables(
     path: str,
     query_vec: list[float],
     k: int,
-    n_planes: int,
-    n_tables: int,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
     probe_hamming: int = 0,
 ) -> DataFrame:
     """Top-k cosine probe against a :func:`write_bucketed_tables`
@@ -276,9 +290,22 @@ def lsh_topk_tables(
     applied as an OR of (tbl, bucket IN ...) conjunctions over the two
     partition columns — still pure directory pruning (plan-asserted).
     A vector found by several tables is deduped on (id, cosine) before
-    ranking (cosine is a pure function of the id). ``n_planes`` /
-    ``n_tables`` must match the store's write parameters."""
+    ranking (cosine is a pure function of the id).
+
+    ``n_planes``/``n_tables`` default to the store's ``_params``
+    sidecar (written by :func:`write_bucketed_tables`); explicit values
+    raise on mismatch — wrong values probe the wrong directories
+    (storemeta). The plane-index ``stride`` is sidecar-checked too:
+    a store written under a different TABLE_STRIDE has entirely
+    different plane sets."""
     from functools import reduce
+
+    params = storemeta.resolve(
+        path, "lsh_tables",
+        {"n_planes": n_planes, "n_tables": n_tables,
+         "stride": TABLE_STRIDE},
+    )
+    n_planes, n_tables = params["n_planes"], params["n_tables"]
 
     pred = reduce(
         lambda a, b: a | b,

@@ -37,8 +37,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from distributed_computing_projects_spark.operators import dedup as D
+from distributed_computing_projects_spark.operators import storemeta
 
 KB_PARTS = 128
+
+STORE_KIND = "minhash_bands"
+
+
+def _resolve_kb(path: str, kb_parts: int | None) -> int:
+    """Effective ``kb_parts`` for the store at ``path``: the sidecar's
+    value by default; an explicit value raises on mismatch (a
+    wrong-``kb_parts`` probe computes wrong kb values and prunes to the
+    wrong directories — silently missing duplicates)."""
+    return storemeta.resolve(path, STORE_KIND, {"kb_parts": kb_parts})[
+        "kb_parts"
+    ]
 
 
 def _with_kb(banded: DataFrame, kb_parts: int) -> DataFrame:
@@ -59,50 +72,34 @@ def banded_rows(df: DataFrame, id_col: str, text_col: str,
 def write_bands(df: DataFrame, path: str, id_col: str, text_col: str,
                 kb_parts: int = KB_PARTS) -> None:
     """Materialize the corpus band table hive-partitioned by ``kb``
-    (key-hash prefix, ``kb_parts`` directories)."""
+    (key-hash prefix, ``kb_parts`` directories). ``kb_parts`` is
+    recorded in the store's ``_params`` sidecar so probes and appends
+    self-configure (storemeta)."""
     rows = banded_rows(df, id_col, text_col, kb_parts)
     rows.repartition("kb").write.partitionBy("kb").mode(
         "overwrite"
     ).parquet(path)
+    storemeta.write_params(path, STORE_KIND, {"kb_parts": kb_parts})
 
 
 def append_bands(df: DataFrame, path: str, id_col: str, text_col: str,
-                 kb_parts: int = KB_PARTS) -> None:
+                 kb_parts: int | None = None) -> None:
     """Append a batch's bands to an existing store (epochal ingest:
-    after a batch clears dedup, its bands join the corpus)."""
+    after a batch clears dedup, its bands join the corpus).
+    ``kb_parts`` resolves from the store's sidecar by default; an
+    explicit value raises on mismatch — an epoch written with
+    different bucketing would corrupt the store's pruning."""
+    kb_parts = _resolve_kb(path, kb_parts)
     rows = banded_rows(df, id_col, text_col, kb_parts)
     rows.repartition("kb").write.partitionBy("kb").mode(
         "append"
     ).parquet(path)
 
 
-def incremental_pairs_against_store(
-    spark,
-    path: str,
-    new_df: DataFrame,
-    id_col: str,
-    text_col: str,
-    threshold: float = 0.5,
-    kb_parts: int = KB_PARTS,
-    prune: bool = True,
-) -> DataFrame:
-    """(new_id, corpus_id, est_jaccard >= threshold): the day-2 probe —
-    band the NEW batch on the fly, prune the stored corpus bands to the
-    batch's kb directories, equi-join on (band, key). Identical result
-    to ``dedup.lsh_incremental_pairs`` (the store is a cache of its
-    corpus-side computation; ``tests/test_bandstore.py`` pins the
-    equality), at probe cost |batch| + |touched directories| instead of
-    a full corpus signature pass.
-
-    ``prune=True`` collects the batch's DISTINCT kb values first — one
-    tiny job over the (cached) batch bands, result bounded by
-    ``kb_parts`` — because an explicit IN-list is what resolves to
-    PartitionFilters at planning time. The batch bands are cached
-    (they are read twice: kb enumeration + join) and the batch side of
-    the join broadcasts under AQE when it fits, so the stored corpus
-    never shuffles.
-    """
-    batch = banded_rows(new_df, id_col, text_col, kb_parts).persist()
+def _probe(spark, path: str, batch: DataFrame, threshold: float,
+           prune: bool) -> DataFrame:
+    """The store-side half of the probe: prune the stored bands to the
+    (cached) batch's kb directories, equi-join on (band, key)."""
     # the store schema is KNOWN (it is the banded-rows shape) — supply
     # it instead of inferring: skips footer sampling at scale and keeps
     # a degenerate store readable (an all-short-doc corpus bands to
@@ -116,3 +113,78 @@ def incremental_pairs_against_store(
     return D._incremental_join(
         batch.drop("kb"), store.drop("kb"), threshold
     )
+
+
+def incremental_pairs_against_store(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    kb_parts: int | None = None,
+    prune: bool = True,
+) -> DataFrame:
+    """(new_id, corpus_id, est_jaccard >= threshold): the day-2 probe —
+    band the NEW batch on the fly, prune the stored corpus bands to the
+    batch's kb directories, equi-join on (band, key). Identical result
+    to ``dedup.lsh_incremental_pairs`` (the store is a cache of its
+    corpus-side computation; ``tests/test_bandstore.py`` pins the
+    equality), at probe cost |batch| + |touched directories| instead of
+    a full corpus signature pass. ``kb_parts`` resolves from the
+    store's sidecar by default (explicit values raise on mismatch).
+
+    ``prune=True`` collects the batch's DISTINCT kb values first — one
+    tiny job over the (cached) batch bands, result bounded by
+    ``kb_parts`` — because an explicit IN-list is what resolves to
+    PartitionFilters at planning time. The batch bands are cached
+    (they are read twice: kb enumeration + join) and the batch side of
+    the join broadcasts under AQE when it fits, so the stored corpus
+    never shuffles. The cached batch frame stays persisted for the
+    life of the returned (lazy) DataFrame — one batch per call; a
+    long-running loop should use :func:`probe_and_ingest`, which
+    unpersists per micro-batch.
+    """
+    kb_parts = _resolve_kb(path, kb_parts)
+    batch = banded_rows(new_df, id_col, text_col, kb_parts).persist()
+    return _probe(spark, path, batch, threshold, prune)
+
+
+def probe_and_ingest(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_dir: str,
+    threshold: float = 0.5,
+    prune: bool = True,
+) -> None:
+    """One landing-zone micro-batch, end to end: probe the batch
+    against the store, append the duplicate pairs to ``out_dir``
+    (parquet), then append the SURVIVORS' bands (batch docs with no
+    pair at or above ``threshold``) to the store — so the next batch is
+    deduped against this batch's survivors too, not just the original
+    corpus. This is the ``foreachBatch`` body of continuous-ingest
+    dedup (queries/streaming_queries.py:q_streaming_dedup_ingest).
+
+    Everything persisted here is unpersisted before returning
+    (try/finally), so a long-running stream holds at most one batch's
+    frames — the bounded-state discipline streaming demands. The
+    survivors' bands are REUSED from the already-computed batch band
+    frame (no second signature pass); the append inherits the store's
+    sidecar-resolved ``kb_parts`` by construction.
+    """
+    kb_parts = _resolve_kb(path, None)
+    batch = banded_rows(new_df, id_col, text_col, kb_parts).persist()
+    pairs = _probe(spark, path, batch, threshold, prune).persist()
+    try:
+        pairs.write.mode("append").parquet(out_dir)
+        dup_ids = pairs.select(F.col("new_id").alias("id")).distinct()
+        survivors = batch.join(dup_ids, "id", "left_anti")
+        survivors.repartition("kb").write.partitionBy("kb").mode(
+            "append"
+        ).parquet(path)
+    finally:
+        pairs.unpersist()
+        batch.unpersist()

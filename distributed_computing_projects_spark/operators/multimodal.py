@@ -264,6 +264,10 @@ def _decode_wav(b: bytes):
         cid = b[pos : pos + 4]
         size = struct.unpack_from("<I", b, pos + 4)[0]
         body = b[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            # truncated chunk: reject, matching the image decoders'
+            # truncation handling (drop-malformed policy)
+            return None
         if cid == b"fmt " and len(body) >= 16:
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":

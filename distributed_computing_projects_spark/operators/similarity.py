@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from distributed_computing_projects_spark.functions import text as T
+from distributed_computing_projects_spark.operators import storemeta
 
 
 def _query_literal(query_vec: list[float], dialect: str) -> str:
@@ -130,16 +131,18 @@ IVF_CENTROIDS = [
 ]
 
 
-def ivf_cell_expr(vec_col: str, dialect: str) -> str:
+def ivf_cell_expr(vec_col: str, dialect: str,
+                  centroids: list[list[float]] | None = None) -> str:
     """argmin over squared L2 distance to each centroid; ties go to the
     lower centroid id. dist^2 = |v|^2 - 2<v,c> + |c|^2 — |v|^2 is
     common to all cells, so comparing (-2<v,c> + |c|^2) suffices and
     halves the float work. Scores are double folds — bit-identical
     across engines, so the argmin is too."""
+    cents = IVF_CENTROIDS if centroids is None else centroids
     scores = []
-    for c in range(N_CENTROIDS):
-        lit = T._float_array_literal(IVF_CENTROIDS[c], dialect)
-        c2 = sum(x * x for x in IVF_CENTROIDS[c])  # python double, exact literal
+    for cent in cents:
+        lit = T._float_array_literal(cent, dialect)
+        c2 = sum(x * x for x in cent)  # python double, exact literal
         scores.append(f"({repr(c2)} - 2 * {T.dot(vec_col, lit, dialect)})")
     arr = f"array({', '.join(scores)})" if dialect == "spark" else f"[{', '.join(scores)}]"
     if dialect == "spark":
@@ -150,12 +153,14 @@ def ivf_cell_expr(vec_col: str, dialect: str) -> str:
     return f"list_transform([{arr}], A -> list_position(A, list_min(A)))[1] - 1"
 
 
-def ivf_cells(query_vec: list[float], probes: int) -> list[int]:
+def ivf_cells(query_vec: list[float], probes: int,
+              centroids: list[list[float]] | None = None) -> list[int]:
     """Driver-side: the ``probes`` nearest cells to the query vector
     (same float math as the column expression)."""
+    cents = IVF_CENTROIDS if centroids is None else centroids
     scored = []
-    for c in range(N_CENTROIDS):
-        d = sum((float(x) - y) ** 2 for x, y in zip(query_vec, IVF_CENTROIDS[c]))
+    for c, cent in enumerate(cents):
+        d = sum((float(x) - y) ** 2 for x, y in zip(query_vec, cent))
         scored.append((d, c))
     return [c for _, c in sorted(scored)[:probes]]
 
@@ -313,20 +318,29 @@ def write_bucketed(
 ) -> None:
     """LSH store: hive-partitioned by the ``n_planes``-bit hyperplane
     bucket (2^n_planes directories); probe with
-    :func:`lsh_topk_bucketed`."""
+    :func:`lsh_topk_bucketed`. The plane count is recorded in the
+    store's ``_params`` sidecar so probes self-configure (storemeta)."""
     _write_partitioned_store(
         emb, path, id_col, vec_col,
         T.lsh_bucket(vec_col, "spark", n_planes), "bucket",
     )
+    storemeta.write_params(path, "lsh_bucketed", {"n_planes": n_planes})
 
 
-def write_ivf(emb: DataFrame, path: str, id_col: str, vec_col: str) -> None:
+def write_ivf(emb: DataFrame, path: str, id_col: str, vec_col: str,
+              centroids: list[list[float]] | None = None) -> None:
     """IVF store: hive-partitioned by coarse-quantizer cell (the
-    inverted lists, N_CENTROIDS directories); probe with
-    :func:`ivf_topk_partitioned`."""
+    inverted lists); probe with :func:`ivf_topk_partitioned`. The full
+    centroid set rides in the ``_params`` sidecar — the store CARRIES
+    its quantizer, so a probe can never score against different
+    centroids than the ones that assigned the cells (and a trained
+    quantizer needs no out-of-band handoff)."""
+    cents = IVF_CENTROIDS if centroids is None else centroids
     _write_partitioned_store(
-        emb, path, id_col, vec_col, ivf_cell_expr(vec_col, "spark"), "cell"
+        emb, path, id_col, vec_col,
+        ivf_cell_expr(vec_col, "spark", cents), "cell",
     )
+    storemeta.write_params(path, "ivf", {"centroids": cents})
 
 
 def ivf_topk_partitioned(
@@ -339,8 +353,18 @@ def ivf_topk_partitioned(
     """Top-k cosine probe against a :func:`write_ivf` store: the
     ``probes`` nearest inverted lists become a ``cell IN (...)``
     partition filter — directory pruning, the scan reads
-    probes/N_CENTROIDS of the corpus."""
-    cells = ivf_cells(query_vec, probes)
+    probes/n_centroids of the corpus. The quantizer comes from the
+    store's sidecar (falling back to the fixed ``IVF_CENTROIDS`` for a
+    pre-sidecar store, which is the only quantizer such a store can
+    have been written with)."""
+    meta = storemeta.read_params(path)
+    if meta is not None and meta.get("kind") != "ivf":
+        raise storemeta.StoreParamsError(
+            f"store at {path} is kind={meta.get('kind')!r}, not an IVF "
+            f"store"
+        )
+    cents = meta["centroids"] if meta is not None else None
+    cells = ivf_cells(query_vec, probes, cents)
     pruned = spark.read.parquet(path).filter(F.col("cell").isin(cells))
     q = _query_literal(query_vec, "spark")
     cos = T.cosine(T.dot("v", q, "spark"), T.sq_norm("v", "spark"),
@@ -358,15 +382,22 @@ def lsh_topk_bucketed(
     query_vec: list[float],
     k: int,
     probe_hamming: int = 0,
-    n_planes: int = T.N_PLANES,
+    n_planes: int | None = None,
 ) -> DataFrame:
     """Top-k cosine probe against a :func:`write_bucketed` store.
 
     The multi-probe set is enumerated driver-side
     (:func:`probe_buckets`) and applied as ``bucket IN (...)`` — on a
     hive-partitioned store that is partition PRUNING: non-probed
-    directories are never listed into the scan. ``n_planes`` must
-    match the value the store was written with."""
+    directories are never listed into the scan.
+
+    ``n_planes=None`` (the default) resolves the plane count from the
+    store's ``_params`` sidecar; an explicit value raises on mismatch
+    with the sidecar — the wrong count would probe the wrong
+    directories and return confidently wrong top-k (storemeta)."""
+    n_planes = storemeta.resolve(
+        path, "lsh_bucketed", {"n_planes": n_planes}
+    )["n_planes"]
     buckets = probe_buckets(query_vec, probe_hamming, n_planes)
     pruned = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
     q = _query_literal(query_vec, "spark")

@@ -1,0 +1,107 @@
+"""Store parameter sidecars: every partitioned ANN/band store records
+the parameters it was written with, and probes resolve them from the
+store instead of trusting the caller.
+
+Why: a hive-partitioned store is only correct to probe with the EXACT
+parameters it was bucketed with — probing a ``write_bucketed_auto``
+store with the wrong ``n_planes`` doesn't error, it prunes to the
+wrong directories and returns confidently wrong top-k. At 100 TB, with
+stores written months earlier by auto-sizing code, that silent
+mismatch is the likeliest operational failure in the ANN family. The
+catalog solved the same problem for dataset formats with its
+``_format`` sidecar (catalog.py); this module is that pattern for
+store parameters.
+
+Contract:
+
+- writers call :func:`write_params` inside the store directory right
+  after the parquet write (underscore-prefixed filename, so Spark's
+  file listing ignores it);
+- probes call :func:`resolve` with every parameter defaulted to
+  ``None``: ``None`` means "read the sidecar" (raises if the store has
+  none — a pre-sidecar store needs explicit values), an explicit value
+  is an override that RAISES on mismatch with the sidecar rather than
+  silently probing wrong directories;
+- appenders (``bandstore.append_bands``) resolve the same way, so an
+  epoch can never be written with different bucketing than the store.
+
+Reference parity note: the reference's SDFS is format- and
+parameter-blind raw bytes (mp3/src/sdfs.go:108-178); this is
+BASELINE.json scale-extension surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+PARAMS_FILE = "_params"
+
+
+class StoreParamsError(ValueError):
+    """Missing or mismatched store parameters (see module doc)."""
+
+
+def write_params(path: str, kind: str, params: dict) -> None:
+    """Record ``params`` as the store's write parameters (atomic:
+    temp-file + rename inside the store directory)."""
+    meta = {"kind": kind, **params}
+    tmp = os.path.join(path, f".tmp-{PARAMS_FILE}-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, PARAMS_FILE))
+
+
+def read_params(path: str) -> dict | None:
+    """The store's recorded parameters, or None for a pre-sidecar
+    store."""
+    sidecar = os.path.join(path, PARAMS_FILE)
+    if not os.path.exists(sidecar):
+        return None
+    with open(sidecar) as f:
+        return json.load(f)
+
+
+def resolve(path: str, kind: str, overrides: dict) -> dict:
+    """Effective probe parameters for the store at ``path``.
+
+    ``overrides`` maps parameter name -> caller-supplied value or
+    ``None``. With a sidecar present: the store ``kind`` must match,
+    and every non-``None`` override must equal the recorded value
+    (raises :class:`StoreParamsError` otherwise — an explicit wrong
+    value must never silently probe wrong directories). Without a
+    sidecar: every override must be supplied explicitly (pre-sidecar
+    compatibility path)."""
+    meta = read_params(path)
+    if meta is None:
+        missing = [k for k, v in overrides.items() if v is None]
+        if missing:
+            raise StoreParamsError(
+                f"store at {path} has no {PARAMS_FILE} sidecar and no "
+                f"explicit value for {missing}; pass the write-time "
+                f"value(s) or rewrite the store with a sidecar-writing "
+                f"writer"
+            )
+        return dict(overrides)
+    if meta.get("kind") != kind:
+        raise StoreParamsError(
+            f"store at {path} was written as kind={meta.get('kind')!r}, "
+            f"probed as kind={kind!r}"
+        )
+    out = {}
+    for k, v in overrides.items():
+        if k not in meta:
+            raise StoreParamsError(
+                f"store sidecar at {path} records no {k!r} (has "
+                f"{sorted(meta)}); the store predates this parameter — "
+                f"rewrite it"
+            )
+        if v is not None and v != meta[k]:
+            raise StoreParamsError(
+                f"store at {path} was written with {k}={meta[k]!r} but "
+                f"probed with {k}={v!r} — a mismatched probe prunes to "
+                f"the wrong directories and returns wrong results"
+            )
+        out[k] = meta[k]
+    return out

@@ -1353,6 +1353,69 @@ _INCR_ORACLE = f"""
     """
 
 
+# Two-epoch sequential ingest (the streaming landing-zone contract):
+# epoch 1 (src0) probes the original corpus and its SURVIVORS' bands
+# are appended; epoch 2 (src1) then probes corpus + epoch-1 survivors.
+# The oracle mirrors that sequence: p1 = src0 vs corpus pairs, p2 =
+# src1 vs (corpus OR src0-survivors) pairs, where a survivor is a src0
+# doc absent from p1's new_id side. Used by
+# queries/streaming_queries.py:q_streaming_dedup_ingest_epochs.
+#
+# The driver corpus has NO natural src1-vs-src0 near-dups (verified:
+# zero band collisions at any threshold), so epoch 2 additionally
+# carries deterministic ECHO docs — exact copies of every src0 doc
+# with doc_id % ECHO_EVERY == 0, id-shifted by ECHO_OFFSET — which hit
+# their epoch-1 originals' appended bands: the cross-batch case is
+# exercised by construction, in both engines identically.
+EPOCH2_SOURCE = "src1"
+ECHO_OFFSET = 10_000_000
+ECHO_EVERY = 100
+
+_ECHO_UNION = f"""
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + {ECHO_OFFSET} AS doc_id,
+             '{EPOCH2_SOURCE}' AS source, text
+      FROM documents
+      WHERE source = '{INCR_BATCH_SOURCE}' AND doc_id % {ECHO_EVERY} = 0
+"""
+
+_INCR_EPOCHS_ORACLE = f"""
+    WITH ingest AS ({_ECHO_UNION}),
+    hashed AS (SELECT doc_id AS id, source, {_HASHES_D} AS hs FROM ingest),
+    sigs AS (SELECT id, source, [{_SIG_D}] AS sig FROM hashed WHERE len(hs) >= 1),
+    bands AS ({_BAND_SELECTS_SRC}),
+    cand AS (
+      SELECT DISTINCT a.id AS new_id, a.source AS new_src,
+             b.id AS corpus_id, b.source AS corpus_src,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key
+       AND a.source IN ('{INCR_BATCH_SOURCE}', '{EPOCH2_SOURCE}')
+       AND (b.source NOT IN ('{INCR_BATCH_SOURCE}', '{EPOCH2_SOURCE}')
+            OR (a.source = '{EPOCH2_SOURCE}'
+                AND b.source = '{INCR_BATCH_SOURCE}'))),
+    scored AS (
+      SELECT new_id, new_src, corpus_id, corpus_src,
+             ({_N_EQ_D}) / {float(T.N_PERMS)} AS est_jaccard
+      FROM cand
+      WHERE ({_N_EQ_D}) / {float(T.N_PERMS)} >= {MINHASH_THRESHOLD}),
+    p1 AS (
+      SELECT new_id, corpus_id, est_jaccard FROM scored
+      WHERE new_src = '{INCR_BATCH_SOURCE}'
+        AND corpus_src NOT IN ('{INCR_BATCH_SOURCE}', '{EPOCH2_SOURCE}')),
+    p2 AS (
+      SELECT new_id, corpus_id, est_jaccard FROM scored
+      WHERE new_src = '{EPOCH2_SOURCE}'
+        AND (corpus_src NOT IN ('{INCR_BATCH_SOURCE}', '{EPOCH2_SOURCE}')
+             OR (corpus_src = '{INCR_BATCH_SOURCE}'
+                 AND corpus_id NOT IN (SELECT new_id FROM p1))))
+    SELECT new_id, corpus_id, est_jaccard FROM p1
+    UNION ALL
+    SELECT new_id, corpus_id, est_jaccard FROM p2
+    """
+
+
 @query(
     "dedup_incremental",
     headline=True,
@@ -1383,7 +1446,9 @@ def q_dedup_incremental(spark, sf_dir):
         "dedup_incremental: the store is a cache of the corpus-side "
         "computation, so the pairs are identical. The store write "
         "inside the query makes the driver row cover the full "
-        "write->prune->probe path end-to-end.",
+        "write->prune->probe path end-to-end — including the probe "
+        "resolving kb_parts from the store's _params sidecar "
+        "(operators/storemeta.py) rather than trusting the caller.",
 )
 def q_dedup_incremental_store(spark, sf_dir):
     import tempfile

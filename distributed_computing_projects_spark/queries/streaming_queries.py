@@ -357,11 +357,14 @@ from distributed_computing_projects_spark.queries.extensions import (
     doc="CONTINUOUS-INGEST dedup: documents arrive as a file stream, "
         "and every micro-batch is probed against the PERSISTED corpus "
         "band store via foreachBatch reusing the batch operator "
-        "(bandstore.incremental_pairs_against_store — kb directory "
-        "pruning and all). The composition every landing zone runs: "
-        "stream in, dedup against what is already ingested, append "
-        "survivors. Hash-matches the same SQL oracle as the batch "
-        "incremental queries — the stream must change NOTHING.",
+        "(bandstore.probe_and_ingest — kb directory pruning and all), "
+        "then the SURVIVORS' bands are appended to the store. The "
+        "composition every landing zone runs: stream in, dedup "
+        "against what is already ingested, append survivors. With one "
+        "micro-batch the append cannot affect the pairs, so this "
+        "hash-matches the same SQL oracle as the batch incremental "
+        "queries — the stream must change NOTHING; the cross-batch "
+        "case is streaming_dedup_ingest_epochs.",
 )
 def q_streaming_dedup_ingest(spark, sf_dir):
     import tempfile
@@ -408,10 +411,10 @@ def q_streaming_dedup_ingest(spark, sf_dir):
 
     def probe_batch(batch_df, _batch_id):
         batch = batch_df.filter(F.col("source") == INCR_BATCH_SOURCE)
-        BSTORE.incremental_pairs_against_store(
-            spark, store, batch, "doc_id", "text",
+        BSTORE.probe_and_ingest(
+            spark, store, batch, "doc_id", "text", out_dir,
             threshold=MINHASH_THRESHOLD,
-        ).write.mode("append").parquet(out_dir)
+        )
 
     q = (
         stream.writeStream.foreachBatch(probe_batch)
@@ -419,7 +422,121 @@ def q_streaming_dedup_ingest(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    if not q.awaitTermination(180):
+        # on timeout the stream is still writing out_dir — returning a
+        # reader over it would yield silently incomplete pairs
+        q.stop()
+        raise TimeoutError("streaming ingest did not drain in 180 s")
+    return spark.read.schema(
+        "new_id bigint, corpus_id bigint, est_jaccard double"
+    ).parquet(out_dir)
+
+
+from distributed_computing_projects_spark.queries.extensions import (
+    _INCR_EPOCHS_ORACLE,
+)
+
+
+@query(
+    "streaming_dedup_ingest_epochs",
+    oracle=_INCR_EPOCHS_ORACLE,
+    doc="TWO-EPOCH continuous-ingest dedup — the cross-batch case the "
+        "single-batch query cannot exercise: two landing-zone files "
+        "(src0 then src1, mtime-ordered, maxFilesPerTrigger=1) arrive "
+        "as separate micro-batches; each is probed against the band "
+        "store and its survivors' bands are APPENDED "
+        "(bandstore.probe_and_ingest), so epoch 2 is deduped against "
+        "epoch 1's survivors as well as the original corpus. Epoch 2 "
+        "carries deterministic echo copies of every 100th src0 doc "
+        "(the corpus has no natural cross-source near-dups), so the "
+        "pairs include genuine cross-batch hits against epoch 1's "
+        "appended bands. The oracle replays the same sequence in SQL "
+        "(p1 = src0 x corpus; p2 = src1+echoes x (corpus OR "
+        "src0-survivors)) — hash-matched.",
+)
+def q_streaming_dedup_ingest_epochs(spark, sf_dir):
+    import glob
+    import shutil
+    import tempfile
+
+    from distributed_computing_projects_spark.operators import (
+        bandstore as BSTORE,
+    )
+    from distributed_computing_projects_spark.queries.extensions import (
+        ECHO_EVERY,
+        ECHO_OFFSET,
+        EPOCH2_SOURCE,
+        INCR_BATCH_SOURCE,
+        MINHASH_THRESHOLD,
+    )
+    from distributed_computing_projects_spark.sources.registry import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    epochs = [INCR_BATCH_SOURCE, EPOCH2_SOURCE]
+    corpus = docs.filter(~F.col("source").isin(epochs))
+    echoes = (
+        docs.filter(
+            (F.col("source") == INCR_BATCH_SOURCE)
+            & (F.col("doc_id") % ECHO_EVERY == 0)
+        )
+        .withColumn("doc_id", F.col("doc_id") + F.lit(ECHO_OFFSET))
+        .withColumn("source", F.lit(EPOCH2_SOURCE))
+    )
+    epoch_dfs = [
+        docs.filter(F.col("source") == INCR_BATCH_SOURCE),
+        docs.filter(F.col("source") == EPOCH2_SOURCE).unionByName(echoes),
+    ]
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"dcp_stream_epochs_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    store = os.path.join(work, "bands")
+    landing = os.path.join(work, "landing")
+    out_dir = os.path.join(work, "pairs")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(landing)
+    BSTORE.write_bands(corpus, store, "doc_id", "text")
+
+    # one parquet FILE per epoch, strictly increasing mtimes: the file
+    # source orders by modification time (oldest first) and
+    # maxFilesPerTrigger=1 makes each file its own micro-batch — the
+    # sequential arrival the landing-zone contract is about
+    now = 1_700_000_000  # fixed epoch-seconds base; only ORDER matters
+    for i, epoch_df in enumerate(epoch_dfs):
+        stage = os.path.join(work, f"stage{i}")
+        epoch_df.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dest = os.path.join(landing, f"batch-{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+
+    def probe_batch(batch_df, _batch_id):
+        BSTORE.probe_and_ingest(
+            spark, store, batch_df, "doc_id", "text", out_dir,
+            threshold=MINHASH_THRESHOLD,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(probe_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("two-epoch ingest did not drain in 180 s")
     return spark.read.schema(
         "new_id bigint, corpus_id bigint, est_jaccard double"
     ).parquet(out_dir)

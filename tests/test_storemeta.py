@@ -1,0 +1,205 @@
+"""Store parameter sidecars (operators/storemeta.py): every partitioned
+ANN/band store records its write parameters; probes resolve them and
+RAISE on explicit mismatch instead of silently pruning to the wrong
+directories — the likeliest silent-wrong-answer failure at scale
+(VERDICT r6 'What's wrong' #1)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from distributed_computing_projects_spark.operators import (
+    autoplanes as AP,
+    bandstore as BS,
+    similarity as S,
+    storemeta,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+Q = [0.3, -0.7] + [0.01 * i for i in range(30)]
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- core
+
+
+def test_resolve_reads_sidecar(tmp_path):
+    p = str(tmp_path)
+    storemeta.write_params(p, "lsh_bucketed", {"n_planes": 7})
+    assert storemeta.resolve(p, "lsh_bucketed", {"n_planes": None}) == {
+        "n_planes": 7
+    }
+    # matching explicit value passes through
+    assert storemeta.resolve(p, "lsh_bucketed", {"n_planes": 7}) == {
+        "n_planes": 7
+    }
+
+
+def test_resolve_raises_on_mismatch(tmp_path):
+    p = str(tmp_path)
+    storemeta.write_params(p, "lsh_bucketed", {"n_planes": 7})
+    with pytest.raises(storemeta.StoreParamsError, match="n_planes=7"):
+        storemeta.resolve(p, "lsh_bucketed", {"n_planes": 8})
+
+
+def test_resolve_raises_on_kind_mismatch(tmp_path):
+    p = str(tmp_path)
+    storemeta.write_params(p, "ivf", {"centroids": [[1.0]]})
+    with pytest.raises(storemeta.StoreParamsError, match="kind"):
+        storemeta.resolve(p, "lsh_bucketed", {"n_planes": None})
+
+
+def test_presidecar_store_needs_explicit_values(tmp_path):
+    p = str(tmp_path)  # no sidecar written
+    with pytest.raises(storemeta.StoreParamsError, match="no _params"):
+        storemeta.resolve(p, "lsh_bucketed", {"n_planes": None})
+    # explicit values remain the compatibility path
+    assert storemeta.resolve(p, "lsh_bucketed", {"n_planes": 5}) == {
+        "n_planes": 5
+    }
+
+
+def test_missing_param_in_old_sidecar_raises(tmp_path):
+    p = str(tmp_path)
+    storemeta.write_params(p, "lsh_tables", {"n_planes": 4})
+    with pytest.raises(storemeta.StoreParamsError, match="records no"):
+        storemeta.resolve(
+            p, "lsh_tables", {"n_planes": None, "n_tables": None}
+        )
+
+
+# ------------------------------------------------------- store wiring
+
+
+def test_lsh_store_self_configures(spark, tmp_path):
+    emb = _emb(spark)
+    path = str(tmp_path / "lsh")
+    S.write_bucketed(emb, path, "vec_id", "embedding", n_planes=6)
+    meta = json.load(open(os.path.join(path, "_params")))
+    assert meta == {"kind": "lsh_bucketed", "n_planes": 6}
+    # sidecar-resolved probe == explicit-matching probe
+    auto = S.lsh_topk_bucketed(spark, path, Q, 5, probe_hamming=1)
+    explicit = S.lsh_topk_bucketed(spark, path, Q, 5, probe_hamming=1,
+                                   n_planes=6)
+    assert [r.id for r in auto.collect()] == [
+        r.id for r in explicit.collect()
+    ]
+    with pytest.raises(storemeta.StoreParamsError):
+        S.lsh_topk_bucketed(spark, path, Q, 5, n_planes=8)
+
+
+def test_lsh_auto_store_probe_needs_no_params(spark, tmp_path):
+    emb = _emb(spark)
+    path = str(tmp_path / "lsha")
+    n = AP.write_bucketed_auto(emb, path, "vec_id", "embedding",
+                               target_bucket_size=8)
+    got = S.lsh_topk_bucketed(spark, path, Q, 5, probe_hamming=1)
+    want = S.lsh_topk_bucketed(spark, path, Q, 5, probe_hamming=1,
+                               n_planes=n)
+    assert [r.id for r in got.collect()] == [r.id for r in want.collect()]
+
+
+def test_tables_store_self_configures(spark, tmp_path):
+    emb = _emb(spark)
+    path = str(tmp_path / "tbl")
+    AP.write_bucketed_tables(emb, path, "vec_id", "embedding",
+                             n_planes=4, n_tables=3)
+    auto = AP.lsh_topk_tables(spark, path, Q, 5)
+    explicit = AP.lsh_topk_tables(spark, path, Q, 5, n_planes=4,
+                                  n_tables=3)
+    assert [r.id for r in auto.collect()] == [
+        r.id for r in explicit.collect()
+    ]
+    with pytest.raises(storemeta.StoreParamsError):
+        AP.lsh_topk_tables(spark, path, Q, 5, n_planes=5, n_tables=3)
+    with pytest.raises(storemeta.StoreParamsError):
+        AP.lsh_topk_tables(spark, path, Q, 5, n_planes=4, n_tables=2)
+
+
+def test_ivf_store_carries_its_quantizer(spark, tmp_path):
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf")
+    S.write_ivf(emb, path, "vec_id", "embedding")
+    meta = storemeta.read_params(path)
+    assert meta["kind"] == "ivf"
+    assert meta["centroids"] == S.IVF_CENTROIDS
+    got = S.ivf_topk_partitioned(spark, path, Q, 5, probes=2)
+    assert len(got.collect()) == 5
+    # probing a non-IVF store as IVF raises
+    lsh_path = str(tmp_path / "lsh2")
+    S.write_bucketed(emb, lsh_path, "vec_id", "embedding", n_planes=4)
+    with pytest.raises(storemeta.StoreParamsError):
+        S.ivf_topk_partitioned(spark, lsh_path, Q, 5)
+
+
+def test_bandstore_self_configures_and_append_checks(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.filter("source <> 'src0'")
+    batch = docs.filter("source = 'src0'")
+    path = str(tmp_path / "bands")
+    BS.write_bands(corpus, path, "doc_id", "text", kb_parts=64)
+    assert storemeta.read_params(path) == {
+        "kind": "minhash_bands", "kb_parts": 64
+    }
+    # probe resolves kb_parts=64 from the sidecar (default arg is None)
+    got = BS.incremental_pairs_against_store(
+        spark, path, batch, "doc_id", "text", threshold=0.25
+    )
+    want = BS.incremental_pairs_against_store(
+        spark, path, batch, "doc_id", "text", threshold=0.25, kb_parts=64
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    with pytest.raises(storemeta.StoreParamsError):
+        BS.incremental_pairs_against_store(
+            spark, path, batch, "doc_id", "text", kb_parts=128
+        )
+    with pytest.raises(storemeta.StoreParamsError):
+        BS.append_bands(batch, path, "doc_id", "text", kb_parts=128)
+
+
+def test_probe_and_ingest_cross_batch(spark, tmp_path):
+    """Two sequential batches through probe_and_ingest: batch 2 must be
+    deduped against batch 1's appended survivors, and nothing stays
+    persisted afterwards (the landing-zone leak fix)."""
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, text="totally unrelated words here okay then")]
+    )
+    path = str(tmp_path / "bands")
+    out = str(tmp_path / "pairs")
+    BS.write_bands(corpus, path, "doc_id", "text")
+    # other tests in the shared session may hold persisted frames;
+    # assert the ingest loop adds NONE (relative, not absolute)
+    cached_before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    b1 = spark.createDataFrame([Row(doc_id=2, text=text)])
+    BS.probe_and_ingest(spark, path, b1, "doc_id", "text", out,
+                        threshold=0.5)
+    b2 = spark.createDataFrame([Row(doc_id=3, text=text)])
+    BS.probe_and_ingest(spark, path, b2, "doc_id", "text", out,
+                        threshold=0.5)
+    pairs = sorted(
+        (r.new_id, r.corpus_id, r.est_jaccard)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert pairs == [(3, 2, 1.0)]
+    # doc 3 was a duplicate -> NOT ingested: a copy of it still only
+    # matches doc 2 (the survivor), proving non-survivors stay out
+    b3 = spark.createDataFrame([Row(doc_id=4, text=text)])
+    BS.probe_and_ingest(spark, path, b3, "doc_id", "text", out,
+                        threshold=0.5)
+    pairs = sorted(
+        (r.new_id, r.corpus_id) for r in spark.read.parquet(out).collect()
+    )
+    assert pairs == [(3, 2), (4, 2)]
+    # bounded state: no frames left persisted by the ingest loop
+    cached_after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert cached_after == cached_before
