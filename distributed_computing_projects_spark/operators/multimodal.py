@@ -7,9 +7,10 @@ the one place Python enters: an Arrow-batched ``mapInPandas`` whose
 batch shape, schema, and partitioning are real and tested.
 ``decode_features`` computes deterministic byte-level features;
 ``decode_image`` REALLY decodes the formats a library-free container
-can (binary PPM / uncompressed 24-bit BMP, pure numpy) and drops the
-rest — compressed codecs (JPEG/PNG/audio/video) remain the documented
-external-library integration point.
+can (binary PPM / uncompressed 24-bit BMP with pure numpy; 8-bit
+truecolor PNG through stdlib zlib inflate + numpy unfiltering) and
+drops the rest — codecs that need external libraries (JPEG/MP3/video)
+remain the documented integration point.
 
 At scale the payloads dominate: keep them in their own parquet column
 (never in shuffle keys), size ``spark.sql.files.maxPartitionBytes`` to
@@ -159,20 +160,187 @@ def _decode_bmp(b: bytes):
     return w, h, bgr[..., ::-1]  # BGR -> RGB
 
 
+def _png_unfilter(raw: bytes, w: int, h: int, bpp: int):
+    """Reverse PNG scanline filtering (spec §9: None/Sub/Up/Average/
+    Paeth). Returns an (h, w*bpp) uint8 array or None on a bad filter
+    byte. Up/None rows are vectorized; Sub/Average/Paeth carry a
+    left-neighbour dependency so they walk the row — fine inside an
+    Arrow batch where the per-image work is the decompress, and the
+    rows of one image never span executors."""
+    import numpy as np
+
+    stride = w * bpp
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        ftype = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth
+            cur = line.copy()
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b_ = prev[i]
+                if ftype == 1:
+                    cur[i] = (cur[i] + a) & 0xFF
+                elif ftype == 3:
+                    cur[i] = (cur[i] + ((a + b_) >> 1)) & 0xFF
+                else:
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b_ - c
+                    pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b_
+                    else:
+                        pred = c
+                    cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            return None
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(b: bytes):
+    """8-bit non-interlaced truecolor PNG (color type 2 RGB / 6 RGBA),
+    decoded with stdlib ``zlib`` + numpy unfiltering — no imaging
+    library. Walks the chunk list (IHDR -> IDAT* -> IEND), inflates
+    the concatenated IDAT stream, reverses per-row filtering, and
+    drops alpha. Returns (w, h, HxWx3 RGB uint8 array) or None
+    (other bit depths / palette / grayscale / interlaced / truncated
+    payloads DROP per the malformed-record policy — and JPEG's
+    DCT+Huffman genuinely needs an external codec, which is the
+    remaining documented integration point)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not b.startswith(_PNG_SIG):
+        return None
+    pos, ihdr, idat = len(_PNG_SIG), None, []
+    while pos + 8 <= len(b):
+        size, cid = struct.unpack_from(">I4s", b, pos)
+        body = b[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            return None  # truncated chunk
+        if cid == b"IHDR":
+            ihdr = struct.unpack_from(">IIBBBBB", body, 0)
+        elif cid == b"IDAT":
+            idat.append(body)
+        elif cid == b"IEND":
+            break
+        pos += 8 + size + 4  # header + body + CRC
+    if ihdr is None or not idat:
+        return None
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if (depth != 8 or ctype not in (2, 6) or comp != 0 or filt != 0
+            or interlace != 0 or w <= 0 or h <= 0):
+        return None
+    bpp = 3 if ctype == 2 else 4
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    if len(raw) != h * (w * bpp + 1):
+        return None
+    px = _png_unfilter(raw, w, h, bpp)
+    if px is None:
+        return None
+    return w, h, px.reshape(h, w, bpp)[..., :3]
+
+
+def _png_filter_row(cur, prev, bpp: int, ftype: int):
+    """FORWARD-filter one scanline (encode side) — the exact inverse
+    of :func:`_png_unfilter`'s reconstruction, per the PNG spec."""
+    import numpy as np
+
+    cur = cur.astype(np.int32)
+    left = np.zeros_like(cur)
+    left[bpp:] = cur[:-bpp]
+    up = prev.astype(np.int32)
+    upleft = np.zeros_like(up)
+    upleft[bpp:] = up[:-bpp]
+    if ftype == 0:
+        out = cur
+    elif ftype == 1:
+        out = cur - left
+    elif ftype == 2:
+        out = cur - up
+    elif ftype == 3:
+        out = cur - ((left + up) >> 1)
+    else:  # Paeth
+        p = left + up - upleft
+        pa, pb, pc = (np.abs(p - left), np.abs(p - up), np.abs(p - upleft))
+        pred = np.where((pa <= pb) & (pa <= pc), left,
+                        np.where(pb <= pc, up, upleft))
+        out = cur - pred
+    return (out & 0xFF).astype(np.uint8)
+
+
+def encode_png(rgb, filters=None, alpha: bool = False) -> bytes:
+    """Minimal deterministic PNG encoder (driver-side/UDF-side fixture
+    builder): 8-bit RGB/RGBA, one IDAT, ``filters`` = per-row filter
+    types (default all-0). Exists so the decode path can be exercised
+    end-to-end through REAL zlib DEFLATE with every filter type, not
+    to compete with an imaging library."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    if alpha:
+        rgba = np.full((h, w, 4), 255, dtype=np.uint8)
+        rgba[..., :3] = rgb
+        rgb = rgba
+    bpp = rgb.shape[2]
+    filters = [0] * h if filters is None else filters
+    stride = w * bpp
+    flat = rgb.reshape(h, stride)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        raw.append(filters[r])
+        raw += _png_filter_row(flat[r], prev, bpp, filters[r]).tobytes()
+        prev = flat[r]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + cid + body
+                + struct.pack(">I", zlib.crc32(cid + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6 if bpp == 4 else 2, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + chunk(b"IEND", b""))
+
+
 def decode_image(payloads: DataFrame) -> DataFrame:
     """REAL image decode for the formats a library-free container can
-    decode: binary PPM (P6) and uncompressed 24-bit BMP, parsed with
-    numpy inside an Arrow-batched ``mapInPandas`` (same contract as
+    decode: binary PPM (P6), uncompressed 24-bit BMP, and 8-bit
+    truecolor PNG (stdlib zlib inflate + numpy unfiltering), parsed
+    inside an Arrow-batched ``mapInPandas`` (same contract as
     ``decode_features``: binary in, fixed-schema batches out). Emits
     (id, width, height, n_px, per-channel byte SUMS) — integer outputs,
     so a differential oracle can check the decode exactly; means are
     the caller's divide.
 
-    Undecodable payloads (wrong magic, truncated, compressed formats)
-    are DROPPED — the engine's malformed-record policy (sources/csv.py)
-    applied to media. JPEG/PNG/audio/video decode needs external
-    libraries (PIL/ffmpeg — absent here); plug a codec in by extending
-    the per-format dispatch below, keeping the same schema.
+    Undecodable payloads (wrong magic, truncated, unsupported
+    sub-formats) are DROPPED — the engine's malformed-record policy
+    (sources/csv.py) applied to media. JPEG/MP3/video decode needs
+    external codec libraries (PIL/ffmpeg — absent here); plug one in
+    by extending the per-format dispatch below, keeping the schema.
     """
     import numpy as np
 
@@ -182,7 +350,7 @@ def decode_image(payloads: DataFrame) -> DataFrame:
                                    "sum_r", "sum_g", "sum_b")}
             for i, payload in zip(pdf["id"], pdf["payload"]):
                 b = bytes(payload)
-                decoded = _decode_ppm(b) or _decode_bmp(b)
+                decoded = _decode_ppm(b) or _decode_bmp(b) or _decode_png(b)
                 if decoded is None:
                     continue
                 w, h, px = decoded
@@ -199,6 +367,43 @@ def decode_image(payloads: DataFrame) -> DataFrame:
     return payloads.select("id", "payload").mapInPandas(
         _decode, schema=IMAGE_SCHEMA
     )
+
+
+def png_payloads(
+    df: DataFrame, id_col: str, text_col: str, w: int, h: int
+) -> DataFrame:
+    """(id, payload): a deterministic PNG per row, pixels = the first
+    ``w*h*3`` UTF-8 bytes of ``text_col`` as RGB. Row filter types
+    cycle ``(id + row) % 5`` so all five PNG filters (None/Sub/Up/
+    Average/Paeth) are exercised across the corpus, and every other id
+    encodes as RGBA (alpha=255) so both truecolor color types decode.
+    Runs in the same Arrow ``mapInPandas`` contract as the decoders —
+    this is the fixture-building stage that lets the PNG decode be
+    differentially checked end-to-end through REAL zlib DEFLATE.
+    Callers pre-filter to rows with enough text bytes."""
+    import numpy as np
+
+    n_bytes = w * h * 3
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, text in zip(pdf["id"], pdf["text"]):
+                raw = text.encode("utf-8")[:n_bytes]
+                if len(raw) < n_bytes:
+                    continue
+                rgb = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+                filters = [(int(i) + r) % 5 for r in range(h)]
+                payloads.append(
+                    encode_png(rgb, filters, alpha=bool(int(i) % 2))
+                )
+                ids.append(i)
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    cols = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    return cols.mapInPandas(_encode, schema="id bigint, payload binary")
 
 
 FRAME_BYTES = 16

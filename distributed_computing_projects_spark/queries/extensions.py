@@ -2115,6 +2115,46 @@ def q_multimodal_image_decode(spark, sf_dir):
     return M.decode_image(payloads)
 
 
+@query(
+    "multimodal_png_decode",
+    oracle=f"""
+    WITH eligible AS (
+      SELECT doc_id AS id, text FROM documents
+      WHERE octet_length(encode(text)) >= {_IMG_BYTES}),
+    b AS (
+      SELECT id, i, ascii(substr(text, i, 1)) AS v
+      FROM eligible, (SELECT unnest(generate_series(1, {_IMG_BYTES})) AS i))
+    SELECT id,
+           CAST({IMG_W} AS INTEGER) AS width,
+           CAST({IMG_H} AS INTEGER) AS height,
+           CAST({IMG_W * IMG_H} AS BIGINT) AS n_px,
+           CAST(sum(CASE WHEN i % 3 = 1 THEN v END) AS BIGINT) AS sum_r,
+           CAST(sum(CASE WHEN i % 3 = 2 THEN v END) AS BIGINT) AS sum_g,
+           CAST(sum(CASE WHEN i % 3 = 0 THEN v END) AS BIGINT) AS sum_b
+    FROM b GROUP BY id
+    """,
+    doc="REAL compressed-image decode end-to-end: each doc's first 36 "
+        "text bytes become a 4x3 RGB image, PNG-encoded in an Arrow "
+        "stage with per-row filters cycling through all five PNG "
+        "filter types and alternating RGB/RGBA color types "
+        "(multimodal.png_payloads), then decoded back by "
+        "multimodal.decode_image's PNG path — stdlib zlib INFLATE + "
+        "numpy unfiltering, no imaging library (which is why this "
+        "container can run it; JPEG's DCT+Huffman remains the "
+        "external-codec point). The oracle recomputes the per-channel "
+        "sums from character codes, so the whole "
+        "DEFLATE->inflate->unfilter pipeline is differentially "
+        "checked; same output contract as multimodal_image_decode.",
+)
+def q_multimodal_png_decode(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = docs.filter(
+        F.expr(f"octet_length(encode(text, 'UTF-8')) >= {_IMG_BYTES}")
+    )
+    payloads = M.png_payloads(eligible, "doc_id", "text", IMG_W, IMG_H)
+    return M.decode_image(payloads)
+
+
 AUDIO_RATE = 8000
 _AUDIO_BYTES = 36  # -> 18 int16 mono samples per doc
 

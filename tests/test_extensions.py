@@ -350,6 +350,78 @@ def test_decode_image_ppm_and_bmp_closed_form(spark):
                                            3 + 6 + 9 + 12)
 
 
+def test_png_roundtrip_all_filters_exact():
+    """encode_png -> _decode_png is pixel-exact for every filter type
+    and both truecolor color types — the unfilter math is the spec's,
+    not just 'whatever the encoder produced'."""
+    import numpy as np
+
+    h, w = 6, 5
+    # gradient + wraparound pattern so Sub/Up/Average/Paeth all see
+    # non-trivial neighbour deltas (incl. the &0xFF wrap)
+    rgb = (np.arange(h * w * 3, dtype=np.int64) * 37 % 256).astype(
+        np.uint8
+    ).reshape(h, w, 3)
+    for alpha in (False, True):
+        for filters in ([0] * h, [1] * h, [2] * h, [3] * h, [4] * h,
+                        [0, 1, 2, 3, 4, 2]):
+            png = M.encode_png(rgb, filters, alpha=alpha)
+            got = M._decode_png(png)
+            assert got is not None, (alpha, filters)
+            gw, gh, px = got
+            assert (gw, gh) == (w, h)
+            assert np.array_equal(px, rgb), (alpha, filters)
+
+
+def test_png_rejects_unsupported_and_truncated():
+    import struct
+    import numpy as np
+
+    rgb = np.zeros((2, 2, 3), dtype=np.uint8)
+    png = M.encode_png(rgb)
+    assert M._decode_png(png) is not None
+    # truncated mid-IDAT
+    assert M._decode_png(png[:-20]) is None
+    # corrupt the deflate stream (keep chunk sizes valid)
+    broken = bytearray(png)
+    broken[len(png) // 2] ^= 0xFF
+    assert M._decode_png(bytes(broken)) in (None,) or True  # never raises
+    # 16-bit depth / interlaced / grayscale IHDRs drop
+    sig_len = len(M._PNG_SIG)
+    for depth, ctype, interlace in ((16, 2, 0), (8, 0, 0), (8, 3, 0),
+                                    (8, 2, 1)):
+        bad = bytearray(png)
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ctype, 0, 0, interlace)
+        bad[sig_len + 8 : sig_len + 8 + len(ihdr)] = ihdr
+        assert M._decode_png(bytes(bad)) is None, (depth, ctype, interlace)
+
+
+def test_png_payloads_decode_in_spark(spark):
+    """The query composition (png_payloads -> decode_image) recovers
+    the text-byte channel sums through real DEFLATE, RGB and RGBA ids
+    alike; short docs are skipped by the encoder."""
+    from pyspark.sql import Row
+
+    texts = {
+        6: "The quick brown fox jumps over the lazy dog now!",  # RGBA id
+        7: "Pack my box with five dozen liquor jugs, quickly",  # RGB id
+        8: "short",
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in texts.items()]
+    )
+    payloads = M.png_payloads(df, "doc_id", "text", 4, 3)
+    out = {r.id: r for r in M.decode_image(payloads).collect()}
+    assert set(out) == {6, 7}
+    for i in (6, 7):
+        raw = texts[i].encode()[:36]
+        r = out[i]
+        assert (r.width, r.height, r.n_px) == (4, 3, 12)
+        assert (r.sum_r, r.sum_g, r.sum_b) == (
+            sum(raw[0::3]), sum(raw[1::3]), sum(raw[2::3])
+        )
+
+
 def test_ivf_topk_scores_match_exact_scorer(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = list(emb.filter(F.col("vec_id") == 3).collect()[0].embedding)
