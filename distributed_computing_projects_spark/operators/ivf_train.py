@@ -1,0 +1,241 @@
+"""Trained IVF coarse quantizer: Lloyd (spherical k-means style)
+iterations as DataFrame aggregates, oracle-exact.
+
+The fixed md5-derived quantizer (``similarity.IVF_CENTROIDS``) is
+deterministic but data-blind; production IVF trains its centroids so
+the inverted lists track the actual vector distribution. This module
+runs ``N_ITERS`` assignment/update rounds:
+
+- **assignment** is a static argmin expression over centroid literals
+  (round 0: the fixed centroids — the seeded init; later rounds: the
+  previous update's centroids, collected to the driver and baked back
+  in). A 16-row collect per round is the driver-side cost, bounded by
+  ``n_centroids``, never by data.
+- **update** computes each cell's mean vector with a PINNED float fold:
+  members are sorted by id (``sort_array(collect_list(struct(id, v)))``)
+  and each dimension is summed left-to-right in double — the same
+  sequential-fold discipline as ``functions.text.dot``, so DuckDB's
+  ``list(v ORDER BY id)`` + ``list_reduce`` reproduces every sum
+  bit-for-bit and the whole training run is differentially checkable
+  (iteration count, sample, and tie-breaks all pinned; ties in the
+  argmin go to the lower cell id in both engines).
+
+Scale shape: training runs on a deterministic hash sample
+(``id % TRAIN_SAMPLE_MOD == 0``) — k-means training is always a
+sample-bounded step; the per-cell ``collect_list`` holds one cell's
+sample members, sized by the sample, not the corpus. The expensive
+part — assigning the FULL corpus to trained cells — stays a narrow
+codegen expression (:func:`assign_cell_expr`), exactly like the fixed
+quantizer's path, and the trained store is written with
+``similarity.write_ivf(..., centroids=...)`` whose ``_params`` sidecar
+carries the quantizer to every future probe.
+
+Reference parity note: the reference has no ANN surface at all; this
+is BASELINE.json scale-extension surface (SURVEY §7.1 M6).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+from distributed_computing_projects_spark.functions import text as T
+from distributed_computing_projects_spark.operators import similarity as S
+
+TRAIN_SAMPLE_MOD = 5
+N_ITERS = 2
+
+
+def _sum_fold(j: int, dialect: str) -> str:
+    """Left-to-right double sum of dimension ``j`` over the sorted
+    member array (``arr`` of struct<id,v> on Spark, ``vs`` list of
+    vectors on DuckDB) — the pinned fold that makes the centroid mean
+    engine-independent at the bit level."""
+    if dialect == "spark":
+        return (
+            f"aggregate(arr, CAST(0 AS DOUBLE),"
+            f" (acc, s) -> acc + CAST(s.v[{j}] AS DOUBLE))"
+        )
+    return (
+        f"list_reduce(list_transform(vs,"
+        f" v -> CAST(v[{j + 1}] AS DOUBLE)), (acc, x) -> acc + x)"
+    )
+
+
+def _py_sq_norm(vec: list[float]) -> float:
+    # same fold as DuckDB list_reduce (starts at the first element)
+    return reduce(lambda acc, x: acc + x, (c * c for c in vec))
+
+
+def _py_dot(a: list[float], b: list[float]) -> float:
+    return reduce(lambda acc, x: acc + x, (x * y for x, y in zip(a, b)))
+
+
+def assign_cell_expr(
+    vec_col: str, centroids: list[tuple[int, list[float]]], dialect: str
+) -> str:
+    """argmin cell over TRAINED centroids, as a static expression with
+    baked literals: score_c = |c|^2 - 2<v,c> (the common-|v|^2 trick of
+    ``similarity.ivf_cell_expr``), first-minimum wins — which, with the
+    score array in ascending-cell order, is the lower cell id on ties,
+    matching the oracle's ORDER BY (score, cell). Returns the ORIGINAL
+    cell id even when some cells lost all members during training
+    (``element_at`` over the surviving id list)."""
+    cents = sorted(centroids)
+    scores, ids = [], []
+    for cell, cent in cents:
+        c2 = _py_sq_norm(cent)
+        lit = T._float_array_literal(cent, dialect)
+        scores.append(f"({c2!r} - 2 * {T.dot(vec_col, lit, dialect)})")
+        ids.append(str(cell))
+    if dialect == "spark":
+        arr = f"array({', '.join(scores)})"
+        idl = f"array({', '.join(ids)})"
+        return (
+            f"element_at({idl}, CAST(transform(array({arr}),"
+            f" A -> array_position(A, array_min(A)))[0] AS INT))"
+        )
+    arr = f"[{', '.join(scores)}]"
+    idl = f"[{', '.join(ids)}]"
+    return (
+        f"list_extract({idl}, list_transform([{arr}],"
+        f" A -> list_position(A, list_min(A)))[1])"
+    )
+
+
+def train(
+    spark,
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_iters: int = N_ITERS,
+    sample_mod: int = TRAIN_SAMPLE_MOD,
+) -> list[tuple[int, list[float]]]:
+    """``n_iters`` Lloyd rounds on the deterministic sample; returns
+    sorted (cell, centroid) pairs — cells that lost every sample member
+    drop out (their inverted list would be empty)."""
+    dims = range(T.EMBEDDING_DIM)
+    sample = emb.filter(F.col(id_col) % sample_mod == 0).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    cents: list[tuple[int, list[float]]] | None = None
+    for _ in range(n_iters):
+        cell = (
+            S.ivf_cell_expr("v", "spark")
+            if cents is None
+            else assign_cell_expr("v", cents, "spark")
+        )
+        grouped = (
+            sample.select("id", "v", F.expr(cell).alias("cell"))
+            .groupBy("cell")
+            .agg(
+                F.count("*").alias("n"),
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("id"), F.col("v")))
+                ).alias("arr"),
+            )
+        )
+        rows = grouped.select(
+            "cell", "n",
+            *[F.expr(_sum_fold(j, "spark")).alias(f"s{j}") for j in dims],
+        ).collect()
+        cents = sorted(
+            (int(r["cell"]), [r[f"s{j}"] / r["n"] for j in dims])
+            for r in rows
+        )
+    return cents
+
+
+def probe_cells(
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    probes: int,
+) -> list[int]:
+    """Driver-side: the ``probes`` best trained cells for the query
+    (same score formula and tie-break as :func:`assign_cell_expr`;
+    Python floats are IEEE doubles, so it agrees with the column
+    expression bit-for-bit)."""
+    q = [float(x) for x in query_vec]
+    scored = sorted(
+        (_py_sq_norm(cent) - 2 * _py_dot(q, cent), cell)
+        for cell, cent in centroids
+    )
+    return [cell for _, cell in scored[:probes]]
+
+
+def trained_topk(
+    spark,
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int,
+    id_col: str,
+    vec_col: str,
+    probes: int = 2,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF-flat top-k with a TRAINED quantizer: train (or take
+    ``centroids``), assign the corpus with the baked argmin expression
+    (narrow codegen — the at-scale path), scan only the probed cells.
+    Same output contract as ``similarity.ivf_topk``."""
+    if centroids is None:
+        centroids = train(spark, emb, id_col, vec_col)
+    cells = probe_cells(query_vec, centroids, probes)
+    scored = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.expr(assign_cell_expr(vec_col, centroids, "spark")).alias("cell"),
+    ).filter(F.col("cell").isin(cells))
+    q = T._float_array_literal([float(x) for x in query_vec], "spark")
+    cos = T.cosine(T.dot("v", q, "spark"), T.sq_norm("v", "spark"),
+                   T.sq_norm(q, "spark"))
+    return (
+        scored.select("id", F.expr(cos).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def oracle_ctes(
+    sample_mod: int = TRAIN_SAMPLE_MOD, n_iters: int = N_ITERS
+) -> str:
+    """DuckDB CTE chain replaying the SAME training run in SQL: per
+    round, assignment (round 0: the fixed-centroid static expression;
+    later: a cross join against the previous centroids with ORDER BY
+    (score, cell) — the tie-break :func:`assign_cell_expr` bakes in)
+    then the pinned-fold mean. Exposes ``cfinal(cell, n, cent)``."""
+    dims = range(T.EMBEDDING_DIM)
+    folds = ", ".join(_sum_fold(j, "duck") for j in dims)
+    parts = [
+        f"smp AS (SELECT vec_id AS id, embedding AS v FROM embeddings"
+        f" WHERE vec_id % {sample_mod} = 0)"
+    ]
+    for it in range(n_iters):
+        if it == 0:
+            parts.append(
+                f"a{it} AS (SELECT id, v,"
+                f" {S.ivf_cell_expr('v', 'duck')} AS cell FROM smp)"
+            )
+        else:
+            score = (
+                f"({T.sq_norm('c.cent', 'duck')}"
+                f" - 2 * {T.dot('s.v', 'c.cent', 'duck')})"
+            )
+            parts.append(
+                f"a{it} AS (SELECT s.id, s.v, c.cell"
+                f" FROM smp s CROSS JOIN c{it - 1} c"
+                f" QUALIFY row_number() OVER (PARTITION BY s.id"
+                f" ORDER BY {score}, c.cell) = 1)"
+            )
+        parts.append(
+            f"g{it} AS (SELECT cell, count(*) AS n,"
+            f" list(v ORDER BY id) AS vs FROM a{it} GROUP BY cell)"
+        )
+        parts.append(
+            f"c{it} AS (SELECT cell, n,"
+            f" list_transform([{folds}], x -> x / n) AS cent FROM g{it})"
+        )
+    parts.append(
+        f"cfinal AS (SELECT cell, n, cent FROM c{n_iters - 1})"
+    )
+    return ",\n    ".join(parts)
