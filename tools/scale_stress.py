@@ -50,7 +50,11 @@ KNN_K = 5
 def build_stressed(spark, factor: int, out_dir: str) -> tuple[str, str]:
     """FACTOR copies of documents (text + ' copyN' tag => near-dups)
     and embeddings (one dimension nudged per copy => near-dup vectors),
-    ids offset per copy. Deterministic: no randomness anywhere."""
+    ids offset per copy; FACTOR orderkey-shifted copies of the
+    lineitem/orders FACT tables (dimensions stay 1x — how a real
+    warehouse scales); every other table symlinked unchanged so the
+    out_dir is a complete sf_dir and registry queries run on it as-is.
+    Deterministic: no randomness anywhere."""
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     n_docs = docs.count()
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
@@ -76,6 +80,29 @@ def build_stressed(spark, factor: int, out_dir: str) -> tuple[str, str]:
     ep = os.path.join(out_dir, "embeddings.parquet")
     docs10.write.mode("overwrite").parquet(dp)
     emb10.write.mode("overwrite").parquet(ep)
+
+    # fact tables for the reference-parity / relational families:
+    # factor copies with orderkeys shifted per copy (joins on part/
+    # supplier keys fan out against the 1x dims, orders joins stay
+    # key-consistent because both tables shift together)
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    shift = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    copies = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("c")
+    li_s = li.select("*", copies).withColumn(
+        "l_orderkey", F.col("l_orderkey") + F.col("c") * shift
+    ).drop("c")
+    ord_s = orders.select("*", copies).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.col("c") * shift
+    ).drop("c")
+    li_s.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "lineitem.parquet"))
+    ord_s.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "orders.parquet"))
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "events"):
+        os.symlink(f"{SF_DIR}/{t}.parquet",
+                   os.path.join(out_dir, f"{t}.parquet"))
     return dp, ep
 
 
@@ -156,6 +183,20 @@ def run_factor(spark, factor: int) -> dict:
               lambda: D.embedding_neardup_pairs(
                   emb, "vec_id", "embedding", threshold=0.9,
                   n_planes=n_auto).count(), n_planes=n_auto)
+        spark.catalog.clearCache()
+        # reference-parity + heavy relational families on the scaled
+        # FACT tables (the reference's own 136 MB benchmark shape is
+        # the condorcet 2-round MR, mp3/Report.pdf p.2): registry
+        # query functions run unmodified against the stressed sf_dir
+        from distributed_computing_projects_spark.queries import (
+            load_registry,
+        )
+
+        reg = load_registry()
+        timed(spark, m, "condorcet_round1",
+              lambda: reg["condorcet_round1"].fn(spark, work).count())
+        timed(spark, m, "q9_product_profit",
+              lambda: reg["q9_product_profit"].fn(spark, work).count())
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.catalog.clearCache()
@@ -233,7 +274,14 @@ def _write_md(out: dict) -> None:
         "show the n_planes knob holding runtime flat as N grows; the "
         "band-store probe reads only the batch's key-hash "
         "directories, so its cost tracks the fixed 500-doc batch "
-        "while the corpus grows underneath it.",
+        "while the corpus grows underneath it. The parity/relational "
+        "rows (condorcet_round1 — the reference's own 136 MB "
+        "benchmark shape, mp3/Report.pdf p.2 — and q9) run the "
+        "registry query functions unmodified on factor-scaled FACT "
+        "tables against 1x dimensions: condorcet is one shuffle of "
+        "the pruned scan + constant-bounded per-order expansion, q9 "
+        "is broadcast-dim joins + one agg exchange, so both should "
+        "grow ~linearly in the fact rows.",
     ]
     with open(os.path.join(REPO, "SCALE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
