@@ -369,6 +369,60 @@ def decode_image(payloads: DataFrame) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = (
+    "id bigint, width int, height int, n_px bigint,"
+    " sum_r bigint, sum_g bigint, sum_b bigint"
+)
+
+
+def resize_image(payloads: DataFrame, factor: int) -> DataFrame:
+    """Integer box-downsample by ``factor`` — the resize stage of an
+    image-ingest pipeline, over the same decode dispatch as
+    :func:`decode_image` (PPM/BMP/PNG). Pixels group into
+    ``factor x factor`` blocks (edges floor-cropped, a real resizer's
+    policy); each output pixel is the block sum floor-divided by
+    ``factor^2`` — INTEGER arithmetic end to end, so the resample is
+    exactly mirrorable in a SQL oracle (float interpolation kernels
+    would be engine-ulp territory). Emits the resized dimensions and
+    per-channel byte sums of the RESIZED image; payloads whose decode
+    fails or whose dimensions are below ``factor`` drop.
+    """
+    import numpy as np
+
+    if factor <= 0:
+        raise ValueError("factor must be positive")
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("id", "width", "height", "n_px",
+                                   "sum_r", "sum_g", "sum_b")}
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                b = bytes(payload)
+                decoded = _decode_ppm(b) or _decode_bmp(b) or _decode_png(b)
+                if decoded is None:
+                    continue
+                w, h, px = decoded
+                w2, h2 = w // factor, h // factor
+                if w2 == 0 or h2 == 0:
+                    continue
+                crop = px[: h2 * factor, : w2 * factor].astype(np.int64)
+                blocks = crop.reshape(h2, factor, w2, factor, 3)
+                resized = blocks.sum(axis=(1, 3)) // (factor * factor)
+                sums = resized.reshape(-1, 3).sum(axis=0)
+                out["id"].append(i)
+                out["width"].append(w2)
+                out["height"].append(h2)
+                out["n_px"].append(w2 * h2)
+                out["sum_r"].append(int(sums[0]))
+                out["sum_g"].append(int(sums[1]))
+                out["sum_b"].append(int(sums[2]))
+            yield pd.DataFrame(out)
+
+    return payloads.select("id", "payload").mapInPandas(
+        _resize, schema=RESIZED_SCHEMA
+    )
+
+
 def png_payloads(
     df: DataFrame, id_col: str, text_col: str, w: int, h: int
 ) -> DataFrame:

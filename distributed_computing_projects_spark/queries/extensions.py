@@ -2155,6 +2155,67 @@ def q_multimodal_png_decode(spark, sf_dir):
     return M.decode_image(payloads)
 
 
+RESIZE_F = 2
+_RW, _RH = IMG_W // RESIZE_F, IMG_H // RESIZE_F  # resized dims (2 x 1)
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+    WITH eligible AS (
+      SELECT doc_id AS id, text FROM documents
+      WHERE octet_length(encode(text)) >= {_IMG_BYTES}),
+    px AS (
+      SELECT id,
+             (i - 1) // {IMG_W * 3} AS r,
+             ((i - 1) % {IMG_W * 3}) // 3 AS c,
+             (i - 1) % 3 AS ch,
+             ascii(substr(text, i, 1)) AS v
+      FROM eligible, (SELECT unnest(generate_series(1, {_IMG_BYTES})) AS i)),
+    blocks AS (
+      SELECT id, ch, r // {RESIZE_F} AS br, c // {RESIZE_F} AS bc,
+             sum(v) // {RESIZE_F * RESIZE_F} AS rv
+      FROM px
+      WHERE r < {_RH * RESIZE_F} AND c < {_RW * RESIZE_F}
+      GROUP BY id, ch, r // {RESIZE_F}, c // {RESIZE_F})
+    SELECT id,
+           CAST({_RW} AS INTEGER) AS width,
+           CAST({_RH} AS INTEGER) AS height,
+           CAST({_RW * _RH} AS BIGINT) AS n_px,
+           CAST(sum(CASE WHEN ch = 0 THEN rv END) AS BIGINT) AS sum_r,
+           CAST(sum(CASE WHEN ch = 1 THEN rv END) AS BIGINT) AS sum_g,
+           CAST(sum(CASE WHEN ch = 2 THEN rv END) AS BIGINT) AS sum_b
+    FROM blocks GROUP BY id
+    """,
+    doc=f"Image RESIZE end-to-end: the per-doc PPM payload (same "
+        "construction as multimodal_image_decode) is decoded and "
+        f"box-downsampled by {RESIZE_F} inside the Arrow mapInPandas "
+        "(multimodal.resize_image) — each output pixel is an integer "
+        "block-sum floor-divide, so the resample is exactly "
+        "recomputable by the oracle from character codes (float "
+        "interpolation kernels would be engine-ulp territory; the "
+        "integer box kernel is the honest differential choice). "
+        "Emits resized dims + per-channel sums of the RESIZED image; "
+        "edge rows/cols past the last full block are floor-cropped, "
+        "a real resizer's policy.",
+)
+def q_multimodal_resize(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = (
+        docs.filter(
+            F.expr(f"octet_length(encode(text, 'UTF-8')) >= {_IMG_BYTES}")
+        )
+        .select(
+            F.col("doc_id").alias("id"),
+            F.concat(
+                F.lit(bytearray(_PPM_HEADER)),
+                F.expr(f"substring(encode(text, 'UTF-8'), 1, {_IMG_BYTES})"),
+            ).alias("payload"),
+        )
+    )
+    return M.resize_image(payloads, RESIZE_F)
+
+
 AUDIO_RATE = 8000
 _AUDIO_BYTES = 36  # -> 18 int16 mono samples per doc
 

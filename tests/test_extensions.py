@@ -350,6 +350,38 @@ def test_decode_image_ppm_and_bmp_closed_form(spark):
                                            3 + 6 + 9 + 12)
 
 
+def test_resize_image_box_downsample_closed_form(spark):
+    """Integer box resize: 4x3 -> 2x1 by factor 2 (bottom row cropped),
+    each output pixel = floor(block_sum / 4); PNG input goes through
+    the same dispatch; too-small images drop."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    px = bytes(range(36))  # 4x3 RGB, values 0..35
+    rows = [
+        Row(id=1, payload=bytearray(_ppm(4, 3, px))),
+        Row(id=2, payload=bytearray(M.encode_png(
+            np.frombuffer(px, dtype=np.uint8).reshape(3, 4, 3),
+            filters=[0, 1, 4]))),
+        Row(id=3, payload=bytearray(_ppm(1, 1, bytes([9, 9, 9])))),  # < factor
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {r.id: r for r in M.resize_image(df, 2).collect()}
+    assert set(out) == {1, 2}
+
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(3, 4, 3).astype(int)
+    want = {}
+    for ch in range(3):
+        # blocks: rows 0-1 (row 2 cropped), cols (0,1) and (2,3)
+        b0 = arr[0:2, 0:2, ch].sum() // 4
+        b1 = arr[0:2, 2:4, ch].sum() // 4
+        want[ch] = b0 + b1
+    for i in (1, 2):
+        r = out[i]
+        assert (r.width, r.height, r.n_px) == (2, 1, 2)
+        assert (r.sum_r, r.sum_g, r.sum_b) == (want[0], want[1], want[2])
+
+
 def test_png_roundtrip_all_filters_exact():
     """encode_png -> _decode_png is pixel-exact for every filter type
     and both truecolor color types — the unfilter math is the spec's,
