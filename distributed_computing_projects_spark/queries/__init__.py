@@ -56,7 +56,11 @@ def load_registry() -> dict[str, QuerySpec]:
         reference,
         streaming_queries,
         relational,
-        extensions,
+        ext_dedup,
+        ext_ann,
+        ext_text,
+        ext_multimodal,
+        ext_pipeline,
     )
     try:
         from distributed_computing_projects_spark.queries._matrix_first import (

@@ -1,0 +1,401 @@
+"""Pipeline / dataset-engineering query family: JSONL ingest, deterministic splits + stratified sampling, sequence packing, token-window chunking, corpus shuffle, and the end-to-end training-corpus summary. Split from extensions.py (round 7); shared fragments in ext_fragments."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from distributed_computing_projects_spark.functions import text as T
+from distributed_computing_projects_spark.operators import dedup as D
+from distributed_computing_projects_spark.operators import multimodal as M
+from distributed_computing_projects_spark.operators import sampling as SP
+from distributed_computing_projects_spark.operators import similarity as S
+from distributed_computing_projects_spark.operators import textstats as X
+from distributed_computing_projects_spark.queries import query
+from distributed_computing_projects_spark.sources.registry import load_table
+from distributed_computing_projects_spark.queries.ext_fragments import (
+    _BAND_SELECTS,
+    _BAND_SELECTS_SRC,
+    _CHUNK_STEP,
+    _ECHO_UNION,
+    _HASHES_D,
+    _INCR_EPOCHS_ORACLE,
+    _INCR_ORACLE,
+    _LSH_CTES,
+    _N_EQ_D,
+    _SH_D,
+    _SIG_D,
+    _THASHES_D,
+    _TOKS_D,
+    ANN_K,
+    ANN_PROBE_HAMMING,
+    ANN_QUERY_VEC,
+    CHUNK_OVERLAP,
+    CHUNK_TOKENS,
+    COSINE_THRESHOLD,
+    ECHO_EVERY,
+    ECHO_OFFSET,
+    EPOCH2_SOURCE,
+    GATE_MIN_DISTINCT,
+    GATE_MIN_TOKENS,
+    INCR_BATCH_SOURCE,
+    JACCARD_THRESHOLD,
+    MINHASH_THRESHOLD,
+    SIMHASH_MAX_HAMMING,
+)
+
+
+_JSONL_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures", "events_jsonl",
+)
+
+
+JSONL_EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+@query(
+    "jsonl_events_agg",
+    oracle=f"""
+    SELECT event_type, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+    FROM read_ndjson('{_JSONL_DIR}/*.jsonl',
+      columns={{'event_id': 'BIGINT', 'user_id': 'BIGINT',
+                'event_type': 'VARCHAR', 'value': 'DOUBLE'}},
+      ignore_errors=true)
+    WHERE event_id IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="JSONL source end-to-end over a fixture that interleaves "
+        "truncated objects, bare garbage, and non-object JSON: per-line "
+        "from_json with malformed-record DROP (sources/json.py, the "
+        "CSV-source policy applied to JSONL), then a filter-aggregate. "
+        "DuckDB's ignore_errors NULLs whole failed rows instead of "
+        "dropping them, so the oracle filters event_id IS NOT NULL — "
+        "both engines then see exactly the 11 well-formed records.",
+)
+def q_jsonl_events_agg(spark, sf_dir):
+    from distributed_computing_projects_spark.sources.json import read_jsonl
+
+    ev = read_jsonl(spark, f"{_JSONL_DIR}/*.jsonl", JSONL_EVENTS_SCHEMA)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+        .alias("total_value"),
+    )
+
+
+SPLIT_WEIGHTS_BP = {"train": 8000, "val": 1000, "test": 1000}
+
+
+STRAT_RATES_BP = {"en": 2500, "zh": 10000, "es": 5000}
+
+
+STRAT_DEFAULT_BP = 1000
+
+
+@query(
+    "dataset_split_counts",
+    oracle=f"""
+    SELECT {SP.split_case_sql('doc_id', SPLIT_WEIGHTS_BP)} AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Train/val/test assignment (80/10/10) by content-addressed hash "
+        "buckets — per-id stable across runs, engines, partitionings, "
+        "and corpus growth, unlike df.sample(). Pure codegen'd "
+        "projection; oracle runs the identical md5 bucket arithmetic.",
+)
+def q_dataset_split_counts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        SP.split_assign(docs, "doc_id", SPLIT_WEIGHTS_BP)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "stratified_sample_counts",
+    oracle=f"""
+    SELECT lang, count(*) AS n_kept
+    FROM documents
+    WHERE {SP.bucket_sql('doc_id', 'strat')} <
+          CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 10000
+                    WHEN 'es' THEN 5000 ELSE 1000 END
+    GROUP BY lang
+    """,
+    doc="Language-rebalancing stratified sample (downsample en 25%, "
+        "keep all zh, es 50%, others 10%) as a pure deterministic "
+        "filter — no shuffle, no per-group materialization; the "
+        "training-mixture primitive at corpus scale.",
+)
+def q_stratified_sample_counts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    kept = SP.stratified_sample(
+        docs, "lang", "doc_id", STRAT_RATES_BP, default_bp=STRAT_DEFAULT_BP
+    )
+    return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
+PACK_BUDGET = 256
+
+
+PACK_SHARDS = 8
+
+
+# Shared greedy-packing replay (recursive CTE per shard) — used by both
+# the pack assignment oracle and the fill-rate oracle.
+_PACKED_CTE = f"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id AS id,
+             CAST(doc_id % {PACK_SHARDS} AS INTEGER) AS shard,
+             CAST(coalesce(len({_TOKS_D}), 0) AS BIGINT) AS n_tokens,
+             row_number() OVER (
+               PARTITION BY doc_id % {PACK_SHARDS} ORDER BY doc_id
+             ) AS rn
+      FROM documents
+    ),
+    packed AS (
+      SELECT shard, rn, id, n_tokens,
+             n_tokens AS acc, CAST(0 AS BIGINT) AS pack_id
+      FROM docs WHERE rn = 1
+      UNION ALL
+      -- the previous state p always has >= 1 doc in its current pack
+      -- (the doc p itself placed), so "pack non-empty" needs no guard
+      -- here: the open-a-new-pack condition is exactly the overflow
+      -- test. An `acc > 0` guard would replay the zero-token-doc bug
+      -- the Spark side fixed (a 0-token doc opens a pack with acc = 0).
+      SELECT d.shard, d.rn, d.id, d.n_tokens,
+             CASE WHEN p.acc + d.n_tokens > {PACK_BUDGET}
+                  THEN d.n_tokens ELSE p.acc + d.n_tokens END,
+             CASE WHEN p.acc + d.n_tokens > {PACK_BUDGET}
+                  THEN p.pack_id + 1 ELSE p.pack_id END
+      FROM docs d JOIN packed p ON d.shard = p.shard AND d.rn = p.rn + 1
+    )
+"""
+
+
+@query(
+    "pack_documents",
+    oracle=_PACKED_CTE + """
+    SELECT id, shard, pack_id, n_tokens FROM packed
+    """,
+    headline=True,
+    doc="Sequence packing: greedy assignment of docs (id order, per "
+        "shard) into <=256-token packs — the trainer-side concat step "
+        "as a shard-parallel applyInPandas (the sequential scan is the "
+        "textbook case for it). Oracle replays the identical greedy "
+        "recurrence as a recursive CTE per shard.",
+)
+def q_pack_documents(spark, sf_dir):
+    from distributed_computing_projects_spark.operators.packing import (
+        pack_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_documents(docs, "doc_id", "text", PACK_BUDGET,
+                          n_shards=PACK_SHARDS)
+
+
+@query(
+    "pack_stats",
+    oracle=_PACKED_CTE + f"""
+    SELECT shard, pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           least(CAST(sum(n_tokens) AS BIGINT), {PACK_BUDGET})
+             / CAST({PACK_BUDGET} AS DOUBLE) AS fill_rate
+    FROM packed GROUP BY shard, pack_id
+    """,
+    doc="Pack fill-rate monitoring over the greedy packing output — the "
+        "number a training pipeline actually watches (wasted tokens = "
+        "wasted accelerator time). fill_rate is a raw IEEE divide "
+        "(bit-identical across engines; round() ties are not).",
+)
+def q_pack_stats(spark, sf_dir):
+    from distributed_computing_projects_spark.operators.packing import (
+        pack_documents,
+        pack_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_documents(docs, "doc_id", "text", PACK_BUDGET,
+                            n_shards=PACK_SHARDS)
+    return pack_stats(packed, PACK_BUDGET)
+
+
+@query(
+    "chunk_documents",
+    headline=True,
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_D} AS t FROM documents
+    ),
+    nonempty AS (
+      SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+    ),
+    starts AS (
+      SELECT doc_id, t, n,
+             unnest(generate_series(0, n - 1, {_CHUNK_STEP})) AS start
+      FROM nonempty
+    )
+    SELECT doc_id,
+           CAST(start // {_CHUNK_STEP} AS BIGINT) AS chunk_id,
+           CAST(start AS BIGINT) AS start_token,
+           CAST(least({CHUNK_TOKENS}, n - start) AS BIGINT) AS n_tokens,
+           array_to_string(t[start + 1 : start + {CHUNK_TOKENS}], ' ')
+             AS chunk_text
+    FROM starts
+    """,
+    doc="Overlapping fixed-token chunking (64-token windows, 16-token "
+        "overlap) — the retrieval/training chunker as a pure narrow "
+        "flatMap (sequence + slice + explode, zero shuffle, zero "
+        "Python). Oracle replays the same windows via generate_series "
+        "+ list slicing.",
+)
+def q_chunk_documents(spark, sf_dir):
+    from distributed_computing_projects_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", CHUNK_TOKENS,
+                           CHUNK_OVERLAP)
+
+
+@query(
+    "corpus_shuffle_head",
+    oracle="""
+    SELECT doc_id, md5(concat(CAST(doc_id AS VARCHAR), ':42')) AS shuffle_key
+    FROM documents
+    ORDER BY shuffle_key, doc_id
+    LIMIT 50
+    """,
+    doc="Deterministic corpus shuffle: global pseudo-random but "
+        "reproducible ordering by md5(doc_id || seed) — the trainer's "
+        "epoch shuffle without rand() (nondeterministic under retries "
+        "at scale; a content hash is retry-stable and engine-portable). "
+        "Top-50 here so the oracle pins the exact permutation prefix; "
+        "at 100 TB the same expression feeds a total-order "
+        "repartitionByRange write, not a LIMIT.",
+)
+def q_corpus_shuffle_head(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42")))
+            .alias("shuffle_key"),
+        )
+        .orderBy("shuffle_key", "doc_id")
+        .limit(50)
+    )
+
+
+@query(
+    "training_corpus_summary",
+    headline=True,
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, text, lang, source,
+             len({_TOKS_D}) AS n_tokens,
+             CAST(len(list_distinct({_TOKS_D})) AS DOUBLE)
+               / CAST(len({_TOKS_D}) AS DOUBLE) AS distinct_ratio,
+             {X.lang_pred(_TOKS_D, 'duck')} AS pred_lang
+      FROM documents),
+    gated AS (
+      SELECT doc_id, text, source FROM scored
+      WHERE n_tokens >= {GATE_MIN_TOKENS}
+        AND distinct_ratio >= {GATE_MIN_DISTINCT}
+        AND pred_lang = lang),
+    survivors AS (
+      SELECT doc_id, text, source FROM gated
+      QUALIFY doc_id = min(doc_id)
+        OVER (PARTITION BY {D.NORM_TEXT_DUCK.format(col='text')})),
+    toks AS (
+      SELECT doc_id, source, {_TOKS_D} AS t, len({_TOKS_D}) AS n
+      FROM survivors WHERE len({_TOKS_D}) > 0),
+    starts AS (
+      SELECT doc_id, source, n,
+             unnest(generate_series(0, n - 1, {_CHUNK_STEP})) AS start
+      FROM toks)
+    SELECT source,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_chunks,
+           CAST(sum(least({CHUNK_TOKENS}, n - start)) AS BIGINT)
+             AS total_chunk_tokens
+    FROM starts GROUP BY source
+    """,
+    doc="END-TO-END pipeline composition: quality gate (min tokens / "
+        "distinct ratio / language-ID agreement) -> exact-dedup "
+        "survivors (window-min over the normalized-text hash, one "
+        "shuffle) -> overlapping token chunking (narrow flatMap) -> "
+        "per-source training-readiness stats. One query from raw "
+        "corpus to chunk counts, all stages the same operators the "
+        "standalone queries test.",
+)
+def q_training_corpus_summary(spark, sf_dir):
+    from distributed_computing_projects_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text", "spark")
+    gated = docs.select(
+        "doc_id", "text", "source",
+        F.expr(f"size({toks})").alias("n_tokens"),
+        F.expr(
+            f"CAST(size(array_distinct({toks})) AS DOUBLE)"
+            f" / CAST(size({toks}) AS DOUBLE)"
+        ).alias("distinct_ratio"),
+        F.expr(X.lang_pred(toks, "spark")).alias("pred_lang"),
+        "lang",
+    ).filter(
+        (F.col("n_tokens") >= GATE_MIN_TOKENS)
+        & (F.col("distinct_ratio") >= GATE_MIN_DISTINCT)
+        & (F.col("pred_lang") == F.col("lang"))
+    )
+    w = Window.partitionBy(
+        F.expr(D.NORM_TEXT_SPARK.format(col="text"))
+    )
+    survivors = (
+        gated.withColumn("_keep", F.col("doc_id") == F.min("doc_id").over(w))
+        .filter(F.col("_keep"))
+        .select("doc_id", "text", "source")
+    )
+    # source rides through the narrow chunker (carry=), so no join
+    # back and the corpus is scanned exactly once
+    chunks = chunk_documents(
+        survivors, "doc_id", "text", CHUNK_TOKENS, CHUNK_OVERLAP,
+        carry=("source",),
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tokens").alias("total_chunk_tokens"),
+        )
+    )

@@ -1,0 +1,563 @@
+"""Text-analysis query family: quality scoring, language ID, fingerprints (full/winnowing), token stats (whitespace + BPE-ish), PII redaction, TF-IDF, quality gate, repetition filters, boilerplate n-grams, doc-length histogram, vocabulary coverage. Split from extensions.py (round 7); shared fragments in ext_fragments."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from distributed_computing_projects_spark.functions import text as T
+from distributed_computing_projects_spark.operators import dedup as D
+from distributed_computing_projects_spark.operators import multimodal as M
+from distributed_computing_projects_spark.operators import sampling as SP
+from distributed_computing_projects_spark.operators import similarity as S
+from distributed_computing_projects_spark.operators import textstats as X
+from distributed_computing_projects_spark.queries import query
+from distributed_computing_projects_spark.sources.registry import load_table
+from distributed_computing_projects_spark.queries.ext_fragments import (
+    _BAND_SELECTS,
+    _BAND_SELECTS_SRC,
+    _CHUNK_STEP,
+    _ECHO_UNION,
+    _HASHES_D,
+    _INCR_EPOCHS_ORACLE,
+    _INCR_ORACLE,
+    _LSH_CTES,
+    _N_EQ_D,
+    _SH_D,
+    _SIG_D,
+    _THASHES_D,
+    _TOKS_D,
+    ANN_K,
+    ANN_PROBE_HAMMING,
+    ANN_QUERY_VEC,
+    CHUNK_OVERLAP,
+    CHUNK_TOKENS,
+    COSINE_THRESHOLD,
+    ECHO_EVERY,
+    ECHO_OFFSET,
+    EPOCH2_SOURCE,
+    GATE_MIN_DISTINCT,
+    GATE_MIN_TOKENS,
+    INCR_BATCH_SOURCE,
+    JACCARD_THRESHOLD,
+    MINHASH_THRESHOLD,
+    SIMHASH_MAX_HAMMING,
+)
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id AS id, length(text) AS n_chars,
+           len({_TOKS_D}) AS n_tokens,
+           len(list_distinct({_TOKS_D})) AS n_distinct_tokens,
+           CAST(len(list_distinct({_TOKS_D})) AS DOUBLE)
+             / CAST(len({_TOKS_D}) AS DOUBLE) AS distinct_ratio,
+           CAST(len(list_filter({_TOKS_D},
+                x -> list_contains({X._str_list(X.LANG_MARKERS['en'], 'duck')}, x)))
+                AS DOUBLE)
+             / CAST(len({_TOKS_D}) AS DOUBLE) AS stopword_ratio,
+           CAST(length(regexp_replace(text, '{X.PUNCT_RE}', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE) AS alpha_ratio
+    FROM documents
+    """,
+    doc="Quality features: exact counts + single-division ratios "
+        "(length, distinct-token, stopword, punctuation).",
+)
+def q_text_quality(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return X.quality_scores(docs, "doc_id", "text")
+
+
+@query(
+    "language_id",
+    oracle=f"""
+    SELECT lang, {X.lang_pred(_TOKS_D, 'duck')} AS pred_lang, count(*) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+    doc="Heuristic marker-token language-ID, reported as a confusion "
+        "matrix vs the labeled lang column.",
+)
+def q_language_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text", "spark")
+    return (
+        docs.select("lang", F.expr(X.lang_pred(toks, "spark")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_NORM_D = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
+
+
+_FP32_D = T.hash32(_NORM_D, "duck")
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id AS id,
+           md5({_NORM_D}) AS fingerprint,
+           {_FP32_D} AS fingerprint32
+    FROM documents
+    """,
+    doc="Whitespace-normalized md5 document fingerprints (+32-bit form).",
+)
+def q_doc_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return X.fingerprints(docs, "doc_id", "text")
+
+
+@query(
+    "token_stats",
+    oracle=f"""
+    SELECT CAST(sum(len({_TOKS_D})) AS BIGINT) AS total_tokens,
+           count(*) AS n_docs,
+           (SELECT count(DISTINCT w) FROM (
+              SELECT unnest({_TOKS_D}) AS w FROM documents))
+             AS distinct_tokens,
+           CAST(sum(len({_TOKS_D})) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS avg_tokens_per_doc
+    FROM documents
+    """,
+    doc="Corpus token statistics (BPE-ish counting is the same plumbing "
+        "with a different split regex).",
+)
+def q_token_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text", "spark")
+    totals = docs.agg(
+        F.sum(F.expr(f"size({toks})")).alias("total_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+    distinct = (
+        docs.select(F.explode(F.expr(toks)).alias("w"))
+        .agg(F.countDistinct("w").alias("distinct_tokens"))
+    )
+    return totals.crossJoin(distinct).withColumn(
+        "avg_tokens_per_doc",
+        F.col("total_tokens").cast("double") / F.col("n_docs").cast("double"),
+    )
+
+
+_BPE_D = T.bpe_tokens("text", "duck")
+
+
+_WINNOW_D = T.winnow("text", 5, 4, "duck")
+
+
+@query(
+    "token_stats_bpe",
+    oracle=f"""
+    SELECT doc_id AS id,
+           len({_BPE_D}) AS n_bpe_tokens,
+           len(list_distinct({_BPE_D})) AS n_distinct_bpe,
+           len({_TOKS_D}) AS n_ws_tokens
+    FROM documents
+    """,
+    doc="BPE-ish pre-tokenization counts (GPT-2-style split classes) "
+        "next to whitespace counts — both leftmost-first regex engines "
+        "produce identical token streams.",
+)
+def q_token_stats_bpe(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = T.bpe_tokens("text", "spark")
+    ws = T.tokens("text", "spark")
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        F.expr(f"size({bpe})").alias("n_bpe_tokens"),
+        F.expr(f"size(array_distinct({bpe}))").alias("n_distinct_bpe"),
+        F.expr(f"size({ws})").alias("n_ws_tokens"),
+    )
+
+
+@query(
+    "doc_winnow_fingerprint",
+    oracle=f"""
+    SELECT doc_id AS id,
+           array_to_string({_WINNOW_D}, ',') AS winnow_fp,
+           len({_WINNOW_D}) AS n_selected
+    FROM documents
+    """,
+    doc="Winnowing fingerprints (rolling k-gram hash, window minima — "
+        "Schleimer et al. '03): the near-copy-detection fingerprint, "
+        "serialized for the hash compare.",
+)
+def q_doc_winnow_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    wn = T.winnow("text", 5, 4, "spark")
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        F.expr(f"concat_ws(',', {wn})").alias("winnow_fp"),
+        F.expr(f"size({wn})").alias("n_selected"),
+    )
+
+
+# The synthetic corpus carries no PII, so the query injects a
+# deterministic doc_id-derived contact string before scrubbing — both
+# engines replay the identical injection, making replace+count logic
+# value-checked on EVERY row rather than vacuously green on zero
+# matches. Patterns mirror operators/textstats.PII_PATTERNS.
+_PII_SUFFIX_SPARK = (
+    "concat(text, ' contact user', CAST(doc_id AS STRING),"
+    " '@example.com or +1 (555) 010-', CAST(doc_id % 10000 AS STRING),"
+    " ' from 10.0.', CAST(doc_id % 256 AS STRING), '.1')"
+)
+
+
+_PII_SUFFIX_DUCK = (
+    "concat(text, ' contact user', CAST(doc_id AS VARCHAR),"
+    " '@example.com or +1 (555) 010-', CAST(doc_id % 10000 AS VARCHAR),"
+    " ' from 10.0.', CAST(doc_id % 256 AS VARCHAR), '.1')"
+)
+
+
+@query(
+    "pii_redact",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id, {_PII_SUFFIX_DUCK} AS t FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t,
+                 '{X.PII_PATTERNS[0][1]}', '<EMAIL>', 'g'),
+               '{X.PII_PATTERNS[1][1]}', '<PHONE>', 'g'),
+             '{X.PII_PATTERNS[2][1]}', '<IPV4>', 'g') AS redacted_text,
+           CAST(len(regexp_extract_all(t, '{X.PII_PATTERNS[0][1]}'))
+                AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, '{X.PII_PATTERNS[1][1]}'))
+                AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(t, '{X.PII_PATTERNS[2][1]}'))
+                AS BIGINT) AS n_ipv4
+    FROM seeded
+    """,
+    doc="PII scrub (emails / phones / IPv4 -> typed placeholders, with "
+        "per-kind counts): the pre-training privacy pass as a pure "
+        "narrow JVM regexp projection — no shuffle, no Python. "
+        "Patterns are engine-portable (character classes + bounded "
+        "repeats only; no lookaround/backrefs, so Java regex and RE2 "
+        "agree). Deterministic doc_id-seeded PII injection makes the "
+        "oracle exercise every row.",
+)
+def q_pii_redact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select("doc_id", F.expr(_PII_SUFFIX_SPARK).alias("text"))
+    return X.redact_pii(seeded, "doc_id", "text")
+
+
+TFIDF_TOP_N = 3
+
+
+@query(
+    "tfidf_top_terms",
+    headline=True,
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_D}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             tf.tf * ln((1.0 + n.n_docs) / (1.0 + df.df)) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tf, df,
+             CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term
+             ) AS BIGINT) AS rnk
+      FROM scored)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           rnk
+    FROM ranked WHERE rnk <= {TFIDF_TOP_N}
+    """,
+    doc="TF-IDF top-3 terms per document — the classic text-analysis "
+        "op the engine's surface lacked: ONE explode scan -> TF hash "
+        "aggregate (persisted: one row per distinct (doc, term)) from "
+        "which DF is derived as a second, much smaller aggregate "
+        "(count per term over tf rows ≡ distinct-doc count) -> "
+        "broadcast doc count -> rank window. "
+        "The idf uses the smoothed ln((1+N)/(1+df)) form. "
+        "The compared columns are the exact integers (tf, df) plus the "
+        "rank — NOT the raw score: libm and Math.log differ in the "
+        "last ulp, so hashing ln() output is cross-engine-unstable, "
+        "while the RANKING is stable (equal (tf, df) give bit-equal "
+        "scores within each engine, falling to the term tie-break "
+        "identically; distinct (tf, df) on small-integer data give "
+        "score gaps orders of magnitude above ulp).",
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr(T.tokens("text", "spark"))).alias("term"),
+    )
+    # DF derives from TF (tf has exactly one row per distinct
+    # (doc, term)), so the corpus is exploded and scanned ONCE; the
+    # persist keeps the join's two uses of tf from re-running that
+    # scan (r5 VERDICT noted the double scan)
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf")
+    ).persist()
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            (F.col("tf")
+             * F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))))
+            .alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TFIDF_TOP_N)
+        .select("doc_id", "term", "tf", "df", "rnk")
+    )
+
+
+@query(
+    "corpus_quality_gate",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len({_TOKS_D}) AS n_tokens,
+             CAST(len(list_distinct({_TOKS_D})) AS DOUBLE)
+               / CAST(len({_TOKS_D}) AS DOUBLE) AS distinct_ratio,
+             {X.lang_pred(_TOKS_D, 'duck')} AS pred_lang
+      FROM documents
+    )
+    SELECT lang,
+           CAST(sum(CASE WHEN n_tokens >= {GATE_MIN_TOKENS}
+                          AND distinct_ratio >= {GATE_MIN_DISTINCT}
+                          AND pred_lang = lang
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           count(*) AS n_docs
+    FROM scored GROUP BY lang
+    """,
+    doc="Corpus selection gate: per-language pass counts under the "
+        "combined quality filter (min tokens, min distinct-token "
+        "ratio, language-ID agrees with the label) — the filter stage "
+        "a training pipeline runs between scoring and materialization, "
+        "as one narrow projection + one aggregate. Threshold "
+        "membership is engine-stable: the ratios are single IEEE "
+        "divides of exact integers, bit-identical in both engines.",
+)
+def q_corpus_quality_gate(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text", "spark")
+    scored = docs.select(
+        "lang",
+        F.expr(f"size({toks})").alias("n_tokens"),
+        F.expr(
+            f"CAST(size(array_distinct({toks})) AS DOUBLE)"
+            f" / CAST(size({toks}) AS DOUBLE)"
+        ).alias("distinct_ratio"),
+        F.expr(X.lang_pred(toks, "spark")).alias("pred_lang"),
+    )
+    passed = (
+        (F.col("n_tokens") >= GATE_MIN_TOKENS)
+        & (F.col("distinct_ratio") >= GATE_MIN_DISTINCT)
+        & (F.col("pred_lang") == F.col("lang"))
+    )
+    return scored.groupBy("lang").agg(
+        F.sum(F.when(passed, 1).otherwise(0)).cast("bigint").alias("n_pass"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+_GRAMS2_D = T.ngrams("text", 2, "duck")
+
+
+@query(
+    "repetition_stats",
+    headline=True,
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             CAST(len({_GRAMS2_D}) AS BIGINT) AS n_bigrams,
+             CAST(len({_GRAMS2_D}) - len(list_distinct({_GRAMS2_D}))
+                  AS BIGINT) AS n_dup_bigrams,
+             unnest({_TOKS_D}) AS tok
+      FROM documents),
+    per_tok AS (
+      SELECT id, tok, count(*) AS c,
+             min(n_bigrams) AS nb, min(n_dup_bigrams) AS nd
+      FROM toks GROUP BY id, tok)
+    SELECT id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_distinct,
+           CAST(max(c) AS BIGINT) AS top_c,
+           CAST(min(nb) AS BIGINT) AS n_bigrams,
+           CAST(min(nd) AS BIGINT) AS n_dup_bigrams
+    FROM per_tok GROUP BY id
+    """,
+    doc="Per-doc repetition filters (Gopher-style) as integer counts "
+        "(token / distinct-token / top-token / bigram / dup-bigram); "
+        "consumers derive the threshold ratios as raw IEEE divides "
+        "(with_repetition_ratios) — pre-rounded ratios can resolve "
+        "exact 4-decimal ties differently across engines. Bigram "
+        "counts are narrow codegen; top-token needs explode + two "
+        "hash aggregates (counts only ever cross the shuffle).",
+)
+def q_repetition_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return X.repetition_stats(docs, "doc_id", "text")
+
+
+BOILERPLATE_N = 5
+
+
+BOILERPLATE_MIN_DOCS = 2
+
+
+BOILERPLATE_TOP = 200
+
+
+@query(
+    "boilerplate_ngrams",
+    headline=True,
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id AS id, unnest({T.shingles("text", 5, "duck")}) AS ngram
+      FROM documents),
+    df AS (
+      SELECT ngram, count(*) AS n_docs FROM grams GROUP BY ngram
+      HAVING count(*) >= {BOILERPLATE_MIN_DOCS})
+    SELECT ngram, n_docs FROM df
+    ORDER BY n_docs DESC, ngram ASC LIMIT {BOILERPLATE_TOP}
+    """,
+    doc="Corpus-level boilerplate spans: top word 5-grams by DISTINCT "
+        "document frequency (per-doc-distinct shingles -> explode -> "
+        "one hash aggregate -> TakeOrderedAndProject).",
+)
+def q_boilerplate_ngrams(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return X.boilerplate_ngrams(
+        docs, "doc_id", "text",
+        n=BOILERPLATE_N, min_docs=BOILERPLATE_MIN_DOCS, top=BOILERPLATE_TOP,
+    )
+
+
+@query(
+    "doc_length_histogram",
+    oracle=f"""
+    WITH lens AS (
+      SELECT len({_TOKS_D}) AS n_tokens FROM documents),
+    bucketed AS (
+      SELECT n_tokens,
+             CAST(floor(log2(n_tokens + 1)) AS BIGINT) AS bucket
+      FROM lens)
+    SELECT bucket,
+           CAST(pow(2, bucket) - 1 AS BIGINT) AS bucket_min_tokens,
+           count(*) AS n_docs,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+    FROM bucketed GROUP BY bucket
+    """,
+    doc="Doc-length histogram in log2 token buckets (bucket b covers "
+        "[2^b - 1, 2^(b+1) - 2]) — the length-distribution diagnostic "
+        "that drives chunk/pack sizing. Integer-only; one narrow "
+        "projection + one aggregate. floor(log2(n+1)) in double is "
+        "engine-stable up to ~2^47 tokens per doc (beyond that, "
+        "log2(2^k - 1) can round up to exactly k and shift a boundary "
+        "doc one bucket) — far past any physical document; an engine "
+        "needing true 2^63 coverage would bucket by length(bin(n+1)).",
+)
+def q_doc_length_histogram(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text", "spark")
+    bucketed = docs.select(
+        F.expr(f"size({toks})").alias("n_tokens"),
+        F.expr(f"CAST(floor(log2(size({toks}) + 1)) AS BIGINT)")
+        .alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.expr("CAST(pow(2, bucket) - 1 AS BIGINT)")
+        .alias("bucket_min_tokens"),
+        F.count("*").alias("n_docs"),
+        F.min("n_tokens").cast("bigint").alias("min_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+    )
+
+
+VOCAB_TOP = 500
+
+
+@query(
+    "vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS_D}) AS token FROM documents),
+    counts AS (
+      SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+    top AS (
+      SELECT token, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, token)
+                  AS BIGINT) AS rank
+      FROM counts
+      QUALIFY rank <= {VOCAB_TOP}),
+    total AS (SELECT CAST(count(*) AS BIGINT) AS total_cnt FROM toks)
+    SELECT rank, token, cnt,
+           CAST(sum(cnt) OVER (
+             ORDER BY rank ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_cnt,
+           total_cnt
+    FROM top, total
+    """,
+    doc=f"Tokenizer-vocabulary induction: the top {VOCAB_TOP} corpus "
+        "tokens by frequency with cumulative-coverage counts — what a "
+        "vocab/tokenizer build reads to pick V (coverage fraction = "
+        "cum_cnt/total_cnt, the caller's divide; integers only cross "
+        "the engine boundary). Shape: explode -> one hash aggregate "
+        "(partial agg map-side) -> TakeOrderedAndProject for the top "
+        f"slice -> cumulative window over the {VOCAB_TOP} surviving "
+        "rows (single-partition window is fine AT ANY corpus scale: "
+        "it runs on the top slice, never the corpus) -> broadcast "
+        "1-row total. Ties break by token, so the slice and ranks are "
+        "deterministic.",
+)
+def q_vocab_coverage(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.expr(T.tokens("text", "spark"))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(VOCAB_TOP)
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    total = toks.agg(F.count("*").alias("total_cnt"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "cum_cnt",
+            F.sum("cnt").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .crossJoin(F.broadcast(total))
+        .select("rank", "token", "cnt", "cum_cnt", "total_cnt")
+    )

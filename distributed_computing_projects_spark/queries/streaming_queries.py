@@ -259,7 +259,7 @@ _JSONL_DIR = os.path.join(
         "and stream must agree record-for-record.",
 )
 def q_streaming_jsonl_agg(spark, sf_dir):
-    from distributed_computing_projects_spark.queries.extensions import (
+    from distributed_computing_projects_spark.queries.ext_pipeline import (
         JSONL_EVENTS_SCHEMA,
     )
     from distributed_computing_projects_spark.sources.json import (
@@ -344,7 +344,7 @@ def q_streaming_enriched_category_totals(spark, sf_dir):
     return spark.table("q_stream_enriched")
 
 
-from distributed_computing_projects_spark.queries.extensions import (
+from distributed_computing_projects_spark.queries.ext_fragments import (
     _INCR_ORACLE,
 )
 
@@ -372,7 +372,7 @@ def q_streaming_dedup_ingest(spark, sf_dir):
     from distributed_computing_projects_spark.operators import (
         bandstore as BSTORE,
     )
-    from distributed_computing_projects_spark.queries.extensions import (
+    from distributed_computing_projects_spark.queries.ext_fragments import (
         INCR_BATCH_SOURCE,
         MINHASH_THRESHOLD,
     )
@@ -432,7 +432,7 @@ def q_streaming_dedup_ingest(spark, sf_dir):
     ).parquet(out_dir)
 
 
-from distributed_computing_projects_spark.queries.extensions import (
+from distributed_computing_projects_spark.queries.ext_fragments import (
     _INCR_EPOCHS_ORACLE,
 )
 
@@ -462,7 +462,7 @@ def q_streaming_dedup_ingest_epochs(spark, sf_dir):
     from distributed_computing_projects_spark.operators import (
         bandstore as BSTORE,
     )
-    from distributed_computing_projects_spark.queries.extensions import (
+    from distributed_computing_projects_spark.queries.ext_fragments import (
         ECHO_EVERY,
         ECHO_OFFSET,
         EPOCH2_SOURCE,

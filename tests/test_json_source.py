@@ -8,7 +8,7 @@ from __future__ import annotations
 import pytest
 from py4j.protocol import Py4JJavaError
 
-from distributed_computing_projects_spark.queries.extensions import (
+from distributed_computing_projects_spark.queries.ext_pipeline import (
     _JSONL_DIR,
     JSONL_EVENTS_SCHEMA,
 )

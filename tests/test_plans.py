@@ -220,7 +220,7 @@ def test_bucketed_ann_store_partition_prunes(spark, sf_dir, tmp_path):
     only the probed buckets' files, never the whole corpus."""
     from distributed_computing_projects_spark.operators import similarity as S
     from distributed_computing_projects_spark.sources.registry import load_table
-    from distributed_computing_projects_spark.queries.extensions import ANN_QUERY_VEC
+    from distributed_computing_projects_spark.queries.ext_fragments import ANN_QUERY_VEC
 
     path = str(tmp_path / "emb_bucketed")
     emb = load_table(spark, sf_dir, "embeddings")
@@ -261,7 +261,7 @@ def test_ivf_store_partition_prunes(spark, sf_dir, tmp_path):
     the on-the-fly ivf_topk."""
     from distributed_computing_projects_spark.operators import similarity as S
     from distributed_computing_projects_spark.sources.registry import load_table
-    from distributed_computing_projects_spark.queries.extensions import ANN_QUERY_VEC
+    from distributed_computing_projects_spark.queries.ext_fragments import ANN_QUERY_VEC
 
     path = str(tmp_path / "emb_ivf")
     emb = load_table(spark, sf_dir, "embeddings")
