@@ -159,14 +159,28 @@ def probe_and_ingest(
     out_dir: str,
     threshold: float = 0.5,
     prune: bool = True,
+    batch_id: int | None = None,
 ) -> None:
     """One landing-zone micro-batch, end to end: probe the batch
-    against the store, append the duplicate pairs to ``out_dir``
+    against the store, write the duplicate pairs under ``out_dir``
     (parquet), then append the SURVIVORS' bands (batch docs with no
     pair at or above ``threshold``) to the store — so the next batch is
     deduped against this batch's survivors too, not just the original
     corpus. This is the ``foreachBatch`` body of continuous-ingest
     dedup (queries/streaming_queries.py:q_streaming_dedup_ingest).
+
+    Retry-safety (foreachBatch re-runs a failed batch): pass the
+    callback's ``batch_id`` and the pairs land in
+    ``out_dir/batch-<id>`` with OVERWRITE — a re-run replaces its own
+    output instead of double-appending (readers glob
+    ``out_dir/batch-*``). The band append stays append-mode; a retry
+    can duplicate surviving band rows, which is benign — the probe
+    join is DISTINCT on (new_id, corpus_id, est) — and self-pairs from
+    a partially-appended previous attempt are filtered out explicitly
+    (``new_id != corpus_id``; ids never pair with themselves in a
+    clean run, so the filter changes nothing there). Without
+    ``batch_id`` the pairs append flat to ``out_dir`` (single-shot
+    batch callers).
 
     Everything persisted here is unpersisted before returning
     (try/finally), so a long-running stream holds at most one batch's
@@ -175,11 +189,22 @@ def probe_and_ingest(
     frame (no second signature pass); the append inherits the store's
     sidecar-resolved ``kb_parts`` by construction.
     """
+    import os
+
     kb_parts = _resolve_kb(path, None)
     batch = banded_rows(new_df, id_col, text_col, kb_parts).persist()
-    pairs = _probe(spark, path, batch, threshold, prune).persist()
+    pairs = (
+        _probe(spark, path, batch, threshold, prune)
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .persist()
+    )
     try:
-        pairs.write.mode("append").parquet(out_dir)
+        if batch_id is None:
+            pairs.write.mode("append").parquet(out_dir)
+        else:
+            pairs.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch-{batch_id}")
+            )
         dup_ids = pairs.select(F.col("new_id").alias("id")).distinct()
         survivors = batch.join(dup_ids, "id", "left_anti")
         survivors.repartition("kb").write.partitionBy("kb").mode(

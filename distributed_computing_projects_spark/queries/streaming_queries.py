@@ -409,11 +409,11 @@ def q_streaming_dedup_ingest(spark, sf_dir):
         .parquet(sf_dir)
     )
 
-    def probe_batch(batch_df, _batch_id):
+    def probe_batch(batch_df, batch_id):
         batch = batch_df.filter(F.col("source") == INCR_BATCH_SOURCE)
         BSTORE.probe_and_ingest(
             spark, store, batch, "doc_id", "text", out_dir,
-            threshold=MINHASH_THRESHOLD,
+            threshold=MINHASH_THRESHOLD, batch_id=batch_id,
         )
 
     q = (
@@ -429,7 +429,7 @@ def q_streaming_dedup_ingest(spark, sf_dir):
         raise TimeoutError("streaming ingest did not drain in 180 s")
     return spark.read.schema(
         "new_id bigint, corpus_id bigint, est_jaccard double"
-    ).parquet(out_dir)
+    ).parquet(os.path.join(out_dir, "batch-*"))
 
 
 from distributed_computing_projects_spark.queries.ext_fragments import (
@@ -522,10 +522,10 @@ def q_streaming_dedup_ingest_epochs(spark, sf_dir):
         .parquet(landing)
     )
 
-    def probe_batch(batch_df, _batch_id):
+    def probe_batch(batch_df, batch_id):
         BSTORE.probe_and_ingest(
             spark, store, batch_df, "doc_id", "text", out_dir,
-            threshold=MINHASH_THRESHOLD,
+            threshold=MINHASH_THRESHOLD, batch_id=batch_id,
         )
 
     q = (
@@ -539,5 +539,5 @@ def q_streaming_dedup_ingest_epochs(spark, sf_dir):
         raise TimeoutError("two-epoch ingest did not drain in 180 s")
     return spark.read.schema(
         "new_id bigint, corpus_id bigint, est_jaccard double"
-    ).parquet(out_dir)
+    ).parquet(os.path.join(out_dir, "batch-*"))
 

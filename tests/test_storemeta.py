@@ -203,3 +203,30 @@ def test_probe_and_ingest_cross_batch(spark, tmp_path):
     # bounded state: no frames left persisted by the ingest loop
     cached_after = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert cached_after == cached_before
+
+
+def test_probe_and_ingest_retry_idempotent(spark, tmp_path):
+    """foreachBatch re-runs a failed batch: with batch_id the pairs
+    land per-batch with overwrite (no double-append), and the band
+    append's at-least-once duplicates stay benign — the probe join is
+    distinct and self-pairs are filtered."""
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, text=text)]
+    )
+    path = str(tmp_path / "bands")
+    out = str(tmp_path / "pairs")
+    BS.write_bands(corpus, path, "doc_id", "text")
+    b1 = spark.createDataFrame([Row(doc_id=2, text=text + " extra")])
+    # run the SAME batch twice — simulated retry after a crash that
+    # already appended the survivors' bands
+    for _ in range(2):
+        BS.probe_and_ingest(spark, path, b1, "doc_id", "text", out,
+                            threshold=0.5, batch_id=0)
+    pairs = [
+        (r.new_id, r.corpus_id)
+        for r in spark.read.parquet(f"{out}/batch-*").collect()
+    ]
+    # one pair, once: no double-append, and no (2, 2) self-pair from
+    # the first attempt's appended bands
+    assert pairs == [(2, 1)]
