@@ -544,6 +544,48 @@ def _decode_wav(b: bytes):
     return rate, channels, samples
 
 
+AUDIO_FEATURES_SCHEMA = (
+    "id bigint, n_samples bigint, n_zero_crossings bigint,"
+    " sum_abs_amplitude bigint, peak_amplitude int"
+)
+
+
+def audio_features(payloads: DataFrame) -> DataFrame:
+    """Audio feature extraction over decoded WAV payloads: sample
+    count, ZERO-CROSSING count (adjacent samples with strictly
+    opposite signs — the classic cheap voicing/noisiness feature),
+    absolute-amplitude sum, and peak. All integers, so the feature
+    math is exactly recomputable by a SQL oracle (spectral features
+    would need an FFT no SQL engine reproduces bit-for-bit — the
+    integer time-domain features are the honest differential
+    surface). Same Arrow ``mapInPandas`` contract and drop-malformed
+    policy as :func:`decode_audio`."""
+    import numpy as np
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("id", "n_samples", "n_zero_crossings",
+                                   "sum_abs_amplitude", "peak_amplitude")}
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                decoded = _decode_wav(bytes(payload))
+                if decoded is None:
+                    continue
+                _rate, _channels, samples = decoded
+                s = samples.astype(np.int32)
+                out["id"].append(i)
+                out["n_samples"].append(len(s))
+                out["n_zero_crossings"].append(
+                    int(np.count_nonzero(s[:-1] * s[1:] < 0))
+                )
+                out["sum_abs_amplitude"].append(int(np.abs(s).sum()))
+                out["peak_amplitude"].append(int(np.abs(s).max()))
+            yield pd.DataFrame(out)
+
+    return payloads.select("id", "payload").mapInPandas(
+        _features, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
 def decode_audio(payloads: DataFrame) -> DataFrame:
     """REAL audio decode for the format a library-free container can
     decode: uncompressed 16-bit PCM WAV, parsed with numpy inside the

@@ -367,3 +367,63 @@ def q_multimodal_audio_decode(spark, sf_dir):
         )
     )
     return M.decode_audio(payloads)
+
+
+@query(
+    "multimodal_audio_features",
+    oracle=f"""
+    WITH eligible AS (
+      SELECT doc_id AS id, text FROM documents
+      WHERE octet_length(encode(text)) >= {_AUDIO_BYTES}),
+    s AS (
+      SELECT id, i,
+             ascii(substr(text, 2 * i - 1, 1))
+               + 256 * ascii(substr(text, 2 * i, 1)) AS v
+      FROM eligible,
+           (SELECT unnest(generate_series(1, {_AUDIO_BYTES // 2})) AS i)),
+    signed AS (
+      SELECT id, i, CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS v
+      FROM s),
+    crossings AS (
+      SELECT id,
+             CASE WHEN v * lead(v) OVER (PARTITION BY id ORDER BY i) < 0
+                  THEN 1 ELSE 0 END AS zc
+      FROM signed)
+    SELECT sg.id,
+           CAST({_AUDIO_BYTES // 2} AS BIGINT) AS n_samples,
+           CAST(zc.n_zc AS BIGINT) AS n_zero_crossings,
+           CAST(sum(abs(sg.v)) AS BIGINT) AS sum_abs_amplitude,
+           CAST(max(abs(sg.v)) AS INTEGER) AS peak_amplitude
+    FROM signed sg
+    JOIN (SELECT id, sum(zc) AS n_zc FROM crossings GROUP BY id) zc
+      USING (id)
+    GROUP BY sg.id, zc.n_zc
+    """,
+    doc="Audio FEATURE EXTRACTION end-to-end: the same 16-bit PCM WAV "
+        "payloads as multimodal_audio_decode, decoded then reduced to "
+        "integer time-domain features — sample count, zero-crossing "
+        "count (strictly opposite adjacent signs), |amplitude| sum, "
+        "peak (multimodal.audio_features). The oracle reassembles the "
+        "signed samples from character codes and recomputes the "
+        "crossings with a lead() window — every feature integer, "
+        "drift-free (spectral features would need an FFT no two "
+        "engines reproduce bit-for-bit; the time-domain set is the "
+        "honest differential surface).",
+)
+def q_multimodal_audio_features(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = (
+        docs.filter(
+            F.expr(f"octet_length(encode(text, 'UTF-8')) >= {_AUDIO_BYTES}")
+        )
+        .select(
+            F.col("doc_id").alias("id"),
+            F.concat(
+                F.lit(bytearray(_wav_header())),
+                F.expr(
+                    f"substring(encode(text, 'UTF-8'), 1, {_AUDIO_BYTES})"
+                ),
+            ).alias("payload"),
+        )
+    )
+    return M.audio_features(payloads)

@@ -382,6 +382,32 @@ def test_resize_image_box_downsample_closed_form(spark):
         assert (r.sum_r, r.sum_g, r.sum_b) == (want[0], want[1], want[2])
 
 
+def test_audio_features_closed_form(spark):
+    """Zero-crossing count on a known waveform: strictly-opposite
+    adjacent signs only (a zero sample breaks a crossing)."""
+    import struct
+    from pyspark.sql import Row
+
+    samples = [100, -50, 25, 0, -75, 60, 60]  # crossings: 3 (0 blocks one)
+    body = b"".join(struct.pack("<h", s) for s in samples)
+    chunks = (b"fmt " + struct.pack("<I", 16)
+              + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+              + b"data" + struct.pack("<I", len(body)) + body)
+    wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    df = spark.createDataFrame(
+        [Row(id=1, payload=bytearray(wav)),
+         Row(id=2, payload=bytearray(b"not a wav"))],
+        "id long, payload binary",
+    )
+    out = {r.id: r for r in M.audio_features(df).collect()}
+    assert set(out) == {1}
+    r = out[1]
+    assert r.n_samples == 7
+    assert r.n_zero_crossings == 3
+    assert r.sum_abs_amplitude == sum(abs(s) for s in samples)
+    assert r.peak_amplitude == 100
+
+
 def test_png_roundtrip_all_filters_exact():
     """encode_png -> _decode_png is pixel-exact for every filter type
     and both truecolor color types — the unfilter math is the spec's,

@@ -364,3 +364,25 @@ def test_knn_join_recall_blocked_sides_stay_equi_joins(spark, sf_dir,
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan  # the exact side
+
+
+def test_trained_ivf_assignment_is_codegen_scan(spark, sf_dir):
+    """The trained-quantizer corpus assignment must stay a narrow baked
+    expression over one scan — no join against a centroid table, no
+    exchange except the top-k gather (the at-scale claim of
+    operators/ivf_train.py)."""
+    from distributed_computing_projects_spark.operators import (
+        ivf_train as IVT,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = IVT.train(spark, emb, "vec_id", "embedding")
+    df = IVT.trained_topk(spark, emb, [0.1] * 64, 5, "vec_id",
+                          "embedding", probes=2, centroids=cents)
+    plan = physical_plan(df)
+    assert_no_cartesian(df)
+    assert_topk_not_global_sort(df)
+    for join in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"):
+        assert join not in plan, f"centroid assignment must not join:\n{plan}"
+    # exactly one scan: the formatted plan lists one Location per scan
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
