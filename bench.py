@@ -3,6 +3,26 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
+Noise instrumentation (round 8): three same-code runs across rounds 6-7
+spread 11.3 / 14.0 / 16.6 s total on this shared box, so a raw min-of-N
+cannot resolve cross-round deltas under ~50%. This harness therefore:
+
+  * runs REPS full passes with the rep loop OUTERMOST (temporal
+    interleaving: a host-contention burst smears across all queries in
+    one rep instead of sinking all samples of one query);
+  * interleaves a frozen CANARY query (a q1-shaped lineitem aggregate
+    defined inline below -- never edited across rounds) every
+    CANARY_STRIDE headliners, giving ~20 contention samples spread over
+    the whole wall-clock window;
+  * emits per-query per-rep times ("reps"), per-query relative spread
+    ("spread_pct"), and the canary series + its spread as
+    "noise_floor_pct".
+
+Cross-round comparison rule: a per-query or total delta is only a real
+regression if it exceeds the larger of the two rounds' noise_floor_pct;
+otherwise it is host noise. "queries"/"value" keep the historical
+min-of-reps contract so older BENCH_r*.json stay comparable.
+
 Each query is forced with a count() (no driver-side collect of result
 data; the work happens on executors). A warmup pass on the smallest SF
 absorbs JVM/codegen startup so numbers reflect steady-state throughput.
@@ -19,6 +39,38 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from distributed_computing_projects_spark.queries import load_registry
 from distributed_computing_projects_spark.session import get_spark
+
+REPS = 5
+CANARY_STRIDE = 6  # run the canary every N headliners within a rep
+
+
+def canary(spark, sf_dir: str):
+    """Frozen contention probe: scan + filter + hash-agg on lineitem.
+
+    Deliberately q1-shaped (parquet IO + whole-stage codegen + one
+    shuffle) so it is exposed to the same host resources the headliners
+    are, but defined inline so no operator work ever changes it.
+    FROZEN: do not edit this function; cross-round noise comparison
+    depends on it being byte-identical from round 8 on.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
 
 
 def main() -> int:
@@ -38,26 +90,29 @@ def main() -> int:
                 spec.fn(spark, warm_dir).count()
             except Exception:
                 pass
+        canary(spark, warm_dir).count()
 
-    timings: dict[str, float] = {}
-    for name, spec in sorted(headliners.items()):
-        # best of 5 (was 3 through r4): the first run absorbs one-off
-        # codegen/JIT compile of this plan shape, and repeats are still
-        # exposed to transient host contention — r5 observed identical
-        # code swinging 1.7x run-to-run and single queries 4x on the
-        # shared box, so two more samples buy a materially stabler
-        # minimum. Min-of-5 <= min-of-3, so cross-round comparisons
-        # should lean on the per-query values, not the protocol delta.
-        best = float("inf")
-        for _ in range(5):
+    names = sorted(headliners)
+    reps: dict[str, list[float]] = {n: [] for n in names}
+    canary_times: list[float] = []
+
+    for _ in range(REPS):
+        for i, name in enumerate(names):
+            if i % CANARY_STRIDE == 0:
+                canary_times.append(_timed(lambda: canary(spark, sf_dir).count()))
             # fairness: operators may persist() intermediates; clearing
             # between runs means the repeat measures real recompute,
             # not a cache read
             spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            spec = headliners[name]
+            reps[name].append(_timed(lambda: spec.fn(spark, sf_dir).count()))
+
+    timings = {n: round(min(ts), 3) for n, ts in reps.items()}
+    spread_pct = {
+        n: round(100.0 * (max(ts) - min(ts)) / min(ts), 1) for n, ts in reps.items()
+    }
+    c_min = min(canary_times)
+    noise_floor_pct = round(100.0 * (max(canary_times) - c_min) / c_min, 1)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -67,6 +122,13 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else None,
+        "reps": {n: [round(t, 3) for t in ts] for n, ts in reps.items()},
+        "spread_pct": spread_pct,
+        "canary": {
+            "times": [round(t, 3) for t in canary_times],
+            "min": round(c_min, 3),
+        },
+        "noise_floor_pct": noise_floor_pct,
     }))
     return 0
 
