@@ -150,6 +150,68 @@ def incremental_pairs_against_store(
     return _probe(spark, path, batch, threshold, prune)
 
 
+def compact_store(spark, path: str) -> tuple[int, int]:
+    """Rewrite the store distinct-on-``(id, band, key)`` and return
+    ``(rows_before, rows_after)``.
+
+    Why this exists: :func:`append_bands` and :func:`probe_and_ingest`
+    are deliberately at-least-once — a ``foreachBatch`` retry or an
+    epoch re-run can append a survivor's band rows twice. That is
+    benign for correctness (the probe join is DISTINCT on its output),
+    but the store grows monotonically and probe read cost grows with
+    it. Compaction is the counterpart: an offline rewrite that
+    restores the store to one row per (doc, band).
+
+    Dedup key: ``(id, band, key)``. ``sig`` is fully determined by the
+    doc's text and ``key``/``kb`` are derived from ``sig``, so
+    duplicate rows under the ingest contract are byte-identical — any
+    survivor of ``dropDuplicates`` carries the same signature.
+
+    Epoch-atomicity: the compacted store is written to a sibling
+    ``<path>.__compact__`` directory (hive-partitioned by ``kb`` with
+    the SAME ``kb_parts``, sidecar re-recorded), verified readable,
+    and then swapped in with two directory renames
+    (``path`` -> ``<path>.__pre_compact__`` -> delete). Probes either
+    see the old store or the compacted one, never a partial rewrite.
+    A crash between the renames leaves the full pre-compact store at
+    ``<path>.__pre_compact__`` — recovery is renaming it back.
+
+    Scale shape: one store scan + one hash exchange on ``kb`` (each
+    directory rewritten by one task, one file per directory — the same
+    write shape as :func:`write_bands`). No driver-side data movement.
+    """
+    import os
+    import shutil
+
+    meta = storemeta.read_params(path)
+    if meta is None or meta.get("kind") != STORE_KIND:
+        raise storemeta.StoreParamsError(
+            f"compact_store: {path!r} has no {STORE_KIND} sidecar"
+        )
+    kb_parts = int(meta["kb_parts"])
+    store = spark.read.parquet(path)
+    before = store.count()
+    tmp = path.rstrip("/") + ".__compact__"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # leftover of a crashed prior compaction
+    (
+        store.dropDuplicates(["id", "band", "key"])
+        .repartition("kb")
+        .write.partitionBy("kb")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    storemeta.write_params(tmp, STORE_KIND, {"kb_parts": kb_parts})
+    after = spark.read.parquet(tmp).count()
+    old = path.rstrip("/") + ".__pre_compact__"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return before, after
+
+
 def probe_and_ingest(
     spark,
     path: str,

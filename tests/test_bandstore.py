@@ -50,3 +50,59 @@ def test_append_bands_epochal_ingest(spark, tmp_path):
     got = _pairs(BS.incremental_pairs_against_store(
         spark, path, epoch2, "doc_id", "text", threshold=0.5))
     assert got == [(3, 2, 1.0)]
+
+
+def test_compact_store_after_double_append(spark, sf_dir, tmp_path):
+    """A simulated foreachBatch retry (same epoch appended twice) grows
+    the store with benign-duplicate band rows; compaction must shrink
+    it back to one row per (doc, band) WITHOUT changing any probe
+    result, and must preserve the sidecar and partition layout."""
+    import os
+
+    from distributed_computing_projects_spark.operators import storemeta
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter("source <> 'src0'")
+    batch = docs.filter("source = 'src0'")
+    path = str(tmp_path / "bands")
+    BS.write_bands(corpus, path, "doc_id", "text")
+    # retry: the same epoch lands twice (at-least-once append contract)
+    epoch = corpus.limit(20)
+    BS.append_bands(epoch, path, "doc_id", "text")
+    BS.append_bands(epoch, path, "doc_id", "text")
+
+    pre = _pairs(BS.incremental_pairs_against_store(
+        spark, path, batch, "doc_id", "text", threshold=0.25))
+    before, after = BS.compact_store(spark, path)
+    post = _pairs(BS.incremental_pairs_against_store(
+        spark, path, batch, "doc_id", "text", threshold=0.25))
+
+    assert post == pre
+    # the doubled epoch's rows (and the write_bands/append overlap) are
+    # gone: exactly one row per (id, band) remains
+    dedup_rows = (
+        spark.read.parquet(path)
+        .select("id", "band").distinct().count()
+    )
+    assert after == dedup_rows
+    assert before > after
+    # sidecar survived the swap with identical parameters
+    meta = storemeta.read_params(path)
+    assert meta == {"kind": BS.STORE_KIND, "kb_parts": BS.KB_PARTS}
+    # hive layout survived: kb=* directories, no stray temp dirs
+    assert any(d.startswith("kb=") for d in os.listdir(path))
+    assert not os.path.exists(path + ".__compact__")
+    assert not os.path.exists(path + ".__pre_compact__")
+
+
+def test_compact_store_requires_sidecar(spark, tmp_path):
+    import os
+
+    import pytest
+
+    from distributed_computing_projects_spark.operators import storemeta
+
+    p = str(tmp_path / "not_a_store")
+    os.makedirs(p, exist_ok=True)
+    with pytest.raises(storemeta.StoreParamsError):
+        BS.compact_store(spark, p)
