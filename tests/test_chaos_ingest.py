@@ -1,0 +1,196 @@
+"""Chaos test for the streaming dedup ingest loop — the reference's
+``sim failtest`` discipline (mp3/src/monitor.go:78-97) applied to the
+repo's one stateful path.
+
+Two real failure modes are injected into one streaming run, and the
+final pair set must still equal a clean sequential run:
+
+1. **Task-attempt crash inside the batch lineage**: the foreachBatch
+   callback wraps the incoming batch in a mapInPandas pass-through
+   whose first attempt on partition 0 dies. With ``local[4, 2]``
+   (maxFailures=2) Spark retries the task — exercising real task
+   re-execution inside probe_and_ingest's jobs, not a simulated
+   re-call.
+2. **foreachBatch crash AFTER the batch fully commits** (pairs written
+   AND survivor bands appended), killing the streaming query. The
+   query is then restarted from the same checkpoint, and Structured
+   Streaming re-runs the failed batch with the SAME batch_id — the
+   worst-case double-processing the batch-id overwrite contract
+   (bandstore.probe_and_ingest) exists for. Reverting that contract
+   (e.g. append-mode pairs) makes this test fail with duplicated
+   pairs.
+
+Runs in a subprocess because retry needs a ``local[N, maxFailures]``
+master and the session-scoped test SparkSession pins ``local[*]``.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+_SCRIPT = r"""
+import glob, os, shutil, sys
+sys.path.insert(0, "@REPO@")
+os.environ["PYTHONPATH"] = "@REPO@"
+from pyspark.sql import Row, SparkSession
+from pyspark import TaskContext
+from distributed_computing_projects_spark.operators import bandstore as BS
+
+spark = (
+    SparkSession.builder.master("local[4, 2]")  # maxFailures=2 => one retry
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("chaos-ingest-test")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+work = "@TMP@"
+X = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+Y = "one two three four five six seven eight nine ten"
+corpus_rows = [
+    Row(doc_id=1, text="totally unrelated words in this document body"),
+    Row(doc_id=2, text=Y),
+]
+epoch0_rows = [
+    Row(doc_id=10, text=X),          # survivor
+    Row(doc_id=11, text=Y),          # dup of corpus doc 2
+]
+epoch1_rows = [
+    Row(doc_id=20, text=X),          # dup of epoch-0 SURVIVOR 10
+    Row(doc_id=21, text="fresh brand new content never seen anywhere"),
+]
+corpus = spark.createDataFrame(corpus_rows)
+epochs = [spark.createDataFrame(r) for r in (epoch0_rows, epoch1_rows)]
+schema = corpus.schema
+THRESH = 0.5
+
+def pair_set(out_dir):
+    # MULTISET, not set: a broken idempotence contract shows up as the
+    # same pair written twice, which a set comparison would hide
+    parts = glob.glob(os.path.join(out_dir, "batch-*"))
+    if not parts:
+        return []
+    df = spark.read.parquet(*parts)
+    return sorted((r.new_id, r.corpus_id, round(r.est_jaccard, 9))
+                  for r in df.collect())
+
+# ---- sequential oracle: clean run, no failures --------------------
+oracle_store = os.path.join(work, "oracle_store")
+oracle_out = os.path.join(work, "oracle_pairs")
+BS.write_bands(corpus, oracle_store, "doc_id", "text")
+for i, e in enumerate(epochs):
+    BS.probe_and_ingest(spark, oracle_store, e, "doc_id", "text",
+                        oracle_out, threshold=THRESH, batch_id=i)
+expected = pair_set(oracle_out)
+assert expected, "oracle produced no pairs — fixture is degenerate"
+
+# ---- chaos run ----------------------------------------------------
+store = os.path.join(work, "store")
+landing = os.path.join(work, "landing")
+out_dir = os.path.join(work, "pairs")
+ckpt = os.path.join(work, "ckpt")
+os.makedirs(landing)
+BS.write_bands(corpus, store, "doc_id", "text")
+
+now = 1_700_000_000
+for i, e in enumerate(epochs):
+    stage = os.path.join(work, "stage%d" % i)
+    e.coalesce(1).write.parquet(stage)
+    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    dest = os.path.join(landing, "batch-%d.parquet" % i)
+    shutil.move(part, dest)
+    os.utime(dest, (now + i, now + i))
+
+task_marker = os.path.join(work, "task_crashes")
+batch_marker = os.path.join(work, "batch_crashed")
+
+def chaotic(batch_df, batch_id):
+    marker = task_marker  # close over str, not the test module
+
+    def crash_once(it):
+        tc = TaskContext.get()
+        if tc is not None and tc.partitionId() == 0 and tc.attemptNumber() == 0:
+            with open(marker, "a") as f:
+                f.write("task attempt 0 partition 0 killed\n")
+            raise RuntimeError("injected executor task failure")
+        for pdf in it:
+            yield pdf
+
+    wrapped = batch_df.mapInPandas(crash_once, schema=batch_df.schema)
+    BS.probe_and_ingest(spark, store, wrapped, "doc_id", "text",
+                        out_dir, threshold=THRESH, batch_id=batch_id)
+    if batch_id == 0 and not os.path.exists(batch_marker):
+        open(batch_marker, "w").close()
+        raise RuntimeError("injected post-commit foreachBatch crash")
+
+def run_stream():
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = (
+        stream.writeStream.foreachBatch(chaotic)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    except Exception as e:  # StreamingQueryException on batch failure
+        return e
+    finally:
+        if q.isActive:
+            q.stop()
+    return q.exception()
+
+exc = run_stream()
+assert exc is not None, "first run must die on the injected batch crash"
+assert os.path.exists(batch_marker), "batch-0 crash never fired"
+# restart from the SAME checkpoint: batch 0 re-runs with batch_id=0
+exc = run_stream()
+assert exc is None, "restarted run failed: %s" % exc
+
+got = pair_set(out_dir)
+assert got == expected, "chaos pairs != oracle: got=%r want=%r" % (got, expected)
+assert os.path.exists(task_marker), "task-level crash never fired"
+
+# the re-run really double-appended survivor bands (at-least-once), and
+# compaction removes exactly that growth without changing probes
+probe_before = {(r.new_id, r.corpus_id) for r in
+                BS.incremental_pairs_against_store(
+                    spark, store, epochs[1], "doc_id", "text",
+                    threshold=THRESH).collect()}
+before, after = BS.compact_store(spark, store)
+assert before > after, "expected duplicate band rows from the re-run"
+probe_after = {(r.new_id, r.corpus_id) for r in
+               BS.incremental_pairs_against_store(
+                   spark, store, epochs[1], "doc_id", "text",
+                   threshold=THRESH).collect()}
+assert probe_before == probe_after
+print("CHAOS-OK")
+spark.stop()
+"""
+
+
+def test_ingest_loop_survives_task_and_batch_crashes(tmp_path):
+    import os
+
+    import distributed_computing_projects_spark as pkg
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(pkg.__file__)))
+    script = _SCRIPT.replace("@REPO@", repo).replace("@TMP@", str(tmp_path))
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "CHAOS-OK" in proc.stdout
+    # both injected failures really happened
+    assert "injected executor task failure" in proc.stderr
