@@ -1,0 +1,510 @@
+"""Baseline-sequential JPEG codec in pure numpy + stdlib — the last
+"needs an external codec" claim that didn't: Huffman entropy coding,
+dequantization, 8x8 IDCT and YCbCr->RGB are all expressible without an
+imaging library. This powers ``multimodal.decode_image``'s JPEG path
+and the ``multimodal_jpeg_*`` driver queries.
+
+Scope (documented subset of ITU-T T.81): baseline sequential DCT,
+8-bit precision, 1-component grayscale or 3-component 4:4:4 color,
+restart markers supported, progressive / arithmetic coding /
+subsampled chroma NOT (payloads outside the subset return ``None`` —
+the engine's malformed-record drop policy, sources/csv.py).
+
+Determinism contract (what makes the driver oracles exact):
+
+- the ENTROPY layer (Huffman + DC prediction + run-length + dequant)
+  is integer end-to-end, so coefficient-level outputs are bit-exact;
+- the IDCT is float, but a FLAT block (only the DC coefficient
+  non-zero) reconstructs as ``DC/8`` computed exactly in binary
+  floating point, so flat-tile fixtures round-trip bit-exactly
+  through the full pixel pipeline;
+- YCbCr->RGB uses 16.16 fixed-point integer arithmetic
+  (``floor((65536*Y + k*(C-128) + 32768) / 65536)``), mirrorable in
+  ANSI SQL — no float rounding ambiguity between engines.
+
+The decoder is GENERAL over the subset (it reads whatever canonical
+Huffman tables and quant tables the file declares); the encoder is a
+deterministic fixture builder that takes already-quantized
+coefficient blocks — no forward DCT, because its job is to exercise
+the decode path differentially, not to compete with libjpeg.
+
+Per-bit Python Huffman decode is the deliberate simple choice: the
+per-image cost at fixture scale is dominated by header parsing, and
+inside ``mapInPandas`` each image stays within one Arrow batch.
+Reference parity note: the reference has no media decode at all; this
+is BASELINE.json scale-extension surface (SURVEY.md LLM-pipeline
+operators).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+# zigzag index -> (row, col): diagonals of constant r+c, direction
+# alternating (odd sums walk row-ascending), per T.81 Figure A.6
+ZIGZAG = sorted(
+    ((r, c) for r in range(8) for c in range(8)),
+    key=lambda p: (p[0] + p[1], p[0] if (p[0] + p[1]) % 2 else -p[0]),
+)
+
+
+def _idct_basis():
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = (cu / 2.0) * math.cos((2 * x + 1) * u * math.pi / 16)
+    return m
+
+
+_BASIS = None
+
+
+def _basis():
+    global _BASIS
+    if _BASIS is None:
+        _BASIS = _idct_basis()
+    return _BASIS
+
+
+# ---------------------------------------------------------------- bits
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                    self.buf.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+
+class _MarkerHit(Exception):
+    def __init__(self, marker: int) -> None:
+        self.marker = marker
+
+
+class _BitReader:
+    """Entropy-segment reader: unstuffs FF00, surfaces real markers
+    (RSTn / EOI) as :class:`_MarkerHit` for the MCU loop to handle."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.d = data
+        self.p = pos
+        self.acc = 0
+        self.n = 0
+
+    def _next_byte(self) -> int:
+        if self.p >= len(self.d):
+            raise _MarkerHit(0xD9)  # truncated stream == end
+        b = self.d[self.p]
+        if b == 0xFF:
+            if self.p + 1 >= len(self.d):
+                raise _MarkerHit(0xD9)
+            nxt = self.d[self.p + 1]
+            if nxt == 0x00:
+                self.p += 2
+                return 0xFF
+            raise _MarkerHit(nxt)
+        self.p += 1
+        return b
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            self.acc = self._next_byte()
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def receive(self, nbits: int) -> int:
+        v = 0
+        for _ in range(nbits):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_and_consume_marker(self) -> int:
+        """Byte-align and consume the next marker (restart sync)."""
+        self.n = 0
+        while self.p + 1 < len(self.d):
+            if self.d[self.p] == 0xFF and self.d[self.p + 1] != 0x00:
+                marker = self.d[self.p + 1]
+                self.p += 2
+                return marker
+            self.p += 1
+        return 0xD9
+
+
+# ------------------------------------------------------------- huffman
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the T.81 Annex C canonical rule."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    return {(ln, code): sym
+            for sym, (code, ln) in _canonical_codes(bits, vals).items()}
+
+
+def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _flat_table(symbols: set[int]) -> tuple[list[int], list[int]]:
+    """Minimal legal DHT for a symbol set: all codes one length
+    ``L = ceil(log2(n+1))`` so the all-ones code stays unassigned
+    (the spec reserves it as a prefix)."""
+    vals = sorted(symbols)
+    ln = max(1, math.ceil(math.log2(len(vals) + 1)))
+    bits = [0] * 16
+    bits[ln - 1] = len(vals)
+    return bits, vals
+
+
+def _category(v: int) -> int:
+    return abs(v).bit_length()
+
+
+def _magnitude_bits(v: int, cat: int) -> int:
+    return v if v >= 0 else v + (1 << cat) - 1
+
+
+def _extend(v: int, cat: int) -> int:
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+# ------------------------------------------------------------- encoder
+
+
+def encode_baseline(components, w: int, h: int, qtable,
+                    restart_interval: int = 0) -> bytes:
+    """Serialize already-QUANTIZED coefficient blocks as a baseline
+    JFIF byte stream. ``components``: list of 1 (grayscale) or 3
+    (4:4:4 YCbCr) arrays shaped (blocks_y, blocks_x, 64) in ZIGZAG
+    order; ``qtable``: 64 ints in zigzag order, shared by all
+    components. Huffman tables are built from the symbols actually
+    used (flat canonical codes — legal, deterministic); all
+    components share DC/AC table 0 and quant table 0."""
+    ncomp = len(components)
+    if ncomp not in (1, 3):
+        raise ValueError("1 or 3 components")
+    by, bx = components[0].shape[0], components[0].shape[1]
+
+    # pass 1: collect symbols — MUST walk the exact MCU order of the
+    # emission pass, including restart-boundary predictor resets,
+    # or a DC diff category can appear in pass 2 that pass 1 never saw
+    dc_syms: set[int] = set()
+    ac_syms: set[int] = set()
+    preds = [0] * ncomp
+    mcu_count = 0
+    for yb in range(by):
+        for xb in range(bx):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                preds = [0] * ncomp
+            for ci in range(ncomp):
+                blk = components[ci][yb][xb]
+                diff = int(blk[0]) - preds[ci]
+                preds[ci] = int(blk[0])
+                dc_syms.add(_category(diff))
+                run = 0
+                for k in range(1, 64):
+                    v = int(blk[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ac_syms.add(0xF0)
+                        run -= 16
+                    ac_syms.add((run << 4) | _category(v))
+                    run = 0
+                if run:
+                    ac_syms.add(0x00)
+            mcu_count += 1
+    dc_bits, dc_vals = _flat_table(dc_syms)
+    ac_bits, ac_vals = _flat_table(ac_syms) if ac_syms else ([0] * 16, [])
+    dc_codes = _canonical_codes(dc_bits, dc_vals)
+    ac_codes = _canonical_codes(ac_bits, ac_vals)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body)
+
+    seg(0xDB, bytes([0x00]) + bytes(int(q) & 0xFF for q in qtable))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += struct.pack(">BBB", cid, 0x11, 0)
+    seg(0xC0, sof)
+    seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    if ac_vals:
+        seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    sos = struct.pack(">B", ncomp)
+    for cid in range(1, ncomp + 1):
+        sos += struct.pack(">BB", cid, 0x00)
+    sos += struct.pack(">BBB", 0, 63, 0)
+    seg(0xDA, sos)
+
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    mcu_count = 0
+    rst = 0
+    n_mcus = by * bx
+    for yb in range(by):
+        for xb in range(bx):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                bw.flush()
+                bw.buf.extend((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+                preds = [0] * ncomp
+            for ci in range(ncomp):
+                blk = components[ci][yb][xb]
+                diff = int(blk[0]) - preds[ci]
+                preds[ci] = int(blk[0])
+                cat = _category(diff)
+                code, ln = dc_codes[cat]
+                bw.write(code, ln)
+                if cat:
+                    bw.write(_magnitude_bits(diff, cat), cat)
+                run = 0
+                for k in range(1, 64):
+                    v = int(blk[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    cat = _category(v)
+                    code, ln = ac_codes[(run << 4) | cat]
+                    bw.write(code, ln)
+                    bw.write(_magnitude_bits(v, cat), cat)
+                    run = 0
+                if run:
+                    code, ln = ac_codes[0x00]
+                    bw.write(code, ln)
+            mcu_count += 1
+    assert mcu_count == n_mcus
+    bw.flush()
+    out.extend(bw.buf)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------------------- decoder
+
+
+def decode_coeffs(b: bytes):
+    """Parse + entropy-decode + DEQUANTIZE a baseline JPEG. Returns
+    ``(w, h, comps)`` where ``comps`` is a list of int64 arrays shaped
+    (blocks_y, blocks_x, 64) in zigzag order, or ``None`` for
+    malformed / outside-subset payloads. Integer end-to-end — this is
+    the bit-exact layer the ``multimodal_jpeg_coeffs`` oracle checks."""
+    import numpy as np
+
+    if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+        return None
+    qtables: dict[int, list[int]] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    try:
+        while pos + 4 <= len(b):
+            if b[pos] != 0xFF:
+                return None
+            marker = b[pos + 1]
+            if marker == 0xD9:
+                return None  # EOI before SOS
+            size = struct.unpack_from(">H", b, pos + 2)[0]
+            body = b[pos + 4: pos + 2 + size]
+            if len(body) != size - 2:
+                return None
+            pos += 2 + size
+            if marker == 0xDB:
+                p = 0
+                while p < len(body):
+                    pq, tq = body[p] >> 4, body[p] & 0x0F
+                    if pq != 0:
+                        return None  # 16-bit tables: outside subset
+                    qtables[tq] = list(body[p + 1: p + 65])
+                    p += 65
+            elif marker == 0xC4:
+                p = 0
+                while p < len(body):
+                    tc, th = body[p] >> 4, body[p] & 0x0F
+                    bits = list(body[p + 1: p + 17])
+                    n = sum(bits)
+                    vals = list(body[p + 17: p + 17 + n])
+                    table = _decode_table(bits, vals)
+                    (dc_tables if tc == 0 else ac_tables)[th] = table
+                    p += 17 + n
+            elif marker == 0xC0:
+                prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+                if prec != 8 or ncomp not in (1, 3):
+                    return None
+                comps = []
+                for ci in range(ncomp):
+                    cid, samp, tq = struct.unpack_from(
+                        ">BBB", body, 6 + 3 * ci
+                    )
+                    if samp != 0x11:
+                        return None  # subsampled chroma: outside subset
+                    comps.append({"id": cid, "tq": tq})
+                frame = (w, h, comps)
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # non-baseline frame types
+            elif marker == 0xDD:
+                restart_interval = struct.unpack_from(">H", body, 0)[0]
+            elif marker == 0xDA:
+                if frame is None:
+                    return None
+                w, h, comps = frame
+                ns = body[0]
+                if ns != len(comps):
+                    return None
+                sel = {}
+                for i in range(ns):
+                    cs, tda = body[1 + 2 * i], body[2 + 2 * i]
+                    sel[cs] = (tda >> 4, tda & 0x0F)
+                bx = (w + 7) // 8
+                by = (h + 7) // 8
+                out = [np.zeros((by, bx, 64), dtype=np.int64)
+                       for _ in comps]
+                br = _BitReader(b, pos)
+                preds = [0] * len(comps)
+                mcu = 0
+                for yb in range(by):
+                    for xb in range(bx):
+                        if restart_interval and mcu and \
+                                mcu % restart_interval == 0:
+                            m = br.align_and_consume_marker()
+                            if not (0xD0 <= m <= 0xD7):
+                                return None
+                            preds = [0] * len(comps)
+                        for ci, comp in enumerate(comps):
+                            td, ta = sel[comp["id"]]
+                            q = qtables.get(comp["tq"])
+                            dct = dc_tables.get(td)
+                            act = ac_tables.get(ta)
+                            if q is None or dct is None:
+                                return None
+                            cat = _read_symbol(br, dct)
+                            diff = _extend(br.receive(cat), cat) if cat else 0
+                            preds[ci] += diff
+                            blk = out[ci][yb][xb]
+                            blk[0] = preds[ci] * q[0]
+                            k = 1
+                            while k < 64:
+                                if act is None:
+                                    break
+                                sym = _read_symbol(br, act)
+                                if sym == 0x00:  # EOB
+                                    break
+                                run, cat = sym >> 4, sym & 0x0F
+                                if cat == 0:
+                                    if run != 15:
+                                        return None
+                                    k += 16  # ZRL
+                                    continue
+                                k += run
+                                if k > 63:
+                                    return None
+                                blk[k] = _extend(br.receive(cat), cat) * q[k]
+                                k += 1
+                        mcu += 1
+                return w, h, out
+            # other markers (APPn, COM): skipped via the length field
+        return None  # no SOS reached
+    except (_MarkerHit, ValueError, struct.error, IndexError):
+        return None
+
+
+# 16.16 fixed-point YCbCr->RGB (ITU-R BT.601 coefficients), integer
+# floor-divide — exactly mirrorable in SQL (see module doc)
+_CR_R, _CB_G, _CR_G, _CB_B = 91881, 22554, 46802, 116130
+
+
+def _ycbcr_to_rgb(y, cb, cr):
+    import numpy as np
+
+    y64 = y.astype(np.int64) << 16
+    cb_ = cb.astype(np.int64) - 128
+    cr_ = cr.astype(np.int64) - 128
+    half = 1 << 15
+    r = (y64 + _CR_R * cr_ + half) >> 16
+    g = (y64 - _CB_G * cb_ - _CR_G * cr_ + half) >> 16
+    bch = (y64 + _CB_B * cb_ + half) >> 16
+    return np.clip(np.stack([r, g, bch], axis=-1), 0, 255).astype(np.uint8)
+
+
+def decode_pixels(b: bytes):
+    """Full pixel decode: :func:`decode_coeffs` -> de-zigzag -> 8x8
+    IDCT (float basis product, round-half-up, +128 level shift,
+    clamp) -> crop -> YCbCr->RGB (grayscale replicates). Returns
+    ``(w, h, HxWx3 uint8)`` or ``None``."""
+    import numpy as np
+
+    decoded = decode_coeffs(b)
+    if decoded is None:
+        return None
+    w, h, comps = decoded
+    m = _basis()
+    planes = []
+    for coeffs in comps:
+        by, bx = coeffs.shape[0], coeffs.shape[1]
+        plane = np.zeros((by * 8, bx * 8), dtype=np.int64)
+        for yb in range(by):
+            for xb in range(bx):
+                f = np.zeros((8, 8))
+                zz = coeffs[yb][xb]
+                for i, (r, c) in enumerate(ZIGZAG):
+                    f[r, c] = zz[i]
+                px = m.T @ f @ m
+                plane[yb * 8:(yb + 1) * 8, xb * 8:(xb + 1) * 8] = (
+                    np.floor(px + 0.5).astype(np.int64) + 128
+                )
+        planes.append(np.clip(plane[:h, :w], 0, 255))
+    if len(planes) == 1:
+        g = planes[0].astype(np.uint8)
+        return w, h, np.stack([g, g, g], axis=-1)
+    return w, h, _ycbcr_to_rgb(planes[0], planes[1], planes[2])

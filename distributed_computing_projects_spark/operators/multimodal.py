@@ -8,9 +8,11 @@ batch shape, schema, and partitioning are real and tested.
 ``decode_features`` computes deterministic byte-level features;
 ``decode_image`` REALLY decodes the formats a library-free container
 can (binary PPM / uncompressed 24-bit BMP with pure numpy; 8-bit
-truecolor PNG through stdlib zlib inflate + numpy unfiltering) and
-drops the rest — codecs that need external libraries (JPEG/MP3/video)
-remain the documented integration point.
+truecolor PNG through stdlib zlib inflate + numpy unfiltering;
+baseline-sequential JPEG through the pure-numpy Huffman+IDCT codec in
+operators/jpeg.py) and drops the rest — codecs that genuinely need
+external libraries (MP3/AAC/video containers, progressive/subsampled
+JPEG) remain the documented integration point.
 
 At scale the payloads dominate: keep them in their own parquet column
 (never in shuffle keys), size ``spark.sql.files.maxPartitionBytes`` to
@@ -230,9 +232,8 @@ def _decode_png(b: bytes):
     the concatenated IDAT stream, reverses per-row filtering, and
     drops alpha. Returns (w, h, HxWx3 RGB uint8 array) or None
     (other bit depths / palette / grayscale / interlaced / truncated
-    payloads DROP per the malformed-record policy — and JPEG's
-    DCT+Huffman genuinely needs an external codec, which is the
-    remaining documented integration point)."""
+    payloads DROP per the malformed-record policy; baseline JPEG now
+    decodes too, via operators/jpeg.py)."""
     import struct
     import zlib
 
@@ -350,9 +351,11 @@ def decode_image(payloads: DataFrame) -> DataFrame:
 
     Undecodable payloads (wrong magic, truncated, unsupported
     sub-formats) are DROPPED — the engine's malformed-record policy
-    (sources/csv.py) applied to media. JPEG/MP3/video decode needs
-    external codec libraries (PIL/ffmpeg — absent here); plug one in
-    by extending the per-format dispatch below, keeping the schema.
+    (sources/csv.py) applied to media. Baseline JPEG decodes via the
+    pure-numpy codec (operators/jpeg.py); MP3/video and
+    progressive/subsampled JPEG need external codecs (PIL/ffmpeg —
+    absent here); plug one in by extending the per-format dispatch
+    below, keeping the schema.
     """
     import numpy as np
 
@@ -362,7 +365,8 @@ def decode_image(payloads: DataFrame) -> DataFrame:
                                    "sum_r", "sum_g", "sum_b")}
             for i, payload in zip(pdf["id"], pdf["payload"]):
                 b = bytes(payload)
-                decoded = _decode_ppm(b) or _decode_bmp(b) or _decode_png(b)
+                decoded = _decode_ppm(b) or _decode_bmp(b) or _decode_png(b) \
+                    or _decode_jpeg(b)
                 if decoded is None:
                     continue
                 w, h, px = decoded
@@ -410,7 +414,8 @@ def resize_image(payloads: DataFrame, factor: int) -> DataFrame:
                                    "sum_r", "sum_g", "sum_b")}
             for i, payload in zip(pdf["id"], pdf["payload"]):
                 b = bytes(payload)
-                decoded = _decode_ppm(b) or _decode_bmp(b) or _decode_png(b)
+                decoded = _decode_ppm(b) or _decode_bmp(b) or _decode_png(b) \
+                    or _decode_jpeg(b)
                 if decoded is None:
                     continue
                 w, h, px = decoded
@@ -470,6 +475,175 @@ def png_payloads(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     )
     return cols.mapInPandas(_encode, schema="id bigint, payload binary")
+
+
+def _decode_jpeg(b: bytes):
+    """Baseline JPEG -> (w, h, HxWx3 RGB) via the pure-numpy codec
+    (operators/jpeg.py): Huffman entropy decode, dequant, 8x8 IDCT,
+    16.16 fixed-point YCbCr->RGB. Returns None outside the baseline
+    4:4:4/grayscale subset (malformed-record drop policy)."""
+    from distributed_computing_projects_spark.operators import jpeg as J
+
+    return J.decode_pixels(b)
+
+
+def jpeg_payloads(
+    df: DataFrame, id_col: str, text_col: str, w: int, h: int
+) -> DataFrame:
+    """(id, payload): a deterministic baseline color JPEG per row.
+    Each 8x8 tile is FLAT: tile t's (Y, Cb, Cr) are text bytes
+    (3t, 3t+1, 3t+2), stored as quantized DC = byte - 128 against a
+    DC quant step of 8, so dequant gives 8*(byte-128) and the flat
+    IDCT reconstructs byte exactly (jpeg.py module doc) — the whole
+    Huffman -> dequant -> IDCT -> YCbCr->RGB pipeline round-trips
+    bit-exactly and a SQL oracle can recompute the pixel sums from
+    character codes. ``restart_interval=2`` puts real RSTn markers in
+    every payload, so the driver-graded path exercises restart sync
+    too. Callers pre-filter to rows with enough text bytes."""
+    import numpy as np
+
+    from distributed_computing_projects_spark.operators import jpeg as J
+
+    if w % 8 or h % 8:
+        raise ValueError("flat-tile fixtures need multiple-of-8 dims")
+    bx, by = w // 8, h // 8
+    n_bytes = bx * by * 3
+    qtable = [8] + [16] * 63
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, text in zip(pdf["id"], pdf["text"]):
+                raw = text.encode("utf-8")[:n_bytes]
+                if len(raw) < n_bytes:
+                    continue
+                comps = []
+                for ci in range(3):
+                    c = np.zeros((by, bx, 64), dtype=np.int64)
+                    for t in range(by * bx):
+                        c[t // bx, t % bx, 0] = raw[3 * t + ci] - 128
+                    comps.append(c)
+                payloads.append(
+                    J.encode_baseline(comps, w, h, qtable,
+                                      restart_interval=2)
+                )
+                ids.append(i)
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    cols = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    return cols.mapInPandas(_encode, schema="id bigint, payload binary")
+
+
+# coefficient-fixture constants, shared with the SQL oracle in
+# queries/ext_multimodal.py: zigzag positions and quant steps of the
+# three AC coefficients each block carries
+JPEG_COEF_BLOCKS = 4
+_JC_Q0, _JC_Q1, _JC_Q7, _JC_Q30 = 8, 2, 3, 5
+
+
+def _jc_acs(b0: int, b1: int, b2: int) -> tuple[int, int, int]:
+    """The three per-block AC values as a deterministic function of
+    the block's text bytes — forced non-zero so run lengths are fixed.
+    Mirrored literally in the multimodal_jpeg_coeffs oracle SQL."""
+    a1 = (b1 % 31) - 15
+    if a1 == 0:
+        a1 = 7
+    a2 = (b2 % 21) - 10
+    if a2 == 0:
+        a2 = -3
+    a3 = (b0 % 11) - 5
+    if a3 == 0:
+        a3 = 2
+    return a1, a2, a3
+
+
+def jpeg_coeff_payloads(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, payload): a grayscale baseline JPEG whose QUANTIZED
+    coefficients are a deterministic function of the text bytes —
+    block t carries DC = byte(3t) - 128 plus three ACs (:func:`_jc_acs`)
+    at zigzag positions 1, 7 and 30, i.e. zero-runs of 5 and 22 (the
+    latter forcing a ZRL escape) and an EOB tail, so the entropy
+    decoder's run-length, ZRL, EOB and negative-magnitude paths are
+    all exercised under the oracle. Layout: 1 block row x
+    ``JPEG_COEF_BLOCKS`` columns (w = 8*blocks, h = 8)."""
+    import numpy as np
+
+    from distributed_computing_projects_spark.operators import jpeg as J
+
+    nb = JPEG_COEF_BLOCKS
+    n_bytes = nb * 3
+    qtable = [16] * 64
+    qtable[0], qtable[1], qtable[7], qtable[30] = (
+        _JC_Q0, _JC_Q1, _JC_Q7, _JC_Q30
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, text in zip(pdf["id"], pdf["text"]):
+                raw = text.encode("utf-8")[:n_bytes]
+                if len(raw) < n_bytes:
+                    continue
+                c = np.zeros((1, nb, 64), dtype=np.int64)
+                for t in range(nb):
+                    b0, b1, b2 = raw[3 * t], raw[3 * t + 1], raw[3 * t + 2]
+                    a1, a2, a3 = _jc_acs(b0, b1, b2)
+                    c[0, t, 0] = b0 - 128
+                    c[0, t, 1] = a1
+                    c[0, t, 7] = a2
+                    c[0, t, 30] = a3
+                payloads.append(J.encode_baseline([c], nb * 8, 8, qtable))
+                ids.append(i)
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    cols = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    return cols.mapInPandas(_encode, schema="id bigint, payload binary")
+
+
+JPEG_COEFFS_SCHEMA = (
+    "id bigint, width int, height int, n_blocks bigint,"
+    " sum_dc bigint, sum_ac bigint, n_nonzero_ac bigint"
+)
+
+
+def decode_jpeg_coeffs(payloads: DataFrame) -> DataFrame:
+    """Coefficient-level JPEG decode: Huffman + DC prediction +
+    run-length + DEQUANT, stopping before the IDCT — the integer
+    bit-exact layer (jpeg.decode_coeffs), summed per image. Emits
+    (id, width, height, n_blocks, sum_dc, sum_ac, n_nonzero_ac);
+    undecodable payloads drop. Same Arrow mapInPandas contract as
+    :func:`decode_image`."""
+    from distributed_computing_projects_spark.operators import jpeg as J
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("id", "width", "height", "n_blocks",
+                                   "sum_dc", "sum_ac", "n_nonzero_ac")}
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                decoded = J.decode_coeffs(bytes(payload))
+                if decoded is None:
+                    continue
+                w, h, comps = decoded
+                sum_dc = sum(int(c[..., 0].sum()) for c in comps)
+                sum_ac = sum(int(c[..., 1:].sum()) for c in comps)
+                nnz = sum(int((c[..., 1:] != 0).sum()) for c in comps)
+                n_blocks = sum(c.shape[0] * c.shape[1] for c in comps)
+                out["id"].append(i)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_blocks"].append(n_blocks)
+                out["sum_dc"].append(sum_dc)
+                out["sum_ac"].append(sum_ac)
+                out["n_nonzero_ac"].append(nnz)
+            yield pd.DataFrame(out)
+
+    return payloads.select("id", "payload").mapInPandas(
+        _decode, schema=JPEG_COEFFS_SCHEMA
+    )
 
 
 FRAME_BYTES = 16
@@ -605,8 +779,8 @@ def decode_audio(payloads: DataFrame) -> DataFrame:
     Emits integer aggregates (sample count, amplitude sum, peak |amp|)
     so the decode is differentially checkable; undecodable payloads
     (other codecs, truncated, non-PCM) DROP. MP3/AAC/Opus need
-    external codecs — the documented integration point, same as
-    JPEG/PNG for images."""
+    external codecs — the documented integration point (images now
+    cover PPM/BMP/PNG/baseline-JPEG library-free)."""
     import numpy as np
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

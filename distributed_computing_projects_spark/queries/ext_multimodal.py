@@ -300,6 +300,112 @@ def q_multimodal_resize(spark, sf_dir):
     return M.resize_image(payloads, RESIZE_F)
 
 
+JPEG_W, JPEG_H = 16, 16  # 2x2 flat 8x8 tiles -> 12 text bytes per doc
+
+
+@query(
+    "multimodal_jpeg_decode",
+    oracle=f"""
+    WITH eligible AS (
+      SELECT doc_id AS id, text FROM documents
+      WHERE octet_length(encode(text)) >= {_IMG_BYTES}),
+    t AS (
+      SELECT id,
+             ascii(substr(text, 3*tt + 1, 1)) AS y,
+             ascii(substr(text, 3*tt + 2, 1)) AS cb,
+             ascii(substr(text, 3*tt + 3, 1)) AS cr
+      FROM eligible,
+           (SELECT unnest(generate_series(0, {(JPEG_W // 8) * (JPEG_H // 8) - 1})) AS tt)),
+    px AS (
+      SELECT id,
+             LEAST(255, GREATEST(0, CAST(floor(
+               (65536*y + 91881*(cr - 128) + 32768) / 65536.0) AS BIGINT))) AS r,
+             LEAST(255, GREATEST(0, CAST(floor(
+               (65536*y - 22554*(cb - 128) - 46802*(cr - 128) + 32768) / 65536.0) AS BIGINT))) AS g,
+             LEAST(255, GREATEST(0, CAST(floor(
+               (65536*y + 116130*(cb - 128) + 32768) / 65536.0) AS BIGINT))) AS b
+      FROM t)
+    SELECT id,
+           CAST({JPEG_W} AS INTEGER) AS width,
+           CAST({JPEG_H} AS INTEGER) AS height,
+           CAST({JPEG_W * JPEG_H} AS BIGINT) AS n_px,
+           CAST(64 * sum(r) AS BIGINT) AS sum_r,
+           CAST(64 * sum(g) AS BIGINT) AS sum_g,
+           CAST(64 * sum(b) AS BIGINT) AS sum_b
+    FROM px GROUP BY id
+    """,
+    doc="REAL baseline JPEG decode end-to-end, library-free: each "
+        "doc's first 12 text bytes become the flat (Y, Cb, Cr) values "
+        "of 2x2 8x8 tiles, Huffman-encoded as a real JFIF stream WITH "
+        "restart markers (multimodal.jpeg_payloads), then decoded by "
+        "the pure-numpy codec (operators/jpeg.py): marker parse, "
+        "canonical Huffman entropy decode, DC prediction, dequant, "
+        "8x8 IDCT, 16.16 fixed-point YCbCr->RGB. Flat tiles make the "
+        "float IDCT bit-exact (DC/8 is binary-exact), so the oracle "
+        "recomputes the pixel sums from character codes through the "
+        "same fixed-point color formula; the AC/run-length entropy "
+        "paths are covered by multimodal_jpeg_coeffs.",
+)
+def q_multimodal_jpeg_decode(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = docs.filter(
+        F.expr(f"octet_length(encode(text, 'UTF-8')) >= {_IMG_BYTES}")
+    )
+    payloads = M.jpeg_payloads(eligible, "doc_id", "text", JPEG_W, JPEG_H)
+    return M.decode_image(payloads)
+
+
+@query(
+    "multimodal_jpeg_coeffs",
+    oracle=f"""
+    WITH eligible AS (
+      SELECT doc_id AS id, text FROM documents
+      WHERE octet_length(encode(text)) >= {_IMG_BYTES}),
+    blk AS (
+      SELECT id,
+             ascii(substr(text, 3*t + 1, 1)) AS b0,
+             ascii(substr(text, 3*t + 2, 1)) AS b1,
+             ascii(substr(text, 3*t + 3, 1)) AS b2
+      FROM eligible,
+           (SELECT unnest(generate_series(0, {M.JPEG_COEF_BLOCKS - 1})) AS t)),
+    acs AS (
+      SELECT id, b0,
+             CASE WHEN b1 % 31 = 15 THEN 7 ELSE (b1 % 31) - 15 END AS a1,
+             CASE WHEN b2 % 21 = 10 THEN -3 ELSE (b2 % 21) - 10 END AS a2,
+             CASE WHEN b0 % 11 = 5 THEN 2 ELSE (b0 % 11) - 5 END AS a3
+      FROM blk)
+    SELECT id,
+           CAST({M.JPEG_COEF_BLOCKS * 8} AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height,
+           CAST({M.JPEG_COEF_BLOCKS} AS BIGINT) AS n_blocks,
+           CAST(sum({M._JC_Q0} * (b0 - 128)) AS BIGINT) AS sum_dc,
+           CAST(sum({M._JC_Q1} * a1 + {M._JC_Q7} * a2 + {M._JC_Q30} * a3)
+                AS BIGINT) AS sum_ac,
+           CAST({3 * M.JPEG_COEF_BLOCKS} AS BIGINT) AS n_nonzero_ac
+    FROM acs GROUP BY id
+    """,
+    doc="JPEG ENTROPY-LAYER decode under a bit-exact oracle: grayscale "
+        "payloads whose quantized coefficients derive from text bytes "
+        "(multimodal.jpeg_coeff_payloads) — per block a DC plus ACs at "
+        "zigzag 1/7/30, i.e. zero-runs of 5 and 22 (forcing a ZRL "
+        "escape), negative magnitudes, and an EOB tail. The decoder "
+        "(jpeg.decode_coeffs) Huffman-decodes, DC-predicts and "
+        "DEQUANTIZES — integer end-to-end, stopping before the IDCT, "
+        "so the oracle mirrors the dequantized sums exactly from "
+        "character codes (the documented integer pinning for the one "
+        "float stage; the flat-tile twin multimodal_jpeg_decode checks "
+        "the IDCT+color path bit-exactly).",
+)
+def q_multimodal_jpeg_coeffs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = docs.filter(
+        F.expr(f"octet_length(encode(text, 'UTF-8')) >= {_IMG_BYTES}")
+    )
+    return M.decode_jpeg_coeffs(
+        M.jpeg_coeff_payloads(eligible, "doc_id", "text")
+    )
+
+
 AUDIO_RATE = 8000
 
 

@@ -1,0 +1,134 @@
+"""Pure-numpy baseline JPEG codec (operators/jpeg.py): coefficient
+roundtrip through real Huffman bitstreams, flat-tile pixel exactness,
+restart markers, malformed drops, and the decode_image dispatch."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from distributed_computing_projects_spark.operators import jpeg as J
+from distributed_computing_projects_spark.operators import multimodal as M
+
+
+def test_zigzag_is_the_standard_order():
+    assert J.ZIGZAG[:10] == [(0, 0), (0, 1), (1, 0), (2, 0), (1, 1),
+                             (0, 2), (0, 3), (1, 2), (2, 1), (3, 0)]
+    assert sorted(J.ZIGZAG) == [(r, c) for r in range(8) for c in range(8)]
+
+
+@pytest.mark.parametrize("ncomp", [1, 3])
+def test_coeff_roundtrip_random_blocks(ncomp):
+    """encode -> decode_coeffs returns exactly coeff*q for random
+    sparse blocks: negatives, long zero runs (ZRL), EOB tails."""
+    rng = np.random.default_rng(7)
+    for trial in range(4):
+        by, bx = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        comps = []
+        for _ in range(ncomp):
+            c = np.zeros((by, bx, 64), dtype=np.int64)
+            c[..., 0] = rng.integers(-128, 128, (by, bx))
+            for _ in range(6):
+                k = int(rng.integers(1, 64))
+                c[..., k] = rng.integers(-40, 41, (by, bx))
+            comps.append(c)
+        q = np.array([(i % 7) + 1 for i in range(64)], dtype=np.int64)
+        out = J.decode_coeffs(J.encode_baseline(comps, bx * 8, by * 8, q))
+        assert out is not None
+        w, h, dec = out
+        assert (w, h) == (bx * 8, by * 8)
+        for ci in range(ncomp):
+            assert np.array_equal(dec[ci], comps[ci] * q)
+
+
+def test_restart_markers_roundtrip():
+    rng = np.random.default_rng(3)
+    comps = [np.zeros((2, 3, 64), dtype=np.int64)]
+    comps[0][..., 0] = rng.integers(-100, 100, (2, 3))
+    comps[0][..., 5] = rng.integers(-9, 10, (2, 3))
+    b = J.encode_baseline(comps, 24, 16, [8] + [16] * 63,
+                          restart_interval=2)
+    assert b.count(b"\xff\xd0") + b.count(b"\xff\xd1") + \
+        b.count(b"\xff\xd2") >= 1  # real RSTn bytes in the stream
+    out = J.decode_coeffs(b)
+    assert out is not None
+    assert np.array_equal(out[2][0][..., 0], comps[0][..., 0] * 8)
+
+
+def test_flat_tile_pixel_path_is_bit_exact():
+    """Flat 8x8 tiles survive the FULL pipeline (Huffman -> dequant ->
+    float IDCT -> level shift -> fixed-point YCbCr->RGB) bit-exactly —
+    the property the multimodal_jpeg_decode oracle relies on."""
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 256, (2, 2, 3))
+    comps = []
+    for ci in range(3):
+        c = np.zeros((2, 2, 64), dtype=np.int64)
+        c[..., 0] = vals[..., ci] - 128
+        comps.append(c)
+    w, h, rgb = J.decode_pixels(
+        J.encode_baseline(comps, 16, 16, [8] + [16] * 63)
+    )
+    assert (w, h) == (16, 16)
+    for ty in range(2):
+        for tx in range(2):
+            y, cb, cr = (int(v) for v in vals[ty, tx])
+            r = (y * 65536 + 91881 * (cr - 128) + 32768) // 65536
+            g = (y * 65536 - 22554 * (cb - 128)
+                 - 46802 * (cr - 128) + 32768) // 65536
+            bb = (y * 65536 + 116130 * (cb - 128) + 32768) // 65536
+            exp = [max(0, min(255, v)) for v in (r, g, bb)]
+            block = rgb[ty * 8:(ty + 1) * 8, tx * 8:(tx + 1) * 8]
+            assert np.array_equal(
+                block,
+                np.broadcast_to(np.array(exp, dtype=np.uint8), (8, 8, 3)),
+            )
+
+
+def test_grayscale_pixels_replicate():
+    c = np.zeros((1, 1, 64), dtype=np.int64)
+    c[0, 0, 0] = 42 - 128
+    w, h, rgb = J.decode_pixels(J.encode_baseline([c], 8, 8, [8] + [1] * 63))
+    assert np.array_equal(rgb, np.full((8, 8, 3), 42, dtype=np.uint8))
+
+
+def test_malformed_payloads_drop():
+    c = np.zeros((1, 2, 64), dtype=np.int64)
+    c[..., 0] = [[5, -5]]
+    good = J.encode_baseline([c], 16, 8, [8] + [16] * 63)
+    assert J.decode_coeffs(good) is not None
+    assert J.decode_coeffs(b"NOTJPEG") is None
+    assert J.decode_coeffs(b"\xff\xd8\xff") is None
+    assert J.decode_coeffs(good[:40]) is None
+    assert J.decode_coeffs(good[: len(good) // 2]) is None  # no raise
+    # progressive SOF marker rejected (outside subset)
+    prog = bytearray(good)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    assert J.decode_coeffs(bytes(prog)) is None
+
+
+def test_decode_image_dispatch_includes_jpeg(spark):
+    """A JPEG payload flows through multimodal.decode_image's format
+    dispatch next to PPM/BMP/PNG, emitting the shared IMAGE_SCHEMA."""
+    from pyspark.sql import Row
+
+    vals = [[120, 130, 140], [10, 200, 90], [255, 0, 128], [1, 2, 3]]
+    comps = []
+    for ci in range(3):
+        c = np.zeros((2, 2, 64), dtype=np.int64)
+        for t in range(4):
+            c[t // 2, t % 2, 0] = vals[t][ci] - 128
+        comps.append(c)
+    payload = J.encode_baseline(comps, 16, 16, [8] + [16] * 63)
+    df = spark.createDataFrame(
+        [Row(id=1, payload=bytearray(payload)),
+         Row(id=2, payload=bytearray(b"garbage"))]
+    )
+    rows = M.decode_image(df).collect()
+    assert len(rows) == 1  # garbage dropped
+    r = rows[0]
+    assert (r.id, r.width, r.height, r.n_px) == (1, 16, 16, 256)
+    w, h, rgb = J.decode_pixels(payload)
+    sums = rgb.reshape(-1, 3).sum(axis=0)
+    assert (r.sum_r, r.sum_g, r.sum_b) == tuple(int(s) for s in sums)
