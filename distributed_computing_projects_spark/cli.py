@@ -104,6 +104,15 @@ def build_parser() -> argparse.ArgumentParser:
     bw.add_argument("corpus_path", help="parquet with (doc_id, text)")
     bw.add_argument("store_path")
 
+    v = sub.add_parser(
+        "verify",
+        help="differentially verify registered queries against their "
+             "DuckDB oracles (the driver's CORRECTNESS gate, locally)",
+    )
+    v.add_argument("names", nargs="*",
+                   help="query names (omit for the whole registry)")
+    v.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
     bp = sub.add_parser(
         "bandstore-probe",
         help="probe a batch against a band store; prints "
@@ -215,6 +224,12 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 print(physical_plan(df))
             else:
                 _emit(df)
+        elif args.cmd == "verify":
+            from distributed_computing_projects_spark import verify
+
+            failed = verify.run(spark, args.sf_dir,
+                                set(args.names) or None)
+            return 1 if failed else 0
         elif args.cmd == "bandstore-write":
             from distributed_computing_projects_spark.operators import (
                 bandstore,

@@ -327,3 +327,65 @@ def lsh_topk_tables(
         .orderBy(F.desc("cosine"), F.asc("id"))
         .limit(k)
     )
+
+
+# --------------------------------------------------- candidate accounting
+
+def model_candidates(n_rows: int, n_planes: int, n_tables: int = 1) -> int:
+    """Uniform-occupancy analytic candidate count of the bucketed
+    self-join: ``n_tables * C(n_rows, 2) / 2^n_planes``. This is the
+    arithmetic behind "would survive 100x": with the auto-sizer's
+    ``n_planes ~ log2(N / target)``, candidates stay ~``N * target/2``
+    — linear in N — at any corpus size. Real corpora exceed the
+    uniform model exactly where they contain near-duplicates (the
+    pairs the join EXISTS to find), so measured/model is a skew
+    diagnostic, not an error bar; see :func:`measured_candidates` and
+    tools/candidate_accounting.py."""
+    return n_tables * (n_rows * (n_rows - 1) // 2) // (2 ** n_planes)
+
+
+def measured_candidates(
+    emb: DataFrame, vec_col: str, n_planes: int, n_tables: int = 1
+) -> int:
+    """EXACT candidate-pair count of the bucketed KNN self-join
+    without running the join: per table, bucket the corpus with the
+    same sign-bit expression the join uses (:func:`lsh_bucket_table`,
+    table 0 == the single-table bucket) and sum ``C(n_b, 2)`` over
+    buckets — one count-agg per table, no pair materialization. The
+    n*(n-1) product is even, so the /2 is exact in long arithmetic."""
+    total = 0
+    for t in range(n_tables):
+        expr = lsh_bucket_table(vec_col, "spark", n_planes, t)
+        row = (
+            emb.groupBy(F.expr(expr).alias("bucket"))
+            .count()
+            .agg(
+                F.sum(
+                    (F.col("count") * (F.col("count") - F.lit(1)) / F.lit(2))
+                    .cast("long")
+                ).alias("c")
+            )
+            .collect()[0]
+        )
+        total += int(row.c or 0)
+    return total
+
+
+def measured_grouped_candidates(grouped: DataFrame, *group_cols: str) -> int:
+    """Candidate-pair accounting for BANDED joins (MinHash/SimHash
+    band tables): sum of ``C(n, 2)`` over ``group_cols`` groups. No
+    uniform model applies — band collisions are driven by the data's
+    duplicate structure, which is the point; the accounting records
+    the measured growth instead."""
+    row = (
+        grouped.groupBy(*group_cols)
+        .count()
+        .agg(
+            F.sum(
+                (F.col("count") * (F.col("count") - F.lit(1)) / F.lit(2))
+                .cast("long")
+            ).alias("c")
+        )
+        .collect()[0]
+    )
+    return int(row.c or 0)

@@ -209,3 +209,57 @@ def test_band_or_store_roundtrip_and_pruning(spark, sf_dir, tmp_path):
         t = int(r.f.split("tbl=")[1].split("/")[0])
         b = int(r.f.split("bucket=")[1].split("/")[0])
         assert t == 0 and b in AP.probe_buckets_table(q, 1, n_planes, 0)
+
+
+def test_candidate_accounting_exact_on_identical_vectors(spark):
+    """All-identical vectors land in one bucket per table: measured
+    must be exactly n_tables * C(n, 2), and the model is the uniform
+    floor below it."""
+    from pyspark.sql import functions as F
+
+    n = 64
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr("array(1.0f, 2.0f, 3.0f, 4.0f)").alias("embedding"),
+    )
+    exact = n * (n - 1) // 2
+    assert AP.measured_candidates(df, "embedding", 4) == exact
+    assert AP.measured_candidates(df, "embedding", 4, n_tables=2) == 2 * exact
+    assert AP.model_candidates(n, 4) == exact // 16
+    assert AP.model_candidates(n, 4, n_tables=2) == 2 * (exact // 16)
+
+
+def test_candidate_accounting_matches_uniform_model(spark):
+    """On direction-uniform pseudo-random vectors the measured
+    candidate count must sit near the analytic model
+    C(N,2)/2^n_planes — the tolerance band that makes the SCALE.md
+    100x extrapolation arithmetic, not prose."""
+    from pyspark.sql import functions as F
+
+    n = 4096
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            # per-element hash, NOT a sinusoid lattice: sin(a + j*b)
+            # spans a 2-D subspace (sin/cos addition), which skews the
+            # sign-bit buckets 2.4x; hashed elements are direction-
+            # uniform and land within ~3% of the model
+            "transform(sequence(0, 63),"
+            " j -> cast((pmod(hash(id, j), 2001) - 1000) / 1000.0"
+            " as float))"
+        ).alias("embedding"),
+    )
+    n_planes = 4
+    measured = AP.measured_candidates(df, "embedding", n_planes)
+    model = AP.model_candidates(n, n_planes)
+    assert 0.5 * model <= measured <= 2.0 * model, (measured, model)
+
+
+def test_grouped_candidates_counts_band_pairs(spark):
+    from pyspark.sql import Row
+
+    rows = [Row(band=0, key="a")] * 3 + [Row(band=0, key="b")] * 2 + \
+           [Row(band=1, key="a")]
+    df = spark.createDataFrame(rows)
+    # C(3,2) + C(2,2) + C(1,2) = 3 + 1 + 0
+    assert AP.measured_grouped_candidates(df, "band", "key") == 4

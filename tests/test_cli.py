@@ -148,3 +148,21 @@ def test_cli_bandstore_write_probe_append(spark, sf_dir, tmp_path, capsys):
     out2 = capsys.readouterr().out.strip().splitlines()
     n_batch = spark.read.parquet(batch_p).count()
     assert len(out2) >= n_batch  # every appended doc collides with itself
+
+
+def test_verify_subcommand_runs_registry_subset(spark, sf_dir, capsys):
+    """`verify` = the driver's CORRECTNESS gate as one local command:
+    a 5-query subset (incl. a rows-only query) against DuckDB."""
+    names = ["q1_pricing_summary", "wordcount", "dedup_exact",
+             "multimodal_jpeg_coeffs", "streaming_user_running_totals"]
+    rc = main(["verify", "--sf-dir", sf_dir, *names], spark=spark)
+    out = capsys.readouterr().out
+    assert rc == 0 and "ALL OK" in out
+    assert "rows-only, no oracle" in out  # the non-SQL-expressible row
+    for n in names:
+        assert n in out
+
+
+def test_verify_subcommand_unknown_query_errors(spark):
+    with pytest.raises(SystemExit):
+        main(["verify", "no_such_query"], spark=spark)
