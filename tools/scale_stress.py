@@ -160,6 +160,23 @@ def run_factor(spark, factor: int) -> dict:
                   spark, store, batch, "doc_id", "text",
                   threshold=THRESHOLD).count())
         spark.catalog.clearCache()
+        # epochal growth + compaction: 5 at-least-once appends of the
+        # same epoch (the worst-case duplicate pattern retries
+        # produce) grow the store and the probe with it; compaction
+        # must return probe cost to the single-epoch line
+        for _ in range(5):
+            BS.append_bands(batch, store, "doc_id", "text")
+        timed(spark, m, "bandstore_probe_after_5_epochs",
+              lambda: BS.incremental_pairs_against_store(
+                  spark, store, batch, "doc_id", "text",
+                  threshold=THRESHOLD).count())
+        timed(spark, m, "bandstore_compact",
+              lambda: BS.compact_store(spark, store)[1])
+        timed(spark, m, "bandstore_probe_after_compact",
+              lambda: BS.incremental_pairs_against_store(
+                  spark, store, batch, "doc_id", "text",
+                  threshold=THRESHOLD).count())
+        spark.catalog.clearCache()
         # corpus-wide KNN at auto-derived and deep plane counts
         n_auto = AP.resolve_n_planes(n_vecs)
         timed(spark, m, "knn_join_auto", lambda: AP.knn_join_auto(
