@@ -5,10 +5,13 @@ imaging library. This powers ``multimodal.decode_image``'s JPEG path
 and the ``multimodal_jpeg_*`` driver queries.
 
 Scope (documented subset of ITU-T T.81): baseline sequential DCT,
-8-bit precision, 1-component grayscale or 3-component 4:4:4 color,
-restart markers supported, progressive / arithmetic coding /
-subsampled chroma NOT (payloads outside the subset return ``None`` —
-the engine's malformed-record drop policy, sources/csv.py).
+8-bit precision, 1-component grayscale or 3-component color with
+per-component sampling factors in 1..2 — 4:4:4 AND the 4:2:0 /
+4:2:2 subsampled layouts real corpora contain, via the interleaved
+MCU order (T.81 A.2.3) with nearest-neighbour chroma upsample;
+restart markers supported, progressive / arithmetic coding NOT
+(payloads outside the subset return ``None`` — the engine's
+malformed-record drop policy, sources/csv.py).
 
 Determinism contract (what makes the driver oracles exact):
 
@@ -209,51 +212,84 @@ def _extend(v: int, cat: int) -> int:
 # ------------------------------------------------------------- encoder
 
 
+def _mcu_geometry(w: int, h: int, sampling) -> tuple[int, int, int, int]:
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    return hmax, vmax, -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+
 def encode_baseline(components, w: int, h: int, qtable,
-                    restart_interval: int = 0) -> bytes:
+                    restart_interval: int = 0, sampling=None) -> bytes:
     """Serialize already-QUANTIZED coefficient blocks as a baseline
     JFIF byte stream. ``components``: list of 1 (grayscale) or 3
-    (4:4:4 YCbCr) arrays shaped (blocks_y, blocks_x, 64) in ZIGZAG
-    order; ``qtable``: 64 ints in zigzag order, shared by all
-    components. Huffman tables are built from the symbols actually
-    used (flat canonical codes — legal, deterministic); all
-    components share DC/AC table 0 and quant table 0."""
+    (YCbCr) arrays shaped (blocks_y, blocks_x, 64) in ZIGZAG order;
+    ``sampling``: per-component (h, v) factors in 1..2 (default all
+    (1,1) = 4:4:4; [(2,2),(1,1),(1,1)] = 4:2:0) — component ci's grid
+    must be (mcus_y*v, mcus_x*h). ``qtable``: 64 ints in zigzag order,
+    shared by all components. Huffman tables are built from the
+    symbols actually used (flat canonical codes — legal,
+    deterministic); all components share DC/AC table 0 and quant
+    table 0. The interleaved MCU order (T.81 A.2.3) is produced by
+    ONE generator shared by the symbol-collection and emission passes,
+    so the two passes cannot diverge (a first-cut restart-reset bug
+    motivated this)."""
     ncomp = len(components)
     if ncomp not in (1, 3):
         raise ValueError("1 or 3 components")
-    by, bx = components[0].shape[0], components[0].shape[1]
+    sampling = list(sampling) if sampling else [(1, 1)] * ncomp
+    if len(sampling) != ncomp:
+        raise ValueError("one (h, v) sampling pair per component")
+    for hs, vs in sampling:
+        if not (1 <= hs <= 2 and 1 <= vs <= 2):
+            raise ValueError("sampling factors must be in 1..2")
+    hmax, vmax, mcus_x, mcus_y = _mcu_geometry(w, h, sampling)
+    for ci, ((hs, vs), comp) in enumerate(zip(sampling, components)):
+        if tuple(comp.shape[:2]) != (mcus_y * vs, mcus_x * hs):
+            raise ValueError(
+                f"component {ci}: expected block grid "
+                f"{(mcus_y * vs, mcus_x * hs)}, got {comp.shape[:2]}"
+            )
 
-    # pass 1: collect symbols — MUST walk the exact MCU order of the
-    # emission pass, including restart-boundary predictor resets,
-    # or a DC diff category can appear in pass 2 that pass 1 never saw
+    def mcu_stream():
+        # yields ("rst", None) at restart boundaries, else (ci, block)
+        mcu = 0
+        for ym in range(mcus_y):
+            for xm in range(mcus_x):
+                if restart_interval and mcu and \
+                        mcu % restart_interval == 0:
+                    yield ("rst", None)
+                for ci in range(ncomp):
+                    hs, vs = sampling[ci]
+                    for v in range(vs):
+                        for hh in range(hs):
+                            yield (ci, components[ci][ym * vs + v]
+                                   [xm * hs + hh])
+                mcu += 1
+
+    # pass 1: collect symbols over the exact emission order
     dc_syms: set[int] = set()
     ac_syms: set[int] = set()
     preds = [0] * ncomp
-    mcu_count = 0
-    for yb in range(by):
-        for xb in range(bx):
-            if restart_interval and mcu_count and \
-                    mcu_count % restart_interval == 0:
-                preds = [0] * ncomp
-            for ci in range(ncomp):
-                blk = components[ci][yb][xb]
-                diff = int(blk[0]) - preds[ci]
-                preds[ci] = int(blk[0])
-                dc_syms.add(_category(diff))
-                run = 0
-                for k in range(1, 64):
-                    v = int(blk[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        ac_syms.add(0xF0)
-                        run -= 16
-                    ac_syms.add((run << 4) | _category(v))
-                    run = 0
-                if run:
-                    ac_syms.add(0x00)
-            mcu_count += 1
+    for ci, blk in mcu_stream():
+        if ci == "rst":
+            preds = [0] * ncomp
+            continue
+        diff = int(blk[0]) - preds[ci]
+        preds[ci] = int(blk[0])
+        dc_syms.add(_category(diff))
+        run = 0
+        for k in range(1, 64):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ac_syms.add(0xF0)
+                run -= 16
+            ac_syms.add((run << 4) | _category(v))
+            run = 0
+        if run:
+            ac_syms.add(0x00)
     dc_bits, dc_vals = _flat_table(dc_syms)
     ac_bits, ac_vals = _flat_table(ac_syms) if ac_syms else ([0] * 16, [])
     dc_codes = _canonical_codes(dc_bits, dc_vals)
@@ -267,7 +303,8 @@ def encode_baseline(components, w: int, h: int, qtable,
     seg(0xDB, bytes([0x00]) + bytes(int(q) & 0xFF for q in qtable))
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for cid in range(1, ncomp + 1):
-        sof += struct.pack(">BBB", cid, 0x11, 0)
+        hs, vs = sampling[cid - 1]
+        sof += struct.pack(">BBB", cid, (hs << 4) | vs, 0)
     seg(0xC0, sof)
     seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
     if ac_vals:
@@ -282,46 +319,39 @@ def encode_baseline(components, w: int, h: int, qtable,
 
     bw = _BitWriter()
     preds = [0] * ncomp
-    mcu_count = 0
     rst = 0
-    n_mcus = by * bx
-    for yb in range(by):
-        for xb in range(bx):
-            if restart_interval and mcu_count and \
-                    mcu_count % restart_interval == 0:
-                bw.flush()
-                bw.buf.extend((0xFF, 0xD0 + rst))
-                rst = (rst + 1) % 8
-                preds = [0] * ncomp
-            for ci in range(ncomp):
-                blk = components[ci][yb][xb]
-                diff = int(blk[0]) - preds[ci]
-                preds[ci] = int(blk[0])
-                cat = _category(diff)
-                code, ln = dc_codes[cat]
+    for ci, blk in mcu_stream():
+        if ci == "rst":
+            bw.flush()
+            bw.buf.extend((0xFF, 0xD0 + rst))
+            rst = (rst + 1) % 8
+            preds = [0] * ncomp
+            continue
+        diff = int(blk[0]) - preds[ci]
+        preds[ci] = int(blk[0])
+        cat = _category(diff)
+        code, ln = dc_codes[cat]
+        bw.write(code, ln)
+        if cat:
+            bw.write(_magnitude_bits(diff, cat), cat)
+        run = 0
+        for k in range(1, 64):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]
                 bw.write(code, ln)
-                if cat:
-                    bw.write(_magnitude_bits(diff, cat), cat)
-                run = 0
-                for k in range(1, 64):
-                    v = int(blk[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_codes[0xF0]
-                        bw.write(code, ln)
-                        run -= 16
-                    cat = _category(v)
-                    code, ln = ac_codes[(run << 4) | cat]
-                    bw.write(code, ln)
-                    bw.write(_magnitude_bits(v, cat), cat)
-                    run = 0
-                if run:
-                    code, ln = ac_codes[0x00]
-                    bw.write(code, ln)
-            mcu_count += 1
-    assert mcu_count == n_mcus
+                run -= 16
+            cat = _category(v)
+            code, ln = ac_codes[(run << 4) | cat]
+            bw.write(code, ln)
+            bw.write(_magnitude_bits(v, cat), cat)
+            run = 0
+        if run:
+            code, ln = ac_codes[0x00]
+            bw.write(code, ln)
     bw.flush()
     out.extend(bw.buf)
     out.extend(b"\xff\xd9")  # EOI
@@ -333,10 +363,13 @@ def encode_baseline(components, w: int, h: int, qtable,
 
 def decode_coeffs(b: bytes):
     """Parse + entropy-decode + DEQUANTIZE a baseline JPEG. Returns
-    ``(w, h, comps)`` where ``comps`` is a list of int64 arrays shaped
-    (blocks_y, blocks_x, 64) in zigzag order, or ``None`` for
-    malformed / outside-subset payloads. Integer end-to-end — this is
-    the bit-exact layer the ``multimodal_jpeg_coeffs`` oracle checks."""
+    ``(w, h, comps, sampling)`` where ``comps`` is a list of int64
+    arrays shaped (blocks_y, blocks_x, 64) in zigzag order and
+    ``sampling`` the per-component (h, v) factors (supports 4:4:4,
+    4:2:0 and the other 1..2-factor layouts via the interleaved MCU
+    order, T.81 A.2.3), or ``None`` for malformed / outside-subset
+    payloads. Integer end-to-end — this is the bit-exact layer the
+    ``multimodal_jpeg_coeffs`` oracle checks."""
     import numpy as np
 
     if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
@@ -386,9 +419,10 @@ def decode_coeffs(b: bytes):
                     cid, samp, tq = struct.unpack_from(
                         ">BBB", body, 6 + 3 * ci
                     )
-                    if samp != 0x11:
-                        return None  # subsampled chroma: outside subset
-                    comps.append({"id": cid, "tq": tq})
+                    hs, vs = samp >> 4, samp & 0x0F
+                    if not (1 <= hs <= 2 and 1 <= vs <= 2):
+                        return None  # beyond-2x sampling: outside subset
+                    comps.append({"id": cid, "tq": tq, "h": hs, "v": vs})
                 frame = (w, h, comps)
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -406,15 +440,20 @@ def decode_coeffs(b: bytes):
                 for i in range(ns):
                     cs, tda = body[1 + 2 * i], body[2 + 2 * i]
                     sel[cs] = (tda >> 4, tda & 0x0F)
-                bx = (w + 7) // 8
-                by = (h + 7) // 8
-                out = [np.zeros((by, bx, 64), dtype=np.int64)
-                       for _ in comps]
+                sampling = [(c["h"], c["v"]) for c in comps]
+                hmax, vmax, mcus_x, mcus_y = _mcu_geometry(
+                    w, h, sampling
+                )
+                out = [
+                    np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64),
+                             dtype=np.int64)
+                    for c in comps
+                ]
                 br = _BitReader(b, pos)
                 preds = [0] * len(comps)
                 mcu = 0
-                for yb in range(by):
-                    for xb in range(bx):
+                for ym in range(mcus_y):
+                    for xm in range(mcus_x):
                         if restart_interval and mcu and \
                                 mcu % restart_interval == 0:
                             m = br.align_and_consume_marker()
@@ -428,31 +467,36 @@ def decode_coeffs(b: bytes):
                             act = ac_tables.get(ta)
                             if q is None or dct is None:
                                 return None
-                            cat = _read_symbol(br, dct)
-                            diff = _extend(br.receive(cat), cat) if cat else 0
-                            preds[ci] += diff
-                            blk = out[ci][yb][xb]
-                            blk[0] = preds[ci] * q[0]
-                            k = 1
-                            while k < 64:
-                                if act is None:
-                                    break
-                                sym = _read_symbol(br, act)
-                                if sym == 0x00:  # EOB
-                                    break
-                                run, cat = sym >> 4, sym & 0x0F
-                                if cat == 0:
-                                    if run != 15:
-                                        return None
-                                    k += 16  # ZRL
-                                    continue
-                                k += run
-                                if k > 63:
-                                    return None
-                                blk[k] = _extend(br.receive(cat), cat) * q[k]
-                                k += 1
+                            for v in range(comp["v"]):
+                                for hh in range(comp["h"]):
+                                    cat = _read_symbol(br, dct)
+                                    diff = (_extend(br.receive(cat), cat)
+                                            if cat else 0)
+                                    preds[ci] += diff
+                                    blk = out[ci][ym * comp["v"] + v][
+                                        xm * comp["h"] + hh]
+                                    blk[0] = preds[ci] * q[0]
+                                    k = 1
+                                    while k < 64:
+                                        if act is None:
+                                            break
+                                        sym = _read_symbol(br, act)
+                                        if sym == 0x00:  # EOB
+                                            break
+                                        run, cat = sym >> 4, sym & 0x0F
+                                        if cat == 0:
+                                            if run != 15:
+                                                return None
+                                            k += 16  # ZRL
+                                            continue
+                                        k += run
+                                        if k > 63:
+                                            return None
+                                        blk[k] = _extend(
+                                            br.receive(cat), cat) * q[k]
+                                        k += 1
                         mcu += 1
-                return w, h, out
+                return w, h, out, sampling
             # other markers (APPn, COM): skipped via the length field
         return None  # no SOS reached
     except (_MarkerHit, ValueError, struct.error, IndexError):
@@ -480,17 +524,21 @@ def _ycbcr_to_rgb(y, cb, cr):
 def decode_pixels(b: bytes):
     """Full pixel decode: :func:`decode_coeffs` -> de-zigzag -> 8x8
     IDCT (float basis product, round-half-up, +128 level shift,
-    clamp) -> crop -> YCbCr->RGB (grayscale replicates). Returns
-    ``(w, h, HxWx3 uint8)`` or ``None``."""
+    clamp) -> nearest-neighbour chroma upsample to the luma grid
+    (integer replication — exact for flat chroma, which is what the
+    4:2:0 oracle fixtures use) -> crop -> YCbCr->RGB (grayscale
+    replicates). Returns ``(w, h, HxWx3 uint8)`` or ``None``."""
     import numpy as np
 
     decoded = decode_coeffs(b)
     if decoded is None:
         return None
-    w, h, comps = decoded
+    w, h, comps, sampling = decoded
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
     m = _basis()
     planes = []
-    for coeffs in comps:
+    for coeffs, (hs, vs) in zip(comps, sampling):
         by, bx = coeffs.shape[0], coeffs.shape[1]
         plane = np.zeros((by * 8, bx * 8), dtype=np.int64)
         for yb in range(by):
@@ -503,6 +551,10 @@ def decode_pixels(b: bytes):
                 plane[yb * 8:(yb + 1) * 8, xb * 8:(xb + 1) * 8] = (
                     np.floor(px + 0.5).astype(np.int64) + 128
                 )
+        if vmax // vs > 1:
+            plane = np.repeat(plane, vmax // vs, axis=0)
+        if hmax // hs > 1:
+            plane = np.repeat(plane, hmax // hs, axis=1)
         planes.append(np.clip(plane[:h, :w], 0, 255))
     if len(planes) == 1:
         g = planes[0].astype(np.uint8)

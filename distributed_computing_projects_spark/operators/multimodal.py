@@ -536,6 +536,51 @@ def jpeg_payloads(
     return cols.mapInPandas(_encode, schema="id bigint, payload binary")
 
 
+def jpeg420_payloads(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, payload): a deterministic 4:2:0 SUBSAMPLED baseline JPEG
+    per row — one 16x16 MCU: four flat 8x8 luma quadrants from text
+    bytes 0-3 and flat 8x8 Cb/Cr from bytes 4-5 (chroma covers the
+    whole macroblock at half resolution, the layout real photo
+    corpora actually use). Flat planes make every stage exact: the
+    IDCT reconstructs each flat block bit-exactly and the
+    nearest-neighbour chroma upsample of a constant plane is the
+    constant, so the SQL oracle recomputes the pixel sums per
+    quadrant through the same fixed-point color formula."""
+    import numpy as np
+
+    from distributed_computing_projects_spark.operators import jpeg as J
+
+    n_bytes = 6
+    qtable = [8] + [16] * 63
+    sampling = [(2, 2), (1, 1), (1, 1)]
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, text in zip(pdf["id"], pdf["text"]):
+                raw = text.encode("utf-8")[:n_bytes]
+                if len(raw) < n_bytes:
+                    continue
+                y = np.zeros((2, 2, 64), dtype=np.int64)
+                for q in range(4):
+                    y[q // 2, q % 2, 0] = raw[q] - 128
+                cb = np.zeros((1, 1, 64), dtype=np.int64)
+                cb[0, 0, 0] = raw[4] - 128
+                cr = np.zeros((1, 1, 64), dtype=np.int64)
+                cr[0, 0, 0] = raw[5] - 128
+                payloads.append(
+                    J.encode_baseline([y, cb, cr], 16, 16, qtable,
+                                      sampling=sampling)
+                )
+                ids.append(i)
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    cols = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    return cols.mapInPandas(_encode, schema="id bigint, payload binary")
+
+
 # coefficient-fixture constants, shared with the SQL oracle in
 # queries/ext_multimodal.py: zigzag positions and quant steps of the
 # three AC coefficients each block carries
@@ -627,7 +672,7 @@ def decode_jpeg_coeffs(payloads: DataFrame) -> DataFrame:
                 decoded = J.decode_coeffs(bytes(payload))
                 if decoded is None:
                     continue
-                w, h, comps = decoded
+                w, h, comps, _sampling = decoded
                 sum_dc = sum(int(c[..., 0].sum()) for c in comps)
                 sum_ac = sum(int(c[..., 1:].sum()) for c in comps)
                 nnz = sum(int((c[..., 1:] != 0).sum()) for c in comps)

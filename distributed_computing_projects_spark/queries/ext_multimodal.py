@@ -356,6 +356,58 @@ def q_multimodal_jpeg_decode(spark, sf_dir):
 
 
 @query(
+    "multimodal_jpeg420_decode",
+    oracle=f"""
+    WITH eligible AS (
+      SELECT doc_id AS id, text FROM documents
+      WHERE octet_length(encode(text)) >= {_IMG_BYTES}),
+    q AS (
+      SELECT id,
+             ascii(substr(text, qq + 1, 1)) AS y,
+             ascii(substr(text, 5, 1)) AS cb,
+             ascii(substr(text, 6, 1)) AS cr
+      FROM eligible, (SELECT unnest(generate_series(0, 3)) AS qq)),
+    px AS (
+      SELECT id,
+             LEAST(255, GREATEST(0, CAST(floor(
+               (65536*y + 91881*(cr - 128) + 32768) / 65536.0) AS BIGINT))) AS r,
+             LEAST(255, GREATEST(0, CAST(floor(
+               (65536*y - 22554*(cb - 128) - 46802*(cr - 128) + 32768) / 65536.0) AS BIGINT))) AS g,
+             LEAST(255, GREATEST(0, CAST(floor(
+               (65536*y + 116130*(cb - 128) + 32768) / 65536.0) AS BIGINT))) AS b
+      FROM q)
+    SELECT id,
+           CAST(16 AS INTEGER) AS width,
+           CAST(16 AS INTEGER) AS height,
+           CAST(256 AS BIGINT) AS n_px,
+           CAST(64 * sum(r) AS BIGINT) AS sum_r,
+           CAST(64 * sum(g) AS BIGINT) AS sum_g,
+           CAST(64 * sum(b) AS BIGINT) AS sum_b
+    FROM px GROUP BY id
+    """,
+    doc="SUBSAMPLED (4:2:0) baseline JPEG decode — the layout real "
+        "photo corpora actually contain: one 16x16 MCU with four flat "
+        "luma quadrants (text bytes 0-3) interleaved with flat "
+        "half-resolution Cb/Cr (bytes 4-5), per T.81 A.2.3 MCU order "
+        "(multimodal.jpeg420_payloads), decoded by the pure-numpy "
+        "codec incl. nearest-neighbour chroma upsample to the luma "
+        "grid. Flat planes keep every stage bit-exact (flat-block "
+        "IDCT is DC/8; upsampling a constant is the constant), so the "
+        "oracle recomputes per-quadrant RGB from character codes with "
+        "the shared chroma applying to all four quadrants. Same "
+        "output contract as multimodal_jpeg_decode (decode_image).",
+)
+def q_multimodal_jpeg420_decode(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = docs.filter(
+        F.expr(f"octet_length(encode(text, 'UTF-8')) >= {_IMG_BYTES}")
+    )
+    return M.decode_image(
+        M.jpeg420_payloads(eligible, "doc_id", "text")
+    )
+
+
+@query(
     "multimodal_jpeg_coeffs",
     oracle=f"""
     WITH eligible AS (

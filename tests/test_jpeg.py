@@ -35,10 +35,69 @@ def test_coeff_roundtrip_random_blocks(ncomp):
         q = np.array([(i % 7) + 1 for i in range(64)], dtype=np.int64)
         out = J.decode_coeffs(J.encode_baseline(comps, bx * 8, by * 8, q))
         assert out is not None
-        w, h, dec = out
+        w, h, dec, samps = out
         assert (w, h) == (bx * 8, by * 8)
+        assert samps == [(1, 1)] * ncomp
         for ci in range(ncomp):
             assert np.array_equal(dec[ci], comps[ci] * q)
+
+
+def test_coeff_roundtrip_420_subsampled():
+    """4:2:0 entropy-layer roundtrip over multiple MCUs: random sparse
+    blocks in a 2x2-luma / 1x1-chroma interleave, dequantized exactly."""
+    rng = np.random.default_rng(19)
+    mcus_y, mcus_x = 2, 2  # 32x32 image
+    sampling = [(2, 2), (1, 1), (1, 1)]
+    comps = []
+    for hs, vs in sampling:
+        c = np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int64)
+        c[..., 0] = rng.integers(-128, 128, c.shape[:2])
+        for _ in range(4):
+            k = int(rng.integers(1, 64))
+            c[..., k] = rng.integers(-30, 31, c.shape[:2])
+        comps.append(c)
+    q = np.array([(i % 5) + 1 for i in range(64)], dtype=np.int64)
+    b = J.encode_baseline(comps, 32, 32, q, sampling=sampling)
+    out = J.decode_coeffs(b)
+    assert out is not None
+    w, h, dec, samps = out
+    assert (w, h) == (32, 32)
+    assert samps == sampling
+    assert dec[0].shape == (4, 4, 64) and dec[1].shape == (2, 2, 64)
+    for ci in range(3):
+        assert np.array_equal(dec[ci], comps[ci] * q)
+
+
+def test_flat_420_pixel_path_is_bit_exact():
+    """Flat luma quadrants + flat half-resolution chroma survive the
+    full 4:2:0 pipeline (incl. nearest-neighbour upsample) bit-exactly
+    — the multimodal_jpeg420_decode oracle's property."""
+    rng = np.random.default_rng(23)
+    yv = rng.integers(0, 256, (2, 2))
+    cbv, crv = int(rng.integers(0, 256)), int(rng.integers(0, 256))
+    y = np.zeros((2, 2, 64), dtype=np.int64)
+    y[..., 0] = yv - 128
+    cb = np.zeros((1, 1, 64), dtype=np.int64)
+    cb[0, 0, 0] = cbv - 128
+    cr = np.zeros((1, 1, 64), dtype=np.int64)
+    cr[0, 0, 0] = crv - 128
+    b = J.encode_baseline([y, cb, cr], 16, 16, [8] + [16] * 63,
+                          sampling=[(2, 2), (1, 1), (1, 1)])
+    w, h, rgb = J.decode_pixels(b)
+    assert (w, h) == (16, 16)
+    for qy in range(2):
+        for qx in range(2):
+            yq = int(yv[qy, qx])
+            r = (yq * 65536 + 91881 * (crv - 128) + 32768) // 65536
+            g = (yq * 65536 - 22554 * (cbv - 128)
+                 - 46802 * (crv - 128) + 32768) // 65536
+            bb = (yq * 65536 + 116130 * (cbv - 128) + 32768) // 65536
+            exp = [max(0, min(255, v)) for v in (r, g, bb)]
+            block = rgb[qy * 8:(qy + 1) * 8, qx * 8:(qx + 1) * 8]
+            assert np.array_equal(
+                block,
+                np.broadcast_to(np.array(exp, dtype=np.uint8), (8, 8, 3)),
+            )
 
 
 def test_restart_markers_roundtrip():
