@@ -104,6 +104,13 @@ def build_parser() -> argparse.ArgumentParser:
     bw.add_argument("corpus_path", help="parquet with (doc_id, text)")
     bw.add_argument("store_path")
 
+    bc = sub.add_parser(
+        "bandstore-compact",
+        help="rewrite a band store distinct-on-(id, band) with an "
+             "atomic swap — reclaims at-least-once append growth",
+    )
+    bc.add_argument("store_path")
+
     v = sub.add_parser(
         "verify",
         help="differentially verify registered queries against their "
@@ -224,6 +231,13 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 print(physical_plan(df))
             else:
                 _emit(df)
+        elif args.cmd == "bandstore-compact":
+            from distributed_computing_projects_spark.operators import (
+                bandstore,
+            )
+
+            before, after = bandstore.compact_store(spark, args.store_path)
+            print(f"{before}\t{after}")
         elif args.cmd == "verify":
             from distributed_computing_projects_spark import verify
 

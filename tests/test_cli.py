@@ -166,3 +166,22 @@ def test_verify_subcommand_runs_registry_subset(spark, sf_dir, capsys):
 def test_verify_subcommand_unknown_query_errors(spark):
     with pytest.raises(SystemExit):
         main(["verify", "no_such_query"], spark=spark)
+
+
+def test_bandstore_compact_subcommand(spark, tmp_path, capsys):
+    from pyspark.sql import Row
+
+    corpus_p = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [Row(doc_id=i, text=f"some words here number {i} extra tail")
+         for i in range(20)]
+    ).write.parquet(corpus_p)
+    store = str(tmp_path / "store")
+    assert main(["bandstore-write", corpus_p, store], spark=spark) == 0
+    # double-append to create duplicate rows, then compact
+    assert main(["bandstore-probe", store, corpus_p, "--append"],
+                spark=spark) == 0
+    capsys.readouterr()
+    assert main(["bandstore-compact", store], spark=spark) == 0
+    before, after = map(int, capsys.readouterr().out.strip().split("\t"))
+    assert before > after > 0
