@@ -191,3 +191,23 @@ def test_decode_image_dispatch_includes_jpeg(spark):
     w, h, rgb = J.decode_pixels(payload)
     sums = rgb.reshape(-1, 3).sum(axis=0)
     assert (r.sum_r, r.sum_g, r.sum_b) == tuple(int(s) for s in sums)
+
+
+def test_appn_and_com_segments_are_skipped():
+    """Real JPEGs carry APP0 (JFIF) / APP1 (EXIF) / COM segments; the
+    marker walk must skip them by their length fields."""
+    import struct
+
+    c = np.zeros((1, 1, 64), dtype=np.int64)
+    c[0, 0, 0] = 7
+    base = J.encode_baseline([c], 8, 8, [8] + [1] * 63)
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    com = b"written by a test"
+    inject = (
+        struct.pack(">BBH", 0xFF, 0xE0, len(app0) + 2) + app0
+        + struct.pack(">BBH", 0xFF, 0xFE, len(com) + 2) + com
+    )
+    payload = base[:2] + inject + base[2:]
+    out = J.decode_coeffs(payload)
+    assert out is not None
+    assert out[2][0][0, 0, 0] == 7 * 8
