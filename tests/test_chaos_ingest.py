@@ -2,8 +2,9 @@
 ``sim failtest`` discipline (mp3/src/monitor.go:78-97) applied to the
 repo's one stateful path.
 
-Two real failure modes are injected into one streaming run, and the
-final pair set must still equal a clean sequential run:
+Three real failure modes, each asserted against a clean sequential
+run (the third — a SIGKILLed executor JVM on a two-executor
+local-cluster — is its own test below):
 
 1. **Task-attempt crash inside the batch lineage**: the foreachBatch
    callback wraps the incoming batch in a mapInPandas pass-through
@@ -194,3 +195,144 @@ def test_ingest_loop_survives_task_and_batch_crashes(tmp_path):
     assert "CHAOS-OK" in proc.stdout
     # both injected failures really happened
     assert "injected executor task failure" in proc.stderr
+
+
+_KILL_SCRIPT = r"""
+import glob, os, signal, sys, threading, time
+sys.path.insert(0, "@REPO@")
+os.environ["PYTHONPATH"] = "@REPO@"
+from pyspark.sql import Row, SparkSession
+from pyspark import TaskContext
+from distributed_computing_projects_spark.operators import bandstore as BS
+
+spark = (
+    SparkSession.builder.master("local-cluster[2, 2, 1024]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("executor-kill-test")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+work = "@TMP@"
+X = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+Y = "one two three four five six seven eight nine ten"
+corpus = spark.createDataFrame([
+    Row(doc_id=1, text="totally unrelated words in this document body"),
+    Row(doc_id=2, text=Y),
+])
+batch = spark.createDataFrame([
+    Row(doc_id=10, text=X),
+    Row(doc_id=11, text=Y),   # dup of corpus doc 2
+])
+THRESH = 0.5
+
+def pairs_of(out_dir):
+    df = spark.read.parquet(os.path.join(out_dir, "batch-0"))
+    return sorted((r.new_id, r.corpus_id, round(r.est_jaccard, 9))
+                  for r in df.collect())
+
+# clean oracle run first (also warms codegen so the chaos run's
+# sleep+kill window dominates its timeline)
+oracle_store = os.path.join(work, "oracle_store")
+oracle_out = os.path.join(work, "oracle_pairs")
+BS.write_bands(corpus, oracle_store, "doc_id", "text")
+BS.probe_and_ingest(spark, oracle_store, batch, "doc_id", "text",
+                    oracle_out, threshold=THRESH, batch_id=0)
+expected = pairs_of(oracle_out)
+assert expected, "oracle produced no pairs"
+
+store = os.path.join(work, "store")
+out_dir = os.path.join(work, "pairs")
+BS.write_bands(corpus, store, "doc_id", "text")
+
+pid_file = os.path.join(work, "executor_pid")
+
+def executor_jvm_pid():
+    # python worker -> pyspark daemon -> executor JVM: walk /proc
+    # ppids until the cmdline names CoarseGrainedExecutorBackend
+    pid = os.getpid()
+    for _ in range(6):
+        with open("/proc/%d/stat" % pid) as f:
+            ppid = int(f.read().split()[3])
+        try:
+            with open("/proc/%d/cmdline" % ppid, "rb") as f:
+                cmd = f.read().decode(errors="replace")
+        except OSError:
+            return None
+        if "CoarseGrainedExecutorBackend" in cmd:
+            return ppid
+        pid = ppid
+    return None
+
+def hold_first_attempt(it):
+    tc = TaskContext.get()
+    if tc is not None and tc.partitionId() == 0 and tc.attemptNumber() == 0:
+        jvm = executor_jvm_pid()
+        if jvm:
+            tmp = "@TMP@/executor_pid.tmp"
+            with open(tmp, "w") as f:
+                f.write(str(jvm))
+            os.rename(tmp, "@TMP@/executor_pid")
+        time.sleep(60)  # hold the task so the kill lands mid-run
+    for pdf in it:
+        yield pdf
+
+killed = {}
+
+def killer():
+    deadline = time.time() + 120
+    while time.time() < deadline and not os.path.exists(pid_file):
+        time.sleep(0.2)
+    if not os.path.exists(pid_file):
+        return
+    jvm = int(open(pid_file).read())
+    os.kill(jvm, signal.SIGKILL)   # a REAL executor JVM dies mid-task
+    killed["pid"] = jvm
+
+t = threading.Thread(target=killer, daemon=True)
+t.start()
+
+wrapped = batch.mapInPandas(hold_first_attempt, schema=batch.schema)
+BS.probe_and_ingest(spark, store, wrapped, "doc_id", "text",
+                    out_dir, threshold=THRESH, batch_id=0)
+t.join(timeout=10)
+
+assert "pid" in killed, "no executor was killed — test proved nothing"
+got = pairs_of(out_dir)
+assert got == expected, "post-kill pairs != oracle: %r vs %r" % (got, expected)
+# the kill was real: that JVM is gone
+assert not os.path.exists("/proc/%d/cmdline" % killed["pid"]) or \
+    "CoarseGrainedExecutorBackend" not in open(
+        "/proc/%d/cmdline" % killed["pid"], "rb").read().decode(
+            errors="replace")
+print("EXECUTOR-KILL-OK pid=%d" % killed["pid"])
+spark.stop()
+"""
+
+
+def test_executor_jvm_kill_mid_ingest_recovers(tmp_path):
+    """The reference's `sim failtest` discipline (mp3/src/monitor.go:
+    78-97) literally: run the band-store ingest on a REAL two-executor
+    local-cluster, SIGKILL the executor JVM that is executing the
+    batch's first task (its pid is discovered from inside the task via
+    /proc and held open with a sleep), and assert Spark's executor-loss
+    recovery — task rescheduling, cache-partition recompute via
+    lineage, stage resubmission for lost shuffle output — still yields
+    pairs identical to a clean run."""
+    import os
+
+    import distributed_computing_projects_spark as pkg
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(pkg.__file__)))
+    script = _KILL_SCRIPT.replace("@REPO@", repo).replace("@TMP@", str(tmp_path))
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "EXECUTOR-KILL-OK" in proc.stdout
