@@ -222,6 +222,7 @@ def probe_and_ingest(
     threshold: float = 0.5,
     prune: bool = True,
     batch_id: int | None = None,
+    compact_every: int = 0,
 ) -> None:
     """One landing-zone micro-batch, end to end: probe the batch
     against the store, write the duplicate pairs under ``out_dir``
@@ -243,6 +244,13 @@ def probe_and_ingest(
     clean run, so the filter changes nothing there). Without
     ``batch_id`` the pairs append flat to ``out_dir`` (single-shot
     batch callers).
+
+    ``compact_every=N`` schedules :func:`compact_store` after every
+    Nth batch (by ``batch_id``, so a retried batch re-compacts
+    idempotently rather than drifting the cadence) — the in-loop
+    counter to the at-least-once append growth, safe here because
+    foreachBatch bodies run sequentially so the atomic swap cannot
+    race a probe of the same stream.
 
     Everything persisted here is unpersisted before returning
     (try/finally), so a long-running stream holds at most one batch's
@@ -275,3 +283,10 @@ def probe_and_ingest(
     finally:
         pairs.unpersist()
         batch.unpersist()
+    # scheduled maintenance: foreachBatch bodies run sequentially, so
+    # the atomic swap can't race a concurrent probe of this stream;
+    # keyed to batch_id so a RETRY of batch N re-compacts (idempotent,
+    # the rewrite is distinct) instead of drifting the cadence
+    if compact_every and batch_id is not None and batch_id > 0 \
+            and batch_id % compact_every == 0:
+        compact_store(spark, path)

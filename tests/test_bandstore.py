@@ -106,3 +106,42 @@ def test_compact_store_requires_sidecar(spark, tmp_path):
     os.makedirs(p, exist_ok=True)
     with pytest.raises(storemeta.StoreParamsError):
         BS.compact_store(spark, p)
+
+
+def test_probe_and_ingest_compact_every(spark, tmp_path):
+    """compact_every folds store maintenance into the ingest loop: a
+    retried (double-run) batch leaves duplicate band rows, and the
+    next scheduled compaction removes them without changing pairs."""
+    from pyspark.sql import Row
+
+    texts = {
+        1: "totally unrelated words in this document body",
+        10: "alpha beta gamma delta epsilon zeta eta theta",
+        20: "one two three four five six seven eight nine",
+        30: "alpha beta gamma delta epsilon zeta eta theta",  # dup of 10
+    }
+    corpus = spark.createDataFrame([Row(doc_id=1, text=texts[1])])
+    path = str(tmp_path / "bands")
+    out = str(tmp_path / "pairs")
+    BS.write_bands(corpus, path, "doc_id", "text")
+
+    def ingest(doc_id, batch_id):
+        df = spark.createDataFrame([Row(doc_id=doc_id, text=texts[doc_id])])
+        BS.probe_and_ingest(spark, path, df, "doc_id", "text", out,
+                            threshold=0.5, batch_id=batch_id,
+                            compact_every=2)
+
+    ingest(10, 0)
+    ingest(10, 1)   # retry of the same docs under a new id slot:
+    ingest(10, 1)   # double-run => duplicate band rows in the store
+    store_rows = spark.read.parquet(path)
+    assert store_rows.count() > store_rows.distinct().count()
+    ingest(20, 2)   # scheduled compaction fires here (2 % 2 == 0)
+    store_rows = spark.read.parquet(path)
+    assert store_rows.count() == store_rows.distinct().count()
+    # the store still dedups: a dup of doc 10 pairs against it
+    got = _pairs(BS.incremental_pairs_against_store(
+        spark, path, spark.createDataFrame(
+            [Row(doc_id=30, text=texts[30])]),
+        "doc_id", "text", threshold=0.5))
+    assert [(p[0], p[1]) for p in got] == [(30, 10)]
