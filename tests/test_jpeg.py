@@ -211,3 +211,60 @@ def test_appn_and_com_segments_are_skipped():
     out = J.decode_coeffs(payload)
     assert out is not None
     assert out[2][0][0, 0, 0] == 7 * 8
+
+
+def test_coeff_roundtrip_422_subsampled():
+    """4:2:2 ((2,1) luma) also flows through the generic MCU order."""
+    rng = np.random.default_rng(29)
+    sampling = [(2, 1), (1, 1), (1, 1)]
+    comps = []
+    for hs, vs in sampling:
+        c = np.zeros((2 * vs, 2 * hs, 64), dtype=np.int64)  # 2x2 MCUs
+        c[..., 0] = rng.integers(-100, 100, c.shape[:2])
+        c[..., 9] = rng.integers(-20, 21, c.shape[:2])
+        comps.append(c)
+    q = [2] * 64
+    out = J.decode_coeffs(J.encode_baseline(comps, 32, 16, q,
+                                            sampling=sampling))
+    assert out is not None
+    w, h, dec, samps = out
+    assert (w, h, samps) == (32, 16, sampling)
+    for ci in range(3):
+        assert np.array_equal(dec[ci], comps[ci] * 2)
+
+
+def test_real_forward_dct_image_survives_with_low_error():
+    """Lossy end-to-end sanity the fixture paths cannot give: a smooth
+    natural-style image is forward-DCT'd and quantized IN THE TEST
+    (the codec itself never needs a forward transform), entropy-coded
+    by the encoder, then decoded by the full pixel pipeline. A
+    systematic transform error (zigzag mixup, IDCT normalization,
+    dequant off-by-table) would blow the error up; correct decode
+    keeps it within ordinary quantization loss."""
+    m = J._idct_basis()
+    # px = M^T F M  =>  F = M px M^T (M is orthogonal)
+    size = 64
+    xs = np.arange(size)
+    img = (
+        128
+        + 60 * np.sin(xs[:, None] / 9.0)
+        + 40 * np.cos(xs[None, :] / 5.0)
+        + (xs[:, None] + xs[None, :]) / 4.0
+    ).clip(0, 255)
+    qt_nat = np.array([min(1 + (r + c) * 2, 40)
+                       for r in range(8) for c in range(8)])
+    zz_index = [r * 8 + c for (r, c) in J.ZIGZAG]
+    qt_zz = [int(qt_nat[i]) for i in zz_index]
+    nb = size // 8
+    blocks = np.zeros((nb, nb, 64), dtype=np.int64)
+    for by in range(nb):
+        for bx in range(nb):
+            f = m @ (img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 128) @ m.T
+            fz = np.array([f.reshape(64)[i] for i in zz_index])
+            blocks[by, bx] = np.round(fz / np.array(qt_zz)).astype(np.int64)
+    b = J.encode_baseline([blocks], size, size, qt_zz)
+    w, h, rgb = J.decode_pixels(b)
+    assert (w, h) == (size, size)
+    err = np.abs(rgb[..., 0].astype(np.float64) - img)
+    assert err.mean() < 3.0, err.mean()   # ordinary quantization loss
+    assert err.max() < 30.0, err.max()    # no block-level blowups
