@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import Window
+
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -176,7 +176,7 @@ _PPM_HEADER = f"P6\n{IMG_W} {IMG_H}\n255\n".encode()
         "pinned), then numpy-decoded inside the Arrow mapInPandas "
         "(operators/multimodal.py:decode_image — no imaging library "
         "involved, which is exactly why this container CAN run it; "
-        "JPEG/PNG stay the documented codec integration point). "
+        "PNG and baseline JPEG have their own queries in this family). "
         "Integer per-channel byte sums make the decode differentially "
         "checkable: the oracle recomputes them from character codes.",
 )

@@ -43,7 +43,7 @@ from distributed_computing_projects_spark.operators import (  # noqa: E402
     dedup as D,
 )
 from distributed_computing_projects_spark.session import get_spark  # noqa: E402
-from tools.scale_stress import SF_DIR, build_stressed  # noqa: E402
+from tools.scale_stress import build_stressed  # noqa: E402
 
 EXTRAPOLATE_FACTORS = [100, 1000]
 
