@@ -193,17 +193,29 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return out
 
 
-def _decode_table(bits: list[int], vals: list[int]) -> list:
-    """16-bit peek LUT: entry i = (symbol, code length) for every
-    16-bit window whose prefix is that code, None for non-codes. One
-    table lookup decodes a symbol of any length — ~20x the per-bit
-    tree walk this replaced, the standard libjpeg-style technique."""
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _decode_table_cached(bits: tuple, vals: tuple) -> list:
     lut: list = [None] * 65536
-    for sym, (code, ln) in _canonical_codes(bits, vals).items():
+    for sym, (code, ln) in _canonical_codes(list(bits), list(vals)).items():
         start = code << (16 - ln)
         lut[start:start + (1 << (16 - ln))] = \
             [(sym, ln)] * (1 << (16 - ln))
     return lut
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> list:
+    """16-bit peek LUT: entry i = (symbol, code length) for every
+    16-bit window whose prefix is that code, None for non-codes. One
+    table lookup decodes a symbol of any length — ~20x the per-bit
+    tree walk this replaced, the standard libjpeg-style technique.
+    LRU-cached on the table definition: a corpus of same-encoder
+    images shares Huffman tables, and the 65k-entry build would
+    otherwise dominate small-image decode (measured ~70ms CPU per
+    16x16 fixture before the cache)."""
+    return _decode_table_cached(tuple(bits), tuple(vals))
 
 
 def _read_symbol(br: _BitReader, lut: list) -> int:
@@ -582,7 +594,10 @@ def decode_pixels(b: bytes):
         # einsum reduces to the single F00 term, no summation-order
         # ambiguity.
         f = coeffs[..., inv].reshape(by, bx, 8, 8).astype(np.float64)
-        px = np.einsum("ux,ABuv,vy->ABxy", m, f, m, optimize=True)
+        # fixed contraction path: per-call path optimization costs more
+        # than the contraction itself on small fixture grids
+        px = np.einsum("ux,ABuv,vy->ABxy", m, f, m,
+                       optimize=["einsum_path", (0, 1), (0, 1)])
         vals = np.floor(px + 0.5).astype(np.int64) + 128
         plane = vals.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         if vmax // vs > 1:
