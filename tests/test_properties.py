@@ -299,3 +299,45 @@ def test_knn_tables_candidates_superset_of_single(spark, seed):
         persist=False).collect()}
     # k = N-1, so top-k IS the candidate set: superset must hold
     assert single <= multi
+
+
+@given(
+    data=st.data(),
+    ncomp=st.sampled_from([1, 3]),
+    by=st.integers(1, 3),
+    bx=st.integers(1, 3),
+    restart=st.sampled_from([0, 1, 2]),
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_jpeg_entropy_roundtrip_property(data, ncomp, by, bx, restart):
+    """Any quantized coefficient layout (arbitrary sparsity, negatives,
+    arbitrary zero-run structure, with/without restart markers) must
+    survive encode -> decode_coeffs exactly as coeff * qstep."""
+    import numpy as np
+
+    from distributed_computing_projects_spark.operators import jpeg as J
+
+    comps = []
+    for _ in range(ncomp):
+        c = np.zeros((by, bx, 64), dtype=np.int64)
+        for yb in range(by):
+            for xb in range(bx):
+                n_nonzero = data.draw(st.integers(0, 8))
+                ks = data.draw(st.lists(st.integers(0, 63), min_size=n_nonzero,
+                                        max_size=n_nonzero, unique=True))
+                for k in ks:
+                    lo = -128 if k == 0 else -255
+                    hi = 127 if k == 0 else 255
+                    v = data.draw(st.integers(lo, hi))
+                    c[yb, xb, k] = v if (v or k == 0) else 1
+        comps.append(c)
+    qtable = [data.draw(st.integers(1, 32)) for _ in range(64)]
+    b = J.encode_baseline(comps, bx * 8, by * 8, qtable,
+                          restart_interval=restart)
+    out = J.decode_coeffs(b)
+    assert out is not None
+    w, h, dec, _samps = out
+    q = np.array(qtable, dtype=np.int64)
+    for ci in range(ncomp):
+        assert np.array_equal(dec[ci], comps[ci] * q)
