@@ -386,3 +386,22 @@ def test_trained_ivf_assignment_is_codegen_scan(spark, sf_dir):
         assert join not in plan, f"centroid assignment must not join:\n{plan}"
     # exactly one scan: the formatted plan lists one Location per scan
     assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def test_jpeg_decode_filters_jvm_side_before_python(spark, sf_dir,
+                                                    registry):
+    """The multimodal module doc's scale contract, plan-asserted for
+    the JPEG family: the eligibility filter runs inside whole-stage
+    codegen BEFORE either Arrow stage (only surviving rows pay the
+    Python hop), the scan reads just (doc_id, text), and the whole
+    query is shuffle-free."""
+    df = registry["multimodal_jpeg_decode"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Exchange" not in plan, plan
+    assert "octet_length" in plan, plan
+    # filter must appear upstream of (= listed after, in the formatted
+    # numbering) the first MapInPandas: codegen Filter node feeds it
+    filt = plan.index("Filter")
+    first_py = plan.index("MapInPandas")
+    assert first_py < filt  # tree prints top-down: Python sits above
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
