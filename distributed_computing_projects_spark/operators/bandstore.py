@@ -167,49 +167,14 @@ def compact_store(spark, path: str) -> tuple[int, int]:
     duplicate rows under the ingest contract are byte-identical — any
     survivor of ``dropDuplicates`` carries the same signature.
 
-    Epoch-atomicity: the compacted store is written to a sibling
-    ``<path>.__compact__`` directory (hive-partitioned by ``kb`` with
-    the SAME ``kb_parts``, sidecar re-recorded), verified readable,
-    and then swapped in with two directory renames
-    (``path`` -> ``<path>.__pre_compact__`` -> delete). Probes either
-    see the old store or the compacted one, never a partial rewrite.
-    A crash between the renames leaves the full pre-compact store at
-    ``<path>.__pre_compact__`` — recovery is renaming it back.
-
-    Scale shape: one store scan + one hash exchange on ``kb`` (each
-    directory rewritten by one task, one file per directory — the same
-    write shape as :func:`write_bands`). No driver-side data movement.
+    Mechanics (atomic ``__compact__`` sibling + two-rename swap,
+    sidecar preserved) are the shared
+    :func:`storemeta.compact_partitioned_store`; this wrapper fixes
+    the band store's identity key and partition layout.
     """
-    import os
-    import shutil
-
-    meta = storemeta.read_params(path)
-    if meta is None or meta.get("kind") != STORE_KIND:
-        raise storemeta.StoreParamsError(
-            f"compact_store: {path!r} has no {STORE_KIND} sidecar"
-        )
-    kb_parts = int(meta["kb_parts"])
-    store = spark.read.parquet(path)
-    before = store.count()
-    tmp = path.rstrip("/") + ".__compact__"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)  # leftover of a crashed prior compaction
-    (
-        store.dropDuplicates(["id", "band", "key"])
-        .repartition("kb")
-        .write.partitionBy("kb")
-        .mode("overwrite")
-        .parquet(tmp)
+    return storemeta.compact_partitioned_store(
+        spark, path, STORE_KIND, "kb", ["id", "band", "key"]
     )
-    storemeta.write_params(tmp, STORE_KIND, {"kb_parts": kb_parts})
-    after = spark.read.parquet(tmp).count()
-    old = path.rstrip("/") + ".__pre_compact__"
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
-    return before, after
 
 
 def probe_and_ingest(

@@ -343,6 +343,42 @@ def write_ivf(emb: DataFrame, path: str, id_col: str, vec_col: str,
     storemeta.write_params(path, "ivf", {"centroids": cents})
 
 
+def append_ivf(emb: DataFrame, path: str, id_col: str, vec_col: str) -> None:
+    """Epochal ANN ingest — the IVF counterpart of
+    ``bandstore.append_bands``: assign a NEW batch of vectors with the
+    store's OWN quantizer (the ``_params`` sidecar's centroids — an
+    epoch can never be assigned with different centroids than the ones
+    that bucketed the store) and append it hive-partitioned by cell.
+    Probes see the new vectors immediately; at 100 TB the corpus
+    embeddings are computed once and ingested incrementally, exactly
+    like the dedup band store. Append is at-least-once under retries —
+    :func:`compact_ivf_store` is the counterpart."""
+    meta = storemeta.read_params(path)
+    if meta is None or meta.get("kind") != "ivf":
+        raise storemeta.StoreParamsError(
+            f"append_ivf: {path!r} has no ivf sidecar"
+        )
+    cents = meta["centroids"]
+    keyed = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.expr(ivf_cell_expr(vec_col, "spark", cents)).alias("cell"),
+    )
+    keyed.repartition("cell").write.partitionBy("cell").mode(
+        "append"
+    ).parquet(path)
+
+
+def compact_ivf_store(spark, path: str) -> tuple[int, int]:
+    """Distinct-on-``id`` rewrite of an IVF store with the shared
+    atomic-swap mechanics (:func:`storemeta.compact_partitioned_store`):
+    reclaims duplicate rows from at-least-once epoch retries and folds
+    each cell's accumulated per-epoch files into one."""
+    return storemeta.compact_partitioned_store(
+        spark, path, "ivf", "cell", ["id"]
+    )
+
+
 def ivf_topk_partitioned(
     spark,
     path: str,

@@ -105,3 +105,52 @@ def resolve(path: str, kind: str, overrides: dict) -> dict:
             )
         out[k] = meta[k]
     return out
+
+
+def compact_partitioned_store(spark, path: str, kind: str,
+                              partition_col: str,
+                              dedup_cols: list[str]) -> tuple[int, int]:
+    """Shared compaction for sidecar-carrying hive-partitioned stores:
+    rewrite distinct-on-``dedup_cols`` into a sibling ``__compact__``
+    directory (same partition layout, sidecar re-recorded), verify
+    readable, and swap in with two directory renames — probes see the
+    old store or the compacted one, never a partial rewrite. A crash
+    between the renames leaves the full pre-compact store at
+    ``<path>.__pre_compact__``; recovery is renaming it back. Returns
+    ``(rows_before, rows_after)``.
+
+    Why stores need this at all: epochal appenders (bandstore, IVF)
+    are deliberately at-least-once — a foreachBatch retry can land the
+    same rows twice (benign for probe correctness, monotonic for store
+    size) — and every append adds one file per touched directory, so
+    long-running ingest accumulates small files. One rewrite fixes
+    both. Scale shape: one store scan + one hash exchange on the
+    partition column (each directory rewritten by one task)."""
+    import shutil
+
+    meta = read_params(path)
+    if meta is None or meta.get("kind") != kind:
+        raise StoreParamsError(
+            f"compact: {path!r} has no {kind!r} sidecar"
+        )
+    store = spark.read.parquet(path)
+    before = store.count()
+    tmp = path.rstrip("/") + ".__compact__"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # leftover of a crashed prior compaction
+    (
+        store.dropDuplicates(dedup_cols)
+        .repartition(partition_col)
+        .write.partitionBy(partition_col)
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    write_params(tmp, kind, {k: v for k, v in meta.items() if k != "kind"})
+    after = spark.read.parquet(tmp).count()
+    old = path.rstrip("/") + ".__pre_compact__"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return before, after

@@ -135,6 +135,53 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+INCR_VEC_MOD = 10  # vec_id % 10 == 0 -> the "new embeddings" epoch
+
+
+@query(
+    "ann_ivf_incremental_topk",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT vec_id AS id, embedding,
+             {S.ivf_cell_expr('embedding', 'duck')} AS cell
+      FROM embeddings)
+    SELECT id, {_COS_Q_D} AS cosine
+    FROM assigned
+    WHERE cell IN ({', '.join(str(c) for c in _IVF_CELLS)})
+    ORDER BY cosine DESC, id LIMIT {ANN_K}
+    """,
+    doc="Incremental ANN ingest — the IVF counterpart of "
+        "dedup_incremental_store: the corpus (vec_id % 10 != 0) is "
+        "materialized as a cell-partitioned IVF store "
+        "(similarity.write_ivf), a NEW epoch (vec_id % 10 == 0) is "
+        "appended with similarity.append_ivf — assigned by the "
+        "store's OWN sidecar centroids, so an epoch can never be "
+        "bucketed differently than the store — and the partition-"
+        "pruned probe must return exactly the full-corpus answer: "
+        "the oracle assigns ALL embeddings in one pass, which only "
+        "matches if the append path is equivalent to having written "
+        "the store whole. Covers write -> sidecar resolve -> append "
+        "-> prune -> probe end-to-end in one driver row.",
+)
+def q_ann_ivf_incremental_topk(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % INCR_VEC_MOD != 0)
+    epoch = emb.filter(F.col("vec_id") % INCR_VEC_MOD == 0)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"dcp_ivfstore_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    S.write_ivf(corpus, path, "vec_id", "embedding")
+    S.append_ivf(epoch, path, "vec_id", "embedding")
+    return S.ivf_topk_partitioned(
+        spark, path, ANN_QUERY_VEC, ANN_K, probes=ANN_IVF_PROBES
+    )
+
+
 @query(
     "ann_recall",
     oracle=f"""

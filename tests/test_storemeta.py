@@ -230,3 +230,55 @@ def test_probe_and_ingest_retry_idempotent(spark, tmp_path):
     # one pair, once: no double-append, and no (2, 2) self-pair from
     # the first attempt's appended bands
     assert pairs == [(2, 1)]
+
+
+def test_append_ivf_equals_whole_write(spark, sf_dir, tmp_path):
+    """Incremental IVF ingest: write corpus, append an epoch assigned
+    by the store's own sidecar centroids — probing must equal a store
+    written whole, and compaction after a simulated retry must shrink
+    the store without changing the probe."""
+    from distributed_computing_projects_spark.operators import (
+        similarity as S,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.filter("vec_id % 10 != 0")
+    epoch = emb.filter("vec_id % 10 = 0")
+    q = [0.1] * 64
+
+    whole = str(tmp_path / "whole")
+    S.write_ivf(emb, whole, "vec_id", "embedding")
+    expected = [(r.id, round(r.cosine, 9)) for r in
+                S.ivf_topk_partitioned(spark, whole, q, 7).collect()]
+
+    incr = str(tmp_path / "incr")
+    S.write_ivf(corpus, incr, "vec_id", "embedding")
+    S.append_ivf(epoch, incr, "vec_id", "embedding")
+    got = [(r.id, round(r.cosine, 9)) for r in
+           S.ivf_topk_partitioned(spark, incr, q, 7).collect()]
+    assert got == expected
+
+    # retry: the epoch lands twice; compaction reclaims it exactly
+    S.append_ivf(epoch, incr, "vec_id", "embedding")
+    before, after = S.compact_ivf_store(spark, incr)
+    assert before > after == emb.count()
+    got2 = [(r.id, round(r.cosine, 9)) for r in
+            S.ivf_topk_partitioned(spark, incr, q, 7).collect()]
+    assert got2 == expected
+
+
+def test_append_ivf_requires_ivf_sidecar(spark, tmp_path):
+    import os
+
+    import pytest
+
+    from distributed_computing_projects_spark.operators import (
+        similarity as S,
+        storemeta,
+    )
+
+    p = str(tmp_path / "nostore")
+    os.makedirs(p, exist_ok=True)
+    df = spark.createDataFrame([(1, [0.0] * 64)], "id bigint, v array<float>")
+    with pytest.raises(storemeta.StoreParamsError):
+        S.append_ivf(df, p, "id", "v")
