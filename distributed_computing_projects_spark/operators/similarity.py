@@ -407,6 +407,11 @@ def ivf_topk_partitioned(
                    T.sq_norm(q, "spark"))
     return (
         pruned.select("id", F.expr(cos).alias("cosine"))
+        # distinct: append_ivf is at-least-once, so a retried epoch can
+        # duplicate rows; without this a duplicate id would occupy two
+        # of the k slots (rows are byte-identical — same id, same
+        # cosine — so this is dedup, never a semantics change)
+        .distinct()
         .orderBy(F.desc("cosine"), F.asc("id"))
         .limit(k)
     )

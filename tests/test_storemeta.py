@@ -282,3 +282,28 @@ def test_append_ivf_requires_ivf_sidecar(spark, tmp_path):
     df = spark.createDataFrame([(1, [0.0] * 64)], "id bigint, v array<float>")
     with pytest.raises(storemeta.StoreParamsError):
         S.append_ivf(df, p, "id", "v")
+
+
+def test_ivf_probe_is_duplicate_safe_without_compaction(spark, sf_dir,
+                                                        tmp_path):
+    """At-least-once epochs must not eat top-k slots even BEFORE
+    compaction runs: the partitioned probe dedups exact-duplicate
+    rows."""
+    from distributed_computing_projects_spark.operators import (
+        similarity as S,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [0.1] * 64
+    clean = str(tmp_path / "clean")
+    S.write_ivf(emb, clean, "vec_id", "embedding")
+    expected = [r.id for r in
+                S.ivf_topk_partitioned(spark, clean, q, 7).collect()]
+
+    dup = str(tmp_path / "dup")
+    S.write_ivf(emb, dup, "vec_id", "embedding")
+    S.append_ivf(emb.limit(50), dup, "vec_id", "embedding")  # retry
+    got = [r.id for r in
+           S.ivf_topk_partitioned(spark, dup, q, 7).collect()]
+    assert got == expected
+    assert len(set(got)) == len(got) == 7
