@@ -541,3 +541,105 @@ def q_streaming_dedup_ingest_epochs(spark, sf_dir):
         "new_id bigint, corpus_id bigint, est_jaccard double"
     ).parquet(os.path.join(out_dir, "batch-*"))
 
+
+
+from distributed_computing_projects_spark.operators import similarity as _SIM
+from distributed_computing_projects_spark.queries.ext_ann import (
+    _COS_Q_D,
+    _IVF_CELLS,
+    ANN_IVF_PROBES,
+    INCR_VEC_MOD,
+)
+from distributed_computing_projects_spark.queries.ext_fragments import (
+    ANN_K as _ANN_K,
+    ANN_QUERY_VEC as _ANN_Q,
+)
+
+
+@query(
+    "streaming_ann_ingest",
+    # identical contract to ann_ivf_incremental_topk: the stream is
+    # just the delivery mechanism for the epochs, and the probe must
+    # return exactly the full-corpus answer
+    oracle=f"""
+    WITH assigned AS (
+      SELECT vec_id AS id, embedding,
+             {_SIM.ivf_cell_expr('embedding', 'duck')} AS cell
+      FROM embeddings)
+    SELECT id, {_COS_Q_D} AS cosine
+    FROM assigned
+    WHERE cell IN ({', '.join(str(c) for c in _IVF_CELLS)})
+    ORDER BY cosine DESC, id LIMIT {_ANN_K}
+    """,
+    doc="CONTINUOUS-INGEST ANN: new embedding vectors arrive as a file "
+        "stream in two micro-batch epochs; each foreachBatch appends "
+        "them to the persisted cell-partitioned IVF store via "
+        "similarity.append_ivf — assigned by the store's own sidecar "
+        "centroids — and the final partition-pruned probe must return "
+        "exactly the answer a whole-corpus store gives (same SQL "
+        "oracle as ann_ivf_incremental_topk). The streaming ANN twin "
+        "of streaming_dedup_ingest_epochs: embeddings for a 100 TB "
+        "corpus are computed once and stream into the index; retries "
+        "double-append at most (probe distincts; compact_ivf_store "
+        "reclaims).",
+)
+def q_streaming_ann_ingest(spark, sf_dir):
+    import glob
+    import shutil
+    import tempfile
+
+    from distributed_computing_projects_spark.sources.registry import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") % INCR_VEC_MOD != 0)
+    fresh = emb.filter(F.col("vec_id") % INCR_VEC_MOD == 0)
+    epoch_dfs = [
+        fresh.filter((F.col("vec_id") / INCR_VEC_MOD % 2).cast("int") == i)
+        for i in range(2)
+    ]
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"dcp_stream_ann_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    store = os.path.join(work, "ivf")
+    landing = os.path.join(work, "landing")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(landing)
+    _SIM.write_ivf(corpus, store, "vec_id", "embedding")
+
+    now = 1_700_000_000  # fixed epoch-seconds base; only ORDER matters
+    for i, epoch_df in enumerate(epoch_dfs):
+        stage = os.path.join(work, f"stage{i}")
+        epoch_df.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dest = os.path.join(landing, f"batch-{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema(epoch_dfs[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+
+    def ingest_batch(batch_df, batch_id):
+        _SIM.append_ivf(batch_df, store, "vec_id", "embedding")
+
+    q = (
+        stream.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("ANN ingest stream did not drain in 180 s")
+    return _SIM.ivf_topk_partitioned(
+        spark, store, _ANN_Q, _ANN_K, probes=ANN_IVF_PROBES
+    )
