@@ -446,6 +446,43 @@ def lsh_topk_bucketed(
                    T.sq_norm(q, "spark"))
     return (
         pruned.select("id", F.expr(cos).alias("cosine"))
+        # distinct: append_bucketed is at-least-once under retries —
+        # same duplicate-safety discipline as ivf_topk_partitioned
+        .distinct()
         .orderBy(F.desc("cosine"), F.asc("id"))
         .limit(k)
+    )
+
+
+def append_bucketed(emb: DataFrame, path: str, id_col: str,
+                    vec_col: str) -> None:
+    """Epochal ingest for the sign-bit LSH store: bucket a NEW batch
+    with the store's OWN sidecar plane count (an epoch can never be
+    bucketed with a different ``n_planes`` than the store — the
+    silent-wrongness hazard storemeta exists for) and append it
+    hive-partitioned by bucket. The LSH sibling of :func:`append_ivf`;
+    at-least-once under retries — :func:`compact_bucketed_store` is
+    the counterpart."""
+    meta = storemeta.read_params(path)
+    if meta is None or meta.get("kind") != "lsh_bucketed":
+        raise storemeta.StoreParamsError(
+            f"append_bucketed: {path!r} has no lsh_bucketed sidecar"
+        )
+    n_planes = int(meta["n_planes"])
+    keyed = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.expr(T.lsh_bucket(vec_col, "spark", n_planes)).alias("bucket"),
+    )
+    keyed.repartition("bucket").write.partitionBy("bucket").mode(
+        "append"
+    ).parquet(path)
+
+
+def compact_bucketed_store(spark, path: str) -> tuple[int, int]:
+    """Distinct-on-``id`` rewrite of an LSH bucketed store with the
+    shared atomic-swap mechanics
+    (:func:`storemeta.compact_partitioned_store`)."""
+    return storemeta.compact_partitioned_store(
+        spark, path, "lsh_bucketed", "bucket", ["id"]
     )

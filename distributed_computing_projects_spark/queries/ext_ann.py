@@ -106,6 +106,48 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+@query(
+    "ann_lsh_incremental_topk",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id AS id, embedding,
+             {T.lsh_bucket('embedding', 'duck')} AS bucket
+      FROM embeddings)
+    SELECT id, {_COS_Q_D} AS cosine
+    FROM b
+    WHERE {T.hamming('bucket', str(S.query_bucket(ANN_QUERY_VEC)), 'duck')}
+          <= {ANN_PROBE_HAMMING}
+    ORDER BY cosine DESC, id LIMIT {ANN_K}
+    """,
+    doc="Incremental LSH-store ingest: the corpus (vec_id % 10 != 0) "
+        "is materialized bucket-partitioned (similarity.write_bucketed "
+        "at the default plane count), a NEW epoch (vec_id % 10 == 0) "
+        "is appended with similarity.append_bucketed — bucketed by the "
+        "store's OWN sidecar n_planes — and the multi-probe pruned "
+        "top-k must return exactly the full-corpus answer (the LSH "
+        "sibling of ann_ivf_incremental_topk; same oracle shape as "
+        "ann_lsh_topk over ALL embeddings).",
+)
+def q_ann_lsh_incremental_topk(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    epoch = emb.filter(F.col("vec_id") % 10 == 0)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"dcp_lshstore_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    S.write_bucketed(corpus, path, "vec_id", "embedding")
+    S.append_bucketed(epoch, path, "vec_id", "embedding")
+    return S.lsh_topk_bucketed(
+        spark, path, ANN_QUERY_VEC, ANN_K,
+        probe_hamming=ANN_PROBE_HAMMING,
+    )
+
+
 ANN_IVF_PROBES = 2
 
 

@@ -307,3 +307,37 @@ def test_ivf_probe_is_duplicate_safe_without_compaction(spark, sf_dir,
            S.ivf_topk_partitioned(spark, dup, q, 7).collect()]
     assert got == expected
     assert len(set(got)) == len(got) == 7
+
+
+def test_append_bucketed_equals_whole_write(spark, sf_dir, tmp_path):
+    """LSH-store epoch append (sidecar n_planes) + retry compaction:
+    the probe must equal a store written whole throughout."""
+    from distributed_computing_projects_spark.operators import (
+        similarity as S,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.filter("vec_id % 10 != 0")
+    epoch = emb.filter("vec_id % 10 = 0")
+    q = [0.1] * 64
+
+    whole = str(tmp_path / "whole")
+    S.write_bucketed(emb, whole, "vec_id", "embedding")
+    expected = [(r.id, round(r.cosine, 9)) for r in
+                S.lsh_topk_bucketed(spark, whole, q, 7,
+                                    probe_hamming=1).collect()]
+
+    incr = str(tmp_path / "incr")
+    S.write_bucketed(corpus, incr, "vec_id", "embedding")
+    S.append_bucketed(epoch, incr, "vec_id", "embedding")
+    S.append_bucketed(epoch, incr, "vec_id", "embedding")  # retry
+    got = [(r.id, round(r.cosine, 9)) for r in
+           S.lsh_topk_bucketed(spark, incr, q, 7,
+                               probe_hamming=1).collect()]
+    assert got == expected  # duplicate-safe even before compaction
+    before, after = S.compact_bucketed_store(spark, incr)
+    assert before > after == emb.count()
+    got2 = [(r.id, round(r.cosine, 9)) for r in
+            S.lsh_topk_bucketed(spark, incr, q, 7,
+                                probe_hamming=1).collect()]
+    assert got2 == expected
