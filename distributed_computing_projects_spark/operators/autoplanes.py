@@ -241,6 +241,26 @@ def probe_buckets_table(
     return sorted(out)
 
 
+def _tables_rows(emb: DataFrame, id_col: str, vec_col: str,
+                 n_planes: int, n_tables: int) -> DataFrame:
+    """(id, v, tbl, bucket) — one row per (vector, table), the band-OR
+    store's row shape, shared by whole-write and epoch append."""
+    tbls = F.array(*[
+        F.struct(
+            F.lit(t).alias("tbl"),
+            F.expr(lsh_bucket_table(vec_col, "spark", n_planes, t))
+            .alias("bucket"),
+        )
+        for t in range(n_tables)
+    ])
+    return emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.explode(tbls).alias("tb"),
+    ).select("id", "v", F.col("tb.tbl").alias("tbl"),
+             F.col("tb.bucket").alias("bucket"))
+
+
 def write_bucketed_tables(
     emb: DataFrame, path: str, id_col: str, vec_col: str,
     n_planes: int, n_tables: int,
@@ -252,20 +272,7 @@ def write_bucketed_tables(
     recall gets the 1-(1-p^n)^L band-OR lift while each probe still
     reads only partition-pruned directories. Write cost: one pass +
     one hash exchange on the partition key (one file per directory)."""
-    tbls = F.array(*[
-        F.struct(
-            F.lit(t).alias("tbl"),
-            F.expr(lsh_bucket_table(vec_col, "spark", n_planes, t))
-            .alias("bucket"),
-        )
-        for t in range(n_tables)
-    ])
-    keyed = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.explode(tbls).alias("tb"),
-    ).select("id", "v", F.col("tb.tbl").alias("tbl"),
-             F.col("tb.bucket").alias("bucket"))
+    keyed = _tables_rows(emb, id_col, vec_col, n_planes, n_tables)
     keyed.repartition("tbl", "bucket").write.partitionBy(
         "tbl", "bucket"
     ).mode("overwrite").parquet(path)
@@ -273,6 +280,33 @@ def write_bucketed_tables(
         path, "lsh_tables",
         {"n_planes": n_planes, "n_tables": n_tables,
          "stride": TABLE_STRIDE},
+    )
+
+
+def append_bucketed_tables(emb: DataFrame, path: str, id_col: str,
+                           vec_col: str) -> None:
+    """Epochal ingest for the band-OR store: bucket a NEW batch with
+    the store's OWN sidecar (n_planes, n_tables) across every hash
+    table and append — the multi-table sibling of
+    ``similarity.append_bucketed``. At-least-once under retries
+    (probes are distinct; :func:`compact_tables_store` reclaims)."""
+    meta = storemeta.read_params(path)
+    if meta is None or meta.get("kind") != "lsh_tables":
+        raise storemeta.StoreParamsError(
+            f"append_bucketed_tables: {path!r} has no lsh_tables sidecar"
+        )
+    keyed = _tables_rows(emb, id_col, vec_col,
+                         int(meta["n_planes"]), int(meta["n_tables"]))
+    keyed.repartition("tbl", "bucket").write.partitionBy(
+        "tbl", "bucket"
+    ).mode("append").parquet(path)
+
+
+def compact_tables_store(spark, path: str) -> tuple[int, int]:
+    """Distinct-on-``(id, tbl)`` rewrite of a band-OR store with the
+    shared atomic-swap mechanics."""
+    return storemeta.compact_partitioned_store(
+        spark, path, "lsh_tables", ["tbl", "bucket"], ["id", "tbl"]
     )
 
 

@@ -108,7 +108,7 @@ def resolve(path: str, kind: str, overrides: dict) -> dict:
 
 
 def compact_partitioned_store(spark, path: str, kind: str,
-                              partition_col: str,
+                              partition_col: str | list[str],
                               dedup_cols: list[str]) -> tuple[int, int]:
     """Shared compaction for sidecar-carrying hive-partitioned stores:
     rewrite distinct-on-``dedup_cols`` into a sibling ``__compact__``
@@ -128,6 +128,8 @@ def compact_partitioned_store(spark, path: str, kind: str,
     partition column (each directory rewritten by one task)."""
     import shutil
 
+    parts = ([partition_col] if isinstance(partition_col, str)
+             else list(partition_col))
     meta = read_params(path)
     if meta is None or meta.get("kind") != kind:
         raise StoreParamsError(
@@ -140,8 +142,8 @@ def compact_partitioned_store(spark, path: str, kind: str,
         shutil.rmtree(tmp)  # leftover of a crashed prior compaction
     (
         store.dropDuplicates(dedup_cols)
-        .repartition(partition_col)
-        .write.partitionBy(partition_col)
+        .repartition(*parts)
+        .write.partitionBy(*parts)
         .mode("overwrite")
         .parquet(tmp)
     )

@@ -341,3 +341,39 @@ def test_append_bucketed_equals_whole_write(spark, sf_dir, tmp_path):
             S.lsh_topk_bucketed(spark, incr, q, 7,
                                 probe_hamming=1).collect()]
     assert got2 == expected
+
+
+def test_append_bucketed_tables_equals_whole_write(spark, sf_dir,
+                                                   tmp_path):
+    """Band-OR store epoch append (sidecar n_planes + n_tables) +
+    retry compaction: the multi-probe top-k must equal a store
+    written whole throughout."""
+    from distributed_computing_projects_spark.operators import (
+        autoplanes as AP,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.filter("vec_id % 10 != 0")
+    epoch = emb.filter("vec_id % 10 = 0")
+    q = [0.1] * 64
+    n_vecs = emb.count()
+
+    whole = str(tmp_path / "whole")
+    AP.write_bucketed_tables(emb, whole, "vec_id", "embedding",
+                             n_planes=6, n_tables=3)
+    expected = [(r.id, round(r.cosine, 9)) for r in
+                AP.lsh_topk_tables(spark, whole, q, 7).collect()]
+
+    incr = str(tmp_path / "incr")
+    AP.write_bucketed_tables(corpus, incr, "vec_id", "embedding",
+                             n_planes=6, n_tables=3)
+    AP.append_bucketed_tables(epoch, incr, "vec_id", "embedding")
+    AP.append_bucketed_tables(epoch, incr, "vec_id", "embedding")  # retry
+    got = [(r.id, round(r.cosine, 9)) for r in
+           AP.lsh_topk_tables(spark, incr, q, 7).collect()]
+    assert got == expected  # probe distinct makes the retry benign
+    before, after = AP.compact_tables_store(spark, incr)
+    assert before > after == n_vecs * 3  # one row per (vector, table)
+    got2 = [(r.id, round(r.cosine, 9)) for r in
+            AP.lsh_topk_tables(spark, incr, q, 7).collect()]
+    assert got2 == expected
