@@ -416,8 +416,9 @@ def measured_grouped_candidates(grouped: DataFrame, *group_cols: str) -> int:
         .count()
         .agg(
             F.sum(
-                (F.col("count") * (F.col("count") - F.lit(1)) / F.lit(2))
-                .cast("long")
+                # integer DIV keeps the sum exact in long arithmetic even
+                # when count*(count-1) exceeds double's 2^53 integer range
+                F.expr("`count` * (`count` - 1) DIV 2")
             ).alias("c")
         )
         .collect()[0]

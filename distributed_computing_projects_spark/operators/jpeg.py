@@ -482,6 +482,8 @@ def decode_coeffs(b: bytes):
                 for i in range(ns):
                     cs, tda = body[1 + 2 * i], body[2 + 2 * i]
                     sel[cs] = (tda >> 4, tda & 0x0F)
+                if any(c["id"] not in sel for c in comps):
+                    return None  # SOS selectors don't cover SOF ids
                 sampling = [(c["h"], c["v"]) for c in comps]
                 hmax, vmax, mcus_x, mcus_y = _mcu_geometry(
                     w, h, sampling
@@ -507,7 +509,7 @@ def decode_coeffs(b: bytes):
                             q = qtables.get(comp["tq"])
                             dct = dc_tables.get(td)
                             act = ac_tables.get(ta)
-                            if q is None or dct is None:
+                            if q is None or dct is None or act is None:
                                 return None
                             for v in range(comp["v"]):
                                 for hh in range(comp["h"]):
@@ -520,8 +522,6 @@ def decode_coeffs(b: bytes):
                                     blk[0] = preds[ci] * q[0]
                                     k = 1
                                     while k < 64:
-                                        if act is None:
-                                            break
                                         sym = _read_symbol(br, act)
                                         if sym == 0x00:  # EOB
                                             break
@@ -541,7 +541,7 @@ def decode_coeffs(b: bytes):
                 return w, h, out, sampling
             # other markers (APPn, COM): skipped via the length field
         return None  # no SOS reached
-    except (_MarkerHit, ValueError, struct.error, IndexError):
+    except (_MarkerHit, ValueError, struct.error, IndexError, KeyError):
         return None
 
 

@@ -351,9 +351,9 @@ def decode_image(payloads: DataFrame) -> DataFrame:
 
     Undecodable payloads (wrong magic, truncated, unsupported
     sub-formats) are DROPPED — the engine's malformed-record policy
-    (sources/csv.py) applied to media. Baseline JPEG decodes via the
-    pure-numpy codec (operators/jpeg.py); MP3/video and
-    progressive/subsampled JPEG need external codecs (PIL/ffmpeg —
+    (sources/csv.py) applied to media. Baseline JPEG — including
+    4:2:0/4:2:2 chroma subsampling — decodes via the pure-numpy codec
+    (operators/jpeg.py); MP3/video need external codecs (PIL/ffmpeg —
     absent here); plug one in by extending the per-format dispatch
     below, keeping the schema.
     """
@@ -480,8 +480,9 @@ def png_payloads(
 def _decode_jpeg(b: bytes):
     """Baseline JPEG -> (w, h, HxWx3 RGB) via the pure-numpy codec
     (operators/jpeg.py): Huffman entropy decode, dequant, 8x8 IDCT,
-    16.16 fixed-point YCbCr->RGB. Returns None outside the baseline
-    4:4:4/grayscale subset (malformed-record drop policy)."""
+    16.16 fixed-point YCbCr->RGB. Supports grayscale and 1..2-factor
+    chroma sampling (4:4:4, 4:2:0, 4:2:2); returns None for malformed
+    or outside-subset payloads (malformed-record drop policy)."""
     from distributed_computing_projects_spark.operators import jpeg as J
 
     return J.decode_pixels(b)

@@ -165,6 +165,16 @@ def test_malformed_payloads_drop():
     sof = prog.find(b"\xff\xc0")
     prog[sof + 1] = 0xC2
     assert J.decode_coeffs(bytes(prog)) is None
+    # SOS component id not matching any SOF id: drop, not KeyError
+    sos = good.find(b"\xff\xda")
+    bad_id = bytearray(good)
+    bad_id[sos + 5] = 0x77  # Cs of the first scan component
+    assert J.decode_coeffs(bytes(bad_id)) is None
+    # SOS referencing an undeclared AC Huffman table: drop, not a
+    # silent implicit-EOB misparse
+    bad_ac = bytearray(good)
+    bad_ac[sos + 6] = (bad_ac[sos + 6] & 0xF0) | 0x0F  # Ta = 15
+    assert J.decode_coeffs(bytes(bad_ac)) is None
 
 
 def test_decode_image_dispatch_includes_jpeg(spark):

@@ -1,12 +1,22 @@
 """Noise-aware comparison of two bench records.
 
-Implements the BASELINE.md round-8 comparison rule mechanically: a
-per-query or total delta between two BENCH_r*.json files is only
-flagged as a real regression/improvement if it exceeds the larger of
-the two rounds' noise floors (the frozen canary's (max-min)/min).
-Records from before round 8 carry no canary; against those the tool
-falls back to the conservative historical observation (same-code runs
+Implements the BASELINE.md comparison rule mechanically: a per-query
+or total delta between two BENCH_r*.json files is only flagged as a
+real regression/improvement if it exceeds the larger of the two
+rounds' noise floors (the frozen canary's (max-min)/min). Records
+from before round 8 carry no canary; against those the tool falls
+back to the conservative historical observation (same-code runs
 spread ~50% on this box) unless --floor overrides it.
+
+Round 9 adds CANARY NORMALIZATION: the raw floor rule is safe but
+coarse (a 112% floor would let a true 1.5x regression pass). When
+both records carry a canary min, each query is also reported as a
+ratio to its own round's canary min (x-canary column); comparing
+ratio to ratio cancels host load to first order, so the normalized
+delta resolves real changes well under the raw floor. Rule: a delta
+is a regression if it exceeds the raw floor, OR if the normalized
+delta exceeds NORM_FLOOR_PCT (canary-relative spread of same-code
+runs, empirically ~25% on this box).
 
 Usage: python tools/bench_compare.py OLD.json NEW.json [--floor PCT]
 """
@@ -17,6 +27,7 @@ import argparse
 import json
 
 PRE_CANARY_FLOOR_PCT = 50.0  # observed same-code spread before r8
+NORM_FLOOR_PCT = 25.0  # canary-relative spread of same-code runs
 
 
 def load(path: str) -> dict:
@@ -25,6 +36,17 @@ def load(path: str) -> dict:
     with open(path) as f:
         d = json.load(f)
     return d["parsed"] if "parsed" in d and "queries" not in d else d
+
+
+def canary_min(d: dict):
+    """Canary minimum across record formats: r9+ compact records carry
+    'canary_min'; the r8 fat record carried {'canary': {'min': ...}}."""
+    if d.get("canary_min") is not None:
+        return d["canary_min"]
+    c = d.get("canary")
+    if isinstance(c, dict):
+        return c.get("min")
+    return None
 
 
 def main() -> int:
@@ -50,6 +72,13 @@ def main() -> int:
         floor = PRE_CANARY_FLOOR_PCT
     print(f"noise floor: {floor:.1f}% "
           f"({'canary-measured' if floors else 'pre-canary fallback'})")
+    c_old, c_new = canary_min(old), canary_min(new)
+    normalized = bool(c_old and c_new)
+    if normalized:
+        print(f"canary mins: {c_old:.3f} -> {c_new:.3f} "
+              f"(normalized floor {NORM_FLOOR_PCT:.0f}%)")
+    else:
+        print("canary missing in one record: raw floor rule only")
 
     flagged = 0
     names = sorted(set(old["queries"]) | set(new["queries"]))
@@ -59,17 +88,33 @@ def main() -> int:
             print(f"  {name:40s} {'NEW' if a is None else 'REMOVED'}")
             continue
         delta_pct = 100.0 * (b - a) / a if a else float("inf")
-        if abs(delta_pct) > floor:
+        line = f"  {name:40s} {a:7.3f} -> {b:7.3f}  {delta_pct:+7.1f}%"
+        norm_pct = None
+        if normalized and a:
+            ra, rb = a / c_old, b / c_new
+            norm_pct = 100.0 * (rb - ra) / ra
+            line += f"  x-canary {ra:6.2f} -> {rb:6.2f} ({norm_pct:+6.1f}%)"
+        raw_hit = abs(delta_pct) > floor
+        norm_hit = norm_pct is not None and abs(norm_pct) > NORM_FLOOR_PCT
+        if raw_hit or norm_hit:
             tag = "REGRESSION" if delta_pct > 0 else "IMPROVEMENT"
-            print(f"  {name:40s} {a:7.3f} -> {b:7.3f}  "
-                  f"{delta_pct:+7.1f}%  {tag}")
+            if not raw_hit:
+                tag += " (normalized only)"
+            print(f"{line}  {tag}")
             flagged += 1
     ta, tb = old["value"], new["value"]
     tot_pct = 100.0 * (tb - ta) / ta
-    verdict = ("WITHIN NOISE" if abs(tot_pct) <= floor else
-               ("REGRESSION" if tot_pct > 0 else "IMPROVEMENT"))
-    print(f"total: {ta:.3f} -> {tb:.3f}  {tot_pct:+.1f}%  {verdict}")
-    print(f"{flagged} per-query deltas beyond the floor "
+    tot_norm = None
+    if normalized:
+        tot_norm = 100.0 * ((tb / c_new) - (ta / c_old)) / (ta / c_old)
+    hit = abs(tot_pct) > floor or (
+        tot_norm is not None and abs(tot_norm) > NORM_FLOOR_PCT
+    )
+    verdict = ("REGRESSION" if tot_pct > 0 else "IMPROVEMENT") if hit \
+        else "WITHIN NOISE"
+    norm_txt = f"  normalized {tot_norm:+.1f}%" if tot_norm is not None else ""
+    print(f"total: {ta:.3f} -> {tb:.3f}  {tot_pct:+.1f}%{norm_txt}  {verdict}")
+    print(f"{flagged} per-query deltas beyond the floors "
           f"({len(names) - flagged} within noise)")
     return 0
 
