@@ -111,6 +111,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     bc.add_argument("store_path")
 
+    sr = sub.add_parser(
+        "store-recover",
+        help="repair a store whose compaction swap was interrupted: "
+             "roll forward to a verified rewrite, roll back to the "
+             "pre-compact copy, or clean leftovers (idempotent)",
+    )
+    sr.add_argument("store_path")
+
     v = sub.add_parser(
         "verify",
         help="differentially verify registered queries against their "
@@ -238,6 +246,12 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
 
             before, after = bandstore.compact_store(spark, args.store_path)
             print(f"{before}\t{after}")
+        elif args.cmd == "store-recover":
+            from distributed_computing_projects_spark.operators import (
+                storemeta,
+            )
+
+            print(storemeta.recover_swap(args.store_path))
         elif args.cmd == "verify":
             from distributed_computing_projects_spark import verify
 

@@ -149,10 +149,82 @@ def compact_partitioned_store(spark, path: str, kind: str,
     )
     write_params(tmp, kind, {k: v for k, v in meta.items() if k != "kind"})
     after = spark.read.parquet(tmp).count()
+    commit_swap(path, tmp)
+    return before, after
+
+
+def commit_swap(path: str, tmp: str) -> None:
+    """THE commit step of store compaction: replace the live store at
+    ``path`` with the verified rewrite at ``tmp``. Everything before
+    this call is re-runnable scratch work; this is the only moment the
+    store's visible state changes, and it is the one seam whose
+    implementation is filesystem-specific.
+
+    Local-filesystem implementation (this one): two directory renames
+    with a crash-recoverable intermediate —
+    ``path`` -> ``path.__pre_compact__``, ``tmp`` -> ``path``, then
+    delete the pre-compact copy. A reader that lists ``path`` between
+    the renames sees FileNotFoundError (acceptable here: compaction
+    runs inside the sequential foreachBatch loop, so nothing probes
+    concurrently); a crash at any point leaves either the old store at
+    ``path``/``path.__pre_compact__`` or the verified new one at
+    ``tmp``/``path`` — :func:`recover_swap` repairs every such state.
+
+    Object-store contract (S3/GCS have no directory rename): implement
+    this same function as a POINTER SWAP — stores become versioned
+    directories (``<store>/v=<n>/``) and ``path``'s ``_params`` sidecar
+    gains a ``version`` field; the commit is the single atomic
+    put-if-match of the sidecar pointing at the new version (S3
+    conditional PUT / GCS generation-match), readers resolve the
+    version through :func:`resolve` before listing, and old versions
+    are garbage-collected after a grace period. Nothing outside this
+    function needs to change: writers already funnel through
+    :func:`write_params` and probes through :func:`resolve`.
+    """
+    import shutil
+
     old = path.rstrip("/") + ".__pre_compact__"
     if os.path.exists(old):
         shutil.rmtree(old)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
-    return before, after
+
+
+def recover_swap(path: str) -> str:
+    """Repair a store whose :func:`commit_swap` was interrupted.
+    Idempotent; safe to call on a healthy store. Returns what it did:
+
+    - ``"completed"`` — crash landed between the two renames with the
+      verified rewrite still at ``<path>.__compact__``: roll FORWARD
+      (the rewrite passed its read-back verification before the swap
+      began, so finishing is strictly better than rolling back);
+    - ``"rolled_back"`` — ``path`` missing and no verified rewrite:
+      restore ``<path>.__pre_compact__``;
+    - ``"cleaned"`` — swap finished but the pre-compact copy or a
+      stale rewrite was left behind: delete the leftovers;
+    - ``"noop"`` — store healthy, nothing left over.
+    """
+    import shutil
+
+    old = path.rstrip("/") + ".__pre_compact__"
+    tmp = path.rstrip("/") + ".__compact__"
+    if not os.path.exists(path):
+        if os.path.exists(tmp) and read_params(tmp) is not None:
+            os.rename(tmp, path)
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            return "completed"
+        if os.path.exists(old):
+            os.rename(old, path)
+            return "rolled_back"
+        raise StoreParamsError(
+            f"recover_swap: nothing to recover at {path!r} — no store, "
+            f"no pre-compact copy, no verified rewrite"
+        )
+    cleaned = False
+    for leftover in (old, tmp):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+            cleaned = True
+    return "cleaned" if cleaned else "noop"

@@ -197,6 +197,174 @@ def test_ingest_loop_survives_task_and_batch_crashes(tmp_path):
     assert "injected executor task failure" in proc.stderr
 
 
+_CADENCE_SCRIPT = r"""
+import glob, os, shutil, sys
+sys.path.insert(0, "@REPO@")
+os.environ["PYTHONPATH"] = "@REPO@"
+from pyspark.sql import Row, SparkSession
+from distributed_computing_projects_spark.operators import bandstore as BS
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("chaos-compaction-cadence-test")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+work = "@TMP@"
+X = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+Y = "one two three four five six seven eight nine ten"
+corpus_rows = [
+    Row(doc_id=1, text="totally unrelated words in this document body"),
+    Row(doc_id=2, text=Y),
+]
+epoch0_rows = [Row(doc_id=10, text=X), Row(doc_id=11, text=Y)]
+epoch1_rows = [
+    Row(doc_id=20, text=X),  # dup of epoch-0 survivor 10
+    Row(doc_id=21, text="fresh brand new content never seen anywhere"),
+]
+corpus = spark.createDataFrame(corpus_rows)
+epochs = [spark.createDataFrame(r) for r in (epoch0_rows, epoch1_rows)]
+schema = corpus.schema
+THRESH = 0.5
+EVERY = 1  # compaction scheduled after every batch with batch_id > 0
+
+def pair_set(out_dir):
+    parts = glob.glob(os.path.join(out_dir, "batch-*"))
+    if not parts:
+        return []
+    df = spark.read.parquet(*parts)
+    return sorted((r.new_id, r.corpus_id, round(r.est_jaccard, 9))
+                  for r in df.collect())
+
+def store_rows(path):
+    return sorted((r.id, r.band, r.key)
+                  for r in spark.read.parquet(path).collect())
+
+# ---- sequential oracle: clean run WITH the compaction cadence ------
+oracle_store = os.path.join(work, "oracle_store")
+oracle_out = os.path.join(work, "oracle_pairs")
+BS.write_bands(corpus, oracle_store, "doc_id", "text")
+for i, e in enumerate(epochs):
+    BS.probe_and_ingest(spark, oracle_store, e, "doc_id", "text",
+                        oracle_out, threshold=THRESH, batch_id=i,
+                        compact_every=EVERY)
+expected_pairs = pair_set(oracle_out)
+expected_rows = store_rows(oracle_store)
+assert expected_pairs, "oracle produced no pairs"
+
+# ---- chaos run: crash BETWEEN survivor append and compaction -------
+store = os.path.join(work, "store")
+landing = os.path.join(work, "landing")
+out_dir = os.path.join(work, "pairs")
+ckpt = os.path.join(work, "ckpt")
+os.makedirs(landing)
+BS.write_bands(corpus, store, "doc_id", "text")
+
+now = 1_700_000_000
+for i, e in enumerate(epochs):
+    stage = os.path.join(work, "stage%d" % i)
+    e.coalesce(1).write.parquet(stage)
+    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    dest = os.path.join(landing, "batch-%d.parquet" % i)
+    shutil.move(part, dest)
+    os.utime(dest, (now + i, now + i))
+
+crash_marker = os.path.join(work, "compaction_crashed")
+real_compact = BS.compact_store
+compactions = {"n": 0}
+
+def flaky_compact(spark_, path_):
+    # first scheduled compaction dies BEFORE doing any work: the
+    # survivor append of this batch is already committed, the store
+    # still carries its append-growth, and the stream is killed at
+    # exactly the window between the two maintenance steps
+    if not os.path.exists(crash_marker):
+        open(crash_marker, "w").close()
+        raise RuntimeError("injected crash between append and compaction")
+    compactions["n"] += 1
+    return real_compact(spark_, path_)
+
+BS.compact_store = flaky_compact
+
+def body(batch_df, batch_id):
+    BS.probe_and_ingest(spark, store, batch_df, "doc_id", "text",
+                        out_dir, threshold=THRESH, batch_id=batch_id,
+                        compact_every=EVERY)
+
+def run_stream():
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    except Exception as e:
+        return e
+    finally:
+        if q.isActive:
+            q.stop()
+    return q.exception()
+
+exc = run_stream()
+assert exc is not None, "first run must die on the injected compaction crash"
+assert os.path.exists(crash_marker), "compaction crash never fired"
+# the crash window's precondition really held: batch 1's pairs are
+# committed (append happened) but no compaction ran
+assert compactions["n"] == 0
+
+# restart from the SAME checkpoint: batch 1 re-runs with batch_id=1,
+# re-appends its survivors (at-least-once), and the RETRIED batch's
+# scheduled compaction now runs — cadence keyed to batch_id, no drift
+exc = run_stream()
+assert exc is None, "restarted run failed: %s" % exc
+assert compactions["n"] >= 1, "retry never re-ran the scheduled compaction"
+
+assert pair_set(out_dir) == expected_pairs, "pairs diverged from oracle"
+# store CONVERGED to the clean run's exact rows: the retry's duplicate
+# survivor appends were reclaimed by the re-run compaction
+assert store_rows(store) == expected_rows, "store rows diverged"
+assert not os.path.exists(store + ".__compact__")
+assert not os.path.exists(store + ".__pre_compact__")
+print("CADENCE-CHAOS-OK")
+spark.stop()
+"""
+
+
+def test_compaction_cadence_survives_crash_before_compaction(tmp_path):
+    """VERDICT r8 #7: kill the stream BETWEEN the survivor append and
+    the scheduled compaction; a restart from checkpoint must re-run the
+    batch (same batch_id), fire the missed compaction, and converge the
+    store to byte-equal rows with a clean compacting run."""
+    import os
+
+    import distributed_computing_projects_spark as pkg
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(pkg.__file__)))
+    script = _CADENCE_SCRIPT.replace("@REPO@", repo).replace(
+        "@TMP@", str(tmp_path)
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "CADENCE-CHAOS-OK" in proc.stdout
+
+
 _KILL_SCRIPT = r"""
 import glob, os, signal, sys, threading, time
 sys.path.insert(0, "@REPO@")

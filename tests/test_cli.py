@@ -185,3 +185,27 @@ def test_bandstore_compact_subcommand(spark, tmp_path, capsys):
     assert main(["bandstore-compact", store], spark=spark) == 0
     before, after = map(int, capsys.readouterr().out.strip().split("\t"))
     assert before > after > 0
+
+
+def test_store_recover_subcommand(spark, tmp_path, capsys):
+    import os
+
+    from pyspark.sql import Row
+
+    corpus_p = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [Row(doc_id=i, text=f"some words here number {i} extra tail")
+         for i in range(5)]
+    ).write.parquet(corpus_p)
+    store = str(tmp_path / "store")
+    assert main(["bandstore-write", corpus_p, store], spark=spark) == 0
+    # simulate a crash between commit_swap's renames: live path gone,
+    # verified rewrite (it has a sidecar) parked at __compact__
+    os.rename(store, store + ".__compact__")
+    capsys.readouterr()
+    assert main(["store-recover", store], spark=spark) == 0
+    assert capsys.readouterr().out.strip() == "completed"
+    assert main(["bandstore-probe", store, corpus_p], spark=spark) == 0
+    capsys.readouterr()
+    assert main(["store-recover", store], spark=spark) == 0
+    assert capsys.readouterr().out.strip() == "noop"

@@ -377,3 +377,107 @@ def test_append_bucketed_tables_equals_whole_write(spark, sf_dir,
     got2 = [(r.id, round(r.cosine, 9)) for r in
             AP.lsh_topk_tables(spark, incr, q, 7).collect()]
     assert got2 == expected
+
+
+# ------------------------------------------- commit_swap crash recovery
+
+
+def _fake_store(p: str, tag: str) -> None:
+    os.makedirs(p)
+    with open(os.path.join(p, "part-00000.parquet"), "w") as f:
+        f.write(tag)
+    storemeta.write_params(p, "lsh_bucketed", {"n_planes": 3})
+
+
+def _store_tag(p: str) -> str:
+    with open(os.path.join(p, "part-00000.parquet")) as f:
+        return f.read()
+
+
+def test_recover_swap_rolls_forward_between_renames(tmp_path):
+    """Crash between commit_swap's two renames: the live path is gone,
+    the old store sits at __pre_compact__, the VERIFIED rewrite at
+    __compact__. Recovery rolls forward to the rewrite."""
+    path = str(tmp_path / "store")
+    _fake_store(path, "old")
+    _fake_store(path + ".__compact__", "new")
+    os.rename(path, path + ".__pre_compact__")  # first rename landed
+    assert storemeta.recover_swap(path) == "completed"
+    assert _store_tag(path) == "new"
+    assert not os.path.exists(path + ".__pre_compact__")
+    assert not os.path.exists(path + ".__compact__")
+
+
+def test_recover_swap_rolls_back_without_verified_rewrite(tmp_path):
+    """Same crash point but the rewrite is unverified (no sidecar —
+    e.g. the crash also corrupted it): recovery restores the old
+    store rather than promoting an unverified directory."""
+    path = str(tmp_path / "store")
+    _fake_store(path, "old")
+    os.makedirs(path + ".__compact__")  # rewrite without sidecar
+    os.rename(path, path + ".__pre_compact__")
+    assert storemeta.recover_swap(path) == "rolled_back"
+    assert _store_tag(path) == "old"
+
+
+def test_recover_swap_cleans_leftovers_and_noops(tmp_path):
+    path = str(tmp_path / "store")
+    _fake_store(path, "live")
+    _fake_store(path + ".__pre_compact__", "stale")
+    _fake_store(path + ".__compact__", "stale")
+    assert storemeta.recover_swap(path) == "cleaned"
+    assert _store_tag(path) == "live"
+    assert storemeta.recover_swap(path) == "noop"
+    with pytest.raises(storemeta.StoreParamsError, match="nothing"):
+        storemeta.recover_swap(str(tmp_path / "absent"))
+
+
+def test_compaction_interrupted_between_renames_recovers(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """End-to-end: a real band-store compaction whose commit_swap dies
+    BETWEEN the two renames (VERDICT r8 'what's missing' #3). The
+    pre-compact store must be left intact at __pre_compact__, and
+    recover_swap must yield a store whose probe results are unchanged."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter("source <> 'src0'")
+    batch = docs.filter("source = 'src0'")
+    path = str(tmp_path / "bands")
+    BS.write_bands(corpus, path, "doc_id", "text")
+    BS.append_bands(corpus.limit(20), path, "doc_id", "text")
+
+    def probe():
+        return sorted(
+            (r.new_id, r.corpus_id, round(r.est_jaccard, 9))
+            for r in BS.incremental_pairs_against_store(
+                spark, path, batch, "doc_id", "text", threshold=0.25
+            ).collect()
+        )
+
+    pre = probe()
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def dying_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("simulated crash between the two renames")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(storemeta.os, "rename", dying_rename)
+    with pytest.raises(OSError, match="simulated crash"):
+        BS.compact_store(spark, path)
+    monkeypatch.undo()
+
+    # the crash window's contract: old store intact at __pre_compact__,
+    # verified rewrite at __compact__, nothing live at path
+    assert not os.path.exists(path)
+    assert os.path.exists(path + ".__pre_compact__")
+    assert storemeta.read_params(path + ".__compact__") is not None
+
+    assert storemeta.recover_swap(path) == "completed"
+    assert probe() == pre
+    # rolled forward to the compacted store: one row per (id, band)
+    store = spark.read.parquet(path)
+    assert store.count() == store.select("id", "band").distinct().count()
