@@ -650,6 +650,103 @@ def jpeg_coeff_payloads(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return cols.mapInPandas(_encode, schema="id bigint, payload binary")
 
 
+def jpeg_progressive_payloads(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, payload): the SAME quantized coefficient content as
+    :func:`jpeg_coeff_payloads`, serialized as a PROGRESSIVE (SOF2)
+    stream instead — DC successive approximation 2 bits deep (first
+    scan at Al=2 plus two refinement scans), spectral selection into a
+    1..7 band (carrying the zigzag-1 and -7 ACs, first-coded at Al=1
+    with one AC refinement scan) and an 8..63 band (the zigzag-30 AC
+    behind a 22-zero run, forcing ZRL; per-block EOB tails chain into
+    EOB runs). Because the logical coefficients are identical, the
+    ``multimodal_jpeg_coeffs`` oracle SQL applies VERBATIM — the
+    differential check proves Annex-G scan reassembly equals the
+    single-scan baseline bit-for-bit."""
+    import numpy as np
+
+    from distributed_computing_projects_spark.operators import jpeg as J
+
+    nb = JPEG_COEF_BLOCKS
+    n_bytes = nb * 3
+    qtable = [16] * 64
+    qtable[0], qtable[1], qtable[7], qtable[30] = (
+        _JC_Q0, _JC_Q1, _JC_Q7, _JC_Q30
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, text in zip(pdf["id"], pdf["text"]):
+                raw = text.encode("utf-8")[:n_bytes]
+                if len(raw) < n_bytes:
+                    continue
+                c = np.zeros((1, nb, 64), dtype=np.int64)
+                for t in range(nb):
+                    b0, b1, b2 = raw[3 * t], raw[3 * t + 1], raw[3 * t + 2]
+                    a1, a2, a3 = _jc_acs(b0, b1, b2)
+                    c[0, t, 0] = b0 - 128
+                    c[0, t, 1] = a1
+                    c[0, t, 7] = a2
+                    c[0, t, 30] = a3
+                payloads.append(J.encode_progressive(
+                    [c], nb * 8, 8, qtable, dc_al=2,
+                    ac_bands=((1, 7, 1), (8, 63, 0)),
+                ))
+                ids.append(i)
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    cols = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    return cols.mapInPandas(_encode, schema="id bigint, payload binary")
+
+
+def jpeg_progressive_pixel_payloads(
+    df: DataFrame, id_col: str, text_col: str, w: int, h: int
+) -> DataFrame:
+    """(id, payload): the flat-tile color fixture of
+    :func:`jpeg_payloads` as a PROGRESSIVE stream (DC-only content, so
+    the AC scans are pure multi-block EOB runs with extension bits;
+    DC delivered by successive approximation 2 bits deep). Flat tiles
+    keep the pixel pipeline bit-exact, so the ``multimodal_jpeg_decode``
+    oracle SQL applies VERBATIM to the decoded output."""
+    import numpy as np
+
+    from distributed_computing_projects_spark.operators import jpeg as J
+
+    if w % 8 or h % 8:
+        raise ValueError("flat-tile fixtures need multiple-of-8 dims")
+    bx, by = w // 8, h // 8
+    n_bytes = bx * by * 3
+    qtable = [8] + [16] * 63
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, text in zip(pdf["id"], pdf["text"]):
+                raw = text.encode("utf-8")[:n_bytes]
+                if len(raw) < n_bytes:
+                    continue
+                comps = []
+                for ci in range(3):
+                    c = np.zeros((by, bx, 64), dtype=np.int64)
+                    for t in range(by * bx):
+                        c[t // bx, t % bx, 0] = raw[3 * t + ci] - 128
+                    comps.append(c)
+                payloads.append(
+                    J.encode_progressive(comps, w, h, qtable, dc_al=2)
+                )
+                ids.append(i)
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    cols = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    return cols.mapInPandas(_encode, schema="id bigint, payload binary")
+
+
 JPEG_COEFFS_SCHEMA = (
     "id bigint, width int, height int, n_blocks bigint,"
     " sum_dc bigint, sum_ac bigint, n_nonzero_ac bigint"

@@ -302,10 +302,10 @@ def q_multimodal_resize(spark, sf_dir):
 
 JPEG_W, JPEG_H = 16, 16  # 2x2 flat 8x8 tiles -> 12 text bytes per doc
 
-
-@query(
-    "multimodal_jpeg_decode",
-    oracle=f"""
+# shared by multimodal_jpeg_decode and its progressive twin (the
+# fixtures carry identical flat-tile pixel content; only the stream
+# layout differs, which the oracle can't and shouldn't see)
+_JPEG_DECODE_ORACLE = f"""
     WITH eligible AS (
       SELECT doc_id AS id, text FROM documents
       WHERE octet_length(encode(text)) >= {_IMG_BYTES}),
@@ -333,7 +333,12 @@ JPEG_W, JPEG_H = 16, 16  # 2x2 flat 8x8 tiles -> 12 text bytes per doc
            CAST(64 * sum(g) AS BIGINT) AS sum_g,
            CAST(64 * sum(b) AS BIGINT) AS sum_b
     FROM px GROUP BY id
-    """,
+    """
+
+
+@query(
+    "multimodal_jpeg_decode",
+    oracle=_JPEG_DECODE_ORACLE,
     doc="REAL baseline JPEG decode end-to-end, library-free: each "
         "doc's first 12 text bytes become the flat (Y, Cb, Cr) values "
         "of 2x2 8x8 tiles, Huffman-encoded as a real JFIF stream WITH "
@@ -407,9 +412,9 @@ def q_multimodal_jpeg420_decode(spark, sf_dir):
     )
 
 
-@query(
-    "multimodal_jpeg_coeffs",
-    oracle=f"""
+# shared by multimodal_jpeg_coeffs and its progressive twin (identical
+# logical coefficients; only the scan structure differs)
+_JPEG_COEFFS_ORACLE = f"""
     WITH eligible AS (
       SELECT doc_id AS id, text FROM documents
       WHERE octet_length(encode(text)) >= {_IMG_BYTES}),
@@ -435,7 +440,12 @@ def q_multimodal_jpeg420_decode(spark, sf_dir):
                 AS BIGINT) AS sum_ac,
            CAST({3 * M.JPEG_COEF_BLOCKS} AS BIGINT) AS n_nonzero_ac
     FROM acs GROUP BY id
-    """,
+    """
+
+
+@query(
+    "multimodal_jpeg_coeffs",
+    oracle=_JPEG_COEFFS_ORACLE,
     doc="JPEG ENTROPY-LAYER decode under a bit-exact oracle: grayscale "
         "payloads whose quantized coefficients derive from text bytes "
         "(multimodal.jpeg_coeff_payloads) — per block a DC plus ACs at "
@@ -455,6 +465,56 @@ def q_multimodal_jpeg_coeffs(spark, sf_dir):
     )
     return M.decode_jpeg_coeffs(
         M.jpeg_coeff_payloads(eligible, "doc_id", "text")
+    )
+
+
+@query(
+    "multimodal_jpeg_progressive",
+    oracle=_JPEG_COEFFS_ORACLE,
+    doc="PROGRESSIVE JPEG (SOF2, T.81 Annex G) entropy decode under "
+        "the same bit-exact oracle as multimodal_jpeg_coeffs: the "
+        "identical per-block coefficient content is serialized as a "
+        "multi-scan progressive stream — DC successive approximation "
+        "two bits deep, spectral selection into 1..7 / 8..63 bands, "
+        "an AC refinement scan on the low band, ZRL in the high band, "
+        "chained EOB runs — and the decoder (jpeg.decode_coeffs, "
+        "progressive path) must reassemble every scan into exactly "
+        "the coefficients the single-scan baseline carries. Real web "
+        "corpora are majority-progressive, making this the "
+        "highest-value media format after baseline "
+        "(multimodal.jpeg_progressive_payloads).",
+)
+def q_multimodal_jpeg_progressive(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = docs.filter(
+        F.expr(f"octet_length(encode(text, 'UTF-8')) >= {_IMG_BYTES}")
+    )
+    return M.decode_jpeg_coeffs(
+        M.jpeg_progressive_payloads(eligible, "doc_id", "text")
+    )
+
+
+@query(
+    "multimodal_jpeg_progressive_decode",
+    oracle=_JPEG_DECODE_ORACLE,
+    doc="PROGRESSIVE JPEG full-pixel decode: the flat-tile color "
+        "fixture of multimodal_jpeg_decode as an SOF2 stream (DC via "
+        "successive approximation, AC scans that are pure multi-block "
+        "EOB runs with extension bits), decoded through scan "
+        "reassembly -> dequant -> IDCT -> fixed-point YCbCr->RGB. "
+        "Flat tiles keep the pipeline bit-exact, so the SAME pixel-sum "
+        "oracle applies verbatim (multimodal."
+        "jpeg_progressive_pixel_payloads).",
+)
+def q_multimodal_jpeg_progressive_decode(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = docs.filter(
+        F.expr(f"octet_length(encode(text, 'UTF-8')) >= {_IMG_BYTES}")
+    )
+    return M.decode_image(
+        M.jpeg_progressive_pixel_payloads(
+            eligible, "doc_id", "text", JPEG_W, JPEG_H
+        )
     )
 
 

@@ -160,7 +160,8 @@ def test_malformed_payloads_drop():
     assert J.decode_coeffs(b"\xff\xd8\xff") is None
     assert J.decode_coeffs(good[:40]) is None
     assert J.decode_coeffs(good[: len(good) // 2]) is None  # no raise
-    # progressive SOF marker rejected (outside subset)
+    # SOF2 + a baseline-shaped SOS is malformed AS progressive (a
+    # progressive DC scan must have Se=0, this one says Se=63)
     prog = bytearray(good)
     sof = prog.find(b"\xff\xc0")
     prog[sof + 1] = 0xC2
@@ -278,3 +279,129 @@ def test_real_forward_dct_image_survives_with_low_error():
     err = np.abs(rgb[..., 0].astype(np.float64) - img)
     assert err.mean() < 3.0, err.mean()   # ordinary quantization loss
     assert err.max() < 30.0, err.max()    # no block-level blowups
+
+
+# ------------------------------------------------------- progressive
+
+
+def test_progressive_coeff_roundtrip_scripts():
+    """encode_progressive -> decode_coeffs is exact across scan
+    scripts: DC-only refinement, spectral bands, per-band successive
+    approximation (T.81 Annex G)."""
+    rng = np.random.default_rng(31)
+    for ncomp in (1, 3):
+        comps = []
+        for _ in range(ncomp):
+            c = np.zeros((2, 3, 64), dtype=np.int64)
+            c[..., 0] = rng.integers(-128, 128, (2, 3))
+            for _ in range(6):
+                k = int(rng.integers(1, 64))
+                c[..., k] = rng.integers(-40, 41, (2, 3))
+            comps.append(c)
+        q = np.array([(i % 7) + 1 for i in range(64)], dtype=np.int64)
+        for dc_al, bands in ((0, ((1, 63, 0),)),
+                             (2, ((1, 5, 1), (6, 63, 0))),
+                             (1, ((1, 10, 2), (11, 63, 1)))):
+            b = J.encode_progressive(comps, 24, 16, q, dc_al=dc_al,
+                                     ac_bands=bands)
+            out = J.decode_coeffs(b)
+            assert out is not None
+            w, h, dec, samps = out
+            assert (w, h) == (24, 16)
+            for ci in range(ncomp):
+                assert np.array_equal(dec[ci], comps[ci] * q)
+
+
+def test_progressive_420_roundtrip():
+    """Progressive + 4:2:0: interleaved DC scans over the subsampled
+    MCU layout, non-interleaved per-component AC scans."""
+    rng = np.random.default_rng(37)
+    sampling = [(2, 2), (1, 1), (1, 1)]
+    comps = []
+    for hs, vs in sampling:
+        c = np.zeros((2 * vs, 2 * hs, 64), dtype=np.int64)
+        c[..., 0] = rng.integers(-128, 128, c.shape[:2])
+        for _ in range(4):
+            k = int(rng.integers(1, 64))
+            c[..., k] = rng.integers(-30, 31, c.shape[:2])
+        comps.append(c)
+    q = np.array([(i % 5) + 1 for i in range(64)], dtype=np.int64)
+    b = J.encode_progressive(comps, 32, 32, q, sampling=sampling,
+                             dc_al=2, ac_bands=((1, 8, 1), (9, 63, 0)))
+    out = J.decode_coeffs(b)
+    assert out is not None
+    w, h, dec, samps = out
+    assert samps == sampling
+    for ci in range(3):
+        assert np.array_equal(dec[ci], comps[ci] * q)
+
+
+def test_progressive_eob_runs_and_refinement_zrl():
+    """The two entropy shapes unique to progressive: multi-block EOB
+    runs (EOBn with extension bits) and ZRL/correction-bit interplay
+    in AC refinement scans."""
+    q = np.full(64, 3, dtype=np.int64)
+    # 128 blocks, 3 sparse coefficients -> EOB runs spanning >64 blocks
+    c = np.zeros((8, 16, 64), dtype=np.int64)
+    c[0, 0, 0] = 50
+    c[3, 7, 17] = -9
+    c[7, 15, 63] = 21
+    b = J.encode_progressive([c], 128, 64, q, dc_al=1,
+                             ac_bands=((1, 63, 1),))
+    out = J.decode_coeffs(b)
+    assert out is not None and np.array_equal(out[2][0], c * q)
+    # refinement ZRL: a >16 zero-history gap between coefficients that
+    # only become significant at Al=0, crossing an Al=2 first scan
+    c2 = np.zeros((1, 2, 64), dtype=np.int64)
+    c2[0, 0, 1] = 1
+    c2[0, 0, 20] = 8
+    c2[0, 0, 40] = 1
+    c2[0, 1, 63] = -1
+    b = J.encode_progressive([c2], 16, 8, q, dc_al=0,
+                             ac_bands=((1, 63, 2),))
+    out = J.decode_coeffs(b)
+    assert out is not None and np.array_equal(out[2][0], c2 * q)
+
+
+def test_progressive_flat_pixels_match_baseline():
+    """The full pixel path (decode_pixels) on flat tiles is identical
+    whether the stream is baseline or progressive — the fixture
+    property the multimodal_jpeg_progressive_decode oracle uses."""
+    vals = [[120, 130, 140], [10, 200, 90], [255, 0, 128], [1, 2, 3]]
+    comps = []
+    for ci in range(3):
+        c = np.zeros((2, 2, 64), dtype=np.int64)
+        for t in range(4):
+            c[t // 2, t % 2, 0] = vals[t][ci] - 128
+        comps.append(c)
+    qt = [8] + [16] * 63
+    pp = J.decode_pixels(J.encode_progressive(comps, 16, 16, qt, dc_al=2))
+    pb = J.decode_pixels(J.encode_baseline(comps, 16, 16, qt))
+    assert pp is not None and pb is not None
+    assert np.array_equal(pp[2], pb[2])
+
+
+def test_progressive_malformed_payloads_drop():
+    c = np.zeros((1, 1, 64), dtype=np.int64)
+    c[0, 0, 0] = 7
+    c[0, 0, 3] = 2
+    good = J.encode_progressive([c], 8, 8, [4] * 64, dc_al=1)
+    assert J.decode_coeffs(good) is not None
+    # truncations never raise
+    for cut in (40, len(good) // 3, len(good) // 2):
+        J.decode_coeffs(good[:cut])
+    # corrupt a scan header's Ah/Al into an invalid refinement step
+    sos_positions = []
+    p = 0
+    while True:
+        p = good.find(b"\xff\xda", p)
+        if p < 0:
+            break
+        sos_positions.append(p)
+        p += 2
+    assert len(sos_positions) >= 3  # DC first + refine + AC first
+    bad = bytearray(good)
+    last_sos = sos_positions[-1]
+    ln = (bad[last_sos + 2] << 8) | bad[last_sos + 3]
+    bad[last_sos + 2 + ln - 1] = 0x53  # Ah=5, Al=3: not one-bit refine
+    assert J.decode_coeffs(bytes(bad)) is None

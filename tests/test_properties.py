@@ -341,3 +341,55 @@ def test_jpeg_entropy_roundtrip_property(data, ncomp, by, bx, restart):
     q = np.array(qtable, dtype=np.int64)
     for ci in range(ncomp):
         assert np.array_equal(dec[ci], comps[ci] * q)
+
+
+@given(
+    data=st.data(),
+    ncomp=st.sampled_from([1, 3]),
+    by=st.integers(1, 3),
+    bx=st.integers(1, 3),
+    dc_al=st.integers(0, 3),
+    bands=st.sampled_from([
+        ((1, 63, 0),),
+        ((1, 5, 1), (6, 63, 0)),
+        ((1, 10, 2), (11, 40, 1), (41, 63, 0)),
+    ]),
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_jpeg_progressive_roundtrip_property(data, ncomp, by, bx,
+                                             dc_al, bands):
+    """Any quantized coefficient layout must survive PROGRESSIVE
+    encode -> decode_coeffs exactly, for any scan script (DC
+    successive-approximation depth x spectral-selection band splits
+    with per-band successive approximation): every coefficient bit is
+    eventually delivered, so the full stream reconstructs coeff * q
+    bit-exactly — same contract as the baseline property above."""
+    import numpy as np
+
+    from distributed_computing_projects_spark.operators import jpeg as J
+
+    comps = []
+    for _ in range(ncomp):
+        c = np.zeros((by, bx, 64), dtype=np.int64)
+        for yb in range(by):
+            for xb in range(bx):
+                n_nonzero = data.draw(st.integers(0, 8))
+                ks = data.draw(st.lists(st.integers(0, 63),
+                                        min_size=n_nonzero,
+                                        max_size=n_nonzero, unique=True))
+                for k in ks:
+                    lo = -128 if k == 0 else -255
+                    hi = 127 if k == 0 else 255
+                    v = data.draw(st.integers(lo, hi))
+                    c[yb, xb, k] = v if (v or k == 0) else 1
+        comps.append(c)
+    qtable = [data.draw(st.integers(1, 32)) for _ in range(64)]
+    b = J.encode_progressive(comps, bx * 8, by * 8, qtable,
+                             dc_al=dc_al, ac_bands=bands)
+    out = J.decode_coeffs(b)
+    assert out is not None
+    w, h, dec, _samps = out
+    q = np.array(qtable, dtype=np.int64)
+    for ci in range(ncomp):
+        assert np.array_equal(dec[ci], comps[ci] * q)

@@ -12,13 +12,17 @@ join exists to find). The banded MinHash family is measured the same
 way per (band, key) group; no uniform model applies there (collisions
 are duplicate-driven by design), so the table records measured growth.
 
-The 100x block is pure arithmetic — no corpus is built: N_100 = 100x
-the 1x count, the auto-sizer's integer rule picks n_planes(N_100), and
-the model gives the candidate count and per-row probe work. That
-per-row number staying ~target_bucket_size/2 at every N IS the scale
-argument, and ``tests/test_autoplanes.py`` pins measured-vs-model
-within tolerance on uniform vectors so the formula is not free-
-floating prose.
+The extrapolation block is pure arithmetic — no corpus is built:
+N_f = f x the 1x count, the auto-sizer's integer rule picks
+n_planes(N_f), and the model gives the candidate count and per-row
+probe work. Since round 9 the 100x point is ALSO MEASURED (pass 100
+in the factor list; the sandbox holds the 500k-doc / 200k-vector
+corpus), so the model's 100x prediction sits next to a measured row
+in the same table — the last inferential step in the scale argument
+is closed and only 1000x remains extrapolated. That per-row number
+staying ~target_bucket_size/2 at every N IS the scale argument, and
+``tests/test_autoplanes.py`` pins measured-vs-model within tolerance
+on uniform vectors so the formula is not free-floating prose.
 
 Results land in SCALE.json under "candidates" and render into SCALE.md
 by the shared writer (tools/scale_stress.py keeps the section when it

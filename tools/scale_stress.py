@@ -350,10 +350,15 @@ def _candidates_md(cand: dict) -> list[str]:
         last = runs[-1]["joins"][name]
         lines.append(f"| {name} | " + " | ".join(cells)
                      + f" | {last['per_row']} |")
+    measured_100 = any(r["factor"] >= 100 for r in runs)
     lines += [
         "",
         "Extrapolation (pure arithmetic, auto-sizer's integer rule "
-        "picking n_planes — no corpus built):",
+        "picking n_planes — no corpus built"
+        + ("; the 100x row is ALSO measured above, closing the "
+           "measured-vs-model loop at that scale" if measured_100
+           else "")
+        + "):",
         "",
         "| factor | N vectors | auto n_planes | model candidates | "
         "per-row |",
