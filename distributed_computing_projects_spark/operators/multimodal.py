@@ -9,10 +9,11 @@ batch shape, schema, and partitioning are real and tested.
 ``decode_image`` REALLY decodes the formats a library-free container
 can (binary PPM / uncompressed 24-bit BMP with pure numpy; 8-bit
 truecolor PNG through stdlib zlib inflate + numpy unfiltering;
-baseline-sequential JPEG through the pure-numpy Huffman+IDCT codec in
-operators/jpeg.py) and drops the rest — codecs that genuinely need
-external libraries (MP3/AAC/video containers, progressive/subsampled
-JPEG) remain the documented integration point.
+baseline AND progressive JPEG — incl. 4:2:0/4:2:2 subsampling —
+through the pure-numpy Huffman+IDCT codec in operators/jpeg.py;
+GIF87a/89a through the pure-stdlib LZW codec in operators/gif.py) and
+drops the rest — codecs that genuinely need external libraries
+(MP3/AAC/video containers) remain the documented integration point.
 
 At scale the payloads dominate: keep them in their own parquet column
 (never in shuffle keys), size ``spark.sql.files.maxPartitionBytes`` to
@@ -366,7 +367,7 @@ def decode_image(payloads: DataFrame) -> DataFrame:
             for i, payload in zip(pdf["id"], pdf["payload"]):
                 b = bytes(payload)
                 decoded = _decode_ppm(b) or _decode_bmp(b) or _decode_png(b) \
-                    or _decode_jpeg(b)
+                    or _decode_jpeg(b) or _decode_gif(b)
                 if decoded is None:
                     continue
                 w, h, px = decoded
@@ -415,7 +416,7 @@ def resize_image(payloads: DataFrame, factor: int) -> DataFrame:
             for i, payload in zip(pdf["id"], pdf["payload"]):
                 b = bytes(payload)
                 decoded = _decode_ppm(b) or _decode_bmp(b) or _decode_png(b) \
-                    or _decode_jpeg(b)
+                    or _decode_jpeg(b) or _decode_gif(b)
                 if decoded is None:
                     continue
                 w, h, px = decoded
@@ -478,14 +479,31 @@ def png_payloads(
 
 
 def _decode_jpeg(b: bytes):
-    """Baseline JPEG -> (w, h, HxWx3 RGB) via the pure-numpy codec
-    (operators/jpeg.py): Huffman entropy decode, dequant, 8x8 IDCT,
-    16.16 fixed-point YCbCr->RGB. Supports grayscale and 1..2-factor
-    chroma sampling (4:4:4, 4:2:0, 4:2:2); returns None for malformed
-    or outside-subset payloads (malformed-record drop policy)."""
+    """Baseline or progressive JPEG -> (w, h, HxWx3 RGB) via the
+    pure-numpy codec (operators/jpeg.py): Huffman entropy decode
+    (multi-scan reassembly for SOF2), dequant, 8x8 IDCT, 16.16
+    fixed-point YCbCr->RGB. Supports grayscale and 1..2-factor chroma
+    sampling (4:4:4, 4:2:0, 4:2:2); returns None for malformed or
+    outside-subset payloads (malformed-record drop policy)."""
     from distributed_computing_projects_spark.operators import jpeg as J
 
     return J.decode_pixels(b)
+
+
+def _decode_gif(b: bytes):
+    """GIF87a/89a first frame -> (w, h, HxWx3 RGB) via the pure-stdlib
+    LZW codec (operators/gif.py): variable-width LZW, global/local
+    palettes, interlace, extension skip. Integer-exact end to end;
+    returns None for malformed payloads."""
+    import numpy as np
+
+    from distributed_computing_projects_spark.operators import gif as G
+
+    decoded = G.decode_gif(b)
+    if decoded is None:
+        return None
+    w, h, rows = decoded
+    return w, h, np.asarray(rows, dtype=np.int64)
 
 
 def jpeg_payloads(
@@ -738,6 +756,56 @@ def jpeg_progressive_pixel_payloads(
                 payloads.append(
                     J.encode_progressive(comps, w, h, qtable, dc_al=2)
                 )
+                ids.append(i)
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    cols = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    return cols.mapInPandas(_encode, schema="id bigint, payload binary")
+
+
+# GIF fixture constants, mirrored literally in the
+# multimodal_gif_decode oracle SQL (queries/ext_multimodal.py): a
+# 64-color palette whose channels are affine functions of the index
+GIF_W, GIF_H, GIF_NPAL = 6, 4, 64
+
+
+def _gif_palette() -> list:
+    return [((7 * i + 13) % 256, (11 * i + 101) % 256, (5 * i + 29) % 256)
+            for i in range(GIF_NPAL)]
+
+
+def gif_payloads(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, payload): a deterministic GIF89a per row — a
+    ``GIF_W x GIF_H`` indexed raster whose pixel t is palette entry
+    ``byte(t) % GIF_NPAL`` (text bytes), 64-color affine palette,
+    INTERLACED for even ids (same pixels, different row storage
+    order), plus a trailing 1x1 dummy frame and a graphic-control
+    extension so the first-frame/extension-skip paths are always
+    exercised. GIF is integer end-to-end (LZW + palette lookup — no
+    float stage anywhere), so the oracle recomputes full per-channel
+    pixel sums from character codes, with no flat-tile restriction."""
+    from distributed_computing_projects_spark.operators import gif as G
+
+    n_bytes = GIF_W * GIF_H
+    pal = _gif_palette()
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, text in zip(pdf["id"], pdf["text"]):
+                raw = text.encode("utf-8")[:n_bytes]
+                if len(raw) < n_bytes:
+                    continue
+                idx = [
+                    [raw[y * GIF_W + x] % GIF_NPAL for x in range(GIF_W)]
+                    for y in range(GIF_H)
+                ]
+                payloads.append(G.encode_gif(
+                    idx, GIF_W, GIF_H, pal,
+                    interlace=(int(i) % 2 == 0), animated_tail=1,
+                ))
                 ids.append(i)
             yield pd.DataFrame({"id": ids, "payload": payloads})
 

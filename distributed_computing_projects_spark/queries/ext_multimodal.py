@@ -518,6 +518,55 @@ def q_multimodal_jpeg_progressive_decode(spark, sf_dir):
     )
 
 
+@query(
+    "multimodal_gif_decode",
+    oracle=f"""
+    WITH eligible AS (
+      SELECT doc_id AS id, text FROM documents
+      WHERE octet_length(encode(text)) >= {M.GIF_W * M.GIF_H}),
+    t AS (
+      SELECT id,
+             ascii(substr(text, tt + 1, 1)) % {M.GIF_NPAL} AS ix
+      FROM eligible,
+           (SELECT unnest(generate_series(0, {M.GIF_W * M.GIF_H - 1}))
+            AS tt)),
+    px AS (
+      SELECT id,
+             (7 * ix + 13) % 256 AS r,
+             (11 * ix + 101) % 256 AS g,
+             (5 * ix + 29) % 256 AS b
+      FROM t)
+    SELECT id,
+           CAST({M.GIF_W} AS INTEGER) AS width,
+           CAST({M.GIF_H} AS INTEGER) AS height,
+           CAST({M.GIF_W * M.GIF_H} AS BIGINT) AS n_px,
+           CAST(sum(r) AS BIGINT) AS sum_r,
+           CAST(sum(g) AS BIGINT) AS sum_g,
+           CAST(sum(b) AS BIGINT) AS sum_b
+    FROM px GROUP BY id
+    """,
+    doc="REAL GIF (87a/89a) decode, library-free: each doc's first "
+        f"{M.GIF_W * M.GIF_H} text bytes index a 64-color affine "
+        "palette in a GIF89a stream — variable-width LZW "
+        "(operators/gif.py, decoder validated against real GIF files), "
+        "interlaced row order for even ids, a graphic-control "
+        "extension and a trailing dummy frame exercising the "
+        "skip/first-frame paths — decoded by decode_image's dispatch "
+        "next to PPM/BMP/PNG/JPEG. GIF has NO float stage (LZW + "
+        "palette lookup are exact), so unlike the JPEG flat-tile "
+        "fixtures the oracle checks full pixel sums of an arbitrary "
+        "raster from character codes (multimodal.gif_payloads).",
+)
+def q_multimodal_gif_decode(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = docs.filter(
+        F.expr(
+            f"octet_length(encode(text, 'UTF-8')) >= {M.GIF_W * M.GIF_H}"
+        )
+    )
+    return M.decode_image(M.gif_payloads(eligible, "doc_id", "text"))
+
+
 AUDIO_RATE = 8000
 
 
