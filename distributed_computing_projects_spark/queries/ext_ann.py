@@ -816,3 +816,64 @@ def q_ann_ivf_trained_recall(spark, sf_dir):
             F.lit(total).cast("bigint").alias("total"),
         )
     )
+
+
+# --------------------------------------------------------------- PQ
+
+
+from distributed_computing_projects_spark.operators import pq as PQ  # noqa: E402
+
+
+def _pq_oracle(where: str = "TRUE") -> str:
+    return f"""
+    WITH {PQ.oracle_ctes(ANN_QUERY_VEC, where=where)}
+    SELECT id, dist AS adc_dist FROM pqadc
+    ORDER BY dist, id LIMIT {ANN_K}
+    """
+
+
+@query(
+    "ann_pq_topk",
+    oracle=_pq_oracle(),
+    doc="Product-quantization ANN (Jégou et al. 2011): per-subspace "
+        f"codebooks ({PQ.M_SUB} subspaces x {PQ.K_SUB} sub-centroids) "
+        "trained with the same sample-bounded pinned-fold Lloyd "
+        "machinery as the IVF coarse trainer — all subspaces in one "
+        "job per round, a 64-row driver collect — then the whole "
+        "corpus ranked by the asymmetric distance: encode to sub-cell "
+        "codes and sum the query's baked distance table entries, ONE "
+        "narrow codegen expression (no join, no shuffle, no Python). "
+        "At 100 TB the codes are a 32x memory compression over raw "
+        "float32 vectors — the memory-bound ANN layout. The oracle "
+        "replays training, encoding, the distance table, and the "
+        "ADC fold in SQL, bit-for-bit (operators/pq.py).",
+)
+def q_ann_pq_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return PQ.pq_topk(spark, emb, ANN_QUERY_VEC, ANN_K,
+                      "vec_id", "embedding")
+
+
+def _ivfpq_where() -> str:
+    cells = S.ivf_cells([float(x) for x in ANN_QUERY_VEC],
+                        ANN_IVF_PROBES)
+    return (f"{S.ivf_cell_expr('embedding', 'duck')}"
+            f" IN ({', '.join(str(c) for c in cells)})")
+
+
+@query(
+    "ann_ivfpq_topk",
+    oracle=_pq_oracle(where=_ivfpq_where()),
+    doc="IVF-PQ — the standard composed billion-scale ANN layout: the "
+        "fixed IVF coarse quantizer prunes the corpus to the query's "
+        f"{ANN_IVF_PROBES} nearest cells (the same cell column the "
+        "IVF store partitions by, so at scale this is directory "
+        "pruning, not a scan), then PQ asymmetric distance ranks only "
+        "the survivors. Coarse index bounds the scan, codes bound the "
+        "memory. Oracle: the PQ replay with the coarse cell filter "
+        "applied to the encode stage.",
+)
+def q_ann_ivfpq_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return PQ.ivfpq_topk(spark, emb, ANN_QUERY_VEC, ANN_K,
+                         "vec_id", "embedding", probes=ANN_IVF_PROBES)
