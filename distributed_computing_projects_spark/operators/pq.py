@@ -383,3 +383,125 @@ def oracle_ctes(
         " ON l.m = e.m AND l.cell = e.cell GROUP BY e.id)",
     ]
     return ",\n    ".join(parts)
+
+
+# ------------------------------------------------- persisted store
+
+from distributed_computing_projects_spark.operators import storemeta  # noqa: E402
+
+STORE_KIND = "ivfpq"
+
+
+def _cents_to_json(
+    cents: dict[int, list[tuple[int, list[float]]]]
+) -> list:
+    return [[m, cell, cent] for m in sorted(cents)
+            for cell, cent in cents[m]]
+
+
+def _cents_from_json(rows: list) -> dict[int, list[tuple[int, list[float]]]]:
+    out: dict[int, list[tuple[int, list[float]]]] = {}
+    for m, cell, cent in rows:
+        out.setdefault(int(m), []).append((int(cell), list(cent)))
+    for m in out:
+        out[m].sort()
+    return out
+
+
+def write_ivfpq(
+    spark,
+    emb: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    centroids: dict[int, list[tuple[int, list[float]]]] | None = None,
+) -> None:
+    """THE 100 TB ANN layout, persisted: each vector stored as
+    ``(id, codes, cell)`` — its PQ code (~M small ints, a 32x
+    compression over the raw floats, which are NOT stored) —
+    hive-partitioned by the fixed coarse-quantizer cell. A probe
+    prunes to the query's cells (PartitionFilters) and ranks the
+    survivors' CODES against the baked distance table: no vector is
+    ever read at query time. The PQ codebooks ride in the ``_params``
+    sidecar (storemeta discipline: a probe or epoch append can never
+    use different codebooks than the ones that encoded the store)."""
+    if centroids is None:
+        centroids = train(spark, emb, id_col, vec_col)
+    keyed = emb.select(
+        F.col(id_col).alias("id"),
+        F.expr(encode_expr(vec_col, centroids, "spark")).alias("codes"),
+        F.expr(S.ivf_cell_expr(vec_col, "spark")).alias("cell"),
+    )
+    keyed.repartition("cell").write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(path)
+    storemeta.write_params(
+        path, STORE_KIND, {"pq_centroids": _cents_to_json(centroids)}
+    )
+
+
+def store_centroids(path: str) -> dict[int, list[tuple[int, list[float]]]]:
+    """The store's own codebooks, from its sidecar (required — an
+    IVF-PQ store without codebooks cannot be probed correctly)."""
+    meta = storemeta.read_params(path)
+    if meta is None or meta.get("kind") != STORE_KIND:
+        raise storemeta.StoreParamsError(
+            f"{path!r} has no {STORE_KIND!r} sidecar"
+        )
+    return _cents_from_json(meta["pq_centroids"])
+
+
+def append_ivfpq(emb: DataFrame, path: str, id_col: str,
+                 vec_col: str) -> None:
+    """Epochal ingest: encode a NEW batch with the store's OWN sidecar
+    codebooks and append it partitioned by cell — same at-least-once
+    contract as ``similarity.append_ivf``; :func:`compact_ivfpq_store`
+    is the counterpart."""
+    centroids = store_centroids(path)
+    keyed = emb.select(
+        F.col(id_col).alias("id"),
+        F.expr(encode_expr(vec_col, centroids, "spark")).alias("codes"),
+        F.expr(S.ivf_cell_expr(vec_col, "spark")).alias("cell"),
+    )
+    keyed.repartition("cell").write.partitionBy("cell").mode(
+        "append"
+    ).parquet(path)
+
+
+def compact_ivfpq_store(spark, path: str) -> tuple[int, int]:
+    """Distinct-on-``id`` rewrite with the shared atomic-swap
+    mechanics (``storemeta.compact_partitioned_store``)."""
+    return storemeta.compact_partitioned_store(
+        spark, path, STORE_KIND, "cell", ["id"]
+    )
+
+
+def ivfpq_topk_store(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int,
+    probes: int = 2,
+) -> DataFrame:
+    """Top-k ADC probe against a :func:`write_ivfpq` store: the
+    query's ``probes`` nearest coarse cells become a partition filter
+    (directory pruning), and the scan reads ONLY (id, codes) — the
+    32x-compressed representation; distance is the baked-LUT sum over
+    the stored codes, one codegen expression. Duplicate-safe under
+    at-least-once appends (byte-identical rows; distinct before the
+    top-k)."""
+    centroids = store_centroids(path)
+    cells = S.ivf_cells([float(x) for x in query_vec], probes)
+    lut = _dbl_array(adc_lut(query_vec, centroids), "spark")
+    dist = (
+        f"aggregate(transform(codes,"
+        f" (c, m) -> element_at({lut}, m * {K_SUB} + c + 1)),"
+        f" CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    pruned = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    return (
+        pruned.select("id", F.expr(dist).alias("adc_dist"))
+        .distinct()
+        .orderBy(F.asc("adc_dist"), F.asc("id"))
+        .limit(k)
+    )

@@ -877,3 +877,40 @@ def q_ann_ivfpq_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return PQ.ivfpq_topk(spark, emb, ANN_QUERY_VEC, ANN_K,
                          "vec_id", "embedding", probes=ANN_IVF_PROBES)
+
+
+@query(
+    "ann_ivfpq_store_topk",
+    oracle=_pq_oracle(where=_ivfpq_where()),
+    doc="IVF-PQ persisted — the at-scale layout end to end: the corpus "
+        "(vec_id % 10 != 0) is encoded to PQ codes and written "
+        "hive-partitioned by coarse cell with the codebooks in the "
+        "_params sidecar (raw vectors NOT stored — the codes are a "
+        "32x compression); an epoch (vec_id % 10 == 0) appends via "
+        "the store's OWN sidecar codebooks; the probe prunes to the "
+        f"query's {ANN_IVF_PROBES} cells (PartitionFilters) and ranks "
+        "the stored CODES against the baked distance table — no "
+        "vector is read at query time. Same oracle as ann_ivfpq_topk "
+        "(corpus + epoch = all embeddings, and the store probe must "
+        "equal the direct computation bit-for-bit).",
+)
+def q_ann_ivfpq_store_topk(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    epoch = emb.filter(F.col("vec_id") % 10 == 0)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"dcp_ivfpqstore_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    # codebooks train on the FULL corpus view so the oracle's replay
+    # (which trains on all embeddings) sees identical centroids
+    cents = PQ.train(spark, emb, "vec_id", "embedding")
+    PQ.write_ivfpq(spark, corpus, path, "vec_id", "embedding",
+                   centroids=cents)
+    PQ.append_ivfpq(epoch, path, "vec_id", "embedding")
+    return PQ.ivfpq_topk_store(spark, path, ANN_QUERY_VEC, ANN_K,
+                               probes=ANN_IVF_PROBES)

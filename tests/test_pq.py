@@ -111,3 +111,63 @@ def test_ivfpq_is_pq_restricted_to_probed_cells(spark, sf_dir):
         spark, emb, Q, K, "vec_id", "embedding", probes=2,
         centroids=cents).collect()]
     assert via_filter == direct
+
+
+def test_ivfpq_store_probe_matches_direct(spark, sf_dir, tmp_path):
+    """The persisted IVF-PQ store (codes only, no vectors) must probe
+    to exactly the direct computation's rows; an at-least-once retry
+    (epoch appended twice) must not change the result; compaction
+    reclaims the duplicates without changing probes."""
+    emb = _emb(spark, sf_dir)
+    cents = PQ.train(spark, emb, "vec_id", "embedding")
+    direct = [(r.id, r.adc_dist) for r in PQ.ivfpq_topk(
+        spark, emb, Q, K, "vec_id", "embedding", probes=2,
+        centroids=cents).collect()]
+
+    path = str(tmp_path / "ivfpq")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    epoch = emb.filter(F.col("vec_id") % 10 == 0)
+    PQ.write_ivfpq(spark, corpus, path, "vec_id", "embedding",
+                   centroids=cents)
+    PQ.append_ivfpq(epoch, path, "vec_id", "embedding")
+    PQ.append_ivfpq(epoch, path, "vec_id", "embedding")  # retry
+
+    got = [(r.id, r.adc_dist) for r in PQ.ivfpq_topk_store(
+        spark, path, Q, K, probes=2).collect()]
+    assert got == direct
+
+    before, after = PQ.compact_ivfpq_store(spark, path)
+    assert before > after == emb.count()
+    got2 = [(r.id, r.adc_dist) for r in PQ.ivfpq_topk_store(
+        spark, path, Q, K, probes=2).collect()]
+    assert got2 == direct
+
+
+def test_ivfpq_store_reads_codes_not_vectors(spark, sf_dir, tmp_path):
+    """The store probe's scan must be directory-pruned to the probed
+    cells (PartitionFilters) and must read ONLY (id, codes) — the
+    32x-compressed columns; no vector column exists in the store at
+    all, which IS the layout's point."""
+    from distributed_computing_projects_spark.plans.inspect import (
+        physical_plan,
+    )
+
+    emb = _emb(spark, sf_dir)
+    path = str(tmp_path / "ivfpq")
+    PQ.write_ivfpq(spark, emb, path, "vec_id", "embedding")
+    probe = PQ.ivfpq_topk_store(spark, path, Q, K, probes=2)
+    plan = physical_plan(probe)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("cell IN" in ln or "cell#" in ln for ln in pf), plan
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert rs and "codes" in rs[0], plan
+    assert "embedding" not in rs[0] and '"v"' not in rs[0], plan
+
+
+def test_ivfpq_store_sidecar_roundtrip(spark, sf_dir, tmp_path):
+    emb = _emb(spark, sf_dir)
+    cents = PQ.train(spark, emb, "vec_id", "embedding")
+    path = str(tmp_path / "ivfpq")
+    PQ.write_ivfpq(spark, emb, path, "vec_id", "embedding",
+                   centroids=cents)
+    assert PQ.store_centroids(path) == cents
