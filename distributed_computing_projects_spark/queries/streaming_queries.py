@@ -643,3 +643,94 @@ def q_streaming_ann_ingest(spark, sf_dir):
     return _SIM.ivf_topk_partitioned(
         spark, store, _ANN_Q, _ANN_K, probes=ANN_IVF_PROBES
     )
+
+
+from distributed_computing_projects_spark.operators import pq as _PQ  # noqa: E402
+from distributed_computing_projects_spark.queries.ext_ann import (  # noqa: E402
+    _ivfpq_where,
+    _pq_oracle,
+)
+
+
+@query(
+    "streaming_ivfpq_ingest",
+    # identical contract to ann_ivfpq_store_topk: the stream only
+    # delivers the epochs; the codes-only store probe must equal the
+    # whole-corpus IVF-PQ computation
+    oracle=_pq_oracle(where=_ivfpq_where()),
+    doc="CONTINUOUS-INGEST IVF-PQ: new vectors stream into the "
+        "codes-only compressed store in two micro-batch epochs — each "
+        "foreachBatch encodes the batch with the store's OWN sidecar "
+        "codebooks (pq.append_ivfpq) and appends it partitioned by "
+        "coarse cell — and the final directory-pruned, codes-only "
+        "probe must return exactly the whole-corpus answer (same "
+        "bit-exact oracle as ann_ivfpq_store_topk). The at-scale "
+        "ingest loop for the memory-bound ANN layout: embeddings are "
+        "computed once, 32x-compressed on arrival, and the index "
+        "never rewrites; retries double-append at most (probe "
+        "distincts; compact_ivfpq_store reclaims). Codebooks train on "
+        "the full corpus view so the oracle's replay sees identical "
+        "centroids.",
+)
+def q_streaming_ivfpq_ingest(spark, sf_dir):
+    import glob
+    import shutil
+    import tempfile
+
+    from distributed_computing_projects_spark.sources.registry import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") % INCR_VEC_MOD != 0)
+    fresh = emb.filter(F.col("vec_id") % INCR_VEC_MOD == 0)
+    epoch_dfs = [
+        fresh.filter((F.col("vec_id") / INCR_VEC_MOD % 2).cast("int") == i)
+        for i in range(2)
+    ]
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"dcp_stream_ivfpq_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    store = os.path.join(work, "ivfpq")
+    landing = os.path.join(work, "landing")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(landing)
+    cents = _PQ.train(spark, emb, "vec_id", "embedding")
+    _PQ.write_ivfpq(spark, corpus, store, "vec_id", "embedding",
+                    centroids=cents)
+
+    now = 1_700_000_000  # fixed epoch-seconds base; only ORDER matters
+    for i, epoch_df in enumerate(epoch_dfs):
+        stage = os.path.join(work, f"stage{i}")
+        epoch_df.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dest = os.path.join(landing, f"batch-{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema(epoch_dfs[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+
+    def ingest_batch(batch_df, batch_id):
+        _PQ.append_ivfpq(batch_df, store, "vec_id", "embedding")
+
+    q = (
+        stream.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("IVF-PQ ingest stream did not drain in 180 s")
+    return _PQ.ivfpq_topk_store(
+        spark, store, _ANN_Q, _ANN_K, probes=ANN_IVF_PROBES
+    )
