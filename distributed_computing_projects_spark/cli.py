@@ -140,6 +140,37 @@ def build_parser() -> argparse.ArgumentParser:
                     help="after probing, append the batch's bands to "
                          "the store (epochal ingest)")
 
+    pw = sub.add_parser(
+        "ivfpq-write",
+        help="train PQ codebooks and materialize a codes-only IVF-PQ "
+             "store (hive-partitioned by coarse cell, codebooks in "
+             "the _params sidecar; raw vectors not stored)",
+    )
+    pw.add_argument("corpus_path", help="parquet with (vec_id, embedding)")
+    pw.add_argument("store_path")
+
+    pp = sub.add_parser(
+        "ivfpq-probe",
+        help="ADC top-k probe of an IVF-PQ store: directory-pruned to "
+             "the query's coarse cells, reading only the stored codes",
+    )
+    pp.add_argument("store_path")
+    pp.add_argument("query_vec",
+                    help="comma-separated floats (the query embedding)")
+    pp.add_argument("--k", type=int, default=10)
+    pp.add_argument("--probes", type=int, default=2)
+    pp.add_argument("--append",
+                    help="parquet of (vec_id, embedding) to append as "
+                         "an epoch after probing (encoded with the "
+                         "store's own sidecar codebooks)")
+
+    pc = sub.add_parser(
+        "ivfpq-compact",
+        help="rewrite an IVF-PQ store distinct-on-id with an atomic "
+             "swap — reclaims at-least-once append growth",
+    )
+    pc.add_argument("store_path")
+
     return p
 
 
@@ -278,6 +309,34 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             if args.append:
                 bandstore.append_bands(batch, args.store_path,
                                        "doc_id", "text")
+        elif args.cmd == "ivfpq-write":
+            from distributed_computing_projects_spark.operators import (
+                pq,
+            )
+
+            corpus = spark.read.parquet(args.corpus_path)
+            pq.write_ivfpq(spark, corpus, args.store_path,
+                           "vec_id", "embedding")
+        elif args.cmd == "ivfpq-probe":
+            from distributed_computing_projects_spark.operators import (
+                pq,
+            )
+
+            qvec = [float(x) for x in args.query_vec.split(",")]
+            _emit(pq.ivfpq_topk_store(
+                spark, args.store_path, qvec, args.k,
+                probes=args.probes,
+            ))
+            if args.append:
+                pq.append_ivfpq(spark.read.parquet(args.append),
+                                args.store_path, "vec_id", "embedding")
+        elif args.cmd == "ivfpq-compact":
+            from distributed_computing_projects_spark.operators import (
+                pq,
+            )
+
+            before, after = pq.compact_ivfpq_store(spark, args.store_path)
+            print(f"{before}\t{after}")
         return 0
     finally:
         if own_session:

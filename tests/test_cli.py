@@ -209,3 +209,22 @@ def test_store_recover_subcommand(spark, tmp_path, capsys):
     capsys.readouterr()
     assert main(["store-recover", store], spark=spark) == 0
     assert capsys.readouterr().out.strip() == "noop"
+
+
+def test_ivfpq_subcommands(spark, tmp_path, capsys):
+    corpus_p = str(tmp_path / "emb")
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding").write.parquet(corpus_p)
+    store = str(tmp_path / "store")
+    assert main(["ivfpq-write", corpus_p, store], spark=spark) == 0
+    q = ",".join(["0.1"] * 64)
+    capsys.readouterr()
+    assert main(["ivfpq-probe", store, q, "--k", "5",
+                 "--append", corpus_p], spark=spark) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 5  # k rows of (id, adc_dist)
+    # the append doubled every row; compact reclaims it
+    capsys.readouterr()
+    assert main(["ivfpq-compact", store], spark=spark) == 0
+    before, after = map(int, capsys.readouterr().out.strip().split("\t"))
+    assert before == 2 * after > 0
