@@ -20,6 +20,7 @@ from distributed_computing_projects_spark.operators import multimodal as M
 from distributed_computing_projects_spark.operators import sampling as SP
 from distributed_computing_projects_spark.operators import similarity as S
 from distributed_computing_projects_spark.operators import textstats as X
+from distributed_computing_projects_spark.operators import video as V
 from distributed_computing_projects_spark.queries import query
 from distributed_computing_projects_spark.sources.registry import load_table
 from distributed_computing_projects_spark.queries.ext_fragments import (
@@ -694,3 +695,115 @@ def q_multimodal_audio_features(spark, sf_dir):
         )
     )
     return M.audio_features(payloads)
+
+
+# --- video: MJPEG-in-AVI demux + per-frame JPEG decode -------------
+
+# shared fixed-point YCbCr->RGB fragment (16.16 integer arithmetic,
+# jpeg.py determinism contract) over per-frame flat-tile bytes
+_VID_PX = """
+      SELECT id, f,
+             LEAST(255, GREATEST(0, CAST(floor(
+               (65536*y + 91881*(cr - 128) + 32768) / 65536.0)
+               AS BIGINT))) AS r,
+             LEAST(255, GREATEST(0, CAST(floor(
+               (65536*y - 22554*(cb - 128) - 46802*(cr - 128) + 32768)
+               / 65536.0) AS BIGINT))) AS g,
+             LEAST(255, GREATEST(0, CAST(floor(
+               (65536*y + 116130*(cb - 128) + 32768) / 65536.0)
+               AS BIGINT))) AS b
+      FROM fr"""
+
+
+@query(
+    "multimodal_video_decode",
+    oracle=f"""
+    WITH eligible AS (
+      SELECT doc_id AS id, text FROM documents
+      WHERE octet_length(encode(text)) >= {V.VID_BYTES}),
+    fr AS (
+      SELECT id, f,
+             ascii(substr(text, 3*f + 1, 1)) AS y,
+             ascii(substr(text, 3*f + 2, 1)) AS cb,
+             ascii(substr(text, 3*f + 3, 1)) AS cr
+      FROM eligible,
+           (SELECT unnest(generate_series(0, {V.VID_FRAMES - 1})) AS f)),
+    px AS ({_VID_PX})
+    SELECT id,
+           CAST({V.VID_FRAMES} AS BIGINT) AS n_frames,
+           CAST({V.VID_W} AS INTEGER) AS width,
+           CAST({V.VID_H} AS INTEGER) AS height,
+           CAST(64 * sum(r) AS BIGINT) AS sum_r,
+           CAST(64 * sum(g) AS BIGINT) AS sum_g,
+           CAST(64 * sum(b) AS BIGINT) AS sum_b
+    FROM px GROUP BY id
+    """,
+    doc="REAL video decode end-to-end: an 8-frame Motion-JPEG AVI is "
+        "built in-plan per doc (video.avi_payloads: RIFF container "
+        "with hdrl/movi/idx1, each frame a flat 8x8 baseline JPEG "
+        "whose Y/Cb/Cr are text bytes 3f..3f+2), then the pure-stdlib "
+        "demuxer walks the chunk tree and the pure-numpy JPEG codec "
+        "decodes every frame inside one Arrow mapInPandas "
+        "(video.decode_video), aggregated JVM-side to per-doc frame "
+        "count + pixel sums. Flat tiles keep the whole pipeline "
+        "bit-exact, so the oracle recomputes each frame's 16.16 "
+        "fixed-point RGB from character codes. The eligibility filter "
+        "runs JVM-side BEFORE any Python stage.",
+)
+def q_multimodal_video_decode(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = docs.filter(
+        F.expr(f"octet_length(encode(text, 'UTF-8')) >= {V.VID_BYTES}")
+    )
+    frames = V.decode_video(V.avi_payloads(eligible, "doc_id", "text"))
+    return frames.groupBy("id").agg(
+        F.count("*").alias("n_frames"),
+        F.max("width").alias("width"),
+        F.max("height").alias("height"),
+        F.sum("sum_r").alias("sum_r"),
+        F.sum("sum_g").alias("sum_g"),
+        F.sum("sum_b").alias("sum_b"),
+    )
+
+
+@query(
+    "multimodal_video_frame_sample",
+    oracle=f"""
+    WITH eligible AS (
+      SELECT doc_id AS id, text FROM documents
+      WHERE octet_length(encode(text)) >= {V.VID_BYTES}),
+    fr AS (
+      SELECT id, f,
+             ascii(substr(text, 3*f + 1, 1)) AS y,
+             ascii(substr(text, 3*f + 2, 1)) AS cb,
+             ascii(substr(text, 3*f + 3, 1)) AS cr
+      FROM eligible,
+           (SELECT unnest(generate_series(0, {V.VID_FRAMES - 1},
+                                          {V.VID_EVERY})) AS f)),
+    px AS ({_VID_PX})
+    SELECT id,
+           CAST(f AS INTEGER) AS frame_idx,
+           CAST({V.VID_W} AS INTEGER) AS width,
+           CAST({V.VID_H} AS INTEGER) AS height,
+           CAST(64 * r AS BIGINT) AS sum_r,
+           CAST(64 * g AS BIGINT) AS sum_g,
+           CAST(64 * b AS BIGINT) AS sum_b
+    FROM px
+    """,
+    doc="Frame SAMPLING between demux and decode — the 100 TB shape "
+        "for video ingest: the RIFF chunk walk locates every frame, "
+        "but only every 3rd frame (0, 3, 6) pays JPEG entropy+IDCT "
+        "cost (video.decode_video every_k=3). At 30 fps corpora "
+        "sampled to 1 fps that skips ~97% of the decode work, "
+        "executor-side within one Arrow batch. Output is per-SAMPLED-"
+        "frame rows; the oracle generates the same stepped frame "
+        "index set from character codes.",
+)
+def q_multimodal_video_frame_sample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = docs.filter(
+        F.expr(f"octet_length(encode(text, 'UTF-8')) >= {V.VID_BYTES}")
+    )
+    return V.decode_video(
+        V.avi_payloads(eligible, "doc_id", "text"), every_k=V.VID_EVERY
+    )
