@@ -941,6 +941,56 @@ def _decode_wav(b: bytes):
     return rate, channels, samples
 
 
+FLAC_SAMPLES = 32  # per-doc fixture length (two 16-sample frames)
+
+
+def flac_payloads(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, payload): a deterministic native-FLAC stream per row —
+    ``FLAC_SAMPLES`` mono 16-bit samples that are the doc's first text
+    bytes, encoded as two FIXED-order-1 Rice-coded frames
+    (operators/flac.py:encode_flac). FLAC is lossless, so decode
+    returns the bytes exactly and a SQL oracle recomputes sample
+    aggregates from character codes. Callers pre-filter to rows with
+    enough text bytes (JVM-side, before this Python stage)."""
+    from distributed_computing_projects_spark.operators import flac as FL
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, text in zip(pdf["id"], pdf["text"]):
+                raw = text.encode("utf-8")[:FLAC_SAMPLES]
+                if len(raw) < FLAC_SAMPLES:
+                    continue
+                payloads.append(FL.encode_flac(list(raw), order=1))
+                ids.append(i)
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    cols = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    return cols.mapInPandas(_encode, schema="id bigint, payload binary")
+
+
+def _decode_flac(b: bytes):
+    """Native FLAC (lossless) via the pure-stdlib codec in
+    operators/flac.py: returns (sample_rate, channels, channel-
+    interleaved int32 sample array) matching :func:`_decode_wav`'s
+    contract, or None for non-FLAC/torn input."""
+    import numpy as np
+
+    from distributed_computing_projects_spark.operators import flac as FL
+
+    decoded = FL.decode_flac(b)
+    if decoded is None:
+        return None
+    rate, channels, chans = decoded
+    if not chans or not chans[0]:
+        return None
+    n = min(len(c) for c in chans)
+    stacked = np.array([c[:n] for c in chans], dtype=np.int64)
+    return rate, channels, stacked.T.reshape(-1)
+
+
 AUDIO_FEATURES_SCHEMA = (
     "id bigint, n_samples bigint, n_zero_crossings bigint,"
     " sum_abs_amplitude bigint, peak_amplitude int"
@@ -948,7 +998,7 @@ AUDIO_FEATURES_SCHEMA = (
 
 
 def audio_features(payloads: DataFrame) -> DataFrame:
-    """Audio feature extraction over decoded WAV payloads: sample
+    """Audio feature extraction over decoded WAV/FLAC payloads: sample
     count, ZERO-CROSSING count (adjacent samples with strictly
     opposite signs — the classic cheap voicing/noisiness feature),
     absolute-amplitude sum, and peak. All integers, so the feature
@@ -964,7 +1014,8 @@ def audio_features(payloads: DataFrame) -> DataFrame:
             out = {k: [] for k in ("id", "n_samples", "n_zero_crossings",
                                    "sum_abs_amplitude", "peak_amplitude")}
             for i, payload in zip(pdf["id"], pdf["payload"]):
-                decoded = _decode_wav(bytes(payload))
+                raw = bytes(payload)
+                decoded = _decode_wav(raw) or _decode_flac(raw)
                 if decoded is None:
                     continue
                 _rate, _channels, samples = decoded
@@ -985,13 +1036,14 @@ def audio_features(payloads: DataFrame) -> DataFrame:
 
 def decode_audio(payloads: DataFrame) -> DataFrame:
     """REAL audio decode for the format a library-free container can
-    decode: uncompressed 16-bit PCM WAV, parsed with numpy inside the
-    same Arrow ``mapInPandas`` contract as :func:`decode_image`.
-    Emits integer aggregates (sample count, amplitude sum, peak |amp|)
-    so the decode is differentially checkable; undecodable payloads
-    (other codecs, truncated, non-PCM) DROP. MP3/AAC/Opus need
-    external codecs — the documented integration point (images now
-    cover PPM/BMP/PNG/baseline-JPEG library-free)."""
+    decode: uncompressed 16-bit PCM WAV and native FLAC (lossless —
+    pure-stdlib Rice/predictor codec, operators/flac.py), parsed
+    inside the same Arrow ``mapInPandas`` contract as
+    :func:`decode_image`. Emits integer aggregates (sample count,
+    amplitude sum, peak |amp|) so the decode is differentially
+    checkable; undecodable payloads (other codecs, truncated,
+    non-PCM) DROP. Lossy audio (MP3/AAC/Opus) needs external codecs —
+    the documented integration point."""
     import numpy as np
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1000,7 +1052,8 @@ def decode_audio(payloads: DataFrame) -> DataFrame:
                                    "n_samples", "sum_amplitude",
                                    "peak_amplitude")}
             for i, payload in zip(pdf["id"], pdf["payload"]):
-                decoded = _decode_wav(bytes(payload))
+                raw = bytes(payload)
+                decoded = _decode_wav(raw) or _decode_flac(raw)
                 if decoded is None:
                     continue
                 rate, channels, samples = decoded

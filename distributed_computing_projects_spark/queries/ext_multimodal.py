@@ -1,4 +1,4 @@
-"""Multimodal query family: payload metadata, Arrow feature extraction, frame sampling, REAL decode (PPM/BMP/PNG images, 16-bit PCM WAV audio) and integer box resize, each with character-code oracles. Split from extensions.py (round 7); shared fragments in ext_fragments."""
+"""Multimodal query family: payload metadata, Arrow feature extraction, frame sampling, REAL decode (PPM/BMP/PNG/JPEG/GIF images, MJPEG-AVI video, 16-bit PCM WAV + lossless FLAC audio) and integer box resize, each with character-code oracles. Split from extensions.py (round 7); shared fragments in ext_fragments."""
 
 from __future__ import annotations
 
@@ -807,3 +807,45 @@ def q_multimodal_video_frame_sample(spark, sf_dir):
     return V.decode_video(
         V.avi_payloads(eligible, "doc_id", "text"), every_k=V.VID_EVERY
     )
+
+
+@query(
+    "multimodal_flac_decode",
+    oracle=f"""
+    WITH eligible AS (
+      SELECT doc_id AS id, text FROM documents
+      WHERE octet_length(encode(text)) >= {M.FLAC_SAMPLES}),
+    s AS (
+      SELECT id, ascii(substr(text, i, 1)) AS v
+      FROM eligible,
+           (SELECT unnest(generate_series(1, {M.FLAC_SAMPLES})) AS i))
+    SELECT id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS channels,
+           CAST({M.FLAC_SAMPLES} AS BIGINT) AS n_samples,
+           CAST(sum(v) AS BIGINT) AS sum_amplitude,
+           CAST(max(v) AS INTEGER) AS peak_amplitude
+    FROM s GROUP BY id
+    """,
+    doc="COMPRESSED audio decode end-to-end: a native FLAC stream is "
+        "built in-plan per doc (multimodal.flac_payloads: the doc's "
+        "first 32 text bytes as mono 16-bit samples, two FIXED-order-1 "
+        "Rice-coded frames), then the pure-stdlib FLAC codec "
+        "(operators/flac.py — Rice/unary entropy decode, fixed+LPC "
+        "predictors, CRC-8/16 verification, channel decorrelation) "
+        "decodes it inside the Arrow mapInPandas. FLAC is LOSSLESS, "
+        "so unlike lossy codecs the decode is bit-exact by "
+        "construction and the oracle recomputes the sample aggregates "
+        "directly from character codes — the honest differential "
+        "surface for compressed audio. Same output contract as "
+        "multimodal_audio_decode (decode_audio dispatches WAV, then "
+        "FLAC).",
+)
+def q_multimodal_flac_decode(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = docs.filter(
+        F.expr(
+            f"octet_length(encode(text, 'UTF-8')) >= {M.FLAC_SAMPLES}"
+        )
+    )
+    return M.decode_audio(M.flac_payloads(eligible, "doc_id", "text"))
