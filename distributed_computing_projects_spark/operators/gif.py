@@ -7,12 +7,14 @@ can check full pixel sums, not just flat-tile fixtures.
 
 Scope: GIF87a and GIF89a, global or local color table, interlaced or
 sequential row order, extension blocks (graphic control, comment,
-application) skipped via their sub-block chains, first image frame
-decoded (animation frames beyond the first are ignored — the decode
-contract is one RGB raster per payload, like the other image formats).
-Malformed payloads (bad magic, truncated sub-blocks, LZW code stream
-desync, missing color table) return ``None`` — the engine's
-malformed-record drop policy (sources/csv.py).
+application) skipped via their sub-block chains. ``decode_gif``
+returns the first frame (the decode_image contract: one RGB raster
+per payload); ``decode_gif_frames`` returns EVERY frame of an
+animated GIF — each frame's own raster, disposal composition not
+modeled. Malformed payloads (bad magic, truncated sub-blocks, LZW
+code stream desync, missing color table) return ``None``; a stream
+torn past complete frames keeps those frames (frame-granular
+malformed-record drop policy, sources/csv.py).
 
 LZW details (GIF89a spec Appendix F + the de-facto decoder behavior of
 giflib): variable-width codes starting at ``min_code_size + 1`` bits,
@@ -128,15 +130,21 @@ def _deinterlace(rows: list, h: int) -> list:
     return out
 
 
-def decode_gif(b: bytes):
-    """Decode the first frame of a GIF to ``(w, h, rows)`` where
-    ``rows`` is a list of ``h`` lists of ``(r, g, b)`` tuples (the
-    frame composed onto the logical screen is NOT modeled: the first
-    frame's own raster is returned, which for the single-image GIFs
-    real document corpora embed IS the image). ``None`` on malformed
-    input."""
+def decode_gif_frames(b: bytes, max_frames: int | None = None):
+    """Decode up to ``max_frames`` image frames of a GIF (all of them
+    when ``None``) to a list of ``(w, h, rows)`` tuples, ``rows``
+    being ``h`` lists of ``(r, g, b)`` tuples. Each frame's OWN raster
+    is returned — disposal-method composition onto the logical screen
+    is not modeled, which for the full-size frames animation fixtures
+    and real single-image GIFs carry IS the composed result. Returns
+    ``None`` for non-GIF/structurally-malformed input with no
+    decodable first frame; a stream torn PAST complete frames returns
+    the frames decoded so far (GIF's LZW has no resync marker, so a
+    torn frame ends the walk — frame-granular malformed-record
+    policy, like flac.py's CRC drop)."""
     if len(b) < 13 or b[:4] != b"GIF8" or b[4:6] not in (b"7a", b"9a"):
         return None
+    frames: list = []
     try:
         _sw, _sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
         pos = 13
@@ -150,50 +158,61 @@ def decode_gif(b: bytes):
         while pos < len(b):
             block = b[pos]
             pos += 1
-            if block == 0x3B:  # trailer before any image
-                return None
+            if block == 0x3B:  # trailer
+                break
             if block == 0x21:  # extension: label + sub-block chain
                 if pos >= len(b):
-                    return None
+                    raise ValueError("torn extension")
                 pos += 1
                 sb = _sub_blocks(b, pos)
                 if sb is None:
-                    return None
+                    raise ValueError("torn extension chain")
                 pos = sb[1]
                 continue
             if block != 0x2C:  # image descriptor is all that remains
-                return None
+                raise ValueError("unknown block")
             _left, _top, w, h, iflags = struct.unpack_from("<HHHHB", b, pos)
             pos += 9
             ct = gct
             if iflags & 0x80:
                 n = 2 << (iflags & 0x07)
                 if pos + 3 * n > len(b):
-                    return None
+                    raise ValueError("torn local color table")
                 ct = [tuple(b[pos + 3 * i: pos + 3 * i + 3])
                       for i in range(n)]
                 pos += 3 * n
             if ct is None or w == 0 or h == 0:
-                return None
+                raise ValueError("no color table or empty frame")
             if pos >= len(b):
-                return None
+                raise ValueError("torn before LZW")
             mcs = b[pos]
             pos += 1
             sb = _sub_blocks(b, pos)
             if sb is None:
-                return None
+                raise ValueError("torn sub-blocks")
             data, pos = sb
             idx = _lzw_decode(data, mcs, w * h)
             if idx is None or max(idx) >= len(ct):
-                return None
+                raise ValueError("LZW desync")
             rows = [[ct[idx[y * w + x]] for x in range(w)]
                     for y in range(h)]
             if iflags & 0x40:
                 rows = _deinterlace(rows, h)
-            return w, h, rows
-        return None
+            frames.append((w, h, rows))
+            if max_frames is not None and len(frames) >= max_frames:
+                return frames
+        return frames if frames else None
     except (struct.error, IndexError, ValueError):
-        return None
+        return frames if frames else None
+
+
+def decode_gif(b: bytes):
+    """Decode the first frame of a GIF to ``(w, h, rows)`` (the
+    contract decode_image's per-payload dispatch needs: one RGB
+    raster, like the other image formats). ``None`` on malformed
+    input. Thin wrapper over :func:`decode_gif_frames`."""
+    frames = decode_gif_frames(b, max_frames=1)
+    return frames[0] if frames else None
 
 
 # ------------------------------------------------------------- encoder
@@ -287,27 +306,65 @@ def encode_gif(indices, w: int, h: int, palette,
     # graphic control extension (89a): exercised skip path
     out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
 
-    def frame(fw, fh, rows, ilace):
-        out.extend(struct.pack("<BHHHHB", 0x2C, 0, 0, fw, fh,
-                               0x40 if ilace else 0x00))
-        order = []
-        if ilace:
-            for start, step in _INTERLACE_PASSES:
-                order.extend(range(start, fh, step))
-        else:
-            order = list(range(fh))
-        seq = bytes(v for y in order for v in rows[y * fw:(y + 1) * fw])
-        mcs = max(2, size_bits)
-        out.append(mcs)
-        data = _lzw_encode(seq, mcs)
-        for i in range(0, len(data), 255):
-            chunk = data[i: i + 255]
-            out.append(len(chunk))
-            out.extend(chunk)
-        out.append(0)
-
-    frame(w, h, flat, interlace)
+    _emit_frame(out, w, h, flat, interlace, size_bits)
     for _ in range(animated_tail):
-        frame(1, 1, [0], False)
+        _emit_frame(out, 1, 1, [0], False, size_bits)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def _emit_frame(out: bytearray, fw: int, fh: int, flat, ilace: bool,
+                size_bits: int) -> None:
+    out.extend(struct.pack("<BHHHHB", 0x2C, 0, 0, fw, fh,
+                           0x40 if ilace else 0x00))
+    order = []
+    if ilace:
+        for start, step in _INTERLACE_PASSES:
+            order.extend(range(start, fh, step))
+    else:
+        order = list(range(fh))
+    seq = bytes(v for y in order for v in flat[y * fw:(y + 1) * fw])
+    mcs = max(2, size_bits)
+    out.append(mcs)
+    data = _lzw_encode(seq, mcs)
+    for i in range(0, len(data), 255):
+        chunk = data[i: i + 255]
+        out.append(len(chunk))
+        out.extend(chunk)
+    out.append(0)
+
+
+def encode_gif_anim(frames, w: int, h: int, palette,
+                    delay_cs: int = 10) -> bytes:
+    """Serialize an ANIMATED GIF89a: a NETSCAPE2.0 looping application
+    extension, then per frame a graphic-control extension (``delay_cs``
+    hundredths of a second) followed by a full-size image descriptor.
+    ``frames`` is a list of flat ``w*h`` palette-index sequences.
+    Full-size frames make each frame its own composed raster, so
+    :func:`decode_gif_frames`'s no-disposal-composition contract is
+    exact for these streams."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    n = max(2, len(palette))
+    size_bits = max(1, (n - 1).bit_length())
+    n_pad = 1 << size_bits
+    if n_pad > 256:
+        raise ValueError("palette too large")
+    pal = list(palette) + [(0, 0, 0)] * (n_pad - len(palette))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (size_bits - 1), 0, 0)
+    for r, g, bl in pal:
+        out += bytes((r, g, bl))
+    # NETSCAPE2.0 loop-forever application extension
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for flat in frames:
+        flat = [int(v) for v in flat]
+        if len(flat) != w * h:
+            raise ValueError("frame shape != w*h")
+        if any(not (0 <= v < len(palette)) for v in flat):
+            raise ValueError("index out of palette range")
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) \
+            + b"\x00\x00"
+        _emit_frame(out, w, h, flat, False, size_bits)
     out.append(0x3B)
     return bytes(out)

@@ -815,6 +815,87 @@ def gif_payloads(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return cols.mapInPandas(_encode, schema="id bigint, payload binary")
 
 
+GIF_ANIM_FRAMES = 3
+
+
+def gif_anim_payloads(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, payload): a deterministic ANIMATED GIF89a per row —
+    ``GIF_ANIM_FRAMES`` full-size ``GIF_W x GIF_H`` frames where frame
+    f's pixel t indexes the 64-color affine palette with text byte
+    ``f*W*H + t`` (gif.encode_gif_anim: NETSCAPE loop extension +
+    per-frame graphic-control extensions). Callers pre-filter to rows
+    with >= ``GIF_ANIM_FRAMES * GIF_W * GIF_H`` text bytes."""
+    from distributed_computing_projects_spark.operators import gif as G
+
+    n_px = GIF_W * GIF_H
+    n_bytes = GIF_ANIM_FRAMES * n_px
+    pal = _gif_palette()
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, text in zip(pdf["id"], pdf["text"]):
+                raw = text.encode("utf-8")[:n_bytes]
+                if len(raw) < n_bytes:
+                    continue
+                frames = [
+                    [raw[f * n_px + t] % GIF_NPAL for t in range(n_px)]
+                    for f in range(GIF_ANIM_FRAMES)
+                ]
+                payloads.append(
+                    G.encode_gif_anim(frames, GIF_W, GIF_H, pal))
+                ids.append(i)
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    cols = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    return cols.mapInPandas(_encode, schema="id bigint, payload binary")
+
+
+GIF_FRAMES_SCHEMA = (
+    "id bigint, frame_idx int, width int, height int,"
+    " sum_r bigint, sum_g bigint, sum_b bigint"
+)
+
+
+def gif_frames(payloads: DataFrame) -> DataFrame:
+    """Animated-GIF frame extraction: every frame of each payload
+    decoded library-free (gif.decode_gif_frames) inside one Arrow
+    ``mapInPandas``; a row per frame with per-channel pixel sums —
+    the video-family contract (operators/video.py:FRAME_SCHEMA) for
+    the animation format documents actually embed. Non-GIF payloads
+    drop the row; a stream torn past complete frames keeps those
+    frames."""
+    import numpy as np
+
+    from distributed_computing_projects_spark.operators import gif as G
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("id", "frame_idx", "width", "height",
+                                   "sum_r", "sum_g", "sum_b")}
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                frames = G.decode_gif_frames(bytes(payload))
+                if frames is None:
+                    continue
+                for idx, (w, h, rows) in enumerate(frames):
+                    px = np.array(rows, dtype=np.int64).reshape(-1, 3)
+                    sums = px.sum(axis=0)
+                    out["id"].append(i)
+                    out["frame_idx"].append(idx)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["sum_r"].append(int(sums[0]))
+                    out["sum_g"].append(int(sums[1]))
+                    out["sum_b"].append(int(sums[2]))
+            yield pd.DataFrame(out)
+
+    return payloads.select("id", "payload").mapInPandas(
+        _decode, schema=GIF_FRAMES_SCHEMA
+    )
+
+
 JPEG_COEFFS_SCHEMA = (
     "id bigint, width int, height int, n_blocks bigint,"
     " sum_dc bigint, sum_ac bigint, n_nonzero_ac bigint"

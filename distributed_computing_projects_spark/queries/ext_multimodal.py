@@ -849,3 +849,56 @@ def q_multimodal_flac_decode(spark, sf_dir):
         )
     )
     return M.decode_audio(M.flac_payloads(eligible, "doc_id", "text"))
+
+
+@query(
+    "multimodal_gif_frames",
+    oracle=f"""
+    WITH eligible AS (
+      SELECT doc_id AS id, text FROM documents
+      WHERE octet_length(encode(text))
+            >= {M.GIF_ANIM_FRAMES * M.GIF_W * M.GIF_H}),
+    t AS (
+      SELECT id, f,
+             ascii(substr(text, f * {M.GIF_W * M.GIF_H} + tt + 1, 1))
+               % {M.GIF_NPAL} AS ix
+      FROM eligible,
+           (SELECT unnest(generate_series(0, {M.GIF_ANIM_FRAMES - 1}))
+            AS f),
+           (SELECT unnest(generate_series(0, {M.GIF_W * M.GIF_H - 1}))
+            AS tt)),
+    px AS (
+      SELECT id, f,
+             (7 * ix + 13) % 256 AS r,
+             (11 * ix + 101) % 256 AS g,
+             (5 * ix + 29) % 256 AS b
+      FROM t)
+    SELECT id,
+           CAST(f AS INTEGER) AS frame_idx,
+           CAST({M.GIF_W} AS INTEGER) AS width,
+           CAST({M.GIF_H} AS INTEGER) AS height,
+           CAST(sum(r) AS BIGINT) AS sum_r,
+           CAST(sum(g) AS BIGINT) AS sum_g,
+           CAST(sum(b) AS BIGINT) AS sum_b
+    FROM px GROUP BY id, f
+    """,
+    doc="ANIMATED GIF frame extraction: a 3-frame GIF89a per doc "
+        "(multimodal.gif_anim_payloads — NETSCAPE loop extension, "
+        "per-frame graphic-control extensions, frame f's pixels from "
+        "text bytes f*24..), every frame decoded library-free by the "
+        "variable-width LZW codec (gif.decode_gif_frames) into "
+        "per-frame rows with per-channel pixel sums — the video-"
+        "family output contract for the animation format documents "
+        "embed. GIF is integer end-to-end, so the oracle recomputes "
+        "full per-frame pixel sums from character codes with a "
+        "two-axis generate_series (frame x pixel).",
+)
+def q_multimodal_gif_frames(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = docs.filter(
+        F.expr(
+            "octet_length(encode(text, 'UTF-8')) >= "
+            f"{M.GIF_ANIM_FRAMES * M.GIF_W * M.GIF_H}"
+        )
+    )
+    return M.gif_frames(M.gif_anim_payloads(eligible, "doc_id", "text"))

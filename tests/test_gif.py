@@ -132,3 +132,74 @@ def test_decode_image_dispatch_includes_gif(spark):
     assert (r.sum_r, r.sum_g, r.sum_b) == tuple(
         sum(c[i] for c in flat) for i in range(3)
     )
+
+
+# ---------------------------------------------------- animated frames
+
+
+def test_anim_roundtrip_all_frames():
+    from distributed_computing_projects_spark.operators.gif import (
+        decode_gif, decode_gif_frames, encode_gif_anim)
+
+    pal = [(i, 2 * i, 3 * i) for i in range(16)]
+    frames = [[(f * 7 + t) % 16 for t in range(12)] for f in range(4)]
+    b = encode_gif_anim(frames, 4, 3, pal)
+    out = decode_gif_frames(b)
+    assert len(out) == 4
+    for f, (w, h, rows) in enumerate(out):
+        assert (w, h) == (4, 3)
+        flat = [pal[(f * 7 + t) % 16] for t in range(12)]
+        assert [px for row in rows for px in row] == flat
+    # first-frame contract unchanged through the wrapper
+    assert decode_gif(b) == out[0]
+
+
+def test_anim_torn_tail_keeps_complete_frames():
+    from distributed_computing_projects_spark.operators.gif import (
+        decode_gif_frames, encode_gif_anim)
+
+    pal = [(i, i, i) for i in range(4)]
+    frames = [[f % 4] * 6 for f in range(3)]
+    b = encode_gif_anim(frames, 3, 2, pal)
+    torn = b[:len(b) - 8]  # tear inside the last frame
+    out = decode_gif_frames(torn)
+    assert out is not None and 1 <= len(out) <= 2
+    assert decode_gif_frames(b"GIF89a") is None
+    assert decode_gif_frames(b"\x89PNG") is None
+
+
+def test_anim_max_frames_stops_early():
+    from distributed_computing_projects_spark.operators.gif import (
+        decode_gif_frames, encode_gif_anim)
+
+    pal = [(i, i, i) for i in range(4)]
+    frames = [[f % 4] * 4 for f in range(5)]
+    b = encode_gif_anim(frames, 2, 2, pal)
+    assert len(decode_gif_frames(b, max_frames=2)) == 2
+
+
+def test_spark_gif_frames_rows(spark):
+    import pandas as pd
+
+    from distributed_computing_projects_spark.operators import (
+        multimodal as M,
+    )
+    from distributed_computing_projects_spark.operators.gif import (
+        encode_gif_anim,
+    )
+
+    pal = M._gif_palette()
+    n_px = M.GIF_W * M.GIF_H
+    frames = [[(f + t) % M.GIF_NPAL for t in range(n_px)]
+              for f in range(M.GIF_ANIM_FRAMES)]
+    good = encode_gif_anim(frames, M.GIF_W, M.GIF_H, pal)
+    payloads = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2], "payload": [good, b"not a gif"]}))
+    rows = sorted(M.gif_frames(payloads).collect(),
+                  key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in rows] == [0, 1, 2]
+    for f, r in enumerate(rows):
+        exp = [pal[(f + t) % M.GIF_NPAL] for t in range(n_px)]
+        assert r.sum_r == sum(p[0] for p in exp)
+        assert r.sum_g == sum(p[1] for p in exp)
+        assert r.sum_b == sum(p[2] for p in exp)
