@@ -58,6 +58,7 @@ def load_registry() -> dict[str, QuerySpec]:
         relational,
         ext_dedup,
         ext_ann,
+        ext_bpe,
         ext_text,
         ext_multimodal,
         ext_pipeline,

@@ -340,6 +340,7 @@ _JPEG_DECODE_ORACLE = f"""
 @query(
     "multimodal_jpeg_decode",
     oracle=_JPEG_DECODE_ORACLE,
+    headline=True,
     doc="REAL baseline JPEG decode end-to-end, library-free: each "
         "doc's first 12 text bytes become the flat (Y, Cb, Cr) values "
         "of 2x2 8x8 tiles, Huffman-encoded as a real JFIF stream WITH "
@@ -768,6 +769,7 @@ def q_multimodal_video_decode(spark, sf_dir):
 
 @query(
     "multimodal_video_frame_sample",
+    headline=True,
     oracle=f"""
     WITH eligible AS (
       SELECT doc_id AS id, text FROM documents
