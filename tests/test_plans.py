@@ -405,3 +405,49 @@ def test_jpeg_decode_filters_jvm_side_before_python(spark, sf_dir,
     first_py = plan.index("MapInPandas")
     assert first_py < filt  # tree prints top-down: Python sits above
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_video_and_gif_frames_filter_jvm_side_before_python(
+        spark, sf_dir, registry):
+    """Same scale contract for the video/animated-GIF families: the
+    byte-length eligibility filter runs JVM-side BEFORE the Arrow
+    encode/decode stages, the scan reads just (doc_id, text), and the
+    per-frame queries are shuffle-free (the frame fan-out happens
+    inside the Python stage, not via an exchange)."""
+    for name in ("multimodal_video_frame_sample", "multimodal_gif_frames"):
+        df = registry[name].fn(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "Exchange" not in plan, (name, plan)
+        assert "octet_length" in plan, (name, plan)
+        filt = plan.index("Filter")
+        first_py = plan.index("MapInPandas")
+        assert first_py < filt, (name, plan)
+        assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, (
+            name, plan)
+
+
+def test_bpe_round_is_partial_agg_over_vocab(spark, sf_dir):
+    """BPE training's per-round shape: the pair count is a two-phase
+    hash aggregate (map-side partial combine before the shuffle — the
+    100 TB-safe aggregation) over the vocab-sized word table, and the
+    argmax is TakeOrdered, not a global sort."""
+    from distributed_computing_projects_spark.operators import bpe as B
+    from distributed_computing_projects_spark.sources.registry import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = B.word_table(docs, "text").select(
+        F.expr("filter(split(w, ''), x -> x != '')").alias("syms"),
+        "cnt")
+    pairs = (
+        words.select("cnt", F.explode(F.expr(B._PAIRS_EXPR)).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("cnt").alias("c"))
+        .orderBy(F.desc("c"), "l", "r").limit(1)
+    )
+    plan = physical_plan(pairs)
+    assert plan.count("HashAggregate") >= 4, plan  # 2 aggs x 2 phases
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "ReadSchema: struct<text:string>" in plan, plan
