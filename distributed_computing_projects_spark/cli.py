@@ -171,6 +171,29 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pc.add_argument("store_path")
 
+    bt = sub.add_parser(
+        "bpe-train",
+        help="train BPE merges over a corpus (one scan builds the "
+             "word table, then vocab-sized rounds); prints the merge "
+             "trace (rank, left, right, pair_count)",
+    )
+    bt.add_argument("corpus_path", help="parquet with a text column")
+    bt.add_argument("--text-col", default="text")
+    bt.add_argument("--n-merges", type=int, default=16)
+    bt.add_argument("--out", help="also save the merge table as "
+                                  "parquet at this path")
+
+    be = sub.add_parser(
+        "bpe-encode",
+        help="apply a trained merge table to a corpus; prints per-doc "
+             "(id, n_words, n_tokens)",
+    )
+    be.add_argument("corpus_path", help="parquet with (id, text) columns")
+    be.add_argument("merges_path", help="parquet merge table from "
+                                        "bpe-train --out")
+    be.add_argument("--id-col", default="doc_id")
+    be.add_argument("--text-col", default="text")
+
     return p
 
 
@@ -337,6 +360,26 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
 
             before, after = pq.compact_ivfpq_store(spark, args.store_path)
             print(f"{before}\t{after}")
+        elif args.cmd == "bpe-train":
+            from distributed_computing_projects_spark.operators import bpe
+
+            corpus = spark.read.parquet(args.corpus_path)
+            merges = bpe.train_bpe(spark, corpus, args.text_col,
+                                   args.n_merges).orderBy("rank")
+            if args.out:
+                merges.write.mode("error").parquet(args.out)
+            _emit(merges)
+        elif args.cmd == "bpe-encode":
+            from distributed_computing_projects_spark.operators import bpe
+
+            corpus = spark.read.parquet(args.corpus_path)
+            table = [
+                (r["left"], r["right"])
+                for r in spark.read.parquet(args.merges_path)
+                .orderBy("rank").collect()
+            ]
+            _emit(bpe.encode_tokens(corpus, args.id_col, args.text_col,
+                                    table).orderBy("id"))
         return 0
     finally:
         if own_session:

@@ -228,3 +228,30 @@ def test_ivfpq_subcommands(spark, tmp_path, capsys):
     assert main(["ivfpq-compact", store], spark=spark) == 0
     before, after = map(int, capsys.readouterr().out.strip().split("\t"))
     assert before == 2 * after > 0
+
+
+def test_bpe_subcommands(spark, tmp_path, capsys):
+    import pandas as pd
+
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["the theme there the", "other brother the"],
+    })).write.parquet(corpus)
+
+    merges = str(tmp_path / "merges")
+    rc = main(["bpe-train", corpus, "--n-merges", "3",
+               "--out", merges], spark=spark)
+    assert rc == 0
+    lines = [ln.split("\t") for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 3
+    assert [ln[0] for ln in lines] == ["0", "1", "2"]
+    assert lines[0][1:3] == ["h", "e"]  # 'he' is the top pair
+
+    rc = main(["bpe-encode", corpus, merges], spark=spark)
+    assert rc == 0
+    enc = [ln.split("\t") for ln in
+           capsys.readouterr().out.strip().splitlines()]
+    assert [ln[0] for ln in enc] == ["1", "2"]
+    assert all(int(ln[2]) >= int(ln[1]) for ln in enc)
