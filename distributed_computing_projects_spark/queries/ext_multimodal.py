@@ -20,6 +20,7 @@ from distributed_computing_projects_spark.operators import multimodal as M
 from distributed_computing_projects_spark.operators import sampling as SP
 from distributed_computing_projects_spark.operators import similarity as S
 from distributed_computing_projects_spark.operators import textstats as X
+from distributed_computing_projects_spark.operators import mp3meta as MP
 from distributed_computing_projects_spark.operators import video as V
 from distributed_computing_projects_spark.queries import query
 from distributed_computing_projects_spark.sources.registry import load_table
@@ -904,3 +905,50 @@ def q_multimodal_gif_frames(spark, sf_dir):
         )
     )
     return M.gif_frames(M.gif_anim_payloads(eligible, "doc_id", "text"))
+
+
+@query(
+    "multimodal_mp3_stream_stats",
+    oracle=f"""
+    WITH eligible AS (
+      SELECT doc_id AS id, text FROM documents
+      WHERE octet_length(encode(text)) >= {MP.MP3_META_BYTES}),
+    hdr AS (
+      SELECT id,
+             ascii(substr(text, 1, 1)) % 14 AS bi,
+             1 + ascii(substr(text, 2, 1)) % 7 AS n,
+             ascii(substr(text, 3, 1)) % 3 AS si
+      FROM eligible),
+    geo AS (
+      SELECT id, n,
+             [32,40,48,56,64,80,96,112,128,160,192,224,256,320][bi + 1]
+               AS br,
+             [44100,48000,32000][si + 1] AS sr
+      FROM hdr)
+    SELECT id,
+           CAST(n AS INTEGER) AS n_frames,
+           CAST(br AS INTEGER) AS bitrate_kbps,
+           CAST(sr AS INTEGER) AS sample_rate,
+           CAST((n * 1152 * 1000) // sr AS BIGINT) AS duration_ms
+    FROM geo
+    """,
+    doc="MP3 stream METADATA scan — the integer-exact slice of lossy "
+        "audio (frame-header walk per ISO/IEC 11172-3 §2.4.1: sync, "
+        "bitrate/sample-rate tables, padding, ID3v2 syncsafe skip, "
+        "ID3v1 trailer stop), which is what audio ingest triages on "
+        "(duration/bitrate filters, corrupt drops, CBR/VBR routing) "
+        "BEFORE paying decode cost; the decode proper has float "
+        "IMDCT/synthesis stages and stays the documented external-"
+        "codec point. Fixture streams are MPEG-1 Layer III CBR with "
+        "header fields from text bytes (operators/mp3meta.py), so the "
+        "oracle recomputes frame count, bitrate, sample rate and "
+        "integer duration from character codes via the same tables.",
+)
+def q_multimodal_mp3_stream_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = docs.filter(
+        F.expr(
+            f"octet_length(encode(text, 'UTF-8')) >= {MP.MP3_META_BYTES}"
+        )
+    )
+    return MP.mp3_stream_stats(MP.mp3_payloads(eligible, "doc_id", "text"))
