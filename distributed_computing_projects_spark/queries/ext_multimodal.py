@@ -23,6 +23,7 @@ from distributed_computing_projects_spark.operators import textstats as X
 from distributed_computing_projects_spark.operators import mp3meta as MP
 from distributed_computing_projects_spark.operators import video as V
 from distributed_computing_projects_spark.queries import query
+from distributed_computing_projects_spark.sources import warc as W
 from distributed_computing_projects_spark.sources.registry import load_table
 from distributed_computing_projects_spark.queries.ext_fragments import (
     _BAND_SELECTS,
@@ -952,3 +953,44 @@ def q_multimodal_mp3_stream_stats(spark, sf_dir):
         )
     )
     return MP.mp3_stream_stats(MP.mp3_payloads(eligible, "doc_id", "text"))
+
+
+@query(
+    "warc_extract_responses",
+    oracle=f"""
+    WITH body AS (
+      SELECT doc_id AS id,
+             'https://' || source || '.example.com/doc/' || doc_id
+               AS url,
+             octet_length(encode(text)) AS n_body_bytes,
+             substr(text, 1, {W.WARC_PREFIX}) AS prefix
+      FROM documents),
+    pre AS (
+      SELECT id, url, n_body_bytes,
+             sum(CASE WHEN i <= length(prefix)
+                      THEN ascii(substr(prefix, i, 1)) ELSE 0 END)
+               AS psum
+      FROM body,
+           (SELECT unnest(generate_series(1, {W.WARC_PREFIX})) AS i)
+      GROUP BY id, url, n_body_bytes)
+    SELECT id, url,
+           CAST(200 AS INTEGER) AS status,
+           CAST(n_body_bytes AS BIGINT) AS n_body_bytes,
+           CAST(psum AS BIGINT) AS prefix_sum
+    FROM pre
+    """,
+    doc="WARC source extraction — the container web training corpora "
+        "arrive in (Common Crawl ships WARC): per doc a two-record "
+        "WARC/1.0 file (warcinfo + HTTP response, sources/warc.py) is "
+        "built in-plan, then the record walker parses version lines / "
+        "header blocks / Content-Length-delimited blocks, skips "
+        "non-response records, strips the HTTP envelope, and emits "
+        "(url, status, body length, bounded-prefix byte sum) — the "
+        "fields crawl ingest filters and dedups on. Record-granular "
+        "malformed drops; the oracle rebuilds URL and body facts from "
+        "the source columns and character codes.",
+)
+def q_warc_extract_responses(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return W.extract_responses(
+        W.warc_payloads(docs, "doc_id", "text", "source"))

@@ -1,0 +1,75 @@
+"""WARC source: record walk, header parse, HTTP envelope strip,
+warcinfo/request skip, torn-record policy, and the Spark extraction
+contract (sources/warc.py)."""
+
+from __future__ import annotations
+
+from distributed_computing_projects_spark.sources import warc as W
+
+
+def _two_record_file(body=b"hello world", url="https://a.example.com/1"):
+    info = W.build_record(
+        "warcinfo", {"Content-Type": "application/warc-fields"},
+        b"software: fixture\r\n")
+    return info + W.build_response_record(url, body)
+
+
+def test_parse_and_extract_roundtrip():
+    b = _two_record_file()
+    records = W.parse_records(b)
+    assert [h["warc-type"] for h, _ in records] == ["warcinfo", "response"]
+    status, body = W.split_http_response(records[1][1])
+    assert (status, body) == (200, b"hello world")
+    assert records[1][0]["warc-target-uri"] == "https://a.example.com/1"
+
+
+def test_multiple_responses_and_request_skip():
+    req = W.build_record(
+        "request",
+        {"Content-Type": "application/http; msgtype=request"},
+        b"GET / HTTP/1.1\r\n\r\n")
+    b = _two_record_file() + req + W.build_response_record(
+        "https://b.example.com/2", b"x" * 5, status=404)
+    records = W.parse_records(b)
+    responses = [(h, blk) for h, blk in records
+                 if h["warc-type"] == "response"]
+    assert len(responses) == 2
+    assert W.split_http_response(responses[1][1])[0] == 404
+
+
+def test_malformed_and_torn():
+    assert W.parse_records(b"") is None
+    assert W.parse_records(b"GIF89a") is None
+    b = _two_record_file()
+    torn = b[:len(b) - 10]  # tears the response block
+    kept = W.parse_records(torn)
+    assert [h["warc-type"] for h, _ in kept] == ["warcinfo"]
+    # binary body with high bytes survives Content-Length delimiting
+    raw = bytes(range(256))
+    rec = W.parse_records(W.build_response_record("u", raw))
+    assert W.split_http_response(rec[0][1])[1] == raw
+
+
+def test_spark_extract_responses(spark):
+    import pandas as pd
+
+    good = _two_record_file(body=b"abcd" * 20)
+    payloads = spark.createDataFrame(pd.DataFrame({
+        "id": [1, 2], "payload": [good, b"not a warc"]}))
+    rows = W.extract_responses(payloads).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.url == "https://a.example.com/1"
+    assert (r.status, r.n_body_bytes) == (200, 80)
+    assert r.prefix_sum == sum(b"abcd" * 8)  # first 32 bytes
+
+
+def test_spark_warc_payloads_urls(spark):
+    import pandas as pd
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [7], "text": ["short"], "source": ["src3"]}))
+    out = W.warc_payloads(docs, "doc_id", "text", "source").collect()
+    records = W.parse_records(bytes(out[0].payload))
+    resp = [h for h, _ in records if h["warc-type"] == "response"][0]
+    assert resp["warc-target-uri"] == "https://src3.example.com/doc/7"
