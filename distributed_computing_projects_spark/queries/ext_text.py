@@ -561,3 +561,99 @@ def q_vocab_coverage(spark, sf_dir):
         .crossJoin(F.broadcast(total))
         .select("rank", "token", "cnt", "cum_cnt", "total_cnt")
     )
+
+
+# --- URL canonicalization + dedup (crawl-ingest stage) -------------
+
+# the messy-URL synthesis shared (conceptually) by both sides: docs
+# 2k/2k+1 reach the same page through case-variant scheme/host, a
+# tracking-parameter + reordered-query variant (doc_id % 4), and a
+# sometimes-present fragment (doc_id % 3)
+_URL_ORACLE_SYNTH = """
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://H' ELSE 'https://h'
+               END)
+             || CAST((doc_id // 2) % 50 AS VARCHAR)
+             || (CASE WHEN doc_id % 2 = 0 THEN '.EXAMPLE.COM' ELSE
+                 '.example.com' END)
+             || '/d/' || CAST(doc_id // 2 AS VARCHAR)
+             || (CASE doc_id % 4
+                 WHEN 0 THEN '?utm_source=x&b=2&a=1'
+                 WHEN 1 THEN '?a=1&b=2'
+                 WHEN 2 THEN '?b=2&a=1&fbclid=zz'
+                 ELSE '?b=2&utm_campaign=c&a=1' END)
+             || (CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END)
+               AS u
+      FROM documents
+"""
+
+
+@query(
+    "url_dedup_groups",
+    oracle=f"""
+    WITH raw AS ({_URL_ORACLE_SYNTH}),
+    canon AS (
+      SELECT doc_id,
+             lower(regexp_extract(regexp_replace(u, '#.*', ''),
+                                  '^([^:]+://[^/?#]+)', 1))
+             || regexp_replace(
+                  regexp_replace(regexp_replace(u, '#.*', ''),
+                                 '^[^:]+://[^/?#]+', ''),
+                  '\\?.*', '')
+             || (CASE WHEN len(kept) > 0
+                 THEN '?' || array_to_string(kept, '&') ELSE '' END)
+               AS url
+      FROM (
+        SELECT doc_id, u,
+               list_sort(list_filter(
+                 string_split(
+                   CASE WHEN contains(regexp_replace(u, '#.*', ''), '?')
+                        THEN regexp_replace(
+                          regexp_replace(u, '#.*', ''), '^[^?]*\\?', '')
+                        ELSE '' END, '&'),
+                 p -> NOT regexp_matches(p, '^(utm_[a-z]+|fbclid|gclid)=')
+                      AND p <> '')) AS kept
+        FROM raw) t)
+    SELECT url,
+           CAST(count(*) AS BIGINT) AS n_dupes,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM canon GROUP BY url
+    """,
+    doc="URL-level dedup — the cheapest stage of crawl ingest, run "
+        "BEFORE content dedup: canonicalize (strip fragment, "
+        "lowercase scheme+host but not path, drop utm_*/fbclid/gclid "
+        "tracking params, sort surviving query params — "
+        "functions/url.py, pure codegen expressions, no UDF) then one "
+        "group-by. Fixture URLs give each page two case/tracking/"
+        "reorder/fragment variants; the oracle re-implements the same "
+        "five canonicalization rules independently in DuckDB "
+        "(regexp + list filter/sort), making this a two-engine "
+        "differential of the normalization itself.",
+)
+def q_url_dedup_groups(spark, sf_dir):
+    from distributed_computing_projects_spark.functions.url import (
+        canonical_url,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = F.expr("doc_id DIV 2")  # integer division: exact at any id
+    messy = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://H"))
+        .otherwise(F.lit("https://h")),
+        (base % 50).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(".EXAMPLE.COM"))
+        .otherwise(F.lit(".example.com")),
+        F.lit("/d/"), base.cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_source=x&b=2&a=1"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("?a=1&b=2"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("?b=2&a=1&fbclid=zz"))
+        .otherwise(F.lit("?b=2&utm_campaign=c&a=1")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("#frag"))
+        .otherwise(F.lit("")),
+    )
+    return (
+        docs.select("doc_id", canonical_url(messy).alias("url"))
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("n_dupes"),
+             F.min("doc_id").alias("keeper_doc_id"))
+    )

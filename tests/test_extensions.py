@@ -806,3 +806,30 @@ def test_decode_audio_pcm_wav_closed_form(spark):
     assert (a.sample_rate, a.channels, a.n_samples) == (8000, 1, 6)
     assert a.sum_amplitude == sum(samples)
     assert a.peak_amplitude == 32768
+
+
+def test_canonical_url_rules(spark):
+    """functions/url.py: each canonicalization rule in isolation and
+    combined — fragment strip, scheme/host lowering (path untouched),
+    tracking-param drop, query sort, ?-drop when nothing survives."""
+    import pandas as pd
+
+    from distributed_computing_projects_spark.functions.url import (
+        canonical_url,
+    )
+    from pyspark.sql import functions as F
+
+    cases = {
+        "HTTPS://Ex.COM/Path?b=2&a=1#frag": "https://ex.com/Path?a=1&b=2",
+        "https://ex.com/p?utm_source=x&utm_campaign=c&fbclid=1&gclid=2":
+            "https://ex.com/p",
+        "https://ex.com/p?a=1&utm_medium=m&b=2": "https://ex.com/p?a=1&b=2",
+        "http://A.B.C/d": "http://a.b.c/d",
+        "https://ex.com/CaseSensitive/Path": "https://ex.com/CaseSensitive/Path",
+        "https://ex.com/p#only-frag": "https://ex.com/p",
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"u": list(cases)}))
+    got = {r["u"]: r["c"] for r in
+           df.select("u", canonical_url(F.col("u")).alias("c")).collect()}
+    assert got == cases
