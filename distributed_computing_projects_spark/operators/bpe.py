@@ -69,8 +69,15 @@ def word_table(docs: DataFrame, text_col: str,
 def _merge_fold(left: str, right: str) -> str:
     """SQL expression applying one merge rule to a symbol array:
     a leftmost-greedy fold (if the accumulated tail is ``left`` and
-    the next symbol is ``right``, fuse them). Symbols are built from
-    ``[a-z]`` only, so splicing them into the expression is safe."""
+    the next symbol is ``right``, fuse them). Training only ever
+    produces ``[a-z]`` symbols, but encode_tokens also accepts
+    user-supplied merge tables (the bpe-encode CLI), so the splice
+    into the expression is validated, not assumed."""
+    import re
+
+    if not re.fullmatch("[a-z]+", left + right):
+        raise ValueError("merge symbols must be [a-z]+ "
+                         f"(got {left!r}, {right!r})")
     fused = left + right
     return f"""
     aggregate(syms, cast(array() as array<string>),

@@ -110,8 +110,13 @@ def demux_avi(b: bytes):
         w = h = None
         frames: list = []
 
-        def walk(pos: int, stop: int, in_movi: bool) -> None:
+        def walk(pos: int, stop: int, in_movi: bool,
+                 depth: int = 0) -> None:
             nonlocal w, h
+            if depth > 16:
+                # real AVIs nest 2-3 deep; a deeper tree is a
+                # malformed payload, not a stack to recurse down
+                raise ValueError("list nesting too deep")
             while pos + 8 <= stop:
                 fourcc = b[pos:pos + 4]
                 size = _U32.unpack_from(b, pos + 4)[0]
@@ -120,7 +125,7 @@ def demux_avi(b: bytes):
                     raise ValueError("chunk overruns container")
                 if fourcc == b"LIST":
                     ltype = b[body0:body0 + 4]
-                    walk(body0 + 4, body1, ltype == b"movi")
+                    walk(body0 + 4, body1, ltype == b"movi", depth + 1)
                 elif fourcc == b"avih":
                     if size < 40:
                         raise ValueError("short avih")

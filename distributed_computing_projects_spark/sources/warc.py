@@ -89,6 +89,9 @@ def parse_records(b: bytes):
                 headers[key.strip().lower().decode("ascii")] = \
                     val.strip().decode("utf-8", "replace")
             length = int(headers["content-length"])
+            if length < 0:
+                break  # malformed: a negative length would walk pos
+                # backward and loop forever
             block0 = hdr_end + 4
             if block0 + length > len(b):
                 break  # torn block

@@ -134,3 +134,8 @@ def test_word_table_filters_and_caps(spark):
     rows = {r["w"]: r["cnt"]
             for r in B.word_table(docs, "text").collect()}
     assert rows == {"big": 3}
+
+
+def test_merge_fold_rejects_non_alpha_symbols():
+    with pytest.raises(ValueError):
+        B._merge_fold("a'); DROP", "b")

@@ -122,3 +122,13 @@ def test_mux_declares_geometry(n):
     frames = [_flat_frame(50, 128, 128)] * n
     w, h, out = V.demux_avi(V.mux_avi_mjpeg(frames, 8, 8, fps=30))
     assert (w, h, len(out)) == (8, 8, n)
+
+
+def test_demux_rejects_pathological_nesting():
+    # 32 nested LIST headers, each claiming the rest of the payload:
+    # must drop (None), not blow the recursion limit in an executor
+    inner = b"\x00" * 16
+    for _ in range(32):
+        inner = b"LIST" + struct.pack("<I", len(inner) + 4) + b"xxxx" + inner
+    avi = b"RIFF" + struct.pack("<I", len(inner) + 4) + b"AVI " + inner
+    assert V.demux_avi(avi) is None

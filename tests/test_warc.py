@@ -73,3 +73,9 @@ def test_spark_warc_payloads_urls(spark):
     records = W.parse_records(bytes(out[0].payload))
     resp = [h for h, _ in records if h["warc-type"] == "response"][0]
     assert resp["warc-target-uri"] == "https://src3.example.com/doc/7"
+
+
+def test_negative_content_length_terminates():
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"Content-Length: -5\r\n\r\n")
+    assert W.parse_records(bad * 3) is None
