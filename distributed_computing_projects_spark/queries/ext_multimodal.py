@@ -1,4 +1,4 @@
-"""Multimodal query family: payload metadata, Arrow feature extraction, frame sampling, REAL decode (PPM/BMP/PNG/JPEG/GIF images, MJPEG-AVI video, 16-bit PCM WAV + lossless FLAC audio) and integer box resize, each with character-code oracles. Split from extensions.py (round 7); shared fragments in ext_fragments."""
+"""Multimodal query family: payload metadata, Arrow feature extraction, frame sampling, REAL decode (PPM/BMP/PNG/JPEG/GIF images, MJPEG-AVI video, 16-bit PCM WAV + lossless FLAC audio), MP3 stream-metadata scan, WARC response extraction, and integer box resize, each with character-code oracles. Split from extensions.py (round 7); shared fragments in ext_fragments."""
 
 from __future__ import annotations
 
