@@ -37,6 +37,7 @@ from distributed_computing_projects_spark.operators import (  # noqa: E402
     autoplanes as AP,
     bandstore as BS,
     dedup as D,
+    pq as PQ,
     similarity as S,
     textstats as X,
 )
@@ -190,6 +191,19 @@ def run_factor(spark, factor: int) -> dict:
         timed(spark, m, "knn_join_bandor_4x", lambda: AP.knn_join_tables(
             emb, "vec_id", "embedding", KNN_K, n_planes=12,
             n_tables=4).count(), n_planes=12, n_tables=4)
+        spark.catalog.clearCache()
+        # IVF-PQ: train + codes-only store write, then the
+        # directory-pruned ADC probe — probe cost must track the probed
+        # cells' code rows (compressed), not the corpus vector bytes
+        pq_store = os.path.join(work, "ivfpq")
+        q_vec = [0.1] * 64
+        cents = PQ.train(spark, emb, "vec_id", "embedding")
+        timed(spark, m, "ivfpq_store_write", lambda: PQ.write_ivfpq(
+            spark, emb, pq_store, "vec_id", "embedding",
+            centroids=cents) or None)
+        timed(spark, m, "ivfpq_store_probe",
+              lambda: PQ.ivfpq_topk_store(
+                  spark, pq_store, q_vec, KNN_K, probes=2).count())
         spark.catalog.clearCache()
         # heavy text family
         timed(spark, m, "repetition_stats",
