@@ -129,7 +129,7 @@ def knn_join_tables(
     same plane count. Input is ``spread()`` for the same
     compute-dense-probe reason as ``knn_join``.
     """
-    from distributed_computing_projects_spark.operators.dedup import spread
+    from distributed_computing_projects_spark.operators.spread import spread
 
     emb = spread(emb)
     tbls = F.array(*[

@@ -32,6 +32,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from distributed_computing_projects_spark.operators.spread import spread
+
 # bitrate tables in kbps, indexed [1..14] (0 = free format: outside
 # subset; 15 = reserved). Keyed by (version_group, layer) where
 # version_group is "1" for MPEG-1 and "2" for MPEG-2/2.5.
@@ -176,7 +178,7 @@ def mp3_payloads(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     cols = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     )
-    return cols.mapInPandas(_encode, schema="id bigint, payload binary")
+    return spread(cols).mapInPandas(_encode, schema="id bigint, payload binary")
 
 
 MP3_META_SCHEMA = (

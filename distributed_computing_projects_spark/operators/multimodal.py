@@ -28,6 +28,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from distributed_computing_projects_spark.operators.spread import spread
+
 PAYLOAD_SCHEMA = (
     "id bigint, payload binary,"
     " meta struct<mime: string, width: int, height: int, duration_s: double>"
@@ -94,7 +96,7 @@ def decode_features(payloads: DataFrame) -> DataFrame:
     cols = payloads.select(
         "id", "payload", F.col("meta.mime").alias("mime")
     )
-    return cols.mapInPandas(_featurize, schema=FEATURE_SCHEMA)
+    return spread(cols).mapInPandas(_featurize, schema=FEATURE_SCHEMA)
 
 
 IMAGE_SCHEMA = (
@@ -475,7 +477,7 @@ def png_payloads(
     cols = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     )
-    return cols.mapInPandas(_encode, schema="id bigint, payload binary")
+    return spread(cols).mapInPandas(_encode, schema="id bigint, payload binary")
 
 
 def _decode_jpeg(b: bytes):
@@ -552,7 +554,7 @@ def jpeg_payloads(
     cols = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     )
-    return cols.mapInPandas(_encode, schema="id bigint, payload binary")
+    return spread(cols).mapInPandas(_encode, schema="id bigint, payload binary")
 
 
 def jpeg420_payloads(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -597,7 +599,7 @@ def jpeg420_payloads(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     cols = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     )
-    return cols.mapInPandas(_encode, schema="id bigint, payload binary")
+    return spread(cols).mapInPandas(_encode, schema="id bigint, payload binary")
 
 
 # coefficient-fixture constants, shared with the SQL oracle in
@@ -665,7 +667,7 @@ def jpeg_coeff_payloads(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     cols = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     )
-    return cols.mapInPandas(_encode, schema="id bigint, payload binary")
+    return spread(cols).mapInPandas(_encode, schema="id bigint, payload binary")
 
 
 def jpeg_progressive_payloads(
@@ -718,7 +720,7 @@ def jpeg_progressive_payloads(
     cols = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     )
-    return cols.mapInPandas(_encode, schema="id bigint, payload binary")
+    return spread(cols).mapInPandas(_encode, schema="id bigint, payload binary")
 
 
 def jpeg_progressive_pixel_payloads(
@@ -762,7 +764,7 @@ def jpeg_progressive_pixel_payloads(
     cols = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     )
-    return cols.mapInPandas(_encode, schema="id bigint, payload binary")
+    return spread(cols).mapInPandas(_encode, schema="id bigint, payload binary")
 
 
 # GIF fixture constants, mirrored literally in the
@@ -812,7 +814,7 @@ def gif_payloads(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     cols = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     )
-    return cols.mapInPandas(_encode, schema="id bigint, payload binary")
+    return spread(cols).mapInPandas(_encode, schema="id bigint, payload binary")
 
 
 GIF_ANIM_FRAMES = 3
@@ -850,7 +852,7 @@ def gif_anim_payloads(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     cols = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     )
-    return cols.mapInPandas(_encode, schema="id bigint, payload binary")
+    return spread(cols).mapInPandas(_encode, schema="id bigint, payload binary")
 
 
 GIF_FRAMES_SCHEMA = (
@@ -1049,7 +1051,7 @@ def flac_payloads(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     cols = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     )
-    return cols.mapInPandas(_encode, schema="id bigint, payload binary")
+    return spread(cols).mapInPandas(_encode, schema="id bigint, payload binary")
 
 
 def _decode_flac(b: bytes):

@@ -260,7 +260,7 @@ def knn_join(
     on the 10x stress corpus, SCALE.md). On a many-split 100 TB table
     spread() is a no-op.
     """
-    from distributed_computing_projects_spark.operators.dedup import spread
+    from distributed_computing_projects_spark.operators.spread import spread
 
     b = spread(emb).select(
         F.col(id_col).alias("id"),

@@ -41,6 +41,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from distributed_computing_projects_spark.operators.spread import spread
+
 _U32 = struct.Struct("<I")
 
 
@@ -192,7 +194,7 @@ def avi_payloads(df: DataFrame, id_col: str, text_col: str,
     cols = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     )
-    return cols.mapInPandas(_encode, schema="id bigint, payload binary")
+    return spread(cols).mapInPandas(_encode, schema="id bigint, payload binary")
 
 
 FRAME_SCHEMA = (

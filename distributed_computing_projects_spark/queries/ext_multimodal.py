@@ -21,6 +21,7 @@ from distributed_computing_projects_spark.operators import sampling as SP
 from distributed_computing_projects_spark.operators import similarity as S
 from distributed_computing_projects_spark.operators import textstats as X
 from distributed_computing_projects_spark.operators import mp3meta as MP
+from distributed_computing_projects_spark.operators.spread import spread
 from distributed_computing_projects_spark.operators import video as V
 from distributed_computing_projects_spark.queries import query
 from distributed_computing_projects_spark.sources import warc as W
@@ -197,7 +198,9 @@ def q_multimodal_image_decode(spark, sf_dir):
             ).alias("payload"),
         )
     )
-    return M.decode_image(payloads)
+    # JVM-built payloads inherit the scan's (possibly single-split)
+    # partitioning; spread before the CPU-bound Python decode
+    return M.decode_image(spread(payloads))
 
 
 @query(
@@ -637,7 +640,7 @@ def q_multimodal_audio_decode(spark, sf_dir):
             ).alias("payload"),
         )
     )
-    return M.decode_audio(payloads)
+    return M.decode_audio(spread(payloads))
 
 
 @query(
@@ -697,7 +700,7 @@ def q_multimodal_audio_features(spark, sf_dir):
             ).alias("payload"),
         )
     )
-    return M.audio_features(payloads)
+    return M.audio_features(spread(payloads))
 
 
 # --- video: MJPEG-in-AVI demux + per-frame JPEG decode -------------

@@ -38,6 +38,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from distributed_computing_projects_spark.operators.spread import spread
+
 _CRLF = b"\r\n"
 
 
@@ -147,7 +149,7 @@ def warc_payloads(df: DataFrame, id_col: str, text_col: str,
         F.col(id_col).alias("id"), F.col(text_col).alias("text"),
         F.col(source_col).alias("source"),
     )
-    return cols.mapInPandas(_encode, schema="id bigint, payload binary")
+    return spread(cols).mapInPandas(_encode, schema="id bigint, payload binary")
 
 
 WARC_SCHEMA = (

@@ -29,8 +29,8 @@ EXCHANGE_BUDGET = {
     "events_hourly": 1,
     "grep": 0,
     "knn_join_topk": 2,
-    "multimodal_jpeg_decode": 0,
-    "multimodal_video_frame_sample": 0,
+    "multimodal_jpeg_decode": 1,
+    "multimodal_video_frame_sample": 1,
     "pack_documents": 1,
     "q17_small_quantity_revenue": 2,
     "q1_pricing_summary": 1,

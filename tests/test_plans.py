@@ -397,7 +397,11 @@ def test_jpeg_decode_filters_jvm_side_before_python(spark, sf_dir,
     query is shuffle-free."""
     df = registry["multimodal_jpeg_decode"].fn(spark, sf_dir)
     plan = physical_plan(df)
-    assert "Exchange" not in plan, plan
+    # exactly ONE exchange: the spread() round-robin that parallelizes
+    # the CPU-bound Python stages past a single-split scan (a no-op on
+    # multi-split corpora); anything more is a regression
+    assert plan.count("+- Exchange") == 1, plan
+    assert "roundrobin" in plan.lower(), plan
     assert "octet_length" in plan, plan
     # filter must appear upstream of (= listed after, in the formatted
     # numbering) the first MapInPandas: codegen Filter node feeds it
@@ -417,7 +421,10 @@ def test_video_and_gif_frames_filter_jvm_side_before_python(
     for name in ("multimodal_video_frame_sample", "multimodal_gif_frames"):
         df = registry[name].fn(spark, sf_dir)
         plan = physical_plan(df)
-        assert "Exchange" not in plan, (name, plan)
+        # one spread() exchange (see the JPEG test); the frame fan-out
+        # itself still happens inside the Python stage, not via shuffle
+        assert plan.count("+- Exchange") == 1, (name, plan)
+        assert "roundrobin" in plan.lower(), (name, plan)
         assert "octet_length" in plan, (name, plan)
         filt = plan.index("Filter")
         first_py = plan.index("MapInPandas")
