@@ -118,7 +118,7 @@ def test_spread_fans_out_single_split_sources(spark, sf_dir, tmp_path):
     """spread() must fan a small single-file parquet out to the
     session's full parallelism (the compute-dense self-join guard),
     be a no-op on many-file sources, and never change rows."""
-    from distributed_computing_projects_spark.operators.dedup import spread
+    from distributed_computing_projects_spark.operators.spread import spread
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     target = spark.sparkContext.defaultParallelism
