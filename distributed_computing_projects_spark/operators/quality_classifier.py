@@ -1,0 +1,169 @@
+"""Trained document-quality classifier (fastText/DCLM-style), integer-exact.
+
+Production training-data pipelines (CCNet, DCLM, FineWeb) run a *trained*
+linear classifier over token features as the quality stage between heuristic
+gating and materialization: a small labeled set teaches per-token weights,
+then every document in the corpus is scored by a sum over its tokens. This
+module implements that stage Spark-first:
+
+  * **Weak labels** come from the existing heuristic gate
+    (``GATE_MIN_TOKENS`` / ``GATE_MIN_DISTINCT``, the same predicate
+    ``corpus_quality_gate`` applies) — self-distillation of the heuristic
+    into a token-level model, exactly how bootstrap quality classifiers are
+    built when no human labels exist.
+  * **Training** is one explode + one hash aggregate: per-token
+    (cnt_pos, cnt_neg) occurrence counts over the train split
+    (``doc_id % TRAIN_MOD != TEST_REMAINDER``), min-df filtered to bound the
+    vocabulary.
+  * **Weights are integer-exact.** Instead of Naive Bayes log-odds (whose
+    float sums are summation-order-dependent and so not reproducible across
+    engines), the weight is the cross-multiplied rate difference
+
+        w(t) = cnt_pos(t) * total_neg  -  cnt_neg(t) * total_pos
+
+    which is positive iff the token's occurrence *rate* in positive docs
+    exceeds its rate in negative docs (same sign as the NB log-odds), and is
+    a pure BIGINT expression: the distributed per-document sum is exact and
+    order-independent, so Spark and any ANSI engine agree bit-for-bit. This
+    is the same reason production scorers quantize classifier weights.
+  * **Scoring** is explode + broadcast-join(vocab) + hash aggregate:
+    score(doc) = sum of w over token *occurrences*; predict positive iff
+    score > 0. Docs with no in-vocab tokens score 0 via a join-back.
+
+Scale notes (100 TB): training is one shuffle keyed by token with partial
+aggregation; the min-df filter bounds the vocabulary so the weights table
+broadcasts (a 1M-token vocab is ~30 MB). Scoring is therefore shuffle-free
+per document batch except the final per-doc aggregate, which re-uses the
+explode's doc_id grouping. int64 headroom: |w| <= total_pos*total_neg; at
+corpus sizes where token-occurrence totals exceed ~3e9 the products need
+DECIMAL(38,0) (or pre-dividing totals by their gcd) — the expression seam
+is ``weight_expr``.
+
+Reference parity: the reference engine's closest surface is the wordcount /
+filter-aggregate tier (mp3/src/maple/wordcount.go:11 tokenization — the
+same whitespace split ``functions/text.py tokens()`` reproduces); the
+trained-classifier stage is an engine extension from the LLM-pipeline
+requirements (SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from distributed_computing_projects_spark.functions import text as T
+
+# Train/test split: deterministic on doc_id so both engines agree.
+TRAIN_MOD = 5
+TEST_REMAINDER = 0
+# Tokens must appear at least this often in the train split to enter the
+# vocabulary (bounds the broadcast; drops overfit singletons).
+MIN_DF = 5
+# Weak-label thresholds — identical to corpus_quality_gate's text-only gate.
+LABEL_MIN_TOKENS = 20
+LABEL_MIN_DISTINCT = 0.3
+TOP_WEIGHTS = 50
+
+
+def labeled_docs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, toks, label): whitespace tokens + the weak quality label.
+
+    label = n_tokens >= LABEL_MIN_TOKENS AND distinct_ratio >=
+    LABEL_MIN_DISTINCT. The ratio is a single IEEE divide of exact
+    integers, so threshold membership is engine-stable; empty-token docs
+    are labeled false by the first conjunct before the 0/0 divide can
+    matter (three-valued AND).
+    """
+    toks = T.tokens(text_col, "spark")
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.expr(toks).alias("toks"),
+        F.expr(
+            f"size({toks}) >= {LABEL_MIN_TOKENS} AND "
+            f"CAST(size(array_distinct({toks})) AS DOUBLE)"
+            f" / CAST(size({toks}) AS DOUBLE) >= {LABEL_MIN_DISTINCT}"
+        ).alias("label"),
+    )
+
+
+def _train_occurrences(labeled: DataFrame) -> DataFrame:
+    train = labeled.filter(F.col("id") % TRAIN_MOD != TEST_REMAINDER)
+    return train.select("label", F.explode("toks").alias("token"))
+
+
+def token_weights(labeled: DataFrame) -> DataFrame:
+    """Train: (token, cnt_pos, cnt_neg, weight) over the train split.
+
+    One explode + one hash aggregate (partial agg applies — the shuffle
+    carries (token, partial counts), not occurrences); the totals are a
+    broadcast of a single aggregate row.
+    """
+    counts = (
+        _train_occurrences(labeled)
+        .groupBy("token")
+        .agg(
+            F.sum(F.when(F.col("label"), 1).otherwise(0))
+            .cast("bigint").alias("cnt_pos"),
+            F.sum(F.when(F.col("label"), 0).otherwise(1))
+            .cast("bigint").alias("cnt_neg"),
+        )
+        .filter(F.col("cnt_pos") + F.col("cnt_neg") >= MIN_DF)
+    )
+    totals = counts.agg(
+        F.sum("cnt_pos").cast("bigint").alias("total_pos"),
+        F.sum("cnt_neg").cast("bigint").alias("total_neg"),
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "token",
+        "cnt_pos",
+        "cnt_neg",
+        (F.col("cnt_pos") * F.col("total_neg")
+         - F.col("cnt_neg") * F.col("total_pos"))
+        .cast("bigint").alias("weight"),
+    )
+
+
+def top_weights(labeled: DataFrame, k: int = TOP_WEIGHTS) -> DataFrame:
+    """The k most positively-weighted vocabulary tokens (ties by token).
+
+    Integer sort keys only, so the cut is deterministic across engines.
+    Global top-k: Spark plans this as TakeOrderedAndProject (no full sort).
+    """
+    w = token_weights(labeled)
+    return w.orderBy(F.col("weight").desc(), F.col("token").asc()).limit(k)
+
+
+def score_docs(labeled: DataFrame) -> DataFrame:
+    """Score the test split: (id, label, score) with score the exact
+    BIGINT sum of per-occurrence weights (0 for docs with no in-vocab
+    tokens, restored by the join-back)."""
+    weights = F.broadcast(token_weights(labeled).select("token", "weight"))
+    test = labeled.filter(F.col("id") % TRAIN_MOD == TEST_REMAINDER)
+    occ = test.select("id", F.explode("toks").alias("token"))
+    scores = (
+        occ.join(weights, "token", "inner")
+        .groupBy("id")
+        .agg(F.sum("weight").cast("bigint").alias("score"))
+    )
+    return (
+        test.select("id", "label")
+        .join(scores, "id", "left")
+        .select(
+            "id",
+            "label",
+            F.coalesce(F.col("score"), F.lit(0).cast("bigint")).alias("score"),
+        )
+    )
+
+
+def confusion(labeled: DataFrame) -> DataFrame:
+    """Held-out confusion matrix: (label, pred, n), all integers."""
+    scored = score_docs(labeled)
+    return (
+        scored.select(
+            F.col("label").cast("int").alias("label"),
+            (F.col("score") > 0).cast("int").alias("pred"),
+        )
+        .groupBy("label", "pred")
+        .agg(F.count("*").alias("n"))
+    )

@@ -657,3 +657,99 @@ def q_url_dedup_groups(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_dupes"),
              F.min("doc_id").alias("keeper_doc_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained quality classifier (fastText/DCLM-style, integer-exact)
+# ---------------------------------------------------------------------------
+
+from distributed_computing_projects_spark.operators import (  # noqa: E402
+    quality_classifier as QC,
+)
+
+_QC_LABELED_D = f"""
+    labeled AS (
+      SELECT doc_id AS id, {_TOKS_D} AS toks,
+             (len({_TOKS_D}) >= {QC.LABEL_MIN_TOKENS} AND
+              CAST(len(list_distinct({_TOKS_D})) AS DOUBLE)
+                / CAST(len({_TOKS_D}) AS DOUBLE) >= {QC.LABEL_MIN_DISTINCT})
+               AS label
+      FROM documents
+    ),
+    counts AS (
+      SELECT token,
+             CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+               AS cnt_pos,
+             CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT)
+               AS cnt_neg
+      FROM (SELECT label, unnest(toks) AS token
+            FROM labeled WHERE id % {QC.TRAIN_MOD} <> {QC.TEST_REMAINDER})
+      GROUP BY token
+      HAVING count(*) >= {QC.MIN_DF}
+    ),
+    tot AS (
+      SELECT CAST(sum(cnt_pos) AS BIGINT) AS total_pos,
+             CAST(sum(cnt_neg) AS BIGINT) AS total_neg
+      FROM counts
+    ),
+    weights AS (
+      SELECT token, cnt_pos, cnt_neg,
+             CAST(cnt_pos * total_neg - cnt_neg * total_pos AS BIGINT)
+               AS weight
+      FROM counts, tot
+    )
+"""
+
+
+@query(
+    "quality_classifier_weights",
+    oracle=f"""
+    WITH {_QC_LABELED_D}
+    SELECT token, cnt_pos, cnt_neg, weight
+    FROM weights
+    ORDER BY weight DESC, token
+    LIMIT {QC.TOP_WEIGHTS}
+    """,
+    doc="Trained quality classifier, train stage: per-token occurrence "
+        "counts over the weak-label train split, min-df filtered, with "
+        "the integer-exact cross-multiplied rate-difference weight "
+        "w = cnt_pos*total_neg - cnt_neg*total_pos (same sign as the NB "
+        "log-odds, but BIGINT so distributed sums are order-independent "
+        "and engine-reproducible). Top-50 by weight, token tie-break. "
+        "One explode + one partial-aggregated shuffle; the totals row "
+        "is a broadcast.",
+)
+def q_quality_classifier_weights(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return QC.top_weights(QC.labeled_docs(docs, "doc_id", "text"))
+
+
+@query(
+    "quality_classifier_confusion",
+    oracle=f"""
+    WITH {_QC_LABELED_D},
+    scores AS (
+      SELECT o.id, CAST(sum(w.weight) AS BIGINT) AS score
+      FROM (SELECT id, unnest(toks) AS token
+            FROM labeled WHERE id % {QC.TRAIN_MOD} = {QC.TEST_REMAINDER}) o
+      JOIN weights w USING (token)
+      GROUP BY o.id
+    )
+    SELECT CAST(l.label AS INT) AS label,
+           CAST(coalesce(s.score, 0) > 0 AS INT) AS pred,
+           count(*) AS n
+    FROM labeled l LEFT JOIN scores s ON l.id = s.id
+    WHERE l.id % {QC.TRAIN_MOD} = {QC.TEST_REMAINDER}
+    GROUP BY 1, 2
+    """,
+    doc="Trained quality classifier, score stage: held-out test split "
+        "scored by the exact BIGINT sum of per-occurrence weights "
+        "(broadcast vocab join; no-vocab docs restored to score 0 by a "
+        "join-back), reported as the (label, pred, n) confusion matrix "
+        "— all-integer output, so the two-engine hash compare is exact. "
+        "The scoring pass is the 100 TB shape: explode -> broadcast "
+        "join -> per-doc re-aggregate, no all-pairs, no driver data.",
+)
+def q_quality_classifier_confusion(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return QC.confusion(QC.labeled_docs(docs, "doc_id", "text"))

@@ -42,26 +42,54 @@ def test_matrix_order_file_is_current():
 
 def test_urgent_queries_fit_the_matrix_cap():
     """Never-green and proven-changed queries (whose green rows are
-    known invalid) must land inside the rows the driver will actually
-    record. Pre-snapshot conservative re-verifies MAY overflow the cap
-    in the rounds that burn down the pre-snapshot backlog — but any
-    overflow must consist ONLY of those lowest-priority re-verifies."""
+    known invalid) must land ahead of everything else, and never-green
+    queries must ALWAYS get a driver row. When the urgent segments
+    outgrow the cap (a round that adds many queries and touches hot
+    shared modules), the overflow past the cap must (a) consist only of
+    proven-changed queries — never never-green, whose correctness has
+    no prior evidence at all — and (b) be exactly the generated
+    MATRIX_OVERFLOW list, which test_overflow_queries_verify then
+    oracle-checks locally in lieu of the missing driver row."""
     from distributed_computing_projects_spark.queries._matrix_first import (
         GENERATED_FROM_ROUNDS,
+        MATRIX_OVERFLOW,
     )
 
     order, reasons = _tool().compute_order(GENERATED_FROM_ROUNDS)
-    urgent = [q for q in order if reasons[q] == "never green"
-              or reasons[q].startswith("changed")]
+
+    def urgency(q):
+        return (reasons[q] == "never green"
+                or reasons[q].startswith("changed"))
+
+    urgent = [q for q in order if urgency(q)]
+    # no urgent query may sit behind a non-urgent one
+    assert order[:len(urgent)] == urgent, "urgent query behind non-urgent"
+    # never-green always inside the cap
     for q in urgent:
-        assert order.index(q) < MATRIX_CAP, (
-            f"{q} needs a driver row ({reasons[q]}) but sits at "
-            f"position {order.index(q)} >= cap {MATRIX_CAP}"
-        )
-    for q in order[MATRIX_CAP:]:
-        assert not reasons[q].startswith("changed"), (
-            f"proven-changed {q} pushed past the cap"
-        )
+        if reasons[q] == "never green":
+            assert order.index(q) < MATRIX_CAP, (
+                f"never-green {q} at position {order.index(q)} "
+                f">= cap {MATRIX_CAP}"
+            )
+    overflow = [q for q in urgent if order.index(q) >= MATRIX_CAP]
+    assert overflow == MATRIX_OVERFLOW, (
+        "stale MATRIX_OVERFLOW — run `python tools/matrix_rotation.py "
+        "order` and commit the result"
+    )
+
+
+def test_overflow_queries_verify(spark):
+    """Every urgent query the driver cannot row this round is
+    oracle-verified HERE, so pytest green still certifies it."""
+    from distributed_computing_projects_spark.queries._matrix_first import (
+        MATRIX_OVERFLOW,
+    )
+    from distributed_computing_projects_spark.verify import run
+
+    if not MATRIX_OVERFLOW:
+        return
+    failed = run(spark, "/root/testdata/sf0.001", only=set(MATRIX_OVERFLOW))
+    assert not failed, f"overflow queries failed oracle verify: {failed}"
 
 
 def test_pre_snapshot_green_is_treated_as_changed():
