@@ -458,3 +458,16 @@ def test_bpe_round_is_partial_agg_over_vocab(spark, sf_dir):
     assert plan.count("HashAggregate") >= 4, plan  # 2 aggs x 2 phases
     assert "TakeOrderedAndProject" in plan, plan
     assert "ReadSchema: struct<text:string>" in plan, plan
+
+
+def test_quality_classifier_scoring_broadcasts_vocab(spark, sf_dir,
+                                                     registry):
+    """The score stage's vocab join must broadcast (the min-df-bounded
+    weights table is small at any corpus scale); the per-doc shuffle
+    carries partial sums, never occurrences with a shuffled join."""
+    df = registry["quality_classifier_confusion"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # the only nested-loop join is the deliberate 1-row broadcast of
+    # the training totals; a shuffled product is still forbidden
+    assert "CartesianProduct" not in plan, plan
