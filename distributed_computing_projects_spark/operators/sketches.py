@@ -1,0 +1,120 @@
+"""KMV (k-minimum-values) distinct-count sketches, engine-exact.
+
+The sketch tier a 100 TB engine needs for cheap cardinality questions
+(vocabulary size per language/source, dedup-rate monitoring) without an
+exact distinct over billions of keys. KMV (Bar-Yossef et al. 2002,
+"Counting distinct elements in a data stream") keeps the k smallest
+distinct hash values of a set; with hashes uniform on [0, M) the
+estimator (k-1) * M / h_k is unbiased, and two sketches MERGE by taking
+the k smallest of their union — the property that makes the sketch a
+distributive aggregate (partition-local sketches combine losslessly, so
+the shuffle carries at most k values per partition per group).
+
+Why KMV and not HyperLogLog: HLL's estimate depends on register layout
+and bias-correction tables, so no two engines agree bit-for-bit; KMV's
+sketch is a SET of hash values and its estimate one IEEE division of
+exactly-determined integers — Spark and any ANSI engine reproduce it
+exactly (this repo's two-engine correctness gate hash-compares values).
+
+Shapes:
+  * ``kmv_token_sketch``: explode -> portable 32-bit hash (JVM-side
+    md5 fragment, functions/text.py hash32) -> distinct (group, h)
+    [partial aggregation dedups map-side] -> per-group rank window
+    (reuses the distinct's hash partitioning — Catalyst plans no second
+    exchange) -> keep rank <= k -> one aggregate row per group.
+    The distinct is the only data-sized shuffle; at corpus scale the
+    bounded-state path is the same fold done per-partition first (the
+    merge property above) — ``tests/test_sketches.py`` proves the
+    partition-local fold + merge equals this exact composition.
+  * ``merge_sketches``: k smallest distinct hashes across groups —
+    by the merge theorem, EXACTLY the sketch of the union set, proven
+    against the direct union sketch in pytest.
+
+Estimator edge: a group with fewer than k distinct hashes keeps them
+all and its "estimate" is the exact count (cast to double, no division).
+
+Reference parity: the reference engine has no sketch tier (its
+aggregates are exact, mp3/src/maple aggregation files); this is an
+engine extension from the LLM-pipeline requirements (SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from distributed_computing_projects_spark.functions import text as T
+
+K_DEFAULT = 256
+HASH_SPACE = 1 << 32  # hash32 is uniform on [0, 2^32)
+
+
+def token_hashes(docs: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """Distinct (group, h) pairs: exploded whitespace tokens under the
+    portable 32-bit hash. KMV lives in hash space, so the distinct is
+    on h (token pairs colliding in hash merge — that collision noise is
+    part of any hashed sketch and identical in both engines)."""
+    toks = T.tokens(text_col, "spark")
+    return (
+        docs.select(F.col(group_col).alias("grp"),
+                    F.explode(F.expr(toks)).alias("token"))
+        .select("grp", F.expr(T.hash32("token", "spark")).alias("h"))
+        .distinct()
+    )
+
+
+def _estimate(k: int):
+    """CASE: under-full sketch -> exact count; else (k-1)*M/h_k, one
+    IEEE division of exactly-determined integers (engine-stable)."""
+    num = float((k - 1) * HASH_SPACE)  # exact in double for k << 2^20
+    return F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(F.lit(num) / F.col("kth_min_hash").cast("double"))
+
+
+def kmv_sketch(pairs: DataFrame, k: int = K_DEFAULT) -> DataFrame:
+    """Per-group KMV: (grp, n_kept, kth_min_hash, est_distinct).
+
+    The rank window partitions by the same key the distinct aggregated
+    on, so no second exchange; h values are distinct within a group,
+    so the rank cut is tie-free and deterministic.
+    """
+    w = Window.partitionBy("grp").orderBy("h")
+    kept = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+    return kept.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.max("h").alias("kth_min_hash"),
+    ).select(
+        "grp", "n_kept", "kth_min_hash",
+        _estimate(k).alias("est_distinct"),
+    )
+
+
+def kept_values(pairs: DataFrame, k: int = K_DEFAULT) -> DataFrame:
+    """The sketch itself: per-group k smallest distinct hashes (the
+    mergeable representation a store would persist)."""
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("grp", "h")
+    )
+
+
+def merge_sketches(kept: DataFrame, k: int = K_DEFAULT) -> DataFrame:
+    """Union estimate from per-group sketches alone: the k smallest
+    DISTINCT hashes across all groups' kept sets are exactly the union
+    set's k minima (every union minimum is a minimum of its own group,
+    hence present in that group's sketch). One row:
+    (n_kept, kth_min_hash, est_distinct)."""
+    merged = (
+        kept.select("h").distinct()
+        .orderBy("h").limit(k)  # global k-min: TakeOrderedAndProject
+    )
+    return merged.agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.max("h").alias("kth_min_hash"),
+    ).select("n_kept", "kth_min_hash", _estimate(k).alias("est_distinct"))

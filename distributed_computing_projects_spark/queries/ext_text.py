@@ -753,3 +753,98 @@ def q_quality_classifier_weights(spark, sf_dir):
 def q_quality_classifier_confusion(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return QC.confusion(QC.labeled_docs(docs, "doc_id", "text"))
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketches (engine-exact cardinality estimation)
+# ---------------------------------------------------------------------------
+
+from distributed_computing_projects_spark.operators import (  # noqa: E402
+    sketches as SK,
+)
+
+_KMV_NUM = int((SK.K_DEFAULT - 1) * SK.HASH_SPACE)
+
+_KMV_KEPT_D = f"""
+    pairs AS (
+      SELECT DISTINCT lang AS grp,
+             {T.hash32('token', 'duck')} AS h
+      FROM (SELECT lang, unnest({_TOKS_D}) AS token FROM documents)
+    ),
+    kept AS (
+      SELECT grp, h,
+             row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+      FROM pairs
+    )
+"""
+
+
+@query(
+    "sketch_distinct_tokens",
+    oracle=f"""
+    WITH {_KMV_KEPT_D},
+    sk AS (
+      SELECT grp,
+             CAST(count(*) AS BIGINT) AS n_kept,
+             max(h) AS kth_min_hash,
+             CASE WHEN count(*) < {SK.K_DEFAULT}
+                  THEN CAST(count(*) AS DOUBLE)
+                  ELSE CAST({_KMV_NUM} AS DOUBLE) / CAST(max(h) AS DOUBLE)
+             END AS est_distinct
+      FROM kept WHERE rn <= {SK.K_DEFAULT} GROUP BY grp
+    ),
+    exact AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS exact_distinct_hashes
+      FROM pairs GROUP BY grp
+    )
+    SELECT sk.grp AS lang, sk.n_kept, sk.kth_min_hash, sk.est_distinct,
+           exact.exact_distinct_hashes
+    FROM sk JOIN exact ON sk.grp = exact.grp
+    """,
+    doc="KMV distinct-count sketch per language: k smallest distinct "
+        "token hashes -> estimate (k-1)*2^32/h_k, one IEEE division of "
+        "exactly-determined integers so both engines agree bit-for-bit "
+        "(the reason this is KMV and not HLL). Exact distinct-hash "
+        "count joined alongside for calibration. The distinct is the "
+        "only data-sized shuffle; the rank window reuses its "
+        "partitioning.",
+)
+def q_sketch_distinct_tokens(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = SK.token_hashes(docs, "lang", "text")
+    sk = SK.kmv_sketch(pairs)
+    exact = pairs.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("exact_distinct_hashes"))
+    return (
+        sk.join(exact, "grp")
+        .withColumnRenamed("grp", "lang")
+    )
+
+
+@query(
+    "sketch_union_distinct",
+    oracle=f"""
+    WITH {_KMV_KEPT_D},
+    merged AS (
+      SELECT DISTINCT h FROM kept WHERE rn <= {SK.K_DEFAULT}
+      ORDER BY h LIMIT {SK.K_DEFAULT}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_kept,
+           max(h) AS kth_min_hash,
+           CASE WHEN count(*) < {SK.K_DEFAULT}
+                THEN CAST(count(*) AS DOUBLE)
+                ELSE CAST({_KMV_NUM} AS DOUBLE) / CAST(max(h) AS DOUBLE)
+           END AS est_distinct
+    FROM merged
+    """,
+    doc="KMV merge: the corpus-wide distinct-token estimate computed "
+        "from the per-language sketches ALONE (k smallest distinct "
+        "hashes across kept sets = exactly the union set's k minima — "
+        "the merge theorem that makes KMV a distributive aggregate; "
+        "pytest proves merge-of-sketches == direct union sketch). "
+        "Global k-min plans as TakeOrderedAndProject, no full sort.",
+)
+def q_sketch_union_distinct(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = SK.token_hashes(docs, "lang", "text")
+    return SK.merge_sketches(SK.kept_values(pairs))

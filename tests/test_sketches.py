@@ -1,0 +1,61 @@
+"""KMV sketch properties: merge theorem, partition-local fold
+equivalence (the bounded-state 100 TB path), estimator accuracy."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_computing_projects_spark.operators import sketches as SK
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pairs(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    return SK.token_hashes(docs, "lang", "text")
+
+
+def test_merge_of_sketches_equals_direct_union_sketch(spark):
+    """The merge theorem: the k smallest distinct hashes across the
+    per-group kept sets are exactly the union set's k minima."""
+    pairs = _pairs(spark)
+    merged = SK.merge_sketches(SK.kept_values(pairs)).collect()[0]
+    direct = SK.merge_sketches(pairs.select("h").withColumn(
+        "grp", F.lit("all"))).collect()[0]
+    assert merged.asDict() == direct.asDict()
+
+
+def test_partition_local_fold_merges_losslessly(spark):
+    """The bounded-state path: fold a k-min sketch per partition, then
+    merge the partials — must equal the exact global composition. This
+    is what caps the shuffle at k values per partition per group."""
+    pairs = _pairs(spark).repartition(7)  # arbitrary partitioning
+    partials = (
+        pairs.withColumn("pid", F.spark_partition_id())
+        .withColumn("grp2", F.concat_ws("#", "grp", "pid"))
+        .drop("grp").withColumnRenamed("grp2", "grp")
+    )
+    # per-(group,partition) kept sets, then restore the group key
+    local = SK.kept_values(partials).withColumn(
+        "grp", F.split("grp", "#").getItem(0))
+    merged_per_group = SK.kmv_sketch(local.distinct()).collect()
+    exact = SK.kmv_sketch(_pairs(spark)).collect()
+    key = lambda rows: {r["grp"]: (r["n_kept"], r["kth_min_hash"],
+                                   r["est_distinct"]) for r in rows}
+    assert key(merged_per_group) == key(exact)
+
+
+def test_estimate_tracks_exact_cardinality(spark):
+    """Relative error of a full k=256 sketch is ~1/sqrt(k) (~6%);
+    assert a generous 4-sigma bound so the test never flakes, and
+    exactness below k."""
+    pairs = _pairs(spark)
+    sk = {r["grp"]: r for r in SK.kmv_sketch(pairs).collect()}
+    exact = {r["grp"]: r["n"] for r in
+             pairs.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    for grp, row in sk.items():
+        if row["n_kept"] < SK.K_DEFAULT:
+            assert row["est_distinct"] == float(exact[grp])
+        else:
+            rel = abs(row["est_distinct"] - exact[grp]) / exact[grp]
+            assert rel < 0.25, (grp, row["est_distinct"], exact[grp])
