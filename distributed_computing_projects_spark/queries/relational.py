@@ -1582,3 +1582,69 @@ def q_q20_part_promotion_suppliers(spark, sf_dir):
             .alias("s_acctbal"),
         )
     )
+
+
+def _zorder_dims(dialect: str) -> tuple[str, str]:
+    """(day offset since 1990-01-01, partkey mod 2^16) — two bounded
+    non-negative ints to Morton-interleave. Shipdates span 1995-2001,
+    so 16 bits hold the day offset at any SF."""
+    if dialect == "spark":
+        return ("datediff(l_shipdate, DATE '1990-01-01')",
+                "l_partkey % 65536")
+    return ("datediff('day', DATE '1990-01-01', l_shipdate)",
+            "l_partkey % 65536")
+
+
+def _zorder_oracle() -> str:
+    from distributed_computing_projects_spark.operators.zorder import (
+        interleave2,
+    )
+
+    day, pk = _zorder_dims("duck")
+    z = interleave2(day, pk, 16, "duck")
+    return f"""
+    WITH keyed AS (
+      SELECT CAST({day} AS BIGINT) AS day_off,
+             CAST({pk} AS BIGINT) AS pk16,
+             (({z}) >> 20) AS bucket
+      FROM lineitem
+    )
+    SELECT bucket, count(*) AS n,
+           min(day_off) AS min_day, max(day_off) AS max_day,
+           min(pk16) AS min_pk, max(pk16) AS max_pk
+    FROM keyed GROUP BY bucket
+    """
+
+
+@query(
+    "zorder_layout_quality",
+    oracle=_zorder_oracle(),
+    doc="Morton (Z-order) clustering key over (shipdate day offset, "
+        "partkey): per z-bucket (key >> 20) row counts and BOTH "
+        "dimensions' min/max — narrow spans on every dimension at "
+        "once are what make z-ordered parquet files prunable by "
+        "min/max stats under predicates on EITHER column (the "
+        "OPTIMIZE ZORDER BY layout). The key is a flat shift/and/or "
+        "expression generated in both engine dialects — pure "
+        "whole-stage codegen, one aggregate, no UDFs; the write-side "
+        "layout benefit (real per-file stat spans, pruned scans) is "
+        "pinned in tests/test_zorder.py.",
+)
+def q_zorder_layout_quality(spark, sf_dir):
+    from distributed_computing_projects_spark.operators.zorder import (
+        interleave2,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    day, pk = _zorder_dims("spark")
+    z = interleave2(day, pk, 16, "spark")
+    keyed = li.select(
+        F.expr(f"CAST({day} AS BIGINT)").alias("day_off"),
+        F.expr(f"CAST({pk} AS BIGINT)").alias("pk16"),
+        F.expr(f"shiftright({z}, 20)").alias("bucket"),
+    )
+    return keyed.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.min("day_off").alias("min_day"), F.max("day_off").alias("max_day"),
+        F.min("pk16").alias("min_pk"), F.max("pk16").alias("max_pk"),
+    )
