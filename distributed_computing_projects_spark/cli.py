@@ -194,6 +194,52 @@ def build_parser() -> argparse.ArgumentParser:
     be.add_argument("--id-col", default="doc_id")
     be.add_argument("--text-col", default="text")
 
+    ct = sub.add_parser(
+        "classifier-train",
+        help="train the quality classifier (weak-label self-"
+             "distillation, integer-exact rate-difference weights); "
+             "prints the top weights (token, cnt_pos, cnt_neg, weight)",
+    )
+    ct.add_argument("corpus_path", help="parquet with (id, text) columns")
+    ct.add_argument("--id-col", default="doc_id")
+    ct.add_argument("--text-col", default="text")
+    ct.add_argument("--out", help="also save the FULL weight table as "
+                                  "parquet at this path")
+
+    cs = sub.add_parser(
+        "classifier-score",
+        help="score a corpus with a trained weight table "
+             "(classifier-train --out); prints per-doc "
+             "(id, score, pred)",
+    )
+    cs.add_argument("corpus_path", help="parquet with (id, text) columns")
+    cs.add_argument("weights_path", help="parquet weight table from "
+                                         "classifier-train --out")
+    cs.add_argument("--id-col", default="doc_id")
+    cs.add_argument("--text-col", default="text")
+
+    km = sub.add_parser(
+        "kmv",
+        help="KMV distinct-count sketch per group: prints "
+             "(group, n_kept, kth_min_hash, est_distinct)",
+    )
+    km.add_argument("corpus_path", help="parquet with group/text columns")
+    km.add_argument("--group-col", default="lang")
+    km.add_argument("--text-col", default="text")
+
+    zw = sub.add_parser(
+        "zorder-write",
+        help="rewrite a parquet table clustered by the Morton "
+             "interleave of two non-negative integer columns "
+             "(data-skipping layout: per-file min/max tighten on both)",
+    )
+    zw.add_argument("src_path")
+    zw.add_argument("out_path")
+    zw.add_argument("x_col", help="non-negative integer column")
+    zw.add_argument("y_col", help="non-negative integer column")
+    zw.add_argument("--bits", type=int, default=16)
+    zw.add_argument("--files", type=int, default=32)
+
     return p
 
 
@@ -380,6 +426,48 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             ]
             _emit(bpe.encode_tokens(corpus, args.id_col, args.text_col,
                                     table).orderBy("id"))
+        elif args.cmd == "classifier-train":
+            from distributed_computing_projects_spark.operators import (
+                quality_classifier as qc,
+            )
+
+            corpus = spark.read.parquet(args.corpus_path)
+            labeled = qc.labeled_docs(corpus, args.id_col, args.text_col)
+            weights = qc.token_weights(labeled)
+            if args.out:
+                weights.write.mode("error").parquet(args.out)
+            _emit(qc.top_weights(labeled))
+        elif args.cmd == "classifier-score":
+            from distributed_computing_projects_spark.operators import (
+                quality_classifier as qc,
+            )
+
+            corpus = spark.read.parquet(args.corpus_path)
+            weights = spark.read.parquet(args.weights_path)
+            _emit(qc.score_against(corpus, weights, args.id_col,
+                                   args.text_col).orderBy("id"))
+        elif args.cmd == "kmv":
+            from distributed_computing_projects_spark.operators import (
+                sketches,
+            )
+
+            corpus = spark.read.parquet(args.corpus_path)
+            pairs = sketches.token_hashes(corpus, args.group_col,
+                                          args.text_col)
+            _emit(sketches.kmv_sketch(pairs).orderBy("grp"))
+        elif args.cmd == "zorder-write":
+            from pyspark.sql import functions as F
+
+            from distributed_computing_projects_spark.operators import (
+                zorder,
+            )
+
+            src = spark.read.parquet(args.src_path)
+            keyed = src.withColumn("zkey", F.expr(zorder.interleave2(
+                args.x_col, args.y_col, args.bits, "spark")))
+            zorder.write_zordered(keyed, "zkey", args.out_path,
+                                  args.files)
+            print(spark.read.parquet(args.out_path).count())
         return 0
     finally:
         if own_session:

@@ -156,6 +156,33 @@ def score_docs(labeled: DataFrame) -> DataFrame:
     )
 
 
+def score_against(docs: DataFrame, weights: DataFrame,
+                  id_col: str, text_col: str) -> DataFrame:
+    """Score arbitrary documents with an already-trained weights table
+    (the deployment shape: weights persisted by `classifier-train
+    --out`, corpus at scale): (id, score, pred). Same plan as
+    score_docs — explode -> broadcast vocab join -> per-doc exact
+    BIGINT aggregate; no-vocab docs restore to score 0."""
+    toks = T.tokens(text_col, "spark")
+    base = docs.select(F.col(id_col).alias("id"),
+                       F.expr(toks).alias("toks"))
+    scores = (
+        base.select("id", F.explode("toks").alias("token"))
+        .join(F.broadcast(weights.select("token", "weight")),
+              "token", "inner")
+        .groupBy("id")
+        .agg(F.sum("weight").cast("bigint").alias("score"))
+    )
+    return (
+        base.select("id")
+        .join(scores, "id", "left")
+        .select("id",
+                F.coalesce(F.col("score"),
+                           F.lit(0).cast("bigint")).alias("score"))
+        .withColumn("pred", (F.col("score") > 0).cast("int"))
+    )
+
+
 def confusion(labeled: DataFrame) -> DataFrame:
     """Held-out confusion matrix: (label, pred, n), all integers."""
     scored = score_docs(labeled)

@@ -255,3 +255,47 @@ def test_bpe_subcommands(spark, tmp_path, capsys):
            capsys.readouterr().out.strip().splitlines()]
     assert [ln[0] for ln in enc] == ["1", "2"]
     assert all(int(ln[2]) >= int(ln[1]) for ln in enc)
+
+
+def test_classifier_train_score_roundtrip(spark, sf_dir, tmp_path, capsys):
+    """classifier-train --out persists the full weight table;
+    classifier-score applies it to a corpus and every doc gets a
+    (id, score, pred) row with an integer score."""
+    wpath = str(tmp_path / "weights")
+    assert main(["classifier-train", f"{sf_dir}/documents.parquet",
+                 "--out", wpath], spark=spark) == 0
+    head = capsys.readouterr().out.strip().splitlines()
+    assert head and all(len(l.split("\t")) == 4 for l in head)
+    assert main(["classifier-score", f"{sf_dir}/documents.parquet",
+                 wpath], spark=spark) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(out) == n_docs
+    for line in out:
+        _id, score, pred = line.split("\t")
+        assert pred in ("0", "1")
+        int(score)  # exact BIGINT, never a float repr
+
+
+def test_kmv_subcommand_prints_group_sketches(spark, sf_dir, capsys):
+    assert main(["kmv", f"{sf_dir}/documents.parquet"], spark=spark) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    langs = {r["lang"] for r in spark.read.parquet(
+        f"{sf_dir}/documents.parquet").select("lang").distinct().collect()}
+    assert len(out) == len(langs)
+    for line in out:
+        grp, n_kept, kth, est = line.split("\t")
+        assert int(n_kept) <= 256
+        float(est)
+
+
+def test_zorder_write_subcommand(spark, sf_dir, tmp_path, capsys):
+    out_p = str(tmp_path / "zli")
+    li = f"{sf_dir}/lineitem.parquet"
+    # two bounded non-negative int columns derived on the fly are not
+    # CLI-expressible; cluster on the raw keys instead (both ints)
+    assert main(["zorder-write", li, out_p, "l_partkey", "l_suppkey",
+                 "--files", "4"], spark=spark) == 0
+    n = int(capsys.readouterr().out.strip().splitlines()[-1])
+    assert n == spark.read.parquet(li).count()
+    assert "zkey" in spark.read.parquet(out_p).columns

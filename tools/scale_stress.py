@@ -38,8 +38,11 @@ from distributed_computing_projects_spark.operators import (  # noqa: E402
     bandstore as BS,
     dedup as D,
     pq as PQ,
+    quality_classifier as QC,
     similarity as S,
+    sketches as SK,
     textstats as X,
+    zorder as ZO,
 )
 from distributed_computing_projects_spark.session import get_spark  # noqa: E402
 
@@ -210,6 +213,36 @@ def run_factor(spark, factor: int) -> dict:
               lambda: X.repetition_stats(docs, "doc_id", "text").count())
         timed(spark, m, "boilerplate_ngrams",
               lambda: X.boilerplate_ngrams(docs, "doc_id", "text").count())
+        # trained quality classifier: train counts (explode + one
+        # partial-agg shuffle) and held-out scoring (broadcast vocab
+        # join) — both must grow ~linearly in token occurrences
+        timed(spark, m, "quality_classifier_train",
+              lambda: QC.token_weights(
+                  QC.labeled_docs(docs, "doc_id", "text")).count())
+        timed(spark, m, "quality_classifier_score",
+              lambda: QC.confusion(
+                  QC.labeled_docs(docs, "doc_id", "text")).count())
+        spark.catalog.clearCache()
+        # KMV sketch: the distinct is the only data-sized shuffle
+        timed(spark, m, "kmv_sketch_distinct_tokens",
+              lambda: SK.kmv_sketch(
+                  SK.token_hashes(docs, "lang", "text")).count())
+        spark.catalog.clearCache()
+        # z-order clustered write of the scaled fact table: one range
+        # exchange + local sort — the write amplification of the
+        # data-skipping layout, must track fact rows linearly
+        li_z = spark.read.parquet(os.path.join(work, "lineitem.parquet"))
+        zkeyed = li_z.select(
+            F.expr("CAST(datediff(l_shipdate, DATE '1990-01-01')"
+                   " AS BIGINT)").alias("day_off"),
+            F.expr("CAST(l_partkey % 65536 AS BIGINT)").alias("pk16"),
+        ).withColumn("zkey", F.expr(
+            ZO.interleave2("day_off", "pk16", 16, "spark")))
+        timed(spark, m, "zorder_write_lineitem",
+              lambda: ZO.write_zordered(
+                  zkeyed, "zkey", os.path.join(work, "z_lineitem"),
+                  32) or None)
+        spark.catalog.clearCache()
         timed(spark, m, "embedding_neardup_pairs",
               lambda: D.embedding_neardup_pairs(
                   emb, "vec_id", "embedding", threshold=0.9,
