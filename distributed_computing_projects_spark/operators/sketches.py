@@ -19,9 +19,11 @@ exactly (this repo's two-engine correctness gate hash-compares values).
 Shapes:
   * ``kmv_token_sketch``: explode -> portable 32-bit hash (JVM-side
     md5 fragment, functions/text.py hash32) -> distinct (group, h)
-    [partial aggregation dedups map-side] -> per-group rank window
-    (reuses the distinct's hash partitioning — Catalyst plans no second
-    exchange) -> keep rank <= k -> one aggregate row per group.
+    [partial aggregation dedups map-side] -> per-group rank window ->
+    keep rank <= k -> one aggregate row per group. Two narrow
+    exchanges — the distinct on (group, h) and the window's re-key to
+    (group) — both carrying 12-byte hash rows only, then the final
+    aggregate reuses the window's partitioning.
     The distinct is the only data-sized shuffle; at corpus scale the
     bounded-state path is the same fold done per-partition first (the
     merge property above) — ``tests/test_sketches.py`` proves the
@@ -75,9 +77,9 @@ def _estimate(k: int):
 def kmv_sketch(pairs: DataFrame, k: int = K_DEFAULT) -> DataFrame:
     """Per-group KMV: (grp, n_kept, kth_min_hash, est_distinct).
 
-    The rank window partitions by the same key the distinct aggregated
-    on, so no second exchange; h values are distinct within a group,
-    so the rank cut is tie-free and deterministic.
+    Two narrow exchanges (distinct on (grp, h), window re-key to grp),
+    both hash-rows only; h values are distinct within a group, so the
+    rank cut is tie-free and deterministic.
     """
     w = Window.partitionBy("grp").orderBy("h")
     kept = (
@@ -90,6 +92,28 @@ def kmv_sketch(pairs: DataFrame, k: int = K_DEFAULT) -> DataFrame:
     ).select(
         "grp", "n_kept", "kth_min_hash",
         _estimate(k).alias("est_distinct"),
+    )
+
+
+def kmv_sketch_with_exact(pairs: DataFrame,
+                          k: int = K_DEFAULT) -> DataFrame:
+    """Sketch + exact distinct-hash count in ONE pass: rank every
+    distinct hash, then a single per-group aggregate derives
+    (n_kept, kth_min_hash, est_distinct, exact_distinct_hashes) —
+    no second scan, no join-back of an exact side (the naive
+    sketch-join-exact shape costs 2x the exchanges; this is the
+    calibration-query plan)."""
+    w = Window.partitionBy("grp").orderBy("h")
+    ranked = pairs.withColumn("rn", F.row_number().over(w))
+    in_k = F.col("rn") <= k
+    return ranked.groupBy("grp").agg(
+        F.count(F.when(in_k, 1)).cast("bigint").alias("n_kept"),
+        F.max(F.when(in_k, F.col("h"))).alias("kth_min_hash"),
+        F.count("*").cast("bigint").alias("exact_distinct_hashes"),
+    ).select(
+        "grp", "n_kept", "kth_min_hash",
+        _estimate(k).alias("est_distinct"),
+        "exact_distinct_hashes",
     )
 
 

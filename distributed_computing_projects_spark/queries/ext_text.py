@@ -783,40 +783,38 @@ _KMV_KEPT_D = f"""
     "sketch_distinct_tokens",
     oracle=f"""
     WITH {_KMV_KEPT_D},
-    sk AS (
+    agg AS (
       SELECT grp,
-             CAST(count(*) AS BIGINT) AS n_kept,
-             max(h) AS kth_min_hash,
-             CASE WHEN count(*) < {SK.K_DEFAULT}
-                  THEN CAST(count(*) AS DOUBLE)
-                  ELSE CAST({_KMV_NUM} AS DOUBLE) / CAST(max(h) AS DOUBLE)
-             END AS est_distinct
-      FROM kept WHERE rn <= {SK.K_DEFAULT} GROUP BY grp
-    ),
-    exact AS (
-      SELECT grp, CAST(count(*) AS BIGINT) AS exact_distinct_hashes
-      FROM pairs GROUP BY grp
+             CAST(count(CASE WHEN rn <= {SK.K_DEFAULT} THEN 1 END)
+                  AS BIGINT) AS n_kept,
+             max(CASE WHEN rn <= {SK.K_DEFAULT} THEN h END)
+               AS kth_min_hash,
+             CAST(count(*) AS BIGINT) AS exact_distinct_hashes
+      FROM kept GROUP BY grp
     )
-    SELECT sk.grp AS lang, sk.n_kept, sk.kth_min_hash, sk.est_distinct,
-           exact.exact_distinct_hashes
-    FROM sk JOIN exact ON sk.grp = exact.grp
+    SELECT grp AS lang, n_kept, kth_min_hash,
+           CASE WHEN n_kept < {SK.K_DEFAULT}
+                THEN CAST(n_kept AS DOUBLE)
+                ELSE CAST({_KMV_NUM} AS DOUBLE)
+                     / CAST(kth_min_hash AS DOUBLE)
+           END AS est_distinct,
+           exact_distinct_hashes
+    FROM agg
     """,
     doc="KMV distinct-count sketch per language: k smallest distinct "
         "token hashes -> estimate (k-1)*2^32/h_k, one IEEE division of "
         "exactly-determined integers so both engines agree bit-for-bit "
         "(the reason this is KMV and not HLL). Exact distinct-hash "
-        "count joined alongside for calibration. The distinct is the "
-        "only data-sized shuffle; the rank window reuses its "
-        "partitioning.",
+        "count derived in the SAME single aggregation for calibration "
+        "— no join-back of an exact side (that naive shape measured "
+        "10 exchanges; this one 4). The distinct is the only "
+        "data-sized shuffle.",
 )
 def q_sketch_distinct_tokens(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = SK.token_hashes(docs, "lang", "text")
-    sk = SK.kmv_sketch(pairs)
-    exact = pairs.groupBy("grp").agg(
-        F.count("*").cast("bigint").alias("exact_distinct_hashes"))
     return (
-        sk.join(exact, "grp")
+        SK.kmv_sketch_with_exact(pairs)
         .withColumnRenamed("grp", "lang")
     )
 
