@@ -726,6 +726,7 @@ def q_quality_classifier_weights(spark, sf_dir):
 
 @query(
     "quality_classifier_confusion",
+    headline=True,
     oracle=f"""
     WITH {_QC_LABELED_D},
     scores AS (
@@ -781,6 +782,7 @@ _KMV_KEPT_D = f"""
 
 @query(
     "sketch_distinct_tokens",
+    headline=True,
     oracle=f"""
     WITH {_KMV_KEPT_D},
     agg AS (

@@ -1618,6 +1618,7 @@ def _zorder_oracle() -> str:
 
 @query(
     "zorder_layout_quality",
+    headline=True,
     oracle=_zorder_oracle(),
     doc="Morton (Z-order) clustering key over (shipdate day offset, "
         "partkey): per z-bucket (key >> 20) row counts and BOTH "
