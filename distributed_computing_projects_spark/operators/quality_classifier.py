@@ -136,23 +136,27 @@ def top_weights(labeled: DataFrame, k: int = TOP_WEIGHTS) -> DataFrame:
 def score_docs(labeled: DataFrame) -> DataFrame:
     """Score the test split: (id, label, score) with score the exact
     BIGINT sum of per-occurrence weights (0 for docs with no in-vocab
-    tokens, restored by the join-back)."""
+    tokens).
+
+    The label rides through the explode and the per-doc aggregate
+    keys on (id, label) — label is functionally dependent on id, so
+    this is the same grouping but needs NO join-back of the doc list
+    (the naive score-then-rejoin shape costs a sort-merge join + two
+    exchanges more). ``explode_outer`` keeps zero-token docs as one
+    null-token row; the left broadcast join gives them (and
+    out-of-vocab tokens) a null weight that coalesces to 0."""
     weights = F.broadcast(token_weights(labeled).select("token", "weight"))
     test = labeled.filter(F.col("id") % TRAIN_MOD == TEST_REMAINDER)
-    occ = test.select("id", F.explode("toks").alias("token"))
-    scores = (
-        occ.join(weights, "token", "inner")
-        .groupBy("id")
-        .agg(F.sum("weight").cast("bigint").alias("score"))
-    )
+    occ = test.select("id", "label",
+                      F.explode_outer("toks").alias("token"))
     return (
-        test.select("id", "label")
-        .join(scores, "id", "left")
-        .select(
-            "id",
-            "label",
-            F.coalesce(F.col("score"), F.lit(0).cast("bigint")).alias("score"),
+        occ.join(weights, "token", "left")
+        .groupBy("id", "label")
+        .agg(
+            F.sum(F.coalesce(F.col("weight"), F.lit(0).cast("bigint")))
+            .cast("bigint").alias("score")
         )
+        .select("id", "label", "score")
     )
 
 

@@ -471,3 +471,26 @@ def test_quality_classifier_scoring_broadcasts_vocab(spark, sf_dir,
     # the only nested-loop join is the deliberate 1-row broadcast of
     # the training totals; a shuffled product is still forbidden
     assert "CartesianProduct" not in plan, plan
+
+
+def test_new_headliner_exchange_budgets(spark, sf_dir, registry):
+    """Exchange budgets for the round-9 headliners — anything above
+    these counts is a plan regression:
+      * zorder_layout_quality: 1 (the single aggregate; the key is
+        pure codegen over the scan)
+      * sketch_distinct_tokens: 2 (distinct on (grp,h) + window re-key
+        to grp; the final aggregate reuses the window partitioning)
+      * quality_classifier_confusion: 5 (token-count shuffle, the
+        1-row totals gather, per-doc score aggregate, confusion
+        aggregate + its gather; the vocab join broadcasts and the
+        label rides the explode, so there is NO doc-list rejoin)"""
+    budgets = {
+        "zorder_layout_quality": 1,
+        "sketch_distinct_tokens": 2,
+        "quality_classifier_confusion": 5,
+    }
+    for name, budget in budgets.items():
+        plan = physical_plan(registry[name].fn(spark, sf_dir))
+        n = plan.count("+- Exchange")
+        assert n <= budget, (name, n, budget, plan)
+        assert "SortMergeJoin" not in plan, (name, plan)
