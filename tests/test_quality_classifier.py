@@ -62,3 +62,32 @@ def test_confusion_counts_cover_the_test_split(spark):
                     .count()
     total = sum(r["n"] for r in QC.confusion(labeled).collect())
     assert total == n_test
+
+
+def test_calibrated_threshold_is_kth_smallest_train_score(spark):
+    # Corpus with enough signal-free noise that scores vary; check the
+    # threshold equals the k-th smallest train score computed directly.
+    rows = [(i, " ".join(f"w{(i * 7 + j) % 13}" for j in range(30)))
+            for i in range(1, 30)]
+    rows += [(31, "x x x"), (32, "y y y"), (33, "z z z")]  # negatives
+    labeled = QC.labeled_docs(_docs(spark, rows), "doc_id", "text")
+    w = QC.token_weights(labeled)
+    t = QC.calibrated_threshold(labeled, w).collect()[0]["t"]
+    scores = sorted(r["score"]
+                    for r in QC.train_scores(labeled, w).collect())
+    k = labeled.filter(
+        f"id % {QC.TRAIN_MOD} <> {QC.TEST_REMAINDER} AND NOT label"
+    ).count()
+    assert k > 0 and t == scores[k - 1]
+
+
+def test_threshold_floor_when_no_train_negatives(spark):
+    rows = [(i, " ".join(f"w{j}" for j in range(30)))
+            for i in range(1, 20)]  # all pass the gate
+    labeled = QC.labeled_docs(_docs(spark, rows), "doc_id", "text")
+    w = QC.token_weights(labeled)
+    t = QC.calibrated_threshold(labeled, w).collect()[0]["t"]
+    assert t == QC._T_FLOOR
+    # and therefore every held-out doc is predicted positive
+    preds = {r["pred"] for r in QC.confusion(labeled).collect()}
+    assert preds == {1}
