@@ -128,6 +128,39 @@ def kept_values(pairs: DataFrame, k: int = K_DEFAULT) -> DataFrame:
     )
 
 
+def append_batch_sketch(batch_docs: DataFrame, store_path: str,
+                        group_col: str, text_col: str,
+                        k: int = K_DEFAULT,
+                        batch_id: int | None = None) -> None:
+    """Continuous ingest: append one micro-batch's per-group kept set
+    (at most k rows per group per batch) to a parquet sketch store.
+
+    Unlike the band/IVF stores, a KMV store needs NO batch-id
+    overwrite discipline for correctness: the merge is a set union,
+    so an at-least-once retry that appends the same kept set twice
+    changes nothing after the merged read's distinct — the store is
+    idempotent under duplicates BY CONSTRUCTION (pinned in
+    tests/test_sketches.py). ``batch_id`` is recorded for
+    observability only."""
+    kept = kept_values(
+        token_hashes(batch_docs, group_col, text_col), k)
+    (kept.withColumn(
+        "batch_id",
+        F.lit(-1 if batch_id is None else int(batch_id)).cast("bigint"))
+     .write.mode("append").parquet(store_path))
+
+
+def merged_store_sketch(spark, store_path: str,
+                        k: int = K_DEFAULT) -> DataFrame:
+    """Read a sketch store and merge all epochs: per-group k smallest
+    DISTINCT hashes across every appended kept set = exactly the
+    sketch of everything ever streamed in (merge theorem), regardless
+    of batch boundaries or retries. The store read is k rows per
+    group per batch — the merge never touches the original corpus."""
+    kept = spark.read.parquet(store_path).select("grp", "h")
+    return kmv_sketch(kept.distinct(), k)
+
+
 def merge_sketches(kept: DataFrame, k: int = K_DEFAULT) -> DataFrame:
     """Union estimate from per-group sketches alone: the k smallest
     DISTINCT hashes across all groups' kept sets are exactly the union

@@ -734,3 +734,99 @@ def q_streaming_ivfpq_ingest(spark, sf_dir):
     return _PQ.ivfpq_topk_store(
         spark, store, _ANN_Q, _ANN_K, probes=ANN_IVF_PROBES
     )
+
+
+from distributed_computing_projects_spark.functions import (  # noqa: E402
+    text as _T,
+)
+from distributed_computing_projects_spark.operators import (  # noqa: E402
+    sketches as _SK,
+)
+
+_SK_NUM = int((_SK.K_DEFAULT - 1) * _SK.HASH_SPACE)
+
+
+@query(
+    "streaming_kmv_ingest",
+    # identical contract to sketch_distinct_tokens minus the exact
+    # calibration column: the stream + store + a deliberate duplicate
+    # "retry" append must change NOTHING vs the direct corpus sketch
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT lang AS grp,
+             {_T.hash32('token', 'duck')} AS h
+      FROM (SELECT lang, unnest({_T.tokens('text', 'duck')}) AS token
+            FROM documents)
+    ),
+    kept AS (
+      SELECT grp, h,
+             row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+      FROM pairs
+    )
+    SELECT grp AS lang,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           max(h) AS kth_min_hash,
+           CASE WHEN count(*) < {_SK.K_DEFAULT}
+                THEN CAST(count(*) AS DOUBLE)
+                ELSE CAST({_SK_NUM} AS DOUBLE) / CAST(max(h) AS DOUBLE)
+           END AS est_distinct
+    FROM kept WHERE rn <= {_SK.K_DEFAULT} GROUP BY grp
+    """,
+    doc="CONTINUOUS-INGEST cardinality: documents arrive as a file "
+        "stream; foreachBatch appends each micro-batch's per-group "
+        "KMV kept set (<= k rows per group per batch) to a parquet "
+        "sketch store, then the SAME batch is appended AGAIN — a "
+        "deliberate at-least-once retry — and the merged store sketch "
+        "must still hash-match the direct full-corpus sketch: KMV "
+        "merge is a set union, so the store is idempotent under "
+        "duplicate delivery BY CONSTRUCTION, with no batch-id "
+        "overwrite machinery (contrast the band/IVF stores). The "
+        "merged read touches k rows per group per batch, never the "
+        "corpus.",
+)
+def q_streaming_kmv_ingest(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from distributed_computing_projects_spark.operators import (
+        sketches as SKETCH,
+    )
+    from distributed_computing_projects_spark.sources.registry import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"dcp_stream_kmv_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    store = os.path.join(work, "sketches")
+    ckpt = os.path.join(work, "ckpt")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+    def ingest_batch(batch_df, batch_id):
+        SKETCH.append_batch_sketch(batch_df, store, "lang", "text",
+                                   batch_id=batch_id)
+        # deliberate at-least-once retry: the same kept set again
+        SKETCH.append_batch_sketch(batch_df, store, "lang", "text",
+                                   batch_id=batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("streaming KMV ingest did not drain in 180 s")
+    return (
+        SKETCH.merged_store_sketch(spark, store)
+        .withColumnRenamed("grp", "lang")
+    )

@@ -59,3 +59,41 @@ def test_estimate_tracks_exact_cardinality(spark):
         else:
             rel = abs(row["est_distinct"] - exact[grp]) / exact[grp]
             assert rel < 0.25, (grp, row["est_distinct"], exact[grp])
+
+
+def test_sketch_store_idempotent_under_duplicate_appends(spark, tmp_path):
+    """At-least-once delivery: appending the same batch's kept set N
+    times must leave the merged store sketch identical to one append —
+    KMV's set-union merge makes the store retry-idempotent with no
+    batch-id machinery."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    once, thrice = str(tmp_path / "once"), str(tmp_path / "thrice")
+    SK.append_batch_sketch(docs, once, "lang", "text", batch_id=0)
+    for i in range(3):
+        SK.append_batch_sketch(docs, thrice, "lang", "text", batch_id=i)
+    a = {r["grp"]: r.asDict() for r in
+         SK.merged_store_sketch(spark, once).collect()}
+    b = {r["grp"]: r.asDict() for r in
+         SK.merged_store_sketch(spark, thrice).collect()}
+    assert a == b
+    # and the merged store equals the direct corpus sketch
+    direct = {r["grp"]: r.asDict() for r in
+              SK.kmv_sketch(_pairs(spark)).collect()}
+    for grp, row in a.items():
+        assert row == direct[grp]
+
+
+def test_sketch_store_merges_across_batch_splits(spark, tmp_path):
+    """Split the corpus into 3 disjoint batches by doc_id; the merged
+    store sketch must equal the whole-corpus sketch exactly (merge
+    theorem, across real batch boundaries)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    store = str(tmp_path / "split")
+    for i in range(3):
+        SK.append_batch_sketch(docs.filter(F.col("doc_id") % 3 == i),
+                               store, "lang", "text", batch_id=i)
+    merged = {r["grp"]: r.asDict() for r in
+              SK.merged_store_sketch(spark, store).collect()}
+    direct = {r["grp"]: r.asDict() for r in
+              SK.kmv_sketch(_pairs(spark)).collect()}
+    assert merged == direct
