@@ -880,3 +880,72 @@ def q_sketch_union_distinct(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = SK.token_hashes(docs, "lang", "text")
     return SK.merge_sketches(SK.kept_values(pairs))
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (the WARC-to-corpus stage)
+# ---------------------------------------------------------------------------
+
+from distributed_computing_projects_spark.functions import (  # noqa: E402
+    html as H,
+)
+
+# Deterministic HTML wrapper replayed identically by both engines (the
+# PII-injection pattern): the synthetic corpus has no HTML, so the
+# query wraps every doc in markup exercising each extraction rule —
+# a style block with braces, a script whose body contains a bare '<'
+# (mangled unless scripts are stripped BEFORE the tag regex), attrs,
+# and every supported entity — then strips it. The extracted STRING is
+# hash-compared, so Java-regex and RE2 must agree byte-for-byte.
+_HTML_WRAP_SPARK = (
+    "concat('<html><head><title>Doc ', CAST(doc_id AS STRING),"
+    " '</title><style>p { color: red; }</style></head>',"
+    " '<body onload=\"init()\"><script type=\"text/javascript\">"
+    "if (a < b) { go(\"now\"); }</script>',"
+    " '<h1>Doc ', CAST(doc_id AS STRING), '</h1><p class=\"main\">',"
+    " text,"
+    " '</p><p>Tom &amp;&amp; Jerry &lt;3 &quot;q&quot;"
+    " it&#39;s&nbsp;done</p></body></html>')"
+)
+
+_HTML_WRAP_DUCK = (
+    "('<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||"
+    " '</title><style>p { color: red; }</style></head>' ||"
+    " '<body onload=\"init()\"><script type=\"text/javascript\">"
+    "if (a < b) { go(\"now\"); }</script>' ||"
+    " '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p class=\"main\">' ||"
+    " text ||"
+    " '</p><p>Tom &amp;&amp; Jerry &lt;3 &quot;q&quot;"
+    " it&#39;s&nbsp;done</p></body></html>')"
+)
+
+
+@query(
+    "html_extract_text",
+    oracle=f"""
+    SELECT doc_id AS id,
+           {H.strip_html(_HTML_WRAP_DUCK, 'duck')} AS extracted,
+           len({T.tokens(H.strip_html(_HTML_WRAP_DUCK, 'duck'), 'duck')})
+             AS n_tokens
+    FROM documents
+    """,
+    doc="HTML -> text extraction (the WARC-to-corpus stage): drop "
+        "script/style blocks (RE2 has no backreferences, so two "
+        "separate lazy patterns), tags to spaces, entity decode "
+        "(&amp; last), whitespace collapse — one codegen "
+        "regexp_replace/replace chain, no UDFs. The corpus carries no "
+        "HTML, so a deterministic wrapper exercising every rule "
+        "(script body containing a bare '<', braces in style, attrs, "
+        "all entities) is injected identically in both engines and "
+        "the EXTRACTED STRING is hash-compared — a two-engine "
+        "differential of Java-regex vs RE2 semantics on the exact "
+        "patterns used.",
+)
+def q_html_extract_text(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    ext = H.strip_html(_HTML_WRAP_SPARK, "spark")
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        F.expr(ext).alias("extracted"),
+        F.expr(f"size({T.tokens(ext, 'spark')})").alias("n_tokens"),
+    )
