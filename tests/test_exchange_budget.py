@@ -36,12 +36,21 @@ EXCHANGE_BUDGET = {
     "q1_pricing_summary": 1,
     "q3_shipping_priority": 1,
     "q5_local_supplier_volume": 1,
+    # 12 static nodes but only 3 data-sized (train token counts + the
+    # two per-doc scoring aggregates); the rest are vocab-sized or
+    # 1-row, and the duplicated weights subtree folds under
+    # ReuseExchange at runtime (see operators/quality_classifier.py)
+    "quality_classifier_confusion": 12,
     "range_join_clicks_before_purchase": 1,
     "repetition_stats": 2,
+    # distinct on (grp,h) + the window re-key to grp, both hash-rows
+    "sketch_distinct_tokens": 2,
     "tfidf_top_terms": 4,
     "training_corpus_summary": 3,
     "wine_filter_agg": 2,
     "wordcount": 2,
+    # the single per-bucket aggregate; the Morton key is codegen
+    "zorder_layout_quality": 1,
 }
 
 
