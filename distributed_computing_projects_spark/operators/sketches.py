@@ -128,6 +128,80 @@ def kept_values(pairs: DataFrame, k: int = K_DEFAULT) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Count-min sketch (frequency estimation) — the second sketch family:
+# KMV answers "how many distinct", CMS answers "how often is X" with
+# d*w bounded counters. Counter cells are plain integer SUMS of
+# occurrence counts, so the sketch is engine-exact (unlike probabilistic
+# counters there is no estimator randomness — collisions only ever ADD,
+# giving the classic one-sided estimate >= truth, pinned in pytest).
+# Spark's map-side partial aggregation IS the CMS merge: each partition
+# folds to at most d*w cells before the shuffle, so the exchange is
+# bounded regardless of corpus size — the sketch property falls out of
+# the aggregation plan rather than custom state.
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_cell(token_expr: str, i_expr: str, dialect: str) -> str:
+    """Cell index for hash row ``i``: the portable 32-bit hash of
+    'i:token', mod the (power-of-two) width — nonnegative in both
+    engines."""
+    if dialect == "spark":
+        seeded = f"concat(CAST({i_expr} AS STRING), ':', {token_expr})"
+    else:
+        seeded = f"(CAST({i_expr} AS VARCHAR) || ':' || {token_expr})"
+    return f"({T.hash32(seeded, dialect)} % {CMS_WIDTH})"
+
+
+def cms_table(occ: DataFrame, token_col: str = "token") -> DataFrame:
+    """(i, cell, c): the d x w counter matrix over one row per token
+    OCCURRENCE. One aggregate; the shuffle is bounded at d*w rows per
+    upstream partition by partial aggregation (the merge property)."""
+    with_i = occ.select(
+        F.col(token_col).alias("token"),
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("i"),
+    )
+    return (
+        with_i.select(
+            "i",
+            F.expr(_cms_cell("token", "i", "spark")).alias("cell"),
+        )
+        .groupBy("i", "cell")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+
+
+def cms_estimates(occ: DataFrame, top_n: int,
+                  token_col: str = "token") -> DataFrame:
+    """(token, exact_count, cms_estimate) for the top_n most frequent
+    tokens (count desc, token asc — deterministic cut): estimate =
+    min over the d rows of the token's cells, always >= exact (the
+    one-sided CMS bound). The probe side is top_n*d rows joining a
+    d*w table — both broadcastable at any corpus size."""
+    cms = cms_table(occ, token_col)
+    top = (
+        occ.groupBy(F.col(token_col).alias("token"))
+        .agg(F.count("*").cast("bigint").alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("token").asc())
+        .limit(top_n)
+    )
+    probe = top.select(
+        "token", "exact_count",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("i"),
+    ).select(
+        "token", "exact_count", "i",
+        F.expr(_cms_cell("token", "i", "spark")).alias("cell"),
+    )
+    return (
+        probe.join(F.broadcast(cms), ["i", "cell"], "inner")
+        .groupBy("token", "exact_count")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+
+
 def append_batch_sketch(batch_docs: DataFrame, store_path: str,
                         group_col: str, text_col: str,
                         k: int = K_DEFAULT,

@@ -949,3 +949,47 @@ def q_html_extract_text(spark, sf_dir):
         F.expr(ext).alias("extracted"),
         F.expr(f"size({T.tokens(ext, 'spark')})").alias("n_tokens"),
     )
+
+
+_CMS_CELL_D = SK._cms_cell("token", "i", "duck")
+
+
+@query(
+    "cms_token_frequencies",
+    oracle=f"""
+    WITH occ AS (
+      SELECT unnest({_TOKS_D}) AS token FROM documents
+    ),
+    cms AS (
+      SELECT i, {_CMS_CELL_D} AS cell, CAST(count(*) AS BIGINT) AS c
+      FROM occ, (SELECT unnest(generate_series(0, {SK.CMS_DEPTH - 1}))
+                 AS i)
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS exact_count
+      FROM occ GROUP BY token
+      ORDER BY exact_count DESC, token LIMIT 10
+    ),
+    probe AS (
+      SELECT token, exact_count, i, {_CMS_CELL_D} AS cell
+      FROM top, (SELECT unnest(generate_series(0, {SK.CMS_DEPTH - 1}))
+                 AS i)
+    )
+    SELECT p.token, p.exact_count, min(c.c) AS cms_estimate
+    FROM probe p JOIN cms c ON p.i = c.i AND p.cell = c.cell
+    GROUP BY p.token, p.exact_count
+    """,
+    doc="Count-min sketch over token occurrences: the d x w counter "
+        "matrix is plain integer sums, so the sketch is engine-exact; "
+        "the top-10 tokens' estimates (min over d cells) sit above "
+        "their exact counts by the one-sided collision bound. Spark's "
+        "map-side partial aggregation IS the CMS merge — each "
+        "partition folds to <= d*w cells before the shuffle, bounding "
+        "the exchange regardless of corpus size.",
+)
+def q_cms_token_frequencies(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        F.explode(F.expr(T.tokens("text", "spark"))).alias("token"))
+    return SK.cms_estimates(occ, 10)

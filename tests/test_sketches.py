@@ -97,3 +97,20 @@ def test_sketch_store_merges_across_batch_splits(spark, tmp_path):
     direct = {r["grp"]: r.asDict() for r in
               SK.kmv_sketch(_pairs(spark)).collect()}
     assert merged == direct
+
+
+def test_cms_estimate_is_one_sided_and_tight_for_heavy_hitters(spark):
+    """CMS invariants: estimate >= exact for every probed token
+    (collisions only add), and with d=4, w=1024 over this corpus the
+    heavy hitters' estimates stay within the classic eps*N slack."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    occ = docs.select(F.explode(F.expr(
+        "filter(split(text, '\\\\s+'), x -> x <> '')")).alias("token"))
+    n_total = occ.count()
+    rows = SK.cms_estimates(occ, 10).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_count"], r
+        # eps = e/w; slack bound holds w.h.p. — generous x4 margin
+        assert r["cms_estimate"] - r["exact_count"] <= \
+            4 * (3 * n_total) // SK.CMS_WIDTH, (r, n_total)
