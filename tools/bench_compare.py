@@ -35,7 +35,15 @@ def load(path: str) -> dict:
     BENCH_r*.json wrapper (record under \"parsed\")."""
     with open(path) as f:
         d = json.load(f)
-    return d["parsed"] if "parsed" in d and "queries" not in d else d
+    rec = d["parsed"] if "parsed" in d and "queries" not in d else d
+    if rec is None:
+        raise SystemExit(
+            f"{path}: parsed=null (the driver's tail capture truncated "
+            "this round's bench line — the r8 failure bench.py's compact "
+            "emission now prevents); compare against the raw bench line "
+            "or a neighboring round instead"
+        )
+    return rec
 
 
 def canary_min(d: dict):
