@@ -1649,3 +1649,55 @@ def q_zorder_layout_quality(spark, sf_dir):
         F.min("day_off").alias("min_day"), F.max("day_off").alias("max_day"),
         F.min("pk16").alias("min_pk"), F.max("pk16").alias("max_pk"),
     )
+
+
+@query(
+    "skewed_join_salted",
+    oracle="""
+    WITH big AS (
+      SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0
+                  ELSE l_suppkey % 25 END AS hot_nation,
+             l_orderkey
+      FROM lineitem
+    )
+    SELECT n.n_name, count(*) AS n_rows,
+           min(b.l_orderkey) AS min_orderkey,
+           max(b.l_orderkey) AS max_orderkey
+    FROM big b JOIN nation n ON b.hot_nation = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="Salted skewed join, driver-checked: 70% of lineitem rows are "
+        "forced onto one join key (the canonical hot-key shape), the "
+        "Spark side joins through operators/skew.salted_join (content+"
+        "ordinal salt on the big side, exploded replication on the "
+        "small side), and the ORACLE IS THE PLAIN JOIN — salting must "
+        "change nothing but the partitioning, so the hash compare is "
+        "a correctness differential of the salting machinery itself. "
+        "The partition-spreading claim (one hot key -> salt even "
+        "shuffle partitions) is pinned separately in tests/"
+        "test_skew.py; AQE skew-join remains the first line of "
+        "defense, salting the explicit fallback for shapes AQE "
+        "cannot split.",
+)
+def q_skewed_join_salted(spark, sf_dir):
+    from distributed_computing_projects_spark.operators.skew import (
+        salted_join,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    big = li.select(
+        F.expr("CASE WHEN l_orderkey % 10 < 7 THEN 0"
+               " ELSE l_suppkey % 25 END").alias("hot_nation"),
+        "l_orderkey",
+    )
+    joined = salted_join(
+        big, nation.select(F.col("n_nationkey").alias("hot_nation"),
+                           "n_name"),
+        ["hot_nation"],
+    )
+    return joined.groupBy("n_name").agg(
+        F.count("*").alias("n_rows"),
+        F.min("l_orderkey").alias("min_orderkey"),
+        F.max("l_orderkey").alias("max_orderkey"),
+    )
