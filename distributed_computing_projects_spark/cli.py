@@ -217,6 +217,10 @@ def build_parser() -> argparse.ArgumentParser:
                                          "classifier-train --out")
     cs.add_argument("--id-col", default="doc_id")
     cs.add_argument("--text-col", default="text")
+    cs.add_argument("--threshold", type=int, default=None,
+                    help="decision cut (default: the calibrated "
+                         "threshold from the model's _params sidecar, "
+                         "else 0)")
 
     km = sub.add_parser(
         "kmv",
@@ -427,16 +431,27 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             _emit(bpe.encode_tokens(corpus, args.id_col, args.text_col,
                                     table).orderBy("id"))
         elif args.cmd == "classifier-train":
+            from pyspark.sql import functions as F
+
             from distributed_computing_projects_spark.operators import (
                 quality_classifier as qc,
             )
 
             corpus = spark.read.parquet(args.corpus_path)
             labeled = qc.labeled_docs(corpus, args.id_col, args.text_col)
-            weights = qc.token_weights(labeled)
             if args.out:
-                weights.write.mode("error").parquet(args.out)
-            _emit(qc.top_weights(labeled))
+                # one training pass: save_model materializes the
+                # weights (+ calibrated threshold sidecar); the top-50
+                # print re-reads the written parquet instead of
+                # re-running the corpus-wide explode
+                t = qc.save_model(labeled, args.out)
+                print(f"threshold\t{t}")
+                saved = spark.read.parquet(args.out)
+                _emit(saved.orderBy(F.col("weight").desc(),
+                                    F.col("token").asc())
+                      .limit(qc.TOP_WEIGHTS))
+            else:
+                _emit(qc.top_weights(labeled))
         elif args.cmd == "classifier-score":
             from distributed_computing_projects_spark.operators import (
                 quality_classifier as qc,
@@ -444,8 +459,11 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
 
             corpus = spark.read.parquet(args.corpus_path)
             weights = spark.read.parquet(args.weights_path)
+            t = (args.threshold if args.threshold is not None
+                 else qc.load_threshold(args.weights_path))
             _emit(qc.score_against(corpus, weights, args.id_col,
-                                   args.text_col).orderBy("id"))
+                                   args.text_col,
+                                   threshold=t).orderBy("id"))
         elif args.cmd == "kmv":
             from distributed_computing_projects_spark.operators import (
                 sketches,

@@ -133,54 +133,55 @@ def top_weights(labeled: DataFrame, k: int = TOP_WEIGHTS) -> DataFrame:
     return w.orderBy(F.col("weight").desc(), F.col("token").asc()).limit(k)
 
 
-def score_docs(labeled: DataFrame,
-               weights: DataFrame | None = None) -> DataFrame:
-    """Score the test split: (id, label, score) with score the exact
-    BIGINT sum of per-occurrence weights (0 for docs with no in-vocab
-    tokens).
+def _split_scores(labeled: DataFrame, weights: DataFrame,
+                  test_split: bool, with_label: bool) -> DataFrame:
+    """Shared scoring plan for either split: (id[, label], score) with
+    score the exact BIGINT sum of per-occurrence weights (0 for docs
+    with no in-vocab tokens).
 
-    The label rides through the explode and the per-doc aggregate
-    keys on (id, label) — label is functionally dependent on id, so
-    this is the same grouping but needs NO join-back of the doc list
-    (the naive score-then-rejoin shape costs a sort-merge join + two
-    exchanges more). ``explode_outer`` keeps zero-token docs as one
-    null-token row; the left broadcast join gives them (and
-    out-of-vocab tokens) a null weight that coalesces to 0.
-
-    Pass ``weights`` to share one trained table across scoring and
-    threshold calibration (identical subtrees also hit Spark's
-    ReuseExchange)."""
-    if weights is None:
-        weights = token_weights(labeled)
-    weights = F.broadcast(weights.select("token", "weight"))
-    test = labeled.filter(F.col("id") % TRAIN_MOD == TEST_REMAINDER)
-    occ = test.select("id", "label",
-                      F.explode_outer("toks").alias("token"))
+    The label (when carried) rides through the explode and the
+    per-doc aggregate keys on (id, label) — label is functionally
+    dependent on id, so this is the same grouping but needs NO
+    join-back of the doc list (the naive score-then-rejoin shape
+    costs a sort-merge join + two exchanges more). ``explode_outer``
+    keeps zero-token docs as one null-token row; the left broadcast
+    join gives them (and out-of-vocab tokens) a null weight that
+    coalesces to 0. One builder serves scoring AND threshold
+    calibration so the plan shape cannot silently diverge between
+    them; identical weight subtrees also hit Spark's ReuseExchange."""
+    w = F.broadcast(weights.select("token", "weight"))
+    split = F.col("id") % TRAIN_MOD == TEST_REMAINDER
+    rows = labeled.filter(split if test_split else ~split)
+    keys = ["id", "label"] if with_label else ["id"]
+    occ = rows.select(*keys, F.explode_outer("toks").alias("token"))
     return (
-        occ.join(weights, "token", "left")
-        .groupBy("id", "label")
+        occ.join(w, "token", "left")
+        .groupBy(*keys)
         .agg(
             F.sum(F.coalesce(F.col("weight"), F.lit(0).cast("bigint")))
             .cast("bigint").alias("score")
         )
-        .select("id", "label", "score")
+        .select(*keys, "score")
     )
+
+
+def score_docs(labeled: DataFrame,
+               weights: DataFrame | None = None) -> DataFrame:
+    """Score the test split: (id, label, score). See _split_scores.
+
+    Pass ``weights`` to share one trained table across scoring and
+    threshold calibration."""
+    if weights is None:
+        weights = token_weights(labeled)
+    return _split_scores(labeled, weights, test_split=True,
+                         with_label=True)
 
 
 def train_scores(labeled: DataFrame, weights: DataFrame) -> DataFrame:
-    """(id, score) over the TRAIN split — same scoring plan as
-    score_docs, used to calibrate the decision threshold."""
-    train = labeled.filter(F.col("id") % TRAIN_MOD != TEST_REMAINDER)
-    occ = train.select("id", F.explode_outer("toks").alias("token"))
-    return (
-        occ.join(F.broadcast(weights.select("token", "weight")),
-                 "token", "left")
-        .groupBy("id")
-        .agg(
-            F.sum(F.coalesce(F.col("weight"), F.lit(0).cast("bigint")))
-            .cast("bigint").alias("score")
-        )
-    )
+    """(id, score) over the TRAIN split — the same _split_scores plan
+    score_docs uses, so calibration can never diverge from scoring."""
+    return _split_scores(labeled, weights, test_split=False,
+                         with_label=False)
 
 
 # "No negatives in train" sentinel: a threshold below every possible
@@ -228,12 +229,20 @@ def calibrated_threshold(labeled: DataFrame,
 
 
 def score_against(docs: DataFrame, weights: DataFrame,
-                  id_col: str, text_col: str) -> DataFrame:
+                  id_col: str, text_col: str,
+                  threshold: int = 0) -> DataFrame:
     """Score arbitrary documents with an already-trained weights table
-    (the deployment shape: weights persisted by `classifier-train
-    --out`, corpus at scale): (id, score, pred). Same plan as
-    score_docs — explode -> broadcast vocab join -> per-doc exact
-    BIGINT aggregate; no-vocab docs restore to score 0."""
+    (the deployment shape: weights + calibrated threshold persisted by
+    `classifier-train --out`, corpus at scale): (id, score, pred with
+    pred = score > threshold). Same explode -> broadcast vocab join ->
+    per-doc exact BIGINT aggregate plan as _split_scores; no-vocab
+    docs restore to score 0.
+
+    ``threshold`` should be the train-time calibrated cut
+    (``calibrated_threshold``, persisted in the weights store's
+    ``_params`` sidecar by ``save_model``) — the raw ``score > 0``
+    cut is miscalibrated under class imbalance (see
+    calibrated_threshold's docstring)."""
     toks = T.tokens(text_col, "spark")
     base = docs.select(F.col(id_col).alias("id"),
                        F.expr(toks).alias("toks"))
@@ -250,8 +259,40 @@ def score_against(docs: DataFrame, weights: DataFrame,
         .select("id",
                 F.coalesce(F.col("score"),
                            F.lit(0).cast("bigint")).alias("score"))
-        .withColumn("pred", (F.col("score") > 0).cast("int"))
+        .withColumn("pred",
+                    (F.col("score") > F.lit(threshold)).cast("int"))
     )
+
+
+def save_model(labeled: DataFrame, out_path: str) -> int:
+    """Persist the deployable model: the full weight table as parquet
+    at ``out_path`` plus the prior-calibrated threshold in the same
+    directory's ``_params`` sidecar (the repo's store-parameter
+    pattern — parameters travel WITH the artifact, no out-of-band
+    handoff). Returns the threshold."""
+    from distributed_computing_projects_spark.operators import storemeta
+
+    weights = token_weights(labeled)
+    weights.write.mode("error").parquet(out_path)
+    t = int(calibrated_threshold(labeled, weights).collect()[0]["t"])
+    storemeta.write_params(out_path, "quality_classifier",
+                           {"threshold": t,
+                            "train_mod": TRAIN_MOD,
+                            "test_remainder": TEST_REMAINDER,
+                            "min_df": MIN_DF})
+    return t
+
+
+def load_threshold(weights_path: str) -> int:
+    """The calibrated threshold from a save_model directory's sidecar;
+    falls back to 0 (the uncalibrated cut) for a bare weights parquet,
+    matching pre-sidecar artifacts."""
+    from distributed_computing_projects_spark.operators import storemeta
+
+    meta = storemeta.read_params(weights_path)
+    if meta is None or "threshold" not in meta:
+        return 0
+    return int(meta["threshold"])
 
 
 def confusion(labeled: DataFrame) -> DataFrame:

@@ -36,6 +36,10 @@ def interleave2(x: str, y: str, bits: int, dialect: str) -> str:
     OR of shift/mask terms — whole-stage-codegen-friendly in Spark and
     plain integer ops in ANSI SQL."""
     _check(dialect)
+    if not 1 <= bits <= 31:
+        # 32+ would shift y's top bit into the BIGINT sign bit:
+        # negative keys sort before everything and break the layout
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
     if dialect == "spark":
         def shl(e: str, n: int) -> str:
             return f"shiftleft({e}, {n})" if n else e

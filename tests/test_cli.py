@@ -265,7 +265,16 @@ def test_classifier_train_score_roundtrip(spark, sf_dir, tmp_path, capsys):
     assert main(["classifier-train", f"{sf_dir}/documents.parquet",
                  "--out", wpath], spark=spark) == 0
     head = capsys.readouterr().out.strip().splitlines()
-    assert head and all(len(l.split("\t")) == 4 for l in head)
+    # first line: the calibrated threshold persisted in the sidecar;
+    # then the top-weight rows
+    assert head[0].startswith("threshold\t")
+    t = int(head[0].split("\t")[1])
+    from distributed_computing_projects_spark.operators import (
+        quality_classifier as qc,
+    )
+
+    assert qc.load_threshold(wpath) == t
+    assert head[1:] and all(len(l.split("\t")) == 4 for l in head[1:])
     assert main(["classifier-score", f"{sf_dir}/documents.parquet",
                  wpath], spark=spark) == 0
     out = capsys.readouterr().out.strip().splitlines()
@@ -273,8 +282,9 @@ def test_classifier_train_score_roundtrip(spark, sf_dir, tmp_path, capsys):
     assert len(out) == n_docs
     for line in out:
         _id, score, pred = line.split("\t")
-        assert pred in ("0", "1")
         int(score)  # exact BIGINT, never a float repr
+        # pred honors the sidecar threshold, not the raw >0 cut
+        assert pred == str(int(int(score) > t))
 
 
 def test_kmv_subcommand_prints_group_sketches(spark, sf_dir, capsys):

@@ -10,7 +10,11 @@ from __future__ import annotations
 import importlib.util
 import os
 
-MATRIX_CAP = 50  # rows the driver records per round (observed r1-r5)
+# rows the driver records per round — single source of truth in the
+# generator (tools/matrix_rotation.py), read via _tool() below so a
+# cap change cannot desynchronize generator and test
+def _cap():
+    return _tool().MATRIX_CAP
 
 
 def _tool():
@@ -61,24 +65,26 @@ def test_urgent_queries_fit_the_matrix_cap():
         return (reasons[q] == "never green"
                 or reasons[q].startswith("changed"))
 
+    cap = _cap()
     urgent = [q for q in order if urgency(q)]
     # no urgent query may sit behind a non-urgent one
     assert order[:len(urgent)] == urgent, "urgent query behind non-urgent"
-    # never-green always inside the cap
+    # never-green always inside the cap (write_order hard-fails on
+    # this too; the assertion catches a hand-edited file)
     for q in urgent:
         if reasons[q] == "never green":
-            assert order.index(q) < MATRIX_CAP, (
+            assert order.index(q) < cap, (
                 f"never-green {q} at position {order.index(q)} "
-                f">= cap {MATRIX_CAP}"
+                f">= cap {cap}"
             )
-    overflow = [q for q in urgent if order.index(q) >= MATRIX_CAP]
+    overflow = [q for q in urgent if order.index(q) >= cap]
     assert overflow == MATRIX_OVERFLOW, (
         "stale MATRIX_OVERFLOW — run `python tools/matrix_rotation.py "
         "order` and commit the result"
     )
 
 
-def test_overflow_queries_verify(spark):
+def test_overflow_queries_verify(spark, sf_dir):
     """Every urgent query the driver cannot row this round is
     oracle-verified HERE, so pytest green still certifies it."""
     from distributed_computing_projects_spark.queries._matrix_first import (
@@ -88,7 +94,7 @@ def test_overflow_queries_verify(spark):
 
     if not MATRIX_OVERFLOW:
         return
-    failed = run(spark, "/root/testdata/sf0.001", only=set(MATRIX_OVERFLOW))
+    failed = run(spark, sf_dir, only=set(MATRIX_OVERFLOW))
     assert not failed, f"overflow queries failed oracle verify: {failed}"
 
 

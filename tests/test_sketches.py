@@ -7,29 +7,26 @@ from pyspark.sql import functions as F
 
 from distributed_computing_projects_spark.operators import sketches as SK
 
-SF = "/root/testdata/sf0.001"
-
-
-def _pairs(spark):
-    docs = spark.read.parquet(f"{SF}/documents.parquet")
+def _pairs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return SK.token_hashes(docs, "lang", "text")
 
 
-def test_merge_of_sketches_equals_direct_union_sketch(spark):
+def test_merge_of_sketches_equals_direct_union_sketch(spark, sf_dir):
     """The merge theorem: the k smallest distinct hashes across the
     per-group kept sets are exactly the union set's k minima."""
-    pairs = _pairs(spark)
+    pairs = _pairs(spark, sf_dir)
     merged = SK.merge_sketches(SK.kept_values(pairs)).collect()[0]
     direct = SK.merge_sketches(pairs.select("h").withColumn(
         "grp", F.lit("all"))).collect()[0]
     assert merged.asDict() == direct.asDict()
 
 
-def test_partition_local_fold_merges_losslessly(spark):
+def test_partition_local_fold_merges_losslessly(spark, sf_dir):
     """The bounded-state path: fold a k-min sketch per partition, then
     merge the partials — must equal the exact global composition. This
     is what caps the shuffle at k values per partition per group."""
-    pairs = _pairs(spark).repartition(7)  # arbitrary partitioning
+    pairs = _pairs(spark, sf_dir).repartition(7)  # arbitrary partitioning
     partials = (
         pairs.withColumn("pid", F.spark_partition_id())
         .withColumn("grp2", F.concat_ws("#", "grp", "pid"))
@@ -39,17 +36,17 @@ def test_partition_local_fold_merges_losslessly(spark):
     local = SK.kept_values(partials).withColumn(
         "grp", F.split("grp", "#").getItem(0))
     merged_per_group = SK.kmv_sketch(local.distinct()).collect()
-    exact = SK.kmv_sketch(_pairs(spark)).collect()
+    exact = SK.kmv_sketch(_pairs(spark, sf_dir)).collect()
     key = lambda rows: {r["grp"]: (r["n_kept"], r["kth_min_hash"],
                                    r["est_distinct"]) for r in rows}
     assert key(merged_per_group) == key(exact)
 
 
-def test_estimate_tracks_exact_cardinality(spark):
+def test_estimate_tracks_exact_cardinality(spark, sf_dir):
     """Relative error of a full k=256 sketch is ~1/sqrt(k) (~6%);
     assert a generous 4-sigma bound so the test never flakes, and
     exactness below k."""
-    pairs = _pairs(spark)
+    pairs = _pairs(spark, sf_dir)
     sk = {r["grp"]: r for r in SK.kmv_sketch(pairs).collect()}
     exact = {r["grp"]: r["n"] for r in
              pairs.groupBy("grp").agg(F.count("*").alias("n")).collect()}
@@ -61,12 +58,12 @@ def test_estimate_tracks_exact_cardinality(spark):
             assert rel < 0.25, (grp, row["est_distinct"], exact[grp])
 
 
-def test_sketch_store_idempotent_under_duplicate_appends(spark, tmp_path):
+def test_sketch_store_idempotent_under_duplicate_appends(spark, sf_dir, tmp_path):
     """At-least-once delivery: appending the same batch's kept set N
     times must leave the merged store sketch identical to one append —
     KMV's set-union merge makes the store retry-idempotent with no
     batch-id machinery."""
-    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     once, thrice = str(tmp_path / "once"), str(tmp_path / "thrice")
     SK.append_batch_sketch(docs, once, "lang", "text", batch_id=0)
     for i in range(3):
@@ -78,16 +75,16 @@ def test_sketch_store_idempotent_under_duplicate_appends(spark, tmp_path):
     assert a == b
     # and the merged store equals the direct corpus sketch
     direct = {r["grp"]: r.asDict() for r in
-              SK.kmv_sketch(_pairs(spark)).collect()}
+              SK.kmv_sketch(_pairs(spark, sf_dir)).collect()}
     for grp, row in a.items():
         assert row == direct[grp]
 
 
-def test_sketch_store_merges_across_batch_splits(spark, tmp_path):
+def test_sketch_store_merges_across_batch_splits(spark, sf_dir, tmp_path):
     """Split the corpus into 3 disjoint batches by doc_id; the merged
     store sketch must equal the whole-corpus sketch exactly (merge
     theorem, across real batch boundaries)."""
-    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     store = str(tmp_path / "split")
     for i in range(3):
         SK.append_batch_sketch(docs.filter(F.col("doc_id") % 3 == i),
@@ -95,15 +92,15 @@ def test_sketch_store_merges_across_batch_splits(spark, tmp_path):
     merged = {r["grp"]: r.asDict() for r in
               SK.merged_store_sketch(spark, store).collect()}
     direct = {r["grp"]: r.asDict() for r in
-              SK.kmv_sketch(_pairs(spark)).collect()}
+              SK.kmv_sketch(_pairs(spark, sf_dir)).collect()}
     assert merged == direct
 
 
-def test_cms_estimate_is_one_sided_and_tight_for_heavy_hitters(spark):
+def test_cms_estimate_is_one_sided_and_tight_for_heavy_hitters(spark, sf_dir):
     """CMS invariants: estimate >= exact for every probed token
     (collisions only add), and with d=4, w=1024 over this corpus the
     heavy hitters' estimates stay within the classic eps*N slack."""
-    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     occ = docs.select(F.explode(F.expr(
         "filter(split(text, '\\\\s+'), x -> x <> '')")).alias("token"))
     n_total = occ.count()

@@ -375,6 +375,18 @@ def write_order() -> None:
         if i >= MATRIX_CAP
         and (reasons[q] == "never green" or reasons[q].startswith("changed"))
     ]
+    never_green_past_cap = [q for q in overflow
+                            if reasons[q] == "never green"]
+    if never_green_past_cap:
+        # a never-green query has NO prior correctness evidence at all;
+        # disclosing it in the overflow list is not enough — hard-fail
+        # so the round cannot close without restructuring (fewer new
+        # queries, or verified-green segments freed up)
+        raise SystemExit(
+            f"never-green queries past the {MATRIX_CAP}-row driver cap "
+            f"(cannot get a first driver row this round): "
+            f"{never_green_past_cap}"
+        )
     lines += [
         "",
         "# Urgent queries past the driver's row budget this round: no",
