@@ -224,18 +224,23 @@ def _encode_frame(blk, fno: int, sample_rate: int, bps: int,
     hdr += bytes([_crc8(hdr)])
 
     body = _BitWriter()
-    # subframe header: 0 pad, FIXED type 0b001000 | order, no wasted
-    body.write(0, 1)
-    body.write(0b001000 | order, 6)
-    body.write(0, 1)
+    # subframe header: 0 pad, FIXED type 0b001000 | order, no wasted.
+    # The DECLARED order must be the effective one: a final block
+    # shorter than the nominal order would otherwise advertise more
+    # warmup samples than it carries, making the residual count
+    # bs - order negative — the decoder drops the frame and the
+    # stream silently loses the tail samples.
     eff_order = min(order, bs)
+    body.write(0, 1)
+    body.write(0b001000 | eff_order, 6)
+    body.write(0, 1)
     for s in blk[:eff_order]:
         body.write(s & ((1 << bps) - 1), bps)
     # residual: method 0 (4-bit Rice), partition order 0
     body.write(0, 2)
     body.write(0, 4)
     body.write(rice_param, 4)
-    coef = _FIXED_COEF[order]
+    coef = _FIXED_COEF[eff_order]
     for i in range(eff_order, bs):
         pred = sum(c * blk[i - 1 - j] for j, c in enumerate(coef))
         r = blk[i] - pred

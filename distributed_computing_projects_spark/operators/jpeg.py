@@ -442,6 +442,25 @@ def encode_progressive(components, w: int, h: int, qtable,
                 f"component {ci}: expected block grid "
                 f"{(mcus_y * vs, mcus_x * hs)}, got {comp.shape[:2]}"
             )
+        # Progressive AC scans are NON-interleaved (T.81 G.1): they
+        # visit only the _ni_dims grid, while the interleaved DC
+        # scans cover the full MCU grid. Nonzero AC in an MCU-padding
+        # block would be encoded never, decoded as 0, and silently
+        # break the docstring's exact-round-trip contract — reject it
+        # up front (padding blocks carry DC only).
+        nb_y, nb_x = _ni_dims(w, h, hs, vs, hmax, vmax)
+        for by in range(mcus_y * vs):
+            for bx in range(mcus_x * hs):
+                if by < nb_y and bx < nb_x:
+                    continue
+                blk = comp[by][bx]
+                if any(int(blk[k]) != 0 for k in range(1, 64)):
+                    raise ValueError(
+                        f"component {ci}: nonzero AC in MCU-padding "
+                        f"block ({by}, {bx}) outside the "
+                        f"non-interleaved grid {(nb_y, nb_x)} — AC "
+                        "scans never code it"
+                    )
 
     def interleaved_blocks():
         for ym in range(mcus_y):

@@ -855,9 +855,10 @@ def gif_anim_payloads(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return spread(cols).mapInPandas(_encode, schema="id bigint, payload binary")
 
 
-GIF_FRAMES_SCHEMA = (
-    "id bigint, frame_idx int, width int, height int,"
-    " sum_r bigint, sum_g bigint, sum_b bigint"
+# the GIF frame rows share the video-family contract BY IMPORT, so
+# a schema change cannot silently drift between the two families
+from distributed_computing_projects_spark.operators.video import (  # noqa: E402,E501
+    FRAME_SCHEMA as GIF_FRAMES_SCHEMA,
 )
 
 

@@ -215,6 +215,10 @@ def decode_video(payloads: DataFrame, every_k: int = 1) -> DataFrame:
     pay JPEG entropy+IDCT cost — at 30 fps corpora and every_k=30,
     97% of the decode work never runs. Non-AVI payloads drop the row;
     an undecodable frame chunk drops that frame only."""
+    if every_k < 1:
+        # validate at the API boundary: range(0, n, 0) would raise an
+        # opaque ValueError inside the Arrow worker, failing the task
+        raise ValueError(f"every_k must be >= 1, got {every_k}")
     import numpy as np
 
     from distributed_computing_projects_spark.operators import jpeg as J

@@ -68,8 +68,11 @@ def _train_ctes(n_merges: int) -> str:
       SELECT {k - 1} AS rank, l, r, c FROM p{k}
       ORDER BY c DESC, l, r LIMIT 1),
     s{k} AS (
-      SELECT p.w, {_apply_merge_sql('p.s', 'm.l', 'm.r')} AS s, p.cnt
-      FROM {prev} p, m{k} m)""")
+      SELECT p.w,
+             CASE WHEN m.l IS NULL THEN p.s
+                  ELSE {_apply_merge_sql('p.s', 'm.l', 'm.r')} END AS s,
+             p.cnt
+      FROM {prev} p LEFT JOIN m{k} m ON TRUE)""")
     return ",".join(parts)
 
 

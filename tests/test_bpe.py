@@ -139,3 +139,42 @@ def test_word_table_filters_and_caps(spark):
 def test_merge_fold_rejects_non_alpha_symbols():
     with pytest.raises(ValueError):
         B._merge_fold("a'); DROP", "b")
+
+
+def test_oracle_survives_pair_exhaustion(spark, tmp_path):
+    """A corpus whose vocabulary exhausts pairs before N_MERGES rounds:
+    the trainer stops merging, and the SQL oracle's per-round symbol
+    tables must FALL BACK (empty m{k} must not wipe s{k} via the old
+    cross join) — both engines replayed end-to-end via verify.run on a
+    synthetic sf_dir."""
+    import shutil
+
+    from distributed_computing_projects_spark.sources.registry import (
+        TABLE_NAMES,
+    )
+    from distributed_computing_projects_spark.verify import run
+
+    import os
+
+    import pandas as pd
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    # two-letter vocabulary: one merge (a,b) and the pair space is dry.
+    # Written as a single file (pandas), matching the driver's layout —
+    # DuckDB's view glob does not read Spark's directory output.
+    pd.DataFrame({
+        "doc_id": range(6), "text": ["ab ab ab"] * 6,
+        "lang": ["en"] * 6, "source": ["s0"] * 6, "n_chars": [8] * 6,
+    }).to_parquet(f"{sf}/documents.parquet")
+    real = "/root/testdata/sf0.001"
+    for t in TABLE_NAMES:
+        if t != "documents":
+            src = f"{real}/{t}.parquet"
+            if os.path.isdir(src):
+                shutil.copytree(src, f"{sf}/{t}.parquet")
+            else:
+                shutil.copy(src, f"{sf}/{t}.parquet")
+    failed = run(spark, sf, only={"bpe_train_merges",
+                                  "bpe_encode_tokens"}, out=lambda *_: None)
+    assert not failed, failed

@@ -122,3 +122,16 @@ def test_flac_payloads_skip_short_docs(spark):
     out = M.flac_payloads(df, "doc_id", "text").collect()
     assert [r.id for r in out] == [1]
     assert FL.decode_flac(bytes(out[0].payload))[2][0] == [120] * 32
+
+
+def test_short_final_frame_keeps_all_samples():
+    """A final block shorter than the predictor order must declare the
+    EFFECTIVE order in the subframe type byte — the old encoding
+    advertised order 2 with 1 warmup sample, the decoder computed a
+    negative residual count and dropped the CRC-valid frame, silently
+    losing the tail (17 in -> 16 out)."""
+    for order in (1, 2):
+        samples = list(range(16 + order - 1))  # tail shorter than order
+        _, _, chans = FL.decode_flac(
+            FL.encode_flac(samples, blocksize=16, order=order))
+        assert chans[0] == samples

@@ -405,3 +405,24 @@ def test_progressive_malformed_payloads_drop():
     ln = (bad[last_sos + 2] << 8) | bad[last_sos + 3]
     bad[last_sos + 2 + ln - 1] = 0x53  # Ah=5, Al=3: not one-bit refine
     assert J.decode_coeffs(bytes(bad)) is None
+
+
+def test_progressive_encoder_rejects_ac_in_padding_blocks():
+    """Non-MCU-multiple subsampled dims: AC scans never visit the
+    MCU-padding blocks, so nonzero AC there must be rejected instead
+    of silently dropped (the exact-round-trip contract)."""
+    import numpy as np
+    import pytest
+
+    w = h = 20  # 4:2:0 -> luma MCU grid 4x4, non-interleaved 3x3
+    sampling = [(2, 2), (1, 1), (1, 1)]
+    comps = []
+    for hs, vs in sampling:
+        gy, gx = (2 * vs, 2 * hs)
+        comps.append(np.zeros((gy, gx, 64), dtype=np.int32))
+    qt = [1] * 64
+    # baseline: all-zero padding encodes fine
+    J.encode_progressive(comps, w, h, qt, sampling=sampling)
+    comps[0][3][3][5] = 7  # padding block of luma gets AC energy
+    with pytest.raises(ValueError, match="padding"):
+        J.encode_progressive(comps, w, h, qt, sampling=sampling)

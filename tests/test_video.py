@@ -132,3 +132,13 @@ def test_demux_rejects_pathological_nesting():
         inner = b"LIST" + struct.pack("<I", len(inner) + 4) + b"xxxx" + inner
     avi = b"RIFF" + struct.pack("<I", len(inner) + 4) + b"AVI " + inner
     assert V.demux_avi(avi) is None
+
+
+def test_every_k_validated_at_api_boundary(spark):
+    import pytest
+
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(id=0, payload=bytearray(b"x"))])
+    with pytest.raises(ValueError, match="every_k"):
+        V.decode_video(df, every_k=0)
