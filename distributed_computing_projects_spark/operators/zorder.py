@@ -62,13 +62,33 @@ def interleave2(x: str, y: str, bits: int, dialect: str) -> str:
     return "(" + " | ".join(terms) + ")"
 
 
+# Range-exchange sample size while computing the clustered write's
+# split points. Spark's default (100 rows/partition, seeded by RDD id)
+# leaves the per-file key boundaries jittery from run to run — fine for
+# a transient shuffle, wrong for a LAYOUT write whose whole point is
+# tight per-file spans that a later scan prunes on. A layout write is
+# rare and already pays a full sort; the extra sampling cost is noise.
+_LAYOUT_SAMPLE_SIZE = 10_000
+
+
 def write_zordered(df: DataFrame, zkey_col: str, path: str,
                    n_files: int) -> None:
     """Cluster ``df`` into ``n_files`` parquet files by the Morton key:
-    one range exchange (sampled split points), then a within-partition
-    sort so row groups inside each file are clustered too. Per-file
-    min/max stats on the interleaved dimensions become tight — the
-    data-skipping layout (asserted in tests/test_zorder.py)."""
-    (df.repartitionByRange(n_files, zkey_col)
-       .sortWithinPartitions(zkey_col)
-       .write.mode("overwrite").parquet(path))
+    one range exchange (split points from an oversized sample — see
+    ``_LAYOUT_SAMPLE_SIZE``), then a within-partition sort so row
+    groups inside each file are clustered too. Per-file min/max stats
+    on the interleaved dimensions become tight — the data-skipping
+    layout (asserted in tests/test_zorder.py)."""
+    conf = df.sparkSession.conf
+    key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    prev = conf.get(key, None)
+    conf.set(key, str(_LAYOUT_SAMPLE_SIZE))
+    try:
+        (df.repartitionByRange(n_files, zkey_col)
+           .sortWithinPartitions(zkey_col)
+           .write.mode("overwrite").parquet(path))
+    finally:
+        if prev is None:
+            conf.unset(key)
+        else:
+            conf.set(key, prev)
