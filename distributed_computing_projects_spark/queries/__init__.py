@@ -59,6 +59,7 @@ def load_registry() -> dict[str, QuerySpec]:
         ext_dedup,
         ext_ann,
         ext_bpe,
+        ext_lm,
         ext_text,
         ext_multimodal,
         ext_pipeline,
