@@ -18,6 +18,7 @@ from distributed_computing_projects_spark.functions import text as T
 from distributed_computing_projects_spark.operators import dedup as D
 from distributed_computing_projects_spark.operators import multimodal as M
 from distributed_computing_projects_spark.operators import sampling as SP
+from distributed_computing_projects_spark.operators import ivf_train as IVT
 from distributed_computing_projects_spark.operators import similarity as S
 from distributed_computing_projects_spark.operators import textstats as X
 from distributed_computing_projects_spark.queries import query
@@ -478,3 +479,53 @@ def q_decontaminate_ngram_hits(spark, sf_dir):
         )
         .filter(F.col("n_hits") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup blocked by the TRAINED k-means cells
+# ---------------------------------------------------------------------------
+
+SEMANTIC_THRESHOLD = COSINE_THRESHOLD  # same separation argument applies
+
+_SEM_SCORE_D = (
+    f"({T.sq_norm('c.cent', 'duck')}"
+    f" - 2 * {T.dot('e.embedding', 'c.cent', 'duck')})"
+)
+_SEM_COS_D = T.cosine(T.dot("a.v", "b.v", "duck"), "a.nrm", "b.nrm")
+
+
+@query(
+    "dedup_semantic",
+    oracle=f"""
+    WITH {IVT.oracle_ctes()},
+    amin AS (
+      SELECT e.vec_id AS id, e.embedding AS v,
+             CAST(c.cell AS BIGINT) AS cell
+      FROM embeddings e CROSS JOIN cfinal c
+      QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {_SEM_SCORE_D}, c.cell) = 1),
+    nr AS (
+      SELECT id, v, cell, {T.sq_norm('v', 'duck')} AS nrm FROM amin),
+    drops AS (
+      SELECT DISTINCT b.id
+      FROM nr a JOIN nr b ON a.cell = b.cell AND a.id < b.id
+      WHERE {_SEM_COS_D} >= {SEMANTIC_THRESHOLD})
+    SELECT n.id, n.cell,
+           n.id NOT IN (SELECT id FROM drops) AS is_kept
+    FROM nr n
+    """,
+    doc="SemDeDup (Abbas et al. 2023): semantic near-dup removal "
+        "blocked by TRAINED k-means cells — the same 2-round Lloyd "
+        "quantizer the IVF index trains (one clustering pays for "
+        "index and dedup), pairs compared only within a cell, drop "
+        "any row with a lower-id near-duplicate there. The oracle "
+        "replays training (sample, iterations, tie-breaks all "
+        "pinned — ext_ann's differential discipline), re-derives the "
+        "full-corpus assignment, and re-runs the blocked pair scan "
+        "in SQL.",
+)
+def q_dedup_semantic(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.semantic_dedup(
+        spark, emb, "vec_id", "embedding", threshold=SEMANTIC_THRESHOLD
+    ).orderBy("id")
