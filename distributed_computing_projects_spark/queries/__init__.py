@@ -60,6 +60,7 @@ def load_registry() -> dict[str, QuerySpec]:
         ext_ann,
         ext_bpe,
         ext_lm,
+        ext_graph,
         ext_text,
         ext_multimodal,
         ext_pipeline,
