@@ -239,3 +239,73 @@ def oracle_ctes(
         f"cfinal AS (SELECT cell, n, cent FROM c{n_iters - 1})"
     )
     return ",\n    ".join(parts)
+
+
+def seed_centroids(k: int) -> list[tuple[int, list[float]]]:
+    """``k`` deterministic md5-derived unit centroids — the same seed
+    recipe as ``similarity.IVF_CENTROIDS`` (whose 16 entries this
+    reproduces for c < 16), for callers that need a quantizer sized to
+    the corpus (cells ~ N / target_cell_size) rather than the fixed
+    oracle-parity 16. Seeds, not Lloyd output: for blocking-cost
+    purposes (SemDeDup cell sizing, stress sweeps) the assignment and
+    pair-join cost is identical either way, and seeds need no training
+    pass."""
+    return [
+        (c, S._unit([
+            ((T._h32(f"centroid-{c}-{j}") % 2001) - 1000) / 1000.0
+            for j in range(T.EMBEDDING_DIM)
+        ]))
+        for c in range(k)
+    ]
+
+
+def assign_cells_join(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+) -> DataFrame:
+    """argmin cell assignment via a BROADCAST JOIN against a centroid
+    table instead of a baked expression: the large-k path.
+    :func:`assign_cell_expr` inlines one score term per centroid into
+    a single codegen expression — unbeatable for the oracle-parity 16
+    cells, but a production quantizer sizes k to the corpus
+    (N / target_cell_size; SemDeDup uses tens of thousands), where a
+    k-term expression stops compiling.
+
+    Shape: the centroids ship as a k-row broadcast table, each (row,
+    centroid) pair scores with one fold, and the argmin is
+    ``min(struct(score, cell))`` — struct ordering IS the (score, cell)
+    tie-break, and min is a distributive aggregate, so the N*k scored
+    rows collapse to N map-side and only (id, cell) rows cross the
+    exchange (a row_number window here would shuffle all N*k rows).
+    Same score formula and tie-break as the expression path, so the
+    two agree exactly (pinned in tests/test_semantic_dedup.py).
+
+    Honest cost note: scoring work is N*k folds; with k sized as
+    N/cell_size that stage is superlinear. Production systems
+    accelerate ASSIGNMENT itself with a coarse index over the
+    centroids (hierarchical k-means / centroid-side LSH); this path
+    keeps assignment exact and pays the N*k scan, which local stress
+    factors can afford."""
+    score = F.expr(
+        f"{T.sq_norm('cent', 'spark')}"
+        f" - 2 * {T.dot(vec_col, 'cent', 'spark')}"
+    )
+    spark = emb.sparkSession
+    cents = spark.createDataFrame(
+        [(c, [float(x) for x in cent]) for c, cent in sorted(centroids)],
+        "cell BIGINT, cent ARRAY<DOUBLE>",
+    )
+    best = (
+        emb.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col),
+            F.struct(score.alias("score"), F.col("cell")).alias("sc"),
+        )
+        .groupBy(id_col)
+        .agg(F.min("sc").alias("m"))
+        .select(F.col(id_col), F.col("m.cell").alias("cell"))
+    )
+    return emb.join(best, id_col)

@@ -496,6 +496,7 @@ _SEM_COS_D = T.cosine(T.dot("a.v", "b.v", "duck"), "a.nrm", "b.nrm")
 
 @query(
     "dedup_semantic",
+    headline=True,
     oracle=f"""
     WITH {IVT.oracle_ctes()},
     amin AS (

@@ -67,6 +67,7 @@ def _pagerank_oracle(n_iters: int = G.N_ITERS) -> str:
 
 @query(
     "graph_pagerank_topk",
+    headline=True,
     oracle=_pagerank_oracle(),
     doc="Integer fixed-point PageRank (damping 17/20, ranks scaled by "
         "10^12) over the bidirectional user-item click graph, top-20 "

@@ -104,6 +104,7 @@ def q_lm_bigram_counts(spark, sf_dir):
 
 @query(
     "lm_perplexity_rank",
+    headline=True,
     oracle=f"""
     WITH {_LM_MODEL_CTES}, {_LM_SCORE_CTES}
     SELECT doc_id, n_bigrams, n_hit, n_backoff, n_oov, rnk FROM (

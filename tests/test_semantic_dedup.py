@@ -51,3 +51,42 @@ def test_semantic_dedup_drops_exact_copy(spark):
     flags = {r["id"]: r["is_kept"] for r in out.collect()}
     assert flags[orig_id] is True
     assert flags[orig_id + 10_000_000] is False
+
+
+def test_join_assignment_matches_expression_path(spark):
+    from distributed_computing_projects_spark.operators import (
+        ivf_train as IVT,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = IVT.seed_centroids(16)
+    via_expr = {
+        (r["id"], r["cell"], r["is_kept"])
+        for r in D.semantic_dedup(
+            spark, emb, "vec_id", "embedding",
+            threshold=SEMANTIC_THRESHOLD, centroids=cents,
+            assign="expr",
+        ).collect()
+    }
+    via_join = {
+        (r["id"], r["cell"], r["is_kept"])
+        for r in D.semantic_dedup(
+            spark, emb, "vec_id", "embedding",
+            threshold=SEMANTIC_THRESHOLD, centroids=cents,
+            assign="join",
+        ).collect()
+    }
+    assert via_expr == via_join
+
+
+def test_seed_centroids_extend_the_fixed_quantizer(spark):
+    from distributed_computing_projects_spark.operators import (
+        ivf_train as IVT,
+        similarity as S,
+    )
+
+    cents = IVT.seed_centroids(40)
+    assert len(cents) == 40
+    # first 16 reproduce the oracle-parity fixed centroids exactly
+    for c, cent in cents[:16]:
+        assert cent == S.IVF_CENTROIDS[c]

@@ -37,6 +37,9 @@ from distributed_computing_projects_spark.operators import (  # noqa: E402
     autoplanes as AP,
     bandstore as BS,
     dedup as D,
+    graphrank as GR,
+    ivf_train as IVT,
+    ngram_lm as LM,
     pq as PQ,
     quality_classifier as QC,
     similarity as S,
@@ -103,8 +106,21 @@ def build_stressed(spark, factor: int, out_dir: str) -> tuple[str, str]:
         os.path.join(out_dir, "lineitem.parquet"))
     ord_s.write.mode("overwrite").parquet(
         os.path.join(out_dir, "orders.parquet"))
-    for t in ("region", "nation", "customer", "supplier", "part",
-              "events"):
+    # events scale too (the graph family's fact table): factor copies
+    # with event and user ids offset per copy — the click graph grows
+    # as disjoint same-shape components, i.e. linearly in nodes+edges
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_users = 1_000_000  # well above any 1x user_id
+    n_events = ev.count()
+    ev_s = ev.select("*", copies).select(
+        (F.col("event_id") + F.col("c") * n_events).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("c") * n_users).alias("user_id"),
+        "event_type", "value", "props",
+    )
+    ev_s.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet"))
+    for t in ("region", "nation", "customer", "supplier", "part"):
         os.symlink(f"{SF_DIR}/{t}.parquet",
                    os.path.join(out_dir, f"{t}.parquet"))
     return dp, ep
@@ -247,6 +263,31 @@ def run_factor(spark, factor: int) -> dict:
               lambda: D.embedding_neardup_pairs(
                   emb, "vec_id", "embedding", threshold=0.9,
                   n_planes=n_auto).count(), n_planes=n_auto)
+        spark.catalog.clearCache()
+        # bigram-LM scoring: count-table training + gram-key joins +
+        # per-doc reduction — must grow ~linearly in token occurrences
+        # (the model tables stay vocabulary-sized at every factor)
+        timed(spark, m, "lm_score_docs",
+              lambda: LM.score_docs(docs, "doc_id", "text").count())
+        spark.catalog.clearCache()
+        # SemDeDup with the quantizer SIZED TO THE CORPUS
+        # (k = N/500, join-path assignment): per-row candidate work is
+        # ~cell_size/2 by construction, so time must track N, not N^2
+        # — the same knob-vs-growth argument as the knn auto-sizer
+        k_cells = max(16, n_vecs // 500)
+        timed(spark, m, "dedup_semantic_sized",
+              lambda: D.semantic_dedup(
+                  spark, emb, "vec_id", "embedding", threshold=0.25,
+                  centroids=IVT.seed_centroids(k_cells),
+                  assign="join").filter("NOT is_kept").count(),
+              n_cells=k_cells)
+        spark.catalog.clearCache()
+        # fixed-point PageRank on the scaled click graph: 3 rounds of
+        # edge join + destination agg, linear in edges per round
+        ev_g = spark.read.parquet(os.path.join(work, "events.parquet"))
+        timed(spark, m, "graph_pagerank",
+              lambda: GR.pagerank_fixedpoint(GR.click_graph(ev_g))
+              .count())
         spark.catalog.clearCache()
         # reference-parity + heavy relational families on the scaled
         # FACT tables (the reference's own 136 MB benchmark shape is
