@@ -244,6 +244,38 @@ def build_parser() -> argparse.ArgumentParser:
     zw.add_argument("--bits", type=int, default=16)
     zw.add_argument("--files", type=int, default=32)
 
+    ls_ = sub.add_parser(
+        "lm-score",
+        help="bigram-LM (stupid backoff) corpus scoring: trains count "
+             "tables on the held-in split, prints per-doc "
+             "(id, n_bigrams, n_hit, n_backoff, n_oov, avg_lp)",
+    )
+    ls_.add_argument("corpus_path", help="parquet with (id, text) columns")
+    ls_.add_argument("--id-col", default="doc_id")
+    ls_.add_argument("--text-col", default="text")
+
+    sd = sub.add_parser(
+        "semdedup",
+        help="SemDeDup semantic dedup blocked by k-means cells: prints "
+             "per-row (id, cell, is_kept); --cells > 16 switches to "
+             "seeded centroids + the broadcast-join assignment path",
+    )
+    sd.add_argument("emb_path", help="parquet with (id, embedding) columns")
+    sd.add_argument("--id-col", default="vec_id")
+    sd.add_argument("--vec-col", default="embedding")
+    sd.add_argument("--threshold", type=float, default=0.3)
+    sd.add_argument("--cells", type=int, default=None,
+                    help="quantizer size (default: the trained "
+                         "oracle-parity 16)")
+
+    pr = sub.add_parser(
+        "pagerank",
+        help="integer fixed-point PageRank over the click graph of an "
+             "events table: prints (node, degree, rank)",
+    )
+    pr.add_argument("events_path", help="parquet events table")
+    pr.add_argument("--iters", type=int, default=3)
+
     return p
 
 
@@ -486,6 +518,50 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             zorder.write_zordered(keyed, "zkey", args.out_path,
                                   args.files)
             print(spark.read.parquet(args.out_path).count())
+        elif args.cmd == "lm-score":
+            from pyspark.sql import functions as F
+
+            from distributed_computing_projects_spark.operators import (
+                ngram_lm,
+            )
+
+            docs = spark.read.parquet(args.corpus_path)
+            scored = ngram_lm.score_docs(
+                docs, args.id_col, args.text_col
+            ).select(
+                "id", "n_bigrams", "n_hit", "n_backoff", "n_oov",
+                F.round("avg_lp", 6).alias("avg_lp"),
+            ).orderBy("id")
+            _emit(scored)
+        elif args.cmd == "semdedup":
+            from distributed_computing_projects_spark.operators import (
+                dedup,
+                ivf_train,
+            )
+
+            emb = spark.read.parquet(args.emb_path)
+            if args.cells is None:
+                out = dedup.semantic_dedup(
+                    spark, emb, args.id_col, args.vec_col,
+                    threshold=args.threshold,
+                )
+            else:
+                out = dedup.semantic_dedup(
+                    spark, emb, args.id_col, args.vec_col,
+                    threshold=args.threshold,
+                    centroids=ivf_train.seed_centroids(args.cells),
+                    assign="join" if args.cells > 16 else "expr",
+                )
+            _emit(out.orderBy("id"))
+        elif args.cmd == "pagerank":
+            from distributed_computing_projects_spark.operators import (
+                graphrank,
+            )
+
+            ev = spark.read.parquet(args.events_path)
+            _emit(graphrank.pagerank_fixedpoint(
+                graphrank.click_graph(ev), n_iters=args.iters
+            ).orderBy("node"))
         return 0
     finally:
         if own_session:

@@ -309,3 +309,32 @@ def test_zorder_write_subcommand(spark, sf_dir, tmp_path, capsys):
     n = int(capsys.readouterr().out.strip().splitlines()[-1])
     assert n == spark.read.parquet(li).count()
     assert "zkey" in spark.read.parquet(out_p).columns
+
+
+def test_lm_score_subcommand(spark, sf_dir, capsys):
+    docs = f"{sf_dir}/documents.parquet"
+    assert main(["lm-score", docs], spark=spark) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == spark.read.parquet(docs).count()
+    first = lines[0].split("\t")
+    assert len(first) == 6  # id, 4 tier counts, avg_lp
+    assert int(first[1]) == sum(int(x) for x in first[2:5])
+
+
+def test_semdedup_subcommand_sized_quantizer(spark, sf_dir, capsys):
+    emb = f"{sf_dir}/embeddings.parquet"
+    assert main(["semdedup", emb, "--cells", "32"], spark=spark) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == spark.read.parquet(emb).count()
+    cells = {int(l.split("\t")[1]) for l in lines}
+    assert max(cells) >= 16  # the sized quantizer actually has >16 cells
+    assert {l.split("\t")[2] for l in lines} <= {"True", "False"}
+
+
+def test_pagerank_subcommand(spark, sf_dir, capsys):
+    ev = f"{sf_dir}/events.parquet"
+    assert main(["pagerank", ev, "--iters", "2"], spark=spark) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) > 100
+    ranks = [int(l.split("\t")[2]) for l in lines]
+    assert all(r > 0 for r in ranks)
