@@ -997,3 +997,228 @@ def q_warc_extract_responses(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return W.extract_responses(
         W.warc_payloads(docs, "doc_id", "text", "source"))
+
+
+# ---------------------------------------------------------------------------
+# G.711 companded audio (WAV fmt tags 6/7): the telephony codec tier
+# ---------------------------------------------------------------------------
+
+G711_BYTES = 32  # one code byte per sample
+
+
+def _wav_header_g711(fmt_tag: int) -> bytes:
+    """RIFF/WAVE header for 8-bit mono G.711 (tag 6 = A-law, 7 =
+    mu-law): block align 1, byte rate == sample rate."""
+    import struct
+
+    chunks = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", fmt_tag, 1, AUDIO_RATE, AUDIO_RATE, 1, 8
+    ) + b"data" + struct.pack("<I", G711_BYTES)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks) + G711_BYTES) \
+        + b"WAVE" + chunks
+
+
+def _g711_expr(byte: str, law: str, dialect: str) -> str:
+    """Closed-form G.711 expansion of one code byte (0..255) to the
+    linear PCM16 sample — the same arithmetic as the classic
+    ulaw2linear/alaw2linear routines, emitted in both engine dialects
+    (the decoder side uses the identical formulas as numpy tables,
+    operators/multimodal.py:_g711_tables)."""
+    if law == "mu":
+        u = f"(255 - ({byte}))"
+        if dialect == "spark":
+            t = (f"shiftleft((({u}) % 16) * 8 + 132,"
+                 f" CAST((({u}) DIV 16) % 8 AS INT))")
+        else:
+            t = f"(((({u}) % 16) * 8 + 132) << ((({u}) // 16) % 8))"
+        return f"(CASE WHEN {u} >= 128 THEN 132 - {t} ELSE {t} - 132 END)"
+    if law != "a":
+        raise ValueError(law)
+    if dialect == "spark":
+        a = f"(CAST({byte} AS INT) ^ 85)"
+        div, shl = "DIV", "shiftleft"
+        shifted = (f"shiftleft(({a} % 16) * 16 + 264,"
+                   f" CAST(greatest(({a} {div} 16) % 8 - 1, 0) AS INT))")
+    else:
+        a = f"(xor(CAST({byte} AS INTEGER), 85))"
+        shifted = (f"((({a} % 16) * 16 + 264)"
+                   f" << greatest((({a} // 16) % 8) - 1, 0))")
+    seg = (f"(({a} DIV 16) % 8)" if dialect == "spark"
+           else f"(({a} // 16) % 8)")
+    t = (f"(CASE WHEN {seg} = 0 THEN ({a} % 16) * 16 + 8"
+         f" ELSE {shifted} END)")
+    return f"(CASE WHEN {a} >= 128 THEN {t} ELSE -{t} END)"
+
+
+@query(
+    "multimodal_g711_decode",
+    oracle=f"""
+    WITH eligible AS (
+      SELECT doc_id AS id, text FROM documents
+      WHERE octet_length(encode(text)) >= {G711_BYTES}),
+    b AS (
+      SELECT id, i, ascii(substr(text, i, 1)) AS byte
+      FROM eligible,
+           (SELECT unnest(generate_series(1, {G711_BYTES})) AS i)),
+    expanded AS (
+      SELECT id * 2 AS id, {_g711_expr('byte', 'mu', 'duck')} AS v
+      FROM b
+      UNION ALL
+      SELECT id * 2 + 1 AS id, {_g711_expr('byte', 'a', 'duck')} AS v
+      FROM b)
+    SELECT id,
+           CAST({AUDIO_RATE} AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS channels,
+           CAST({G711_BYTES} AS BIGINT) AS n_samples,
+           CAST(sum(v) AS BIGINT) AS sum_amplitude,
+           CAST(max(abs(v)) AS INTEGER) AS peak_amplitude
+    FROM expanded GROUP BY id
+    """,
+    doc="G.711 companded audio decode (ITU-T G.711 — the telephony/"
+        "VoIP codec; WAV fmt tags 6/7): per doc TWO 8-bit mono WAV "
+        "payloads are built in-plan (mu-law under id*2, A-law under "
+        "id*2+1, code bytes = the doc's first text bytes), then "
+        "expanded to linear PCM16 through the closed-form ITU tables "
+        "inside the same Arrow mapInPandas as the PCM/FLAC path "
+        "(decode_audio dispatches on the fmt tag). The oracle applies "
+        "the IDENTICAL expansion arithmetic per code byte in SQL — a "
+        "true two-engine differential of the codec math itself, exact "
+        "because G.711 expansion is integer-only.",
+)
+def q_multimodal_g711_decode(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = docs.filter(
+        F.expr(f"octet_length(encode(text, 'UTF-8')) >= {G711_BYTES}")
+    ).select(
+        F.col("doc_id").alias("doc_id"),
+        F.expr(f"substring(encode(text, 'UTF-8'), 1, {G711_BYTES})")
+        .alias("codes"),
+    )
+    mu = eligible.select(
+        (F.col("doc_id") * 2).alias("id"),
+        F.concat(F.lit(bytearray(_wav_header_g711(7))),
+                 F.col("codes")).alias("payload"),
+    )
+    al = eligible.select(
+        (F.col("doc_id") * 2 + 1).alias("id"),
+        F.concat(F.lit(bytearray(_wav_header_g711(6))),
+                 F.col("codes")).alias("payload"),
+    )
+    return M.decode_audio(spread(mu.unionByName(al)))
+
+
+# ---------------------------------------------------------------------------
+# IMA-ADPCM (WAV fmt tag 17): the stateful-codec tier
+# ---------------------------------------------------------------------------
+
+ADPCM_NIBBLE_BYTES = 16  # one mono block: 4-byte header + 16 nibble bytes
+ADPCM_SAMPLES = 1 + 2 * ADPCM_NIBBLE_BYTES  # header predictor + 2/byte
+_ADPCM_INIT_IDX = 40
+
+_IMA_STEPS_SQL = "[" + ", ".join(
+    str(v) for v in M.IMA_STEP_TABLE
+) + "]"
+_IMA_IDX_SQL = "[-1, -1, -1, -1, 2, 4, 6, 8]"
+
+
+def _wav_header_adpcm() -> bytes:
+    """RIFF/WAVE header for one mono IMA-ADPCM block (fmt tag 17,
+    4-bit), plus the 4-byte block header (initial predictor 0, step
+    index _ADPCM_INIT_IDX) that starts the data chunk."""
+    import struct
+
+    block = 4 + ADPCM_NIBBLE_BYTES
+    chunks = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 17, 1, AUDIO_RATE, AUDIO_RATE // 2, block, 4
+    ) + b"data" + struct.pack("<I", block)
+    return (b"RIFF" + struct.pack("<I", 4 + len(chunks) + block)
+            + b"WAVE" + chunks
+            + struct.pack("<hBB", 0, _ADPCM_INIT_IDX, 0))
+
+
+def _adpcm_step_sql(nib: str, pred: str, idx: str) -> tuple[str, str]:
+    """(new_pred, new_idx) SQL for one IMA quantizer step — the same
+    arithmetic as operators/multimodal._ima_decode_block, with the
+    step/index tables inlined as list literals."""
+    st = f"list_extract({_IMA_STEPS_SQL}, {idx} + 1)"
+    diff = (f"({st} // 8"
+            f" + CASE WHEN ({nib}) % 2 = 1 THEN {st} // 4 ELSE 0 END"
+            f" + CASE WHEN (({nib}) // 2) % 2 = 1 THEN {st} // 2"
+            f"   ELSE 0 END"
+            f" + CASE WHEN (({nib}) // 4) % 2 = 1 THEN {st}"
+            f"   ELSE 0 END)")
+    new_pred = (f"greatest(-32768, least(32767, {pred}"
+                f" + CASE WHEN ({nib}) >= 8 THEN -{diff}"
+                f" ELSE {diff} END))")
+    new_idx = (f"greatest(0, least(88, {idx}"
+               f" + list_extract({_IMA_IDX_SQL}, (({nib}) % 8) + 1)))")
+    return new_pred, new_idx
+
+
+def _adpcm_oracle() -> str:
+    new_pred, new_idx = _adpcm_step_sql("n.n", "d.pred", "d.idx")
+    return f"""
+    WITH RECURSIVE eligible AS (
+      SELECT doc_id AS id, text FROM documents
+      WHERE octet_length(encode(text)) >= {ADPCM_NIBBLE_BYTES}),
+    nib AS (
+      SELECT id, 2 * i - 1 AS pos,
+             ascii(substr(text, i, 1)) % 16 AS n
+      FROM eligible,
+           (SELECT unnest(generate_series(1, {ADPCM_NIBBLE_BYTES}))
+              AS i)
+      UNION ALL
+      SELECT id, 2 * i AS pos,
+             ascii(substr(text, i, 1)) // 16 AS n
+      FROM eligible,
+           (SELECT unnest(generate_series(1, {ADPCM_NIBBLE_BYTES}))
+              AS i)),
+    dec(id, pos, pred, idx) AS (
+      SELECT id, 0, 0, {_ADPCM_INIT_IDX} FROM eligible
+      UNION ALL
+      SELECT d.id, d.pos + 1, {new_pred}, {new_idx}
+      FROM dec d JOIN nib n ON n.id = d.id AND n.pos = d.pos + 1
+      WHERE d.pos < {ADPCM_SAMPLES - 1})
+    SELECT id,
+           CAST({AUDIO_RATE} AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS channels,
+           CAST({ADPCM_SAMPLES} AS BIGINT) AS n_samples,
+           CAST(sum(pred) AS BIGINT) AS sum_amplitude,
+           CAST(max(abs(pred)) AS INTEGER) AS peak_amplitude
+    FROM dec GROUP BY id
+    """
+
+
+@query(
+    "multimodal_adpcm_decode",
+    oracle=_adpcm_oracle(),
+    doc="IMA-ADPCM audio decode (IMA 1992 recommended practice; WAV "
+        "fmt tag 17) — the STATEFUL codec tier: each 4-bit nibble "
+        "updates a (predictor, step-index) quantizer state that feeds "
+        "the next sample, so unlike PCM/G.711 no per-sample closed "
+        "form exists. Per doc one mono block is built in-plan (fixed "
+        "header state, nibbles = the doc's first text bytes, low "
+        "nibble first) and decoded in the Arrow mapInPandas "
+        "(_ima_decode_block). The oracle REPLAYS the decoder's state "
+        "machine as a recursive CTE — one recursion step per sample, "
+        "step/index tables inlined as list literals — making the "
+        "sequential integer recurrence itself the two-engine "
+        "differential.",
+)
+def q_multimodal_adpcm_decode(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = (
+        docs.filter(
+            F.expr("octet_length(encode(text, 'UTF-8'))"
+                   f" >= {ADPCM_NIBBLE_BYTES}")
+        )
+        .select(
+            F.col("doc_id").alias("id"),
+            F.concat(
+                F.lit(bytearray(_wav_header_adpcm())),
+                F.expr(f"substring(encode(text, 'UTF-8'), 1,"
+                       f" {ADPCM_NIBBLE_BYTES})"),
+            ).alias("payload"),
+        )
+    )
+    return M.decode_audio(spread(payloads))
