@@ -249,3 +249,90 @@ def merge_sketches(kept: DataFrame, k: int = K_DEFAULT) -> DataFrame:
         F.count("*").cast("bigint").alias("n_kept"),
         F.max("h").alias("kth_min_hash"),
     ).select("n_kept", "kth_min_hash", _estimate(k).alias("est_distinct"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: the membership sketch (completes the tier: KMV =
+# cardinality, CMS = frequency, Bloom = membership)
+# ---------------------------------------------------------------------------
+
+BLOOM_LOG2_BITS = 16  # m = 65,536 bits packed into 1,024 BIGINT words
+BLOOM_K = 3  # hash functions per element
+
+
+def _bloom_pos(gram_expr: str, i_expr: str, dialect: str) -> str:
+    """Bit position for hash ``i`` of a gram: the portable 32-bit hash
+    of 'b<i>:gram', mod the power-of-two filter size — nonnegative in
+    both engines (same seeding idiom as the CMS cells)."""
+    if dialect == "spark":
+        seeded = f"concat('b', CAST({i_expr} AS STRING), ':', {gram_expr})"
+    else:
+        seeded = f"('b' || CAST({i_expr} AS VARCHAR) || ':' || {gram_expr})"
+    return f"({T.hash32(seeded, dialect)} % {1 << BLOOM_LOG2_BITS})"
+
+
+def bloom_bits(grams: DataFrame, gram_col: str = "gram") -> DataFrame:
+    """Build the filter from a gram set: ``(word, mask)`` — the m-bit
+    array packed as BIGINT words, each word the BIT_OR of its members'
+    bits. ONE aggregate whose shuffle is bounded at 2^(log2_bits-6)
+    rows per upstream partition by partial aggregation (bit_or is the
+    merge, exactly like the CMS counter sum) — and unlike the exact
+    broadcast gram set, the built filter is FIXED-SIZE (8 KiB here)
+    no matter how large the member set grows. Engine-exact: bit
+    positions are md5-derived integers, masks are deterministic
+    BIGINT bit patterns (bit 63 lands in the sign bit identically in
+    both engines' two's complement)."""
+    pos = _bloom_pos(gram_col, "i", "spark")
+    return (
+        grams.select(
+            F.col(gram_col).alias("gram"),
+            F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("i"),
+        )
+        .select(
+            F.expr(f"{pos} DIV 64").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST({pos} % 64 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(bit)").alias("mask"))
+    )
+
+
+def bloom_hits(
+    probe: DataFrame, bits: DataFrame,
+    id_col: str = "id", gram_col: str = "gram",
+) -> DataFrame:
+    """Probe per-id gram rows against a built filter: ``(id, n_grams,
+    n_bloom_hits)`` where a gram hits when ALL its k bits are set — a
+    superset of exact membership with the classic one-sided FPR
+    (~(1 - e^(-kn/m))^k). The filter side broadcasts at its fixed 8
+    KiB; the probe side never shuffles for the join."""
+    pos = _bloom_pos(gram_col, "i", "spark")
+    probed = (
+        probe.select(
+            F.col(id_col).alias("id"),
+            F.col(gram_col).alias("gram"),
+            F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("i"),
+        )
+        .select(
+            "id", "gram",
+            F.expr(f"{pos} DIV 64").alias("word"),
+            F.expr(f"CAST({pos} % 64 AS INT)").alias("b"),
+        )
+        .join(F.broadcast(bits), "word", "left")
+        .select(
+            "id", "gram",
+            F.expr(
+                "CASE WHEN mask IS NULL THEN 0"
+                " ELSE shiftright(mask, b) & 1 END"
+            ).alias("is_set"),
+        )
+    )
+    per_gram = probed.groupBy("id", "gram").agg(
+        (F.sum("is_set") == BLOOM_K).cast("int").alias("passed")
+    )
+    return per_gram.groupBy("id").agg(
+        F.count("*").cast("bigint").alias("n_grams"),
+        F.sum("passed").cast("bigint").alias("n_bloom_hits"),
+    )

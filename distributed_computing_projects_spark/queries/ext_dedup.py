@@ -20,6 +20,7 @@ from distributed_computing_projects_spark.operators import multimodal as M
 from distributed_computing_projects_spark.operators import sampling as SP
 from distributed_computing_projects_spark.operators import ivf_train as IVT
 from distributed_computing_projects_spark.operators import similarity as S
+from distributed_computing_projects_spark.operators import sketches as SK
 from distributed_computing_projects_spark.operators import textstats as X
 from distributed_computing_projects_spark.queries import query
 from distributed_computing_projects_spark.sources.registry import load_table
@@ -530,3 +531,107 @@ def q_dedup_semantic(spark, sf_dir):
     return D.semantic_dedup(
         spark, emb, "vec_id", "embedding", threshold=SEMANTIC_THRESHOLD
     ).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination: fixed-size membership sketch
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 1 << SK.BLOOM_LOG2_BITS
+_SH_DECON_D = T.shingles("text", DECON_NGRAM_N, "duck")
+
+
+@query(
+    "decontaminate_bloom",
+    oracle=f"""
+    WITH tg AS (
+      SELECT doc_id AS train_id,
+             unnest(list_distinct({_SH_DECON_D})) AS gram
+      FROM documents WHERE source <> '{EVAL_SOURCE}'),
+    eg AS (
+      SELECT DISTINCT unnest({_SH_DECON_D}) AS gram
+      FROM documents WHERE source = '{EVAL_SOURCE}'),
+    ebits AS (
+      SELECT pos // 64 AS word,
+             bit_or(CAST(1 AS UBIGINT) << CAST(pos % 64 AS INTEGER))
+               AS mask
+      FROM (
+        SELECT {SK._bloom_pos('gram', 'i', 'duck')} AS pos
+        FROM eg, (SELECT unnest(generate_series(0, {SK.BLOOM_K - 1}))
+                    AS i))
+      GROUP BY word),
+    probe AS (
+      SELECT train_id, gram, p // 64 AS word,
+             CAST(p % 64 AS INTEGER) AS b
+      FROM (
+        SELECT train_id, gram,
+               {SK._bloom_pos('gram', 'i', 'duck')} AS p
+        FROM tg, (SELECT unnest(generate_series(0, {SK.BLOOM_K - 1}))
+                    AS i))),
+    setbits AS (
+      SELECT p.train_id, p.gram,
+             CASE WHEN e.mask IS NULL THEN 0
+                  ELSE CAST((e.mask >> p.b) & 1 AS BIGINT) END AS is_set
+      FROM probe p LEFT JOIN ebits e ON p.word = e.word),
+    per_gram AS (
+      SELECT train_id, gram,
+             CASE WHEN sum(is_set) = {SK.BLOOM_K} THEN 1 ELSE 0 END
+               AS passed
+      FROM setbits GROUP BY train_id, gram),
+    agg AS (
+      SELECT train_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(passed) AS BIGINT) AS n_bloom_hits
+      FROM per_gram GROUP BY train_id),
+    ex AS (
+      SELECT tg.train_id, CAST(count(*) AS BIGINT) AS n_exact_hits
+      FROM tg JOIN eg ON tg.gram = eg.gram GROUP BY tg.train_id)
+    SELECT a.train_id, a.n_grams, a.n_bloom_hits,
+           CAST(coalesce(ex.n_exact_hits, 0) AS BIGINT) AS n_exact_hits
+    FROM agg a LEFT JOIN ex ON a.train_id = ex.train_id
+    WHERE a.n_bloom_hits > 0
+    """,
+    doc="Decontamination through a BLOOM FILTER instead of the exact "
+        "broadcast gram set: the eval set packs into a FIXED 8 KiB "
+        "bit array (m=2^16, k=3) regardless of how large it grows — "
+        "the scale story the exact set lacks — built by one bit_or "
+        "aggregate (partial aggregation IS the filter merge, like the "
+        "CMS counter sum) and probed with a broadcast join. Hits are "
+        "a deterministic SUPERSET of exact membership (classic "
+        "one-sided FPR); the output carries both counts so the "
+        "false-positive overhead is visible, and every column is an "
+        "exact integer — both engines compute identical md5-derived "
+        "bit positions and identical BIGINT masks. Completes the "
+        "sketch tier: KMV = cardinality, CMS = frequency, Bloom = "
+        "membership.",
+)
+def q_decontaminate_bloom(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sh = T.shingles("text", DECON_NGRAM_N, "spark")
+    tg = docs.filter(F.col("source") != EVAL_SOURCE).select(
+        F.col("doc_id").alias("train_id"),
+        F.explode(F.expr(f"array_distinct({sh})")).alias("gram"),
+    )
+    eg = (
+        docs.filter(F.col("source") == EVAL_SOURCE)
+        .select(F.explode(F.expr(sh)).alias("gram"))
+        .distinct()
+    )
+    bits = SK.bloom_bits(eg)
+    hits = SK.bloom_hits(tg, bits, id_col="train_id").withColumnRenamed(
+        "id", "train_id"
+    )
+    exact = (
+        tg.join(F.broadcast(eg.withColumn("hit", F.lit(1))), "gram")
+        .groupBy("train_id")
+        .agg(F.count("*").cast("bigint").alias("n_exact_hits"))
+    )
+    return (
+        hits.filter(F.col("n_bloom_hits") > 0)
+        .join(exact, "train_id", "left")
+        .select(
+            "train_id", "n_grams", "n_bloom_hits",
+            F.coalesce(F.col("n_exact_hits"), F.lit(0)).cast("bigint")
+            .alias("n_exact_hits"),
+        )
+    )

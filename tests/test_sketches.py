@@ -111,3 +111,62 @@ def test_cms_estimate_is_one_sided_and_tight_for_heavy_hitters(spark, sf_dir):
         # eps = e/w; slack bound holds w.h.p. — generous x4 margin
         assert r["cms_estimate"] - r["exact_count"] <= \
             4 * (3 * n_total) // SK.CMS_WIDTH, (r, n_total)
+
+
+def test_bloom_no_false_negatives_and_fixed_size(spark):
+    from distributed_computing_projects_spark.operators import (
+        sketches as SK,
+    )
+
+    members = spark.createDataFrame(
+        [(f"gram-{i}",) for i in range(500)], ["gram"]
+    )
+    bits = SK.bloom_bits(members)
+    # fixed size: at most 2^(log2_bits - 6) mask words, ever
+    assert bits.count() <= (1 << SK.BLOOM_LOG2_BITS) // 64
+    # every member passes (no false negatives) — probe the member set
+    probe = members.selectExpr("gram AS id", "gram")
+    hits = SK.bloom_hits(probe, bits)
+    assert hits.filter("n_bloom_hits <> n_grams").count() == 0
+
+
+def test_bloom_fpr_is_bounded_and_one_sided(spark):
+    from pyspark.sql import functions as F
+
+    from distributed_computing_projects_spark.operators import (
+        sketches as SK,
+    )
+
+    members = spark.createDataFrame(
+        [(f"in-{i}",) for i in range(1000)], ["gram"]
+    )
+    bits = SK.bloom_bits(members)
+    outsiders = spark.createDataFrame(
+        [("q", f"out-{i}") for i in range(2000)], ["id", "gram"]
+    )
+    fp = (
+        SK.bloom_hits(outsiders, bits)
+        .agg(F.sum("n_bloom_hits").cast("long"))
+        .collect()[0][0]
+    )
+    # theoretical FPR at n=1000, m=65536, k=3 is ~2e-4; allow 50x
+    # headroom — the point is one-sidedness and the order of magnitude
+    assert fp <= 20
+
+
+def test_bloom_build_is_union_mergeable(spark):
+    from distributed_computing_projects_spark.operators import (
+        sketches as SK,
+    )
+
+    a = spark.createDataFrame([(f"a-{i}",) for i in range(100)], ["gram"])
+    b = spark.createDataFrame([(f"b-{i}",) for i in range(100)], ["gram"])
+    both = SK.bloom_bits(a.unionByName(b))
+    merged = (
+        SK.bloom_bits(a).unionByName(SK.bloom_bits(b))
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("mask"))
+    )
+    got = {(r["word"], r["mask"]) for r in merged.collect()}
+    want = {(r["word"], r["mask"]) for r in both.collect()}
+    assert got == want
