@@ -336,3 +336,34 @@ def bloom_hits(
         F.count("*").cast("bigint").alias("n_grams"),
         F.sum("passed").cast("bigint").alias("n_bloom_hits"),
     )
+
+
+def append_batch_bloom(grams: DataFrame, store_path: str,
+                       gram_col: str = "gram",
+                       batch_id: int | None = None) -> None:
+    """Continuous ingest for the membership filter: append one
+    micro-batch's packed mask words (at most 2^(log2_bits-6) rows per
+    batch) to a parquet store. Like the KMV store — and unlike the
+    band/IVF stores — NO batch-id overwrite discipline is needed:
+    the merge is BIT_OR, which is idempotent, so an at-least-once
+    retry that appends the same masks twice changes nothing after the
+    merged read (pinned in tests/test_sketches.py). ``batch_id`` is
+    recorded for observability only."""
+    bits = bloom_bits(grams, gram_col)
+    (bits.withColumn(
+        "batch_id",
+        F.lit(-1 if batch_id is None else int(batch_id)).cast("bigint"))
+     .write.mode("append").parquet(store_path))
+
+
+def merged_store_bloom(spark, store_path: str) -> DataFrame:
+    """Read a bloom store and merge all epochs: BIT_OR per word across
+    every appended batch = exactly the filter of everything ever
+    streamed in, regardless of batch boundaries, retries, or append
+    order. The merged read touches mask words only — never the
+    member sets."""
+    return (
+        spark.read.parquet(store_path)
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("mask"))
+    )

@@ -541,9 +541,7 @@ _BLOOM_M = 1 << SK.BLOOM_LOG2_BITS
 _SH_DECON_D = T.shingles("text", DECON_NGRAM_N, "duck")
 
 
-@query(
-    "decontaminate_bloom",
-    oracle=f"""
+_BLOOM_DECON_ORACLE = f"""
     WITH tg AS (
       SELECT doc_id AS train_id,
              unnest(list_distinct({_SH_DECON_D})) AS gram
@@ -590,7 +588,53 @@ _SH_DECON_D = T.shingles("text", DECON_NGRAM_N, "duck")
            CAST(coalesce(ex.n_exact_hits, 0) AS BIGINT) AS n_exact_hits
     FROM agg a LEFT JOIN ex ON a.train_id = ex.train_id
     WHERE a.n_bloom_hits > 0
-    """,
+    """
+
+
+def eval_grams(docs) -> "DataFrame":
+    """The eval split's distinct shingle set (the filter's members)."""
+    sh = T.shingles("text", DECON_NGRAM_N, "spark")
+    return (
+        docs.filter(F.col("source") == EVAL_SOURCE)
+        .select(F.explode(F.expr(sh)).alias("gram"))
+        .distinct()
+    )
+
+
+def bloom_decon_result(docs, bits) -> "DataFrame":
+    """Probe the train split against a built (word, mask) filter and
+    attach the exact hit counts — the shared back half of the batch
+    query and its streaming-store twin (the two differ ONLY in where
+    the filter comes from, so both reuse this and both compare against
+    the same oracle)."""
+    sh = T.shingles("text", DECON_NGRAM_N, "spark")
+    tg = docs.filter(F.col("source") != EVAL_SOURCE).select(
+        F.col("doc_id").alias("train_id"),
+        F.explode(F.expr(f"array_distinct({sh})")).alias("gram"),
+    )
+    hits = SK.bloom_hits(tg, bits, id_col="train_id").withColumnRenamed(
+        "id", "train_id"
+    )
+    exact = (
+        tg.join(F.broadcast(eval_grams(docs).withColumn("hit", F.lit(1))),
+                "gram")
+        .groupBy("train_id")
+        .agg(F.count("*").cast("bigint").alias("n_exact_hits"))
+    )
+    return (
+        hits.filter(F.col("n_bloom_hits") > 0)
+        .join(exact, "train_id", "left")
+        .select(
+            "train_id", "n_grams", "n_bloom_hits",
+            F.coalesce(F.col("n_exact_hits"), F.lit(0)).cast("bigint")
+            .alias("n_exact_hits"),
+        )
+    )
+
+
+@query(
+    "decontaminate_bloom",
+    oracle=_BLOOM_DECON_ORACLE,
     doc="Decontamination through a BLOOM FILTER instead of the exact "
         "broadcast gram set: the eval set packs into a FIXED 8 KiB "
         "bit array (m=2^16, k=3) regardless of how large it grows — "
@@ -607,31 +651,4 @@ _SH_DECON_D = T.shingles("text", DECON_NGRAM_N, "duck")
 )
 def q_decontaminate_bloom(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    sh = T.shingles("text", DECON_NGRAM_N, "spark")
-    tg = docs.filter(F.col("source") != EVAL_SOURCE).select(
-        F.col("doc_id").alias("train_id"),
-        F.explode(F.expr(f"array_distinct({sh})")).alias("gram"),
-    )
-    eg = (
-        docs.filter(F.col("source") == EVAL_SOURCE)
-        .select(F.explode(F.expr(sh)).alias("gram"))
-        .distinct()
-    )
-    bits = SK.bloom_bits(eg)
-    hits = SK.bloom_hits(tg, bits, id_col="train_id").withColumnRenamed(
-        "id", "train_id"
-    )
-    exact = (
-        tg.join(F.broadcast(eg.withColumn("hit", F.lit(1))), "gram")
-        .groupBy("train_id")
-        .agg(F.count("*").cast("bigint").alias("n_exact_hits"))
-    )
-    return (
-        hits.filter(F.col("n_bloom_hits") > 0)
-        .join(exact, "train_id", "left")
-        .select(
-            "train_id", "n_grams", "n_bloom_hits",
-            F.coalesce(F.col("n_exact_hits"), F.lit(0)).cast("bigint")
-            .alias("n_exact_hits"),
-        )
-    )
+    return bloom_decon_result(docs, SK.bloom_bits(eval_grams(docs)))

@@ -830,3 +830,72 @@ def q_streaming_kmv_ingest(spark, sf_dir):
         SKETCH.merged_store_sketch(spark, store)
         .withColumnRenamed("grp", "lang")
     )
+
+
+from distributed_computing_projects_spark.queries.ext_dedup import (  # noqa: E402
+    _BLOOM_DECON_ORACLE,
+    bloom_decon_result,
+    eval_grams,
+)
+
+
+@query(
+    "streaming_bloom_ingest",
+    # the store route must equal the direct route bit-for-bit, so the
+    # oracle IS decontaminate_bloom's
+    oracle=_BLOOM_DECON_ORACLE,
+    doc="CONTINUOUS-INGEST membership filter: documents arrive as a "
+        "file stream; foreachBatch appends each micro-batch's eval-"
+        "split bloom mask words to a parquet store, then appends the "
+        "SAME masks again — a deliberate at-least-once retry — and "
+        "the merged (BIT_OR per word) filter probed by the train "
+        "split must still hash-match the direct decontaminate_bloom "
+        "result: OR is idempotent, so the store tolerates duplicate "
+        "delivery BY CONSTRUCTION, with no batch-id overwrite "
+        "machinery (the same argument as the KMV store, for the "
+        "membership tier).",
+)
+def q_streaming_bloom_ingest(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from distributed_computing_projects_spark.operators import (
+        sketches as SKETCH,
+    )
+    from distributed_computing_projects_spark.sources.registry import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"dcp_stream_bloom_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    store = os.path.join(work, "bloom")
+    ckpt = os.path.join(work, "ckpt")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+    def ingest_batch(batch_df, batch_id):
+        grams = eval_grams(batch_df)
+        SKETCH.append_batch_bloom(grams, store, batch_id=batch_id)
+        # deliberate at-least-once retry: the same masks again
+        SKETCH.append_batch_bloom(grams, store, batch_id=batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("streaming bloom ingest did not drain in 180 s")
+    return bloom_decon_result(
+        docs, SKETCH.merged_store_bloom(spark, store)
+    )

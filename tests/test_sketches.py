@@ -170,3 +170,31 @@ def test_bloom_build_is_union_mergeable(spark):
     got = {(r["word"], r["mask"]) for r in merged.collect()}
     want = {(r["word"], r["mask"]) for r in both.collect()}
     assert got == want
+
+
+def test_bloom_store_duplicate_append_is_noop(spark, tmp_path):
+    from distributed_computing_projects_spark.operators import (
+        sketches as SK,
+    )
+
+    grams = spark.createDataFrame(
+        [(f"g-{i}",) for i in range(300)], ["gram"]
+    )
+    store = str(tmp_path / "bloom")
+    SK.append_batch_bloom(grams, store, batch_id=0)
+    once = {(r["word"], r["mask"])
+            for r in SK.merged_store_bloom(spark, store).collect()}
+    SK.append_batch_bloom(grams, store, batch_id=0)  # the "retry"
+    twice = {(r["word"], r["mask"])
+             for r in SK.merged_store_bloom(spark, store).collect()}
+    assert once == twice
+    # and a DISJOINT second batch merges to the union filter
+    more = spark.createDataFrame(
+        [(f"h-{i}",) for i in range(300)], ["gram"]
+    )
+    SK.append_batch_bloom(more, store, batch_id=1)
+    merged = {(r["word"], r["mask"])
+              for r in SK.merged_store_bloom(spark, store).collect()}
+    direct = {(r["word"], r["mask"])
+              for r in SK.bloom_bits(grams.unionByName(more)).collect()}
+    assert merged == direct
