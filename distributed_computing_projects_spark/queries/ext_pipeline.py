@@ -399,3 +399,122 @@ def q_training_corpus_summary(spark, sf_dir):
             F.sum("n_tokens").alias("total_chunk_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# training_corpus_v2: the composition extended with the LM tier
+# ---------------------------------------------------------------------------
+
+from distributed_computing_projects_spark.operators import (  # noqa: E402
+    ngram_lm as LM,
+)
+from distributed_computing_projects_spark.queries.ext_lm import (  # noqa: E402
+    _LM_MODEL_CTES,
+    _LM_SCORE_CTES,
+)
+
+
+@query(
+    "training_corpus_v2",
+    oracle=f"""
+    WITH {_LM_MODEL_CTES}, {_LM_SCORE_CTES},
+    tiled AS (
+      SELECT doc_id,
+             ntile(3) OVER (ORDER BY sum_lp / n_bigrams DESC, doc_id)
+               AS tile
+      FROM perdoc),
+    scored AS (
+      SELECT doc_id, text, lang, source,
+             len({_TOKS_D}) AS n_tokens,
+             CAST(len(list_distinct({_TOKS_D})) AS DOUBLE)
+               / CAST(len({_TOKS_D}) AS DOUBLE) AS distinct_ratio,
+             {X.lang_pred(_TOKS_D, 'duck')} AS pred_lang
+      FROM documents),
+    gated AS (
+      SELECT s.doc_id, s.text, s.source,
+             CASE t.tile WHEN 1 THEN 'head' ELSE 'middle' END AS bucket
+      FROM scored s JOIN tiled t ON s.doc_id = t.doc_id
+      WHERE s.n_tokens >= {GATE_MIN_TOKENS}
+        AND s.distinct_ratio >= {GATE_MIN_DISTINCT}
+        AND s.pred_lang = s.lang
+        AND t.tile <= 2),
+    survivors AS (
+      SELECT doc_id, text, source, bucket FROM gated
+      QUALIFY doc_id = min(doc_id)
+        OVER (PARTITION BY {D.NORM_TEXT_DUCK.format(col='text')})),
+    toks AS (
+      SELECT doc_id, source, bucket, len({_TOKS_D}) AS n
+      FROM survivors WHERE len({_TOKS_D}) > 0),
+    starts AS (
+      SELECT doc_id, source, bucket, n,
+             unnest(generate_series(0, n - 1, {_CHUNK_STEP})) AS start
+      FROM toks)
+    SELECT source, bucket,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_chunks,
+           CAST(sum(least({CHUNK_TOKENS}, n - start)) AS BIGINT)
+             AS total_chunk_tokens
+    FROM starts GROUP BY source, bucket
+    """,
+    doc="The MODERN pipeline composition (CCNet/DCLM shape): heuristic "
+        "quality gate -> bigram-LM perplexity tertiles with the TAIL "
+        "dropped (CCNet's release cut) -> exact-dedup survivors -> "
+        "overlapping token chunking -> per-(source, LM-bucket) "
+        "training-readiness stats. Extends training_corpus_summary "
+        "with the trained-model stage; every stage is the same "
+        "operator its standalone query tests, and the corpus chunk "
+        "totals arrive per fluency bucket so the release decision "
+        "(ship head, mix middle, drop tail) reads straight off the "
+        "output.",
+)
+def q_training_corpus_v2(spark, sf_dir):
+    from distributed_computing_projects_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tiled = LM.score_docs(docs, "doc_id", "text")
+    w_lm = Window.orderBy(F.desc("avg_lp"), F.asc("id"))
+    tiles = tiled.select(
+        F.col("id").alias("doc_id"), F.ntile(3).over(w_lm).alias("tile")
+    ).filter(F.col("tile") <= 2)
+
+    toks = T.tokens("text", "spark")
+    gated = (
+        docs.select(
+            "doc_id", "text", "source",
+            F.expr(f"size({toks})").alias("n_tokens"),
+            F.expr(
+                f"CAST(size(array_distinct({toks})) AS DOUBLE)"
+                f" / CAST(size({toks}) AS DOUBLE)"
+            ).alias("distinct_ratio"),
+            F.expr(X.lang_pred(toks, "spark")).alias("pred_lang"),
+            "lang",
+        )
+        .filter(
+            (F.col("n_tokens") >= GATE_MIN_TOKENS)
+            & (F.col("distinct_ratio") >= GATE_MIN_DISTINCT)
+            & (F.col("pred_lang") == F.col("lang"))
+        )
+        .join(tiles, "doc_id")
+        .select(
+            "doc_id", "text", "source",
+            F.when(F.col("tile") == 1, "head").otherwise("middle")
+            .alias("bucket"),
+        )
+    )
+    w = Window.partitionBy(F.expr(D.NORM_TEXT_SPARK.format(col="text")))
+    survivors = (
+        gated.withColumn("_keep", F.col("doc_id") == F.min("doc_id").over(w))
+        .filter(F.col("_keep"))
+        .select("doc_id", "text", "source", "bucket")
+    )
+    chunks = chunk_documents(
+        survivors, "doc_id", "text", CHUNK_TOKENS, CHUNK_OVERLAP,
+        carry=("source", "bucket"),
+    )
+    return chunks.groupBy("source", "bucket").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_chunks"),
+        F.sum("n_tokens").alias("total_chunk_tokens"),
+    )
