@@ -74,6 +74,14 @@ def pagerank_fixedpoint(
     edges = edges.persist()
     nodes = edges.select(F.col("src").alias("node")).distinct().persist()
     n = nodes.count()  # driver scalar: one count of a node-sized table
+    if n == 0:
+        # empty graph (e.g. an events table with no parsable clicks):
+        # empty result, not a ZeroDivisionError on the driver
+        return nodes.select(
+            "node",
+            F.lit(0).cast("bigint").alias("degree"),
+            F.lit(0).cast("bigint").alias("rank"),
+        )
     deg = edges.groupBy("src").agg(
         F.count("*").cast("bigint").alias("d")
     )

@@ -250,13 +250,7 @@ def seed_centroids(k: int) -> list[tuple[int, list[float]]]:
     purposes (SemDeDup cell sizing, stress sweeps) the assignment and
     pair-join cost is identical either way, and seeds need no training
     pass."""
-    return [
-        (c, S._unit([
-            ((T._h32(f"centroid-{c}-{j}") % 2001) - 1000) / 1000.0
-            for j in range(T.EMBEDDING_DIM)
-        ]))
-        for c in range(k)
-    ]
+    return [(c, S.seed_centroid(c)) for c in range(k)]
 
 
 def assign_cells_join(

@@ -1056,10 +1056,20 @@ def _decode_wav(b: bytes):
         codes = np.frombuffer(data, dtype=np.uint8)
         return rate, channels, (alaw if audio_fmt == 6 else mulaw)[codes]
     if audio_fmt == 17 and bits == 4 and channels == 1:
-        samples = _ima_decode_block(data)
-        if samples is None:
+        # block-structured: every block_align bytes restarts the
+        # quantizer from that block's own 4-byte header (predictor,
+        # step index) — real multi-block files decode per block, never
+        # with state running across a boundary
+        block = _ba if _ba >= 8 else len(data)
+        parts = []
+        for off in range(0, len(data), block):
+            decoded = _ima_decode_block(data[off : off + block])
+            if decoded is None:
+                return None
+            parts.append(decoded)
+        if not parts:
             return None
-        return rate, channels, samples
+        return rate, channels, np.concatenate(parts)
     return None
 
 

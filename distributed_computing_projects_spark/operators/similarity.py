@@ -124,11 +124,17 @@ def _unit(vec: list[float]) -> list[float]:
     return [x / n for x in vec]
 
 
-IVF_CENTROIDS = [
-    _unit([((T._h32(f"centroid-{c}-{j}") % 2001) - 1000) / 1000.0
-           for j in range(T.EMBEDDING_DIM)])
-    for c in range(N_CENTROIDS)
-]
+def seed_centroid(c: int) -> list[float]:
+    """The md5-derived unit seed for cell ``c`` — the ONE definition of
+    the centroid seed recipe (``IVF_CENTROIDS`` below and
+    ``ivf_train.seed_centroids`` both derive from it)."""
+    return _unit([
+        ((T._h32(f"centroid-{c}-{j}") % 2001) - 1000) / 1000.0
+        for j in range(T.EMBEDDING_DIM)
+    ])
+
+
+IVF_CENTROIDS = [seed_centroid(c) for c in range(N_CENTROIDS)]
 
 
 def ivf_cell_expr(vec_col: str, dialect: str,

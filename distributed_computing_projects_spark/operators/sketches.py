@@ -329,8 +329,12 @@ def bloom_hits(
             ).alias("is_set"),
         )
     )
+    # min, not sum == k: a probe that repeats an (id, gram) row
+    # doubles the exploded positions, and a count-based test would
+    # turn a genuine member into a miss — a false NEGATIVE, the one
+    # error class a Bloom filter must never produce
     per_gram = probed.groupBy("id", "gram").agg(
-        (F.sum("is_set") == BLOOM_K).cast("int").alias("passed")
+        (F.min("is_set") == 1).cast("int").alias("passed")
     )
     return per_gram.groupBy("id").agg(
         F.count("*").cast("bigint").alias("n_grams"),

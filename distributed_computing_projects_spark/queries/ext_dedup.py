@@ -573,7 +573,7 @@ _BLOOM_DECON_ORACLE = f"""
       FROM probe p LEFT JOIN ebits e ON p.word = e.word),
     per_gram AS (
       SELECT train_id, gram,
-             CASE WHEN sum(is_set) = {SK.BLOOM_K} THEN 1 ELSE 0 END
+             CASE WHEN min(is_set) = 1 THEN 1 ELSE 0 END
                AS passed
       FROM setbits GROUP BY train_id, gram),
     agg AS (

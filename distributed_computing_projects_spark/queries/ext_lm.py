@@ -14,8 +14,10 @@ from distributed_computing_projects_spark.functions import text as T
 from distributed_computing_projects_spark.operators import ngram_lm as LM
 from distributed_computing_projects_spark.queries import query
 from distributed_computing_projects_spark.sources.registry import load_table
+from distributed_computing_projects_spark.queries.ext_fragments import (
+    _TOKS_D,
+)
 
-_TOKS_D = T.tokens("text", "duck")
 _GRAMS2_D = T.ngrams("text", 2, "duck")
 
 # The LM "model" as oracle CTEs: the held-in split, its unigram and

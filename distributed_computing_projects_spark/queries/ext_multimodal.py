@@ -1018,33 +1018,23 @@ def _wav_header_g711(fmt_tag: int) -> bytes:
         + b"WAVE" + chunks
 
 
-def _g711_expr(byte: str, law: str, dialect: str) -> str:
+def _g711_expr(byte: str, law: str) -> str:
     """Closed-form G.711 expansion of one code byte (0..255) to the
     linear PCM16 sample — the same arithmetic as the classic
-    ulaw2linear/alaw2linear routines, emitted in both engine dialects
-    (the decoder side uses the identical formulas as numpy tables,
-    operators/multimodal.py:_g711_tables)."""
+    ulaw2linear/alaw2linear routines, emitted for the DuckDB oracle
+    only: the Spark side decodes through the numpy tables built from
+    the identical formulas (operators/multimodal.py:_g711_tables), so
+    a second Spark-dialect emission here would be dead code."""
     if law == "mu":
         u = f"(255 - ({byte}))"
-        if dialect == "spark":
-            t = (f"shiftleft((({u}) % 16) * 8 + 132,"
-                 f" CAST((({u}) DIV 16) % 8 AS INT))")
-        else:
-            t = f"(((({u}) % 16) * 8 + 132) << ((({u}) // 16) % 8))"
+        t = f"(((({u}) % 16) * 8 + 132) << ((({u}) // 16) % 8))"
         return f"(CASE WHEN {u} >= 128 THEN 132 - {t} ELSE {t} - 132 END)"
     if law != "a":
         raise ValueError(law)
-    if dialect == "spark":
-        a = f"(CAST({byte} AS INT) ^ 85)"
-        div, shl = "DIV", "shiftleft"
-        shifted = (f"shiftleft(({a} % 16) * 16 + 264,"
-                   f" CAST(greatest(({a} {div} 16) % 8 - 1, 0) AS INT))")
-    else:
-        a = f"(xor(CAST({byte} AS INTEGER), 85))"
-        shifted = (f"((({a} % 16) * 16 + 264)"
-                   f" << greatest((({a} // 16) % 8) - 1, 0))")
-    seg = (f"(({a} DIV 16) % 8)" if dialect == "spark"
-           else f"(({a} // 16) % 8)")
+    a = f"(xor(CAST({byte} AS INTEGER), 85))"
+    shifted = (f"((({a} % 16) * 16 + 264)"
+               f" << greatest((({a} // 16) % 8) - 1, 0))")
+    seg = f"(({a} // 16) % 8)"
     t = (f"(CASE WHEN {seg} = 0 THEN ({a} % 16) * 16 + 8"
          f" ELSE {shifted} END)")
     return f"(CASE WHEN {a} >= 128 THEN {t} ELSE -{t} END)"
@@ -1061,10 +1051,10 @@ def _g711_expr(byte: str, law: str, dialect: str) -> str:
       FROM eligible,
            (SELECT unnest(generate_series(1, {G711_BYTES})) AS i)),
     expanded AS (
-      SELECT id * 2 AS id, {_g711_expr('byte', 'mu', 'duck')} AS v
+      SELECT id * 2 AS id, {_g711_expr('byte', 'mu')} AS v
       FROM b
       UNION ALL
-      SELECT id * 2 + 1 AS id, {_g711_expr('byte', 'a', 'duck')} AS v
+      SELECT id * 2 + 1 AS id, {_g711_expr('byte', 'a')} AS v
       FROM b)
     SELECT id,
            CAST({AUDIO_RATE} AS INTEGER) AS sample_rate,

@@ -96,3 +96,21 @@ def test_malformed_payloads_drop():
     assert M._decode_wav(_wav(7, 1, 8000, 1, 8, b"")) is None
     # unknown fmt tag still drops
     assert M._decode_wav(_wav(3, 1, 8000, 2, 16, b"\x00" * 8)) is None
+
+
+def test_ima_multiblock_decode_restarts_state_per_block():
+    # two blocks, block_align = 8 (4-byte header + 4 nibble bytes):
+    # the second block's header must RESTART the quantizer, giving the
+    # concatenation of two independent single-block decodes
+    b1 = struct.pack("<hBB", 100, 20, 0) + bytes([0x12, 0x34, 0x56, 0x78])
+    b2 = struct.pack("<hBB", -500, 60, 0) + bytes([0x9A, 0xBC, 0xDE, 0xF0])
+    got = M._decode_wav(_wav(17, 1, 8000, 8, 4, b1 + b2))
+    assert got is not None
+    _, _, samples = got
+    import numpy as np
+
+    want = np.concatenate(
+        [M._ima_decode_block(b1), M._ima_decode_block(b2)]
+    )
+    assert [int(x) for x in samples] == [int(x) for x in want]
+    assert len(samples) == 2 * (1 + 8)

@@ -198,3 +198,19 @@ def test_bloom_store_duplicate_append_is_noop(spark, tmp_path):
     direct = {(r["word"], r["mask"])
               for r in SK.bloom_bits(grams.unionByName(more)).collect()}
     assert merged == direct
+
+
+def test_bloom_duplicate_probe_rows_cannot_false_negative(spark):
+    from distributed_computing_projects_spark.operators import (
+        sketches as SK,
+    )
+
+    members = spark.createDataFrame([("only-gram",)], ["gram"])
+    bits = SK.bloom_bits(members)
+    # the same (id, gram) row THREE times: a count-based membership
+    # test would see 9 set positions != k=3 and report a miss
+    probe = spark.createDataFrame(
+        [("d", "only-gram")] * 3, ["id", "gram"]
+    )
+    out = SK.bloom_hits(probe, bits).collect()
+    assert [(r["n_grams"], r["n_bloom_hits"]) for r in out] == [(1, 1)]

@@ -107,8 +107,12 @@ def build_stressed(spark, factor: int, out_dir: str) -> tuple[str, str]:
     ord_s.write.mode("overwrite").parquet(
         os.path.join(out_dir, "orders.parquet"))
     # events scale too (the graph family's fact table): factor copies
-    # with event and user ids offset per copy — the click graph grows
-    # as disjoint same-shape components, i.e. linearly in nodes+edges
+    # with event and user ids offset per copy, ITEM ids unchanged —
+    # the click graph grows linearly in users and edges while the
+    # fixed item catalog's degrees grow ~factor (deliberate: that
+    # hub-growth regime is what a real interaction graph does at
+    # scale, and it is the adversarial case for the per-iteration
+    # destination aggregate)
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     n_users = 1_000_000  # well above any 1x user_id
     n_events = ev.count()
@@ -404,7 +408,21 @@ def _write_md(out: dict) -> None:
         "tables against 1x dimensions: condorcet is one shuffle of "
         "the pruned scan + constant-bounded per-order expansion, q9 "
         "is broadcast-dim joins + one agg exchange, so both should "
-        "grow ~linearly in the fact rows.",
+        "grow ~linearly in the fact rows. The round-9 families: "
+        "lm_score_docs (bigram-LM scoring) is one corpus explode + "
+        "vocab-sized joins and tracks token occurrences linearly "
+        "(10x->100x: ~4.4 s -> ~38 s for 10x the docs); "
+        "graph_pagerank runs on the factor-scaled click graph (user "
+        "side linear, fixed item catalog so item hubs grow ~factor — "
+        "the adversarial hot-key regime) and stays "
+        "fixed-cost-then-linear because each iteration is one edge "
+        "join + one destination aggregate; dedup_semantic_sized "
+        "carries its scale knob in the row (n_cells = N/500, "
+        "join-path assignment) — the pair stage stays ~N*cell_size "
+        "but ASSIGNMENT is N*k scoring folds, which dominates at "
+        "100x (k=400): the honest cost of exact assignment, the "
+        "production fix being a coarse index over the centroids "
+        "(operators/ivf_train.assign_cells_join docstring).",
     ]
     if "candidates" in out:
         lines += _candidates_md(out["candidates"])
