@@ -342,6 +342,106 @@ def encode_png(rgb, filters=None, alpha: bool = False) -> bytes:
             + chunk(b"IEND", b""))
 
 
+def _packbits_decode(data: bytes) -> bytes | None:
+    """Apple PackBits (TIFF compression 32773): n in 0..127 copies n+1
+    literal bytes, n in -127..-1 repeats the next byte 1-n times,
+    -128 is a no-op. Returns None on a torn stream."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i] - 256 if data[i] >= 128 else data[i]
+        i += 1
+        if n == -128:
+            continue
+        if n >= 0:
+            if i + n + 1 > len(data):
+                return None
+            out += data[i : i + n + 1]
+            i += n + 1
+        else:
+            if i >= len(data):
+                return None
+            out += bytes([data[i]]) * (1 - n)
+            i += 1
+    return bytes(out)
+
+
+def _decode_tiff(b: bytes):
+    """Baseline TIFF (TIFF 6.0 §2-§9): both byte orders, 8-bit
+    grayscale (photometric 0/1) or RGB (photometric 2), strip-based,
+    compression 1 (none) or 32773 (PackBits). Returns (w, h, pixel
+    array with 3 channels — grayscale replicated) matching
+    :func:`_decode_ppm`'s contract, or None outside the subset /
+    on torn input."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 8 or b[:2] not in (b"II", b"MM"):
+        return None
+    end = "<" if b[:2] == b"II" else ">"
+    try:
+        magic, ifd_off = struct.unpack_from(end + "HI", b, 2)
+        if magic != 42:
+            return None
+        n_entries = struct.unpack_from(end + "H", b, ifd_off)[0]
+        tags: dict[int, list[int]] = {}
+        for e in range(n_entries):
+            off = ifd_off + 2 + 12 * e
+            tag, typ, cnt = struct.unpack_from(end + "HHI", b, off)
+            size = {3: 2, 4: 4}.get(typ)
+            if size is None:
+                continue  # unneeded tag types (RATIONAL etc.) skipped
+            fmt = "H" if typ == 3 else "I"
+            if size * cnt <= 4:
+                vals = list(struct.unpack_from(end + fmt * cnt, b, off + 8))
+            else:
+                voff = struct.unpack_from(end + "I", b, off + 8)[0]
+                vals = list(struct.unpack_from(end + fmt * cnt, b, voff))
+            tags[tag] = vals
+        w = tags.get(256, [0])[0]
+        h = tags.get(257, [0])[0]
+        bits = tags.get(258, [8])
+        comp = tags.get(259, [1])[0]
+        photo = tags.get(262, [1])[0]
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        spp = tags.get(277, [1])[0]
+        if (
+            not w or not h or offsets is None or counts is None
+            or len(offsets) != len(counts)
+            or comp not in (1, 32773)
+            or photo not in (0, 1, 2)
+            or spp not in (1, 3)
+            or (photo == 2) != (spp == 3)
+            or any(v != 8 for v in bits)
+            or len(bits) != spp
+        ):
+            return None
+        raw = bytearray()
+        for o, c in zip(offsets, counts):
+            strip = b[o : o + c]
+            if len(strip) < c:
+                return None
+            if comp == 32773:
+                dec = _packbits_decode(strip)
+                if dec is None:
+                    return None
+                raw += dec
+            else:
+                raw += strip
+        if len(raw) != w * h * spp:
+            return None
+        px = np.frombuffer(bytes(raw), dtype=np.uint8)
+        if spp == 1:
+            if photo == 0:  # WhiteIsZero: invert to BlackIsZero values
+                px = 255 - px
+            px = np.repeat(px, 3)
+        return w, h, px
+    except struct.error:
+        return None
+
+
 def decode_image(payloads: DataFrame) -> DataFrame:
     """REAL image decode for the formats a library-free container can
     decode: binary PPM (P6), uncompressed 24-bit BMP, and 8-bit
@@ -369,7 +469,7 @@ def decode_image(payloads: DataFrame) -> DataFrame:
             for i, payload in zip(pdf["id"], pdf["payload"]):
                 b = bytes(payload)
                 decoded = _decode_ppm(b) or _decode_bmp(b) or _decode_png(b) \
-                    or _decode_jpeg(b) or _decode_gif(b)
+                    or _decode_jpeg(b) or _decode_gif(b) or _decode_tiff(b)
                 if decoded is None:
                     continue
                 w, h, px = decoded

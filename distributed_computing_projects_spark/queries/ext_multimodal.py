@@ -1212,3 +1212,102 @@ def q_multimodal_adpcm_decode(spark, sf_dir):
         )
     )
     return M.decode_audio(spread(payloads))
+
+
+# ---------------------------------------------------------------------------
+# TIFF (6.0 baseline): the IFD-container image tier
+# ---------------------------------------------------------------------------
+
+TIFF_W, TIFF_H = 4, 3
+_TIFF_BYTES = TIFF_W * TIFF_H * 3  # 8-bit RGB
+
+
+def _tiff_wrapper() -> tuple[bytes, bytes]:
+    """(prefix, suffix) for a minimal little-endian baseline TIFF with
+    the pixel strip at offset 8: header + [36 RGB bytes] + one IFD
+    (width/height/bits/compression=1/photometric=2/strip tags) + the
+    external 3-SHORT BitsPerSample array. Both parts are constant for
+    the fixed fixture dims, so the payload is built IN-PLAN as
+    concat(prefix, text bytes, suffix)."""
+    import struct
+
+    data_len = _TIFF_BYTES
+    ifd_off = 8 + data_len
+    n_entries = 9
+    bps_off = ifd_off + 2 + 12 * n_entries + 4
+
+    def entry(tag, typ, cnt, val4):
+        return struct.pack("<HHI", tag, typ, cnt) + val4
+
+    entries = [
+        entry(256, 3, 1, struct.pack("<HH", TIFF_W, 0)),
+        entry(257, 3, 1, struct.pack("<HH", TIFF_H, 0)),
+        entry(258, 3, 3, struct.pack("<I", bps_off)),
+        entry(259, 3, 1, struct.pack("<HH", 1, 0)),
+        entry(262, 3, 1, struct.pack("<HH", 2, 0)),
+        entry(273, 4, 1, struct.pack("<I", 8)),
+        entry(277, 3, 1, struct.pack("<HH", 3, 0)),
+        entry(278, 3, 1, struct.pack("<HH", TIFF_H, 0)),
+        entry(279, 4, 1, struct.pack("<I", data_len)),
+    ]
+    prefix = b"II" + struct.pack("<HI", 42, ifd_off)
+    suffix = (
+        struct.pack("<H", len(entries)) + b"".join(entries)
+        + struct.pack("<I", 0) + struct.pack("<HHH", 8, 8, 8)
+    )
+    return prefix, suffix
+
+
+@query(
+    "multimodal_tiff_decode",
+    oracle=f"""
+    WITH eligible AS (
+      SELECT doc_id AS id, text FROM documents
+      WHERE octet_length(encode(text)) >= {_TIFF_BYTES}),
+    px AS (
+      SELECT id, i, ascii(substr(text, i, 1)) AS v, (i - 1) % 3 AS ch
+      FROM eligible,
+           (SELECT unnest(generate_series(1, {_TIFF_BYTES})) AS i))
+    SELECT id,
+           CAST({TIFF_W} AS INTEGER) AS width,
+           CAST({TIFF_H} AS INTEGER) AS height,
+           CAST({TIFF_W * TIFF_H} AS BIGINT) AS n_px,
+           CAST(sum(CASE WHEN ch = 0 THEN v ELSE 0 END) AS BIGINT)
+             AS sum_r,
+           CAST(sum(CASE WHEN ch = 1 THEN v ELSE 0 END) AS BIGINT)
+             AS sum_g,
+           CAST(sum(CASE WHEN ch = 2 THEN v ELSE 0 END) AS BIGINT)
+             AS sum_b
+    FROM px GROUP BY id
+    """,
+    doc="TIFF decode (TIFF 6.0 baseline — the IFD tag-directory "
+        "container, unlike the fixed-header PPM/BMP formats): per doc "
+        "a minimal little-endian RGB TIFF is built in-plan (constant "
+        "header + the doc's first 36 text bytes as the pixel strip + "
+        "constant IFD), then decode_image's dispatch walks the IFD "
+        "(both byte orders, SHORT/LONG values, inline vs offset "
+        "storage), reassembles strips, and sums channels. PackBits "
+        "compression, grayscale, WhiteIsZero inversion, and "
+        "big-endian files are decoded too (pinned in "
+        "tests/test_tiff.py); the oracle recomputes the channel sums "
+        "from character codes — lossless, so exact.",
+)
+def q_multimodal_tiff_decode(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    prefix, suffix = _tiff_wrapper()
+    payloads = (
+        docs.filter(
+            F.expr(f"octet_length(encode(text, 'UTF-8')) >= {_TIFF_BYTES}")
+        )
+        .select(
+            F.col("doc_id").alias("id"),
+            F.concat(
+                F.lit(bytearray(prefix)),
+                F.expr(
+                    f"substring(encode(text, 'UTF-8'), 1, {_TIFF_BYTES})"
+                ),
+                F.lit(bytearray(suffix)),
+            ).alias("payload"),
+        )
+    )
+    return M.decode_image(spread(payloads))
