@@ -993,3 +993,65 @@ def q_cms_token_frequencies(spark, sf_dir):
     occ = docs.select(
         F.explode(F.expr(T.tokens("text", "spark"))).alias("token"))
     return SK.cms_estimates(occ, 10)
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC normalization: the cross-implementation differential
+# ---------------------------------------------------------------------------
+
+# Decomposed/precomposed suffix seeded per doc, written as explicit
+# escapes so no editor or encoding step can silently pre-compose it:
+# e+COMBINING ACUTE, A+COMBINING RING, o+COMBINING DIAERESIS,
+# n+COMBINING TILDE (decomposed - NFC must shrink them) plus
+# precomposed U+00F6 and U+00E9 (idempotency). All BMP, so
+# code-point counts agree with Spark's UTF-16 length.
+_NFC_SUFFIX = (
+    " cafe\u0301 A\u030angstro\u0308m \u00f6l \u00e9chos"
+    " pin\u0303ata"
+)
+
+import unicodedata as _ud  # noqa: E402
+
+assert _ud.normalize("NFC", _NFC_SUFFIX) != _NFC_SUFFIX, (
+    "the NFC fixture must actually contain decomposed sequences"
+)
+
+
+@query(
+    "text_nfc_normalize",
+    oracle=f"""
+    SELECT doc_id,
+           nfc_normalize(text || '{_NFC_SUFFIX}') AS normalized,
+           CAST(length(text || '{_NFC_SUFFIX}') AS INTEGER)
+             AS n_chars_before,
+           CAST(length(nfc_normalize(text || '{_NFC_SUFFIX}'))
+             AS INTEGER) AS n_chars_after
+    FROM documents
+    """,
+    doc="Unicode NFC normalization (the clean-before-hash stage every "
+        "multilingual pipeline runs): each doc gets a seeded suffix "
+        "mixing decomposed (e+COMBINING ACUTE, A+COMBINING RING, "
+        "o+DIAERESIS, n+TILDE) and precomposed (U+00E9) forms, Spark "
+        "normalizes through CPython's unicodedata in an Arrow "
+        "mapInPandas, and the oracle normalizes through DuckDB's "
+        "utf8proc nfc_normalize — two INDEPENDENT Unicode "
+        "implementations whose canonical-composition tables must "
+        "agree character for character, with the normalized STRING "
+        "itself compared (the html_extract_text discipline). The "
+        "before/after code-point counts pin that composition actually "
+        "happened (after < before).",
+)
+def q_text_nfc_normalize(spark, sf_dir):
+    from distributed_computing_projects_spark.operators import (
+        textnorm as TN,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(_NFC_SUFFIX)).alias("text"),
+    )
+    return TN.nfc_normalize(seeded, "doc_id", "text").select(
+        F.col("id").alias("doc_id"),
+        "normalized", "n_chars_before", "n_chars_after",
+    )
