@@ -652,3 +652,61 @@ def bloom_decon_result(docs, bits) -> "DataFrame":
 def q_decontaminate_bloom(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return bloom_decon_result(docs, SK.bloom_bits(eval_grams(docs)))
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance verification: the exact-integer fuzzy-dedup tier
+# ---------------------------------------------------------------------------
+
+MAX_EDIT_DISTANCE = 6
+
+
+@query(
+    "dedup_edit_distance",
+    oracle=f"""
+    WITH {_LSH_CTES},
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist
+      FROM cand c
+      JOIN documents da ON c.id_a = da.doc_id
+      JOIN documents db ON c.id_b = db.doc_id)
+    SELECT id_a, id_b, dist FROM verified
+    WHERE dist <= {MAX_EDIT_DISTANCE}
+    """,
+    doc="Fuzzy dedup verified by EDIT DISTANCE: MinHash-LSH generates "
+        "the candidates (banded equi-join, never all-pairs — "
+        "Levenshtein is O(len^2) per pair, so running it on anything "
+        "but a blocked candidate set is a scale error), then each "
+        "candidate pair's full texts join back and classic DP "
+        f"Levenshtein keeps pairs within {MAX_EDIT_DISTANCE} edits. Both "
+        "engines ship the textbook integer algorithm, so the DISTANCE "
+        "VALUE hash-matches — the exactness MinHash's estimate and "
+        "cosine's float threshold can't offer. The candidate set is "
+        "tiny relative to the corpus, so the text-fetch joins "
+        "broadcast at scale.",
+)
+def q_dedup_edit_distance(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.0)
+    texts = docs.select("doc_id", "text")
+    return (
+        cand.select("id_a", "id_b")
+        .join(
+            F.broadcast(texts.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("text").alias("text_a"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(texts.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("text").alias("text_b"))),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b",
+            F.levenshtein("text_a", "text_b").cast("bigint").alias("dist"),
+        )
+        .filter(F.col("dist") <= MAX_EDIT_DISTANCE)
+    )
