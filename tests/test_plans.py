@@ -486,3 +486,47 @@ def test_new_headliner_join_shapes(spark, sf_dir, registry):
         assert "CartesianProduct" not in plan, (name, plan)
     assert "BroadcastHashJoin" in physical_plan(
         registry["quality_classifier_confusion"].fn(spark, sf_dir))
+
+
+def test_new_codec_queries_filter_jvm_side_before_python(
+        spark, sf_dir, registry):
+    """Same pre-Python pushdown contract for the round-9 codec
+    queries (G.711, ADPCM, TIFF): eligibility filter inside codegen
+    BEFORE the Arrow decode stage, narrow (doc_id, text) scan, one
+    spread() exchange only."""
+    for name in ("multimodal_g711_decode", "multimodal_adpcm_decode",
+                 "multimodal_tiff_decode"):
+        df = registry[name].fn(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "octet_length" in plan, (name, plan)
+        filt = plan.index("Filter")
+        first_py = plan.index("MapInPandas")
+        assert first_py < filt, (name, plan)
+        assert ("ReadSchema: struct<doc_id:bigint,text:string>"
+                in plan), (name, plan)
+
+
+def test_pagerank_scan_is_pruned_and_pushed(spark, sf_dir, registry):
+    """The click-graph build must push the event_type predicate into
+    the parquet scan and read only the three columns it needs — at
+    100 TB of events the scan is the dominant cost and a full-width
+    read would be the regression."""
+    df = registry["graph_pagerank_topk"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "PushedFilters: [IsNotNull(event_type)," in plan, plan
+    assert ("ReadSchema: struct<user_id:bigint,event_type:string,"
+            "props:string>") in plan, plan
+
+
+def test_lm_scoring_model_tables_broadcast_at_small_sf(
+        spark, sf_dir, registry):
+    """The LM scoring joins are on the gram key against
+    vocabulary-sized count tables: at test SF every model join must
+    be a broadcast (at web scale the same plan degrades to
+    shuffle-hash without rewrite — the operator docstring's claim;
+    what this pins is that nothing FORCES a shuffle join)."""
+    df = registry["lm_perplexity_rank"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
