@@ -393,3 +393,73 @@ def test_jpeg_progressive_roundtrip_property(data, ncomp, by, bx,
     q = np.array(qtable, dtype=np.int64)
     for ci in range(ncomp):
         assert np.array_equal(dec[ci], comps[ci] * q)
+
+
+# ---------------------------------------------------------------------------
+# Round-9 families: pure-Python properties (no Spark session needed)
+# ---------------------------------------------------------------------------
+
+
+@given(data=st.binary(min_size=0, max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_packbits_roundtrip_any_bytes(data):
+    from distributed_computing_projects_spark.operators.multimodal import (
+        _packbits_decode,
+    )
+    from tests.test_tiff import packbits_encode
+
+    assert _packbits_decode(packbits_encode(data)) == data
+
+
+@given(
+    pred=st.integers(-32768, 32767),
+    idx=st.integers(0, 88),
+    nibbles=st.lists(st.integers(0, 255), min_size=0, max_size=64),
+)
+@settings(max_examples=150, deadline=None)
+def test_ima_decode_matches_reference_recurrence(pred, idx, nibbles):
+    import struct
+
+    from distributed_computing_projects_spark.operators import (
+        multimodal as M,
+    )
+    from tests.test_g711_adpcm import _ima_ref
+
+    body = struct.pack("<hBB", pred, idx, 0) + bytes(nibbles)
+    got = M._ima_decode_block(body)
+    nibs = []
+    for b in nibbles:
+        nibs += [b & 0x0F, b >> 4]
+    assert [int(x) for x in got] == _ima_ref(pred, idx, nibs)
+    # every output stays in int16 range (the clamp actually clamps)
+    assert all(-32768 <= int(x) <= 32767 for x in got)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(1, 12), st.integers(1, 12)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pagerank_matches_python_on_random_graphs(spark, edges):
+    from distributed_computing_projects_spark.operators import (
+        graphrank as G,
+    )
+    from tests.test_graphrank import _py_pagerank
+
+    # ensure no dangling nodes (the operator's documented precondition):
+    # add the reverse of every edge
+    sym = sorted(set(edges) | {(d, s) for s, d in edges})
+    df = spark.createDataFrame(sym, ["src", "dst"])
+    got = {
+        r["node"]: r["rank"]
+        for r in G.pagerank_fixedpoint(df).collect()
+    }
+    want = _py_pagerank(sym, G.N_ITERS)
+    assert got == want
