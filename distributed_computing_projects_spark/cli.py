@@ -268,6 +268,28 @@ def build_parser() -> argparse.ArgumentParser:
                     help="quantizer size (default: the trained "
                          "oracle-parity 16)")
 
+    bb = sub.add_parser(
+        "bloom-build",
+        help="build a bloom membership store from a corpus's distinct "
+             "word n-gram shingles (fixed 8 KiB filter; appends are "
+             "retry-idempotent BIT_OR epochs)",
+    )
+    bb.add_argument("corpus_path", help="parquet with a text column")
+    bb.add_argument("store_path")
+    bb.add_argument("--text-col", default="text")
+    bb.add_argument("--ngram", type=int, default=7)
+
+    bq = sub.add_parser(
+        "bloom-probe",
+        help="probe a corpus against a bloom store: prints per-doc "
+             "(id, n_grams, n_bloom_hits)",
+    )
+    bq.add_argument("corpus_path", help="parquet with id/text columns")
+    bq.add_argument("store_path")
+    bq.add_argument("--id-col", default="doc_id")
+    bq.add_argument("--text-col", default="text")
+    bq.add_argument("--ngram", type=int, default=7)
+
     pr = sub.add_parser(
         "pagerank",
         help="integer fixed-point PageRank over the click graph of an "
@@ -553,6 +575,41 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                     assign="join" if args.cells > 16 else "expr",
                 )
             _emit(out.orderBy("id"))
+        elif args.cmd == "bloom-build":
+            from pyspark.sql import functions as F
+
+            from distributed_computing_projects_spark.functions import (
+                text as T,
+            )
+            from distributed_computing_projects_spark.operators import (
+                sketches,
+            )
+
+            corpus = spark.read.parquet(args.corpus_path)
+            sh = T.shingles(args.text_col, args.ngram, "spark")
+            grams = corpus.select(
+                F.explode(F.expr(sh)).alias("gram")
+            ).distinct()
+            sketches.append_batch_bloom(grams, args.store_path)
+            print(spark.read.parquet(args.store_path).count())
+        elif args.cmd == "bloom-probe":
+            from pyspark.sql import functions as F
+
+            from distributed_computing_projects_spark.functions import (
+                text as T,
+            )
+            from distributed_computing_projects_spark.operators import (
+                sketches,
+            )
+
+            corpus = spark.read.parquet(args.corpus_path)
+            sh = T.shingles(args.text_col, args.ngram, "spark")
+            probe = corpus.select(
+                F.col(args.id_col).alias("id"),
+                F.explode(F.expr(f"array_distinct({sh})")).alias("gram"),
+            )
+            bits = sketches.merged_store_bloom(spark, args.store_path)
+            _emit(sketches.bloom_hits(probe, bits).orderBy("id"))
         elif args.cmd == "pagerank":
             from distributed_computing_projects_spark.operators import (
                 graphrank,

@@ -338,3 +338,18 @@ def test_pagerank_subcommand(spark, sf_dir, capsys):
     assert len(lines) > 100
     ranks = [int(l.split("\t")[2]) for l in lines]
     assert all(r > 0 for r in ranks)
+
+
+def test_bloom_build_probe_subcommands(spark, sf_dir, tmp_path, capsys):
+    docs = f"{sf_dir}/documents.parquet"
+    store = str(tmp_path / "bloomstore")
+    assert main(["bloom-build", docs, store], spark=spark) == 0
+    n_words = int(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < n_words <= 1024  # fixed-size filter
+    assert main(["bloom-probe", docs, store], spark=spark) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) > 0
+    # the corpus probed against its own filter: every gram hits
+    for l in lines:
+        _, n_grams, n_hits = l.split("\t")
+        assert n_grams == n_hits
