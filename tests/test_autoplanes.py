@@ -263,3 +263,34 @@ def test_grouped_candidates_counts_band_pairs(spark):
     df = spark.createDataFrame(rows)
     # C(3,2) + C(2,2) + C(1,2) = 3 + 1 + 0
     assert AP.measured_grouped_candidates(df, "band", "key") == 4
+
+
+def test_semdedup_cell_accounting_matches_uniform_model(spark):
+    """Same arithmetic discipline for the SemDeDup blocking: on
+    direction-uniform hashed vectors, within-cell pairs under k seeded
+    centroids sit near C(N,2)/k — the band that makes the SCALE.md
+    semdedup_cells 100x row (ratio 1.18, per-row ~cell_size/2)
+    arithmetic rather than prose. k-means Voronoi cells are not
+    perfectly balanced, so the band is the same generous one the
+    hyperplane test uses."""
+    from pyspark.sql import functions as F
+
+    from distributed_computing_projects_spark.operators import (
+        ivf_train as IVT,
+    )
+
+    n, k = 2048, 8
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63),"
+            " j -> cast((pmod(hash(id, j), 2001) - 1000) / 1000.0"
+            " as float))"
+        ).alias("embedding"),
+    )
+    assigned = IVT.assign_cells_join(
+        df, "vec_id", "embedding", IVT.seed_centroids(k)
+    )
+    measured = AP.measured_grouped_candidates(assigned, "cell")
+    model = (n * (n - 1) // 2) // k
+    assert 0.5 * model <= measured <= 2.0 * model, (measured, model)

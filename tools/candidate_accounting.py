@@ -80,6 +80,28 @@ def account_factor(spark, factor: int) -> dict:
                 "ratio": round(measured / model, 2) if model else None,
                 "per_row": round(measured / n_vecs, 1),
             }
+        # SemDeDup's blocking: within-cell pairs under the corpus-sized
+        # quantizer (k = N/500, same sizing the SCALE timing row uses).
+        # Uniform model = C(N,2)/k; per-row target ~ cell_size/2 = 250
+        # at every N once k tracks N — the same pinned-per-row-work
+        # argument as the knn auto-sizer, for the k-means tier.
+        from distributed_computing_projects_spark.operators import (
+            ivf_train as IVT,
+        )
+
+        k_cells = max(16, n_vecs // 500)
+        assigned = IVT.assign_cells_join(
+            emb, "vec_id", "embedding", IVT.seed_centroids(k_cells)
+        )
+        m_sem = AP.measured_grouped_candidates(assigned, "cell")
+        model_sem = (n_vecs * (n_vecs - 1) // 2) // k_cells
+        joins["semdedup_cells"] = {
+            "n_cells": k_cells,
+            "measured": m_sem,
+            "model": model_sem,
+            "ratio": round(m_sem / model_sem, 2) if model_sem else None,
+            "per_row": round(m_sem / n_vecs, 1),
+        }
         banded = D._banded(D.minhash_signatures(docs, "doc_id", "text"))
         m = AP.measured_grouped_candidates(banded, "band", "key")
         joins["minhash_bands"] = {

@@ -422,7 +422,13 @@ def _write_md(out: dict) -> None:
         "but ASSIGNMENT is N*k scoring folds, which dominates at "
         "100x (k=400): the honest cost of exact assignment, the "
         "production fix being a coarse index over the centroids "
-        "(operators/ivf_train.assign_cells_join docstring).",
+        "(operators/ivf_train.assign_cells_join docstring). The "
+        "accounting table's semdedup_cells row makes the PAIR stage's "
+        "claim arithmetic: measured within-cell pairs track the "
+        "uniform C(N,2)/k model within 1.02-1.18x through the "
+        "measured 100x point, per-row candidate work pinned near "
+        "cell_size/2 = 250 — the same invariance the knn auto-sizer "
+        "row shows, tolerance-checked in tests/test_autoplanes.py.",
     ]
     if "candidates" in out:
         lines += _candidates_md(out["candidates"])
