@@ -228,13 +228,21 @@ def _png_unfilter(raw: bytes, w: int, h: int, bpp: int):
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+# Adam7 pass origins and strides: (x0, y0, dx, dy) per reduced image
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def _decode_png(b: bytes):
-    """8-bit non-interlaced truecolor PNG (color type 2 RGB / 6 RGBA),
+    """8-bit truecolor PNG (color type 2 RGB / 6 RGBA), non-interlaced
+    or Adam7-interlaced,
     decoded with stdlib ``zlib`` + numpy unfiltering — no imaging
     library. Walks the chunk list (IHDR -> IDAT* -> IEND), inflates
     the concatenated IDAT stream, reverses per-row filtering, and
     drops alpha. Returns (w, h, HxWx3 RGB uint8 array) or None
-    (other bit depths / palette / grayscale / interlaced / truncated
+    (other bit depths / palette / grayscale / truncated
     payloads DROP per the malformed-record policy; baseline JPEG now
     decodes too, via operators/jpeg.py)."""
     import struct
@@ -261,19 +269,41 @@ def _decode_png(b: bytes):
         return None
     w, h, depth, ctype, comp, filt, interlace = ihdr
     if (depth != 8 or ctype not in (2, 6) or comp != 0 or filt != 0
-            or interlace != 0 or w <= 0 or h <= 0):
+            or interlace not in (0, 1) or w <= 0 or h <= 0):
         return None
     bpp = 3 if ctype == 2 else 4
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    if len(raw) != h * (w * bpp + 1):
+    if interlace == 0:
+        if len(raw) != h * (w * bpp + 1):
+            return None
+        px = _png_unfilter(raw, w, h, bpp)
+        if px is None:
+            return None
+        return w, h, px.reshape(h, w, bpp)[..., :3]
+    # Adam7 (spec §8.2): seven reduced images, each filtered
+    # independently; empty passes contribute zero bytes
+    out = np.zeros((h, w, bpp), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        seg_len = ph * (pw * bpp + 1)
+        seg = raw[pos : pos + seg_len]
+        if len(seg) < seg_len:
+            return None
+        pos += seg_len
+        sub = _png_unfilter(seg, pw, ph, bpp)
+        if sub is None:
+            return None
+        out[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+    if pos != len(raw):
         return None
-    px = _png_unfilter(raw, w, h, bpp)
-    if px is None:
-        return None
-    return w, h, px.reshape(h, w, bpp)[..., :3]
+    return w, h, out[..., :3]
 
 
 def _png_filter_row(cur, prev, bpp: int, ftype: int):
@@ -304,7 +334,8 @@ def _png_filter_row(cur, prev, bpp: int, ftype: int):
     return (out & 0xFF).astype(np.uint8)
 
 
-def encode_png(rgb, filters=None, alpha: bool = False) -> bytes:
+def encode_png(rgb, filters=None, alpha: bool = False,
+               interlace: bool = False) -> bytes:
     """Minimal deterministic PNG encoder (driver-side/UDF-side fixture
     builder): 8-bit RGB/RGBA, one IDAT, ``filters`` = per-row filter
     types (default all-0). Exists so the decode path can be exercised
@@ -322,21 +353,38 @@ def encode_png(rgb, filters=None, alpha: bool = False) -> bytes:
         rgba[..., :3] = rgb
         rgb = rgba
     bpp = rgb.shape[2]
+
+    def _filter_image(img, ftypes):
+        ih, iw = img.shape[:2]
+        stride = iw * bpp
+        flat = img.reshape(ih, stride)
+        part = bytearray()
+        prev = np.zeros(stride, dtype=np.uint8)
+        for r in range(ih):
+            ft = ftypes[r % len(ftypes)]
+            part.append(ft)
+            part += _png_filter_row(flat[r], prev, bpp, ft).tobytes()
+            prev = flat[r]
+        return part
+
     filters = [0] * h if filters is None else filters
-    stride = w * bpp
-    flat = rgb.reshape(h, stride)
-    raw = bytearray()
-    prev = np.zeros(stride, dtype=np.uint8)
-    for r in range(h):
-        raw.append(filters[r])
-        raw += _png_filter_row(flat[r], prev, bpp, filters[r]).tobytes()
-        prev = flat[r]
+    if not interlace:
+        raw = _filter_image(rgb, filters)
+    else:
+        # Adam7: each reduced image filtered independently (its first
+        # row's Up/Paeth neighbours are zero, per the spec)
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = rgb[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raw += _filter_image(sub, filters)
 
     def chunk(cid: bytes, body: bytes) -> bytes:
         return (struct.pack(">I", len(body)) + cid + body
                 + struct.pack(">I", zlib.crc32(cid + body)))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6 if bpp == 4 else 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6 if bpp == 4 else 2, 0, 0,
+                       1 if interlace else 0)
     return (_PNG_SIG + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
             + chunk(b"IEND", b""))
@@ -544,7 +592,8 @@ def resize_image(payloads: DataFrame, factor: int) -> DataFrame:
 
 
 def png_payloads(
-    df: DataFrame, id_col: str, text_col: str, w: int, h: int
+    df: DataFrame, id_col: str, text_col: str, w: int, h: int,
+    interlace: bool = False,
 ) -> DataFrame:
     """(id, payload): a deterministic PNG per row, pixels = the first
     ``w*h*3`` UTF-8 bytes of ``text_col`` as RGB. Row filter types
@@ -569,7 +618,8 @@ def png_payloads(
                 rgb = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
                 filters = [(int(i) + r) % 5 for r in range(h)]
                 payloads.append(
-                    encode_png(rgb, filters, alpha=bool(int(i) % 2))
+                    encode_png(rgb, filters, alpha=bool(int(i) % 2),
+                               interlace=interlace)
                 )
                 ids.append(i)
             yield pd.DataFrame({"id": ids, "payload": payloads})

@@ -1311,3 +1311,52 @@ def q_multimodal_tiff_decode(spark, sf_dir):
         )
     )
     return M.decode_image(spread(payloads))
+
+
+# ---------------------------------------------------------------------------
+# Adam7 interlaced PNG: the progressive-image layout tier
+# ---------------------------------------------------------------------------
+
+ILACE_W, ILACE_H = 8, 5  # all seven Adam7 passes non-empty
+_ILACE_BYTES = ILACE_W * ILACE_H * 3
+
+
+@query(
+    "multimodal_png_interlaced",
+    oracle=f"""
+    WITH eligible AS (
+      SELECT doc_id AS id, text FROM documents
+      WHERE octet_length(encode(text)) >= {_ILACE_BYTES}),
+    b AS (
+      SELECT id, i, ascii(substr(text, i, 1)) AS v
+      FROM eligible,
+           (SELECT unnest(generate_series(1, {_ILACE_BYTES})) AS i))
+    SELECT id,
+           CAST({ILACE_W} AS INTEGER) AS width,
+           CAST({ILACE_H} AS INTEGER) AS height,
+           CAST({ILACE_W * ILACE_H} AS BIGINT) AS n_px,
+           CAST(sum(CASE WHEN i % 3 = 1 THEN v END) AS BIGINT) AS sum_r,
+           CAST(sum(CASE WHEN i % 3 = 2 THEN v END) AS BIGINT) AS sum_g,
+           CAST(sum(CASE WHEN i % 3 = 0 THEN v END) AS BIGINT) AS sum_b
+    FROM b GROUP BY id
+    """,
+    doc="Adam7 INTERLACED PNG decode (spec par.8.2 — the progressive "
+        "layout web PNGs actually use): an 8x5 fixture keeps all "
+        "seven reduced images non-empty, each pass filtered "
+        "independently on the encode side and reassembled from its "
+        "own unfilter on the decode side (first rows of every pass "
+        "see zero neighbours — the classic interlace bug the "
+        "per-pass state reset is for). Same in-plan fixture and "
+        "character-code oracle as multimodal_png_decode, so the whole "
+        "DEFLATE->inflate->per-pass-unfilter->merge pipeline is "
+        "differentially checked.",
+)
+def q_multimodal_png_interlaced(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = docs.filter(
+        F.expr(f"octet_length(encode(text, 'UTF-8')) >= {_ILACE_BYTES}")
+    )
+    payloads = M.png_payloads(
+        eligible, "doc_id", "text", ILACE_W, ILACE_H, interlace=True
+    )
+    return M.decode_image(payloads)

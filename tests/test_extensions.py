@@ -833,3 +833,49 @@ def test_canonical_url_rules(spark):
     got = {r["u"]: r["c"] for r in
            df.select("u", canonical_url(F.col("u")).alias("c")).collect()}
     assert got == cases
+
+
+def test_adam7_roundtrip_shapes_filters_and_malformed():
+    """Adam7 interlaced PNG: encode/decode round-trips across shapes
+    where passes go empty (1-wide, 1-tall), every filter type, both
+    color types; torn interlaced streams drop."""
+    import numpy as np
+
+    from distributed_computing_projects_spark.operators.multimodal import (
+        _decode_png,
+        encode_png,
+    )
+
+    for (w, h) in [(1, 1), (4, 3), (8, 5), (1, 9), (9, 1), (7, 7)]:
+        px = (np.arange(w * h * 3, dtype=np.uint32) * 37 % 256).astype(
+            np.uint8
+        ).reshape(h, w, 3)
+        for alpha in (False, True):
+            b = encode_png(px, filters=[1, 2, 3, 4, 0] * h, alpha=alpha,
+                           interlace=True)
+            got = _decode_png(b)
+            assert got is not None and got[:2] == (w, h)
+            assert np.array_equal(got[2], px), (w, h, alpha)
+    # torn: drop the IDAT tail so the last pass comes up short
+    import struct
+    import zlib
+
+    full = encode_png(px, interlace=True)
+    sig_end = 8
+    # rebuild with a truncated-decompressed IDAT: re-deflate a prefix
+    pos, chunks = sig_end, []
+    raw = None
+    while pos + 8 <= len(full):
+        size, cid = struct.unpack_from(">I4s", full, pos)
+        body = full[pos + 8 : pos + 8 + size]
+        if cid == b"IDAT":
+            raw = zlib.decompress(body)
+            body = zlib.compress(raw[:-5])
+            size = len(body)
+        chunks.append((cid, body))
+        pos += 8 + struct.unpack_from(">I", full, pos)[0] + 4
+    out = full[:sig_end]
+    for cid, body in chunks:
+        out += (struct.pack(">I", len(body)) + cid + body
+                + struct.pack(">I", zlib.crc32(cid + body)))
+    assert _decode_png(out) is None
