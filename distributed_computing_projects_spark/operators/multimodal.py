@@ -414,10 +414,63 @@ def _packbits_decode(data: bytes) -> bytes | None:
     return bytes(out)
 
 
+def _tiff_lzw_decode(data: bytes) -> bytes | None:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first bit packing (GIF's
+    is LSB-first), fixed 8-bit roots with ClearCode=256/EOI=257, and
+    the spec's "EarlyChange" quirk — the code width bumps one code
+    EARLIER than the dictionary actually fills (at 510/1022/2046).
+    Returns None on a torn or ill-formed stream."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    acc = n_bits = 0
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    for byte in data:
+        acc = (acc << 8) | byte
+        n_bits += 8
+        while n_bits >= width:
+            code = (acc >> (n_bits - width)) & ((1 << width) - 1)
+            n_bits -= width
+            if code == CLEAR:
+                reset()
+                continue
+            if code == EOI:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out += entry
+            prev = entry
+            # EarlyChange: width grows when the NEXT code would not fit
+            # the table size + 1 (TIFF writers bump at 511-1, etc.)
+            if len(table) + 1 >= (1 << width) and width < 12:
+                width += 1
+    return None  # no EOI: torn stream
+
+
 def _decode_tiff(b: bytes):
     """Baseline TIFF (TIFF 6.0 §2-§9): both byte orders, 8-bit
     grayscale (photometric 0/1) or RGB (photometric 2), strip-based,
-    compression 1 (none) or 32773 (PackBits). Returns (w, h, pixel
+    compression 1 (none), 5 (LZW, MSB-first with EarlyChange), 8
+    (Deflate/zlib), or 32773 (PackBits). Returns (w, h, pixel
     array with 3 channels — grayscale replicated) matching
     :func:`_decode_ppm`'s contract, or None outside the subset /
     on torn input."""
@@ -458,7 +511,7 @@ def _decode_tiff(b: bytes):
         if (
             not w or not h or offsets is None or counts is None
             or len(offsets) != len(counts)
-            or comp not in (1, 32773)
+            or comp not in (1, 5, 8, 32773)
             or photo not in (0, 1, 2)
             or spp not in (1, 3)
             or (photo == 2) != (spp == 3)
@@ -473,11 +526,20 @@ def _decode_tiff(b: bytes):
                 return None
             if comp == 32773:
                 dec = _packbits_decode(strip)
-                if dec is None:
-                    return None
-                raw += dec
+            elif comp == 5:
+                dec = _tiff_lzw_decode(strip)
+            elif comp == 8:
+                import zlib
+
+                try:
+                    dec = zlib.decompress(strip)
+                except zlib.error:
+                    dec = None
             else:
-                raw += strip
+                dec = strip
+            if dec is None:
+                return None
+            raw += dec
         if len(raw) != w * h * spp:
             return None
         px = np.frombuffer(bytes(raw), dtype=np.uint8)

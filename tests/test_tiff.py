@@ -116,10 +116,83 @@ def test_malformed_drop():
     t = bytearray(build_tiff(PIX, 4, 3))
     t = t[: 8 + 20]  # truncate mid-strip
     assert _decode_tiff(bytes(t)) is None
-    # unsupported compression (LZW = 5)
+    # unsupported compression (old-style JPEG-in-TIFF = 6)
+    assert _decode_tiff(build_tiff(PIX, 4, 3, comp=6)) is None
+    # LZW-declared strip that is actually raw bytes: ill-formed stream
     assert _decode_tiff(build_tiff(PIX, 4, 3, comp=5)) is None
     # size mismatch: header claims 5 wide but strip holds 4x3x3
     assert _decode_tiff(build_tiff(PIX, 5, 3)) is None
     # torn PackBits stream (literal header promising bytes past end)
     bad = bytes([10, 1, 2])
     assert _packbits_decode(bad) is None
+
+
+def tiff_lzw_encode(data: bytes) -> bytes:
+    """Independent TIFF-LZW encoder (MSB-first, EarlyChange) for the
+    round-trip tests — written from the spec, not by inverting the
+    decoder."""
+    CLEAR, EOI = 256, 257
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out_bits.append((CLEAR, width))
+    cur = b""
+    for byte in data:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        out_bits.append((table[cur], width))
+        table[nxt] = next_code
+        next_code += 1
+        # EarlyChange: the WRITER bumps width as soon as next_code+1
+        # would overflow (mirrors the decoder's len(table)+1 test)
+        if next_code + 1 > (1 << width) and width < 12:
+            width += 1
+        if next_code == 4094:
+            out_bits.append((CLEAR, width))
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        cur = bytes([byte])
+    if cur:
+        out_bits.append((table[cur], width))
+    out_bits.append((EOI, width))
+    acc = n = 0
+    out = bytearray()
+    for code, w in out_bits:
+        acc = (acc << w) | code
+        n += w
+        while n >= 8:
+            out.append((acc >> (n - 8)) & 0xFF)
+            n -= 8
+    if n:
+        out.append((acc << (8 - n)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_and_deflate_strips():
+    import zlib
+
+    from distributed_computing_projects_spark.operators.multimodal import (
+        _tiff_lzw_decode,
+    )
+
+    rle = bytes([7] * 10 + list(range(20)) + [3] * 6)
+    # LZW round-trip at the codec level, incl. a wide-alphabet stream
+    # that forces width growth
+    wide = bytes((i * 7) % 256 for i in range(3000))
+    for payload in (rle, wide, b"", bytes(range(256)) * 3):
+        assert _tiff_lzw_decode(tiff_lzw_encode(payload)) == payload
+    # ...and through the container for both compressions
+    got = _decode_tiff(build_tiff(rle, 4, 3, comp=5,
+                                  packed=tiff_lzw_encode(rle)))
+    assert got is not None and bytes(got[2]) == rle
+    got = _decode_tiff(build_tiff(rle, 4, 3, comp=8,
+                                  packed=zlib.compress(rle)))
+    assert got is not None and bytes(got[2]) == rle
+    # torn streams drop
+    assert _tiff_lzw_decode(tiff_lzw_encode(rle)[:-2]) is None
+    assert _decode_tiff(build_tiff(rle, 4, 3, comp=8,
+                                   packed=b"\x00bogus")) is None
