@@ -1226,7 +1226,8 @@ _G711 = None
 
 
 def _decode_wav(b: bytes):
-    """PCM WAV (RIFF/WAVE): fmt tag 1 at 16 bits, plus the G.711
+    """PCM WAV (RIFF/WAVE): fmt tag 1 at 16 or 24 bits, fmt tag 3
+    (IEEE float32, scaled to int16 range), plus the G.711
     companded telephony formats — tag 6 (A-law) and tag 7 (mu-law) at
     8 bits, expanded through the closed-form ITU tables. Returns
     (sample_rate, channels, int16 sample array) or None. Walks the
@@ -1261,6 +1262,28 @@ def _decode_wav(b: bytes):
         if n == 0:
             return None
         return rate, channels, np.frombuffer(data, dtype="<i2", count=n)
+    if audio_fmt == 1 and bits == 24:
+        # 24-bit PCM: 3 LE bytes per sample, sign-extended to int32
+        n = len(data) // 3
+        if n == 0:
+            return None
+        b3 = np.frombuffer(data, dtype=np.uint8, count=n * 3)
+        b3 = b3.reshape(n, 3).astype(np.int64)
+        v = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        return rate, channels, v.astype(np.int32)
+    if audio_fmt == 3 and bits == 32:
+        # IEEE float PCM: scaled to int32 so the integer-aggregate
+        # output contract holds; NaN/inf payloads drop (malformed)
+        n = len(data) // 4
+        if n == 0:
+            return None
+        f = np.frombuffer(data, dtype="<f4", count=n)
+        if not np.isfinite(f).all():
+            return None
+        return rate, channels, np.clip(
+            np.rint(f.astype(np.float64) * 32767), -32768, 32767
+        ).astype(np.int32)
     if audio_fmt in (6, 7) and bits == 8:
         if not data:
             return None

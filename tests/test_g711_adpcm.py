@@ -114,3 +114,25 @@ def test_ima_multiblock_decode_restarts_state_per_block():
     )
     assert [int(x) for x in samples] == [int(x) for x in want]
     assert len(samples) == 2 * (1 + 8)
+
+
+def test_pcm24_and_float32_wav():
+    import struct as _s
+
+    import numpy as np
+
+    # 24-bit: include negative, positive, and boundary samples
+    samples = [-(1 << 23), -1, 0, 1, (1 << 23) - 1, 123456, -654321]
+    data = b"".join(
+        _s.pack("<I", v & 0xFFFFFFFF)[:3] for v in samples
+    )
+    got = M._decode_wav(_wav(1, 1, 48000, 3, 24, data))
+    assert got is not None
+    assert [int(x) for x in got[2]] == samples
+    # float32: known values scale to int16 range, clipped
+    f = np.array([0.0, 0.5, -0.5, 1.5, -1.5], dtype="<f4")
+    got = M._decode_wav(_wav(3, 1, 48000, 4, 32, f.tobytes()))
+    assert [int(x) for x in got[2]] == [0, 16384, -16384, 32767, -32768]
+    # NaN payload drops
+    bad = np.array([0.0, np.nan], dtype="<f4")
+    assert M._decode_wav(_wav(3, 1, 48000, 4, 32, bad.tobytes())) is None
