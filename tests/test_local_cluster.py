@@ -9,7 +9,10 @@ real cluster. local-cluster[2,2,1024] spawns real executor JVMs with
 real serialization, real shuffle over the wire shape, and separate
 Python worker pools; one representative query per execution family
 runs here (scan+agg, banded self-join with Python-free signature
-math, Arrow mapInPandas decode, cloudpickled maple/juice UDFs).
+math, Arrow mapInPandas decode, cloudpickled maple/juice UDFs,
+LM scoring with its pinned fold, iterative integer PageRank, and
+SemDeDup whose driver-side k-means training bakes centroids into
+an executor-shipped expression).
 
 Subprocess-isolated like the other cluster tests (the suite session
 pins local[*]).
@@ -53,6 +56,10 @@ NAMES = [
     "dedup_minhash_lsh",          # banded self-join, JVM signature math
     "multimodal_jpeg_decode",     # Arrow mapInPandas encode+decode
     "maplejuice_wordcount",       # cloudpickled maple/juice UDF tier
+    "lm_perplexity_rank",         # gram-key joins + pinned per-doc fold
+    "graph_pagerank_topk",        # iterative join+agg, BIGINT exactness
+    "dedup_semantic",             # driver-trained centroids baked into
+                                  # an expression shipped to executors
 ]
 for name in NAMES:
     spec = reg[name]
