@@ -125,7 +125,25 @@ def score_docs(
     # explode+aggregate — 3 extra corpus scans at 100 TB. The persisted
     # table is vocabulary-sized, not corpus-sized.
     uni = uni.persist()
-    n_tok = uni.agg(F.sum("c1").cast("double").alias("n_tok"))
+    n_tok = float(
+        uni.agg(F.sum("c1").cast("double").alias("n")).collect()[0]["n"]
+    )
+    return score_docs_against(docs, id_col, text_col, uni, bi, n_tok)
+
+
+def score_docs_against(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    uni: DataFrame,
+    bi: DataFrame,
+    n_tok: float,
+) -> DataFrame:
+    """Score ``docs`` against PRE-BUILT count tables — the
+    model-serving entry point (:func:`score_docs` trains then
+    delegates here; the streaming scorer trains once and calls this
+    per micro-batch). ``n_tok`` is the training token total, a single
+    scalar that travels as a literal."""
     grams = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.expr(T.ngrams(text_col, 2, "spark"))).alias("gram"),
@@ -143,7 +161,7 @@ def score_docs(
             "w2",
             "left",
         )
-        .crossJoin(F.broadcast(n_tok))
+        .withColumn("n_tok", F.lit(float(n_tok)))
         .withColumn("lp", F.expr(_logprob_expr()))
     )
     return (

@@ -899,3 +899,90 @@ def q_streaming_bloom_ingest(spark, sf_dir):
     return bloom_decon_result(
         docs, SKETCH.merged_store_bloom(spark, store)
     )
+
+
+from distributed_computing_projects_spark.queries.ext_lm import (  # noqa: E402
+    _LM_MODEL_CTES,
+    _LM_SCORE_CTES,
+)
+
+
+@query(
+    "streaming_lm_scoring",
+    # the streamed route must equal the batch perdoc diagnostics
+    # (rank-free: ranks need the global order a stream never has)
+    oracle=f"""
+    WITH {_LM_MODEL_CTES}, {_LM_SCORE_CTES}
+    SELECT doc_id, n_bigrams, n_hit, n_backoff, n_oov FROM perdoc
+    """,
+    doc="MODEL-SERVING in the stream tier: documents arrive as a file "
+        "stream and every micro-batch is scored against the bigram LM "
+        "trained ONCE, batch-side, before the stream starts (the "
+        "vocabulary-sized count tables persist and serve every batch "
+        "— the deployment shape of CCNet-style filtering). Each "
+        "batch's per-doc integer diagnostics append to a parquet "
+        "store, the batch is then appended AGAIN as a deliberate "
+        "at-least-once retry, and the deduplicated read must equal "
+        "the direct batch scoring: scored rows are DETERMINISTIC "
+        "functions of (doc, model), so duplicate delivery collapses "
+        "under distinct-on-read with no batch-id machinery — a third "
+        "idempotence construction next to the KMV/bloom merge and the "
+        "band-store overwrite.",
+)
+def q_streaming_lm_scoring(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from distributed_computing_projects_spark.operators import (
+        ngram_lm as NLM,
+    )
+    from distributed_computing_projects_spark.sources.registry import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    uni, bi = NLM.train_counts(docs, "doc_id", "text")
+    uni, bi = uni.persist(), bi.persist()
+    n_tok = float(
+        uni.agg(F.sum("c1").cast("double").alias("n")).collect()[0]["n"]
+    )
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"dcp_stream_lm_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    store = os.path.join(work, "scores")
+    ckpt = os.path.join(work, "ckpt")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+    def score_batch(batch_df, batch_id):
+        scored = NLM.score_docs_against(
+            batch_df, "doc_id", "text", uni, bi, n_tok
+        ).select("id", "n_bigrams", "n_hit", "n_backoff", "n_oov")
+        scored.write.mode("append").parquet(store)
+        # deliberate at-least-once retry: the same deterministic rows
+        scored.write.mode("append").parquet(store)
+
+    q = (
+        stream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("streaming LM scoring did not drain in 180 s")
+    return (
+        spark.read.parquet(store)
+        .distinct()  # deterministic rows: duplicates collapse exactly
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_bigrams", "n_hit", "n_backoff", "n_oov",
+        )
+    )
