@@ -534,6 +534,75 @@ def q_dedup_semantic(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup at SIZED k via the two-level coarse assignment index
+# ---------------------------------------------------------------------------
+
+# A quantizer sized k=64 stands in for the production k=N/cell_size;
+# the coarse index (supers + cell->super mapping) is a deterministic
+# driver-side literal both engines replay bit-for-bit.
+_TL_K = 64
+_TL_CENTS = IVT.seed_centroids(_TL_K)
+_TL_SUPERS, _TL_MAPPING = IVT.super_centroids(_TL_CENTS)
+_TL_CELL2SUPER = dict(_TL_MAPPING)
+_TL_CMAP_VALUES = ",\n      ".join(
+    f"({_TL_CELL2SUPER[c]}, {c},"
+    f" {IVT._py_sq_norm([float(x) for x in cent])!r},"
+    f" {T._float_array_literal([float(x) for x in cent], 'duck')})"
+    for c, cent in _TL_CENTS
+)
+_TL_SCORE_D = f"(c.c2 - 2 * {T.dot('a.v', 'c.cent', 'duck')})"
+
+
+@query(
+    "dedup_semantic_twolevel",
+    headline=True,
+    oracle=f"""
+    WITH a1 AS (
+      SELECT vec_id AS id, embedding AS v,
+             unnest({IVT.probe_supers_expr('embedding', _TL_SUPERS,
+                                           IVT.SUPER_PROBES, 'duck')})
+               AS super
+      FROM embeddings),
+    cmap AS (
+      SELECT CAST(super AS BIGINT) AS super, CAST(cell AS BIGINT) AS cell,
+             CAST(c2 AS DOUBLE) AS c2, CAST(cent AS DOUBLE[]) AS cent
+      FROM (VALUES {_TL_CMAP_VALUES}) t(super, cell, c2, cent)),
+    a2 AS (
+      SELECT a.id, a.v, c.cell
+      FROM a1 a JOIN cmap c ON a.super = c.super
+      QUALIFY row_number() OVER (PARTITION BY a.id
+        ORDER BY {_TL_SCORE_D}, c.cell) = 1),
+    nr AS (
+      SELECT id, v, cell, {T.sq_norm('v', 'duck')} AS nrm FROM a2),
+    drops AS (
+      SELECT DISTINCT b.id
+      FROM nr a JOIN nr b ON a.cell = b.cell AND a.id < b.id
+      WHERE {_SEM_COS_D} >= {SEMANTIC_THRESHOLD})
+    SELECT n.id, n.cell,
+           n.id NOT IN (SELECT id FROM drops) AS is_kept
+    FROM nr n
+    """,
+    doc="SemDeDup with the quantizer SIZED TO THE CORPUS, assigned "
+        "through the TWO-LEVEL coarse index "
+        "(ivf_train.assign_cells_two_level): stage 1 probes the top-3 "
+        "super-cells with one baked expression (zero exchange), stage "
+        "2 argmins only the fine cells under the probed supers "
+        "(broadcast equi-join + distributive min-struct) — "
+        "~N*(1+p)*sqrt(k) scoring folds instead of the exact path's "
+        "superlinear N*k. The oracle replays BOTH stages from the "
+        "same baked centroid/super literals (unnest = the multi-probe "
+        "explode, QUALIFY row_number = the min-struct tie-break), "
+        "then re-runs the blocked pair scan.",
+)
+def q_dedup_semantic_twolevel(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.semantic_dedup(
+        spark, emb, "vec_id", "embedding", threshold=SEMANTIC_THRESHOLD,
+        centroids=_TL_CENTS, assign="twolevel",
+    ).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
 # Bloom-filter decontamination: fixed-size membership sketch
 # ---------------------------------------------------------------------------
 

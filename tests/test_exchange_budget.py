@@ -29,6 +29,12 @@ EXCHANGE_BUDGET = {
     # cell self-join's two hash-rows + the drop-set distinct (the flag
     # join back broadcasts)
     "dedup_semantic": 3,
+    # two-level assignment is spread's fixture-scale repartition + ONE
+    # argmin exchange (stage-1 probe expr and stage-2 cell join are
+    # exchange-free: baked expression + broadcast; the vector rides
+    # through the argmin agg so there is no join back), then the cell
+    # self-join's two hash-rows + drop-set distinct + final sort
+    "dedup_semantic_twolevel": 6,
     "dedup_simhash": 3,
     "events_hourly": 1,
     # 3 power iterations x (rank-join shuffle + destination hash-agg)

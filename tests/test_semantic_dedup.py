@@ -90,3 +90,101 @@ def test_seed_centroids_extend_the_fixed_quantizer(spark):
     # first 16 reproduce the oracle-parity fixed centroids exactly
     for c, cent in cents[:16]:
         assert cent == S.IVF_CENTROIDS[c]
+
+
+def test_two_level_probe_all_supers_is_exact(spark):
+    """Probing every super-cell makes stage 2 score every fine cell:
+    the two-level result must equal the exact join path bit-for-bit."""
+    from distributed_computing_projects_spark.operators import (
+        ivf_train as IVT,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = IVT.seed_centroids(64)
+    supers, mapping = IVT.super_centroids(cents)
+    exact = {
+        (r["vec_id"], r["cell"])
+        for r in IVT.assign_cells_join(
+            emb, "vec_id", "embedding", cents
+        ).select("vec_id", "cell").collect()
+    }
+    two = {
+        (r["vec_id"], r["cell"])
+        for r in IVT.assign_cells_two_level(
+            emb, "vec_id", "embedding", cents,
+            super_probes=len(supers),
+        ).select("vec_id", "cell").collect()
+    }
+    assert two == exact
+
+
+def test_two_level_default_probes_agreement(spark):
+    """Default multi-probe (p=3) must recover most exact assignments
+    even on this corpus's near-random vectors (the hardest case for a
+    coarse index — real embeddings cluster far better). Measured
+    0.758 at 64 cells / 8 supers; pin a floor under it."""
+    from distributed_computing_projects_spark.operators import (
+        ivf_train as IVT,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = IVT.seed_centroids(64)
+    exact = {
+        r["vec_id"]: r["cell"]
+        for r in IVT.assign_cells_join(
+            emb, "vec_id", "embedding", cents
+        ).select("vec_id", "cell").collect()
+    }
+    two = {
+        r["vec_id"]: r["cell"]
+        for r in IVT.assign_cells_two_level(
+            emb, "vec_id", "embedding", cents
+        ).select("vec_id", "cell").collect()
+    }
+    assert set(two) == set(exact)
+    agree = sum(two[k] == exact[k] for k in exact) / len(exact)
+    assert agree >= 0.70, agree
+
+
+def test_super_centroids_partition_the_cells():
+    from distributed_computing_projects_spark.operators import (
+        ivf_train as IVT,
+    )
+
+    cents = IVT.seed_centroids(64)
+    supers, mapping = IVT.super_centroids(cents)
+    # every fine cell mapped exactly once, every super non-empty,
+    # ids contiguous from 0
+    assert sorted(c for c, _ in mapping) == sorted(c for c, _ in cents)
+    mapped_supers = {s for _, s in mapping}
+    assert mapped_supers == {s for s, _ in supers}
+    assert sorted(s for s, _ in supers) == list(range(len(supers)))
+    # deterministic: second call bit-identical
+    supers2, mapping2 = IVT.super_centroids(cents)
+    assert supers2 == supers and mapping2 == mapping
+
+
+def test_two_level_semantic_dedup_drops_exact_copy(spark):
+    """Near-dup co-location is approximation-proof: an identical
+    vector probes identical supers and lands in the same fine cell,
+    so the clone is dropped under the two-level path too."""
+    from distributed_computing_projects_spark.operators import (
+        ivf_train as IVT,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    first = emb.orderBy("vec_id").limit(1)
+    clone = first.select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    out = D.semantic_dedup(
+        spark, emb.unionByName(clone), "vec_id", "embedding",
+        threshold=SEMANTIC_THRESHOLD,
+        centroids=IVT.seed_centroids(64), assign="twolevel",
+    )
+    orig_id = first.collect()[0]["vec_id"]
+    flags = {r["id"]: r["is_kept"] for r in out.collect()}
+    assert flags[orig_id] is True
+    assert flags[orig_id + 10_000_000] is False

@@ -275,16 +275,27 @@ def run_factor(spark, factor: int) -> dict:
               lambda: LM.score_docs(docs, "doc_id", "text").count())
         spark.catalog.clearCache()
         # SemDeDup with the quantizer SIZED TO THE CORPUS
-        # (k = N/500, join-path assignment): per-row candidate work is
-        # ~cell_size/2 by construction, so time must track N, not N^2
-        # — the same knob-vs-growth argument as the knn auto-sizer
+        # (k = N/500): per-row candidate work is ~cell_size/2 by
+        # construction, so the pair stage tracks N, not N^2 — and
+        # since round 10 ASSIGNMENT does too: the two-level coarse
+        # index costs ~N*(1+p)*sqrt(k) scoring folds where the exact
+        # join path paid N*k (which dominated the 100x point in r9:
+        # 114 s). The exact path stays measured at the smaller
+        # factors as the agreement oracle.
         k_cells = max(16, n_vecs // 500)
         timed(spark, m, "dedup_semantic_sized",
               lambda: D.semantic_dedup(
                   spark, emb, "vec_id", "embedding", threshold=0.25,
                   centroids=IVT.seed_centroids(k_cells),
-                  assign="join").filter("NOT is_kept").count(),
+                  assign="twolevel").filter("NOT is_kept").count(),
               n_cells=k_cells)
+        if factor <= 10:
+            timed(spark, m, "dedup_semantic_sized_exact",
+                  lambda: D.semantic_dedup(
+                      spark, emb, "vec_id", "embedding", threshold=0.25,
+                      centroids=IVT.seed_centroids(k_cells),
+                      assign="join").filter("NOT is_kept").count(),
+                  n_cells=k_cells)
         spark.catalog.clearCache()
         # fixed-point PageRank on the scaled click graph: 3 rounds of
         # edge join + destination agg, linear in edges per round
@@ -417,12 +428,13 @@ def _write_md(out: dict) -> None:
         "the adversarial hot-key regime) and stays "
         "fixed-cost-then-linear because each iteration is one edge "
         "join + one destination aggregate; dedup_semantic_sized "
-        "carries its scale knob in the row (n_cells = N/500, "
-        "join-path assignment) — the pair stage stays ~N*cell_size "
-        "but ASSIGNMENT is N*k scoring folds, which dominates at "
-        "100x (k=400): the honest cost of exact assignment, the "
-        "production fix being a coarse index over the centroids "
-        "(operators/ivf_train.assign_cells_join docstring). The "
+        "carries its scale knob in the row (n_cells = N/500) and "
+        "since round 10 assigns through the TWO-LEVEL coarse index "
+        "(ivf_train.assign_cells_two_level): ~N*(1+p)*sqrt(k) "
+        "scoring folds, so the pair stage AND assignment both "
+        "track N — the exact N*k join path (114 s at the 100x "
+        "point in r9) stays measured at factors <= 10 as "
+        "dedup_semantic_sized_exact, the agreement oracle. The "
         "accounting table's semdedup_cells row makes the PAIR stage's "
         "claim arithmetic: measured within-cell pairs track the "
         "uniform C(N,2)/k model within 1.02-1.18x through the "
