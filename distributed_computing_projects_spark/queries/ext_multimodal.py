@@ -958,9 +958,7 @@ def q_multimodal_mp3_stream_stats(spark, sf_dir):
     return MP.mp3_stream_stats(MP.mp3_payloads(eligible, "doc_id", "text"))
 
 
-@query(
-    "warc_extract_responses",
-    oracle=f"""
+_WARC_ORACLE = f"""
     WITH body AS (
       SELECT doc_id AS id,
              'https://' || source || '.example.com/doc/' || doc_id
@@ -981,7 +979,12 @@ def q_multimodal_mp3_stream_stats(spark, sf_dir):
            CAST(n_body_bytes AS BIGINT) AS n_body_bytes,
            CAST(psum AS BIGINT) AS prefix_sum
     FROM pre
-    """,
+    """
+
+
+@query(
+    "warc_extract_responses",
+    oracle=_WARC_ORACLE,
     doc="WARC source extraction — the container web training corpora "
         "arrive in (Common Crawl ships WARC): per doc a two-record "
         "WARC/1.0 file (warcinfo + HTTP response, sources/warc.py) is "
@@ -997,6 +1000,23 @@ def q_warc_extract_responses(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return W.extract_responses(
         W.warc_payloads(docs, "doc_id", "text", "source"))
+
+
+@query(
+    "warc_gz_extract_responses",
+    oracle=_WARC_ORACLE,
+    doc="Gzip WARC (.warc.gz) extraction — the wire format Common "
+        "Crawl actually publishes: every record its own gzip member, "
+        "members concatenated. The extractor keys off the gzip magic "
+        "and gunzips member-wise (stdlib zlib, wbits=31; a torn "
+        "member drops record-granularly, matching the plain-WARC torn "
+        "policy), then the SAME record walker runs — gzip is "
+        "lossless, so the oracle is warc_extract_responses' verbatim.",
+)
+def q_warc_gz_extract_responses(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return W.extract_responses(
+        W.warc_gz_payloads(docs, "doc_id", "text", "source"))
 
 
 # ---------------------------------------------------------------------------

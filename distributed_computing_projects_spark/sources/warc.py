@@ -32,6 +32,8 @@ LLM-pipeline scale-extension surface (SURVEY.md §2 extensions).
 
 from __future__ import annotations
 
+import gzip
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -41,6 +43,7 @@ from pyspark.sql import functions as F
 from distributed_computing_projects_spark.operators.spread import spread
 
 _CRLF = b"\r\n"
+_GZIP_MAGIC = b"\x1f\x8b"
 
 
 def build_record(warc_type: str, headers: dict, block: bytes) -> bytes:
@@ -104,6 +107,33 @@ def parse_records(b: bytes):
     return records if records else None
 
 
+def gunzip_members(b: bytes):
+    """Decompress a member-per-record gzip stream (``.warc.gz`` — the
+    wire format Common Crawl actually ships: each WARC record is its
+    own gzip member so readers can seek member boundaries) into the
+    concatenated plain bytes. A member torn mid-stream keeps the
+    complete members before it — the same record-granular drop policy
+    as :func:`parse_records` (a tear in a concatenated-member stream
+    can only be a suffix). Returns ``None`` when not even one member
+    decompresses (non-gzip payload — the row drop)."""
+    out: list[bytes] = []
+    pos = 0
+    while pos < len(b):
+        d = zlib.decompressobj(wbits=31)  # 31 = gzip wrapper
+        try:
+            chunk = d.decompress(b[pos:])
+        except zlib.error:
+            break  # torn/corrupt member: drop it and the rest
+        if not d.eof:
+            break  # stream ends mid-member
+        out.append(chunk)
+        consumed = len(b) - pos - len(d.unused_data)
+        if consumed <= 0:
+            break  # zero-length "member" would loop forever
+        pos += consumed
+    return b"".join(out) if out else None
+
+
 def split_http_response(block: bytes):
     """(status, body) from an application/http response block, or
     ``None`` if the block is not an HTTP response."""
@@ -152,6 +182,37 @@ def warc_payloads(df: DataFrame, id_col: str, text_col: str,
     return spread(cols).mapInPandas(_encode, schema="id bigint, payload binary")
 
 
+def warc_gz_payloads(df: DataFrame, id_col: str, text_col: str,
+                     source_col: str) -> DataFrame:
+    """Like :func:`warc_payloads` but compressed MEMBER-PER-RECORD the
+    way Common Crawl publishes ``.warc.gz``: each record is its own
+    gzip member (mtime pinned 0 so the payload is deterministic),
+    members concatenated."""
+
+    def _gz(record: bytes) -> bytes:
+        return gzip.compress(record, compresslevel=6, mtime=0)
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, text, source in zip(pdf["id"], pdf["text"],
+                                       pdf["source"]):
+                url = f"https://{source}.example.com/doc/{i}"
+                info = build_record(
+                    "warcinfo", {"Content-Type": "application/warc-fields"},
+                    b"software: fixture\r\n")
+                resp = build_response_record(url, text.encode("utf-8"))
+                payloads.append(_gz(info) + _gz(resp))
+                ids.append(i)
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    cols = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text"),
+        F.col(source_col).alias("source"),
+    )
+    return spread(cols).mapInPandas(_encode, schema="id bigint, payload binary")
+
+
 WARC_SCHEMA = (
     "id bigint, url string, status int, n_body_bytes bigint,"
     " prefix_sum bigint"
@@ -164,14 +225,22 @@ def extract_responses(payloads: DataFrame) -> DataFrame:
     and emit (id, url, status, body length, byte sum of the first
     ``WARC_PREFIX`` body bytes) per response record — the fields a
     crawl-ingest stage filters and dedups on. Non-WARC payloads drop
-    the row; torn records drop from the tear onward."""
+    the row; torn records drop from the tear onward. Payloads opening
+    with the gzip magic are gunzipped member-wise first
+    (:func:`gunzip_members` — ``.warc.gz``, the wire format Common
+    Crawl ships), so plain and gzip WARC read through the one path."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in ("id", "url", "status",
                                    "n_body_bytes", "prefix_sum")}
             for i, payload in zip(pdf["id"], pdf["payload"]):
-                records = parse_records(bytes(payload))
+                raw = bytes(payload)
+                if raw[:2] == _GZIP_MAGIC:
+                    raw = gunzip_members(raw)
+                    if raw is None:
+                        continue
+                records = parse_records(raw)
                 if records is None:
                     continue
                 for headers, block in records:

@@ -79,3 +79,66 @@ def test_negative_content_length_terminates():
     bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
            b"Content-Length: -5\r\n\r\n")
     assert W.parse_records(bad * 3) is None
+
+
+def _gz(record: bytes) -> bytes:
+    import gzip
+
+    return gzip.compress(record, compresslevel=6, mtime=0)
+
+
+def test_gunzip_members_roundtrip_and_torn():
+    info = W.build_record(
+        "warcinfo", {"Content-Type": "application/warc-fields"},
+        b"software: fixture\r\n")
+    resp = W.build_response_record("https://a.example.com/1", b"hello")
+    stream = _gz(info) + _gz(resp)
+    assert W.gunzip_members(stream) == info + resp
+    # tear the SECOND member mid-stream: the first member's records
+    # survive (record-granular drop, same policy as parse_records)
+    torn = stream[: len(_gz(info)) + 8]
+    assert W.gunzip_members(torn) == info
+    recs = W.parse_records(W.gunzip_members(torn))
+    assert [h["warc-type"] for h, _ in recs] == ["warcinfo"]
+    # garbage after valid members: members before the corruption keep
+    assert W.gunzip_members(stream + b"\x1f\x8bgarbage") == info + resp
+    # not gzip at all -> None (row drop)
+    assert W.gunzip_members(b"plain text") is None
+    assert W.gunzip_members(b"") is None
+
+
+def test_spark_extract_gzip_payloads(spark):
+    import pandas as pd
+
+    info = W.build_record(
+        "warcinfo", {"Content-Type": "application/warc-fields"},
+        b"software: fixture\r\n")
+    resp = W.build_response_record("https://a.example.com/1",
+                                   b"abcd" * 20)
+    good = _gz(info) + _gz(resp)
+    torn = good[: len(_gz(info)) + 8]  # response member torn away
+    payloads = spark.createDataFrame(pd.DataFrame({
+        "id": [1, 2, 3],
+        "payload": [good, torn, _GZIP_GARBAGE]}))
+    rows = W.extract_responses(payloads).collect()
+    # id 1 extracts; id 2 has only the warcinfo record left (no
+    # response rows); id 3 is not a gzip stream despite the magic
+    assert [r["id"] for r in rows] == [1]
+    assert rows[0]["n_body_bytes"] == 80
+    assert rows[0]["url"] == "https://a.example.com/1"
+
+
+_GZIP_GARBAGE = b"\x1f\x8b" + b"\x00" * 30
+
+
+def test_gz_payload_builder_matches_plain(spark):
+    """Gzip is lossless: the extraction facts from warc_gz_payloads
+    must equal warc_payloads' on the same docs."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plain = sorted(
+        tuple(r) for r in W.extract_responses(
+            W.warc_payloads(docs, "doc_id", "text", "source")).collect())
+    gz = sorted(
+        tuple(r) for r in W.extract_responses(
+            W.warc_gz_payloads(docs, "doc_id", "text", "source")).collect())
+    assert gz == plain and len(plain) == docs.count()
