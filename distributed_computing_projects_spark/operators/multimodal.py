@@ -165,9 +165,10 @@ def _decode_bmp(b: bytes):
     return w, h, bgr[..., ::-1]  # BGR -> RGB
 
 
-def _png_unfilter(raw: bytes, w: int, h: int, bpp: int):
+def _png_unfilter(raw: bytes, w: int, h: int, bpp: int,
+                  stride: int | None = None):
     """Reverse PNG scanline filtering (spec §9: None/Sub/Up/Average/
-    Paeth). Returns an (h, w*bpp) uint8 array or None on a bad filter
+    Paeth). Returns an (h, stride) uint8 array or None on a bad filter
     byte. None/Up are whole-row vectorized; Sub is fully vectorized as
     a per-lane running sum (``cumsum mod 256`` — mod distributes over
     the prefix sums). Average/Paeth carry a computed-left-neighbour
@@ -175,10 +176,16 @@ def _png_unfilter(raw: bytes, w: int, h: int, bpp: int):
     row over plain Python LISTS — numpy scalar indexing (the replaced
     code) costs ~4x a list index per element, and per-pixel numpy lane
     ops cost more still (measured 12x slower than the list walk at
-    bpp=3: the 3-element array op overhead exceeds 3 scalar steps)."""
+    bpp=3: the 3-element array op overhead exceeds 3 scalar steps).
+
+    ``stride`` (scanline bytes, default ``w*bpp``) diverges from
+    ``w*bpp`` for sub-byte depths (palette/grayscale 1/2/4): packed
+    rows filter BYTE-wise with bpp=1 per the spec ("filters operate
+    on bytes"), so callers pass ``stride=ceil(w*depth/8), bpp=1``."""
     import numpy as np
 
-    stride = w * bpp
+    if stride is None:
+        stride = w * bpp
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
     for r in range(h):
@@ -192,7 +199,7 @@ def _png_unfilter(raw: bytes, w: int, h: int, bpp: int):
             cur = (line + prev) & 0xFF
         elif ftype == 1:  # Sub: per-lane prefix sum mod 256
             cur = (
-                np.cumsum(line.reshape(w, bpp), axis=0, dtype=np.int64)
+                np.cumsum(line.reshape(-1, bpp), axis=0, dtype=np.int64)
                 % 256
             ).astype(np.int32).reshape(stride)
         elif ftype in (3, 4):  # Average / Paeth: list-walk the row
@@ -235,16 +242,40 @@ _ADAM7 = (
 )
 
 
+def _unpack_depth(rows, w: int, depth: int):
+    """(h, stride) packed row bytes -> (h, w) per-pixel values for
+    depth 1/2/4/8 (PNG packs sub-byte samples high-bit-first; row
+    padding bits are discarded by the ``[:, :w]`` crop)."""
+    import numpy as np
+
+    if depth == 8:
+        return rows[:, :w]
+    bits = np.unpackbits(rows, axis=1)
+    npix = bits.shape[1] // depth
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    vals = (
+        bits[:, : npix * depth]
+        .reshape(rows.shape[0], npix, depth)
+        .astype(np.uint16)
+        * weights
+    ).sum(axis=2)
+    return vals[:, :w].astype(np.uint8)
+
+
 def _decode_png(b: bytes):
-    """8-bit truecolor PNG (color type 2 RGB / 6 RGBA), non-interlaced
-    or Adam7-interlaced,
-    decoded with stdlib ``zlib`` + numpy unfiltering — no imaging
-    library. Walks the chunk list (IHDR -> IDAT* -> IEND), inflates
-    the concatenated IDAT stream, reverses per-row filtering, and
-    drops alpha. Returns (w, h, HxWx3 RGB uint8 array) or None
-    (other bit depths / palette / grayscale / truncated
-    payloads DROP per the malformed-record policy; baseline JPEG now
-    decodes too, via operators/jpeg.py)."""
+    """PNG decode with stdlib ``zlib`` + numpy unfiltering — no
+    imaging library. Color types: 2/6 (8-bit truecolor RGB/RGBA,
+    alpha dropped), 3 (PLTE palette, bit depths 1/2/4/8 — the
+    dominant web-PNG layout), 0 (grayscale, depths 1/2/4/8,
+    replicated to RGB with the exact 255/(2^d-1) scale); each
+    non-interlaced or Adam7-interlaced. Walks the chunk list
+    (IHDR -> PLTE? -> IDAT* -> IEND), inflates the concatenated IDAT
+    stream, reverses per-row byte filtering (sub-byte depths filter
+    with bpp=1 on the PACKED bytes per spec §9), unpacks
+    high-bit-first samples, and resolves palette indices with one
+    numpy take. Returns (w, h, HxWx3 RGB uint8 array) or None
+    (16-bit, gray+alpha, out-of-range palette indices, or truncated
+    payloads DROP per the malformed-record policy)."""
     import struct
     import zlib
 
@@ -252,7 +283,7 @@ def _decode_png(b: bytes):
 
     if not b.startswith(_PNG_SIG):
         return None
-    pos, ihdr, idat = len(_PNG_SIG), None, []
+    pos, ihdr, idat, plte = len(_PNG_SIG), None, [], None
     while pos + 8 <= len(b):
         size, cid = struct.unpack_from(">I4s", b, pos)
         body = b[pos + 8 : pos + 8 + size]
@@ -260,6 +291,10 @@ def _decode_png(b: bytes):
             return None  # truncated chunk
         if cid == b"IHDR":
             ihdr = struct.unpack_from(">IIBBBBB", body, 0)
+        elif cid == b"PLTE":
+            if size % 3 or size == 0:
+                return None
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif cid == b"IDAT":
             idat.append(body)
         elif cid == b"IEND":
@@ -268,42 +303,78 @@ def _decode_png(b: bytes):
     if ihdr is None or not idat:
         return None
     w, h, depth, ctype, comp, filt, interlace = ihdr
-    if (depth != 8 or ctype not in (2, 6) or comp != 0 or filt != 0
-            or interlace not in (0, 1) or w <= 0 or h <= 0):
+    if (comp != 0 or filt != 0 or interlace not in (0, 1)
+            or w <= 0 or h <= 0):
         return None
-    bpp = 3 if ctype == 2 else 4
+    if ctype in (2, 6):
+        if depth != 8:
+            return None
+        packed = False
+        bpp = 3 if ctype == 2 else 4
+    elif ctype in (0, 3):
+        if depth not in (1, 2, 4, 8):
+            return None
+        if ctype == 3 and plte is None:
+            return None
+        packed = True
+        bpp = 1
+    else:
+        return None  # gray+alpha (4) / unknown
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
+
+    def _stride(pw: int) -> int:
+        return (pw * depth + 7) // 8 if packed else pw * bpp
+
+    def _to_rgb(rows, pw: int):
+        """Unfiltered (ph, stride) bytes -> (ph, pw, 3) RGB."""
+        if not packed:
+            return rows.reshape(rows.shape[0], pw, bpp)[..., :3]
+        vals = _unpack_depth(rows, pw, depth)
+        if ctype == 3:
+            if int(vals.max(initial=0)) >= len(plte):
+                return None  # libpng errors here too
+            return plte[vals]
+        scale = 255 // ((1 << depth) - 1)  # exact for 1/2/4/8
+        g = (vals.astype(np.uint16) * scale).astype(np.uint8)
+        return np.repeat(g[..., None], 3, axis=2)
+
     if interlace == 0:
-        if len(raw) != h * (w * bpp + 1):
+        if len(raw) != h * (_stride(w) + 1):
             return None
-        px = _png_unfilter(raw, w, h, bpp)
-        if px is None:
+        rows = _png_unfilter(raw, w, h, bpp, stride=_stride(w))
+        if rows is None:
             return None
-        return w, h, px.reshape(h, w, bpp)[..., :3]
+        rgb = _to_rgb(rows, w)
+        if rgb is None:
+            return None
+        return w, h, rgb
     # Adam7 (spec §8.2): seven reduced images, each filtered
     # independently; empty passes contribute zero bytes
-    out = np.zeros((h, w, bpp), dtype=np.uint8)
+    out = np.zeros((h, w, 3), dtype=np.uint8)
     pos = 0
     for x0, y0, dx, dy in _ADAM7:
         pw = (w - x0 + dx - 1) // dx
         ph = (h - y0 + dy - 1) // dy
         if pw <= 0 or ph <= 0:
             continue
-        seg_len = ph * (pw * bpp + 1)
+        seg_len = ph * (_stride(pw) + 1)
         seg = raw[pos : pos + seg_len]
         if len(seg) < seg_len:
             return None
         pos += seg_len
-        sub = _png_unfilter(seg, pw, ph, bpp)
-        if sub is None:
+        rows = _png_unfilter(seg, pw, ph, bpp, stride=_stride(pw))
+        if rows is None:
             return None
-        out[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+        rgb = _to_rgb(rows, pw)
+        if rgb is None:
+            return None
+        out[y0::dy, x0::dx] = rgb
     if pos != len(raw):
         return None
-    return w, h, out[..., :3]
+    return w, h, out
 
 
 def _png_filter_row(cur, prev, bpp: int, ftype: int):
@@ -386,6 +457,74 @@ def encode_png(rgb, filters=None, alpha: bool = False,
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 6 if bpp == 4 else 2, 0, 0,
                        1 if interlace else 0)
     return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + chunk(b"IEND", b""))
+
+
+def _pack_depth(vals, depth: int):
+    """(h, w) per-pixel values -> (h, stride) packed row bytes,
+    high-bit-first with zero row-padding bits — the exact inverse of
+    :func:`_unpack_depth`."""
+    import numpy as np
+
+    if depth == 8:
+        return vals.astype(np.uint8)
+    h, w = vals.shape
+    bits = (
+        (vals[..., None].astype(np.uint16)
+         >> np.arange(depth - 1, -1, -1)) & 1
+    ).reshape(h, w * depth).astype(np.uint8)
+    return np.packbits(bits, axis=1)  # pads the row tail with zeros
+
+
+def encode_png_indexed(indices, palette, depth: int, filters=None,
+                       interlace: bool = False) -> bytes:
+    """Minimal deterministic INDEXED PNG encoder (color type 3, bit
+    depth 1/2/4/8): PLTE from ``palette`` (n x 3 uint8), samples
+    packed high-bit-first, each scanline byte-filtered with bpp=1 per
+    spec §9. The fixture builder that lets the palette decode path be
+    exercised end-to-end through REAL zlib DEFLATE across all four
+    depths and all five filters."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    if int(idx.max(initial=0)) >= len(pal) or len(pal) > (1 << depth):
+        raise ValueError("index out of palette range")
+
+    def _filter_image(img2d, ftypes):
+        packed = _pack_depth(img2d, depth)
+        part = bytearray()
+        prev = np.zeros(packed.shape[1], dtype=np.uint8)
+        for r in range(packed.shape[0]):
+            ft = ftypes[r % len(ftypes)]
+            part.append(ft)
+            part += _png_filter_row(packed[r], prev, 1, ft).tobytes()
+            prev = packed[r]
+        return part
+
+    filters = [0] * h if filters is None else filters
+    if not interlace:
+        raw = _filter_image(idx, filters)
+    else:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = idx[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raw += _filter_image(sub, filters)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + cid + body
+                + struct.pack(">I", zlib.crc32(cid + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0,
+                       1 if interlace else 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", pal.tobytes())
             + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
             + chunk(b"IEND", b""))
 
@@ -683,6 +822,50 @@ def png_payloads(
                     encode_png(rgb, filters, alpha=bool(int(i) % 2),
                                interlace=interlace)
                 )
+                ids.append(i)
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    cols = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    return spread(cols).mapInPandas(_encode, schema="id bigint, payload binary")
+
+
+PNG_PALETTE_DEPTHS = (1, 2, 4, 8)
+
+
+def png_palette_payloads(
+    df: DataFrame, id_col: str, text_col: str, w: int, h: int,
+) -> DataFrame:
+    """(id, payload): a deterministic INDEXED PNG per row — bit depth
+    cycles ``(1,2,4,8)[id % 4]``, index ``p`` = the p-th UTF-8 text
+    byte mod 2^depth, palette entry ``j`` = ((j*7)%256, (j*13)%256,
+    (j*29)%256) — so the oracle can recompute every decoded pixel
+    from character codes alone. Row filters cycle ``(id + row) % 5``
+    (all five filter types across the corpus, over PACKED bytes).
+    Callers pre-filter to rows with at least ``w*h`` text bytes."""
+    import numpy as np
+
+    n_px = w * h
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, text in zip(pdf["id"], pdf["text"]):
+                raw = text.encode("utf-8")[:n_px]
+                if len(raw) < n_px:
+                    continue
+                depth = PNG_PALETTE_DEPTHS[int(i) % 4]
+                n = 1 << depth
+                j = np.arange(n)
+                pal = np.stack(
+                    [(j * 7) % 256, (j * 13) % 256, (j * 29) % 256],
+                    axis=1,
+                ).astype(np.uint8)
+                idx = (np.frombuffer(raw, dtype=np.uint8) % n).reshape(h, w)
+                filters = [(int(i) + r) % 5 for r in range(h)]
+                payloads.append(
+                    encode_png_indexed(idx, pal, depth, filters))
                 ids.append(i)
             yield pd.DataFrame({"id": ids, "payload": payloads})
 

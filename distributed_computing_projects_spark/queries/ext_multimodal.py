@@ -1380,3 +1380,55 @@ def q_multimodal_png_interlaced(spark, sf_dir):
         eligible, "doc_id", "text", ILACE_W, ILACE_H, interlace=True
     )
     return M.decode_image(payloads)
+
+
+PAL_W, PAL_H = 7, 3  # odd width: sub-byte rows carry padding bits
+_PAL_BYTES = PAL_W * PAL_H  # one text byte per pixel (palette index)
+
+
+@query(
+    "multimodal_png_palette",
+    oracle=f"""
+    WITH eligible AS (
+      SELECT doc_id AS id,
+             CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 4
+                             WHEN 2 THEN 16 ELSE 256 END AS n_pal,
+             text
+      FROM documents
+      WHERE octet_length(encode(text)) >= {_PAL_BYTES}),
+    px AS (
+      SELECT id,
+             ascii(substr(text, i, 1)) % n_pal AS idx
+      FROM eligible,
+           (SELECT unnest(generate_series(1, {_PAL_BYTES})) AS i))
+    SELECT id,
+           CAST({PAL_W} AS INTEGER) AS width,
+           CAST({PAL_H} AS INTEGER) AS height,
+           CAST({_PAL_BYTES} AS BIGINT) AS n_px,
+           CAST(sum((idx * 7) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((idx * 13) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((idx * 29) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY id
+    """,
+    doc="PALETTE (indexed) PNG decode — the layout web PNGs heavily "
+        "ship (PLTE + bit depth 1/2/4/8): per doc the first 21 text "
+        "bytes become palette indices at a depth cycling by id over "
+        "all four legal sub-16-bit depths, packed high-bit-first into "
+        "7-pixel rows (odd width: depths 1/2/4 carry real padding "
+        "bits), byte-filtered with all five PNG filters, "
+        "DEFLATE-compressed, then decoded back by the one shared "
+        "chunk-walk + unfilter + bit-unpack + numpy-take palette "
+        "lookup (multimodal._decode_png). The oracle recomputes every "
+        "pixel from character codes and the arithmetic palette, so "
+        "pack/unpack bit order, row padding, and PLTE resolution are "
+        "all differentially checked.",
+)
+def q_multimodal_png_palette(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = docs.filter(
+        F.expr(f"octet_length(encode(text, 'UTF-8')) >= {_PAL_BYTES}")
+    )
+    payloads = M.png_palette_payloads(
+        eligible, "doc_id", "text", PAL_W, PAL_H
+    )
+    return M.decode_image(payloads)

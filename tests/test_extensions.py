@@ -444,10 +444,12 @@ def test_png_rejects_unsupported_and_truncated():
     broken = bytearray(png)
     broken[len(png) // 2] ^= 0xFF
     assert M._decode_png(bytes(broken)) in (None,) or True  # never raises
-    # 16-bit depth / interlaced / grayscale IHDRs drop
+    # still-unsupported or now-inconsistent IHDRs drop: 16-bit depth,
+    # gray+alpha (ctype 4), palette claim without a PLTE chunk,
+    # grayscale/interlace claims whose IDAT length no longer matches
     sig_len = len(M._PNG_SIG)
-    for depth, ctype, interlace in ((16, 2, 0), (8, 0, 0), (8, 3, 0),
-                                    (8, 2, 1)):
+    for depth, ctype, interlace in ((16, 2, 0), (8, 4, 0), (8, 0, 0),
+                                    (8, 3, 0), (8, 2, 1)):
         bad = bytearray(png)
         ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ctype, 0, 0, interlace)
         bad[sig_len + 8 : sig_len + 8 + len(ihdr)] = ihdr
@@ -879,3 +881,92 @@ def test_adam7_roundtrip_shapes_filters_and_malformed():
         out += (struct.pack(">I", len(body)) + cid + body
                 + struct.pack(">I", zlib.crc32(cid + body)))
     assert _decode_png(out) is None
+
+
+def test_png_palette_roundtrip_all_depths_exact():
+    """encode_png_indexed -> _decode_png is pixel-exact across all
+    four legal sub-16-bit depths, all five filters, odd widths (real
+    padding bits at depths 1/2/4), and Adam7 interlace."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    for depth in (1, 2, 4, 8):
+        n = 1 << depth
+        j = np.arange(n)
+        pal = np.stack([(j * 7) % 256, (j * 13) % 256, (j * 29) % 256],
+                       axis=1).astype(np.uint8)
+        for w, h in ((7, 3), (8, 5), (1, 1)):
+            idx = rng.randint(0, n, size=(h, w)).astype(np.uint8)
+            filters = [(r + depth) % 5 for r in range(h)]
+            for interlace in (False, True):
+                png = M.encode_png_indexed(idx, pal, depth, filters,
+                                           interlace=interlace)
+                got = M._decode_png(png)
+                assert got is not None, (depth, w, h, interlace)
+                gw, gh, rgb = got
+                assert (gw, gh) == (w, h)
+                assert np.array_equal(rgb, pal[idx]), (depth, w, h,
+                                                       interlace)
+
+
+def test_png_palette_out_of_range_index_drops():
+    """An index past the PLTE length is ill-formed (libpng errors):
+    decode returns None rather than clamping silently."""
+    import struct
+    import numpy as np
+
+    idx = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+    pal = np.zeros((4, 3), dtype=np.uint8)
+    png = M.encode_png_indexed(idx, pal, 2)
+    assert M._decode_png(png) is not None
+    # shrink the PLTE to 2 entries: index 3 is now out of range
+    sig_len = len(M._PNG_SIG)
+    pos = sig_len
+    out = bytearray(png[:sig_len])
+    while pos + 8 <= len(png):
+        size, cid = struct.unpack_from(">I4s", png, pos)
+        body = png[pos + 8 : pos + 8 + size]
+        if cid == b"PLTE":
+            body = body[:6]
+            out += struct.pack(">I", len(body)) + cid + body
+            import zlib
+            out += struct.pack(">I", zlib.crc32(cid + body))
+        else:
+            out += png[pos : pos + 8 + size + 4]
+        pos += 8 + size + 4
+    assert M._decode_png(bytes(out)) is None
+
+
+def test_png_grayscale_depths_decode():
+    """ctype 0 at depths 1/2/4/8 decodes with the exact
+    255/(2^d - 1) scale, replicated across RGB."""
+    import struct
+    import zlib
+    import numpy as np
+
+    def enc_gray(vals, depth):
+        packed = M._pack_depth(vals, depth)
+        raw = bytearray()
+        for r in range(packed.shape[0]):
+            raw.append(0)
+            raw += packed[r].tobytes()
+
+        def chunk(cid, body):
+            return (struct.pack(">I", len(body)) + cid + body
+                    + struct.pack(">I", zlib.crc32(cid + body)))
+
+        ihdr = struct.pack(">IIBBBBB", vals.shape[1], vals.shape[0],
+                           depth, 0, 0, 0, 0)
+        return (M._PNG_SIG + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    rng = np.random.RandomState(3)
+    for depth in (1, 2, 4, 8):
+        vals = rng.randint(0, 1 << depth, size=(3, 7)).astype(np.uint8)
+        w, h, rgb = M._decode_png(enc_gray(vals, depth))
+        scale = 255 // ((1 << depth) - 1)
+        expect = (vals.astype(np.uint16) * scale).astype(np.uint8)
+        assert np.array_equal(rgb[..., 0], expect)
+        assert np.array_equal(rgb[..., 0], rgb[..., 1])
+        assert np.array_equal(rgb[..., 0], rgb[..., 2])
