@@ -958,6 +958,66 @@ def q_multimodal_mp3_stream_stats(spark, sf_dir):
     return MP.mp3_stream_stats(MP.mp3_payloads(eligible, "doc_id", "text"))
 
 
+_MP3_L3_BITRATES = "[32,40,48,56,64,80,96,112,128,160,192,224,256,320]"
+
+
+@query(
+    "multimodal_mp3_vbr",
+    oracle=f"""
+    WITH eligible AS (
+      SELECT doc_id AS id,
+             ascii(substr(text, 1, 1)) AS b0,
+             ascii(substr(text, 2, 1)) AS b1,
+             ascii(substr(text, 3, 1)) AS b2,
+             ascii(substr(text, 4, 1)) AS b3
+      FROM documents
+      WHERE octet_length(encode(text)) >= {MP.MP3_META_BYTES}),
+    dims AS (
+      SELECT id, b0, b3, 1 + b1 % 7 AS n_audio,
+             list_extract([44100, 48000, 32000], (b2 % 3) + 1) AS sr
+      FROM eligible),
+    sizes AS (
+      SELECT id,
+             sum(144000 * list_extract({_MP3_L3_BITRATES},
+                                       1 + (b0 + f) % 14) // sr)
+               AS audio_bytes
+      FROM dims, (SELECT unnest(generate_series(0, 6)) AS f)
+      WHERE f < n_audio GROUP BY id)
+    SELECT d.id,
+           CASE d.b3 % 2 WHEN 0 THEN 'xing' ELSE 'vbri' END AS tag,
+           CAST(d.n_audio AS INTEGER) AS vbr_frames,
+           CAST(144000 * 128 // d.sr + s.audio_bytes AS BIGINT)
+             AS vbr_bytes,
+           CAST(d.n_audio + 1 AS INTEGER) AS n_frames_walk,
+           CAST(d.n_audio * 1152 * 1000 // d.sr AS BIGINT)
+             AS duration_ms_tag,
+           CAST((d.n_audio + 1) * 1152 * 1000 // d.sr AS BIGINT)
+             AS duration_ms_walk
+    FROM dims d JOIN sizes s USING (id)
+    """,
+    doc="VBR MP3 frame-table metadata (Xing/LAME and Fraunhofer VBRI "
+        "headers — what every VBR encoder writes so duration comes "
+        "from ONE frame read instead of a full-stream walk, the "
+        "at-scale triage discipline): per doc a genuinely "
+        "variable-bitrate MPEG-1 L3 stream (audio bitrate index "
+        "cycling per frame) is built with the tag flavor keyed by "
+        "id's 4th text byte, then parse_vbr_tag reads the side-info "
+        "offset + flags/fields while the frame walk cross-checks — "
+        "both durations emitted side by side. The oracle recomputes "
+        "frame counts, the per-frame size sum (144000*br//sr), and "
+        "both durations from character codes and the Layer III "
+        "bitrate table.",
+)
+def q_multimodal_mp3_vbr(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = docs.filter(
+        F.expr(
+            f"octet_length(encode(text, 'UTF-8')) >= {MP.MP3_META_BYTES}"
+        )
+    )
+    return MP.mp3_vbr_stats(MP.mp3_vbr_payloads(eligible, "doc_id", "text"))
+
+
 _WARC_ORACLE = f"""
     WITH body AS (
       SELECT doc_id AS id,

@@ -91,3 +91,66 @@ def test_spark_stats_and_payloads(spark):
     r = rows[0]
     assert (r.n_frames, r.bitrate_kbps, r.sample_rate) == (n, br, sr)
     assert r.duration_ms == n * 1152 * 1000 // sr
+
+
+def _vbr_frame(br_idx, sr_idx, body=b""):
+    import struct  # noqa: F401
+
+    hdr = bytes([0xFF, 0xE0 | (3 << 3) | (1 << 1) | 1,
+                 (br_idx << 4) | (sr_idx << 2), 0xC0])
+    size = MP._frame_at(hdr, 0)[0]
+    return hdr + body + b"\xaa" * (size - 4 - len(body))
+
+
+def test_parse_vbr_tag_xing_and_vbri():
+    import struct
+
+    audio = b"".join(_vbr_frame(1 + f % 14, 1) for f in range(4))
+    total = MP._frame_at(_vbr_frame(9, 1)[:4], 0)[0] + len(audio)
+    xing = (b"\x00" * 17 + b"Xing" + struct.pack(">I", 3)
+            + struct.pack(">I", 4) + struct.pack(">I", total))
+    tag = MP.parse_vbr_tag(_vbr_frame(9, 1, xing) + audio)
+    assert tag == ("xing", 4, total, 48000, 1152)
+    vbri = (b"\x00" * 32 + b"VBRI" + struct.pack(">HHH", 1, 0, 0)
+            + struct.pack(">I", total) + struct.pack(">I", 4)
+            + struct.pack(">HHHH", 0, 1, 2, 1))
+    tag = MP.parse_vbr_tag(_vbr_frame(9, 1, vbri) + audio)
+    assert tag == ("vbri", 4, total, 48000, 1152)
+    # Info fourcc (CBR files): parses, reported as 'info'
+    info = (b"\x00" * 17 + b"Info" + struct.pack(">I", 1)
+            + struct.pack(">I", 4))
+    assert MP.parse_vbr_tag(_vbr_frame(9, 1, info))[0] == "info"
+    # FRAMES flag absent -> frames None, bytes still read
+    only_bytes = (b"\x00" * 17 + b"Xing" + struct.pack(">I", 2)
+                  + struct.pack(">I", total))
+    assert MP.parse_vbr_tag(_vbr_frame(9, 1, only_bytes))[1:3] == \
+        (None, total)
+
+
+def test_parse_vbr_tag_id3_skip_and_absent():
+    import struct
+
+    xing = (b"\x00" * 17 + b"Xing" + struct.pack(">I", 1)
+            + struct.pack(">I", 7))
+    stream = _vbr_frame(9, 1, xing)
+    wrapped = (b"ID3\x04\x00\x00" + b"\x00\x00\x00\x0d" + b"\x00" * 13
+               + stream)
+    assert MP.parse_vbr_tag(wrapped) == ("xing", 7, None, 48000, 1152)
+    # plain CBR frame with no tag in the body -> None
+    assert MP.parse_vbr_tag(_vbr_frame(9, 1)) is None
+    assert MP.parse_vbr_tag(b"junk") is None
+    # tag torn mid-field -> None, not an exception
+    torn = stream[:25 + 6]
+    assert MP.parse_vbr_tag(torn) is None
+
+
+def test_mp3_vbr_stats_spark(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = MP.mp3_vbr_stats(
+        MP.mp3_vbr_payloads(docs, "doc_id", "text")).collect()
+    assert rows
+    for r in rows:
+        assert r["tag"] in ("xing", "vbri")
+        assert r["n_frames_walk"] == r["vbr_frames"] + 1
+        # tag duration = audio frames; walk adds the tag frame
+        assert r["duration_ms_walk"] >= r["duration_ms_tag"]
