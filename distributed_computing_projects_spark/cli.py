@@ -257,16 +257,20 @@ def build_parser() -> argparse.ArgumentParser:
     sd = sub.add_parser(
         "semdedup",
         help="SemDeDup semantic dedup blocked by k-means cells: prints "
-             "per-row (id, cell, is_kept); --cells > 16 switches to "
-             "seeded centroids + the broadcast-join assignment path",
+             "per-row (id, cell, is_kept); any explicit --cells uses "
+             "SEEDED (untrained) centroids, with the two-level "
+             "assignment index above 16 cells",
     )
     sd.add_argument("emb_path", help="parquet with (id, embedding) columns")
     sd.add_argument("--id-col", default="vec_id")
     sd.add_argument("--vec-col", default="embedding")
     sd.add_argument("--threshold", type=float, default=0.3)
     sd.add_argument("--cells", type=int, default=None,
-                    help="quantizer size (default: the trained "
-                         "oracle-parity 16)")
+                    help="quantizer size; omit for the TRAINED "
+                         "oracle-parity 16 — any explicit value (16 "
+                         "included) switches to md5-seeded untrained "
+                         "centroids, so --cells 16 and the default "
+                         "give different cell assignments")
 
     bb = sub.add_parser(
         "bloom-build",
@@ -572,7 +576,10 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                     spark, emb, args.id_col, args.vec_col,
                     threshold=args.threshold,
                     centroids=ivf_train.seed_centroids(args.cells),
-                    assign="join" if args.cells > 16 else "expr",
+                    # two-level coarse index past the codegen-friendly
+                    # size: the production sized-k path (exact N*k
+                    # "join" stays available programmatically)
+                    assign="twolevel" if args.cells > 16 else "expr",
                 )
             _emit(out.orderBy("id"))
         elif args.cmd == "bloom-build":

@@ -385,8 +385,10 @@ def measured_candidates(
     without running the join: per table, bucket the corpus with the
     same sign-bit expression the join uses (:func:`lsh_bucket_table`,
     table 0 == the single-table bucket) and sum ``C(n_b, 2)`` over
-    buckets — one count-agg per table, no pair materialization. The
-    n*(n-1) product is even, so the /2 is exact in long arithmetic."""
+    buckets — one count-agg per table, no pair materialization.
+    Integer DIV keeps the sum exact in long arithmetic even when
+    n*(n-1) exceeds double's 2^53 integer range (a double-division
+    /2 would round for buckets past ~9.4e7 rows)."""
     total = 0
     for t in range(n_tables):
         expr = lsh_bucket_table(vec_col, "spark", n_planes, t)
@@ -395,8 +397,7 @@ def measured_candidates(
             .count()
             .agg(
                 F.sum(
-                    (F.col("count") * (F.col("count") - F.lit(1)) / F.lit(2))
-                    .cast("long")
+                    F.expr("`count` * (`count` - 1) DIV 2")
                 ).alias("c")
             )
             .collect()[0]

@@ -87,6 +87,7 @@ def pagerank_fixedpoint(
     )
     base = (3 * SCALE) // (DAMP_DEN * n)  # (1-d)*SCALE/N, floored
     r = nodes.withColumn("r", F.lit(SCALE // n).cast("bigint"))
+    prev = None
     for _ in range(n_iters):
         contrib = (
             edges.join(r, edges["src"] == r["node"])
@@ -114,6 +115,14 @@ def pagerank_fixedpoint(
             # would checkpoint instead)
             .persist()
         )
+        # superseded iterates must not accumulate in executor storage
+        # when callers crank --iters: the new iterate is the only
+        # consumer of the old one, so once the new one exists the old
+        # handle can drop (blocking=False: lazily evicted; if the
+        # final action recomputes through it the lineage is intact)
+        if prev is not None:
+            prev.unpersist()
+        prev = r
     return (
         r.join(deg, r["node"] == deg["src"])
         .select("node", F.col("d").alias("degree"), F.col("r").alias("rank"))

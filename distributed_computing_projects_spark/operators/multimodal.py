@@ -598,6 +598,12 @@ def _tiff_lzw_decode(data: bytes) -> bytes | None:
                 return None
             out += entry
             prev = entry
+            # a conforming writer MUST emit ClearCode before the table
+            # could exceed 12-bit code space; growing past 4096 means
+            # the stream is ill-formed (libtiff errors here) — decoding
+            # on with an oversized table would fabricate pixels
+            if len(table) > 4096:
+                return None
             # EarlyChange: width grows when the NEXT code would not fit
             # the table size + 1 (TIFF writers bump at 511-1, etc.)
             if len(table) + 1 >= (1 << width) and width < 12:

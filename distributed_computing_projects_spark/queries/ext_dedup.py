@@ -751,9 +751,13 @@ MAX_EDIT_DISTANCE = 6
         f"Levenshtein keeps pairs within {MAX_EDIT_DISTANCE} edits. Both "
         "engines ship the textbook integer algorithm, so the DISTANCE "
         "VALUE hash-matches — the exactness MinHash's estimate and "
-        "cosine's float threshold can't offer. The candidate set is "
-        "tiny relative to the corpus, so the text-fetch joins "
-        "broadcast at scale.",
+        "cosine's float threshold can't offer. The text-fetch joins "
+        "carry NO broadcast hints: candidates are ~linear in N (the "
+        "auto-sizer pins per-row bucket work) and texts are the "
+        "corpus, so neither side is broadcast-safe by construction — "
+        "AQE picks broadcast at runtime when a side measures small "
+        "(it does at test SF) and falls back to shuffle joins on "
+        "doc_id at corpus scale, the 100TB-legal plan.",
 )
 def q_dedup_edit_distance(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
@@ -762,15 +766,15 @@ def q_dedup_edit_distance(spark, sf_dir):
     return (
         cand.select("id_a", "id_b")
         .join(
-            F.broadcast(texts.select(
+            texts.select(
                 F.col("doc_id").alias("id_a"),
-                F.col("text").alias("text_a"))),
+                F.col("text").alias("text_a")),
             "id_a",
         )
         .join(
-            F.broadcast(texts.select(
+            texts.select(
                 F.col("doc_id").alias("id_b"),
-                F.col("text").alias("text_b"))),
+                F.col("text").alias("text_b")),
             "id_b",
         )
         .select(

@@ -82,12 +82,23 @@ def q_streaming_events_hourly(spark, sf_dir):
 
 @query(
     "streaming_user_running_totals",
-    oracle=None,  # applyInPandasWithState: genuinely non-SQL-expressible
+    # the RUNNING stream is non-SQL-expressible, but its FINAL state
+    # after the bounded replay is a batch aggregate — the same oracle
+    # its twin user_running_totals_final is hash-green under, so this
+    # row checks values, not just row counts (the registry's last
+    # rows-only row until round 10)
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
     doc="Custom stateful streaming operator (applyInPandasWithState): "
-        "running per-user count+value totals. The events table arrives "
-        "as one availableNow batch here, so the update-mode output is "
-        "one row per user; rows-only driver check, exact totals pinned "
-        "by tests/test_streaming.py.",
+        "running per-user count+value totals. The update-mode output "
+        "is reduced to the per-user FINAL state (max of the running "
+        "rows — exact because totals are monotone over this replay), "
+        "which must equal the batch aggregate: the stream-equals-batch "
+        "differential, value-checked. Exact totals also pinned by "
+        "tests/test_streaming.py.",
 )
 def q_streaming_user_running_totals(spark, sf_dir):
     stream = read_events_stream(spark, sf_dir)

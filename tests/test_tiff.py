@@ -11,6 +11,7 @@ import numpy as np
 from distributed_computing_projects_spark.operators.multimodal import (
     _decode_tiff,
     _packbits_decode,
+    _tiff_lzw_decode,
 )
 
 
@@ -196,3 +197,38 @@ def test_lzw_and_deflate_strips():
     assert _tiff_lzw_decode(tiff_lzw_encode(rle)[:-2]) is None
     assert _decode_tiff(build_tiff(rle, 4, 3, comp=8,
                                    packed=b"\x00bogus")) is None
+
+
+def test_lzw_rejects_table_overflow_without_clear():
+    """A stream that keeps growing the string table past 4096 entries
+    without an intervening ClearCode is ill-formed (a conforming
+    writer must clear before exhausting 12-bit code space; libtiff
+    errors): decode must return None, not fabricate pixels."""
+    # encoder twin that deliberately NEVER emits ClearCode
+    out = bytearray()
+    acc = 0
+    n_bits = 0
+    width = 9
+
+    def put(code):
+        nonlocal acc, n_bits
+        acc = (acc << width) | code
+        n_bits += width
+        while n_bits >= 8:
+            out.append((acc >> (n_bits - 8)) & 0xFF)
+            n_bits -= 8
+
+    put(256)  # initial Clear (the only one)
+    table_len = 258
+    prev = 0
+    put(prev)
+    # emit alternating roots; every code after the first appends one
+    # table entry, so ~3850 codes overflow the 4096-entry table
+    for i in range(1, 4000):
+        put(i % 256)
+        table_len += 1
+        if table_len + 1 >= (1 << width) and width < 12:
+            width += 1
+    if n_bits:
+        out.append((acc << (8 - n_bits)) & 0xFF)
+    assert _tiff_lzw_decode(bytes(out)) is None
