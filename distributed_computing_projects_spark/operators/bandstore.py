@@ -93,7 +93,7 @@ def append_bands(df: DataFrame, path: str, id_col: str, text_col: str,
     rows = banded_rows(df, id_col, text_col, kb_parts)
     rows.repartition("kb").write.partitionBy("kb").mode(
         "append"
-    ).parquet(path)
+    ).parquet(storemeta.data_path(path))
 
 
 def _probe(spark, path: str, batch: DataFrame, threshold: float,
@@ -104,7 +104,7 @@ def _probe(spark, path: str, batch: DataFrame, threshold: float,
     # it instead of inferring: skips footer sampling at scale and keeps
     # a degenerate store readable (an all-short-doc corpus bands to
     # zero rows, whose parquet dir has no part files to infer from)
-    store = spark.read.schema(batch.schema).parquet(path)
+    store = spark.read.schema(batch.schema).parquet(storemeta.data_path(path))
     if prune:
         kbs = sorted(
             r.kb for r in batch.select("kb").distinct().collect()

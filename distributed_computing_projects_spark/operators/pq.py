@@ -465,7 +465,7 @@ def append_ivfpq(emb: DataFrame, path: str, id_col: str,
     )
     keyed.repartition("cell").write.partitionBy("cell").mode(
         "append"
-    ).parquet(path)
+    ).parquet(storemeta.data_path(path))
 
 
 def compact_ivfpq_store(spark, path: str) -> tuple[int, int]:
@@ -498,7 +498,8 @@ def ivfpq_topk_store(
         f" (c, m) -> element_at({lut}, m * {K_SUB} + c + 1)),"
         f" CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
     )
-    pruned = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    pruned = spark.read.parquet(storemeta.data_path(path))\
+        .filter(F.col("cell").isin(cells))
     return (
         pruned.select("id", F.expr(dist).alias("adc_dist"))
         .distinct()

@@ -372,7 +372,7 @@ def append_ivf(emb: DataFrame, path: str, id_col: str, vec_col: str) -> None:
     )
     keyed.repartition("cell").write.partitionBy("cell").mode(
         "append"
-    ).parquet(path)
+    ).parquet(storemeta.data_path(path))
 
 
 def compact_ivf_store(spark, path: str) -> tuple[int, int]:
@@ -407,7 +407,8 @@ def ivf_topk_partitioned(
         )
     cents = meta["centroids"] if meta is not None else None
     cells = ivf_cells(query_vec, probes, cents)
-    pruned = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    pruned = spark.read.parquet(storemeta.data_path(path))\
+        .filter(F.col("cell").isin(cells))
     q = _query_literal(query_vec, "spark")
     cos = T.cosine(T.dot("v", q, "spark"), T.sq_norm("v", "spark"),
                    T.sq_norm(q, "spark"))
@@ -446,7 +447,8 @@ def lsh_topk_bucketed(
         path, "lsh_bucketed", {"n_planes": n_planes}
     )["n_planes"]
     buckets = probe_buckets(query_vec, probe_hamming, n_planes)
-    pruned = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
+    pruned = spark.read.parquet(storemeta.data_path(path))\
+        .filter(F.col("bucket").isin(buckets))
     q = _query_literal(query_vec, "spark")
     cos = T.cosine(T.dot("v", q, "spark"), T.sq_norm("v", "spark"),
                    T.sq_norm(q, "spark"))
@@ -482,7 +484,7 @@ def append_bucketed(emb: DataFrame, path: str, id_col: str,
     )
     keyed.repartition("bucket").write.partitionBy("bucket").mode(
         "append"
-    ).parquet(path)
+    ).parquet(storemeta.data_path(path))
 
 
 def compact_bucketed_store(spark, path: str) -> tuple[int, int]:

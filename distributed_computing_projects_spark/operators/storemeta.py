@@ -135,7 +135,7 @@ def compact_partitioned_store(spark, path: str, kind: str,
         raise StoreParamsError(
             f"compact: {path!r} has no {kind!r} sidecar"
         )
-    store = spark.read.parquet(path)
+    store = spark.read.parquet(data_path(path))
     before = store.count()
     tmp = path.rstrip("/") + ".__compact__"
     if os.path.exists(tmp):
@@ -147,9 +147,16 @@ def compact_partitioned_store(spark, path: str, kind: str,
         .mode("overwrite")
         .parquet(tmp)
     )
-    write_params(tmp, kind, {k: v for k, v in meta.items() if k != "kind"})
+    write_params(tmp, kind, {k: v for k, v in meta.items()
+                             if k not in ("kind", VERSION_KEY)})
     after = spark.read.parquet(tmp).count()
-    commit_swap(path, tmp)
+    # the store's own sidecar declares its commit backend: a version
+    # field means pointer mode (object-store shape), absent means the
+    # default local rename mode
+    if VERSION_KEY in meta:
+        commit_swap_versioned(path, tmp)
+    else:
+        commit_swap(path, tmp)
     return before, after
 
 
@@ -170,16 +177,19 @@ def commit_swap(path: str, tmp: str) -> None:
     ``path``/``path.__pre_compact__`` or the verified new one at
     ``tmp``/``path`` — :func:`recover_swap` repairs every such state.
 
-    Object-store contract (S3/GCS have no directory rename): implement
-    this same function as a POINTER SWAP — stores become versioned
-    directories (``<store>/v=<n>/``) and ``path``'s ``_params`` sidecar
-    gains a ``version`` field; the commit is the single atomic
-    put-if-match of the sidecar pointing at the new version (S3
-    conditional PUT / GCS generation-match), readers resolve the
-    version through :func:`resolve` before listing, and old versions
-    are garbage-collected after a grace period. Nothing outside this
-    function needs to change: writers already funnel through
-    :func:`write_params` and probes through :func:`resolve`.
+    Object-store contract (S3/GCS have no directory rename): the
+    POINTER-SWAP backend, implemented below as
+    :func:`commit_swap_versioned` — stores become versioned
+    directories (``<store>/v=<n>/``), the ``_params`` sidecar gains a
+    ``version`` field, the commit is one atomic replace of the sidecar
+    (locally ``os.replace``; on S3/GCS the conditional PUT /
+    generation-match put of the same small object), readers resolve
+    the data directory through :func:`data_path`, and superseded
+    versions are garbage-collected after the pointer flip (a real
+    object store would add a grace period for in-flight readers).
+    :func:`compact_partitioned_store` picks the backend from the
+    store's own sidecar; :func:`convert_to_versioned` migrates a
+    rename-mode store in place.
     """
     import shutil
 
@@ -227,4 +237,134 @@ def recover_swap(path: str) -> str:
         if os.path.exists(leftover):
             shutil.rmtree(leftover)
             cleaned = True
+    return "cleaned" if cleaned else "noop"
+
+
+# ---------------------------------------------------------------------------
+# Versioned-pointer backend: the object-store commit shape, as a
+# second fully-working local mode (rename mode stays the default).
+# ---------------------------------------------------------------------------
+
+VERSION_KEY = "version"
+
+
+def version_dir(path: str, n: int) -> str:
+    return os.path.join(path, f"v={n}")
+
+
+def data_path(path: str) -> str:
+    """The directory to READ for the store at ``path``: the pointed
+    version directory for a pointer-mode store (sidecar carries
+    ``version``), ``path`` itself for a rename-mode store. Readers of
+    versioned stores must resolve through this instead of listing
+    ``path`` directly — that indirection is the whole mechanism."""
+    meta = read_params(path)
+    if meta is not None and VERSION_KEY in meta:
+        return version_dir(path, meta[VERSION_KEY])
+    return path
+
+
+def convert_to_versioned(path: str) -> str:
+    """Migrate a rename-mode store in place to the versioned-pointer
+    layout: move its data entries into ``v=0/`` and rewrite the
+    sidecar with ``version: 0`` (idempotent on an already-versioned
+    store). Returns the new data directory."""
+    meta = read_params(path)
+    if meta is None:
+        raise StoreParamsError(
+            f"convert_to_versioned: {path!r} has no {PARAMS_FILE} sidecar"
+        )
+    if VERSION_KEY in meta:
+        return version_dir(path, meta[VERSION_KEY])
+    v0 = version_dir(path, 0)
+    os.makedirs(v0, exist_ok=True)
+    for entry in os.listdir(path):
+        if entry == PARAMS_FILE or entry.startswith("v="):
+            continue
+        os.rename(os.path.join(path, entry), os.path.join(v0, entry))
+    kind = meta.pop("kind")
+    write_params(path, kind, {**meta, VERSION_KEY: 0})
+    return v0
+
+
+def commit_swap_versioned(path: str, tmp: str) -> None:
+    """Pointer-mode commit: adopt the verified rewrite at ``tmp`` as
+    the store's next version and flip the sidecar pointer. Three
+    steps, each a crash cut point repaired by
+    :func:`recover_swap_versioned`:
+
+    1. move ``tmp`` to ``<path>/v=<n+1>`` (locally a rename; on an
+       object store the rewrite targets the versioned prefix directly
+       and this step disappears) — a crash here leaves an unreferenced
+       version directory, invisible to readers;
+    2. atomically replace ``_params`` with ``version: n+1``
+       (``os.replace`` — the local analog of S3 conditional PUT / GCS
+       generation-match; readers see the old pointer or the new one,
+       never a torn one) — THE commit instant;
+    3. delete superseded version directories (GC; a production object
+       store adds a grace period for readers mid-list) — a crash here
+       leaves garbage that never gets read.
+
+    Unlike rename mode there is NO window where ``path`` does not
+    exist: concurrent readers resolving :func:`data_path` always find
+    a complete version directory."""
+    import shutil
+
+    meta = read_params(path)
+    if meta is None or VERSION_KEY not in meta:
+        raise StoreParamsError(
+            f"commit_swap_versioned: {path!r} is not a versioned store "
+            f"(no {VERSION_KEY!r} in its sidecar) — use commit_swap, or "
+            f"convert_to_versioned first"
+        )
+    n = int(meta[VERSION_KEY]) + 1
+    vd = version_dir(path, n)
+    if os.path.exists(vd):
+        shutil.rmtree(vd)  # leftover of a crashed prior attempt
+    os.rename(tmp, vd)
+    kind = meta.pop("kind")
+    write_params(path, kind, {**meta, VERSION_KEY: n})
+    for entry in os.listdir(path):
+        if entry.startswith("v=") and entry != f"v={n}":
+            shutil.rmtree(os.path.join(path, entry))
+
+
+def recover_swap_versioned(path: str) -> str:
+    """Repair a versioned store whose :func:`commit_swap_versioned`
+    was interrupted. Idempotent; safe on a healthy store. The pointer
+    flip is atomic, so the sidecar always names exactly one committed
+    version; repair is garbage-collecting everything else:
+
+    - crash before the pointer flip -> the new version directory is
+      unreferenced: deleted (the commit never happened — the rewrite
+      at ``<path>.__compact__``, if still present, is also cleared,
+      matching rename-mode ``recover_swap``'s treatment of scratch);
+    - crash after the flip -> superseded version directories remain:
+      deleted (the commit DID happen).
+
+    Returns ``"cleaned"`` or ``"noop"``; raises if the pointed
+    version directory itself is missing (that is data loss, not an
+    interrupted swap)."""
+    import shutil
+
+    meta = read_params(path)
+    if meta is None or VERSION_KEY not in meta:
+        raise StoreParamsError(
+            f"recover_swap_versioned: {path!r} is not a versioned store"
+        )
+    n = int(meta[VERSION_KEY])
+    if not os.path.isdir(version_dir(path, n)):
+        raise StoreParamsError(
+            f"recover_swap_versioned: {path!r} points at version {n} "
+            f"but v={n} is missing — data loss, not an interrupted swap"
+        )
+    cleaned = False
+    for entry in os.listdir(path):
+        if entry.startswith("v=") and entry != f"v={n}":
+            shutil.rmtree(os.path.join(path, entry))
+            cleaned = True
+    tmp = path.rstrip("/") + ".__compact__"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+        cleaned = True
     return "cleaned" if cleaned else "noop"

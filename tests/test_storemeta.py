@@ -481,3 +481,164 @@ def test_compaction_interrupted_between_renames_recovers(
     # rolled forward to the compacted store: one row per (id, band)
     store = spark.read.parquet(path)
     assert store.count() == store.select("id", "band").distinct().count()
+
+
+# ------------------------------------------- versioned-pointer backend
+
+
+def _versioned_fake_store(path: str, tag: str) -> None:
+    _fake_store(path, tag)
+    storemeta.convert_to_versioned(path)
+
+
+def test_convert_to_versioned_moves_data_and_is_idempotent(tmp_path):
+    path = str(tmp_path / "store")
+    _fake_store(path, "live")
+    v0 = storemeta.convert_to_versioned(path)
+    assert v0 == os.path.join(path, "v=0")
+    assert storemeta.data_path(path) == v0
+    assert _store_tag(v0) == "live"
+    assert not os.path.exists(os.path.join(path, "part-00000.parquet"))
+    # sidecar keeps its params and gains the pointer
+    meta = storemeta.read_params(path)
+    assert meta[storemeta.VERSION_KEY] == 0
+    # idempotent
+    assert storemeta.convert_to_versioned(path) == v0
+    # rename-mode stores resolve to themselves
+    other = str(tmp_path / "plain")
+    _fake_store(other, "x")
+    assert storemeta.data_path(other) == other
+
+
+def test_versioned_commit_flips_pointer_and_gcs(tmp_path):
+    path = str(tmp_path / "store")
+    _versioned_fake_store(path, "old")
+    tmp = path + ".__compact__"
+    _fake_store(tmp, "new")
+    storemeta.commit_swap_versioned(path, tmp)
+    meta = storemeta.read_params(path)
+    assert meta[storemeta.VERSION_KEY] == 1
+    assert _store_tag(storemeta.data_path(path)) == "new"
+    assert not os.path.exists(os.path.join(path, "v=0"))
+    assert not os.path.exists(tmp)
+    # path itself never disappeared (no rename window): still a dir
+    assert os.path.isdir(path)
+
+
+def test_versioned_commit_refuses_rename_mode_store(tmp_path):
+    path = str(tmp_path / "store")
+    _fake_store(path, "old")  # no version field
+    _fake_store(path + ".__compact__", "new")
+    with pytest.raises(storemeta.StoreParamsError, match="not a versioned"):
+        storemeta.commit_swap_versioned(path, path + ".__compact__")
+
+
+def test_versioned_crash_before_pointer_flip_rolls_back(tmp_path):
+    """Cut point 1: the new version directory landed but the sidecar
+    still points at the old version. The commit never happened —
+    recovery deletes the unreferenced directory and readers keep
+    seeing the old data throughout (no FileNotFound window, unlike
+    rename mode)."""
+    path = str(tmp_path / "store")
+    _versioned_fake_store(path, "old")
+    _fake_store(os.path.join(path, "v=1"), "new")  # rename landed
+    _fake_store(path + ".__compact__", "scratch")  # rewrite leftover
+    assert _store_tag(storemeta.data_path(path)) == "old"
+    assert storemeta.recover_swap_versioned(path) == "cleaned"
+    assert _store_tag(storemeta.data_path(path)) == "old"
+    assert not os.path.exists(os.path.join(path, "v=1"))
+    assert not os.path.exists(path + ".__compact__")
+
+
+def test_versioned_crash_after_pointer_flip_rolls_forward(tmp_path):
+    """Cut point 2: the sidecar flipped but the superseded version was
+    not yet garbage-collected. The commit DID happen — recovery
+    deletes the old version; the new data was already live."""
+    path = str(tmp_path / "store")
+    _versioned_fake_store(path, "old")
+    _fake_store(os.path.join(path, "v=1"), "new")
+    meta = storemeta.read_params(path)
+    kind = meta.pop("kind")
+    storemeta.write_params(path, kind, {**meta, storemeta.VERSION_KEY: 1})
+    assert _store_tag(storemeta.data_path(path)) == "new"
+    assert storemeta.recover_swap_versioned(path) == "cleaned"
+    assert _store_tag(storemeta.data_path(path)) == "new"
+    assert not os.path.exists(os.path.join(path, "v=0"))
+    assert storemeta.recover_swap_versioned(path) == "noop"
+
+
+def test_versioned_recover_raises_on_missing_pointed_version(tmp_path):
+    path = str(tmp_path / "store")
+    _versioned_fake_store(path, "live")
+    import shutil
+
+    shutil.rmtree(os.path.join(path, "v=0"))
+    with pytest.raises(storemeta.StoreParamsError, match="data loss"):
+        storemeta.recover_swap_versioned(path)
+
+
+@pytest.mark.parametrize("cut", ["before_flip", "after_flip"])
+def test_versioned_bandstore_compaction_crash_cut_points(
+    spark, sf_dir, tmp_path, monkeypatch, cut
+):
+    """End-to-end on a REAL converted band store: compaction dies at
+    each pointer-commit cut point; recovery restores an identical
+    probe answer (old store before the flip, compacted store after),
+    and a re-run compaction completes."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter("source <> 'src0'")
+    batch = docs.filter("source = 'src0'")
+    path = str(tmp_path / "bands")
+    BS.write_bands(corpus, path, "doc_id", "text")
+    storemeta.convert_to_versioned(path)
+    BS.append_bands(corpus.limit(20), path, "doc_id", "text")
+
+    def probe():
+        return sorted(
+            (r.new_id, r.corpus_id, round(r.est_jaccard, 9))
+            for r in BS.incremental_pairs_against_store(
+                spark, path, batch, "doc_id", "text", threshold=0.25
+            ).collect()
+        )
+
+    pre = probe()
+    assert spark.read.parquet(storemeta.data_path(path)).count() > \
+        corpus.count()  # the append really landed in the version dir
+
+    if cut == "before_flip":
+        real_rename = os.rename
+
+        def dying_rename(src, dst):
+            if dst.endswith(os.sep + "v=1") or dst.endswith("/v=1"):
+                raise OSError("simulated crash before the pointer flip")
+            real_rename(src, dst)
+
+        monkeypatch.setattr(storemeta.os, "rename", dying_rename)
+        with pytest.raises(OSError, match="simulated crash"):
+            BS.compact_store(spark, path)
+        monkeypatch.undo()
+        assert storemeta.read_params(path)[storemeta.VERSION_KEY] == 0
+    else:
+        import shutil
+
+        real_rmtree = shutil.rmtree
+
+        def dying_rmtree(p, *a, **k):
+            if os.sep + "v=0" in str(p):
+                raise OSError("simulated crash after the pointer flip")
+            real_rmtree(p, *a, **k)
+
+        # storemeta imports shutil inside the function, so patching the
+        # module-global shutil.rmtree intercepts the GC step
+        monkeypatch.setattr("shutil.rmtree", dying_rmtree)
+        with pytest.raises(OSError, match="simulated crash"):
+            BS.compact_store(spark, path)
+        monkeypatch.undo()
+        assert storemeta.read_params(path)[storemeta.VERSION_KEY] == 1
+
+    storemeta.recover_swap_versioned(path)
+    assert probe() == pre  # identical answer either way
+    # a re-run compaction completes and dedups the appended copies
+    before, after = BS.compact_store(spark, path)
+    assert after <= before
+    assert probe() == pre
