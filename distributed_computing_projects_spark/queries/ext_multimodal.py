@@ -24,6 +24,7 @@ from distributed_computing_projects_spark.operators import mp3meta as MP
 from distributed_computing_projects_spark.operators.spread import spread
 from distributed_computing_projects_spark.operators import video as V
 from distributed_computing_projects_spark.queries import query
+from distributed_computing_projects_spark.sources import pdf as PDF
 from distributed_computing_projects_spark.sources import warc as W
 from distributed_computing_projects_spark.sources.registry import load_table
 from distributed_computing_projects_spark.queries.ext_fragments import (
@@ -1040,6 +1041,47 @@ _WARC_ORACLE = f"""
            CAST(psum AS BIGINT) AS prefix_sum
     FROM pre
     """
+
+
+@query(
+    "pdf_extract_text",
+    oracle=f"""
+    WITH eligible AS (
+      SELECT doc_id AS id, text FROM documents
+      WHERE octet_length(encode(text)) >= {PDF.PDF_TEXT_BYTES}),
+    b AS (
+      SELECT id, sum(ascii(substr(text, i, 1))) AS psum
+      FROM eligible,
+           (SELECT unnest(generate_series(1, {PDF.PDF_TEXT_BYTES})) AS i)
+      GROUP BY id)
+    SELECT e.id,
+           CAST(2 AS INTEGER) AS n_streams,
+           CAST(CASE e.id % 2 WHEN 0 THEN 2 ELSE 0 END AS INTEGER)
+             AS n_flate,
+           CAST(5 AS INTEGER) AS n_text_ops,
+           CAST({PDF.PDF_TEXT_BYTES} AS BIGINT) AS n_chars,
+           CAST(b.psum AS BIGINT) AS prefix_sum
+    FROM eligible e JOIN b USING (id)
+    """,
+    doc="PDF text extraction — the dominant document-corpus format "
+        "after HTML, parsed with stdlib only (sources/pdf.py): per doc "
+        "a real two-content-stream PDF (classic xref, Tj + TJ-array "
+        "text operators, backslash/octal string escapes, Flate "
+        "compression on even ids) is built in-plan, then the extractor "
+        "walks stream objects by direct /Length (never scanning for "
+        "'endstream', which Flate output can contain), inflates, scans "
+        "the text operators, and decodes escapes. The oracle "
+        "recomputes op/stream counts and the extracted byte sum from "
+        "character codes, so the whole object-walk -> inflate -> "
+        "operator-scan -> unescape chain is differentially checked.",
+)
+def q_pdf_extract_text(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = docs.filter(
+        F.expr(f"octet_length(encode(text, 'UTF-8')) >= {PDF.PDF_TEXT_BYTES}")
+    )
+    return PDF.extract_pdf_text(
+        PDF.pdf_payloads(eligible, "doc_id", "text"))
 
 
 @query(
