@@ -101,6 +101,45 @@ def q_jsonl_events_agg(spark, sf_dir):
     )
 
 
+@query(
+    "orc_events_roundtrip",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE)
+             AS total_value,
+           CAST(sum(user_id) AS BIGINT) AS sum_user
+    FROM events GROUP BY event_type
+    """,
+    doc="ORC source/sink roundtrip — the other columnar warehouse "
+        "format Spark reads natively (vectorized reader, predicate "
+        "pushdown, hive-partition pruning — all the parquet machinery; "
+        "a user migrating ORC warehouses needs the engine to ingest "
+        "them as-is): events write to ORC partitioned by event_type, "
+        "read back, and aggregate; ORC is lossless so the facts must "
+        "hash-match the parquet-side oracle exactly. Partition-pruned "
+        "filtered reads over the same store are plan-asserted in "
+        "tests/test_plans.py.",
+)
+def q_orc_events_roundtrip(spark, sf_dir):
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"dcp_orc_events_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    ev.write.mode("overwrite").partitionBy("event_type").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+        .alias("total_value"),
+        F.sum("user_id").cast("bigint").alias("sum_user"),
+    )
+
+
 SPLIT_WEIGHTS_BP = {"train": 8000, "val": 1000, "test": 1000}
 
 

@@ -530,3 +530,33 @@ def test_lm_scoring_model_tables_broadcast_at_small_sf(
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_orc_store_partition_prunes_and_pushes_down(spark, sf_dir,
+                                                    tmp_path):
+    """The ORC path must carry the same scan machinery as parquet: an
+    event_type filter over a partitioned ORC store becomes
+    PartitionFilters (directory pruning), and a data-column predicate
+    reaches the scan as a PushedFilter."""
+    from pyspark.sql import functions as SF
+    from distributed_computing_projects_spark.sources.registry import (
+        load_table,
+    )
+
+    path = str(tmp_path / "ev_orc")
+    load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    ).write.partitionBy("event_type").orc(path)
+    df = (
+        spark.read.orc(path)
+        .filter(SF.col("event_type") == "click")
+        .filter(SF.col("user_id") > 100)
+        .select("event_id")
+    )
+    plan = physical_plan(df)
+    assert "PartitionFilters" in plan, plan
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("event_type" in ln for ln in pf), plan
+    assert "PushedFilters" in plan, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("user_id" in ln for ln in pushed), plan
