@@ -177,6 +177,61 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+from distributed_computing_projects_spark.operators import (  # noqa: E402
+    ivf_train as IVT,
+)
+from distributed_computing_projects_spark.queries.ext_fragments import (  # noqa: E402
+    TL_ASSIGN_CTES,
+    TL_CENTS,
+)
+
+_TL_PROBE_CELLS = IVT.probe_cells(ANN_QUERY_VEC, TL_CENTS, ANN_IVF_PROBES)
+_COS_TLV_D = T.cosine(
+    T.dot("v", T._float_array_literal(ANN_QUERY_VEC, "duck"), "duck"),
+    T.sq_norm("v", "duck"),
+    T.sq_norm(T._float_array_literal(ANN_QUERY_VEC, "duck"), "duck"),
+)
+
+
+@query(
+    "ann_ivf_twolevel_topk",
+    oracle=f"""
+    WITH {TL_ASSIGN_CTES.strip()}
+    SELECT id, {_COS_TLV_D} AS cosine
+    FROM a2
+    WHERE cell IN ({', '.join(str(c) for c in _TL_PROBE_CELLS)})
+    ORDER BY cosine DESC, id LIMIT {ANN_K}
+    """,
+    doc="IVF-flat ANN with the corpus assigned through the TWO-LEVEL "
+        "coarse index at sized k=64 "
+        "(ivf_train.assign_cells_two_level — ~N*(1+p)*sqrt(k) scoring "
+        "folds instead of a k-term codegen expression that stops "
+        "compiling at production k): probe-cell selection for the "
+        "query vector stays exact (k-sized, driver-side), list "
+        "membership comes from the hierarchical assignment, and the "
+        "oracle replays both stages from the same baked literals "
+        "before re-running the probe scan.",
+)
+def q_ann_ivf_twolevel_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = IVT.assign_cells_two_level(
+        emb.select("vec_id", "embedding"), "vec_id", "embedding",
+        TL_CENTS, carry=("embedding",),
+    )
+    q = T._float_array_literal([float(x) for x in ANN_QUERY_VEC], "spark")
+    cos = T.cosine(
+        T.dot("embedding", q, "spark"),
+        T.sq_norm("embedding", "spark"),
+        T.sq_norm(q, "spark"),
+    )
+    return (
+        assigned.filter(F.col("cell").isin(_TL_PROBE_CELLS))
+        .select(F.col("vec_id").alias("id"), F.expr(cos).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(ANN_K)
+    )
+
+
 INCR_VEC_MOD = 10  # vec_id % 10 == 0 -> the "new embeddings" epoch
 
 

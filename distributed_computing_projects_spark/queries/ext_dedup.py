@@ -539,39 +539,20 @@ def q_dedup_semantic(spark, sf_dir):
 
 # A quantizer sized k=64 stands in for the production k=N/cell_size;
 # the coarse index (supers + cell->super mapping) is a deterministic
-# driver-side literal both engines replay bit-for-bit.
-_TL_K = 64
-_TL_CENTS = IVT.seed_centroids(_TL_K)
-_TL_SUPERS, _TL_MAPPING = IVT.super_centroids(_TL_CENTS)
-_TL_CELL2SUPER = dict(_TL_MAPPING)
-_TL_CMAP_VALUES = ",\n      ".join(
-    f"({_TL_CELL2SUPER[c]}, {c},"
-    f" {IVT._py_sq_norm([float(x) for x in cent])!r},"
-    f" {T._float_array_literal([float(x) for x in cent], 'duck')})"
-    for c, cent in _TL_CENTS
+# driver-side literal both engines replay bit-for-bit. The literals
+# and the two-stage assignment CTEs are shared with the ANN family
+# (ext_fragments.TL_*).
+from distributed_computing_projects_spark.queries.ext_fragments import (  # noqa: E402
+    TL_ASSIGN_CTES,
+    TL_CENTS as _TL_CENTS,
 )
-_TL_SCORE_D = f"(c.c2 - 2 * {T.dot('a.v', 'c.cent', 'duck')})"
 
 
 @query(
     "dedup_semantic_twolevel",
     headline=True,
     oracle=f"""
-    WITH a1 AS (
-      SELECT vec_id AS id, embedding AS v,
-             unnest({IVT.probe_supers_expr('embedding', _TL_SUPERS,
-                                           IVT.SUPER_PROBES, 'duck')})
-               AS super
-      FROM embeddings),
-    cmap AS (
-      SELECT CAST(super AS BIGINT) AS super, CAST(cell AS BIGINT) AS cell,
-             CAST(c2 AS DOUBLE) AS c2, CAST(cent AS DOUBLE[]) AS cent
-      FROM (VALUES {_TL_CMAP_VALUES}) t(super, cell, c2, cent)),
-    a2 AS (
-      SELECT a.id, a.v, c.cell
-      FROM a1 a JOIN cmap c ON a.super = c.super
-      QUALIFY row_number() OVER (PARTITION BY a.id
-        ORDER BY {_TL_SCORE_D}, c.cell) = 1),
+    WITH {TL_ASSIGN_CTES.strip()},
     nr AS (
       SELECT id, v, cell, {T.sq_norm('v', 'duck')} AS nrm FROM a2),
     drops AS (

@@ -14,6 +14,7 @@ family.
 from __future__ import annotations
 
 from distributed_computing_projects_spark.functions import text as T
+from distributed_computing_projects_spark.operators import ivf_train as IVT
 
 _SH_D = T.shingles("text", 3, "duck")
 
@@ -190,3 +191,44 @@ _INCR_EPOCHS_ORACLE = f"""
     UNION ALL
     SELECT new_id, corpus_id, est_jaccard FROM p2
     """
+
+
+# ---------------------------------------------------------------------------
+# Two-level coarse-assignment quantizer literals (shared by
+# dedup_semantic_twolevel and ann_ivf_twolevel_topk): a k=64 seeded
+# quantizer standing in for the production k=N/cell_size, with its
+# driver-side coarse index — all plain-double literals both engines
+# replay bit-for-bit.
+# ---------------------------------------------------------------------------
+
+TL_K = 64
+TL_CENTS = IVT.seed_centroids(TL_K)
+TL_SUPERS, TL_MAPPING = IVT.super_centroids(TL_CENTS)
+_TL_CELL2SUPER = dict(TL_MAPPING)
+TL_CMAP_VALUES = ",\n      ".join(
+    f"({_TL_CELL2SUPER[c]}, {c},"
+    f" {IVT._py_sq_norm([float(x) for x in cent])!r},"
+    f" {T._float_array_literal([float(x) for x in cent], 'duck')})"
+    for c, cent in TL_CENTS
+)
+
+# the two assignment stages as DuckDB CTEs: a1 explodes the top-p
+# probed supers per row (same baked expression as the Spark side), a2
+# argmins the fine cells under them with the (score, cell) tie-break
+TL_ASSIGN_CTES = f"""
+    a1 AS (
+      SELECT vec_id AS id, embedding AS v,
+             unnest({IVT.probe_supers_expr('embedding', TL_SUPERS,
+                                           IVT.SUPER_PROBES, 'duck')})
+               AS super
+      FROM embeddings),
+    cmap AS (
+      SELECT CAST(super AS BIGINT) AS super, CAST(cell AS BIGINT) AS cell,
+             CAST(c2 AS DOUBLE) AS c2, CAST(cent AS DOUBLE[]) AS cent
+      FROM (VALUES {TL_CMAP_VALUES}) t(super, cell, c2, cent)),
+    a2 AS (
+      SELECT a.id, a.v, c.cell
+      FROM a1 a JOIN cmap c ON a.super = c.super
+      QUALIFY row_number() OVER (PARTITION BY a.id
+        ORDER BY (c.c2 - 2 * {T.dot('a.v', 'c.cent', 'duck')}), c.cell) = 1)
+"""
