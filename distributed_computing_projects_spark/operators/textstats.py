@@ -283,3 +283,99 @@ def boilerplate_ngrams(
         .orderBy(F.desc("n_docs"), F.asc("ngram"))
         .limit(top)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 Table A1 —
+# the published heuristic filter set most web-corpus pipelines start
+# from). Every feature is exact-integer counting with one double
+# division, so the whole rule set is oracle-exact.
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_exprs(text: str, dialect: str) -> dict[str, str]:
+    """The Gopher rule features as dual-dialect SQL fragments over a
+    ``text`` column — same construction both engines, so the driver
+    hash-compares identical math. Counts are exact integers; each
+    ratio is ONE double division (NULL on empty denominators rather
+    than a divide error)."""
+    toks = T.tokens(text, dialect)
+    stop = _str_list(LANG_MARKERS["en"], dialect)
+    if dialect == "spark":
+        n_words = f"size({toks})"
+        tok_chars = (f"aggregate(transform({toks}, x -> length(x)),"
+                     f" 0, (a, x) -> a + x)")
+        lines = f"split({text}, '\\n')"
+        n_lines = f"size({lines})"
+        bullet = (f"size(filter({lines}, x ->"
+                  f" substring(x, 1, 1) = '-' OR substring(x, 1, 1) = '*'"
+                  f" OR substring(x, 1, 1) = '•'))")
+        ellipsis = f"size(filter({lines}, x -> right(x, 3) = '...'))"
+        alpha = f"size(filter({toks}, x -> x RLIKE '[A-Za-z]'))"
+        stop_hits = f"size(filter({stop}, s -> array_contains({toks}, s)))"
+    else:
+        n_words = f"len({toks})"
+        tok_chars = f"list_sum(list_transform({toks}, x -> length(x)))"
+        lines = f"string_split({text}, chr(10))"
+        n_lines = f"len({lines})"
+        bullet = (f"len(list_filter({lines}, x ->"
+                  f" substr(x, 1, 1) = '-' OR substr(x, 1, 1) = '*'"
+                  f" OR substr(x, 1, 1) = '•'))")
+        ellipsis = f"len(list_filter({lines}, x -> right(x, 3) = '...'))"
+        alpha = (f"len(list_filter({toks}, x ->"
+                 f" regexp_matches(x, '[A-Za-z]')))")
+        stop_hits = (f"len(list_filter({stop}, s ->"
+                     f" list_contains({toks}, s)))")
+    hashes = f"(length({text}) - length(replace({text}, '#', '')))"
+    ells = f"((length({text}) - length(replace({text}, '...', ''))) / 3)"
+    # DuckDB's / is float division; make the ellipsis count integral
+    # identically in both engines
+    if dialect == "duck":
+        ells = f"((length({text}) - length(replace({text}, '...', ''))) // 3)"
+    dd = "DOUBLE"
+    out = {
+        "n_words": f"CAST({n_words} AS INT)",
+        "mean_word_len": (f"CAST({tok_chars} AS {dd})"
+                          f" / CAST(NULLIF({n_words}, 0) AS {dd})"),
+        "symbol_ratio": (f"CAST({hashes} + {ells} AS {dd})"
+                         f" / CAST(NULLIF({n_words}, 0) AS {dd})"),
+        "frac_bullet_lines": (f"CAST({bullet} AS {dd})"
+                              f" / CAST(NULLIF({n_lines}, 0) AS {dd})"),
+        "frac_ellipsis_lines": (f"CAST({ellipsis} AS {dd})"
+                                f" / CAST(NULLIF({n_lines}, 0) AS {dd})"),
+        "frac_alpha_words": (f"CAST({alpha} AS {dd})"
+                             f" / CAST(NULLIF({n_words}, 0) AS {dd})"),
+        "n_stop_hits": f"CAST({stop_hits} AS INT)",
+    }
+    out["gopher_keep"] = (
+        f"({out['n_words']} >= {GOPHER_MIN_WORDS}"
+        f" AND {out['n_words']} <= {GOPHER_MAX_WORDS}"
+        f" AND {out['mean_word_len']} >= {GOPHER_MIN_MEAN_WORD_LEN!r}"
+        f" AND {out['mean_word_len']} <= {GOPHER_MAX_MEAN_WORD_LEN!r}"
+        f" AND {out['symbol_ratio']} <= {GOPHER_MAX_SYMBOL_RATIO!r}"
+        f" AND {out['frac_bullet_lines']} <= {GOPHER_MAX_BULLET_FRAC!r}"
+        f" AND {out['frac_ellipsis_lines']} <= {GOPHER_MAX_ELLIPSIS_FRAC!r}"
+        f" AND {out['frac_alpha_words']} >= {GOPHER_MIN_ALPHA_FRAC!r}"
+        f" AND {out['n_stop_hits']} >= {GOPHER_MIN_STOP_HITS})"
+    )
+    return out
+
+
+def gopher_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc Gopher rule features + the keep flag — pure codegen
+    column math, zero exchanges before any downstream aggregate."""
+    ex = gopher_exprs(text_col, "spark")
+    return df.select(
+        F.col(id_col).alias("id"),
+        *[F.expr(e).alias(k) for k, e in ex.items()],
+    )

@@ -496,6 +496,43 @@ _SEM_COS_D = T.cosine(T.dot("a.v", "b.v", "duck"), "a.nrm", "b.nrm")
 
 
 @query(
+    "dedup_lines_c4",
+    oracle=f"""
+    WITH lx AS (
+      SELECT doc_id AS id, string_split(text, chr(10)) AS L
+      FROM documents),
+    lines AS (
+      SELECT id, i AS pos, L[i] AS line
+      FROM lx, (SELECT unnest(generate_series(1,
+            (SELECT max(len(L)) FROM lx))) AS i)
+      WHERE i <= len(L)),
+    flagged AS (
+      SELECT id, pos, line,
+             (length(line) < {D.LINE_DEDUP_MIN_CHARS} OR
+              row_number() OVER (PARTITION BY line ORDER BY id, pos) = 1)
+               AS keep
+      FROM lines)
+    SELECT id, CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
+           coalesce(string_agg(line, chr(10) ORDER BY pos)
+                    FILTER (keep), '') AS kept_text
+    FROM flagged GROUP BY id
+    """,
+    doc="C4-style GLOBAL line dedup (Raffel et al. 2020 §2.2: any "
+        "repeated span is kept exactly once corpus-wide): explode to "
+        "lines, one window over the line key (the only data-sized "
+        "shuffle — hash exchange on the line), first (id, pos) "
+        "occurrence survives, lines under 20 chars never dedup "
+        "(C4's three-sentence-span guard at line granularity). The "
+        "result reconstructs each doc's surviving text in order, so "
+        "the oracle pins the REBUILT STRING, not just counts.",
+)
+def q_dedup_lines_c4(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.line_dedup(docs, "doc_id", "text")
+
+
+@query(
     "dedup_semantic",
     headline=True,
     oracle=f"""

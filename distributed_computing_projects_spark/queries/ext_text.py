@@ -78,6 +78,32 @@ def q_text_quality(spark, sf_dir):
     return X.quality_scores(docs, "doc_id", "text")
 
 
+_GOPHER_D = X.gopher_exprs("text", "duck")
+
+
+@query(
+    "gopher_quality_flags",
+    oracle=f"""
+    SELECT doc_id AS id,
+           {', '.join(f'{e} AS {k}' for k, e in _GOPHER_D.items())}
+    FROM documents
+    """,
+    doc="The Gopher heuristic filter set (Rae et al. 2021 Table A1 — "
+        "the published rule set web-corpus pipelines start from): "
+        "word-count bounds, mean word length, symbol-to-word ratio "
+        "(# and ellipses), bullet-line and ellipsis-line fractions, "
+        "alphabetic-word fraction, and a stopword floor, folded into "
+        "a per-doc keep flag. Pure codegen column math — exact "
+        "integer counts, one double division per ratio — generated "
+        "from ONE dual-dialect fragment builder "
+        "(textstats.gopher_exprs) so both engines compute identical "
+        "bytes.",
+)
+def q_gopher_quality_flags(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return X.gopher_flags(docs, "doc_id", "text")
+
+
 @query(
     "language_id",
     oracle=f"""

@@ -970,3 +970,75 @@ def test_png_grayscale_depths_decode():
         assert np.array_equal(rgb[..., 0], expect)
         assert np.array_equal(rgb[..., 0], rgb[..., 1])
         assert np.array_equal(rgb[..., 0], rgb[..., 2])
+
+
+def test_gopher_flags_closed_form(spark):
+    """Pin each Gopher rule on hand-built docs with known feature
+    values (Rae et al. 2021 Table A1 bounds as implemented)."""
+    good_words = ("the quick brown fox jumps over a lazy dog and then "
+                  "keeps going with plenty of ordinary prose words " * 4)
+    docs = spark.createDataFrame(
+        [
+            (0, good_words),                      # passes everything
+            (1, "short doc"),                     # too few words
+            (2, "- a\n- b\n- c\n" + good_words.replace(" ", "\n")),
+            (3, good_words + " ##########" * 40),  # symbol ratio
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in
+           X.gopher_flags(docs, "doc_id", "text").collect()}
+    assert out[0]["gopher_keep"] is True
+    assert out[1]["gopher_keep"] is False and out[1]["n_words"] == 2
+    # doc 2: exactly its three "- " lines are bullets, over the full
+    # newline-split line count (python recomputes the denominator)
+    doc2 = "- a\n- b\n- c\n" + good_words.replace(" ", "\n")
+    assert out[2]["frac_bullet_lines"] == 3 / len(doc2.split("\n"))
+    assert out[3]["gopher_keep"] is False
+    assert out[3]["symbol_ratio"] > X.GOPHER_MAX_SYMBOL_RATIO
+
+
+def test_gopher_ellipsis_and_alpha_rules(spark):
+    base = ("filler words to reach the minimum count " * 10).strip()
+    many_ellipsis = "\n".join(f"line {i} trails off..." for i in range(10))
+    numeric = " ".join(str(i) for i in range(80))
+    docs = spark.createDataFrame(
+        [(0, base + "\n" + many_ellipsis), (1, base + " " + numeric)],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in
+           X.gopher_flags(docs, "doc_id", "text").collect()}
+    # 10 of 11 lines end with ... -> fraction over the 0.3 bound
+    assert out[0]["frac_ellipsis_lines"] > X.GOPHER_MAX_ELLIPSIS_FRAC
+    assert out[0]["gopher_keep"] is False
+    # 80 pure-number words out of 150 -> alpha fraction under 0.8
+    assert out[1]["frac_alpha_words"] < X.GOPHER_MIN_ALPHA_FRAC
+    assert out[1]["gopher_keep"] is False
+
+
+def test_line_dedup_global_first_occurrence_wins(spark):
+    """C4 semantics: a long line repeated across docs (and within a
+    doc) survives exactly once, at its lowest (id, pos); short lines
+    never dedup; per-doc text reconstructs in original order."""
+    dup = "this exact long line appears in several documents verbatim"
+    docs = spark.createDataFrame(
+        [
+            (0, f"unique first line of doc zero ok\n{dup}\nshort"),
+            (1, f"{dup}\nanother unique long line in document one\nshort"),
+            (2, f"{dup}\n{dup}\nclosing unique long line of doc two!!"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in
+           D.line_dedup(docs, "doc_id", "text").collect()}
+    assert out[0]["n_lines"] == 3 and out[0]["n_kept"] == 3
+    assert out[0]["kept_text"].splitlines()[1] == dup  # first occurrence
+    # doc 1 loses the dup line but keeps its short line
+    assert out[1]["n_kept"] == 2
+    assert dup not in out[1]["kept_text"]
+    assert "short" in out[1]["kept_text"]
+    # doc 2 had it twice: both occurrences drop
+    assert out[2]["n_kept"] == 1
+    assert out[2]["kept_text"] == "closing unique long line of doc two!!"
+    # reconstruction preserves order
+    assert out[0]["kept_text"].splitlines()[0].startswith("unique first")

@@ -325,8 +325,16 @@ def run_factor(spark, factor: int) -> dict:
 
 
 def main() -> int:
-    factors = ([int(x) for x in sys.argv[1].split(",")]
-               if len(sys.argv) > 1 else [2, 5, 10])
+    # --merge: re-measure ONLY the given factors and splice them into
+    # the committed SCALE.json, keeping the other factors' runs. Why
+    # it exists: factors measured while anything else ran on the box
+    # are contaminated (SCALE has no canary to normalize with, unlike
+    # bench.py) — the honest fix is a clean re-measure of just those
+    # factors, via the tool, never a hand edit.
+    args = [a for a in sys.argv[1:] if a != "--merge"]
+    merge = "--merge" in sys.argv[1:]
+    factors = ([int(x) for x in args[0].split(",")]
+               if args else [2, 5, 10])
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(app_name="scale-stress", cpus=cpus,
                       shuffle_partitions=cpus)
@@ -354,6 +362,14 @@ def main() -> int:
     # keep the candidate-count accounting (tools/candidate_accounting.py)
     # across timing regenerations — the two tools co-own SCALE.json
     scale_path = os.path.join(REPO, "SCALE.json")
+    if merge and os.path.exists(scale_path):
+        prior_runs = json.load(open(scale_path)).get("runs", [])
+        fresh = {r["factor"] for r in runs}
+        out["runs"] = sorted(
+            runs + [r for r in prior_runs if r["factor"] not in fresh],
+            key=lambda r: r["factor"],
+        )
+        runs = out["runs"]
     if os.path.exists(scale_path):
         prior = json.load(open(scale_path))
         if "candidates" in prior:
@@ -385,11 +401,17 @@ def _write_md(out: dict) -> None:
         + " | notes (largest factor) |",
         "|---|" + "---|" * (len(factors) + 1),
     ]
-    names = list(runs[-1]["metrics"])
+    # union of metric names across factors, in first-seen order — a
+    # metric measured only at small factors (dedup_semantic_sized_exact
+    # stops at 10x) still gets its row
+    names = list(dict.fromkeys(
+        n for r in runs for n in r["metrics"]
+    ))
     for name in names:
         secs = [str(r["metrics"].get(name, {}).get("sec", "—"))
                 for r in runs]
-        v = runs[-1]["metrics"][name]
+        v = next(r["metrics"][name] for r in reversed(runs)
+                 if name in r["metrics"])
         notes = ", ".join(f"{k}={v[k]}" for k in v if k != "sec")
         lines.append(f"| {name} | " + " | ".join(secs) + f" | {notes} |")
     if any(r["factor"] >= 100 for r in runs):
@@ -432,8 +454,15 @@ def _write_md(out: dict) -> None:
         "since round 10 assigns through the TWO-LEVEL coarse index "
         "(ivf_train.assign_cells_two_level): ~N*(1+p)*sqrt(k) "
         "scoring folds, so the pair stage AND assignment both "
-        "track N — the exact N*k join path (114 s at the 100x "
-        "point in r9) stays measured at factors <= 10 as "
+        "track N — measured 69.8 s at the 100x point where the "
+        "exact N*k join path cost 114.0 s in r9 (the remaining "
+        "time is the pair scan itself: this stress corpus is "
+        "ALL near-dups, so every cell is drop-dense). At factors "
+        "<= 10 the exact path is still marginally faster (k <= 40: "
+        "a 40-term scan costs less than the index overhead) — the "
+        "crossover is k in the hundreds, exactly why the knob "
+        "matters; the exact "
+        "path stays measured at factors <= 10 as "
         "dedup_semantic_sized_exact, the agreement oracle. The "
         "accounting table's semdedup_cells row makes the PAIR stage's "
         "claim arithmetic: measured within-cell pairs track the "
