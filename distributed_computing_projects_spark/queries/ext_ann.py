@@ -799,6 +799,115 @@ def _trained_recall_oracle() -> str:
     )
 
 
+def _twolevel_recall_oracle() -> str:
+    parts = [
+        "aex AS (SELECT vec_id AS id, embedding AS v, "
+        f"{IVT.assign_cell_expr('embedding', TL_CENTS, 'duck')} AS cell "
+        "FROM embeddings)",
+        TL_ASSIGN_CTES.strip(),
+    ]
+    sel_e, sel_t = [], []
+    for i, q in enumerate(RECALL_QUERY_VECS):
+        ql = T._float_array_literal(q, "duck")
+        cos = T.cosine(T.dot("embedding", ql, "duck"),
+                       T.sq_norm("embedding", "duck"),
+                       T.sq_norm(ql, "duck"))
+        cosv = T.cosine(T.dot("v", ql, "duck"), T.sq_norm("v", "duck"),
+                        T.sq_norm(ql, "duck"))
+        cells = ", ".join(
+            str(c) for c in IVT.probe_cells(q, TL_CENTS, ANN_IVF_PROBES))
+        parts.append(
+            f"ex{i} AS (SELECT vec_id AS id FROM embeddings"
+            f" ORDER BY {cos} DESC, vec_id LIMIT {ANN_K})"
+        )
+        parts.append(
+            f"ae{i} AS (SELECT id FROM aex WHERE cell IN ({cells})"
+            f" ORDER BY {cosv} DESC, id LIMIT {ANN_K})"
+        )
+        parts.append(
+            f"at{i} AS (SELECT id FROM a2 WHERE cell IN ({cells})"
+            f" ORDER BY {cosv} DESC, id LIMIT {ANN_K})"
+        )
+        sel_e.append(f"(SELECT count(*) FROM ae{i} JOIN ex{i} USING (id))")
+        sel_t.append(f"(SELECT count(*) FROM at{i} JOIN ex{i} USING (id))")
+    total = N_RECALL_QUERIES * ANN_K
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"\n    SELECT 'tl_exact' AS method,"
+        f" CAST({' + '.join(sel_e)} AS BIGINT) AS hits,"
+        f" CAST({total} AS BIGINT) AS total"
+        f"\n    UNION ALL SELECT 'tl_twolevel' AS method,"
+        f" CAST({' + '.join(sel_t)} AS BIGINT) AS hits,"
+        f" CAST({total} AS BIGINT) AS total"
+    )
+
+
+@query(
+    "ann_ivf_twolevel_recall",
+    oracle=_twolevel_recall_oracle(),
+    doc=f"Recall@{ANN_K} COST of the two-level coarse assignment: the "
+        f"same sized k=64 quantizer assigned exactly (N*k argmin) vs "
+        f"through the coarse index (top-{IVT.SUPER_PROBES} super "
+        f"probe), probed at the same {ANN_IVF_PROBES}-cell budget over "
+        f"{N_RECALL_QUERIES} deterministic query vectors against exact "
+        "brute-force top-k. The SCALE table measures the speed win "
+        "(114 s -> 70 s at the 100x point); this row measures what it "
+        "costs in recall — rows assigned to a near-nearest cell can "
+        "fall outside the probed lists. Integer hit counts, drift-free "
+        "oracle replaying both assignment paths from baked literals.",
+)
+def q_ann_ivf_twolevel_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = IVT.assign_cells_join(
+        emb.select("vec_id", "embedding"), "vec_id", "embedding", TL_CENTS,
+    ).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v"),
+        "cell",
+    ).persist()
+    two = IVT.assign_cells_two_level(
+        emb.select("vec_id", "embedding"), "vec_id", "embedding",
+        TL_CENTS, carry=("embedding",),
+    ).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v"),
+        "cell",
+    ).persist()
+
+    def topk(df, q, cells):
+        ql = T._float_array_literal(q, "spark")
+        cos = T.cosine(T.dot("v", ql, "spark"), T.sq_norm("v", "spark"),
+                       T.sq_norm(ql, "spark"))
+        return (
+            df.filter(F.col("cell").isin(cells))
+            .select("id", F.expr(cos).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("id"))
+            .limit(ANN_K)
+        )
+
+    parts = []
+    for q in RECALL_QUERY_VECS:
+        bf = S.brute_force_topk(
+            emb, q, ANN_K, "vec_id", "embedding"
+        ).select("id")
+        cells = IVT.probe_cells(q, TL_CENTS, ANN_IVF_PROBES)
+        for m, df in (("tl_exact", exact), ("tl_twolevel", two)):
+            parts.append(
+                topk(df, q, cells)
+                .join(F.broadcast(bf), "id", "left_semi")
+                .agg(F.count("*").alias("hits"))
+                .select(F.lit(m).alias("method"), "hits")
+            )
+    from functools import reduce as _reduce
+
+    total = N_RECALL_QUERIES * ANN_K
+    return (
+        _reduce(lambda a, b: a.unionAll(b), parts)
+        .groupBy("method")
+        .agg(F.sum("hits").alias("hits"))
+        .select("method", "hits",
+                F.lit(total).cast("bigint").alias("total"))
+    )
+
+
 @query(
     "ann_ivf_trained_recall",
     oracle=_trained_recall_oracle(),

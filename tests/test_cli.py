@@ -152,15 +152,28 @@ def test_cli_bandstore_write_probe_append(spark, sf_dir, tmp_path, capsys):
 
 def test_verify_subcommand_runs_registry_subset(spark, sf_dir, capsys):
     """`verify` = the driver's CORRECTNESS gate as one local command:
-    a 5-query subset (incl. a rows-only query) against DuckDB."""
+    a 5-query subset against DuckDB. Since round 10 every registry
+    query carries a value oracle (streaming_user_running_totals was
+    the last rows-only row — its final state now checks against the
+    batch-aggregate SQL), so all five rows must be hash-checked."""
     names = ["q1_pricing_summary", "wordcount", "dedup_exact",
              "multimodal_jpeg_coeffs", "streaming_user_running_totals"]
     rc = main(["verify", "--sf-dir", sf_dir, *names], spark=spark)
     out = capsys.readouterr().out
     assert rc == 0 and "ALL OK" in out
-    assert "rows-only, no oracle" in out  # the non-SQL-expressible row
+    assert "rows-only, no oracle" not in out  # zero oracle-less rows left
     for n in names:
         assert n in out
+
+
+def test_registry_has_no_oracleless_queries():
+    """The correctness gate's strongest form: EVERY registry query is
+    value-checked against SQL — zero rows-only entries (the weaker
+    rows-only path still exists in verify.run for ad-hoc specs, but
+    no shipped query uses it)."""
+    from distributed_computing_projects_spark.queries import load_registry
+
+    assert [n for n, s in load_registry().items() if s.oracle is None] == []
 
 
 def test_verify_subcommand_unknown_query_errors(spark):
