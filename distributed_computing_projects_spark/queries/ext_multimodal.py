@@ -1045,6 +1045,7 @@ _WARC_ORACLE = f"""
 
 @query(
     "pdf_extract_text",
+    headline=True,
     oracle=f"""
     WITH eligible AS (
       SELECT doc_id AS id, text FROM documents
@@ -1106,6 +1107,7 @@ def q_warc_extract_responses(spark, sf_dir):
 
 @query(
     "warc_gz_extract_responses",
+    headline=True,
     oracle=_WARC_ORACLE,
     doc="Gzip WARC (.warc.gz) extraction — the wire format Common "
         "Crawl actually publishes: every record its own gzip member, "

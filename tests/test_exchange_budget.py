@@ -51,6 +51,10 @@ EXCHANGE_BUDGET = {
     "multimodal_jpeg_decode": 1,
     "multimodal_video_frame_sample": 1,
     "pack_documents": 1,
+    # both: spread's fixture-scale repartition before the Arrow
+    # build+extract chain (two chained mapInPandas, no exchange
+    # between them)
+    "pdf_extract_text": 1,
     "q17_small_quantity_revenue": 2,
     "q1_pricing_summary": 1,
     "q3_shipping_priority": 1,
@@ -66,6 +70,7 @@ EXCHANGE_BUDGET = {
     "sketch_distinct_tokens": 2,
     "tfidf_top_terms": 4,
     "training_corpus_summary": 3,
+    "warc_gz_extract_responses": 1,
     "wine_filter_agg": 2,
     "wordcount": 2,
     # the single per-bucket aggregate; the Morton key is codegen

@@ -463,3 +463,66 @@ def test_pagerank_matches_python_on_random_graphs(spark, edges):
     }
     want = _py_pagerank(sym, G.N_ITERS)
     assert got == want
+
+
+# pure-python codec properties: no Spark jobs, so examples are cheap
+FAST = settings(max_examples=200, deadline=None)
+
+
+@given(raw=st.binary(min_size=0, max_size=200))
+@FAST
+def test_pdf_string_escape_roundtrip(raw):
+    from distributed_computing_projects_spark.sources import pdf as P
+
+    assert P.unescape_string(P.escape_string(raw)) == raw
+
+
+@given(chunks=st.lists(st.binary(min_size=0, max_size=64),
+                       min_size=1, max_size=6),
+       level=st.integers(min_value=0, max_value=9))
+@FAST
+def test_gzip_member_stream_roundtrip(chunks, level):
+    """Member-per-record gzip concatenation inverts exactly, at every
+    compression level, including empty members."""
+    import gzip
+
+    from distributed_computing_projects_spark.sources import warc as W
+
+    stream = b"".join(
+        gzip.compress(c, compresslevel=level, mtime=0) for c in chunks)
+    assert W.gunzip_members(stream) == b"".join(chunks)
+
+
+@given(raw=st.binary(min_size=64, max_size=64),
+       flate=st.booleans())
+@FAST
+def test_pdf_text_extraction_roundtrip(raw, flate):
+    from distributed_computing_projects_spark.sources import pdf as P
+
+    got = P.extract_text(P.build_pdf(raw, flate))
+    assert got is not None
+    assert got[3] == raw
+
+
+@given(depth=st.sampled_from([1, 2, 4, 8]),
+       w=st.integers(min_value=1, max_value=9),
+       h=st.integers(min_value=1, max_value=5),
+       seed=st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=40, deadline=None)
+def test_png_palette_roundtrip_property(depth, w, h, seed):
+    import numpy as np
+
+    from distributed_computing_projects_spark.operators import (
+        multimodal as M,
+    )
+
+    rng = np.random.RandomState(seed)
+    n = 1 << depth
+    pal = rng.randint(0, 256, size=(n, 3)).astype(np.uint8)
+    idx = rng.randint(0, n, size=(h, w)).astype(np.uint8)
+    filters = [rng.randint(0, 5) for _ in range(h)]
+    png = M.encode_png_indexed(idx, pal, depth, filters,
+                               interlace=bool(seed % 2))
+    got = M._decode_png(png)
+    assert got is not None
+    assert np.array_equal(got[2], pal[idx])
