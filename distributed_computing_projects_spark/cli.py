@@ -302,6 +302,40 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("events_path", help="parquet events table")
     pr.add_argument("--iters", type=int, default=3)
 
+    gq = sub.add_parser(
+        "gopher",
+        help="Gopher quality rules (Rae et al. 2021) over a corpus: "
+             "prints per-doc features + the keep flag",
+    )
+    gq.add_argument("corpus_path", help="parquet with (id, text) columns")
+    gq.add_argument("--id-col", default="doc_id")
+    gq.add_argument("--text-col", default="text")
+    gq.add_argument("--dropped-only", action="store_true",
+                    help="print only docs the rules reject")
+
+    ld = sub.add_parser(
+        "line-dedup",
+        help="C4-style global line dedup: prints per-doc "
+             "(id, n_lines, n_kept, kept_text)",
+    )
+    ld.add_argument("corpus_path", help="parquet with (id, text) columns")
+    ld.add_argument("--id-col", default="doc_id")
+    ld.add_argument("--text-col", default="text")
+    ld.add_argument("--min-chars", type=int,
+                    default=None,
+                    help="lines shorter than this never dedup "
+                         "(default: operator default)")
+
+    px = sub.add_parser(
+        "warc-extract",
+        help="extract HTTP responses from WARC payloads (plain or "
+             ".warc.gz member-per-record gzip): reads a parquet of "
+             "(id, payload binary), prints per-response "
+             "(id, url, status, n_body_bytes, prefix_sum)",
+    )
+    px.add_argument("payloads_path",
+                    help="parquet with (id bigint, payload binary)")
+
     return p
 
 
@@ -626,6 +660,42 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             _emit(graphrank.pagerank_fixedpoint(
                 graphrank.click_graph(ev), n_iters=args.iters
             ).orderBy("node"))
+        elif args.cmd == "gopher":
+            from pyspark.sql import functions as F
+
+            from distributed_computing_projects_spark.operators import (
+                textstats,
+            )
+
+            docs = spark.read.parquet(args.corpus_path)
+            out = textstats.gopher_flags(docs, args.id_col, args.text_col)
+            if args.dropped_only:
+                out = out.filter(~F.col("gopher_keep"))
+            # round the float features for stable terminal output
+            out = out.select(
+                "id", "n_words",
+                F.round("mean_word_len", 4).alias("mean_word_len"),
+                F.round("symbol_ratio", 4).alias("symbol_ratio"),
+                F.round("frac_alpha_words", 4).alias("frac_alpha_words"),
+                "n_stop_hits", "gopher_keep",
+            )
+            _emit(out.orderBy("id"))
+        elif args.cmd == "line-dedup":
+            from distributed_computing_projects_spark.operators import (
+                dedup,
+            )
+
+            docs = spark.read.parquet(args.corpus_path)
+            kw = ({}
+                  if args.min_chars is None
+                  else {"min_chars": args.min_chars})
+            _emit(dedup.line_dedup(
+                docs, args.id_col, args.text_col, **kw).orderBy("id"))
+        elif args.cmd == "warc-extract":
+            from distributed_computing_projects_spark.sources import warc
+
+            payloads = spark.read.parquet(args.payloads_path)
+            _emit(warc.extract_responses(payloads).orderBy("id", "url"))
         return 0
     finally:
         if own_session:

@@ -366,3 +366,50 @@ def test_bloom_build_probe_subcommands(spark, sf_dir, tmp_path, capsys):
     for l in lines:
         _, n_grams, n_hits = l.split("\t")
         assert n_grams == n_hits
+
+
+def test_gopher_subcommand(spark, sf_dir, capsys):
+    docs = f"{sf_dir}/documents.parquet"
+    assert main(["gopher", docs], spark=spark) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == spark.read.parquet(docs).count()
+    flags = {l.split("\t")[-1] for l in lines}
+    assert flags <= {"True", "False"}
+    assert main(["gopher", docs, "--dropped-only"], spark=spark) == 0
+    dropped = capsys.readouterr().out.strip().splitlines()
+    assert 0 < len(dropped) < len(lines)
+    assert all(l.split("\t")[-1] == "False" for l in dropped)
+
+
+def test_line_dedup_subcommand(spark, sf_dir, capsys):
+    docs = f"{sf_dir}/documents.parquet"
+    assert main(["line-dedup", docs], spark=spark) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == spark.read.parquet(docs).count()
+    for l in lines[:5]:
+        parts = l.split("\t")
+        assert int(parts[2]) <= int(parts[1])  # n_kept <= n_lines
+
+
+def test_warc_extract_subcommand(spark, sf_dir, tmp_path, capsys):
+    import gzip
+
+    from pyspark.sql import Row
+
+    from distributed_computing_projects_spark.sources import warc as W
+
+    info = W.build_record(
+        "warcinfo", {"Content-Type": "application/warc-fields"},
+        b"software: fixture\r\n")
+    resp = W.build_response_record("https://x.example.com/1", b"hi" * 30)
+    gz = (gzip.compress(info, mtime=0) + gzip.compress(resp, mtime=0))
+    path = str(tmp_path / "payloads")
+    spark.createDataFrame([
+        Row(id=1, payload=bytearray(info + resp)),   # plain WARC
+        Row(id=2, payload=bytearray(gz)),            # .warc.gz
+        Row(id=3, payload=bytearray(b"not a warc")),
+    ]).write.parquet(path)
+    assert main(["warc-extract", path], spark=spark) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 2  # ids 1 and 2; id 3 dropped
+    assert all("https://x.example.com/1" in l for l in lines)
