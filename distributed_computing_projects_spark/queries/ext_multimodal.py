@@ -25,6 +25,7 @@ from distributed_computing_projects_spark.operators.spread import spread
 from distributed_computing_projects_spark.operators import video as V
 from distributed_computing_projects_spark.queries import query
 from distributed_computing_projects_spark.sources import pdf as PDF
+from distributed_computing_projects_spark.sources import wikidump as WD
 from distributed_computing_projects_spark.sources import warc as W
 from distributed_computing_projects_spark.sources.registry import load_table
 from distributed_computing_projects_spark.queries.ext_fragments import (
@@ -1041,6 +1042,52 @@ _WARC_ORACLE = f"""
            CAST(psum AS BIGINT) AS prefix_sum
     FROM pre
     """
+
+
+@query(
+    "wikidump_extract_pages",
+    oracle=f"""
+    WITH art AS (
+      SELECT doc_id AS id, text,
+             octet_length(encode(text)) AS n_text_bytes
+      FROM documents),
+    pre AS (
+      SELECT id,
+             sum(CASE WHEN i <= length(text)
+                      THEN ascii(substr(text, i, 1)) ELSE 0 END) AS psum
+      FROM art,
+           (SELECT unnest(generate_series(1, {WD.WIKI_PREFIX})) AS i)
+      GROUP BY id)
+    SELECT a.id, CAST(2 * a.id AS BIGINT) AS page_id,
+           'Doc ' || a.id AS title, CAST(0 AS INTEGER) AS ns,
+           CAST(a.n_text_bytes AS BIGINT) AS n_text_bytes,
+           CAST(p.psum AS BIGINT) AS prefix_sum
+    FROM art a JOIN pre p USING (id)
+    UNION ALL
+    SELECT id, CAST(2 * id + 1 AS BIGINT) AS page_id,
+           'Talk:Doc ' || id AS title, CAST(1 AS INTEGER) AS ns,
+           CAST(22 AS BIGINT) AS n_text_bytes,
+           CAST(2279 AS BIGINT) AS prefix_sum
+    FROM art
+    """,
+    doc="Wikipedia-dump ingestion — the multistream bz2 MediaWiki XML "
+        "layout pages-articles-multistream.xml.bz2 actually ships "
+        "(sources/wikidump.py): per doc a two-page dump (the article "
+        "at ns=0 carrying the doc text through REAL XML escaping, "
+        "plus a ns=1 Talk page, across three bz2 streams) is built "
+        "in-plan, then the extractor walks bz2 members, expat-parses "
+        "pages (completed pages survive a torn tail), and emits "
+        "(page id, title, namespace, text byte length, bounded-prefix "
+        "byte sum) — the triage fields dump ingest filters on (ns=0 "
+        "selection) before wikitext processing. The oracle recomputes "
+        "every field from the source columns, so bz2 member walk, "
+        "XML escape/unescape, and page-id/ns scoping are all "
+        "differentially checked.",
+)
+def q_wikidump_extract_pages(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return WD.extract_pages(
+        WD.wikidump_payloads(docs, "doc_id", "text"))
 
 
 @query(
