@@ -336,6 +336,26 @@ def build_parser() -> argparse.ArgumentParser:
     px.add_argument("payloads_path",
                     help="parquet with (id bigint, payload binary)")
 
+    pdx = sub.add_parser(
+        "pdf-extract",
+        help="extract the text layer from PDF payloads: reads a "
+             "parquet of (id, payload binary), prints per-payload "
+             "(id, n_streams, n_flate, n_text_ops, n_chars, "
+             "prefix_sum)",
+    )
+    pdx.add_argument("payloads_path",
+                     help="parquet with (id bigint, payload binary)")
+
+    wx = sub.add_parser(
+        "wiki-extract",
+        help="extract pages from multistream-bz2 MediaWiki dump "
+             "payloads: prints per-page (id, page_id, title, ns, "
+             "n_text_bytes, prefix_sum); --articles-only keeps ns=0",
+    )
+    wx.add_argument("payloads_path",
+                    help="parquet with (id bigint, payload binary)")
+    wx.add_argument("--articles-only", action="store_true")
+
     return p
 
 
@@ -696,6 +716,23 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
 
             payloads = spark.read.parquet(args.payloads_path)
             _emit(warc.extract_responses(payloads).orderBy("id", "url"))
+        elif args.cmd == "pdf-extract":
+            from distributed_computing_projects_spark.sources import pdf
+
+            payloads = spark.read.parquet(args.payloads_path)
+            _emit(pdf.extract_pdf_text(payloads).orderBy("id"))
+        elif args.cmd == "wiki-extract":
+            from pyspark.sql import functions as F
+
+            from distributed_computing_projects_spark.sources import (
+                wikidump,
+            )
+
+            payloads = spark.read.parquet(args.payloads_path)
+            out = wikidump.extract_pages(payloads)
+            if args.articles_only:
+                out = out.filter(F.col("ns") == 0)
+            _emit(out.orderBy("id", "page_id"))
         return 0
     finally:
         if own_session:

@@ -413,3 +413,35 @@ def test_warc_extract_subcommand(spark, sf_dir, tmp_path, capsys):
     lines = capsys.readouterr().out.strip().splitlines()
     assert len(lines) == 2  # ids 1 and 2; id 3 dropped
     assert all("https://x.example.com/1" in l for l in lines)
+
+
+def test_pdf_and_wiki_extract_subcommands(spark, tmp_path, capsys):
+    from pyspark.sql import Row
+
+    from distributed_computing_projects_spark.sources import (
+        pdf as P,
+        wikidump as WD,
+    )
+
+    pdfs = str(tmp_path / "pdfs")
+    spark.createDataFrame([
+        Row(id=1, payload=bytearray(P.build_pdf(bytes(range(33, 97)),
+                                                flate=True))),
+        Row(id=2, payload=bytearray(b"not a pdf")),
+    ]).write.parquet(pdfs)
+    assert main(["pdf-extract", pdfs], spark=spark) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 1 and lines[0].startswith("1\t2\t2\t5\t64\t")
+
+    wikis = str(tmp_path / "wikis")
+    dump = WD.build_dump([(0, "Doc 0", 0, "article"),
+                          (1, "Talk:Doc 0", 1, "talk")])
+    spark.createDataFrame([
+        Row(id=1, payload=bytearray(dump)),
+    ]).write.parquet(wikis)
+    assert main(["wiki-extract", wikis], spark=spark) == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) == 2
+    assert main(["wiki-extract", wikis, "--articles-only"],
+                spark=spark) == 0
+    arts = capsys.readouterr().out.strip().splitlines()
+    assert len(arts) == 1 and "Doc 0" in arts[0]
