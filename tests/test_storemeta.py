@@ -642,3 +642,48 @@ def test_versioned_bandstore_compaction_crash_cut_points(
     before, after = BS.compact_store(spark, path)
     assert after <= before
     assert probe() == pre
+
+
+def test_versioned_ivf_store_probe_append_compact(spark, sf_dir,
+                                                  tmp_path):
+    """The similarity/pq data_path routing on a CONVERTED store: after
+    convert_to_versioned, probes read the pointed version dir, appends
+    land inside it, and compaction commits through the POINTER backend
+    (version bumps, no rename window) — probe results identical to an
+    unconverted store throughout."""
+    from distributed_computing_projects_spark.operators import (
+        similarity as S,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.filter("vec_id % 10 != 0")
+    epoch = emb.filter("vec_id % 10 = 0")
+    q = [0.1] * 64
+
+    plain = str(tmp_path / "plain")
+    S.write_ivf(emb, plain, "vec_id", "embedding")
+    expected = [(r.id, round(r.cosine, 9)) for r in
+                S.ivf_topk_partitioned(spark, plain, q, 7).collect()]
+
+    ver = str(tmp_path / "ver")
+    S.write_ivf(corpus, ver, "vec_id", "embedding")
+    storemeta.convert_to_versioned(ver)
+    assert storemeta.read_params(ver)[storemeta.VERSION_KEY] == 0
+    S.append_ivf(epoch, ver, "vec_id", "embedding")
+    # the append landed inside v=0, not at the store root
+    assert spark.read.parquet(storemeta.data_path(ver)).count() == \
+        emb.count()
+    got = [(r.id, round(r.cosine, 9)) for r in
+           S.ivf_topk_partitioned(spark, ver, q, 7).collect()]
+    assert got == expected
+
+    # duplicate-append + compaction: the pointer backend commits
+    # (version 0 -> 1), rows shrink back, probe unchanged
+    S.append_ivf(epoch, ver, "vec_id", "embedding")
+    before, after = S.compact_ivf_store(spark, ver)
+    assert before > after == emb.count()
+    assert storemeta.read_params(ver)[storemeta.VERSION_KEY] == 1
+    assert not os.path.exists(os.path.join(ver, "v=0"))
+    got2 = [(r.id, round(r.cosine, 9)) for r in
+            S.ivf_topk_partitioned(spark, ver, q, 7).collect()]
+    assert got2 == expected
