@@ -126,9 +126,12 @@ def q_orc_events_roundtrip(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
+    # applicationId suffix: two concurrent sessions on one box must not
+    # race the overwrite of a shared scratch path
     path = os.path.join(
         tempfile.gettempdir(),
-        f"dcp_orc_events_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"dcp_orc_events_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
     )
     ev.write.mode("overwrite").partitionBy("event_type").orc(path)
     back = spark.read.orc(path)
