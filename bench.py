@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -167,6 +168,10 @@ def main() -> int:
         "queries": timings,
         "sf": float(sf) if sf else None,
         "canary_min": round(c_min, 3),
+        # median, not min: min-of-a-noisy-series underestimates the
+        # normalization denominator exactly when the box bursts (r11's
+        # 7.9x canary outlier), inflating every x-canary ratio
+        "canary_median": round(statistics.median(canary_times), 3),
         "noise_floor_pct": noise_floor_pct,
         "detail_file": os.path.basename(detail_path) if detail_path else None,
     }))

@@ -128,11 +128,27 @@ def q_orc_events_roundtrip(spark, sf_dir):
     )
     # applicationId suffix: two concurrent sessions on one box must not
     # race the overwrite of a shared scratch path
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    prefix = f"dcp_orc_events_{sf_tag}_"
     path = os.path.join(
-        tempfile.gettempdir(),
-        f"dcp_orc_events_{os.path.basename(sf_dir.rstrip('/'))}"
-        f"_{spark.sparkContext.applicationId}",
+        tempfile.gettempdir(), prefix + spark.sparkContext.applicationId
     )
+    # the unique path fixes the race but is never overwritten again, so
+    # reap siblings left by dead sessions (the returned DataFrame reads
+    # OUR dir lazily, so only siblings are candidates; the one-hour age
+    # guard keeps a genuinely concurrent live session's dir safe)
+    import shutil
+    import time
+
+    cutoff = time.time() - 3600
+    for name in os.listdir(tempfile.gettempdir()):
+        full = os.path.join(tempfile.gettempdir(), name)
+        if (name.startswith(prefix) and name != os.path.basename(path)):
+            try:
+                if os.path.getmtime(full) < cutoff:
+                    shutil.rmtree(full, ignore_errors=True)
+            except OSError:
+                pass
     ev.write.mode("overwrite").partitionBy("event_type").orc(path)
     back = spark.read.orc(path)
     return back.groupBy("event_type").agg(

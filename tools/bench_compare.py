@@ -10,13 +10,23 @@ spread ~50% on this box) unless --floor overrides it.
 
 Round 9 adds CANARY NORMALIZATION: the raw floor rule is safe but
 coarse (a 112% floor would let a true 1.5x regression pass). When
-both records carry a canary min, each query is also reported as a
-ratio to its own round's canary min (x-canary column); comparing
-ratio to ratio cancels host load to first order, so the normalized
-delta resolves real changes well under the raw floor. Rule: a delta
-is a regression if it exceeds the raw floor, OR if the normalized
-delta exceeds NORM_FLOOR_PCT (canary-relative spread of same-code
-runs, empirically ~25% on this box).
+both records carry a canary reference, each query is also reported as
+a ratio to its own round's canary (x-canary column); comparing ratio
+to ratio cancels host load to first order, so the normalized delta
+resolves real changes well under the raw floor. Rule: a delta is a
+regression if it exceeds the raw floor, OR if the normalized delta
+exceeds NORM_FLOOR_PCT (canary-relative spread of same-code runs,
+empirically ~25% on this box).
+
+Round 12 changes the canary reference from MIN to MEDIAN: min of a
+noisy series underestimates the denominator exactly when the box
+bursts (r11's canary had a 7.9x outlier against a ~0.32 s median,
+which inflated condorcet_round1's normalized delta to a spurious
++30%); the median is robust to those bursts. r12+ records carry
+'canary_median' directly; for older records the tool recomputes the
+median from the sibling BENCH_DETAIL_r*.json's 'canary_times', and
+only as a last resort falls back to 'canary_min' (flagged in the
+output, since min-vs-median mixes are biased).
 
 Usage: python tools/bench_compare.py OLD.json NEW.json [--floor PCT]
 """
@@ -25,6 +35,9 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import re
+import statistics
 
 PRE_CANARY_FLOOR_PCT = 50.0  # observed same-code spread before r8
 NORM_FLOOR_PCT = 25.0  # canary-relative spread of same-code runs
@@ -46,15 +59,35 @@ def load(path: str) -> dict:
     return rec
 
 
-def canary_min(d: dict):
-    """Canary minimum across record formats: r9+ compact records carry
-    'canary_min'; the r8 fat record carried {'canary': {'min': ...}}."""
+def canary_ref(d: dict, path: str):
+    """(value, kind) canary reference for normalization, preferring the
+    burst-robust median: r12+ records carry 'canary_median'; for older
+    rounds the median is recomputed from the sibling
+    BENCH_DETAIL_r*.json's 'canary_times'; last resort is the r9-r11
+    'canary_min' / r8 {'canary': {'min': ...}} (biased low when the
+    series bursts — kind tells the caller to warn)."""
+    if d.get("canary_median") is not None:
+        return d["canary_median"], "median"
+    detail = d.get("detail_file")
+    if detail is None:
+        m = re.search(r"BENCH_r(\d+)\.json$", os.path.basename(path))
+        if m:
+            detail = f"BENCH_DETAIL_r{m.group(1)}.json"
+    if detail:
+        detail_path = os.path.join(os.path.dirname(path) or ".", detail)
+        try:
+            with open(detail_path) as f:
+                times = json.load(f).get("canary_times") or []
+            if times:
+                return statistics.median(times), "median(detail)"
+        except (OSError, ValueError):
+            pass
     if d.get("canary_min") is not None:
-        return d["canary_min"]
+        return d["canary_min"], "min"
     c = d.get("canary")
-    if isinstance(c, dict):
-        return c.get("min")
-    return None
+    if isinstance(c, dict) and c.get("min") is not None:
+        return c["min"], "min"
+    return None, None
 
 
 def main() -> int:
@@ -80,11 +113,16 @@ def main() -> int:
         floor = PRE_CANARY_FLOOR_PCT
     print(f"noise floor: {floor:.1f}% "
           f"({'canary-measured' if floors else 'pre-canary fallback'})")
-    c_old, c_new = canary_min(old), canary_min(new)
+    (c_old, k_old) = canary_ref(old, args.old)
+    (c_new, k_new) = canary_ref(new, args.new)
     normalized = bool(c_old and c_new)
     if normalized:
-        print(f"canary mins: {c_old:.3f} -> {c_new:.3f} "
-              f"(normalized floor {NORM_FLOOR_PCT:.0f}%)")
+        print(f"canary refs: {c_old:.3f} ({k_old}) -> {c_new:.3f} "
+              f"({k_new}) (normalized floor {NORM_FLOOR_PCT:.0f}%)")
+        if "min" in (k_old, k_new):
+            print("  WARNING: min-based reference on one side — "
+                  "normalized deltas biased when that round's canary "
+                  "series burst; trust the raw floor rule first")
     else:
         print("canary missing in one record: raw floor rule only")
 
