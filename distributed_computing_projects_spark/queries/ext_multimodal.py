@@ -25,6 +25,7 @@ from distributed_computing_projects_spark.operators.spread import spread
 from distributed_computing_projects_spark.operators import video as V
 from distributed_computing_projects_spark.queries import query
 from distributed_computing_projects_spark.sources import pdf as PDF
+from distributed_computing_projects_spark.sources import pdfobj as PDFO
 from distributed_computing_projects_spark.sources import wikidump as WD
 from distributed_computing_projects_spark.sources import warc as W
 from distributed_computing_projects_spark.sources.registry import load_table
@@ -1130,6 +1131,95 @@ def q_pdf_extract_text(spark, sf_dir):
     )
     return PDF.extract_pdf_text(
         PDF.pdf_payloads(eligible, "doc_id", "text"))
+
+
+_PDF_PSUM_CTE = f"""
+    WITH eligible AS (
+      SELECT doc_id AS id, text FROM documents
+      WHERE octet_length(encode(text)) >= {PDF.PDF_TEXT_BYTES}),
+    b AS (
+      SELECT id, sum(ascii(substr(text, i, 1))) AS psum
+      FROM eligible,
+           (SELECT unnest(generate_series(1, {PDF.PDF_TEXT_BYTES})) AS i)
+      GROUP BY id)
+"""
+
+
+@query(
+    "pdf_objstm_extract_text",
+    oracle=_PDF_PSUM_CTE + """
+    SELECT e.id,
+           CAST(1 AS INTEGER) AS n_pages,
+           CAST(1 AS INTEGER) AS n_objstm,
+           CAST(6 AS INTEGER) AS n_compressed_objs,
+           CAST(CASE e.id % 2 WHEN 0 THEN 12 ELSE 1 END AS INTEGER)
+             AS pred,
+           CAST(5 AS INTEGER) AS n_text_ops,
+           CAST(""" + str(PDF.PDF_TEXT_BYTES) + """ AS BIGINT) AS n_chars,
+           CAST(b.psum AS BIGINT) AS prefix_sum
+    FROM eligible e JOIN b USING (id)
+    """,
+    doc="PDF 1.5+ object-stream extraction — the layout modern crawl "
+        "PDFs actually ship, which the classic-xref scanner "
+        "(pdf_extract_text) drops wholesale: per doc a real PDF 1.5 "
+        "file (sources/pdfobj.py) whose page tree, font, and the "
+        "content streams' INDIRECT /Length integers all live inside a "
+        "Flate /Type /ObjStm object stream, indexed by a /Type /XRef "
+        "cross-reference stream that even ids put behind PNG "
+        "predictor 12 (reusing the PNG Up unfilter from "
+        "operators/multimodal.py) and odd ids leave raw. Extraction "
+        "is the real object model: startxref -> xref-stream decode -> "
+        "object map -> ObjStm unpack -> page-tree walk -> indirect "
+        "/Length resolution through the object stream -> Flate -> "
+        "Tj/TJ scan. The oracle recomputes the predictor from id "
+        "parity and the text byte sum from character codes, so every "
+        "link (predictor unfilter, type-2 entry resolution, ObjStm "
+        "header parse) is on the hash path.",
+)
+def q_pdf_objstm_extract_text(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = docs.filter(
+        F.expr(f"octet_length(encode(text, 'UTF-8')) >= {PDF.PDF_TEXT_BYTES}")
+    )
+    return PDFO.extract_pdf_objstm(
+        PDFO.pdf_objstm_payloads(eligible, "doc_id", "text"))
+
+
+@query(
+    "pdf_tounicode_extract_text",
+    oracle=_PDF_PSUM_CTE + """
+    SELECT e.id,
+           CAST(2 AS INTEGER) AS n_fonts,
+           CAST(4 AS INTEGER) AS n_text_ops,
+           CAST(4 AS INTEGER) AS n_hex_strings,
+           CAST(""" + str(PDF.PDF_TEXT_BYTES
+                          + len(PDFO.TOUNICODE_TAIL)) + """ AS BIGINT)
+             AS n_chars,
+           CAST(b.psum + """ + str(PDFO.TOUNICODE_TAIL_SUM) + """ AS BIGINT)
+             AS prefix_sum
+    FROM eligible e JOIN b USING (id)
+    """,
+    doc="PDF hex strings + ToUnicode CMaps — how CID/Type0-font PDFs "
+        "(the other dominant modern text encoding) show text: per doc "
+        "a classic-xref PDF (sources/pdfobj.py) whose 64 text bytes "
+        "are shown as HEX strings of 2-byte private-range CIDs "
+        "(0xE000+b) through a Type0 font, recoverable only through "
+        "the font's ToUnicode CMap (32 bfchar entries for control "
+        "codes + one bfrange for the rest), plus a 5-byte literal "
+        "tail through a plain Type1 font so Tf font tracking is "
+        "exercised mid-stream. Raw CID bytes would sum to a "
+        "completely different value, so CMap parse (bfchar AND "
+        "bfrange), 2-byte code grouping, hex-string decode, and "
+        "font-state switching are all on the hash path; even ids "
+        "Flate the content stream, odd ids leave it raw.",
+)
+def q_pdf_tounicode_extract_text(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = docs.filter(
+        F.expr(f"octet_length(encode(text, 'UTF-8')) >= {PDF.PDF_TEXT_BYTES}")
+    )
+    return PDFO.extract_pdf_tounicode(
+        PDFO.pdf_tounicode_payloads(eligible, "doc_id", "text"))
 
 
 @query(

@@ -1,0 +1,195 @@
+"""PDF 1.5+ object model: COS parser, xref streams (plain and PNG
+predictor 12), object streams, indirect /Length through ObjStm,
+hex strings, ToUnicode CMaps (bfchar/bfrange, scalar and array dst),
+font tracking, torn/malformed drops (sources/pdfobj.py)."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from distributed_computing_projects_spark.sources import pdf as P14
+from distributed_computing_projects_spark.sources import pdfobj as P
+
+RAW = bytes(range(33, 97))  # 64 bytes incl. ( ) [ ] backslash
+
+
+# -- COS object parser -------------------------------------------------------
+
+def test_parse_scalars_and_collections():
+    v, _ = P.parse_object(b" << /A 1 /B -2.5 /C (s) /D <414243> /E"
+                          b" [1 2 0 R /N true false null] >>", 0)
+    assert v == {"A": 1, "B": -2.5, "C": b"s", "D": b"ABC",
+                 "E": [1, P.Ref(2), "N", True, False, None]}
+
+
+def test_parse_nested_parens_and_name_hex():
+    v, _ = P.parse_object(b"(a(b(c))d)", 0)
+    assert v == b"a(b(c))d"
+    v, _ = P.parse_object(b"/A#20B", 0)
+    assert v == "A B"
+
+
+def test_parse_hex_string_odd_padding_and_ws():
+    v, _ = P.parse_object(b"<4 1 4\n2 4>", 0)
+    assert v == b"AB@"  # odd digit count pads a trailing 0
+
+
+def test_parse_comments_skipped():
+    v, _ = P.parse_object(b"% note\n 7", 0)
+    assert v == 7
+
+
+def test_ref_vs_plain_ints():
+    v, _ = P.parse_object(b"[1 2 R 3 4]", 0)
+    assert v == [P.Ref(1), 3, 4]
+    v, _ = P.parse_object(b"[1 2 3]", 0)
+    assert v == [1, 2, 3]
+
+
+# -- builders x extractor matrix --------------------------------------------
+
+@pytest.mark.parametrize("predictor", [True, False])
+def test_objstm_roundtrip(predictor):
+    f = P.extract_facts(P.build_pdf_objstm(RAW, predictor))
+    assert f is not None
+    assert f["n_pages"] == 1 and f["n_objstm"] == 1
+    assert f["n_compressed_objs"] == 6
+    assert f["pred"] == (12 if predictor else 1)
+    assert f["n_text_ops"] == 5 and f["n_chars"] == P14.PDF_TEXT_BYTES
+    assert f["prefix_sum"] == sum(RAW)
+
+
+@pytest.mark.parametrize("flate", [True, False])
+def test_tounicode_roundtrip(flate):
+    f = P.extract_facts(P.build_pdf_tounicode(RAW, flate))
+    assert f is not None
+    assert f["n_fonts"] == 2
+    assert f["n_text_ops"] == 4 and f["n_hex_strings"] == 4
+    assert f["n_chars"] == P14.PDF_TEXT_BYTES + len(P.TOUNICODE_TAIL)
+    assert f["prefix_sum"] == sum(RAW) + P.TOUNICODE_TAIL_SUM
+
+
+def test_hostile_bytes_through_cmap_and_objstm():
+    """Control bytes hit the bfchar table, >=0x80 hits the bfrange
+    tail — mapped code points must sum to the source bytes."""
+    tricky = bytes([0, 9, 10, 31, 0x20, 0x7F, 0x80, 0xFF] * 8)
+    f = P.extract_facts(P.build_pdf_tounicode(tricky, True))
+    assert f["prefix_sum"] == sum(tricky) + P.TOUNICODE_TAIL_SUM
+    f = P.extract_facts(P.build_pdf_objstm(tricky, True))
+    assert f["prefix_sum"] == sum(tricky)
+
+
+def test_classic_14_fixture_parses_through_xref_walk():
+    """The 1.4 scanner's fixture is also a valid document for the
+    object-model path (classic table branch)."""
+    f = P.extract_facts(P14.build_pdf(RAW, flate=True))
+    assert f["n_pages"] == 1 and f["n_compressed_objs"] == 0
+    assert f["n_chars"] == P14.PDF_TEXT_BYTES
+    assert f["prefix_sum"] == sum(RAW)
+
+
+# -- ToUnicode CMap corners --------------------------------------------------
+
+def test_bfrange_array_destination():
+    data = (b"begincodespacerange <00> <FF> endcodespacerange\n"
+            b"beginbfchar <01> <0041> endbfchar\n"
+            b"beginbfrange <10> <12> [<0058> <0059> <005A>] endbfrange")
+    clen, table = P.parse_tounicode(data)
+    assert clen == 1
+    assert table[0x01] == "A"
+    assert [table[c] for c in (0x10, 0x11, 0x12)] == ["X", "Y", "Z"]
+
+
+def test_bfrange_scalar_increments_and_cap():
+    clen, table = P.parse_tounicode(
+        b"beginbfrange <0041> <0043> <0061> endbfrange")
+    assert clen == 2
+    assert [table[c] for c in (0x41, 0x42, 0x43)] == ["a", "b", "c"]
+    # hostile span is bounded, not enumerated to 2^32
+    _, table = P.parse_tounicode(
+        b"beginbfrange <00000000> <FFFFFFFF> <00000041> endbfrange")
+    assert len(table) <= P._RANGE_CAP
+
+
+def test_unmapped_code_is_replacement_char():
+    assert P._map_shown(b"\x00\x99", (2, {0x41: "A"})) == "\N{REPLACEMENT CHARACTER}"
+
+
+# -- predictor decode --------------------------------------------------------
+
+def test_up_filter_roundtrip():
+    rows = bytes(range(60))  # 12 rows of width 5
+    filtered = P._up_filter(rows, 5)
+    out = P._apply_predictor(filtered, {"Predictor": 12, "Columns": 5})
+    assert out == rows
+
+
+def test_tiff_predictor_drops():
+    assert P._apply_predictor(b"\x00" * 10, {"Predictor": 2}) is None
+
+
+# -- drop policy -------------------------------------------------------------
+
+def test_malformed_drops():
+    assert P.extract_facts(b"plain text") is None
+    assert P.extract_facts(b"") is None
+    assert P.extract_facts(b"%PDF-1.5\ngarbage with no startxref") is None
+    whole = P.build_pdf_objstm(RAW, True)
+    # torn tail: startxref gone
+    assert P.extract_facts(whole[: len(whole) // 2]) is None
+    # startxref kept but the body it points into is gone
+    sx = whole.rindex(b"startxref")
+    assert P.extract_facts(whole[:200] + whole[sx:]) is None
+
+
+def test_corrupt_objstm_drops_payload():
+    b = bytearray(P.build_pdf_objstm(RAW, True))
+    # flip a byte inside the ObjStm's Flate body: the page tree is
+    # unreachable -> whole payload drops (document-granular: without
+    # the catalog there is no record to keep)
+    at = bytes(b).find(b"/Type /ObjStm")
+    stream_at = bytes(b).find(b"stream\n", at) + 9
+    b[stream_at] ^= 0xFF
+    assert P.extract_facts(bytes(b)) is None
+
+
+def test_unsupported_filter_drops_stream_not_payload():
+    """Marking the CMap stream LZW (same byte length, unsupported
+    filter) drops THAT stream only: the document still parses, the
+    CID bytes fall back to latin-1 so the hash facts shift — proving
+    the CMap was genuinely load-bearing before the drop."""
+    b = P.build_pdf_tounicode(RAW, False)
+    assert b.count(b"/FlateDecode /Type /CMap") == 1
+    lzw = b.replace(b"/FlateDecode /Type /CMap", b"/LZWDecodeee /Type /CMap")
+    assert len(lzw) == len(b)  # offsets/xref stay valid
+    f = P.extract_facts(lzw)
+    assert f is not None and f["n_fonts"] == 2
+    # 64 source bytes arrive as 128 raw CID bytes via latin-1
+    assert f["n_chars"] == 2 * P14.PDF_TEXT_BYTES + len(P.TOUNICODE_TAIL)
+    good = P.extract_facts(b)
+    assert f["prefix_sum"] != good["prefix_sum"]
+
+
+# -- Spark wiring ------------------------------------------------------------
+
+def test_spark_objstm(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = P.extract_pdf_objstm(
+        P.pdf_objstm_payloads(docs, "doc_id", "text")).collect()
+    assert out
+    for r in out:
+        assert r["n_objstm"] == 1 and r["n_compressed_objs"] == 6
+        assert r["pred"] == (12 if r["id"] % 2 == 0 else 1)
+        assert r["n_chars"] == P14.PDF_TEXT_BYTES
+
+
+def test_spark_tounicode(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = P.extract_pdf_tounicode(
+        P.pdf_tounicode_payloads(docs, "doc_id", "text")).collect()
+    assert out
+    for r in out:
+        assert r["n_fonts"] == 2 and r["n_hex_strings"] == 4
+        assert r["n_chars"] == P14.PDF_TEXT_BYTES + len(P.TOUNICODE_TAIL)
