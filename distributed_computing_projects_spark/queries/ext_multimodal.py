@@ -24,6 +24,7 @@ from distributed_computing_projects_spark.operators import mp3meta as MP
 from distributed_computing_projects_spark.operators.spread import spread
 from distributed_computing_projects_spark.operators import video as V
 from distributed_computing_projects_spark.queries import query
+from distributed_computing_projects_spark.functions import wikitext as WT
 from distributed_computing_projects_spark.sources import pdf as PDF
 from distributed_computing_projects_spark.sources import pdfobj as PDFO
 from distributed_computing_projects_spark.sources import wikidump as WD
@@ -1089,6 +1090,74 @@ def q_wikidump_extract_pages(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return WD.extract_pages(
         WD.wikidump_payloads(docs, "doc_id", "text"))
+
+
+# Deterministic wikitext wrapper replayed identically by both engines
+# (the html_extract_text pattern): the synthetic corpus has no markup,
+# so the article body wraps every doc in wikitext exercising each
+# stripping rule — a depth-3 nested template, bold/italic quote runs,
+# a named <ref>, a comment, piped + plain + namespace links, labeled
+# and bare external links, a table, a heading, a list item, a stray
+# tag. The doc text rides INSIDE the italic span.
+_WIKI_PRE = "{{Infobox fixture|name=Doc "
+_WIKI_MID1 = ("|meta={{nested|deep {{deeper|x}}}}}}\n== Overview ==\n"
+              "'''Doc ")
+_WIKI_MID2 = "''' is about ''"
+_WIKI_POST = (
+    "''.<ref name=\"a\">cite text</ref>\n<!-- hidden note -->\n"
+    "See [[Target Article|the target]] and [[Plain Link]].\n"
+    "[http://example.com/x external label] ends here.<br/>\n"
+    "{| class=\"wikitable\"\n|-\n! h !! v\n|-\n| a || b\n|}\n"
+    "* item one\n[[Category:Fixtures]]\n"
+)
+
+
+def _wiki_wrap(dialect: str) -> str:
+    lit = [WT.sql_literal(s, dialect)
+           for s in (_WIKI_PRE, _WIKI_MID1, _WIKI_MID2, _WIKI_POST)]
+    if dialect == "spark":
+        return (f"concat({lit[0]}, CAST(doc_id AS STRING), {lit[1]},"
+                f" CAST(doc_id AS STRING), {lit[2]}, text, {lit[3]})")
+    return (f"({lit[0]} || CAST(doc_id AS VARCHAR) || {lit[1]} ||"
+            f" CAST(doc_id AS VARCHAR) || {lit[2]} || text || {lit[3]})")
+
+
+@query(
+    "wikidump_plain_text",
+    oracle=f"""
+    SELECT doc_id AS id, CAST(2 * doc_id AS BIGINT) AS page_id,
+           {WT.strip_wikitext(_wiki_wrap('duck'), 'duck')} AS extracted
+    FROM documents
+    """,
+    doc="Wikitext -> plain text — the stage every Wikipedia-corpus "
+        "pipeline applies after dump ingest, run END-TO-END through "
+        "the dump: each doc's text is wrapped in markup exercising "
+        "every stripping rule (functions/wikitext.py), serialized "
+        "into a real multistream-bz2 MediaWiki dump, re-extracted "
+        "(bz2 member walk + expat), and then stripped by a pure "
+        "regexp_replace chain — nested {{templates}} via a bounded "
+        "innermost-pattern iteration (RE2 has no recursion or "
+        "backrefs), <ref>/comments/tags, tables, [[link|label]] -> "
+        "label with namespace links dropped, external-link labels, "
+        "quote-run bold/italic, headings kept as text, list markers, "
+        "entity decode, whitespace collapse. The oracle replays the "
+        "same wrap + strip chain in DuckDB SQL on the source column "
+        "(the dump layer is lossless) and the EXTRACTED STRING is "
+        "hash-compared — a two-engine differential of Java-regex vs "
+        "RE2 on the exact patterns, through the full bz2/XML "
+        "round-trip.",
+)
+def q_wikidump_plain_text(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id", F.expr(_wiki_wrap("spark")).alias("wiki")
+    )
+    pages = WD.extract_page_text(
+        WD.wikidump_payloads(wrapped, "doc_id", "wiki"))
+    return pages.filter(F.col("ns") == 0).select(
+        "id", "page_id",
+        F.expr(WT.strip_wikitext("wikitext", "spark")).alias("extracted"),
+    )
 
 
 @query(

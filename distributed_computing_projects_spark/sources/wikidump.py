@@ -228,3 +228,30 @@ def extract_pages(payloads: DataFrame) -> DataFrame:
     return payloads.select("id", "payload").mapInPandas(
         _extract, schema=WIKI_SCHEMA
     )
+
+
+WIKI_TEXT_SCHEMA = "id bigint, page_id bigint, ns int, wikitext string"
+
+
+def extract_page_text(payloads: DataFrame) -> DataFrame:
+    """Like :func:`extract_pages` but emitting the page TEXT itself
+    (the raw wikitext), for the markup-stripping stage that follows
+    dump ingest (``functions/wikitext.py``). Same drop policy."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("id", "page_id", "ns", "wikitext")}
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                pages = extract_dump(bytes(payload))
+                if pages is None:
+                    continue
+                for pg in pages:
+                    out["id"].append(i)
+                    out["page_id"].append(pg["page_id"])
+                    out["ns"].append(pg["ns"])
+                    out["wikitext"].append(pg["text"])
+            yield pd.DataFrame(out)
+
+    return payloads.select("id", "payload").mapInPandas(
+        _extract, schema=WIKI_TEXT_SCHEMA
+    )
