@@ -142,3 +142,53 @@ def test_gz_payload_builder_matches_plain(spark):
         tuple(r) for r in W.extract_responses(
             W.warc_gz_payloads(docs, "doc_id", "text", "source")).collect())
     assert gz == plain and len(plain) == docs.count()
+
+
+# -- zstd (.warc.zst) seam: backend-gated (documented boundary in
+# sources/warc.py — this container has neither compression.zstd nor
+# the zstandard wheel, so the roundtrip tests skip here and activate
+# wherever a backend exists) --------------------------------------------------
+
+def test_zstd_boundary_without_backend():
+    """With no backend: unzstd_members is the row drop (None), the
+    builder raises the documented error, and a zstd-magic payload
+    drops through extract_responses without poisoning the batch."""
+    import pytest
+
+    if W.zstd_backend() is not None:
+        pytest.skip("zstd backend present: the roundtrip tests cover this")
+    assert W.unzstd_members(b"\x28\xb5\x2f\xfd" + b"\x00" * 16) is None
+    with pytest.raises(RuntimeError, match="zstd backend"):
+        W.warc_zst_payloads(None, "id", "text", "source")
+
+
+def test_zstd_members_roundtrip_and_torn():
+    import pytest
+
+    backend = W.zstd_backend()
+    if backend is None:
+        pytest.skip("no zstd backend in this environment")
+    compress, _ = backend
+    rec1 = W.build_response_record("https://a/1", b"A" * 40)
+    rec2 = W.build_response_record("https://a/2", b"B" * 40)
+    whole = compress(rec1) + compress(rec2)
+    assert W.unzstd_members(whole) == rec1 + rec2
+    # torn second frame keeps the first (record-granular policy)
+    torn = compress(rec1) + compress(rec2)[:-8]
+    assert W.unzstd_members(torn) == rec1
+    assert W.unzstd_members(whole[:4]) is None
+
+
+def test_spark_zst_payload_builder_matches_plain(spark):
+    import pytest
+
+    if W.zstd_backend() is None:
+        pytest.skip("no zstd backend in this environment")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plain = sorted(
+        tuple(r) for r in W.extract_responses(
+            W.warc_payloads(docs, "doc_id", "text", "source")).collect())
+    zst = sorted(
+        tuple(r) for r in W.extract_responses(
+            W.warc_zst_payloads(docs, "doc_id", "text", "source")).collect())
+    assert zst == plain and len(plain) == docs.count()
