@@ -39,28 +39,82 @@ import uuid
 PARAMS_FILE = "_params"
 
 
+class LocalFS:
+    """Filesystem seam for store metadata and commit operations.
+
+    Every storemeta function routes its IO through an FS object so
+    the pointer-mode commit (already the object-store SHAPE — see
+    :func:`commit_swap_versioned`) can target a real object store by
+    supplying an implementation whose ``replace_text`` is the S3
+    conditional PUT / GCS generation-match put. Paths are treated as
+    opaque strings joined with ``/`` — never ``os.path`` semantics —
+    so ``s3a://bucket/store`` flows through unmangled (the tests
+    parameterize the pointer-swap suite over a scheme-prefixed FS to
+    pin that). The sandbox has no object store, so only this local
+    implementation runs here; Spark itself reads whatever URL scheme
+    its hadoop conf enables (``session.hadoop_conf_from_env``)."""
+
+    def join(self, base: str, *parts: str) -> str:
+        return "/".join([base.rstrip("/"), *parts])
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def listdir(self, path: str) -> list[str]:
+        return os.listdir(path)
+
+    def rename(self, src: str, dst: str) -> None:
+        os.rename(src, dst)
+
+    def rmtree(self, path: str) -> None:
+        import shutil
+
+        shutil.rmtree(path)
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def read_text(self, path: str) -> str | None:
+        """File contents, or None when missing."""
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return f.read()
+
+    def replace_text(self, path: str, text: str) -> None:
+        """Atomically replace ``path`` with ``text`` — readers see the
+        old contents or the new, never a torn write. Locally a temp
+        file + ``os.replace``; on an object store, the conditional
+        PUT of the same small object (THE commit primitive)."""
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, path)
+
+
+LOCAL = LocalFS()
+
+
 class StoreParamsError(ValueError):
     """Missing or mismatched store parameters (see module doc)."""
 
 
-def write_params(path: str, kind: str, params: dict) -> None:
-    """Record ``params`` as the store's write parameters (atomic:
-    temp-file + rename inside the store directory)."""
+def write_params(path: str, kind: str, params: dict,
+                 fs: LocalFS = LOCAL) -> None:
+    """Record ``params`` as the store's write parameters (atomic
+    replace of the sidecar object)."""
     meta = {"kind": kind, **params}
-    tmp = os.path.join(path, f".tmp-{PARAMS_FILE}-{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(path, PARAMS_FILE))
+    fs.replace_text(fs.join(path, PARAMS_FILE), json.dumps(meta))
 
 
-def read_params(path: str) -> dict | None:
+def read_params(path: str, fs: LocalFS = LOCAL) -> dict | None:
     """The store's recorded parameters, or None for a pre-sidecar
     store."""
-    sidecar = os.path.join(path, PARAMS_FILE)
-    if not os.path.exists(sidecar):
-        return None
-    with open(sidecar) as f:
-        return json.load(f)
+    text = fs.read_text(fs.join(path, PARAMS_FILE))
+    return None if text is None else json.loads(text)
 
 
 def resolve(path: str, kind: str, overrides: dict) -> dict:
@@ -248,46 +302,47 @@ def recover_swap(path: str) -> str:
 VERSION_KEY = "version"
 
 
-def version_dir(path: str, n: int) -> str:
-    return os.path.join(path, f"v={n}")
+def version_dir(path: str, n: int, fs: LocalFS = LOCAL) -> str:
+    return fs.join(path, f"v={n}")
 
 
-def data_path(path: str) -> str:
+def data_path(path: str, fs: LocalFS = LOCAL) -> str:
     """The directory to READ for the store at ``path``: the pointed
     version directory for a pointer-mode store (sidecar carries
     ``version``), ``path`` itself for a rename-mode store. Readers of
     versioned stores must resolve through this instead of listing
     ``path`` directly — that indirection is the whole mechanism."""
-    meta = read_params(path)
+    meta = read_params(path, fs)
     if meta is not None and VERSION_KEY in meta:
-        return version_dir(path, meta[VERSION_KEY])
+        return version_dir(path, meta[VERSION_KEY], fs)
     return path
 
 
-def convert_to_versioned(path: str) -> str:
+def convert_to_versioned(path: str, fs: LocalFS = LOCAL) -> str:
     """Migrate a rename-mode store in place to the versioned-pointer
     layout: move its data entries into ``v=0/`` and rewrite the
     sidecar with ``version: 0`` (idempotent on an already-versioned
     store). Returns the new data directory."""
-    meta = read_params(path)
+    meta = read_params(path, fs)
     if meta is None:
         raise StoreParamsError(
             f"convert_to_versioned: {path!r} has no {PARAMS_FILE} sidecar"
         )
     if VERSION_KEY in meta:
-        return version_dir(path, meta[VERSION_KEY])
-    v0 = version_dir(path, 0)
-    os.makedirs(v0, exist_ok=True)
-    for entry in os.listdir(path):
+        return version_dir(path, meta[VERSION_KEY], fs)
+    v0 = version_dir(path, 0, fs)
+    fs.makedirs(v0)
+    for entry in fs.listdir(path):
         if entry == PARAMS_FILE or entry.startswith("v="):
             continue
-        os.rename(os.path.join(path, entry), os.path.join(v0, entry))
+        fs.rename(fs.join(path, entry), fs.join(v0, entry))
     kind = meta.pop("kind")
-    write_params(path, kind, {**meta, VERSION_KEY: 0})
+    write_params(path, kind, {**meta, VERSION_KEY: 0}, fs)
     return v0
 
 
-def commit_swap_versioned(path: str, tmp: str) -> None:
+def commit_swap_versioned(path: str, tmp: str,
+                          fs: LocalFS = LOCAL) -> None:
     """Pointer-mode commit: adopt the verified rewrite at ``tmp`` as
     the store's next version and flip the sidecar pointer. Three
     steps, each a crash cut point repaired by
@@ -308,9 +363,7 @@ def commit_swap_versioned(path: str, tmp: str) -> None:
     Unlike rename mode there is NO window where ``path`` does not
     exist: concurrent readers resolving :func:`data_path` always find
     a complete version directory."""
-    import shutil
-
-    meta = read_params(path)
+    meta = read_params(path, fs)
     if meta is None or VERSION_KEY not in meta:
         raise StoreParamsError(
             f"commit_swap_versioned: {path!r} is not a versioned store "
@@ -318,18 +371,18 @@ def commit_swap_versioned(path: str, tmp: str) -> None:
             f"convert_to_versioned first"
         )
     n = int(meta[VERSION_KEY]) + 1
-    vd = version_dir(path, n)
-    if os.path.exists(vd):
-        shutil.rmtree(vd)  # leftover of a crashed prior attempt
-    os.rename(tmp, vd)
+    vd = version_dir(path, n, fs)
+    if fs.exists(vd):
+        fs.rmtree(vd)  # leftover of a crashed prior attempt
+    fs.rename(tmp, vd)
     kind = meta.pop("kind")
-    write_params(path, kind, {**meta, VERSION_KEY: n})
-    for entry in os.listdir(path):
+    write_params(path, kind, {**meta, VERSION_KEY: n}, fs)
+    for entry in fs.listdir(path):
         if entry.startswith("v=") and entry != f"v={n}":
-            shutil.rmtree(os.path.join(path, entry))
+            fs.rmtree(fs.join(path, entry))
 
 
-def recover_swap_versioned(path: str) -> str:
+def recover_swap_versioned(path: str, fs: LocalFS = LOCAL) -> str:
     """Repair a versioned store whose :func:`commit_swap_versioned`
     was interrupted. Idempotent; safe on a healthy store. The pointer
     flip is atomic, so the sidecar always names exactly one committed
@@ -345,26 +398,24 @@ def recover_swap_versioned(path: str) -> str:
     Returns ``"cleaned"`` or ``"noop"``; raises if the pointed
     version directory itself is missing (that is data loss, not an
     interrupted swap)."""
-    import shutil
-
-    meta = read_params(path)
+    meta = read_params(path, fs)
     if meta is None or VERSION_KEY not in meta:
         raise StoreParamsError(
             f"recover_swap_versioned: {path!r} is not a versioned store"
         )
     n = int(meta[VERSION_KEY])
-    if not os.path.isdir(version_dir(path, n)):
+    if not fs.isdir(version_dir(path, n, fs)):
         raise StoreParamsError(
             f"recover_swap_versioned: {path!r} points at version {n} "
             f"but v={n} is missing — data loss, not an interrupted swap"
         )
     cleaned = False
-    for entry in os.listdir(path):
+    for entry in fs.listdir(path):
         if entry.startswith("v=") and entry != f"v={n}":
-            shutil.rmtree(os.path.join(path, entry))
+            fs.rmtree(fs.join(path, entry))
             cleaned = True
     tmp = path.rstrip("/") + ".__compact__"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
+    if fs.exists(tmp):
+        fs.rmtree(tmp)
         cleaned = True
     return "cleaned" if cleaned else "noop"

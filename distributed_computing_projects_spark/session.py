@@ -22,6 +22,34 @@ from pyspark.sql import SparkSession
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def hadoop_conf_from_env(env=None) -> dict[str, str]:
+    """Object-store configuration passthrough: ``spark.hadoop.*``
+    entries read from the java-properties-style file named by
+    ``$SPARK_GRAFT_HADOOP_CONF`` (one ``key=value`` per line, ``#``
+    comments; e.g. ``fs.s3a.endpoint=https://...`` becomes
+    ``spark.hadoop.fs.s3a.endpoint``). This is the seam that points
+    the engine at S3/GCS/MinIO — the pointer-mode store commit
+    (operators/storemeta.py) is already the object-store shape, and
+    Spark reads ``s3a://`` paths natively once these are set. The
+    sandbox has no object store, so only ``file://`` paths are
+    exercised here; the passthrough itself is unit-tested."""
+    env = os.environ if env is None else env
+    path = env.get("SPARK_GRAFT_HADOOP_CONF")
+    if not path or not os.path.exists(path):
+        return {}
+    out: dict[str, str] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            k, _, v = line.partition("=")
+            k = k.strip()
+            prefix = "" if k.startswith("spark.") else "spark.hadoop."
+            out[prefix + k] = v.strip()
+    return out
+
+
 def get_spark(
     app_name: str = "dcp-spark-engine",
     cpus: int | None = None,
@@ -60,6 +88,8 @@ def get_spark(
         # (values are µs-resolution — lossless).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    for k, v in hadoop_conf_from_env().items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
