@@ -193,3 +193,39 @@ def test_spark_tounicode(spark):
     for r in out:
         assert r["n_fonts"] == 2 and r["n_hex_strings"] == 4
         assert r["n_chars"] == P14.PDF_TEXT_BYTES + len(P.TOUNICODE_TAIL)
+
+
+def test_incremental_update_prev_chain():
+    """The append-only update layout every Acrobat-touched PDF has: a
+    replacement object and a second xref section with /Prev chaining
+    to the original. The NEWEST definition of each object must win
+    (first-seen along the startxref->Prev walk), so the extracted
+    text reflects the update while untouched objects resolve through
+    the old table."""
+    import re
+
+    base = P14.build_pdf(RAW, flate=False)
+    old_sx = int(re.search(rb"startxref\s+(\d+)", base).group(1))
+    # replacement for object 4 (the four-Tj stream showing RAW[:32]):
+    # same geometry, different bytes
+    new_half = bytes(range(97, 129))
+    tj = b"BT /F1 12 Tf 72 720 Td " + b" ".join(
+        b"(" + P14.escape_string(new_half[i:i + 8]) + b") Tj"
+        for i in range(0, 32, 8)
+    ) + b" ET"
+    out = bytearray(base)
+    off4 = len(out)
+    out += (b"4 0 obj << /Length %d >>\nstream\n" % len(tj)
+            + tj + b"\nendstream\nendobj\n")
+    new_xref = len(out)
+    out += b"xref\n4 1\n%010d 00000 n \n" % off4
+    out += (b"trailer << /Size 9 /Root 1 0 R /Prev %d >>\n"
+            b"startxref\n%d\n%%%%EOF\n" % (old_sx, new_xref))
+
+    f = P.extract_facts(bytes(out))
+    assert f is not None and f["n_pages"] == 1
+    # first half updated, second half (object 5, via /Prev) unchanged
+    assert f["n_chars"] == P14.PDF_TEXT_BYTES
+    assert f["prefix_sum"] == sum(new_half) + sum(RAW[32:])
+    # the base document still reads its original text
+    assert P.extract_facts(base)["prefix_sum"] == sum(RAW)
