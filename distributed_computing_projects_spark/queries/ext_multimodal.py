@@ -1124,6 +1124,7 @@ def _wiki_wrap(dialect: str) -> str:
 
 @query(
     "wikidump_plain_text",
+    headline=True,
     oracle=f"""
     SELECT doc_id AS id, CAST(2 * doc_id AS BIGINT) AS page_id,
            {WT.strip_wikitext(_wiki_wrap('duck'), 'duck')} AS extracted
@@ -1216,6 +1217,7 @@ _PDF_PSUM_CTE = f"""
 
 @query(
     "pdf_objstm_extract_text",
+    headline=True,
     oracle=_PDF_PSUM_CTE + """
     SELECT e.id,
            CAST(1 AS INTEGER) AS n_pages,
@@ -1256,6 +1258,7 @@ def q_pdf_objstm_extract_text(spark, sf_dir):
 
 @query(
     "pdf_tounicode_extract_text",
+    headline=True,
     oracle=_PDF_PSUM_CTE + """
     SELECT e.id,
            CAST(2 AS INTEGER) AS n_fonts,

@@ -55,6 +55,11 @@ EXCHANGE_BUDGET = {
     # build+extract chain (two chained mapInPandas, no exchange
     # between them)
     "pdf_extract_text": 1,
+    # same spread-then-Arrow-chain shape as pdf_extract_text: the one
+    # exchange is spread's fixture-scale repartition; the object-model
+    # walk (objstm/xref-stream) and CMap mapping are in-partition
+    "pdf_objstm_extract_text": 1,
+    "pdf_tounicode_extract_text": 1,
     "q17_small_quantity_revenue": 2,
     "q1_pricing_summary": 1,
     "q3_shipping_priority": 1,
@@ -71,6 +76,9 @@ EXCHANGE_BUDGET = {
     "tfidf_top_terms": 4,
     "training_corpus_summary": 3,
     "warc_gz_extract_responses": 1,
+    # spread repartition before the dump build+extract chain; the
+    # wikitext strip is a codegen projection on the extractor output
+    "wikidump_plain_text": 1,
     "wine_filter_agg": 2,
     "wordcount": 2,
     # the single per-bucket aggregate; the Morton key is codegen
