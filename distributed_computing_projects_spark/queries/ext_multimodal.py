@@ -1332,6 +1332,47 @@ def q_warc_gz_extract_responses(spark, sf_dir):
         W.warc_gz_payloads(docs, "doc_id", "text", "source"))
 
 
+@query(
+    "wet_extract_conversions",
+    oracle=f"""
+    WITH body AS (
+      SELECT doc_id AS id,
+             'https://' || source || '.example.com/doc/' || doc_id
+               AS url,
+             octet_length(encode(text)) AS n_text_bytes,
+             substr(text, 1, {W.WARC_PREFIX}) AS prefix
+      FROM documents),
+    pre AS (
+      SELECT id, url, n_text_bytes,
+             sum(CASE WHEN i <= length(prefix)
+                      THEN ascii(substr(prefix, i, 1)) ELSE 0 END)
+               AS psum
+      FROM body,
+           (SELECT unnest(generate_series(1, {W.WARC_PREFIX})) AS i)
+      GROUP BY id, url, n_text_bytes)
+    SELECT id, url,
+           CAST(n_text_bytes AS BIGINT) AS n_text_bytes,
+           CAST(psum AS BIGINT) AS prefix_sum
+    FROM pre
+    """,
+    doc="WET (.warc.wet.gz) extraction — the plain-text sibling "
+        "Common Crawl publishes next to every WARC segment and what "
+        "most text pipelines actually read: WARC framing with "
+        "WARC-Type: conversion records whose text/plain block IS the "
+        "extracted text (no HTTP envelope). Per doc a warcinfo + "
+        "conversion pair, each its own gzip member (the published "
+        "layout), walked by the same record parser and member-wise "
+        "gunzip as .warc.gz; warcinfo skips, conversion bodies emit "
+        "(url, text length, bounded-prefix byte sum). The oracle "
+        "rebuilds every fact from the source columns and character "
+        "codes.",
+)
+def q_wet_extract_conversions(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return W.extract_conversions(
+        W.wet_payloads(docs, "doc_id", "text", "source"))
+
+
 # ---------------------------------------------------------------------------
 # G.711 companded audio (WAV fmt tags 6/7): the telephony codec tier
 # ---------------------------------------------------------------------------

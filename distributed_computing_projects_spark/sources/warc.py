@@ -312,6 +312,96 @@ def warc_gz_payloads(df: DataFrame, id_col: str, text_col: str,
     return spread(cols).mapInPandas(_encode, schema="id bigint, payload binary")
 
 
+def build_conversion_record(url: str, text: bytes) -> bytes:
+    """One WET ``conversion`` record: the extracted plain text Common
+    Crawl publishes alongside each WARC segment (``.warc.wet.gz``) —
+    same WARC framing, ``WARC-Type: conversion``, ``text/plain``
+    block with NO HTTP envelope."""
+    return build_record(
+        "conversion",
+        {"WARC-Target-URI": url,
+         "WARC-Date": "2024-01-01T00:00:00Z",
+         "WARC-Refers-To": "<urn:uuid:00000000-0000-0000-0000-000000000000>",
+         "Content-Type": "text/plain"},
+        text,
+    )
+
+
+def wet_payloads(df: DataFrame, id_col: str, text_col: str,
+                 source_col: str) -> DataFrame:
+    """(id, payload): a deterministic WET file per row — warcinfo +
+    one conversion record, each its own gzip member (the
+    ``.warc.wet.gz`` layout Common Crawl publishes)."""
+
+    def _gz(record: bytes) -> bytes:
+        return gzip.compress(record, compresslevel=6, mtime=0)
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, text, source in zip(pdf["id"], pdf["text"],
+                                       pdf["source"]):
+                url = f"https://{source}.example.com/doc/{i}"
+                info = build_record(
+                    "warcinfo", {"Content-Type": "application/warc-fields"},
+                    b"software: fixture\r\n")
+                conv = build_conversion_record(url, text.encode("utf-8"))
+                payloads.append(_gz(info) + _gz(conv))
+                ids.append(i)
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    cols = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text"),
+        F.col(source_col).alias("source"),
+    )
+    return spread(cols).mapInPandas(_encode, schema="id bigint, payload binary")
+
+
+WET_SCHEMA = (
+    "id bigint, url string, n_text_bytes bigint, prefix_sum bigint"
+)
+
+
+def extract_conversions(payloads: DataFrame) -> DataFrame:
+    """WET extraction: the same record walk as
+    :func:`extract_responses` (and the same gzip/zstd member decode),
+    keeping ``conversion`` records, whose block IS the text — no HTTP
+    envelope to strip. Emits (id, url, text byte length, bounded
+    prefix byte sum)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("id", "url", "n_text_bytes",
+                                   "prefix_sum")}
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                raw = bytes(payload)
+                if raw[:2] == _GZIP_MAGIC:
+                    raw = gunzip_members(raw)
+                    if raw is None:
+                        continue
+                elif raw[:4] == _ZSTD_MAGIC:
+                    raw = unzstd_members(raw)
+                    if raw is None:
+                        continue
+                records = parse_records(raw)
+                if records is None:
+                    continue
+                for headers, block in records:
+                    if headers.get("warc-type") != "conversion":
+                        continue
+                    out["id"].append(i)
+                    out["url"].append(
+                        headers.get("warc-target-uri", ""))
+                    out["n_text_bytes"].append(len(block))
+                    out["prefix_sum"].append(
+                        int(sum(block[:WARC_PREFIX])))
+            yield pd.DataFrame(out)
+
+    return payloads.select("id", "payload").mapInPandas(
+        _extract, schema=WET_SCHEMA
+    )
+
+
 WARC_SCHEMA = (
     "id bigint, url string, status int, n_body_bytes bigint,"
     " prefix_sum bigint"

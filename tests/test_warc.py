@@ -192,3 +192,43 @@ def test_spark_zst_payload_builder_matches_plain(spark):
         tuple(r) for r in W.extract_responses(
             W.warc_zst_payloads(docs, "doc_id", "text", "source")).collect())
     assert zst == plain and len(plain) == docs.count()
+
+
+# -- WET (.warc.wet.gz): conversion records, the plain-text sibling ----------
+
+def test_wet_conversion_roundtrip():
+    text = b"extracted plain text " * 4
+    rec = W.build_conversion_record("https://a/1", text)
+    records = W.parse_records(rec)
+    assert len(records) == 1
+    headers, block = records[0]
+    assert headers["warc-type"] == "conversion"
+    assert headers["content-type"] == "text/plain"
+    assert block == text
+
+
+def test_spark_wet_extract(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = W.extract_conversions(
+        W.wet_payloads(docs, "doc_id", "text", "source")).collect()
+    assert len(rows) == docs.count()
+    by_id = {r["id"]: r for r in rows}
+    src = {r["doc_id"]: r for r in docs.collect()}
+    for i, r in by_id.items():
+        raw = src[i]["text"].encode("utf-8")
+        assert r["n_text_bytes"] == len(raw)
+        assert r["prefix_sum"] == sum(raw[:W.WARC_PREFIX])
+        assert r["url"].endswith(f"/doc/{i}")
+
+
+def test_wet_response_records_do_not_leak_into_conversions(spark):
+    """A mixed payload (response + conversion) must route each record
+    to its own extractor only."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(3)
+    wet = W.extract_conversions(
+        W.warc_gz_payloads(docs, "doc_id", "text", "source")).collect()
+    assert wet == []  # response-only payloads: no conversion records
+    resp = W.extract_responses(
+        W.wet_payloads(docs, "doc_id", "text", "source")).collect()
+    assert resp == []  # conversion-only payloads: no response records
