@@ -341,10 +341,33 @@ def build_parser() -> argparse.ArgumentParser:
         help="extract the text layer from PDF payloads: reads a "
              "parquet of (id, payload binary), prints per-payload "
              "(id, n_streams, n_flate, n_text_ops, n_chars, "
-             "prefix_sum)",
+             "prefix_sum); --object-model uses the PDF 1.5+ xref "
+             "walk (xref/object streams, ToUnicode CMaps, hex "
+             "strings) and prints the object-model fact set",
     )
     pdx.add_argument("payloads_path",
                      help="parquet with (id bigint, payload binary)")
+    pdx.add_argument("--object-model", action="store_true")
+
+    wet = sub.add_parser(
+        "wet-extract",
+        help="extract conversion records from WET payloads "
+             "(.warc.wet / .warc.wet.gz): reads a parquet of "
+             "(id, payload binary), prints per-record "
+             "(id, url, n_text_bytes, prefix_sum)",
+    )
+    wet.add_argument("payloads_path",
+                     help="parquet with (id bigint, payload binary)")
+
+    ws = sub.add_parser(
+        "wikitext-strip",
+        help="strip MediaWiki markup to plain text over a parquet "
+             "corpus column (codegen regexp chain, "
+             "functions/wikitext.py)",
+    )
+    ws.add_argument("corpus_path", help="parquet corpus")
+    ws.add_argument("--id-col", default="doc_id")
+    ws.add_argument("--text-col", default="text")
 
     wx = sub.add_parser(
         "wiki-extract",
@@ -717,10 +740,35 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             payloads = spark.read.parquet(args.payloads_path)
             _emit(warc.extract_responses(payloads).orderBy("id", "url"))
         elif args.cmd == "pdf-extract":
-            from distributed_computing_projects_spark.sources import pdf
+            payloads = spark.read.parquet(args.payloads_path)
+            if args.object_model:
+                from distributed_computing_projects_spark.sources import (
+                    pdfobj,
+                )
+
+                _emit(pdfobj.extract_pdf_facts(payloads).orderBy("id"))
+            else:
+                from distributed_computing_projects_spark.sources import pdf
+
+                _emit(pdf.extract_pdf_text(payloads).orderBy("id"))
+        elif args.cmd == "wet-extract":
+            from distributed_computing_projects_spark.sources import warc
 
             payloads = spark.read.parquet(args.payloads_path)
-            _emit(pdf.extract_pdf_text(payloads).orderBy("id"))
+            _emit(warc.extract_conversions(payloads).orderBy("id", "url"))
+        elif args.cmd == "wikitext-strip":
+            from pyspark.sql import functions as F
+
+            from distributed_computing_projects_spark.functions import (
+                wikitext,
+            )
+
+            docs = spark.read.parquet(args.corpus_path)
+            _emit(docs.select(
+                F.col(args.id_col).alias("id"),
+                F.expr(wikitext.strip_wikitext(args.text_col, "spark"))
+                .alias("text"),
+            ).orderBy("id"))
         elif args.cmd == "wiki-extract":
             from pyspark.sql import functions as F
 

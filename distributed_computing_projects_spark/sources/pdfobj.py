@@ -892,3 +892,16 @@ extract_pdf_tounicode = _extractor(
     ["n_fonts", "n_text_ops", "n_hex_strings", "n_chars", "prefix_sum"],
     TOUNICODE_SCHEMA,
 )
+
+FACTS_SCHEMA = (
+    "id bigint, n_pages int, n_objstm int, n_compressed_objs int,"
+    " pred int, n_fonts int, n_text_ops int, n_hex_strings int,"
+    " n_chars bigint, prefix_sum bigint"
+)
+# every fact the object-model walk produces (the CLI surface; the two
+# query extractors above select the subsets their oracles pin)
+extract_pdf_facts = _extractor(
+    ["n_pages", "n_objstm", "n_compressed_objs", "pred", "n_fonts",
+     "n_text_ops", "n_hex_strings", "n_chars", "prefix_sum"],
+    FACTS_SCHEMA,
+)

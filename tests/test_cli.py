@@ -445,3 +445,52 @@ def test_pdf_and_wiki_extract_subcommands(spark, tmp_path, capsys):
                 spark=spark) == 0
     arts = capsys.readouterr().out.strip().splitlines()
     assert len(arts) == 1 and "Doc 0" in arts[0]
+
+
+def test_pdf_object_model_wet_and_wikitext_subcommands(
+        spark, tmp_path, capsys):
+    import gzip
+
+    from pyspark.sql import Row
+
+    from distributed_computing_projects_spark.sources import (
+        pdfobj as PO,
+        warc as W,
+    )
+
+    raw = bytes(range(33, 97))
+    pdfs = str(tmp_path / "pdfs15")
+    spark.createDataFrame([
+        Row(id=1, payload=bytearray(PO.build_pdf_objstm(raw, True))),
+        Row(id=2, payload=bytearray(PO.build_pdf_tounicode(raw, True))),
+        Row(id=3, payload=bytearray(b"not a pdf")),
+    ]).write.parquet(pdfs)
+    assert main(["pdf-extract", pdfs, "--object-model"], spark=spark) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 2
+    # id 1: 1 page, 1 objstm, 6 compressed objs, predictor 12
+    assert lines[0].startswith("1\t1\t1\t6\t12\t")
+    # id 2: classic xref (0 objstm), 2 fonts, 4 hex strings
+    assert lines[1].startswith("2\t1\t0\t0\t1\t2\t4\t4\t")
+
+    wets = str(tmp_path / "wets")
+    info = W.build_record(
+        "warcinfo", {"Content-Type": "application/warc-fields"},
+        b"software: fixture\r\n")
+    conv = W.build_conversion_record("https://x.example.com/1", b"hi" * 8)
+    spark.createDataFrame([
+        Row(id=1, payload=bytearray(
+            gzip.compress(info, mtime=0) + gzip.compress(conv, mtime=0))),
+        Row(id=2, payload=bytearray(b"junk")),
+    ]).write.parquet(wets)
+    assert main(["wet-extract", wets], spark=spark) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 1 and "https://x.example.com/1" in lines[0]
+
+    corpus = str(tmp_path / "wikicorpus")
+    spark.createDataFrame([
+        Row(doc_id=1, text="'''Bold''' {{tmpl}} [[A|label]] rest"),
+    ]).write.parquet(corpus)
+    assert main(["wikitext-strip", corpus], spark=spark) == 0
+    out = capsys.readouterr().out.strip()
+    assert out == "1\tBold label rest"
