@@ -101,6 +101,45 @@ def q_jsonl_events_agg(spark, sf_dir):
     )
 
 
+def _session_scratch(spark, family: str, sf_dir: str) -> str:
+    """Per-session scratch dir for roundtrip queries. applicationId
+    suffix: two concurrent sessions on one box must not race the
+    overwrite of a shared path. The unique path is never overwritten
+    again, so siblings left by dead sessions are reaped here (the
+    returned DataFrame reads OUR dir lazily, so only siblings are
+    candidates; the one-hour age guard keeps a genuinely concurrent
+    live session's dir safe)."""
+    import shutil
+    import tempfile
+    import time
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    prefix = f"dcp_{family}_{sf_tag}_"
+    path = os.path.join(
+        tempfile.gettempdir(), prefix + spark.sparkContext.applicationId
+    )
+    cutoff = time.time() - 3600
+    for name in os.listdir(tempfile.gettempdir()):
+        full = os.path.join(tempfile.gettempdir(), name)
+        if name.startswith(prefix) and name != os.path.basename(path):
+            try:
+                if os.path.getmtime(full) < cutoff:
+                    shutil.rmtree(full, ignore_errors=True)
+            except OSError:
+                pass
+    return path
+
+
+def _events_roundtrip_facts(back):
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+        .alias("total_value"),
+        F.sum("user_id").cast("bigint").alias("sum_user"),
+    )
+
+
+
 @query(
     "orc_events_roundtrip",
     oracle="""
@@ -121,42 +160,43 @@ def q_jsonl_events_agg(spark, sf_dir):
         "tests/test_plans.py.",
 )
 def q_orc_events_roundtrip(spark, sf_dir):
-    import tempfile
-
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    # applicationId suffix: two concurrent sessions on one box must not
-    # race the overwrite of a shared scratch path
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    prefix = f"dcp_orc_events_{sf_tag}_"
-    path = os.path.join(
-        tempfile.gettempdir(), prefix + spark.sparkContext.applicationId
-    )
-    # the unique path fixes the race but is never overwritten again, so
-    # reap siblings left by dead sessions (the returned DataFrame reads
-    # OUR dir lazily, so only siblings are candidates; the one-hour age
-    # guard keeps a genuinely concurrent live session's dir safe)
-    import shutil
-    import time
-
-    cutoff = time.time() - 3600
-    for name in os.listdir(tempfile.gettempdir()):
-        full = os.path.join(tempfile.gettempdir(), name)
-        if (name.startswith(prefix) and name != os.path.basename(path)):
-            try:
-                if os.path.getmtime(full) < cutoff:
-                    shutil.rmtree(full, ignore_errors=True)
-            except OSError:
-                pass
+    path = _session_scratch(spark, "orc_events", sf_dir)
     ev.write.mode("overwrite").partitionBy("event_type").orc(path)
-    back = spark.read.orc(path)
-    return back.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
-        .alias("total_value"),
-        F.sum("user_id").cast("bigint").alias("sum_user"),
+    return _events_roundtrip_facts(spark.read.orc(path))
+
+
+@query(
+    "parquet_zstd_roundtrip",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE)
+             AS total_value,
+           CAST(sum(user_id) AS BIGINT) AS sum_user
+    FROM events GROUP BY event_type
+    """,
+    doc="Zstd-compressed parquet sink/source roundtrip — the default "
+        "lake format at warehouse scale today (zstd beats snappy "
+        "~1.3-1.5x on size at comparable scan speed, which at 100 TB "
+        "is tens of TB of storage and scan IO): events write to "
+        "parquet with compression=zstd partitioned by event_type "
+        "(JVM-side codec — no Python zstd needed, unlike .warc.zst), "
+        "read back, and aggregate; the codec is lossless so the facts "
+        "must hash-match the oracle on the uncompressed source "
+        "exactly. The companion pytest asserts the written files "
+        "really are ZSTD-compressed via the parquet footer, so the "
+        "option can never silently fall back.",
+)
+def q_parquet_zstd_roundtrip(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
     )
+    path = _session_scratch(spark, "pq_zstd_events", sf_dir)
+    (ev.write.mode("overwrite").option("compression", "zstd")
+     .partitionBy("event_type").parquet(path))
+    return _events_roundtrip_facts(spark.read.parquet(path))
 
 
 SPLIT_WEIGHTS_BP = {"train": 8000, "val": 1000, "test": 1000}
