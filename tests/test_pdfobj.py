@@ -229,3 +229,96 @@ def test_incremental_update_prev_chain():
     assert f["prefix_sum"] == sum(new_half) + sum(RAW[32:])
     # the base document still reads its original text
     assert P.extract_facts(base)["prefix_sum"] == sum(RAW)
+
+
+def _stream_obj(num: int, content: bytes) -> bytes:
+    return (b"%d 0 obj << /Length %d >>\nstream\n" % (num, len(content))
+            + content + b"\nendstream\nendobj\n")
+
+
+def _classic(objs: list[bytes]) -> bytes:
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for o in objs:
+        offsets.append(len(out))
+        out += o
+    xref = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer << /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, xref))
+    return bytes(out)
+
+
+def test_multilevel_page_tree():
+    """Real documents nest /Pages nodes; the walk must reach every
+    leaf Page across levels and extract all their content."""
+    texts = [b"alpha-p1", b"beta-p2", b"gamma-p3"]
+    conts = [b"BT /F1 12 Tf (" + t + b") Tj ET" for t in texts]
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R 4 0 R] /Count 3 >>"
+        b" endobj\n",
+        b"3 0 obj << /Type /Pages /Parent 2 0 R /Kids [5 0 R 6 0 R]"
+        b" /Count 2 >> endobj\n",
+        b"4 0 obj << /Type /Page /Parent 2 0 R /Contents 9 0 R"
+        b" /Resources << /Font << /F1 10 0 R >> >> >> endobj\n",
+        b"5 0 obj << /Type /Page /Parent 3 0 R /Contents 7 0 R"
+        b" /Resources << /Font << /F1 10 0 R >> >> >> endobj\n",
+        b"6 0 obj << /Type /Page /Parent 3 0 R /Contents 8 0 R"
+        b" /Resources << /Font << /F1 10 0 R >> >> >> endobj\n",
+        _stream_obj(7, conts[0]),
+        _stream_obj(8, conts[1]),
+        _stream_obj(9, conts[2]),
+        b"10 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+        b" >> endobj\n",
+    ]
+    f = P.extract_facts(_classic(objs))
+    assert f is not None and f["n_pages"] == 3
+    assert f["n_text_ops"] == 3
+    assert f["n_chars"] == sum(len(t) for t in texts)
+    assert f["prefix_sum"] == sum(sum(t) for t in texts)
+
+
+def test_hybrid_xrefstm_bridge():
+    """The hybrid layout Acrobat writes for 1.4 compatibility: a
+    CLASSIC trailer whose /XRefStm points at a cross-reference stream
+    carrying extra entries. Here the classic table omits the content
+    stream's object; only the bridged xref stream defines it, so text
+    only appears if /XRefStm is followed."""
+    content = b"BT /F1 12 Tf (bridged) Tj ET"
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        b" /Resources << /Font << /F1 5 0 R >> >> >> endobj\n",
+        _stream_obj(4, content),
+        b"5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+        b" >> endobj\n",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for o in objs:
+        offsets.append(len(out))
+        out += o
+    # xref STREAM defining ONLY object 4 (type-1 row, W [1 3 1])
+    rows = bytes([1]) + offsets[3].to_bytes(3, "big") + bytes([0])
+    xdata = zlib.compress(rows, 6)
+    xref_stm_off = len(out)
+    out += (b"6 0 obj << /Type /XRef /Size 7 /W [1 3 1] /Index [4 1]"
+            b" /Root 1 0 R /Length %d /Filter /FlateDecode >>\nstream\n"
+            % len(xdata) + xdata + b"\nendstream\nendobj\n")
+    # classic table covering objects 0-3, 5 (object 4 ABSENT)
+    xref = len(out)
+    out += b"xref\n0 4\n0000000000 65535 f \n"
+    for off in offsets[:3]:
+        out += b"%010d 00000 n \n" % off
+    out += b"5 1\n%010d 00000 n \n" % offsets[4]
+    out += (b"trailer << /Size 7 /Root 1 0 R /XRefStm %d >>\n"
+            b"startxref\n%d\n%%%%EOF\n" % (xref_stm_off, xref))
+
+    f = P.extract_facts(bytes(out))
+    assert f is not None and f["n_pages"] == 1
+    assert f["n_chars"] == len(b"bridged")
+    assert f["prefix_sum"] == sum(b"bridged")
