@@ -141,8 +141,14 @@ def _parse_hex_string(b: bytes, i: int):
     return bytes.fromhex(digits.decode("latin-1")), j + 1
 
 
-def parse_object(b: bytes, i: int):
+_MAX_DEPTH = 64  # nesting bound: a hostile [[[[... payload must be a
+# ValueError (the row drop), not a RecursionError out of the worker
+
+
+def parse_object(b: bytes, i: int, depth: int = 0):
     """Parse one object at ``i``; returns ``(value, next_i)``."""
+    if depth > _MAX_DEPTH:
+        raise ValueError("nesting bound exceeded")
     i = _skip_ws(b, i)
     if i >= len(b):
         raise ValueError("eof")
@@ -157,7 +163,7 @@ def parse_object(b: bytes, i: int):
             if b[i] != 0x2F:
                 raise ValueError("dict key is not a name")
             key, i = _parse_name(b, i)
-            d[key], i = parse_object(b, i)
+            d[key], i = parse_object(b, i, depth + 1)
     if c == 0x5B:  # [
         i += 1
         arr: list = []
@@ -165,7 +171,7 @@ def parse_object(b: bytes, i: int):
             i = _skip_ws(b, i)
             if b[i] == 0x5D:
                 return arr, i + 1
-            v, i = parse_object(b, i)
+            v, i = parse_object(b, i, depth + 1)
             arr.append(v)
     if c == 0x2F:  # /
         return _parse_name(b, i)

@@ -322,3 +322,11 @@ def test_hybrid_xrefstm_bridge():
     assert f is not None and f["n_pages"] == 1
     assert f["n_chars"] == len(b"bridged")
     assert f["prefix_sum"] == sum(b"bridged")
+
+
+def test_hostile_nesting_is_row_drop_not_recursion_error():
+    """5000 nested brackets must drop the row (bounded parse), never
+    escape the worker as a RecursionError killing the whole batch."""
+    deep = (b"%PDF-1.5\n1 0 obj " + b"[" * 5000 + b"]" * 5000
+            + b" endobj\nstartxref\n9\n%%EOF\n")
+    assert P.extract_facts(deep) is None
