@@ -526,3 +526,74 @@ def test_png_palette_roundtrip_property(depth, w, h, seed):
     got = M._decode_png(png)
     assert got is not None
     assert np.array_equal(got[2], pal[idx])
+
+
+@given(raw=st.binary(min_size=64, max_size=64),
+       predictor=st.booleans())
+@settings(max_examples=40, deadline=None)
+def test_pdf_objstm_roundtrip_property(raw, predictor):
+    """Any 64 text bytes survive the full PDF 1.5 object-model path:
+    ObjStm pack/unpack, xref-stream (predicted or raw), indirect
+    /Length, Flate, operator scan, escape decode."""
+    from distributed_computing_projects_spark.sources import pdfobj as PO
+
+    f = PO.extract_facts(PO.build_pdf_objstm(raw, predictor))
+    assert f is not None
+    assert f["n_chars"] == 64 and f["prefix_sum"] == sum(raw)
+    assert f["pred"] == (12 if predictor else 1)
+
+
+@given(raw=st.binary(min_size=64, max_size=64), flate=st.booleans())
+@settings(max_examples=40, deadline=None)
+def test_pdf_tounicode_roundtrip_property(raw, flate):
+    """Any 64 text bytes survive hex-string CID encoding + ToUnicode
+    CMap decode (bfchar below 0x20, bfrange above): mapped code
+    points must sum to the source bytes."""
+    from distributed_computing_projects_spark.sources import pdfobj as PO
+
+    f = PO.extract_facts(PO.build_pdf_tounicode(raw, flate))
+    assert f is not None
+    assert f["prefix_sum"] == sum(raw) + PO.TOUNICODE_TAIL_SUM
+
+
+@given(data=st.binary(min_size=16, max_size=400),
+       width=st.integers(1, 16))
+@settings(max_examples=60, deadline=None)
+def test_png_up_predictor_roundtrip_property(data, width):
+    """At least one full row (a 0-row predicted stream is the drop,
+    by policy: _apply_predictor returns None on h == 0)."""
+    from distributed_computing_projects_spark.sources import pdfobj as PO
+
+    rows = data[: (len(data) // width) * width]
+    out = PO._apply_predictor(
+        PO._up_filter(rows, width), {"Predictor": 12, "Columns": width})
+    assert out == rows
+
+
+@given(text=st.binary(min_size=0, max_size=300))
+@settings(max_examples=40, deadline=None)
+def test_wet_conversion_block_roundtrip_property(text):
+    """WARC blocks are Content-Length-delimited: ANY byte string —
+    including bytes that look like record boundaries — survives a
+    conversion-record roundtrip exactly."""
+    from distributed_computing_projects_spark.sources import warc as W
+
+    records = W.parse_records(W.build_conversion_record("https://a/1", text))
+    assert records is not None and len(records) == 1
+    headers, block = records[0]
+    assert headers["warc-type"] == "conversion" and block == text
+
+
+@given(words=st.lists(st.text(alphabet="abcdef", min_size=1, max_size=6),
+                      min_size=1, max_size=8))
+@settings(max_examples=25, deadline=None)
+def test_wikitext_strip_is_identity_on_plain_text(words):
+    """Text with no markup characters passes the whole strip chain
+    unchanged (modulo the whitespace-collapse contract)."""
+    import duckdb
+
+    from distributed_computing_projects_spark.functions import wikitext as WT
+
+    plain = " ".join(words)
+    q = f"SELECT {WT.strip_wikitext(WT.sql_literal(plain, 'duck'), 'duck')}"
+    assert duckdb.sql(q).fetchone()[0] == plain
