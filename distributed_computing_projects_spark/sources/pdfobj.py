@@ -573,16 +573,25 @@ def extract_facts(b: bytes):
         if not isinstance(root, dict):
             return None
         pages: list[dict] = []
+        # bound VISITED nodes, not just collected leaves: a cyclic
+        # /Pages tree (hostile or corrupt) must terminate, not hang
+        # the executor; seen-by-identity breaks cycles outright since
+        # the object store memoizes (same Ref -> same dict object)
         stack = [doc.resolve(root.get("Pages"))]
-        while stack and len(pages) < 10_000:
+        seen_nodes: set[int] = set()
+        visited = 0
+        while stack and len(pages) < 10_000 and visited < 100_000:
             node = stack.pop()
-            if not isinstance(node, dict):
+            visited += 1
+            if not isinstance(node, dict) or id(node) in seen_nodes:
                 continue
+            seen_nodes.add(id(node))
             if node.get("Type") == "Page":
                 pages.append(node)
             else:
                 kids = doc.resolve(node.get("Kids")) or []
-                stack.extend(doc.resolve(k) for k in reversed(kids))
+                if isinstance(kids, list):
+                    stack.extend(doc.resolve(k) for k in reversed(kids))
         n_ops = n_hex = n_fonts = 0
         parts: list[str] = []
         for page in pages:

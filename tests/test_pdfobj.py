@@ -330,3 +330,24 @@ def test_hostile_nesting_is_row_drop_not_recursion_error():
     deep = (b"%PDF-1.5\n1 0 obj " + b"[" * 5000 + b"]" * 5000
             + b" endobj\nstartxref\n9\n%%EOF\n")
     assert P.extract_facts(deep) is None
+
+
+def test_cyclic_page_tree_terminates():
+    """Two /Pages nodes listing each other as kids must terminate
+    (seen-by-identity breaks the cycle; the memoized object store
+    returns the same dict for the same Ref) — a hang here would pin
+    an executor core forever on one hostile payload."""
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+        b"3 0 obj << /Type /Pages /Kids [2 0 R 4 0 R] /Count 1 >>"
+        b" endobj\n",
+        b"4 0 obj << /Type /Page /Parent 3 0 R /Contents 5 0 R"
+        b" /Resources << /Font << /F1 6 0 R >> >> >> endobj\n",
+        _stream_obj(5, b"BT /F1 12 Tf (survives) Tj ET"),
+        b"6 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+        b" >> endobj\n",
+    ]
+    f = P.extract_facts(_classic(objs))
+    assert f is not None and f["n_pages"] == 1
+    assert f["prefix_sum"] == sum(b"survives")
