@@ -1257,6 +1257,33 @@ def q_pdf_objstm_extract_text(spark, sf_dir):
 
 
 @query(
+    "pdf_objstm_extract_strings",
+    oracle=f"""
+    SELECT doc_id AS id, substr(text, 1, {PDF.PDF_TEXT_BYTES}) AS extracted
+    FROM documents
+    WHERE octet_length(encode(text)) >= {PDF.PDF_TEXT_BYTES}
+    """,
+    doc="PDF 1.5+ extraction, exact-STRING compared (the "
+        "html_extract_text discipline): the text recovered through "
+        "startxref -> xref stream -> ObjStm -> indirect /Length -> "
+        "Flate -> operator scan -> escape decode must equal the "
+        "source doc's prefix character for character — a differential "
+        "that catches operator reorderings, dropped segments, and "
+        "escape-decode drift that the byte-sum oracles cannot. "
+        "(Prefix-as-substr is exact here because the corpus text is "
+        "ASCII in the prefix window — the same property every "
+        "character-code oracle in this family already relies on.)",
+)
+def q_pdf_objstm_extract_strings(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = docs.filter(
+        F.expr(f"octet_length(encode(text, 'UTF-8')) >= {PDF.PDF_TEXT_BYTES}")
+    )
+    return PDFO.extract_pdf_strings(
+        PDFO.pdf_objstm_payloads(eligible, "doc_id", "text"))
+
+
+@query(
     "pdf_tounicode_extract_text",
     headline=True,
     oracle=_PDF_PSUM_CTE + """

@@ -626,6 +626,7 @@ def extract_facts(b: bytes):
         text = "".join(parts)
         compressed = [e for e in doc.xref.values() if e[0] == "c"]
         return {
+            "extracted": text,
             "n_pages": len(pages),
             "n_objstm": len({e[1] for e in compressed}),
             "n_compressed_objs": len(compressed),
@@ -906,6 +907,13 @@ extract_pdf_objstm = _extractor(
 extract_pdf_tounicode = _extractor(
     ["n_fonts", "n_text_ops", "n_hex_strings", "n_chars", "prefix_sum"],
     TOUNICODE_SCHEMA,
+)
+
+# the extracted STRING itself (the html/wikitext discipline): exact
+# content equality through the object-model path catches reorderings
+# and substitutions that byte sums cannot
+extract_pdf_strings = _extractor(
+    ["extracted"], "id bigint, extracted string"
 )
 
 FACTS_SCHEMA = (
