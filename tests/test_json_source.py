@@ -85,3 +85,31 @@ def test_write_jsonl_roundtrips(spark, tmp_path):
     write_jsonl(src, out)
     back = spark.read.schema(JSONL_EVENTS_SCHEMA).json(out)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_gzip_jsonl_reads_transparently(spark, tmp_path):
+    """jsonl.gz is the shape event logs actually land in: Spark's
+    text scan decompresses by extension (Hadoop codec, JVM-side), so
+    the SAME read_jsonl path — including the drop policy — must see
+    identical records from a gzipped copy of the fixture. (Gzip is
+    not splittable: at 100 TB the parallel unit is the file, same as
+    WARC — many files, not split files.)"""
+    import glob
+    import gzip
+    import os
+
+    for src in glob.glob(GLOB):
+        with open(src, "rb") as f:
+            data = f.read()
+        dst = str(tmp_path / (os.path.basename(src) + ".gz"))
+        with open(dst, "wb") as f:
+            f.write(gzip.compress(data, mtime=0))
+
+    plain = sorted(
+        tuple(r) for r in
+        read_jsonl(spark, GLOB, JSONL_EVENTS_SCHEMA).collect())
+    gz = sorted(
+        tuple(r) for r in
+        read_jsonl(spark, f"{tmp_path}/*.jsonl.gz",
+                   JSONL_EVENTS_SCHEMA).collect())
+    assert gz == plain and len(plain) == 11
