@@ -26,7 +26,13 @@ A baseline extractor by design: template TRANSCLUSION (expanding
 {{template}} bodies), parser functions, and Lua modules need the wiki
 database and are the documented external seam — corpus pipelines
 (and the reference extractors this models) drop unexpanded templates
-exactly as done here.
+exactly as done here. ``<nowiki>`` escaping (markup inside the tag is
+LITERAL per MediaWiki) is also outside the subset: honoring it needs
+extract-protect-restore, which a backref-free single-pass
+regexp_replace chain cannot express — the tag strips like any tag and
+its contents then flow through the rules. Both engines apply the same
+order, so the oracle stays exact; the deviation is from MediaWiki,
+not between engines.
 """
 
 from __future__ import annotations

@@ -351,3 +351,16 @@ def test_cyclic_page_tree_terminates():
     f = P.extract_facts(_classic(objs))
     assert f is not None and f["n_pages"] == 1
     assert f["prefix_sum"] == sum(b"survives")
+
+
+def test_cmap_surrogate_pair_destination():
+    """A bfchar destination above the BMP arrives as a UTF-16
+    surrogate pair in the CMap hex — it must decode to the single
+    astral code point, and prefix_sum counts it once."""
+    import unicodedata  # noqa: F401  (documents the plane claim)
+
+    clen, table = P.parse_tounicode(
+        b"beginbfchar <0001> <D835DD04> endbfchar")
+    assert clen == 2
+    assert table[1] == "\U0001D504"  # MATHEMATICAL FRAKTUR CAPITAL A
+    assert P._map_shown(b"\x00\x01", (clen, table)) == "\U0001D504"
