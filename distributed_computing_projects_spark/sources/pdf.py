@@ -40,6 +40,8 @@ from distributed_computing_projects_spark.operators.spread import spread
 
 _PDF_HEADER = b"%PDF-1.4"
 
+MAX_STREAM_BYTES = 1 << 28  # zip-bomb guard: see sources/warc.py
+
 # literal string: escaped-or-plain bytes between parens (subset rule:
 # parens inside strings are always escaped)
 _LITSTR = rb"\((?:[^()\\]|\\.)*\)"
@@ -152,10 +154,15 @@ def extract_text(b: bytes):
         n_streams += 1
         if b"/FlateDecode" in dct:
             n_flate += 1
+            # bounded inflate (zip-bomb guard, sources/warc.py
+            # discipline): a corrupt OR bomb stream drops, rest keeps
+            d = zlib.decompressobj()
             try:
-                stream = zlib.decompress(stream)
+                stream = d.decompress(stream, MAX_STREAM_BYTES + 1)
             except zlib.error:
-                continue  # corrupt stream: drop it, keep the rest
+                continue
+            if len(stream) > MAX_STREAM_BYTES:
+                continue
         if b"BT" not in stream:
             continue  # not a text content stream
         for m in _TJ_RE.finditer(stream):

@@ -221,6 +221,22 @@ def _apply_predictor(data: bytes, parms: dict):
     return None if arr is None else arr.tobytes()
 
 
+MAX_STREAM_BYTES = 1 << 28  # zip-bomb guard (sources/warc.py
+# discipline): a Flate stream expanding past this drops, instead of
+# OOMing the executor on one hostile payload
+
+
+def _inflate_bounded(raw: bytes):
+    d = zlib.decompressobj()
+    try:
+        out = d.decompress(raw, MAX_STREAM_BYTES + 1)
+    except zlib.error:
+        return None
+    if len(out) > MAX_STREAM_BYTES:
+        return None
+    return out
+
+
 def decode_stream(dct: dict, raw: bytes, resolve):
     """Run the stream's filter chain; None on any unsupported link."""
     filt = resolve(dct.get("Filter"))
@@ -230,9 +246,8 @@ def decode_stream(dct: dict, raw: bytes, resolve):
     for f, p in zip(filters, parmlist):
         f, p = resolve(f), resolve(p)
         if f == "FlateDecode":
-            try:
-                raw = zlib.decompress(raw)
-            except zlib.error:
+            raw = _inflate_bounded(raw)
+            if raw is None:
                 return None
             if isinstance(p, dict):
                 raw = _apply_predictor(raw, p)

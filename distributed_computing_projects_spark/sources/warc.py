@@ -46,6 +46,13 @@ _CRLF = b"\r\n"
 _GZIP_MAGIC = b"\x1f\x8b"
 _ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
 
+# Decompression-bomb guard: one member of a hostile payload must not
+# OOM an executor (a few KB of DEFLATE expand to GBs). Members whose
+# plain size exceeds this bound drop record-granularly, like a torn
+# member. 256 MiB is far above any real crawl record and far below
+# executor memory.
+MAX_MEMBER_BYTES = 1 << 28
+
 
 def zstd_backend():
     """``(compress, new_decompressor)`` for zstandard, or ``None``.
@@ -96,9 +103,17 @@ def unzstd_members(b: bytes):
     while pos < len(b):
         d = new_decompressor()
         try:
-            chunk = d.decompress(b[pos:])
+            # stdlib follows the bz2 max_length contract; the wheel's
+            # decompressobj takes no bound (TypeError -> unbounded,
+            # then the length check below still drops the bomb)
+            try:
+                chunk = d.decompress(b[pos:], MAX_MEMBER_BYTES + 1)
+            except TypeError:
+                chunk = d.decompress(b[pos:])
         except Exception:  # backend-specific error types
             break  # torn/corrupt frame: drop it and the rest
+        if len(chunk) > MAX_MEMBER_BYTES:
+            break  # decompression bomb: drop it and the rest
         if not getattr(d, "eof", True):
             break  # stream ends mid-frame
         out.append(chunk)
@@ -185,9 +200,11 @@ def gunzip_members(b: bytes):
     while pos < len(b):
         d = zlib.decompressobj(wbits=31)  # 31 = gzip wrapper
         try:
-            chunk = d.decompress(b[pos:])
+            chunk = d.decompress(b[pos:], MAX_MEMBER_BYTES + 1)
         except zlib.error:
             break  # torn/corrupt member: drop it and the rest
+        if len(chunk) > MAX_MEMBER_BYTES:
+            break  # decompression bomb: drop it and the rest
         if not d.eof:
             break  # stream ends mid-member
         out.append(chunk)

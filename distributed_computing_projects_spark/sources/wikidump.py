@@ -37,6 +37,11 @@ from distributed_computing_projects_spark.operators.spread import spread
 
 _BZ2_MAGIC = b"BZh"
 
+# Decompression-bomb guard (sources/warc.py discipline): a member
+# whose plain size exceeds this drops with everything after it,
+# instead of OOMing the executor. Real dump streams are ~100 pages.
+MAX_MEMBER_BYTES = 1 << 28
+
 
 def bunzip_members(b: bytes):
     """Decompress a concatenated-stream (multistream) bz2 byte string
@@ -48,9 +53,11 @@ def bunzip_members(b: bytes):
     while pos < len(b):
         d = bz2.BZ2Decompressor()
         try:
-            chunk = d.decompress(b[pos:])
+            chunk = d.decompress(b[pos:], MAX_MEMBER_BYTES + 1)
         except OSError:
             break  # corrupt member: drop it and the rest
+        if len(chunk) > MAX_MEMBER_BYTES:
+            break  # decompression bomb: drop it and the rest
         if not d.eof:
             break  # stream ends mid-member
         out.append(chunk)
