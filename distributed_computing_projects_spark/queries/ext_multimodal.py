@@ -1359,9 +1359,7 @@ def q_warc_gz_extract_responses(spark, sf_dir):
         W.warc_gz_payloads(docs, "doc_id", "text", "source"))
 
 
-@query(
-    "wet_extract_conversions",
-    oracle=f"""
+_WET_ORACLE = f"""
     WITH body AS (
       SELECT doc_id AS id,
              'https://' || source || '.example.com/doc/' || doc_id
@@ -1381,7 +1379,12 @@ def q_warc_gz_extract_responses(spark, sf_dir):
            CAST(n_text_bytes AS BIGINT) AS n_text_bytes,
            CAST(psum AS BIGINT) AS prefix_sum
     FROM pre
-    """,
+    """
+
+
+@query(
+    "wet_extract_conversions",
+    oracle=_WET_ORACLE,
     doc="WET (.warc.wet.gz) extraction — the plain-text sibling "
         "Common Crawl publishes next to every WARC segment and what "
         "most text pipelines actually read: WARC framing with "

@@ -997,3 +997,70 @@ def q_streaming_lm_scoring(spark, sf_dir):
             "n_bigrams", "n_hit", "n_backoff", "n_oov",
         )
     )
+
+
+from distributed_computing_projects_spark.queries.ext_multimodal import (  # noqa: E402
+    _WET_ORACLE,
+)
+
+
+@query(
+    "streaming_wet_ingest",
+    # the store route must equal the direct extraction row-for-row,
+    # so the oracle IS wet_extract_conversions'
+    oracle=_WET_ORACLE,
+    doc="CONTINUOUS-INGEST of a document wire format: documents "
+        "arrive as a file stream; foreachBatch builds each "
+        "micro-batch's .warc.wet.gz payloads, runs the SAME "
+        "conversion-record extraction as the batch query "
+        "(sources/warc.py — gzip member walk, record parse, "
+        "Content-Length-delimited blocks), appends the extracted "
+        "facts to a parquet store, then appends the SAME batch again "
+        "— a deliberate at-least-once retry. Extraction is a pure "
+        "function of the row, so duplicate deliveries are IDENTICAL "
+        "rows and a keyed distinct on read restores exactly one copy "
+        "(idempotency by determinism — the doc-pipeline analog of "
+        "the KMV-union and Bloom-OR arguments). The merged store "
+        "must hash-match the direct wet_extract_conversions oracle.",
+)
+def q_streaming_wet_ingest(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from distributed_computing_projects_spark.sources import warc as WRC
+    from distributed_computing_projects_spark.sources.registry import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"dcp_stream_wet_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    store = os.path.join(work, "conversions")
+    ckpt = os.path.join(work, "ckpt")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+    def ingest_batch(batch_df, batch_id):
+        facts = WRC.extract_conversions(
+            WRC.wet_payloads(batch_df, "doc_id", "text", "source"))
+        facts.write.mode("append").parquet(store)
+        # deliberate at-least-once retry: the same deterministic rows
+        facts.write.mode("append").parquet(store)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("streaming WET ingest did not drain in 180 s")
+    return spark.read.parquet(store).distinct()
