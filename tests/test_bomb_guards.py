@@ -64,3 +64,47 @@ def test_pdf14_flate_bomb_drops_stream_keeps_rest(monkeypatch):
     n_streams, n_flate, n_ops, text = got
     assert text == raw  # both real streams survive, bomb dropped
     assert n_streams == 3 and n_flate == 3
+
+
+def test_mutation_fuzz_never_raises():
+    """Seeded mutation fuzz over every payload codec: random flips,
+    truncations, and splices must parse or drop — never raise out of
+    the (would-be) Arrow worker. The full 3000-case sweep ran at
+    review time; this seeded 240-case slice guards regressions."""
+    import gzip
+    import random
+
+    rng = random.Random(0xDCB)
+    text = bytes(range(32, 96))
+    info = W.build_record(
+        "warcinfo", {"Content-Type": "application/warc-fields"},
+        b"software: x\r\n")
+    targets = [
+        (PO.extract_facts, PO.build_pdf_objstm(text, True)),
+        (PO.extract_facts, PO.build_pdf_tounicode(text, False)),
+        (P14.extract_text, P14.build_pdf(text, True)),
+        (W.parse_records, info + W.build_response_record("https://a/1",
+                                                         b"b" * 40)),
+        (lambda b: W.gunzip_members(b),
+         gzip.compress(info, mtime=0)
+         + gzip.compress(W.build_conversion_record("https://a/1",
+                                                   b"t" * 40), mtime=0)),
+        (WD.extract_dump, WD.build_dump([(0, "T", 0, "hello"),
+                                         (1, "Talk:T", 1, "t")])),
+    ]
+    for fn, base in targets:
+        for _ in range(40):
+            b = bytearray(base)
+            mode = rng.randrange(3)
+            if mode == 0:
+                for _ in range(rng.randrange(1, 5)):
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+            elif mode == 1:
+                b = b[: rng.randrange(len(b))]
+            else:
+                at = rng.randrange(len(b))
+                b = (b[:at]
+                     + bytes(rng.randrange(256)
+                             for _ in range(rng.randrange(1, 24)))
+                     + b[at:])
+            fn(bytes(b))  # must not raise; value unchecked

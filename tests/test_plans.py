@@ -560,3 +560,28 @@ def test_orc_store_partition_prunes_and_pushes_down(spark, sf_dir,
     assert "PushedFilters" in plan, plan
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert any("user_id" in ln for ln in pushed), plan
+
+
+def test_pdf_payload_builders_prune_documents_scan(spark, sf_dir,
+                                                   registry):
+    """The document->payload builders must not drag unused corpus
+    columns (lang, source, ts, ...) through the Arrow boundary — the
+    scan prunes to exactly the builder's inputs."""
+    for name in ("pdf_objstm_extract_text", "pdf_tounicode_extract_text",
+                 "pdf_objstm_extract_strings"):
+        df = registry[name].fn(spark, sf_dir)
+        assert_read_schema_only(df, "documents.parquet",
+                                {"doc_id", "text"})
+
+
+def test_wet_builder_prunes_documents_scan(spark, sf_dir, registry):
+    df = registry["wet_extract_conversions"].fn(spark, sf_dir)
+    assert_read_schema_only(df, "documents.parquet",
+                            {"doc_id", "text", "source"})
+
+
+def test_wikidump_plain_text_prunes_documents_scan(spark, sf_dir,
+                                                   registry):
+    df = registry["wikidump_plain_text"].fn(spark, sf_dir)
+    assert_read_schema_only(df, "documents.parquet",
+                            {"doc_id", "text"})
