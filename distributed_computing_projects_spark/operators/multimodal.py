@@ -39,6 +39,25 @@ FEATURE_SCHEMA = (
     "id bigint, n_bytes int, first_byte int, byte_checksum bigint, mime string"
 )
 
+MAX_DECODE_BYTES = 1 << 28  # zip-bomb guard (sources/warc.py
+# discipline): a compressed image stream expanding past this drops the
+# payload instead of ballooning one hostile row into an executor OOM
+
+
+def _inflate_bounded(raw: bytes) -> bytes | None:
+    """zlib inflate with the bomb bound; None on torn (no stream end),
+    corrupt, or over-bound input — the payload drop."""
+    import zlib
+
+    d = zlib.decompressobj()
+    try:
+        out = d.decompress(raw, MAX_DECODE_BYTES + 1)
+    except zlib.error:
+        return None
+    if len(out) > MAX_DECODE_BYTES or not d.eof:
+        return None
+    return out
+
 
 def attach_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Demo payload table: UTF-8 bytes of the text as the opaque binary
@@ -277,7 +296,6 @@ def _decode_png(b: bytes):
     (16-bit, gray+alpha, out-of-range palette indices, or truncated
     payloads DROP per the malformed-record policy)."""
     import struct
-    import zlib
 
     import numpy as np
 
@@ -320,9 +338,8 @@ def _decode_png(b: bytes):
         bpp = 1
     else:
         return None  # gray+alpha (4) / unknown
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error:
+    raw = _inflate_bounded(b"".join(idat))
+    if raw is None:
         return None
 
     def _stride(pw: int) -> int:
@@ -532,10 +549,14 @@ def encode_png_indexed(indices, palette, depth: int, filters=None,
 def _packbits_decode(data: bytes) -> bytes | None:
     """Apple PackBits (TIFF compression 32773): n in 0..127 copies n+1
     literal bytes, n in -127..-1 repeats the next byte 1-n times,
-    -128 is a no-op. Returns None on a torn stream."""
+    -128 is a no-op. Returns None on a torn stream or when the output
+    exceeds the zip-bomb bound (PackBits expands up to 128× per input
+    pair, so one hostile strip could otherwise balloon)."""
     out = bytearray()
     i = 0
     while i < len(data):
+        if len(out) > MAX_DECODE_BYTES:
+            return None
         n = data[i] - 256 if data[i] >= 128 else data[i]
         i += 1
         if n == -128:
@@ -558,57 +579,13 @@ def _tiff_lzw_decode(data: bytes) -> bytes | None:
     is LSB-first), fixed 8-bit roots with ClearCode=256/EOI=257, and
     the spec's "EarlyChange" quirk — the code width bumps one code
     EARLIER than the dictionary actually fills (at 510/1022/2046).
-    Returns None on a torn or ill-formed stream."""
-    CLEAR, EOI = 256, 257
-    out = bytearray()
-    table: list[bytes] = []
-    width = 9
-    acc = n_bits = 0
-    prev: bytes | None = None
+    Returns None on a torn or ill-formed stream, or when the output
+    exceeds the zip-bomb bound (LZW output can grow quadratically in
+    the input). The codec itself is shared with PDF LZWDecode
+    (``functions/lzw.py``); TIFF is always EarlyChange."""
+    from distributed_computing_projects_spark.functions.lzw import lzw_decode
 
-    def reset():
-        nonlocal table, width, prev
-        table = [bytes([i]) for i in range(256)] + [b"", b""]
-        width = 9
-        prev = None
-
-    reset()
-    for byte in data:
-        acc = (acc << 8) | byte
-        n_bits += 8
-        while n_bits >= width:
-            code = (acc >> (n_bits - width)) & ((1 << width) - 1)
-            n_bits -= width
-            if code == CLEAR:
-                reset()
-                continue
-            if code == EOI:
-                return bytes(out)
-            if prev is None:
-                if code >= len(table):
-                    return None
-                entry = table[code]
-            elif code < len(table):
-                entry = table[code]
-                table.append(prev + entry[:1])
-            elif code == len(table):
-                entry = prev + prev[:1]
-                table.append(entry)
-            else:
-                return None
-            out += entry
-            prev = entry
-            # a conforming writer MUST emit ClearCode before the table
-            # could exceed 12-bit code space; growing past 4096 means
-            # the stream is ill-formed (libtiff errors here) — decoding
-            # on with an oversized table would fabricate pixels
-            if len(table) > 4096:
-                return None
-            # EarlyChange: width grows when the NEXT code would not fit
-            # the table size + 1 (TIFF writers bump at 511-1, etc.)
-            if len(table) + 1 >= (1 << width) and width < 12:
-                width += 1
-    return None  # no EOI: torn stream
+    return lzw_decode(data, early_change=1, max_out=MAX_DECODE_BYTES)
 
 
 def _decode_tiff(b: bytes):
@@ -674,17 +651,14 @@ def _decode_tiff(b: bytes):
             elif comp == 5:
                 dec = _tiff_lzw_decode(strip)
             elif comp == 8:
-                import zlib
-
-                try:
-                    dec = zlib.decompress(strip)
-                except zlib.error:
-                    dec = None
+                dec = _inflate_bounded(strip)
             else:
                 dec = strip
             if dec is None:
                 return None
             raw += dec
+            if len(raw) > MAX_DECODE_BYTES:
+                return None  # bomb guard across the strip walk
         if len(raw) != w * h * spp:
             return None
         px = np.frombuffer(bytes(raw), dtype=np.uint8)

@@ -1322,6 +1322,36 @@ def q_pdf_tounicode_extract_text(spark, sf_dir):
 
 
 @query(
+    "pdf_filters_extract_text",
+    oracle=f"""
+    SELECT doc_id AS id, substr(text, 1, {PDF.PDF_TEXT_BYTES}) AS extracted
+    FROM documents
+    WHERE octet_length(encode(text)) >= {PDF.PDF_TEXT_BYTES}
+    """,
+    doc="PDF stream-filter matrix, exact-STRING compared: per doc a "
+        "classic-xref PDF (sources/pdfobj.py build_pdf_filters) whose "
+        "content stream is encoded through the id%6-th filter — "
+        "LZWDecode (EarlyChange default), LZWDecode /EarlyChange 0, "
+        "ASCIIHexDecode, ASCII85Decode (incl. the z zero-group), "
+        "RunLengthDecode, and the chained [/ASCII85Decode /LZWDecode] "
+        "with a deliberately short /DecodeParms [null] list. LZW is "
+        "the shared MSB-first codec (functions/lzw.py) the TIFF tier "
+        "already uses; real crawl PDFs (especially older ones) carry "
+        "these filters routinely, and a decoder bug in ANY of the six "
+        "variants breaks exact equality for that id class. Out-of-"
+        "subset behavior stays record-granular: torn or ill-formed "
+        "filter streams drop the stream, never the batch.",
+)
+def q_pdf_filters_extract_text(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = docs.filter(
+        F.expr(f"octet_length(encode(text, 'UTF-8')) >= {PDF.PDF_TEXT_BYTES}")
+    )
+    return PDFO.extract_pdf_strings(
+        PDFO.pdf_filters_payloads(eligible, "doc_id", "text"))
+
+
+@query(
     "warc_extract_responses",
     oracle=_WARC_ORACLE,
     doc="WARC source extraction — the container web training corpora "

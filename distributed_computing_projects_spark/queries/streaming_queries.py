@@ -1025,18 +1025,21 @@ from distributed_computing_projects_spark.queries.ext_multimodal import (  # noq
 )
 def q_streaming_wet_ingest(spark, sf_dir):
     import shutil
-    import tempfile
 
+    from distributed_computing_projects_spark.queries.ext_pipeline import (
+        _session_scratch,
+    )
     from distributed_computing_projects_spark.sources import warc as WRC
     from distributed_computing_projects_spark.sources.registry import (
         load_table,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    work = os.path.join(
-        tempfile.gettempdir(),
-        f"dcp_stream_wet_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    # applicationId-suffixed scratch (+ age-guarded sibling reaping):
+    # two concurrent sessions on one box must not delete each other's
+    # live store/checkpoint. Still rmtree OUR dir so a same-session
+    # re-run starts from an empty store and a fresh checkpoint.
+    work = _session_scratch(spark, "stream_wet", sf_dir)
     shutil.rmtree(work, ignore_errors=True)
     store = os.path.join(work, "conversions")
     ckpt = os.path.join(work, "ckpt")

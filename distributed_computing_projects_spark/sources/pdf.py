@@ -161,7 +161,9 @@ def extract_text(b: bytes):
                 stream = d.decompress(stream, MAX_STREAM_BYTES + 1)
             except zlib.error:
                 continue
-            if len(stream) > MAX_STREAM_BYTES:
+            if len(stream) > MAX_STREAM_BYTES or not d.eof:
+                # over-bound = bomb; not-eof = torn stream whose
+                # partial inflate must DROP, not count partial text
                 continue
         if b"BT" not in stream:
             continue  # not a text content stream

@@ -22,10 +22,14 @@ the 1.4 scanner's subset excluded:
   tracks the current font across ``Tf`` operators and maps each shown
   string through its CMap when one exists.
 
-Out-of-subset remains record-granular drop (sources/csv.py policy):
-encryption, unsupported filters (LZW, TIFF predictor 2), torn
-streams, and cyclic references drop the payload or stream, never the
-batch.
+Stream filters cover the non-image set real crawl PDFs carry:
+FlateDecode and LZWDecode (shared MSB-first codec in
+``functions/lzw.py``, ``/EarlyChange`` honored) each with the PNG
+row predictor, plus ASCIIHexDecode / ASCII85Decode /
+RunLengthDecode, chained in any order. Out-of-subset remains
+record-granular drop (sources/csv.py policy): encryption, image
+filters (DCT/JPX/JBIG2/CCITT), TIFF predictor 2, torn streams, and
+cyclic references drop the payload or stream, never the batch.
 
 Scale shape: identical to pdf.py — PDFs are not block-splittable, the
 unit of parallelism is the file, and everything runs in one Arrow
@@ -232,29 +236,169 @@ def _inflate_bounded(raw: bytes):
         out = d.decompress(raw, MAX_STREAM_BYTES + 1)
     except zlib.error:
         return None
-    if len(out) > MAX_STREAM_BYTES:
+    if len(out) > MAX_STREAM_BYTES or not d.eof:
+        # over-bound = bomb; not-eof = torn stream whose partial
+        # inflate must DROP, not pass as complete text
         return None
     return out
 
 
+def _lzw_bounded(raw: bytes, parms):
+    """PDF LZWDecode (§7.4.4) — the shared MSB-first codec
+    (functions/lzw.py, same algorithm as TIFF tag 5); /EarlyChange 0
+    is the one per-stream dialect knob. Bomb-bounded like Flate."""
+    from distributed_computing_projects_spark.functions.lzw import lzw_decode
+
+    ec = parms.get("EarlyChange", 1) if isinstance(parms, dict) else 1
+    return lzw_decode(
+        raw, early_change=0 if ec == 0 else 1, max_out=MAX_STREAM_BYTES
+    )
+
+
+_HEX_DIGITS = frozenset(b"0123456789abcdefABCDEF")
+_PDF_WS = frozenset(b" \t\r\n\f\x00")
+
+
+def _asciihex_decode(raw: bytes):
+    """ASCIIHexDecode (§7.4.2): hex pairs, whitespace ignored, ``>``
+    is EOD; an odd trailing digit reads as if followed by 0. Missing
+    EOD or a non-hex byte drops the stream."""
+    out = bytearray()
+    hi = -1
+    for c in raw:
+        if c in _PDF_WS:
+            continue
+        if c == 0x3E:  # '>'
+            if hi >= 0:
+                out.append(int(chr(hi) + "0", 16))
+            return bytes(out)
+        if c not in _HEX_DIGITS:
+            return None
+        if hi < 0:
+            hi = c
+        else:
+            out.append(int(chr(hi) + chr(c), 16))
+            hi = -1
+    return None  # no '>' EOD: torn stream
+
+
+def _ascii85_decode(raw: bytes):
+    """ASCII85Decode (§7.4.3): 5 chars ``!``..``u`` -> 4 bytes base-85
+    big-endian; ``z`` = four zero bytes (only between groups); ``~>``
+    is EOD; a partial final group of n chars pads with ``u`` and
+    emits n-1 bytes. Group overflow past 2^32-1, a lone trailing
+    digit, or a missing EOD drops the stream."""
+    out = bytearray()
+    group: list[int] = []
+
+    def flush(g):
+        val = 0
+        for d in g:
+            val = val * 85 + d
+        if val > 0xFFFFFFFF:
+            return None
+        return val.to_bytes(4, "big")
+
+    i, n = 0, len(raw)
+    if raw.startswith(b"<~"):  # optional Adobe-form leader
+        i = 2
+    while i < n:
+        c = raw[i]
+        if c in _PDF_WS:
+            i += 1
+            continue
+        if c == 0x7E:  # '~': EOD marker start
+            j = i + 1
+            while j < n and raw[j] in _PDF_WS:
+                j += 1
+            if j >= n or raw[j] != 0x3E or len(group) == 1:
+                return None
+            if group:
+                k = len(group)
+                quad = flush(group + [84] * (5 - k))
+                if quad is None:
+                    return None
+                out += quad[: k - 1]
+            return bytes(out)
+        if c == 0x7A:  # 'z': four zeros, ill-formed inside a group
+            if group:
+                return None
+            out += b"\x00\x00\x00\x00"
+            i += 1
+            continue
+        if not 0x21 <= c <= 0x75:
+            return None
+        group.append(c - 0x21)
+        if len(group) == 5:
+            quad = flush(group)
+            if quad is None:
+                return None
+            out += quad
+            group = []
+        i += 1
+    return None  # no '~>' EOD: torn stream
+
+
+def _runlength_decode(raw: bytes):
+    """RunLengthDecode (§7.4.5): length byte 0..127 copies the next
+    L+1 bytes, 129..255 repeats the next byte 257-L times, 128 is
+    EOD. Torn input or output past the bomb bound drops."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        length = raw[i]
+        i += 1
+        if length == 128:
+            return bytes(out)
+        if length < 128:
+            if i + length + 1 > n:
+                return None
+            out += raw[i : i + length + 1]
+            i += length + 1
+        else:
+            if i >= n:
+                return None
+            out += raw[i : i + 1] * (257 - length)
+            i += 1
+        if len(out) > MAX_STREAM_BYTES:
+            return None
+    return None  # no EOD byte: torn stream
+
+
 def decode_stream(dct: dict, raw: bytes, resolve):
-    """Run the stream's filter chain; None on any unsupported link."""
+    """Run the stream's filter chain (filters compose left-to-right,
+    e.g. ``/Filter [/ASCII85Decode /LZWDecode]``); None on any
+    unsupported or ill-formed link — a partially decoded stream must
+    never pass as fully decoded."""
     filt = resolve(dct.get("Filter"))
     parms = resolve(dct.get("DecodeParms", dct.get("DP")))
     filters = filt if isinstance(filt, list) else ([] if filt is None else [filt])
-    parmlist = parms if isinstance(parms, list) else [parms] * len(filters)
+    if isinstance(parms, list):
+        # the spec allows null entries and a short list; pad with None
+        # so a short /DecodeParms cannot zip-truncate the filter chain
+        parmlist = list(parms) + [None] * (len(filters) - len(parms))
+    else:
+        parmlist = [parms] * len(filters)
     for f, p in zip(filters, parmlist):
         f, p = resolve(f), resolve(p)
-        if f == "FlateDecode":
+        if f in ("FlateDecode", "Fl"):
             raw = _inflate_bounded(raw)
-            if raw is None:
-                return None
-            if isinstance(p, dict):
-                raw = _apply_predictor(raw, p)
-                if raw is None:
-                    return None
+        elif f in ("LZWDecode", "LZW"):
+            raw = _lzw_bounded(raw, p)
+        elif f in ("ASCIIHexDecode", "AHx"):
+            raw = _asciihex_decode(raw)
+        elif f in ("ASCII85Decode", "A85"):
+            raw = _ascii85_decode(raw)
+        elif f in ("RunLengthDecode", "RL"):
+            raw = _runlength_decode(raw)
         else:
-            return None  # LZW/RunLength/DCT/...: outside subset
+            return None  # DCT/JPX/JBIG2/CCITT/Crypt: outside subset
+        if raw is None:
+            return None
+        if f in ("FlateDecode", "Fl", "LZWDecode", "LZW") and isinstance(p, dict):
+            raw = _apply_predictor(raw, p)  # predictors apply to the
+            if raw is None:  # compression filters only (§7.4.4.4)
+                return None
     return raw
 
 
@@ -327,6 +471,10 @@ class PdfDocument:
                     raise ValueError("torn xref entry")
                 if e[17:18] == b"n":
                     self.xref.setdefault(start + k, ("o", int(e[0:10])))
+                elif e[17:18] == b"f":
+                    # tombstone: shadow older sections (see xref
+                    # stream walk) so freed objects stay deleted
+                    self.xref.setdefault(start + k, None)
                 i += 20
 
     def _load_xref_stream(self, i: int) -> dict:
@@ -371,6 +519,11 @@ class PdfDocument:
                     self.xref.setdefault(num, ("o", f2))
                 elif f1 == 2:
                     self.xref.setdefault(num, ("c", f2, f3))
+                elif f1 == 0:
+                    # free entry: record a tombstone so an OLDER /Prev
+                    # section's stale in-use row cannot resurrect an
+                    # object this newer section deleted
+                    self.xref.setdefault(num, None)
         del rows
         return dct
 
@@ -639,7 +792,9 @@ def extract_facts(b: bytes):
             n_hex += hexes
             parts.append(text)
         text = "".join(parts)
-        compressed = [e for e in doc.xref.values() if e[0] == "c"]
+        compressed = [
+            e for e in doc.xref.values() if e is not None and e[0] == "c"
+        ]
         return {
             "extracted": text,
             "n_pages": len(pages),
@@ -848,6 +1003,173 @@ def build_pdf_tounicode(text_bytes: bytes, flate: bool) -> bytes:
     return bytes(out)
 
 
+# -- filter-matrix fixture (encoder twins, written from the specs) ---------
+
+
+def _lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    """MSB-first LZW encoder (fixture twin, written from TIFF 6.0 §13
+    / ISO 32000-1 §7.4.4): ClearCode leads, EOD trails. Width bumps
+    track the DECODER's table — which grows one code later than the
+    writer's, on every non-first data code INCLUDING the final flush —
+    so a boundary crossed exactly at the flush still emits EOD at the
+    width the decoder will read it with."""
+    CLEAR, EOD = 256, 257
+    out_bits: list[tuple[int, int]] = []
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    dec_len = 258  # decoder table size after reading the last code
+    emitted = 0  # data codes since the last ClearCode
+
+    def emit_data(code: int):
+        nonlocal width, dec_len, emitted
+        out_bits.append((code, width))
+        emitted += 1
+        if emitted >= 2:
+            dec_len += 1  # decoder appends on every non-first code
+        # mirror the decoder's post-append width check exactly
+        if dec_len + early_change >= (1 << width) and width < 12:
+            width += 1
+
+    def emit_clear():
+        nonlocal table, next_code, width, dec_len, emitted
+        out_bits.append((CLEAR, width))
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+        width = 9
+        dec_len = 258
+        emitted = 0
+
+    emit_clear()
+    cur = b""
+    for byte in data:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit_data(table[cur])
+        table[nxt] = next_code
+        next_code += 1
+        if next_code == 4094:
+            emit_clear()
+        cur = bytes([byte])
+    if cur:
+        emit_data(table[cur])
+    out_bits.append((EOD, width))
+    acc = n = 0
+    out = bytearray()
+    for code, w in out_bits:
+        acc = (acc << w) | code
+        n += w
+        while n >= 8:
+            out.append((acc >> (n - 8)) & 0xFF)
+            n -= 8
+    if n:
+        out.append((acc << (8 - n)) & 0xFF)
+    return bytes(out)
+
+
+def _asciihex_encode(data: bytes) -> bytes:
+    import binascii
+
+    return binascii.hexlify(data).upper() + b">"
+
+
+def _ascii85_encode(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 4):
+        quad = data[i:i + 4]
+        k = len(quad)
+        val = int.from_bytes(quad + b"\x00" * (4 - k), "big")
+        if val == 0 and k == 4:
+            out += b"z"  # the zero-group shortcut, §7.4.3
+            continue
+        digits = bytearray(5)
+        for j in range(4, -1, -1):
+            digits[j] = 0x21 + val % 85
+            val //= 85
+        out += digits[: k + 1]
+    return bytes(out) + b"~>"
+
+
+def _runlength_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        j = i + 1  # literal stretch up to the next >=3 run or 128 bytes
+        while (j < n and j - i < 128
+               and not (j + 2 < n and data[j] == data[j + 1] == data[j + 2])):
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    out.append(128)  # EOD
+    return bytes(out)
+
+
+FILTER_VARIANTS = 6
+
+
+def build_pdf_filters(text_bytes: bytes, variant: int) -> bytes:
+    """One deterministic classic-xref PDF whose single content stream
+    carries the pdf.py two-block geometry (4 Tj + one 4-string TJ)
+    behind the ``variant % 6``-th stream-filter encoding: LZW
+    (EarlyChange default), LZW with ``/EarlyChange 0``, ASCIIHex,
+    ASCII85 (incl. the ``z`` zero-group), RunLength, and the chained
+    ``[/ASCII85Decode /LZWDecode]`` with a deliberately SHORT
+    ``/DecodeParms [null]`` list (spec-legal; must pad, not truncate
+    the chain)."""
+    tj, tjarr = _content_pair(text_bytes)
+    content = tj + b"\n" + tjarr
+    v = variant % FILTER_VARIANTS
+    if v == 0:
+        data, filt = _lzw_encode(content, 1), b"/Filter /LZWDecode"
+    elif v == 1:
+        data = _lzw_encode(content, 0)
+        filt = b"/Filter /LZWDecode /DecodeParms << /EarlyChange 0 >>"
+    elif v == 2:
+        data, filt = _asciihex_encode(content), b"/Filter /ASCIIHexDecode"
+    elif v == 3:
+        data, filt = _ascii85_encode(content), b"/Filter /ASCII85Decode"
+    elif v == 4:
+        data, filt = _runlength_encode(content), b"/Filter /RunLengthDecode"
+    else:
+        data = _ascii85_encode(_lzw_encode(content, 1))
+        filt = b"/Filter [/ASCII85Decode /LZWDecode] /DecodeParms [null]"
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+        b" /Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"
+        b" endobj\n",
+        b"4 0 obj << /Length %d %s >>\nstream\n" % (len(data), filt)
+        + data + b"\nendstream\nendobj\n",
+        b"5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+        b" >> endobj\n",
+    ]
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = []
+    for o in objs:
+        offsets.append(len(out))
+        out += o
+    xref = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer << /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, xref))
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # DataFrame wiring (pdf.py shapes: encode mapInPandas -> extract
 # mapInPandas, everything before the Python stage JVM-side)
@@ -861,7 +1183,7 @@ def _payloads(df: DataFrame, id_col: str, text_col: str, build) -> DataFrame:
                 raw = text.encode("utf-8")[:PDF_TEXT_BYTES]
                 if len(raw) < PDF_TEXT_BYTES:
                     continue
-                payloads.append(build(raw, int(i) % 2 == 0))
+                payloads.append(build(raw, int(i)))
                 ids.append(i)
             yield pd.DataFrame({"id": ids, "payload": payloads})
 
@@ -875,13 +1197,28 @@ def pdf_objstm_payloads(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, payload): a PDF 1.5 object-stream-layout file per row —
     even ids put the xref stream behind PNG predictor 12, odd ids
     leave its rows raw (both decode paths on the hash path)."""
-    return _payloads(df, id_col, text_col, build_pdf_objstm)
+    return _payloads(
+        df, id_col, text_col,
+        lambda raw, i: build_pdf_objstm(raw, i % 2 == 0),
+    )
 
 
 def pdf_tounicode_payloads(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, payload): a hex-string + ToUnicode-CMap PDF per row — even
     ids Flate the content stream, odd ids leave it raw."""
-    return _payloads(df, id_col, text_col, build_pdf_tounicode)
+    return _payloads(
+        df, id_col, text_col,
+        lambda raw, i: build_pdf_tounicode(raw, i % 2 == 0),
+    )
+
+
+def pdf_filters_payloads(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, payload): a classic-xref PDF per row whose content stream
+    is encoded through the ``id % 6``-th entry of the stream-filter
+    matrix (see ``build_pdf_filters``) — every non-Flate filter
+    ``decode_stream`` supports is on the hash path across the
+    corpus."""
+    return _payloads(df, id_col, text_col, build_pdf_filters)
 
 
 OBJSTM_SCHEMA = (

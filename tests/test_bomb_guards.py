@@ -82,6 +82,8 @@ def test_mutation_fuzz_never_raises():
     targets = [
         (PO.extract_facts, PO.build_pdf_objstm(text, True)),
         (PO.extract_facts, PO.build_pdf_tounicode(text, False)),
+        *[(PO.extract_facts, PO.build_pdf_filters(text, v))
+          for v in range(PO.FILTER_VARIANTS)],
         (P14.extract_text, P14.build_pdf(text, True)),
         (W.parse_records, info + W.build_response_record("https://a/1",
                                                          b"b" * 40)),
@@ -108,3 +110,89 @@ def test_mutation_fuzz_never_raises():
                              for _ in range(rng.randrange(1, 24)))
                      + b[at:])
             fn(bytes(b))  # must not raise; value unchecked
+
+
+def test_multimodal_png_idat_bomb_and_torn_drop(monkeypatch):
+    import numpy as np
+
+    from distributed_computing_projects_spark.operators import (
+        multimodal as MM,
+    )
+
+    rgb = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    good = MM.encode_png(rgb)
+    assert MM._decode_png(good)[2].shape == (4, 4, 3)
+    monkeypatch.setattr(MM, "MAX_DECODE_BYTES", CAP)
+    # bomb: keep the valid 4x4 header, swap the IDAT body for a
+    # stream that inflates past the cap — must DROP, not materialize
+    at = good.index(b"IDAT") - 4
+    end = good.index(b"IEND") - 4
+    bomb_body = zlib.compress(BOMB_PLAIN, 9)
+    import struct
+
+    bomb_chunk = (struct.pack(">I", len(bomb_body)) + b"IDAT" + bomb_body
+                  + struct.pack(">I", zlib.crc32(b"IDAT" + bomb_body)))
+    assert MM._decode_png(good[:at] + bomb_chunk + good[end:]) is None
+    # torn: truncate the IDAT zlib stream mid-way — partial inflate
+    # must DROP (d.eof unchecked would pass garbage rows downstream)
+    size = struct.unpack(">I", good[at:at + 4])[0]
+    body = good[at + 8:at + 8 + size][:-3]
+    torn_chunk = (struct.pack(">I", len(body)) + b"IDAT" + body
+                  + struct.pack(">I", zlib.crc32(b"IDAT" + body)))
+    assert MM._decode_png(good[:at] + torn_chunk + good[end:]) is None
+    assert MM._decode_png(good) is not None  # cap leaves real PNGs alone
+
+
+def test_multimodal_tiff_deflate_bomb_drops(monkeypatch):
+    from tests.test_tiff import build_tiff
+
+    from distributed_computing_projects_spark.operators import (
+        multimodal as MM,
+    )
+
+    monkeypatch.setattr(MM, "MAX_DECODE_BYTES", CAP)
+    px = bytes(range(48))  # 4x4 RGB
+    ok = build_tiff(px, 4, 4, comp=8, packed=zlib.compress(px, 6))
+    assert MM._decode_tiff(ok) is not None
+    bomb = build_tiff(px, 4, 4, comp=8, packed=zlib.compress(BOMB_PLAIN, 9))
+    assert MM._decode_tiff(bomb) is None
+    # torn deflate strip: partial inflate must drop the image
+    torn = build_tiff(px, 4, 4, comp=8, packed=zlib.compress(px, 6)[:-3])
+    assert MM._decode_tiff(torn) is None
+
+
+def test_multimodal_lzw_and_packbits_bombs(monkeypatch):
+    from tests.test_tiff import packbits_encode, tiff_lzw_encode
+
+    from distributed_computing_projects_spark.operators import (
+        multimodal as MM,
+    )
+
+    monkeypatch.setattr(MM, "MAX_DECODE_BYTES", CAP)
+    # LZW expands zeros massively from tiny input
+    assert MM._tiff_lzw_decode(tiff_lzw_encode(BOMB_PLAIN)) is None
+    assert MM._tiff_lzw_decode(tiff_lzw_encode(b"ok" * 32)) == b"ok" * 32
+    assert MM._packbits_decode(packbits_encode(BOMB_PLAIN)) is None
+    assert MM._packbits_decode(packbits_encode(b"ok" * 32)) == b"ok" * 32
+
+
+def test_pdf_torn_flate_streams_drop_not_partial():
+    """ADVICE r12: decompressobj returns a partial prefix on a torn
+    stream without raising — both extractors must check d.eof and
+    DROP, not count partial text."""
+    raw = bytes(range(33, 97))
+    b = P14.build_pdf(raw, flate=True)
+    # tear the FIRST flate content stream a few bytes short
+    body = zlib.compress(
+        b"BT /F1 12 Tf (partial) Tj ET", 9)
+    torn = body[:-4]
+    obj = (b"9 0 obj << /Length %d /Filter /FlateDecode >>\nstream\n"
+           % len(torn) + torn + b"\nendstream\nendobj\n")
+    at = b.index(b"4 0 obj")
+    got = P14.extract_text(b[:at] + obj + b[at:])
+    assert got is not None
+    n_streams, n_flate, n_ops, text = got
+    assert text == raw  # torn stream contributed NOTHING
+    # pdfobj: _inflate_bounded returns None on a torn stream
+    assert PO._inflate_bounded(body) is not None
+    assert PO._inflate_bounded(torn) is None

@@ -131,12 +131,17 @@ def test_malformed_drop():
 def tiff_lzw_encode(data: bytes) -> bytes:
     """Independent TIFF-LZW encoder (MSB-first, EarlyChange) for the
     round-trip tests — written from the spec, not by inverting the
-    decoder."""
+    decoder. Width bumps track the DECODER's table, which grows one
+    code later than the writer's and on every non-first data code
+    INCLUDING the final flush — so a boundary crossed exactly at the
+    flush still emits EOI at the width the decoder reads it with."""
     CLEAR, EOI = 256, 257
     out_bits: list[tuple[int, int]] = []  # (code, width)
     table = {bytes([i]): i for i in range(256)}
     next_code = 258
     width = 9
+    dec_len = 258  # decoder table size after reading the last code
+    emitted = 0  # data codes since the last ClearCode
     out_bits.append((CLEAR, width))
     cur = b""
     for byte in data:
@@ -145,20 +150,29 @@ def tiff_lzw_encode(data: bytes) -> bytes:
             cur = nxt
             continue
         out_bits.append((table[cur], width))
+        emitted += 1
+        if emitted >= 2:
+            dec_len += 1  # the decoder appends on every non-first code
+        # EarlyChange: mirror the decoder's len(table)+1 test exactly
+        if dec_len + 1 >= (1 << width) and width < 12:
+            width += 1
         table[nxt] = next_code
         next_code += 1
-        # EarlyChange: the WRITER bumps width as soon as next_code+1
-        # would overflow (mirrors the decoder's len(table)+1 test)
-        if next_code + 1 > (1 << width) and width < 12:
-            width += 1
         if next_code == 4094:
             out_bits.append((CLEAR, width))
             table = {bytes([i]): i for i in range(256)}
             next_code = 258
             width = 9
+            dec_len = 258
+            emitted = 0
         cur = bytes([byte])
     if cur:
         out_bits.append((table[cur], width))
+        emitted += 1
+        if emitted >= 2:
+            dec_len += 1
+        if dec_len + 1 >= (1 << width) and width < 12:
+            width += 1
     out_bits.append((EOI, width))
     acc = n = 0
     out = bytearray()
