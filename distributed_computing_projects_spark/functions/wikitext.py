@@ -40,7 +40,8 @@ from __future__ import annotations
 from distributed_computing_projects_spark.functions.html import _ENTITIES
 from distributed_computing_projects_spark.functions.text import _check
 
-TEMPLATE_DEPTH = 3  # innermost-pattern iterations = max nesting handled
+TEMPLATE_DEPTH = 5  # innermost-pattern iterations = max nesting handled
+TABLE_DEPTH = 3  # innermost-table iterations = max table nesting
 
 # order matters; comments/refs before the generic tag strip, templates
 # before tables (both leave single braces alone), link rules after
@@ -50,7 +51,13 @@ _REF_RE = r"(?is)<ref[^>/]*>.*?</ref\s*>"
 _REF_SELF_RE = r"(?is)<ref[^>]*/>"
 _TAG_RE = "<[^>]*>"
 _TEMPLATE_RE = r"\{\{[^{}]*\}\}"
+# innermost table (body brace-free, like the template trick) iterated
+# TABLE_DEPTH times handles NESTED tables; the legacy non-greedy
+# catch-all then sweeps stray unbalanced spans exactly as before
+_TABLE_INNER_RE = r"(?s)\{\|[^{}]*\|\}"
 _TABLE_RE = r"(?s)\{\|.*?\|\}"
+_HR_RE = r"(?m)^-{4,}[ \t]*$"  # horizontal rule lines
+_MAGIC_RE = r"__[A-Z]+__"  # behavior switches: __NOTOC__ etc.
 _NSLINK_RE = r"(?is)\[\[(?:category|file|image)\s*:[^\[\]]*\]\]"
 _PIPED_LINK_RE = r"\[\[[^\[\]|]*\|([^\[\]]*)\]\]"
 _PLAIN_LINK_RE = r"\[\[([^\[\]|]*)\]\]"
@@ -79,7 +86,11 @@ def strip_wikitext(expr: str, dialect: str) -> str:
     e = rr(e, _TAG_RE, " ")
     for _ in range(TEMPLATE_DEPTH):
         e = rr(e, _TEMPLATE_RE, " ")
+    for _ in range(TABLE_DEPTH):
+        e = rr(e, _TABLE_INNER_RE, " ")
     e = rr(e, _TABLE_RE, " ")
+    e = rr(e, _MAGIC_RE, " ")
+    e = rr(e, _HR_RE, " ")
     e = rr(e, _NSLINK_RE, " ")
     e = rr(e, _PIPED_LINK_RE, g1)
     e = rr(e, _PLAIN_LINK_RE, g1)

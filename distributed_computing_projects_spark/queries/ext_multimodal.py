@@ -1161,6 +1161,66 @@ def q_wikidump_plain_text(spark, sf_dir):
     )
 
 
+# nowiki fixture: the span carries LITERAL markup (template, link,
+# quote run) that MediaWiki renders verbatim; around it, one construct
+# from each chain rule widened this round (deep template, nested
+# table, magic word, horizontal rule) plus quote runs and a heading.
+_NW_PRE = ("'''Doc''' cites <nowiki>{{tl|x}} [[raw link]] ''lit''"
+           "</nowiki> marker A<nowiki/>B {{d1|{{d2|{{d3|{{d4|gone}}}}}}}}"
+           " then ''")
+_NW_POST = ("''\n== End ==\n__NOTOC__\n----\n"
+            "{| outer\n{| inner\n| cell\n|}\n|}\n")
+# what MediaWiki renders the wrap to (the analytic expectation):
+# nowiki contents literal, null tag joins A and B, everything else
+# stripped, heading text kept, whitespace collapsed
+_NW_EXPECT_PRE = "Doc cites {{tl|x}} [[raw link]] ''lit'' marker AB then "
+_NW_EXPECT_POST = " End"
+
+
+@query(
+    "wikidump_nowiki_plain_text",
+    oracle=f"""
+    SELECT doc_id AS id,
+           {WT.sql_literal(_NW_EXPECT_PRE, 'duck')}
+           || trim(regexp_replace(text, '\\s+', ' ', 'g'))
+           || {WT.sql_literal(_NW_EXPECT_POST, 'duck')} AS extracted
+    FROM documents
+    """,
+    doc="Wikitext stripping with MediaWiki-correct <nowiki> handling: "
+        "markup inside <nowiki>...</nowiki> is LITERAL text, which a "
+        "backref-free single-pass regexp_replace chain cannot express "
+        "— an Arrow extract-protect-restore stage (functions/"
+        "nowiki.py) brackets the chain: spans lift into PUA-sentinel "
+        "tokens, the unchanged SQL chain runs, the literal contents "
+        "substitute back. <nowiki/> (the null marker) renders as "
+        "nothing and must JOIN its neighbors. Unlike "
+        "wikidump_plain_text's two-engine differential, the oracle "
+        "here is ANALYTIC — the MediaWiki-rendered expectation built "
+        "from the fixture constants — so protect/restore is checked "
+        "against ground truth, not against itself; the fixture also "
+        "pins the four survivor classes the r13 markup-mutation "
+        "survey measured (depth-4+ templates, nested tables, magic "
+        "words, horizontal rules; see tests/test_wikitext.py).",
+)
+def q_wikidump_nowiki_plain_text(spark, sf_dir):
+    from distributed_computing_projects_spark.functions import nowiki as NW
+
+    docs = load_table(spark, sf_dir, "documents")
+    pre = WT.sql_literal(_NW_PRE, "spark")
+    post = WT.sql_literal(_NW_POST, "spark")
+    wrapped = docs.select(
+        "doc_id", F.expr(f"concat({pre}, text, {post})").alias("wiki")
+    )
+    protected = NW.protect(wrapped, "wiki")
+    stripped = protected.select(
+        "doc_id", "nowiki_spans",
+        F.expr(WT.strip_wikitext("wiki", "spark")).alias("extracted"),
+    )
+    return NW.restore(stripped, "extracted").select(
+        F.col("doc_id").alias("id"), "extracted"
+    )
+
+
 @query(
     "pdf_extract_text",
     headline=True,
