@@ -1449,6 +1449,27 @@ def q_warc_gz_extract_responses(spark, sf_dir):
         W.warc_gz_payloads(docs, "doc_id", "text", "source"))
 
 
+@query(
+    "warc_zst_extract_responses",
+    oracle=_WARC_ORACLE,
+    doc="Zstd WARC (.warc.zst) extraction — the format newer archive "
+        "tooling and Common Crawl mirrors ship: every record its own "
+        "zstd FRAME, frames concatenated (mirroring .warc.gz's "
+        "member layout). The round-12 seam (sources/warc.py "
+        "zstd_backend / unzstd_members: frame walk, torn-frame and "
+        "bomb-bound drops) activates through the system libzstd via "
+        "the ctypes binding in functions/zstdlib.py — C-speed decode "
+        "inside the Arrow workers, bz2-style bounded incremental "
+        "contract, differentially tested against the real zstd CLI "
+        "in pytest. Zstd is lossless, so the oracle is "
+        "warc_extract_responses' verbatim.",
+)
+def q_warc_zst_extract_responses(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return W.extract_responses(
+        W.warc_zst_payloads(docs, "doc_id", "text", "source"))
+
+
 _WET_ORACLE = f"""
     WITH body AS (
       SELECT doc_id AS id,

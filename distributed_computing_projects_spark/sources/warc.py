@@ -62,12 +62,15 @@ def zstd_backend():
     member-per-record layout). Two public backends are probed:
     stdlib ``compression.zstd`` (Python 3.14+) whose
     ``ZstdDecompressor`` follows the ``bz2.BZ2Decompressor``
-    ``eof``/``unused_data`` contract exactly, and the ``zstandard``
-    wheel via its zlib-compatible ``decompressobj()``. DOCUMENTED
-    BOUNDARY: this container has neither (Python 3.11, no wheel), so
-    here ``.warc.zst`` payloads drop the row like any undecodable
-    payload, the fixture builder raises, and the tests skip — the
-    code path activates wherever a backend exists."""
+    ``eof``/``unused_data`` contract exactly, the ``zstandard``
+    wheel via its zlib-compatible ``decompressobj()``, and the
+    system ``libzstd`` through the ctypes binding in
+    ``functions/zstdlib.py`` (same bz2-style contract; present on
+    virtually every Linux image — it is what ACTIVATES the path in
+    this container). A container with none of the three keeps the
+    dormant-path behavior: ``.warc.zst`` payloads drop the row like
+    any undecodable payload, the fixture builder raises, and the
+    tests skip."""
     try:
         from compression import zstd as _z  # Python 3.14+ stdlib
 
@@ -85,7 +88,14 @@ def zstd_backend():
 
         return _compress, _new
     except ImportError:
-        return None
+        pass
+    from distributed_computing_projects_spark.functions import (
+        zstdlib as _zl,
+    )
+
+    if _zl.available():
+        return _zl.compress, _zl.ZstdDecompressor
+    return None
 
 
 def unzstd_members(b: bytes):

@@ -232,3 +232,40 @@ def test_wet_response_records_do_not_leak_into_conversions(spark):
     resp = W.extract_responses(
         W.wet_payloads(docs, "doc_id", "text", "source")).collect()
     assert resp == []  # conversion-only payloads: no response records
+
+
+def test_zstdlib_differential_vs_real_zstd_cli():
+    """The ctypes backend against the REAL zstd binary, both ways:
+    frames we compress must decode with the reference implementation,
+    and frames the reference compresses (several levels, incl. ones
+    that exercise different block/table choices) must decode with our
+    binding byte-identically."""
+    import shutil
+    import subprocess
+
+    import pytest
+
+    from distributed_computing_projects_spark.functions import (
+        zstdlib as Z,
+    )
+
+    cli = shutil.which("zstd")
+    if not Z.available() or cli is None:
+        pytest.skip("libzstd or zstd CLI missing")
+    payloads = [b"", b"x", b"A" * 100_000,
+                bytes(range(256)) * 512,
+                build_response_record_bytes()]
+    for data in payloads:
+        ours = Z.compress(data)
+        ref = subprocess.run([cli, "-d", "-c"], input=ours,
+                             capture_output=True, check=True).stdout
+        assert ref == data
+        for level in ("-1", "-9", "-19"):
+            theirs = subprocess.run([cli, level, "-c"], input=data,
+                                    capture_output=True, check=True).stdout
+            d = Z.ZstdDecompressor()
+            assert d.decompress(theirs, 1 << 28) == data and d.eof
+
+
+def build_response_record_bytes() -> bytes:
+    return W.build_response_record("https://x/1", b"body " * 2000)
