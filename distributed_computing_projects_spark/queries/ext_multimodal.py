@@ -1179,6 +1179,7 @@ _NW_EXPECT_POST = " End"
 
 @query(
     "wikidump_nowiki_plain_text",
+    headline=True,
     oracle=f"""
     SELECT doc_id AS id,
            {WT.sql_literal(_NW_EXPECT_PRE, 'duck')}
@@ -1383,6 +1384,7 @@ def q_pdf_tounicode_extract_text(spark, sf_dir):
 
 @query(
     "pdf_filters_extract_text",
+    headline=True,
     oracle=f"""
     SELECT doc_id AS id, substr(text, 1, {PDF.PDF_TEXT_BYTES}) AS extracted
     FROM documents
@@ -1451,6 +1453,7 @@ def q_warc_gz_extract_responses(spark, sf_dir):
 
 @query(
     "warc_zst_extract_responses",
+    headline=True,
     oracle=_WARC_ORACLE,
     doc="Zstd WARC (.warc.zst) extraction — the format newer archive "
         "tooling and Common Crawl mirrors ship: every record its own "

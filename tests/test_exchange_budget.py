@@ -58,6 +58,7 @@ EXCHANGE_BUDGET = {
     # same spread-then-Arrow-chain shape as pdf_extract_text: the one
     # exchange is spread's fixture-scale repartition; the object-model
     # walk (objstm/xref-stream) and CMap mapping are in-partition
+    "pdf_filters_extract_text": 1,
     "pdf_objstm_extract_text": 1,
     "pdf_tounicode_extract_text": 1,
     "q17_small_quantity_revenue": 2,
@@ -76,6 +77,11 @@ EXCHANGE_BUDGET = {
     "tfidf_top_terms": 4,
     "training_corpus_summary": 3,
     "warc_gz_extract_responses": 1,
+    "warc_zst_extract_responses": 1,
+    # protect -> strip chain -> restore are all narrow (two Arrow
+    # stages + a codegen projection straight over the scan): ZERO
+    # exchanges — the scan's own partitioning is the parallelism
+    "wikidump_nowiki_plain_text": 0,
     # spread repartition before the dump build+extract chain; the
     # wikitext strip is a codegen projection on the extractor output
     "wikidump_plain_text": 1,
