@@ -19,7 +19,9 @@ from the loop:
   (``tools/query_hashes.json``). Run at END of each round, right
   before the final commit the driver evaluates.
 - ``order``: compute the matrix order and write it to
-  ``queries/_matrix_first.py``. Segments:
+  ``queries/_matrix_first.py`` (``order --dry-run`` prints the
+  segment counts without touching the file — the read-only status
+  check for judges and builders). Segments:
     0. queries with NO green driver row in any CORRECTNESS_r*.json;
     1. queries needing re-verification: current hash differs from the
        hash at the last green round (per the snapshot taken that
@@ -350,7 +352,7 @@ def compute_order(
     return order, reasons
 
 
-def write_order() -> None:
+def write_order(dry_run: bool = False) -> None:
     rounds = correctness_rounds()
     order, reasons = compute_order(rounds)
     lines = [
@@ -394,9 +396,12 @@ def write_order() -> None:
         "# (tests/test_matrix_rotation.py::test_overflow_queries_verify).",
         f"MATRIX_OVERFLOW = {overflow!r}",
     ]
-    with open(ORDER_PATH, "w") as f:
-        f.write("\n".join(lines) + "\n")
-    print(f"wrote {ORDER_PATH} ({len(order)} queries)")
+    if dry_run:
+        print(f"dry-run: would write {ORDER_PATH} ({len(order)} queries)")
+    else:
+        with open(ORDER_PATH, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        print(f"wrote {ORDER_PATH} ({len(order)} queries)")
     if overflow:
         print(f"WARNING: {len(overflow)} urgent queries past the "
               f"{MATRIX_CAP}-row cap: {overflow}")
@@ -423,7 +428,10 @@ def main() -> int:
     elif cmd == "snapshot":
         snapshot(int(sys.argv[2]))
     elif cmd == "order":
-        write_order()
+        # --dry-run: report segments without touching the generated
+        # file (judges/builders running a read-only status check must
+        # not dirty the tree)
+        write_order(dry_run="--dry-run" in sys.argv[2:])
     else:
         print(__doc__)
         return 2

@@ -334,6 +334,13 @@ def run_factor(spark, factor: int) -> dict:
         timed(spark, m, "wikidump_plain_text",
               lambda: reg["wikidump_plain_text"].fn(spark, work)
               .count())
+        spark.catalog.clearCache()
+        # r13: .warc.zst through the ctypes libzstd backend — decode
+        # is C-speed inside the Arrow workers, so the row should track
+        # the gzip family's linearity, not a Python-codec cliff
+        timed(spark, m, "warc_zst_extract",
+              lambda: reg["warc_zst_extract_responses"].fn(spark, work)
+              .count())
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.catalog.clearCache()
