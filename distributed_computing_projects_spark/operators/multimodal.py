@@ -671,6 +671,61 @@ def _decode_tiff(b: bytes):
         return None
 
 
+def _decode_webp(b: bytes):
+    """WebP via the system libwebp ctypes binding
+    (functions/webplib.py) — C-speed decode, RIFF magic gated, bomb
+    bound checked against header dims BEFORE pixel allocation. None
+    (the row drop) when the library is absent, the payload is torn,
+    or the canvas exceeds the bound."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        return None
+    from distributed_computing_projects_spark.functions import (
+        webplib as WP,
+    )
+
+    out = WP.decode_rgb(b, MAX_DECODE_BYTES)
+    if out is None:
+        return None
+    import numpy as np
+
+    w, h, px = out
+    return w, h, np.frombuffer(px, dtype=np.uint8)
+
+
+def webp_payloads(
+    df: DataFrame, id_col: str, text_col: str, w: int, h: int,
+) -> DataFrame:
+    """(id, payload): a deterministic LOSSLESS WebP per row, pixels =
+    the first ``w*h*3`` UTF-8 bytes of ``text_col`` as RGB — the
+    png_payloads geometry through the reference C encoder, so the
+    decode round-trip is byte-exact and oracle-checkable. Callers
+    pre-filter to rows with enough text bytes."""
+    from distributed_computing_projects_spark.functions import (
+        webplib as WP,
+    )
+
+    if not WP.available():
+        raise RuntimeError(
+            "webp_payloads needs libwebp (functions/webplib.py)")
+    n_bytes = w * h * 3
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, text in zip(pdf["id"], pdf["text"]):
+                raw = text.encode("utf-8")[:n_bytes]
+                if len(raw) < n_bytes:
+                    continue
+                payloads.append(WP.encode_lossless_rgb(raw, w, h))
+                ids.append(i)
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    cols = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    return spread(cols).mapInPandas(_encode, schema="id bigint, payload binary")
+
+
 def decode_image(payloads: DataFrame) -> DataFrame:
     """REAL image decode for the formats a library-free container can
     decode: binary PPM (P6), uncompressed 24-bit BMP, and 8-bit
@@ -698,7 +753,8 @@ def decode_image(payloads: DataFrame) -> DataFrame:
             for i, payload in zip(pdf["id"], pdf["payload"]):
                 b = bytes(payload)
                 decoded = _decode_ppm(b) or _decode_bmp(b) or _decode_png(b) \
-                    or _decode_jpeg(b) or _decode_gif(b) or _decode_tiff(b)
+                    or _decode_jpeg(b) or _decode_gif(b) or _decode_tiff(b) \
+                    or _decode_webp(b)
                 if decoded is None:
                     continue
                 w, h, px = decoded

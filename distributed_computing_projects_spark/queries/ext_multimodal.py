@@ -247,6 +247,47 @@ def q_multimodal_png_decode(spark, sf_dir):
     return M.decode_image(payloads)
 
 
+@query(
+    "multimodal_webp_decode",
+    oracle=f"""
+    WITH eligible AS (
+      SELECT doc_id AS id, text FROM documents
+      WHERE octet_length(encode(text)) >= {_IMG_BYTES}),
+    b AS (
+      SELECT id, i, ascii(substr(text, i, 1)) AS v
+      FROM eligible, (SELECT unnest(generate_series(1, {_IMG_BYTES})) AS i))
+    SELECT id,
+           CAST({IMG_W} AS INTEGER) AS width,
+           CAST({IMG_H} AS INTEGER) AS height,
+           CAST({IMG_W * IMG_H} AS BIGINT) AS n_px,
+           CAST(sum(CASE WHEN i % 3 = 1 THEN v END) AS BIGINT) AS sum_r,
+           CAST(sum(CASE WHEN i % 3 = 2 THEN v END) AS BIGINT) AS sum_g,
+           CAST(sum(CASE WHEN i % 3 = 0 THEN v END) AS BIGINT) AS sum_b
+    FROM b GROUP BY id
+    """,
+    doc="WebP decode end-to-end — a top-3 web image format the "
+        "multimodal tier previously dropped wholesale: each doc's "
+        "first 36 text bytes become a 4x3 RGB image encoded LOSSLESS "
+        "through the reference C implementation (system libwebp via "
+        "the ctypes binding in functions/webplib.py — the zstd-seam "
+        "pattern: the container has no Python imaging library but "
+        "ships the codec itself), then decoded back by "
+        "decode_image's WebP branch at C speed inside the Arrow "
+        "workers. Lossless encode makes the round-trip byte-exact, "
+        "so the same character-code channel-sum oracle as "
+        "multimodal_png_decode pins the whole encode->decode chain; "
+        "header dims are bomb-bound-checked BEFORE pixel allocation. "
+        "Same output contract as multimodal_image_decode.",
+)
+def q_multimodal_webp_decode(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = docs.filter(
+        F.expr(f"octet_length(encode(text, 'UTF-8')) >= {_IMG_BYTES}")
+    )
+    payloads = M.webp_payloads(eligible, "doc_id", "text", IMG_W, IMG_H)
+    return M.decode_image(payloads)
+
+
 RESIZE_F = 2
 
 
