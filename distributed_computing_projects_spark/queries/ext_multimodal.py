@@ -1514,6 +1514,29 @@ def q_warc_zst_extract_responses(spark, sf_dir):
         W.warc_zst_payloads(docs, "doc_id", "text", "source"))
 
 
+@query(
+    "warc_content_encoded_responses",
+    oracle=_WARC_ORACLE,
+    doc="HTTP Content-Encoding decode inside WARC extraction — what "
+        "real crawl records require before any text processing: "
+        "Common Crawl response records store the raw HTTP payload, "
+        "and servers gzip/brotli most bodies. Per doc the response "
+        "body is wire-compressed per id%5 (identity, gzip, deflate, "
+        "br via the system libbrotli ctypes binding in "
+        "functions/brotlilib.py, and the chained 'gzip, br'); the "
+        "extractor parses the Content-Encoding header and applies "
+        "the coding chain right-to-left (RFC 9110 §8.4) with the "
+        "bomb-bound/torn-stream drop discipline, so the decoded "
+        "body facts must equal the PLAIN warc oracle verbatim — "
+        "any coding silently skipped or misapplied breaks the hash "
+        "for that id class.",
+)
+def q_warc_content_encoded_responses(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return W.extract_responses(
+        W.warc_ce_payloads(docs, "doc_id", "text", "source"))
+
+
 _WET_ORACLE = f"""
     WITH body AS (
       SELECT doc_id AS id,

@@ -2,6 +2,8 @@
 training corpora actually arrive in (Common Crawl publishes WARC), so
 an engine claiming the LLM-ingest surface needs to read it natively:
 record parse, warcinfo/request skip, HTTP-response envelope strip,
+HTTP ``Content-Encoding`` body decode (identity/gzip/deflate/br,
+chained — servers compress most crawl bodies on the wire),
 and per-document extraction with the engine's malformed-record drop
 policy (sources/csv.py) at record granularity.
 
@@ -33,6 +35,7 @@ LLM-pipeline scale-extension surface (SURVEY.md §2 extensions).
 from __future__ import annotations
 
 import gzip
+import re
 import zlib
 from collections.abc import Iterator
 
@@ -144,10 +147,37 @@ def build_record(warc_type: str, headers: dict, block: bytes) -> bytes:
     return _CRLF.join(lines) + _CRLF + _CRLF + block + _CRLF + _CRLF
 
 
-def build_response_record(url: str, body: bytes,
-                          status: int = 200) -> bytes:
+def encode_http_body(body: bytes, content_encoding: str) -> bytes:
+    """Fixture twin of :func:`decode_content_encoding`: apply the
+    coding chain left-to-right (``"gzip, br"`` gzips first, then
+    brotli — the wire order the decoder reverses)."""
+    for coding in [c.strip() for c in content_encoding.split(",")
+                   if c.strip()]:
+        if coding == "identity":
+            continue
+        elif coding == "gzip":
+            body = gzip.compress(body, mtime=0)
+        elif coding == "deflate":
+            body = zlib.compress(body, 6)
+        elif coding == "br":
+            from distributed_computing_projects_spark.functions import (
+                brotlilib,
+            )
+
+            body = brotlilib.compress(body)
+        else:
+            raise ValueError(f"fixture coding {coding!r} unsupported")
+    return body
+
+
+def build_response_record(url: str, body: bytes, status: int = 200,
+                          content_encoding: str | None = None) -> bytes:
+    ce = ""
+    if content_encoding is not None:
+        body = encode_http_body(body, content_encoding)
+        ce = f"Content-Encoding: {content_encoding}\r\n"
     http = (f"HTTP/1.1 {status} OK\r\n"
-            f"Content-Type: text/html\r\n"
+            f"Content-Type: text/html\r\n{ce}"
             f"Content-Length: {len(body)}\r\n\r\n").encode() + body
     return build_record(
         "response",
@@ -226,8 +256,8 @@ def gunzip_members(b: bytes):
 
 
 def split_http_response(block: bytes):
-    """(status, body) from an application/http response block, or
-    ``None`` if the block is not an HTTP response."""
+    """(status, head, body) from an application/http response block,
+    or ``None`` if the block is not an HTTP response."""
     sep = block.find(b"\r\n\r\n")
     if sep < 0 or not block.startswith(b"HTTP/"):
         return None
@@ -235,7 +265,64 @@ def split_http_response(block: bytes):
         status = int(block[:sep].split(_CRLF)[0].split(b" ")[1])
     except (ValueError, IndexError):
         return None
-    return status, block[sep + 4:]
+    return status, block[:sep], block[sep + 4:]
+
+
+_CE_RE = re.compile(rb"(?im)^content-encoding:[ \t]*([^\r\n]+)")
+
+
+def _inflate_http(body: bytes, wbits: int, max_bytes: int):
+    d = zlib.decompressobj(wbits)
+    try:
+        out = d.decompress(body, max_bytes + 1)
+    except zlib.error:
+        return None
+    if len(out) > max_bytes or not d.eof:
+        return None
+    return out
+
+
+def decode_content_encoding(head: bytes, body: bytes,
+                            max_bytes: int | None = None):
+    """Apply the HTTP ``Content-Encoding`` chain to a response body —
+    what real crawl WARCs require before any text processing (Common
+    Crawl response records store the raw HTTP payload, and servers
+    gzip/br most of them). Codings apply right-to-left per RFC 9110
+    §8.4; supported: ``identity``, ``gzip``/``x-gzip`` (zlib
+    wbits=31), ``deflate`` (zlib stream, with the classic raw-deflate
+    server-quirk fallback), ``br`` (system libbrotli via
+    ``functions/brotlilib.py``). Unsupported codings (``compress``),
+    torn streams, and bodies expanding past the bomb bound return
+    ``None`` — the record-granular drop."""
+    if max_bytes is None:
+        max_bytes = MAX_MEMBER_BYTES
+    m = _CE_RE.search(head)
+    if m is None:
+        return body
+    codings = [c.strip().lower() for c in m.group(1).split(b",")
+               if c.strip()]
+    for coding in reversed(codings):
+        if coding == b"identity":
+            continue
+        if coding in (b"gzip", b"x-gzip"):
+            body = _inflate_http(body, 31, max_bytes)
+        elif coding == b"deflate":
+            out = _inflate_http(body, 15, max_bytes)
+            if out is None:
+                out = _inflate_http(body, -15, max_bytes)
+            body = out
+        elif coding == b"br":
+            from distributed_computing_projects_spark.functions import (
+                brotlilib,
+            )
+
+            body = (brotlilib.decompress(body, max_bytes)
+                    if brotlilib.available() else None)
+        else:
+            return None  # compress/unknown: outside subset
+        if body is None:
+            return None
+    return body
 
 
 # fixture geometry: the oracle pins the body via its length plus the
@@ -263,6 +350,46 @@ def warc_payloads(df: DataFrame, id_col: str, text_col: str,
                 payloads.append(
                     info + build_response_record(url,
                                                  text.encode("utf-8")))
+                ids.append(i)
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    cols = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text"),
+        F.col(source_col).alias("source"),
+    )
+    return spread(cols).mapInPandas(_encode, schema="id bigint, payload binary")
+
+
+CONTENT_ENCODINGS = [None, "gzip", "deflate", "br", "gzip, br"]
+
+
+def warc_ce_payloads(df: DataFrame, id_col: str, text_col: str,
+                     source_col: str) -> DataFrame:
+    """(id, payload): the warc_payloads two-record layout, but the
+    HTTP response body is Content-Encoding-compressed per
+    ``id % 5`` — identity, gzip, deflate, br, and the chained
+    ``gzip, br`` — so every coding the extractor supports is on the
+    hash path across the corpus. Requires libbrotli (raises like the
+    zstd builder when the backend is absent)."""
+    from distributed_computing_projects_spark.functions import brotlilib
+
+    if not brotlilib.available():
+        raise RuntimeError(
+            "warc_ce_payloads needs libbrotli (functions/brotlilib.py)")
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, text, source in zip(pdf["id"], pdf["text"],
+                                       pdf["source"]):
+                url = f"https://{source}.example.com/doc/{i}"
+                ce = CONTENT_ENCODINGS[int(i) % len(CONTENT_ENCODINGS)]
+                info = build_record(
+                    "warcinfo", {"Content-Type": "application/warc-fields"},
+                    b"software: fixture\r\n")
+                payloads.append(
+                    info + build_response_record(
+                        url, text.encode("utf-8"), content_encoding=ce))
                 ids.append(i)
             yield pd.DataFrame({"id": ids, "payload": payloads})
 
@@ -471,7 +598,10 @@ def extract_responses(payloads: DataFrame) -> DataFrame:
                     http = split_http_response(block)
                     if http is None:
                         continue
-                    status, body = http
+                    status, head, body = http
+                    body = decode_content_encoding(head, body)
+                    if body is None:
+                        continue  # torn/bomb/unsupported coding: drop
                     out["id"].append(i)
                     out["url"].append(
                         headers.get("warc-target-uri", ""))

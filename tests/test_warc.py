@@ -18,7 +18,7 @@ def test_parse_and_extract_roundtrip():
     b = _two_record_file()
     records = W.parse_records(b)
     assert [h["warc-type"] for h, _ in records] == ["warcinfo", "response"]
-    status, body = W.split_http_response(records[1][1])
+    status, _head, body = W.split_http_response(records[1][1])
     assert (status, body) == (200, b"hello world")
     assert records[1][0]["warc-target-uri"] == "https://a.example.com/1"
 
@@ -47,7 +47,7 @@ def test_malformed_and_torn():
     # binary body with high bytes survives Content-Length delimiting
     raw = bytes(range(256))
     rec = W.parse_records(W.build_response_record("u", raw))
-    assert W.split_http_response(rec[0][1])[1] == raw
+    assert W.split_http_response(rec[0][1])[2] == raw
 
 
 def test_spark_extract_responses(spark):
@@ -269,3 +269,61 @@ def test_zstdlib_differential_vs_real_zstd_cli():
 
 def build_response_record_bytes() -> bytes:
     return W.build_response_record("https://x/1", b"body " * 2000)
+
+
+# -- HTTP Content-Encoding (r13): gzip/deflate/br bodies ----------------------
+
+
+def test_content_encoding_chain_decodes_and_drops():
+    import zlib
+
+    from distributed_computing_projects_spark.functions import (
+        brotlilib as B,
+    )
+
+    body = b"the decoded body " * 10
+    for ce in ("gzip", "deflate", "br", "gzip, br", "identity"):
+        if "br" in ce and not B.available():
+            continue
+        rec = W.build_response_record("u", body, content_encoding=ce)
+        _status, head, wire = W.split_http_response(
+            W.parse_records(rec)[0][1])
+        assert W.decode_content_encoding(head, wire) == body, ce
+    # raw-deflate server quirk: body is a raw DEFLATE stream
+    raw_deflate = zlib.compressobj(6, zlib.DEFLATED, -15).compress(body) \
+        + zlib.compressobj(6, zlib.DEFLATED, -15).flush()
+    head = b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate"
+    d = zlib.compressobj(6, zlib.DEFLATED, -15)
+    raw_deflate = d.compress(body) + d.flush()
+    assert W.decode_content_encoding(head, raw_deflate) == body
+    # unsupported coding, torn stream, bomb: record-granular drops
+    assert W.decode_content_encoding(
+        b"Content-Encoding: compress", b"xx") is None
+    import gzip as _gz
+
+    assert W.decode_content_encoding(
+        b"Content-Encoding: gzip", _gz.compress(body)[:-4]) is None
+    assert W.decode_content_encoding(
+        b"Content-Encoding: gzip", _gz.compress(b"\x00" * (1 << 22)),
+        max_bytes=1 << 10) is None
+    # no header: body passes through untouched
+    assert W.decode_content_encoding(b"HTTP/1.1 200 OK", body) == body
+
+
+def test_spark_ce_payloads_match_plain(spark):
+    import pytest
+
+    from distributed_computing_projects_spark.functions import (
+        brotlilib as B,
+    )
+
+    if not B.available():
+        pytest.skip("no libbrotli in this environment")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plain = sorted(
+        tuple(r) for r in W.extract_responses(
+            W.warc_payloads(docs, "doc_id", "text", "source")).collect())
+    ce = sorted(
+        tuple(r) for r in W.extract_responses(
+            W.warc_ce_payloads(docs, "doc_id", "text", "source")).collect())
+    assert ce == plain and len(plain) == docs.count()
