@@ -630,10 +630,12 @@ def _decode_tiff(b: bytes):
         offsets = tags.get(273)
         counts = tags.get(279)
         spp = tags.get(277, [1])[0]
+        pred = tags.get(317, [1])[0]
         if (
             not w or not h or offsets is None or counts is None
             or len(offsets) != len(counts)
             or comp not in (1, 5, 8, 32773)
+            or pred not in (1, 2)
             or photo not in (0, 1, 2)
             or spp not in (1, 3)
             or (photo == 2) != (spp == 3)
@@ -662,6 +664,14 @@ def _decode_tiff(b: bytes):
         if len(raw) != w * h * spp:
             return None
         px = np.frombuffer(bytes(raw), dtype=np.uint8)
+        if pred == 2:
+            # horizontal differencing (TIFF 6.0 §14, tag 317): each
+            # sample stores the delta to the previous pixel's same
+            # channel, resetting per row — undo with a per-row,
+            # per-channel cumulative sum mod 256. Silently skipping
+            # the tag would decode deltas as pixels: wrong, not torn.
+            px = (px.reshape(h, w, spp).astype(np.uint32)
+                  .cumsum(axis=1) % 256).astype(np.uint8).reshape(-1)
         if spp == 1:
             if photo == 0:  # WhiteIsZero: invert to BlackIsZero values
                 px = 255 - px

@@ -211,11 +211,26 @@ def _apply_predictor(data: bytes, parms: dict):
     pred = parms.get("Predictor", 1)
     if pred == 1:
         return data
-    if pred < 10:
-        return None  # TIFF predictor 2: outside subset, drop
     colors = parms.get("Colors", 1)
     bpc = parms.get("BitsPerComponent", 8)
     columns = parms.get("Columns", 1)
+    if pred == 2:
+        # TIFF predictor 2 (horizontal differencing, §7.4.4.4 /
+        # TIFF 6.0 §14): per-row, per-color cumulative sum. 8-bit
+        # components only — the sub-byte variants drop.
+        if bpc != 8:
+            return None
+        stride = columns * colors
+        if stride <= 0 or len(data) % stride:
+            return None  # torn rows: drop, never partial
+        import numpy as np
+
+        rows = np.frombuffer(data, dtype=np.uint8).reshape(
+            -1, columns, colors)
+        return ((rows.astype(np.uint32).cumsum(axis=1) % 256)
+                .astype(np.uint8).tobytes())
+    if pred < 10:
+        return None  # predictor 3..9: not a defined PDF value
     bpp = max(1, (colors * bpc) // 8)
     stride = (columns * colors * bpc + 7) // 8
     h = len(data) // (stride + 1)
@@ -1115,18 +1130,20 @@ def _runlength_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-FILTER_VARIANTS = 6
+FILTER_VARIANTS = 7
+_PRED2_COLS = 64
 
 
 def build_pdf_filters(text_bytes: bytes, variant: int) -> bytes:
     """One deterministic classic-xref PDF whose single content stream
     carries the pdf.py two-block geometry (4 Tj + one 4-string TJ)
-    behind the ``variant % 6``-th stream-filter encoding: LZW
+    behind the ``variant % 7``-th stream-filter encoding: LZW
     (EarlyChange default), LZW with ``/EarlyChange 0``, ASCIIHex,
-    ASCII85 (incl. the ``z`` zero-group), RunLength, and the chained
+    ASCII85 (incl. the ``z`` zero-group), RunLength, the chained
     ``[/ASCII85Decode /LZWDecode]`` with a deliberately SHORT
     ``/DecodeParms [null]`` list (spec-legal; must pad, not truncate
-    the chain)."""
+    the chain), and LZW behind TIFF ``/Predictor 2`` (horizontal
+    differencing — the classic scanned-TIFF-in-PDF layout)."""
     tj, tjarr = _content_pair(text_bytes)
     content = tj + b"\n" + tjarr
     v = variant % FILTER_VARIANTS
@@ -1141,9 +1158,23 @@ def build_pdf_filters(text_bytes: bytes, variant: int) -> bytes:
         data, filt = _ascii85_encode(content), b"/Filter /ASCII85Decode"
     elif v == 4:
         data, filt = _runlength_encode(content), b"/Filter /RunLengthDecode"
-    else:
+    elif v == 5:
         data = _ascii85_encode(_lzw_encode(content, 1))
         filt = b"/Filter [/ASCII85Decode /LZWDecode] /DecodeParms [null]"
+    else:
+        # pad to whole predictor rows with PDF-harmless spaces, then
+        # difference each row (the encode twin of _apply_predictor's
+        # pred-2 branch) before LZW
+        content += b" " * ((-len(content)) % _PRED2_COLS)
+        diffed = bytearray()
+        for r in range(0, len(content), _PRED2_COLS):
+            prev = 0
+            for byte in content[r:r + _PRED2_COLS]:
+                diffed.append((byte - prev) & 0xFF)
+                prev = byte
+        data = _lzw_encode(bytes(diffed), 1)
+        filt = (b"/Filter /LZWDecode /DecodeParms"
+                b" << /Predictor 2 /Columns %d >>" % _PRED2_COLS)
     objs = [
         b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
         b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",

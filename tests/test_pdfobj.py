@@ -126,8 +126,26 @@ def test_up_filter_roundtrip():
     assert out == rows
 
 
-def test_tiff_predictor_drops():
-    assert P._apply_predictor(b"\x00" * 10, {"Predictor": 2}) is None
+def test_tiff_predictor2_roundtrip_and_drops():
+    # r13: predictor 2 (horizontal differencing) is now SUPPORTED for
+    # 8-bit components — the classic scanned-TIFF-in-PDF layout
+    plain = bytes(range(40))
+    diffed = bytearray()
+    for r in range(0, 40, 8):
+        prev = 0
+        for byte in plain[r:r + 8]:
+            diffed.append((byte - prev) & 0xFF)
+            prev = byte
+    parms = {"Predictor": 2, "Columns": 8}
+    assert P._apply_predictor(bytes(diffed), parms) == plain
+    # sub-byte components and torn rows still drop
+    assert P._apply_predictor(
+        bytes(diffed), {"Predictor": 2, "Columns": 8,
+                        "BitsPerComponent": 4}) is None
+    assert P._apply_predictor(
+        bytes(diffed[:-3]), parms) is None
+    # predictor values 3..9 are not defined PDF values
+    assert P._apply_predictor(b"\x00" * 10, {"Predictor": 3}) is None
 
 
 # -- drop policy -------------------------------------------------------------

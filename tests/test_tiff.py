@@ -16,7 +16,7 @@ from distributed_computing_projects_spark.operators.multimodal import (
 
 
 def build_tiff(pixels: bytes, w, h, spp=3, comp=1, photo=2, order="<",
-               packed=None):
+               packed=None, pred=None):
     data = packed if packed is not None else pixels
     hdr = (b"II" if order == "<" else b"MM") + struct.pack(
         order + "HI", 42, 8 + len(data)
@@ -32,7 +32,7 @@ def build_tiff(pixels: bytes, w, h, spp=3, comp=1, photo=2, order="<",
     def long_inline(v):
         return struct.pack(order + "I", v)
 
-    n_entries = 9
+    n_entries = 9 + (1 if pred is not None else 0)
     bps_off = ifd_off + 2 + 12 * n_entries + 4
     if spp == 3:
         bps_val, bps_ext = long_inline(bps_off), struct.pack(
@@ -51,9 +51,26 @@ def build_tiff(pixels: bytes, w, h, spp=3, comp=1, photo=2, order="<",
         entry(278, 3, 1, short_inline(h)),
         entry(279, 4, 1, long_inline(len(data))),
     ]
+    if pred is not None:
+        entries.append(entry(317, 3, 1, short_inline(pred)))
     ifd = (struct.pack(order + "H", len(entries)) + b"".join(entries)
            + struct.pack(order + "I", 0))
     return hdr + data + ifd + bps_ext
+
+
+def tiff_diff_rows(pixels: bytes, w: int, spp: int) -> bytes:
+    """Forward horizontal differencing (TIFF 6.0 §14) — the encode
+    twin of the decoder's predictor-2 cumulative sum."""
+    out = bytearray()
+    stride = w * spp
+    for r in range(0, len(pixels), stride):
+        row = pixels[r:r + stride]
+        prev = [0] * spp
+        for x in range(0, len(row), spp):
+            for c in range(spp):
+                out.append((row[x + c] - prev[c]) & 0xFF)
+                prev[c] = row[x + c]
+    return bytes(out)
 
 
 def packbits_encode(data: bytes) -> bytes:
@@ -246,3 +263,45 @@ def test_lzw_rejects_table_overflow_without_clear():
     if n_bits:
         out.append((acc << (8 - n_bits)) & 0xFF)
     assert _tiff_lzw_decode(bytes(out)) is None
+
+
+# -- r13: predictor 2 (horizontal differencing, tag 317) ----------------------
+
+
+def test_predictor2_lzw_and_uncompressed():
+    from distributed_computing_projects_spark.operators.multimodal import (
+        _decode_tiff,
+    )
+
+    px = bytes((x * 7 + c) % 256 for x in range(6 * 4) for c in range(3))
+    diffed = tiff_diff_rows(px, 6, 3)
+    # predictor-2 + LZW (the layout scanned TIFFs actually ship)
+    got = _decode_tiff(build_tiff(px, 6, 4, comp=5, pred=2,
+                                  packed=tiff_lzw_encode(diffed)))
+    assert got is not None and bytes(got[2]) == px
+    # predictor-2 without compression decodes too (tag is orthogonal)
+    got = _decode_tiff(build_tiff(diffed, 6, 4, pred=2))
+    assert got is not None and bytes(got[2]) == px
+    # grayscale predictor-2
+    gray = bytes((x * 11) % 256 for x in range(6 * 4))
+    gd = tiff_diff_rows(gray, 6, 1)
+    got = _decode_tiff(build_tiff(gd, 6, 4, spp=1, photo=1, pred=2))
+    assert got is not None
+    import numpy as np
+
+    assert bytes(np.asarray(got[2]).reshape(-1, 3)[:, 0]) == gray
+
+
+def test_predictor2_not_silently_ignored():
+    """A predictor-2 file decoded as predictor-1 yields deltas as
+    pixels — the decoder must UNDO the differencing, and unknown
+    predictors must drop rather than fabricate."""
+    from distributed_computing_projects_spark.operators.multimodal import (
+        _decode_tiff,
+    )
+
+    px = bytes((x * 7) % 256 for x in range(6 * 4 * 3))
+    diffed = tiff_diff_rows(px, 6, 3)
+    got = _decode_tiff(build_tiff(diffed, 6, 4, pred=2))
+    assert bytes(got[2]) == px != diffed
+    assert _decode_tiff(build_tiff(px, 6, 4, pred=3)) is None  # float pred
