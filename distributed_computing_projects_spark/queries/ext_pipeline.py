@@ -616,3 +616,126 @@ def q_training_corpus_v2(spark, sf_dir):
         F.count("*").alias("n_chunks"),
         F.sum("n_tokens").alias("total_chunk_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# training_corpus_wire: the composition starting from the CRAWL WIRE
+# FORMAT — content-encoded HTTP bodies inside gzip-member WARC —
+# instead of the clean documents table
+# ---------------------------------------------------------------------------
+
+from distributed_computing_projects_spark.functions import (  # noqa: E402
+    html as H,
+)
+from distributed_computing_projects_spark.sources import (  # noqa: E402
+    warc as W,
+)
+
+# lossless HTML body wrap: script/style/attrs exercise the strip
+# rules but contribute NO visible text, so strip(wrap(t)) == t and
+# the oracle can run on the CLEAN corpus — pinning the whole wire
+# layer (CE encode -> WARC -> parse -> CE decode -> HTML strip) as
+# exactly lossless
+_WIRE_BODY_SPARK = (
+    "concat('<html><head><title></title>"
+    "<style>p { color: red; }</style></head>',"
+    " '<body onload=\"init()\"><script>if (a < b) { go(\"now\"); }"
+    "</script><p class=\"main\">', text, '</p></body></html>')"
+)
+
+
+@query(
+    "training_corpus_wire",
+    headline=True,
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, text, source,
+             len({_TOKS_D}) AS n_tokens,
+             CAST(len(list_distinct({_TOKS_D})) AS DOUBLE)
+               / CAST(len({_TOKS_D}) AS DOUBLE) AS distinct_ratio
+      FROM documents),
+    gated AS (
+      SELECT doc_id, text, source FROM scored
+      WHERE n_tokens >= {GATE_MIN_TOKENS}
+        AND distinct_ratio >= {GATE_MIN_DISTINCT}),
+    survivors AS (
+      SELECT doc_id, text, source FROM gated
+      QUALIFY doc_id = min(doc_id)
+        OVER (PARTITION BY {D.NORM_TEXT_DUCK.format(col='text')})),
+    toks AS (
+      SELECT doc_id, source, len({_TOKS_D}) AS n
+      FROM survivors WHERE len({_TOKS_D}) > 0),
+    starts AS (
+      SELECT doc_id, source, n,
+             unnest(generate_series(0, n - 1, {_CHUNK_STEP})) AS start
+      FROM toks)
+    SELECT source,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_chunks,
+           CAST(sum(least({CHUNK_TOKENS}, n - start)) AS BIGINT)
+             AS total_chunk_tokens
+    FROM starts GROUP BY source
+    """,
+    doc="WIRE-to-corpus pipeline composition — the shape a real crawl "
+        "ingest actually has: each doc's text is wrapped in lossless "
+        "HTML (script/style/attrs exercise the strip rules but add no "
+        "visible text), the body is HTTP Content-Encoding-compressed "
+        "per id%5 (identity/gzip/deflate/br/chained), packed into a "
+        "two-record WARC, and only THEN does the pipeline start: "
+        "record walk -> CE decode -> UTF-8 body -> HTML->text -> "
+        "quality gate (min tokens / distinct ratio; the lang "
+        "agreement gate needs the clean table's lang column, which a "
+        "wire pipeline does not have — documented difference from "
+        "training_corpus_summary) -> exact-dedup survivors -> token "
+        "chunking -> per-source stats, with source RE-DERIVED from "
+        "the Target-URI host. The oracle runs the same gates on the "
+        "CLEAN corpus directly, so any loss anywhere in the wire "
+        "layer (a mis-decoded coding, a dropped record, an HTML rule "
+        "eating text, a URL mangle) breaks the hash.",
+)
+def q_training_corpus_wire(spark, sf_dir):
+    from distributed_computing_projects_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wired = docs.select(
+        "doc_id", F.expr(_WIRE_BODY_SPARK).alias("body"), "source"
+    )
+    payloads = W.warc_ce_payloads(wired, "doc_id", "body", "source")
+    bodies = W.extract_response_bodies(payloads)
+    recovered = bodies.select(
+        F.col("id").alias("doc_id"),
+        F.expr(H.strip_html("body", "spark")).alias("text"),
+        F.regexp_extract("url", r"https://([^.]+)\.", 1).alias("source"),
+    )
+    toks = T.tokens("text", "spark")
+    gated = recovered.select(
+        "doc_id", "text", "source",
+        F.expr(f"size({toks})").alias("n_tokens"),
+        F.expr(
+            f"CAST(size(array_distinct({toks})) AS DOUBLE)"
+            f" / CAST(size({toks}) AS DOUBLE)"
+        ).alias("distinct_ratio"),
+    ).filter(
+        (F.col("n_tokens") >= GATE_MIN_TOKENS)
+        & (F.col("distinct_ratio") >= GATE_MIN_DISTINCT)
+    )
+    w = Window.partitionBy(F.expr(D.NORM_TEXT_SPARK.format(col="text")))
+    survivors = (
+        gated.withColumn("_keep", F.col("doc_id") == F.min("doc_id").over(w))
+        .filter(F.col("_keep"))
+        .select("doc_id", "text", "source")
+    )
+    chunks = chunk_documents(
+        survivors, "doc_id", "text", CHUNK_TOKENS, CHUNK_OVERLAP,
+        carry=("source",),
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tokens").alias("total_chunk_tokens"),
+        )
+    )

@@ -562,6 +562,57 @@ WARC_SCHEMA = (
 )
 
 
+BODY_SCHEMA = "id bigint, url string, status int, body string"
+
+
+def extract_response_bodies(payloads: DataFrame) -> DataFrame:
+    """Like :func:`extract_responses` but emits the DECODED body
+    itself as a string — the shape a wire-to-corpus pipeline consumes
+    (the body then flows into HTML->text, quality gates, dedup).
+    Same record walk, warcinfo/request skip, Content-Encoding decode,
+    and record-granular drops; bodies that are not valid UTF-8 after
+    decode drop too (a wrong or skipped Content-Encoding decode
+    usually surfaces exactly there)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("id", "url", "status", "body")}
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                raw = bytes(payload)
+                if raw[:2] == _GZIP_MAGIC:
+                    raw = gunzip_members(raw)
+                elif raw[:4] == _ZSTD_MAGIC:
+                    raw = unzstd_members(raw)
+                if raw is None:
+                    continue
+                records = parse_records(raw)
+                if records is None:
+                    continue
+                for headers, block in records:
+                    if headers.get("warc-type") != "response":
+                        continue
+                    http = split_http_response(block)
+                    if http is None:
+                        continue
+                    status, head, body = http
+                    body = decode_content_encoding(head, body)
+                    if body is None:
+                        continue
+                    try:
+                        text = body.decode("utf-8")
+                    except UnicodeDecodeError:
+                        continue
+                    out["id"].append(i)
+                    out["url"].append(headers.get("warc-target-uri", ""))
+                    out["status"].append(status)
+                    out["body"].append(text)
+            yield pd.DataFrame(out)
+
+    return payloads.select("id", "payload").mapInPandas(
+        _extract, schema=BODY_SCHEMA
+    )
+
+
 def extract_responses(payloads: DataFrame) -> DataFrame:
     """Per-payload WARC extraction inside one Arrow ``mapInPandas``:
     walk records, skip non-response types, strip the HTTP envelope,

@@ -76,6 +76,11 @@ EXCHANGE_BUDGET = {
     "sketch_distinct_tokens": 2,
     "tfidf_top_terms": 4,
     "training_corpus_summary": 3,
+    # the wire stage adds ONE exchange (spread's fixture-scale
+    # repartition before the Arrow build+extract chain); HTML strip
+    # and gates are codegen projections, then the same dedup window +
+    # chunk agg as the summary pipeline
+    "training_corpus_wire": 4,
     "warc_gz_extract_responses": 1,
     "warc_zst_extract_responses": 1,
     # protect -> strip chain -> restore are all narrow (two Arrow
