@@ -1581,6 +1581,23 @@ def q_wet_extract_conversions(spark, sf_dir):
         W.wet_payloads(docs, "doc_id", "text", "source"))
 
 
+@query(
+    "wet_zst_extract_conversions",
+    oracle=_WET_ORACLE,
+    doc="WET over zstd (.warc.wet.zst) — the WET sibling of "
+        ".warc.zst, each record its own zstd frame: the SAME "
+        "conversion-record walk as wet_extract_conversions behind "
+        "the libzstd-activated frame decode (unzstd_members), so the "
+        "oracle is its verbatim. Composition of two already-pinned "
+        "seams; a frame-walk or backend regression surfaces here "
+        "record-granularly.",
+)
+def q_wet_zst_extract_conversions(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return W.extract_conversions(
+        W.wet_zst_payloads(docs, "doc_id", "text", "source"))
+
+
 # ---------------------------------------------------------------------------
 # G.711 companded audio (WAV fmt tags 6/7): the telephony codec tier
 # ---------------------------------------------------------------------------

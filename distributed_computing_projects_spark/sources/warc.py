@@ -511,6 +511,39 @@ def wet_payloads(df: DataFrame, id_col: str, text_col: str,
     return spread(cols).mapInPandas(_encode, schema="id bigint, payload binary")
 
 
+def wet_zst_payloads(df: DataFrame, id_col: str, text_col: str,
+                     source_col: str) -> DataFrame:
+    """(id, payload): the wet_payloads layout with each record its own
+    zstd FRAME (``.warc.wet.zst`` — the WET sibling of
+    ``.warc.zst``). Raises when no zstd backend exists, like the
+    other zstd builders."""
+    backend = zstd_backend()
+    if backend is None:
+        raise RuntimeError(
+            "wet_zst_payloads needs a zstd backend (sources/warc.py)")
+    compress, _ = backend
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, text, source in zip(pdf["id"], pdf["text"],
+                                       pdf["source"]):
+                url = f"https://{source}.example.com/doc/{i}"
+                info = build_record(
+                    "warcinfo", {"Content-Type": "application/warc-fields"},
+                    b"software: fixture\r\n")
+                conv = build_conversion_record(url, text.encode("utf-8"))
+                payloads.append(compress(info) + compress(conv))
+                ids.append(i)
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    cols = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text"),
+        F.col(source_col).alias("source"),
+    )
+    return spread(cols).mapInPandas(_encode, schema="id bigint, payload binary")
+
+
 WET_SCHEMA = (
     "id bigint, url string, n_text_bytes bigint, prefix_sum bigint"
 )
