@@ -79,6 +79,15 @@ def test_mutation_fuzz_never_raises():
     info = W.build_record(
         "warcinfo", {"Content-Type": "application/warc-fields"},
         b"software: x\r\n")
+    from distributed_computing_projects_spark.functions import (
+        brotlilib as B,
+        webplib as WP,
+        zstdlib as Z,
+    )
+    from distributed_computing_projects_spark.operators import (
+        multimodal as MM,
+    )
+
     targets = [
         (PO.extract_facts, PO.build_pdf_objstm(text, True)),
         (PO.extract_facts, PO.build_pdf_tounicode(text, False)),
@@ -94,6 +103,21 @@ def test_mutation_fuzz_never_raises():
         (WD.extract_dump, WD.build_dump([(0, "T", 0, "hello"),
                                          (1, "Talk:T", 1, "t")])),
     ]
+    # r13 codec seams: mutated frames must drop (None), never raise
+    if Z.available():
+        targets.append(
+            (lambda b: W.unzstd_members(b), Z.compress(text * 8)))
+    if B.available():
+        targets.append(
+            (lambda b: B.decompress(b, 1 << 20), B.compress(text * 8)))
+        targets.append(
+            (lambda b: W.decode_content_encoding(
+                b"Content-Encoding: gzip, br", b),
+             W.encode_http_body(text * 8, "gzip, br")))
+    if WP.available():
+        targets.append(
+            (MM._decode_webp,
+             WP.encode_lossless_rgb(bytes(range(48)), 4, 4)))
     for fn, base in targets:
         for _ in range(40):
             b = bytearray(base)
