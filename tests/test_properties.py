@@ -597,3 +597,97 @@ def test_wikitext_strip_is_identity_on_plain_text(words):
     plain = " ".join(words)
     q = f"SELECT {WT.strip_wikitext(WT.sql_literal(plain, 'duck'), 'duck')}"
     assert duckdb.sql(q).fetchone()[0] == plain
+
+
+# -- r13 codec seams: round-trip properties -----------------------------------
+
+BLOB = st.binary(min_size=0, max_size=4096)
+
+
+@PROP
+@given(data=BLOB, ec=st.integers(0, 1))
+def test_prop_lzw_roundtrip(data, ec):
+    from distributed_computing_projects_spark.functions.lzw import (
+        lzw_decode,
+    )
+    from distributed_computing_projects_spark.sources.pdfobj import (
+        _lzw_encode,
+    )
+
+    assert lzw_decode(_lzw_encode(data, ec), ec) == data
+
+
+@PROP
+@given(data=BLOB)
+def test_prop_pdf_ascii_filters_roundtrip(data):
+    from distributed_computing_projects_spark.sources import pdfobj as PO
+
+    assert PO._asciihex_decode(PO._asciihex_encode(data)) == data
+    assert PO._ascii85_decode(PO._ascii85_encode(data)) == data
+    assert PO._runlength_decode(PO._runlength_encode(data)) == data
+
+
+@PROP
+@given(data=BLOB)
+def test_prop_zstd_brotli_roundtrip(data):
+    import pytest
+
+    from distributed_computing_projects_spark.functions import (
+        brotlilib as B,
+        zstdlib as Z,
+    )
+
+    if not (Z.available() and B.available()):
+        pytest.skip("codec backends missing")
+    d = Z.ZstdDecompressor()
+    assert d.decompress(Z.compress(data), 1 << 20) == data and d.eof
+    assert B.decompress(B.compress(data), 1 << 20) == data
+
+
+@PROP
+@given(data=BLOB)
+def test_prop_content_encoding_chain_roundtrip(data):
+    import pytest
+
+    from distributed_computing_projects_spark.functions import (
+        brotlilib as B,
+    )
+    from distributed_computing_projects_spark.sources import warc as W
+
+    if not B.available():
+        pytest.skip("libbrotli missing")
+    for ce in ("gzip", "deflate", "br", "gzip, br", "br, gzip, deflate"):
+        head = b"HTTP/1.1 200 OK\r\nContent-Encoding: " + ce.encode()
+        assert W.decode_content_encoding(
+            head, W.encode_http_body(data, ce)) == data
+
+
+@PROP
+@given(px=st.binary(min_size=48, max_size=48))
+def test_prop_webp_lossless_roundtrip(px):
+    import pytest
+
+    from distributed_computing_projects_spark.functions import (
+        webplib as WP,
+    )
+
+    if not WP.available():
+        pytest.skip("libwebp missing")
+    w, h, out = WP.decode_rgb(WP.encode_lossless_rgb(px, 4, 4), 1 << 20)
+    assert (w, h, out) == (4, 4, px)
+
+
+@PROP
+@given(data=BLOB, cols=st.integers(1, 64))
+def test_prop_tiff_predictor2_roundtrip(data, cols):
+    from distributed_computing_projects_spark.sources import pdfobj as PO
+
+    data = data[: len(data) - (len(data) % cols)]
+    diffed = bytearray()
+    for r in range(0, len(data), cols):
+        prev = 0
+        for byte in data[r:r + cols]:
+            diffed.append((byte - prev) & 0xFF)
+            prev = byte
+    parms = {"Predictor": 2, "Columns": cols}
+    assert PO._apply_predictor(bytes(diffed), parms) == data
