@@ -98,9 +98,17 @@ def compress(data: bytes, level: int = 3) -> bytes:
 
 
 class ZstdDecompressor:
-    """One-frame incremental decompressor with the bz2-style
-    ``decompress(data, max_length)`` / ``eof`` / ``unused_data``
-    contract the warc seam consumes."""
+    """One-frame incremental decompressor with the FULL bz2-style
+    contract: ``decompress(data, max_length)`` returns at most
+    ``max_length`` bytes; input and output beyond the bound are
+    buffered internally (``needs_input`` False) so a later call —
+    including ``decompress(b'', n)`` — CONTINUES the same frame.
+    ``eof`` flips at frame end, ``unused_data`` carries the bytes
+    after it. The warc seam's bomb guard (drop after one bounded
+    call) and the compressed-line walker's streaming loop
+    (``sources/compressed.py`` — decode a shard incrementally so a
+    high-ratio file never materializes at once) both ride this one
+    contract, same as the stdlib 3.14 backend."""
 
     _CHUNK = 1 << 17  # ZSTD_DStreamOutSize()'s typical value
 
@@ -112,8 +120,10 @@ class ZstdDecompressor:
         self._ds = lib.ZSTD_createDStream()
         if not self._ds:
             raise RuntimeError("ZSTD_createDStream failed")
-        self.eof = False
         self.unused_data = b""
+        self._stream_end = False  # frame end SEEN (output may be buffered)
+        self._in_pending = b""   # unconsumed input (bound reached)
+        self._out_pending = b""  # decoded output beyond the bound
 
     def __del__(self):
         ds = getattr(self, "_ds", None)
@@ -121,15 +131,41 @@ class ZstdDecompressor:
             self._lib.ZSTD_freeDStream(ds)
             self._ds = None
 
+    @property
+    def eof(self) -> bool:
+        """True only once the frame end was reached AND every decoded
+        byte has been returned — the stdlib rule; a bound-capped call
+        that internally saw the frame end still reports False until
+        the buffered tail drains."""
+        return self._stream_end and not self._out_pending
+
+    @property
+    def needs_input(self) -> bool:
+        """False while buffered input/output can make progress without
+        new data — the bz2/lzma meaning."""
+        return (not self._out_pending and not self._in_pending
+                and not self._stream_end)
+
     def decompress(self, data: bytes, max_length: int | None = None) -> bytes:
-        if self.eof:
+        if self._stream_end:
             self.unused_data += data
-            return b""
+            out = self._out_pending
+            if max_length is not None:
+                out = out[:max_length]
+            self._out_pending = self._out_pending[len(out):]
+            return out
+        if self._in_pending:
+            data = self._in_pending + data
+            self._in_pending = b""
         out_parts: list[bytes] = []
         produced = 0
+        if self._out_pending:
+            out_parts.append(self._out_pending)
+            produced = len(self._out_pending)
+            self._out_pending = b""
         inb = _InBuffer(bytes(data), len(data), 0)
         buf = ctypes.create_string_buffer(self._CHUNK)
-        while True:
+        while max_length is None or produced <= max_length:
             outb = _OutBuffer(
                 ctypes.cast(buf, ctypes.c_void_p), self._CHUNK, 0)
             ret = self._lib.ZSTD_decompressStream(
@@ -140,11 +176,15 @@ class ZstdDecompressor:
                 out_parts.append(buf.raw[:outb.pos])
                 produced += outb.pos
             if ret == 0:  # frame complete
-                self.eof = True
+                self._stream_end = True
                 self.unused_data = bytes(data[inb.pos:])
                 break
-            if max_length is not None and produced > max_length:
-                break  # bomb bound: stop decoding, caller drops
             if inb.pos >= inb.size and outb.pos < outb.size:
                 break  # input exhausted mid-frame (torn or streaming)
-        return b"".join(out_parts)
+        if not self._stream_end:
+            self._in_pending = bytes(data[inb.pos:])
+        out = b"".join(out_parts)
+        if max_length is not None and len(out) > max_length:
+            self._out_pending = out[max_length:]
+            out = out[:max_length]
+        return out

@@ -199,6 +199,139 @@ def q_parquet_zstd_roundtrip(spark, sf_dir):
     return _events_roundtrip_facts(spark.read.parquet(path))
 
 
+_CJSONL_ORACLE = """
+    SELECT event_id, user_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events WHERE event_id % 3 = 0
+    """
+
+
+_CJSONL_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _compressed_jsonl_scan(spark, sf_dir, ext):
+    """Shared body of jsonl_{zst,xz}_scan: stage a deterministic
+    events subset as plain JSONL shards (Spark json writer), compress
+    each shard into the target container — zstd as CONCATENATED
+    FRAMES (one per 1000 lines, the appendable layout corpus tooling
+    produces), xz as two concatenated streams — with a syntactically
+    malformed line injected at the head and tail of every shard, then
+    read the landing dir back through read_jsonl_compressed. The
+    result is the per-record projection, so shard grouping cannot
+    affect the hash, and the injected garbage must be dropped by the
+    malformed policy for the oracle (the uncompressed source table)
+    to match."""
+    import shutil
+
+    from distributed_computing_projects_spark.sources.json import (
+        read_jsonl_compressed,
+    )
+
+    work = _session_scratch(spark, f"jsonl_{ext}", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    stage = os.path.join(work, "stage")
+    landing = os.path.join(work, "landing")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 3 == 0)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    ev.repartition(4).write.json(stage)
+    os.makedirs(landing)
+
+    if ext == "zst":
+        from distributed_computing_projects_spark.sources.warc import (
+            zstd_backend,
+        )
+        backend = zstd_backend()
+        if backend is None:
+            raise RuntimeError(
+                "no zstd backend (sources/warc.zstd_backend)")
+        compress = backend[0]
+
+        def pack(lines):
+            frames = []
+            for i in range(0, len(lines), 1000):
+                frames.append(compress(b"\n".join(lines[i:i + 1000])
+                                       + b"\n"))
+            return b"".join(frames)
+    else:
+        import lzma
+
+        def pack(lines):
+            half = max(1, len(lines) // 2)
+            return (lzma.compress(b"\n".join(lines[:half]) + b"\n")
+                    + lzma.compress(b"\n".join(lines[half:]) + b"\n"))
+
+    i = 0
+    for name in sorted(os.listdir(stage)):
+        if not name.startswith("part-"):
+            continue
+        with open(os.path.join(stage, name), "rb") as f:
+            lines = [ln for ln in f.read().split(b"\n") if ln]
+        lines.insert(0, b'{"event_id": 999999999, "user_id": tru')
+        lines.append(b"not json at all")
+        with open(os.path.join(landing, f"part-{i}.jsonl.{ext}"),
+                  "wb") as f:
+            f.write(pack(lines))
+        i += 1
+    shutil.rmtree(stage, ignore_errors=True)
+
+    back = read_jsonl_compressed(
+        spark, landing, _CJSONL_SCHEMA, malformed="drop")
+    return back.select("event_id", "user_id", "event_type", "value")
+
+
+@query(
+    "jsonl_zst_scan",
+    headline=True,
+    oracle=_CJSONL_ORACLE,
+    doc="Zstd JSONL shard ingest (.jsonl.zst) — the format modern LLM "
+        "training corpora actually publish (Dolma, RedPajama-v2, the "
+        "Common Crawl text derivatives), and one Spark CANNOT read "
+        "natively: this container's Hadoop codec registry raises "
+        "CODEC_NOT_AVAILABLE for zstd text (verified; only "
+        "gzip/bzip2/deflate/lz4/snappy exist). The engine's own path "
+        "(sources/compressed.py): binaryFile scan with per-file "
+        "parallelism, incremental bounded decode through the libzstd "
+        "ctypes backend's bz2-style contract — concatenated frames "
+        "walk seamlessly, a torn stream keeps complete lines before "
+        "the tear, an oversize line drops in O(1) memory — then the "
+        "SAME from_json parse stage and malformed-drop policy as the "
+        "plain JSONL source. The fixture compresses an events subset "
+        "frame-per-1000-lines with malformed lines injected per "
+        "shard; the per-record result must hash-match the "
+        "uncompressed source table, so frame walking, line "
+        "reassembly across frame boundaries, AND the drop policy are "
+        "all on the hash path.",
+)
+def q_jsonl_zst_scan(spark, sf_dir):
+    return _compressed_jsonl_scan(spark, sf_dir, "zst")
+
+
+@query(
+    "jsonl_xz_scan",
+    oracle=_CJSONL_ORACLE,
+    doc="XZ JSONL shard ingest (.jsonl.xz) — the other "
+        "no-Hadoop-codec shard format (academic corpus dumps ship "
+        "xz): the same walker as jsonl_zst_scan through stdlib "
+        "lzma's LZMADecompressor (the contract the zstd binding "
+        "emulates — one conformance surface, three backends). Each "
+        "fixture shard is TWO concatenated xz streams, so the "
+        "stream-boundary restart and unused_data handoff are on the "
+        "hash path alongside the malformed-line drops.",
+)
+def q_jsonl_xz_scan(spark, sf_dir):
+    return _compressed_jsonl_scan(spark, sf_dir, "xz")
+
+
 SPLIT_WEIGHTS_BP = {"train": 8000, "val": 1000, "test": 1000}
 
 

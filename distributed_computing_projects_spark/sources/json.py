@@ -39,6 +39,19 @@ def read_jsonl(
     quarantine pattern (route them to a dead-letter sink at scale
     instead of silently shrinking the input).
     """
+    return parse_jsonl_lines(spark.read.text(path), schema, malformed)
+
+
+def parse_jsonl_lines(
+    lines: DataFrame,
+    schema: StructType,
+    malformed: str = "drop",
+) -> DataFrame:
+    """The parse stage of :func:`read_jsonl`, factored so every line
+    producer — the built-in text scan, the ``.zst``/``.xz`` walker in
+    ``sources/compressed.py``, a stream — shares ONE ``from_json``
+    expression and ONE malformed policy. ``lines`` must carry a
+    ``value: string`` column."""
     if malformed not in ("drop", "fail", "keep"):
         raise ValueError(f"malformed must be drop|fail|keep, got {malformed!r}")
     marked = StructType(
@@ -49,7 +62,7 @@ def read_jsonl(
     )
     mode = "FAILFAST" if malformed == "fail" else "PERMISSIVE"
     parsed = (
-        spark.read.text(path)
+        lines
         .filter(F.trim("value") != "")  # blank lines are not records
         .select(
             F.from_json(
@@ -74,6 +87,43 @@ def read_jsonl(
         .filter(F.col("_corrupt_record").isNull())
         .drop("_corrupt_record")
     )
+
+
+def read_jsonl_compressed(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    malformed: str = "drop",
+) -> DataFrame:
+    """``read_jsonl`` for the shard formats Hadoop's codec registry
+    cannot decode — ``.jsonl.zst`` / ``.jsonl.xz`` (what modern LLM
+    corpora ship; this container's Hadoop raises CODEC_NOT_AVAILABLE
+    for both). Lines come from the incremental bounded walker in
+    ``sources/compressed.py`` (binaryFile scan, per-file parallelism
+    — gzip's model), then the SAME parse stage and malformed policy
+    as the plain source."""
+    from distributed_computing_projects_spark.sources.compressed import (
+        compressed_lines,
+    )
+
+    return parse_jsonl_lines(compressed_lines(spark, path), schema, malformed)
+
+
+def read_jsonl_auto(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    malformed: str = "drop",
+) -> DataFrame:
+    """Suffix router: ``.zst``/``.xz`` go through the engine's own
+    walker, everything else (plain, ``.gz``, ``.bz2``, ``.lz4``, …)
+    through the built-in text scan — Hadoop's bz2 path splits inside
+    a file, which the walker cannot, so the built-in wins whenever it
+    can read the codec at all."""
+    p = path.lower().rstrip("*").rstrip("/")
+    if p.endswith(".zst") or p.endswith(".xz"):
+        return read_jsonl_compressed(spark, path, schema, malformed)
+    return read_jsonl(spark, path, schema, malformed)
 
 
 def read_jsonl_stream(

@@ -43,6 +43,11 @@ EXCHANGE_BUDGET = {
     # join side stops re-shuffling — here each round pays its exchange
     "graph_pagerank_topk": 12,
     "grep": 0,
+    # the RETURNED plan is binaryFile scan -> Arrow line walk ->
+    # from_json filter: zero exchanges — per-FILE parallelism is the
+    # whole model (non-splittable shards, like gzip); the fixture
+    # build's repartition+write is an eager side stage, not the plan
+    "jsonl_zst_scan": 0,
     "knn_join_topk": 2,
     # 2 of 5 are data-sized (the grams-side join input + the per-doc
     # agg); the model tables (uni x2 via the cached explode, bi) are

@@ -1,0 +1,208 @@
+"""Compressed JSONL shard ingest (sources/compressed.py +
+sources/json.read_jsonl_compressed): the .jsonl.zst / .jsonl.xz
+formats modern LLM corpora ship and Hadoop's codec registry cannot
+read (CODEC_NOT_AVAILABLE for both, verified empirically).
+
+Covers the line walker's policies (concatenated frames/streams, torn
+tails, oversize-line discard in O(1) memory, final unterminated line,
+UTF-8 drops), the extended bz2-style contract of the libzstd binding
+(bounded continuation, needs_input, eof-after-drain), and the Spark
+end-to-end read with the shared malformed policy.
+"""
+
+from __future__ import annotations
+
+import bz2
+import json
+import lzma
+
+import pytest
+
+import distributed_computing_projects_spark.sources.compressed as C
+from distributed_computing_projects_spark.functions import zstdlib as Z
+from distributed_computing_projects_spark.sources.compressed import (
+    decompressor_factory,
+    iter_lines,
+)
+
+pytestmark = pytest.mark.skipif(
+    not Z.available(), reason="libzstd missing: dormant path")
+
+
+BODY = b"\n".join(b"line%d" % i for i in range(12)) + b"\n"
+
+
+def _zst(b: bytes) -> bytes:
+    return Z.compress(b)
+
+
+# ---------------------------------------------------------------- walker
+
+
+def test_multi_frame_zst():
+    payload = _zst(BODY[:30]) + _zst(BODY[30:])
+    nd = decompressor_factory("x.jsonl.zst")
+    assert list(iter_lines(payload, nd)) == BODY.split(b"\n")[:-1]
+
+
+def test_multi_stream_xz_and_bz2():
+    for pack, path in ((lzma.compress, "a.jsonl.xz"),
+                       (bz2.compress, "a.jsonl.bz2")):
+        payload = pack(BODY[:30]) + pack(BODY[30:])
+        nd = decompressor_factory(path)
+        assert list(iter_lines(payload, nd)) == BODY.split(b"\n")[:-1]
+
+
+def test_torn_stream_keeps_complete_lines_before_tear():
+    torn = _zst(BODY[:30]) + _zst(BODY[30:])[:5]
+    nd = decompressor_factory("x.zst")
+    # frames before the tear decode; the unterminated carry drops
+    assert list(iter_lines(torn, nd)) == BODY[:30].split(b"\n")[:-1]
+
+
+def test_clean_eof_emits_final_unterminated_line():
+    nd = decompressor_factory("x.zst")
+    assert list(iter_lines(_zst(b"a\nb\nc"), nd)) == [b"a", b"b", b"c"]
+
+
+def test_oversize_line_drops_within_one_chunk():
+    nd = decompressor_factory("x.zst")
+    payload = _zst(b"ok1\n" + b"X" * 100 + b"\nok2\n")
+    assert list(iter_lines(payload, nd, max_line_bytes=50)) == [
+        b"ok1", b"ok2"]
+
+
+def test_oversize_line_drops_across_chunks_bounded_memory(monkeypatch):
+    # tiny decode chunks force the line to straddle many chunks: the
+    # discard mode must never hold more than max_line_bytes of carry
+    monkeypatch.setattr(C, "_OUT_CHUNK", 16)
+    nd = decompressor_factory("x.zst")
+    payload = _zst(b"aa\n" + b"Z" * 500 + b"\nbb\n")
+    assert list(iter_lines(payload, nd, max_line_bytes=50)) == [
+        b"aa", b"bb"]
+
+
+def test_oversize_final_line_without_newline_drops():
+    nd = decompressor_factory("x.zst")
+    payload = _zst(b"ok\n" + b"Y" * 100)
+    assert list(iter_lines(payload, nd, max_line_bytes=50)) == [b"ok"]
+
+
+def test_garbage_and_empty_inputs_yield_nothing():
+    nd = decompressor_factory("x.zst")
+    assert list(iter_lines(b"garbage-not-zstd", nd)) == []
+    assert list(iter_lines(b"", nd)) == []
+    assert list(iter_lines(b"\x28\xb5\x2f\xfd", nd)) == []  # bare magic
+
+
+def test_unknown_suffix_has_no_factory():
+    assert decompressor_factory("a.jsonl.gz") is None  # Hadoop's job
+    assert decompressor_factory("a.jsonl") is None
+
+
+# ------------------------------------------- zstd bz2-style contract
+
+
+def test_zstd_bounded_continuation_roundtrip():
+    import os
+    data = os.urandom(50_000) + b"hello world" * 3_000
+    frame = Z.compress(data)
+    d = Z.ZstdDecompressor()
+    parts = [d.decompress(frame, 1_000)]
+    while not d.eof:
+        c = d.decompress(b"", 777)
+        if not c and d.needs_input:
+            pytest.fail("walker starved: frame is complete")
+        parts.append(c)
+    assert b"".join(parts) == data
+    assert d.unused_data == b""
+
+
+def test_zstd_eof_only_after_output_drains():
+    frame = Z.compress(b"q" * 10_000)
+    d = Z.ZstdDecompressor()
+    first = d.decompress(frame + b"TAIL", 100)
+    # the frame end was SEEN internally, but output is buffered:
+    assert len(first) == 100 and not d.eof and not d.needs_input
+    rest = bytearray(first)
+    while not d.eof:
+        rest += d.decompress(b"", 4_096)
+    assert bytes(rest) == b"q" * 10_000
+    assert d.unused_data == b"TAIL"
+
+
+def test_zstd_torn_frame_needs_input():
+    frame = Z.compress(b"abc" * 5_000)
+    d = Z.ZstdDecompressor()
+    out = d.decompress(frame[: len(frame) // 2])
+    assert not d.eof
+    assert d.needs_input  # consumed everything, frame unfinished
+    out += d.decompress(frame[len(frame) // 2:])
+    assert out == b"abc" * 5_000 and d.eof
+
+
+def test_zstd_incremental_feed():
+    data = b"payload " * 4_000
+    frame = Z.compress(data)
+    d = Z.ZstdDecompressor()
+    got = b"".join(d.decompress(frame[i: i + 100])
+                   for i in range(0, len(frame), 100))
+    assert got == data and d.eof
+
+
+# --------------------------------------------------------- spark e2e
+
+
+def _write(tmp_path, name, payload):
+    p = tmp_path / name
+    p.write_bytes(payload)
+    return str(tmp_path)
+
+
+def test_read_jsonl_compressed_end_to_end(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from distributed_computing_projects_spark.sources.json import (
+        read_jsonl_compressed,
+    )
+
+    rows = [{"a": i, "b": f"s{i}"} for i in range(20)]
+    lines = [json.dumps(r).encode() for r in rows]
+    # malformed head/tail + a non-UTF8 line the reader must drop
+    shard = (b'{"a": 1, "b": tru\n'
+             + b"\n".join(lines[:10]) + b"\n"
+             + b"\xff\xfe broken utf8\n")
+    shard2 = b"\n".join(lines[10:]) + b"\nnot json\n"
+    _write(tmp_path, "s0.jsonl.zst", _zst(shard))
+    _write(tmp_path, "s1.jsonl.xz", lzma.compress(shard2))
+    schema = StructType([StructField("a", LongType()),
+                         StructField("b", StringType())])
+    got = read_jsonl_compressed(
+        spark, str(tmp_path), schema).orderBy("a").collect()
+    assert [(r.a, r.b) for r in got] == [(i, f"s{i}") for i in range(20)]
+
+
+def test_read_jsonl_auto_routes_by_suffix(spark, tmp_path):
+    import gzip
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from distributed_computing_projects_spark.sources.json import (
+        read_jsonl_auto,
+    )
+
+    (tmp_path / "z").mkdir()
+    (tmp_path / "g").mkdir()
+    (tmp_path / "z" / "p.jsonl.zst").write_bytes(_zst(b'{"a": 7}\n'))
+    (tmp_path / "g" / "p.jsonl.gz").write_bytes(
+        gzip.compress(b'{"a": 8}\n'))
+    schema = StructType([StructField("a", LongType())])
+    assert read_jsonl_auto(
+        spark, str(tmp_path / "z" / "p.jsonl.zst"), schema
+    ).collect()[0].a == 7
+    # .gz routes through the built-in (Hadoop-transparent) scan
+    assert read_jsonl_auto(
+        spark, str(tmp_path / "g" / "p.jsonl.gz"), schema
+    ).collect()[0].a == 8
