@@ -702,6 +702,69 @@ def _decode_webp(b: bytes):
     return w, h, np.frombuffer(px, dtype=np.uint8)
 
 
+def _decode_heif(b: bytes):
+    """HEIC/AVIF via the system libheif ctypes binding
+    (functions/heiflib.py) — the iPhone default format and the AV1
+    web format, gated on the ISO BMFF ftyp box brand, bomb bound
+    checked against container dims BEFORE pixel decode. None (the
+    row drop) when the library is absent, the payload is torn, or
+    the canvas exceeds the bound."""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    from distributed_computing_projects_spark.functions import (
+        heiflib as HL,
+    )
+
+    if b[8:12] not in HL.HEIF_BRANDS:
+        return None
+    out = HL.decode_rgb(b, MAX_DECODE_BYTES)
+    if out is None:
+        return None
+    import numpy as np
+
+    w, h, px = out
+    return w, h, np.frombuffer(px, dtype=np.uint8)
+
+
+def heif_payloads(
+    df: DataFrame, id_col: str, text_col: str, w: int, h: int,
+    codec: str = "avif",
+) -> DataFrame:
+    """(id, payload): a deterministic LOSSLESS AVIF or HEIC per row,
+    pixels = the first ``w*h*3`` UTF-8 bytes of ``text_col`` as RGB —
+    the png/webp_payloads geometry through the reference C encoder's
+    identity-matrix lossless path (functions/heiflib.py), so the
+    decode round-trip is byte-exact and oracle-checkable. Callers
+    pre-filter to rows with enough text bytes."""
+    from distributed_computing_projects_spark.functions import (
+        heiflib as HL,
+    )
+
+    comp = (HL.COMPRESSION_AV1 if codec == "avif"
+            else HL.COMPRESSION_HEVC)
+    if not HL.encoder_available(comp):
+        raise RuntimeError(
+            f"heif_payloads needs a libheif {codec} encoder "
+            "(functions/heiflib.py)")
+    n_bytes = w * h * 3
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, text in zip(pdf["id"], pdf["text"]):
+                raw = text.encode("utf-8")[:n_bytes]
+                if len(raw) < n_bytes:
+                    continue
+                payloads.append(HL.encode_lossless_rgb(raw, w, h, comp))
+                ids.append(i)
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    cols = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    return spread(cols).mapInPandas(_encode, schema="id bigint, payload binary")
+
+
 def webp_payloads(
     df: DataFrame, id_col: str, text_col: str, w: int, h: int,
 ) -> DataFrame:
@@ -764,7 +827,7 @@ def decode_image(payloads: DataFrame) -> DataFrame:
                 b = bytes(payload)
                 decoded = _decode_ppm(b) or _decode_bmp(b) or _decode_png(b) \
                     or _decode_jpeg(b) or _decode_gif(b) or _decode_tiff(b) \
-                    or _decode_webp(b)
+                    or _decode_webp(b) or _decode_heif(b)
                 if decoded is None:
                     continue
                 w, h, px = decoded

@@ -288,6 +288,74 @@ def q_multimodal_webp_decode(spark, sf_dir):
     return M.decode_image(payloads)
 
 
+_HEIF_ORACLE = f"""
+    WITH eligible AS (
+      SELECT doc_id AS id, text FROM documents
+      WHERE octet_length(encode(text)) >= {_IMG_BYTES}),
+    b AS (
+      SELECT id, i, ascii(substr(text, i, 1)) AS v
+      FROM eligible, (SELECT unnest(generate_series(1, {_IMG_BYTES})) AS i))
+    SELECT id,
+           CAST({IMG_W} AS INTEGER) AS width,
+           CAST({IMG_H} AS INTEGER) AS height,
+           CAST({IMG_W * IMG_H} AS BIGINT) AS n_px,
+           CAST(sum(CASE WHEN i % 3 = 1 THEN v END) AS BIGINT) AS sum_r,
+           CAST(sum(CASE WHEN i % 3 = 2 THEN v END) AS BIGINT) AS sum_g,
+           CAST(sum(CASE WHEN i % 3 = 0 THEN v END) AS BIGINT) AS sum_b
+    FROM b GROUP BY id
+    """
+
+
+@query(
+    "multimodal_avif_decode",
+    oracle=_HEIF_ORACLE,
+    doc="AVIF decode end-to-end — the AV1-based format the major "
+        "browsers now serve and a growing share of crawl images: "
+        "each doc's first 36 text bytes become a 4x3 RGB image "
+        "encoded LOSSLESS through the system libheif + libaom "
+        "(functions/heiflib.py — the webp-seam pattern), then "
+        "decoded back by decode_image's HEIF branch (libdav1d) at C "
+        "speed inside the Arrow workers. The encoder feeds the codec "
+        "identity-matrix (GBR) 444 planes with the nclx profile "
+        "saying so, because libheif 1.15's own RGB<->YCbCr "
+        "conversion rounds (measured max-diff 1) — that makes the "
+        "round-trip byte-exact through the NORMAL interleaved-RGB "
+        "decode path, so the same character-code channel-sum oracle "
+        "as multimodal_png/webp_decode pins the whole chain; "
+        "container dims are bomb-bound-checked BEFORE pixel decode.",
+)
+def q_multimodal_avif_decode(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = docs.filter(
+        F.expr(f"octet_length(encode(text, 'UTF-8')) >= {_IMG_BYTES}")
+    )
+    payloads = M.heif_payloads(eligible, "doc_id", "text", IMG_W, IMG_H,
+                               codec="avif")
+    return M.decode_image(payloads)
+
+
+@query(
+    "multimodal_heic_decode",
+    oracle=_HEIF_ORACLE,
+    doc="HEIC decode end-to-end — what every iPhone has shot by "
+        "default since 2017, so any user-generated-content corpus "
+        "is full of it: the same libheif seam as "
+        "multimodal_avif_decode but through the HEVC codec pair "
+        "(x265 encode for the fixture, libde265 decode), proving "
+        "the binding is codec-agnostic — one ftyp-brand gate, two "
+        "compression formats, byte-exact both ways via the "
+        "identity-matrix lossless path.",
+)
+def q_multimodal_heic_decode(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = docs.filter(
+        F.expr(f"octet_length(encode(text, 'UTF-8')) >= {_IMG_BYTES}")
+    )
+    payloads = M.heif_payloads(eligible, "doc_id", "text", IMG_W, IMG_H,
+                               codec="heic")
+    return M.decode_image(payloads)
+
+
 RESIZE_F = 2
 
 

@@ -118,6 +118,13 @@ def test_mutation_fuzz_never_raises():
         targets.append(
             (MM._decode_webp,
              WP.encode_lossless_rgb(bytes(range(48)), 4, 4)))
+    from distributed_computing_projects_spark.functions import (
+        heiflib as HL,
+    )
+    if HL.available() and HL.encoder_available(HL.COMPRESSION_AV1):
+        targets.append(
+            (MM._decode_heif,
+             HL.encode_lossless_rgb(bytes(range(48)), 4, 4)))
     for fn, base in targets:
         for _ in range(40):
             b = bytearray(base)
