@@ -370,6 +370,80 @@ def q_grep_logs(spark, sf_dir):
 
 
 @query(
+    "grep_zst_logs",
+    oracle="""
+    SELECT 'event ' || event_id || ' user ' || user_id || ' type '
+             || event_type AS value
+    FROM events
+    WHERE event_id % 3 = 0 AND event_type = 'error'
+    """,
+    doc="The reference's flagship grep (F1) over ZSTD-COMPRESSED log "
+        "shards — how a fleet actually stores logs today (journald, "
+        "docker, and k8s log rotation all zstd by default now): a "
+        "deterministic events-derived log corpus is staged as "
+        ".log.zst shards (one zstd frame each, with an INVALID-UTF-8 "
+        "line that WOULD match the pattern injected per shard), read "
+        "back through the compressed line walker "
+        "(sources/compressed.py — the jsonl_zst_scan source), and "
+        "grepped with the same rlike operator as the plain grep "
+        "queries (operators/grep.py, mp3/src/logs.go:186-193). The "
+        "oracle rebuilds the matching lines from the source table, "
+        "so the decode, the UTF-8 drop policy (the injected line "
+        "must NOT surface as a match), and the regex filter are all "
+        "on the hash path.",
+)
+def q_grep_zst_logs(spark, sf_dir):
+    import shutil
+
+    from distributed_computing_projects_spark.queries.ext_pipeline import (
+        _session_scratch,
+    )
+    from distributed_computing_projects_spark.sources.compressed import (
+        compressed_lines,
+    )
+    from distributed_computing_projects_spark.sources.warc import (
+        zstd_backend,
+    )
+
+    backend = zstd_backend()
+    if backend is None:
+        raise RuntimeError("no zstd backend (sources/warc.zstd_backend)")
+    compress = backend[0]
+
+    work = _session_scratch(spark, "grep_zst", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    stage = os.path.join(work, "stage")
+    landing = os.path.join(work, "landing")
+    (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 3 == 0)
+        .select(F.format_string(
+            "event %d user %d type %s",
+            "event_id", "user_id", "event_type").alias("value"))
+        .repartition(4)
+        .write.text(stage)
+    )
+    os.makedirs(landing)
+    i = 0
+    for name in sorted(os.listdir(stage)):
+        if not name.startswith("part-"):
+            continue
+        with open(os.path.join(stage, name), "rb") as f:
+            raw = f.read()
+        # a pattern-matching line that is NOT valid UTF-8: the walker
+        # must drop it or the grep result diverges from the oracle
+        raw += b"event 0 user 0 type error \xff\xfe\n"
+        with open(os.path.join(landing, f"m{i}.log.zst"), "wb") as f:
+            f.write(compress(raw))
+        i += 1
+    shutil.rmtree(stage, ignore_errors=True)
+
+    lines = compressed_lines(spark, landing)
+    return grep(lines, "type error$", text_col="value",
+                provenance_cols=[])
+
+
+@query(
     "tail_n",
     oracle="""
     SELECT doc_id, text FROM (

@@ -678,6 +678,62 @@ def test_prop_webp_lossless_roundtrip(px):
 
 
 @PROP
+@given(
+    lines=st.lists(
+        st.text(alphabet=st.characters(blacklist_characters="\n\r",
+                                       blacklist_categories=("Cs",)),
+                max_size=40),
+        max_size=30),
+    codec=st.sampled_from(["zst", "xz", "bz2"]),
+    cuts=st.lists(st.integers(0, 30), max_size=3),
+)
+def test_prop_compressed_line_walker_roundtrip(lines, codec, cuts):
+    """Any line corpus split at any boundaries into concatenated
+    frames/streams walks back to exactly the original lines — the
+    jsonl_zst/xz ingest invariant (sources/compressed.py)."""
+    import bz2 as bz2mod
+    import lzma
+
+    import pytest
+
+    from distributed_computing_projects_spark.functions import zstdlib as Z
+    from distributed_computing_projects_spark.sources.compressed import (
+        decompressor_factory,
+        iter_lines,
+    )
+
+    if codec == "zst" and not Z.available():
+        pytest.skip("libzstd missing")
+    packer = {"zst": Z.compress, "xz": lzma.compress,
+              "bz2": bz2mod.compress}[codec]
+    plain = ("\n".join(lines) + "\n").encode("utf-8") if lines else b""
+    bounds = sorted({min(c, len(plain)) for c in cuts} | {0, len(plain)})
+    payload = b"".join(packer(plain[a:b])
+                       for a, b in zip(bounds, bounds[1:]) if b > a)
+    got = list(iter_lines(payload, decompressor_factory(f"f.{codec}")))
+    assert got == [ln.encode("utf-8") for ln in lines]
+
+
+@PROP
+@given(px=st.binary(min_size=48, max_size=48),
+       codec=st.sampled_from(["avif", "heic"]))
+def test_prop_heif_lossless_roundtrip(px, codec):
+    import pytest
+
+    from distributed_computing_projects_spark.functions import (
+        heiflib as HL,
+    )
+
+    comp = (HL.COMPRESSION_AV1 if codec == "avif"
+            else HL.COMPRESSION_HEVC)
+    if not (HL.available() and HL.encoder_available(comp)):
+        pytest.skip("libheif/encoder missing")
+    w, h, out = HL.decode_rgb(
+        HL.encode_lossless_rgb(px, 4, 4, comp), 1 << 20)
+    assert (w, h, out) == (4, 4, px)
+
+
+@PROP
 @given(data=BLOB, cols=st.integers(1, 64))
 def test_prop_tiff_predictor2_roundtrip(data, cols):
     from distributed_computing_projects_spark.sources import pdfobj as PO
