@@ -332,6 +332,88 @@ def q_jsonl_xz_scan(spark, sf_dir):
     return _compressed_jsonl_scan(spark, sf_dir, "xz")
 
 
+_AVRO_EVENTS_SCHEMA = {
+    "type": "record", "name": "Event", "fields": [
+        {"name": "event_id", "type": "long"},
+        {"name": "user_id", "type": "long"},
+        {"name": "event_type", "type": "string"},
+        {"name": "value", "type": ["null", "double"]},
+        {"name": "ts",
+         "type": {"type": "long",
+                  "logicalType": "local-timestamp-micros"}},
+    ]}
+
+
+@query(
+    "avro_events_roundtrip",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE)
+             AS total_value,
+           CAST(sum(user_id) AS BIGINT) AS sum_user,
+           max(ts) AS max_ts
+    FROM events GROUP BY event_type
+    """,
+    doc="Avro Object Container File ingest — the third warehouse "
+        "interchange format after parquet/ORC (Kafka archives, Sqoop "
+        "exports, older Hive warehouses), which THIS Spark cannot "
+        "read natively (the avro module is an external jar: 'Failed "
+        "to find data source: avro', verified) and no Python avro "
+        "wheel exists here: sources/avro.py implements the public "
+        "Avro 1.11 spec from scratch — header/metadata/sync parse, "
+        "block walk with block-granular drops and the bomb bound, "
+        "zigzag-varint binary decode against the writer schema incl. "
+        "a [null,double] union and a local-timestamp-micros logical "
+        "field (events.ts is NTZ; the spec-correct mapping). "
+        "The fixture stages events as OCF shards cycling FOUR codecs "
+        "(deflate, zstandard via the libzstd backend, xz, null), so "
+        "every codec branch and the logical-type conversion sit on "
+        "the hash path; facts must match the parquet-side oracle "
+        "exactly, max(ts) proving microsecond-exact timestamps.",
+)
+def q_avro_events_roundtrip(spark, sf_dir):
+    import json as jsonmod
+    import shutil
+
+    from distributed_computing_projects_spark.sources import avro as AV
+
+    work = _session_scratch(spark, "avro_events", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    stage = os.path.join(work, "stage")
+    landing = os.path.join(work, "landing")
+    (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value",
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                .alias("ts"))
+        .repartition(4)
+        .write.json(stage)
+    )
+    os.makedirs(landing)
+    codecs = ["deflate", "zstandard", "xz", "null"]
+    i = 0
+    for name in sorted(os.listdir(stage)):
+        if not name.startswith("part-"):
+            continue
+        with open(os.path.join(stage, name), "rb") as f:
+            recs = [jsonmod.loads(ln) for ln in f.read().splitlines()
+                    if ln]
+        with open(os.path.join(landing, f"part-{i}.avro"), "wb") as f:
+            f.write(AV.write_ocf(recs, _AVRO_EVENTS_SCHEMA,
+                                 codec=codecs[i % len(codecs)]))
+        i += 1
+    shutil.rmtree(stage, ignore_errors=True)
+
+    back = AV.read_avro(spark, landing, _AVRO_EVENTS_SCHEMA)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+        .alias("total_value"),
+        F.sum("user_id").cast("bigint").alias("sum_user"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
 SPLIT_WEIGHTS_BP = {"train": 8000, "val": 1000, "test": 1000}
 
 
