@@ -216,25 +216,18 @@ _CJSONL_SCHEMA = StructType(
 )
 
 
-def _compressed_jsonl_scan(spark, sf_dir, ext):
-    """Shared body of jsonl_{zst,xz}_scan: stage a deterministic
-    events subset as plain JSONL shards (Spark json writer), compress
-    each shard into the target container — zstd as CONCATENATED
-    FRAMES (one per 1000 lines, the appendable layout corpus tooling
-    produces), xz as two concatenated streams — with a syntactically
-    malformed line injected at the head and tail of every shard, then
-    read the landing dir back through read_jsonl_compressed. The
-    result is the per-record projection, so shard grouping cannot
-    affect the hash, and the injected garbage must be dropped by the
-    malformed policy for the oracle (the uncompressed source table)
-    to match."""
+def _build_cjsonl_landing(spark, sf_dir, ext, family):
+    """Fixture stage shared by the batch and streaming compressed-
+    JSONL queries: stage a deterministic events subset as plain JSONL
+    shards (Spark json writer), compress each shard into the target
+    container — zstd as CONCATENATED FRAMES (one per 1000 lines, the
+    appendable layout corpus tooling produces), xz as two
+    concatenated streams — with a syntactically malformed line
+    injected at the head and tail of every shard. Returns (work,
+    landing)."""
     import shutil
 
-    from distributed_computing_projects_spark.sources.json import (
-        read_jsonl_compressed,
-    )
-
-    work = _session_scratch(spark, f"jsonl_{ext}", sf_dir)
+    work = _session_scratch(spark, family, sf_dir)
     shutil.rmtree(work, ignore_errors=True)
     stage = os.path.join(work, "stage")
     landing = os.path.join(work, "landing")
@@ -283,7 +276,22 @@ def _compressed_jsonl_scan(spark, sf_dir, ext):
             f.write(pack(lines))
         i += 1
     shutil.rmtree(stage, ignore_errors=True)
+    return work, landing
 
+
+def _compressed_jsonl_scan(spark, sf_dir, ext):
+    """Shared body of jsonl_{zst,xz}_scan: build the landing fixture
+    (:func:`_build_cjsonl_landing`), read it back through
+    read_jsonl_compressed. The result is the per-record projection,
+    so shard grouping cannot affect the hash, and the injected
+    garbage must be dropped by the malformed policy for the oracle
+    (the uncompressed source table) to match."""
+    from distributed_computing_projects_spark.sources.json import (
+        read_jsonl_compressed,
+    )
+
+    _, landing = _build_cjsonl_landing(spark, sf_dir, ext,
+                                       f"jsonl_{ext}")
     back = read_jsonl_compressed(
         spark, landing, _CJSONL_SCHEMA, malformed="drop")
     return back.select("event_id", "user_id", "event_type", "value")

@@ -1067,3 +1067,65 @@ def q_streaming_wet_ingest(spark, sf_dir):
         q.stop()
         raise TimeoutError("streaming WET ingest did not drain in 180 s")
     return spark.read.parquet(store).distinct()
+
+
+from distributed_computing_projects_spark.queries.ext_pipeline import (  # noqa: E402
+    _CJSONL_ORACLE,
+    _CJSONL_SCHEMA,
+    _build_cjsonl_landing,
+)
+
+
+@query(
+    "streaming_jsonl_zst_ingest",
+    # the stream route must equal the batch scan row-for-row, so the
+    # oracle IS jsonl_zst_scan's
+    oracle=_CJSONL_ORACLE,
+    doc="CONTINUOUS-INGEST of compressed JSONL shards — the landing-"
+        "zone shape every corpus drop actually arrives in "
+        "(.jsonl.zst files appearing in a directory): a "
+        "readStream(binaryFile) source over the SAME multi-shard "
+        "fixture as jsonl_zst_scan feeds the SAME Arrow line walker "
+        "(sources/compressed.lines_from_binary) and the SAME "
+        "from_json parse stage, then lands in a checkpointed parquet "
+        "sink with an availableNow drain — exactly-once by the file-"
+        "source/checkpoint contract, per-file units of work. Batch "
+        "and stream share one walker and one parse expression, so "
+        "the store must hash-match the batch oracle row-for-row, "
+        "malformed and torn-frame drops included.",
+)
+def q_streaming_jsonl_zst_ingest(spark, sf_dir):
+    from distributed_computing_projects_spark.sources.compressed import (
+        lines_from_binary,
+    )
+    from distributed_computing_projects_spark.sources.json import (
+        parse_jsonl_lines,
+    )
+
+    work, landing = _build_cjsonl_landing(spark, sf_dir, "zst",
+                                          "stream_jzst")
+    store = os.path.join(work, "records")
+    ckpt = os.path.join(work, "ckpt")
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp,"
+                " length long, content binary")
+        .load(landing)
+    )
+    parsed = parse_jsonl_lines(
+        lines_from_binary(stream), _CJSONL_SCHEMA, malformed="drop"
+    ).select("event_id", "user_id", "event_type", "value")
+
+    q = (
+        parsed.writeStream.format("parquet")
+        .option("path", store)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError(
+            "streaming jsonl.zst ingest did not drain in 180 s")
+    return spark.read.parquet(store)

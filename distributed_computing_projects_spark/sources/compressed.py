@@ -150,10 +150,19 @@ def compressed_lines(spark: SparkSession, path: str) -> DataFrame:
     A file whose suffix has no available backend drops whole, the
     warc-seam dormant-path behavior.
     """
+    return lines_from_binary(
+        spark.read.format("binaryFile").load(path))
+
+
+def lines_from_binary(bin_df: DataFrame) -> DataFrame:
+    """The walker stage of :func:`compressed_lines` over any
+    binaryFile-shaped DataFrame (``path``, ``content`` columns) — the
+    same Arrow stage serves the batch scan and the streaming
+    landing-zone source (``readStream.format('binaryFile')``), so
+    batch and stream agree line-for-line."""
     import pandas as pd
 
-    bin_df = spark.read.format("binaryFile").load(path).select(
-        "path", "content")
+    bin_df = bin_df.select("path", "content")
 
     def gen(batches):
         for pdf in batches:
