@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import importlib
+import os
 import sys
 
 from pyspark.sql import SparkSession
@@ -378,6 +379,30 @@ def build_parser() -> argparse.ArgumentParser:
     wx.add_argument("payloads_path",
                     help="parquet with (id bigint, payload binary)")
     wx.add_argument("--articles-only", action="store_true")
+
+    js = sub.add_parser(
+        "jsonl-scan",
+        help="schema'd JSONL scan with malformed-record policy; "
+             "suffix-routed: .zst/.xz decode through the engine's "
+             "bounded line walker (sources/compressed.py — Hadoop "
+             "has no codec for them), everything else through the "
+             "built-in text scan",
+    )
+    js.add_argument("path", help="file/dir/glob of .jsonl[.gz|.zst|.xz]")
+    js.add_argument("schema", help="Spark DDL, e.g. 'a bigint, b string'")
+    js.add_argument("--malformed", choices=["drop", "fail", "keep"],
+                    default="drop")
+
+    av = sub.add_parser(
+        "avro-scan",
+        help="Avro Object Container File scan (pure-stdlib spec "
+             "reader, sources/avro.py): prints the records; the "
+             "writer schema is inferred from the first file unless "
+             "--schema-json is given",
+    )
+    av.add_argument("path", help="file/dir/glob of .avro OCF files")
+    av.add_argument("--schema-json", default=None,
+                    help="writer schema as JSON (skips inference)")
 
     return p
 
@@ -781,6 +806,33 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             if args.articles_only:
                 out = out.filter(F.col("ns") == 0)
             _emit(out.orderBy("id", "page_id"))
+        elif args.cmd == "jsonl-scan":
+            from pyspark.sql.types import _parse_datatype_string
+
+            from distributed_computing_projects_spark.sources.json import (
+                read_jsonl_auto,
+            )
+
+            schema = _parse_datatype_string(args.schema)
+            _emit(read_jsonl_auto(spark, args.path, schema,
+                                  malformed=args.malformed))
+        elif args.cmd == "avro-scan":
+            import glob as globmod
+            import json as jsonmod
+
+            from distributed_computing_projects_spark.sources import avro
+
+            if args.schema_json:
+                schema = jsonmod.loads(args.schema_json)
+            else:
+                pattern = args.path
+                if os.path.isdir(pattern):
+                    pattern = os.path.join(pattern, "*.avro")
+                files = sorted(globmod.glob(pattern))
+                if not files:
+                    raise SystemExit(f"no files match {args.path}")
+                schema = avro.infer_avro_schema(files[0])
+            _emit(avro.read_avro(spark, args.path, schema))
         return 0
     finally:
         if own_session:

@@ -494,3 +494,31 @@ def test_pdf_object_model_wet_and_wikitext_subcommands(
     assert main(["wikitext-strip", corpus], spark=spark) == 0
     out = capsys.readouterr().out.strip()
     assert out == "1\tBold label rest"
+
+
+def test_cli_jsonl_scan_compressed(spark, tmp_path, capsys):
+    from distributed_computing_projects_spark.functions import zstdlib as Z
+
+    if not Z.available():
+        import pytest
+
+        pytest.skip("libzstd missing")
+    (tmp_path / "d.jsonl.zst").write_bytes(
+        Z.compress(b'{"a": 3, "b": "x"}\nBAD\n{"a": 1, "b": "y"}\n'))
+    assert main(["jsonl-scan", str(tmp_path / "d.jsonl.zst"),
+                 "a bigint, b string"], spark=spark) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert sorted(out) == ["1\ty", "3\tx"]
+
+
+def test_cli_avro_scan_with_inference(spark, tmp_path, capsys):
+    from distributed_computing_projects_spark.sources import avro as AV
+
+    schema = {"type": "record", "name": "R", "fields": [
+        {"name": "a", "type": "long"}, {"name": "b", "type": "string"}]}
+    (tmp_path / "p.avro").write_bytes(AV.write_ocf(
+        [{"a": 5, "b": "q"}, {"a": 6, "b": "r"}], schema,
+        codec="deflate"))
+    assert main(["avro-scan", str(tmp_path)], spark=spark) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert sorted(out) == ["5\tq", "6\tr"]
