@@ -373,8 +373,10 @@ _AVRO_EVENTS_SCHEMA = {
         "zigzag-varint binary decode against the writer schema incl. "
         "a [null,double] union and a local-timestamp-micros logical "
         "field (events.ts is NTZ; the spec-correct mapping). "
-        "The fixture stages events as OCF shards cycling FOUR codecs "
-        "(deflate, zstandard via the libzstd backend, xz, null), so "
+        "The fixture stages events as OCF shards cycling FIVE codecs "
+        "(deflate, zstandard via the libzstd backend, xz, null, and "
+        "snappy via the pure-stdlib raw-format decoder in "
+        "functions/snappy.py with the spec's big-endian CRC32 tail), so "
         "every codec branch and the logical-type conversion sit on "
         "the hash path; facts must match the parquet-side oracle "
         "exactly, max(ts) proving microsecond-exact timestamps.",
@@ -398,7 +400,7 @@ def q_avro_events_roundtrip(spark, sf_dir):
         .write.json(stage)
     )
     os.makedirs(landing)
-    codecs = ["deflate", "zstandard", "xz", "null"]
+    codecs = ["deflate", "zstandard", "xz", "null", "snappy"]
     i = 0
     for name in sorted(os.listdir(stage)):
         if not name.startswith("part-"):

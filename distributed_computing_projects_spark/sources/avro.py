@@ -22,8 +22,11 @@ Engine policies, same as every other codec seam:
 
 - **Codecs**: ``null`` and ``deflate`` (stdlib zlib, raw), ``bzip2``
   and ``xz`` (stdlib), ``zstandard`` through the same backend chain as
-  ``.warc.zst`` (``sources/warc.zstd_backend``); ``snappy`` has no
-  stdlib/backend here -> those blocks DROP (documented dormant path).
+  ``.warc.zst`` (``sources/warc.zstd_backend``), and ``snappy``
+  through the pure-stdlib raw-format decoder in
+  ``functions/snappy.py`` (spec: block body + 4-byte big-endian CRC32
+  of the uncompressed bytes; CRC mismatch is a block drop). Unknown
+  codecs drop block-granularly (documented dormant path).
 - **Drops are block-granular**: a block that fails to decompress,
   overruns the bomb bound, mis-decodes, or whose trailing sync marker
   mismatches drops (with everything after it — past a bad sync the
@@ -205,7 +208,20 @@ def _decompress_block(codec: str, data: bytes):
             if len(out) > MAX_BLOCK_BYTES or not d.eof:
                 return None
             return out
-        return None  # snappy & friends: no backend here -> drop
+        if codec == "snappy":
+            # spec: raw-snappy body + 4-byte BIG-ENDIAN CRC32 of the
+            # UNCOMPRESSED bytes; pure-stdlib decoder in
+            # functions/snappy.py — a CRC mismatch is a block drop
+            from distributed_computing_projects_spark.functions import (
+                snappy as SN,
+            )
+            if len(data) < 4:
+                return None
+            out = SN.decompress(data[:-4], MAX_BLOCK_BYTES)
+            if zlib.crc32(out) != int.from_bytes(data[-4:], "big"):
+                return None
+            return out
+        return None  # unknown codec: no backend here -> drop
     except Exception:
         return None  # torn/corrupt block
 
@@ -526,6 +542,12 @@ def write_ocf(records, avro_schema, codec: str = "deflate",
             if backend is None:
                 raise RuntimeError("no zstd backend for avro fixture")
             packed = backend[0](plain)
+        elif codec == "snappy":
+            from distributed_computing_projects_spark.functions import (
+                snappy as SN,
+            )
+            packed = SN.compress(plain) + zlib.crc32(plain).to_bytes(
+                4, "big")
         else:
             raise ValueError(f"unsupported writer codec {codec!r}")
         out.write(_zigzag(len(chunk)))

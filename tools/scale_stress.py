@@ -341,6 +341,21 @@ def run_factor(spark, factor: int) -> dict:
         timed(spark, m, "warc_zst_extract",
               lambda: reg["warc_zst_extract_responses"].fn(spark, work)
               .count())
+        spark.catalog.clearCache()
+        # r13b: compressed-JSONL shard ingest and the Avro OCF walk —
+        # both rebuild their file fixtures from the SCALED events
+        # table per factor, so the measured claim is linearity in
+        # rows through (stage write + driver compress + binaryFile
+        # scan + bounded C-speed decode + codegen from_json) for
+        # jsonl, and through the pure-Python zigzag record decode for
+        # avro (the documented slow-but-boundary path: ingest once,
+        # convert to parquet)
+        timed(spark, m, "jsonl_zst_scan",
+              lambda: reg["jsonl_zst_scan"].fn(spark, work).count())
+        spark.catalog.clearCache()
+        timed(spark, m, "avro_events_roundtrip",
+              lambda: reg["avro_events_roundtrip"].fn(spark, work)
+              .count())
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.catalog.clearCache()
