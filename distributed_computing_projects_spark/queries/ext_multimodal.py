@@ -1522,6 +1522,107 @@ def q_pdf_filters_extract_text(spark, sf_dir):
         PDFO.pdf_filters_payloads(eligible, "doc_id", "text"))
 
 
+_WDS_PREFIX = 64
+
+
+@query(
+    "webdataset_scan",
+    oracle=f"""
+    WITH body AS (
+      SELECT doc_id AS id,
+             octet_length(encode(text)) AS n_text_bytes,
+             CAST(octet_length(encode(text)) % 7 AS INTEGER) AS label,
+             substr(text, 1, {_WDS_PREFIX}) AS prefix
+      FROM documents)
+    SELECT id, label,
+           CAST(n_text_bytes AS BIGINT) AS n_text_bytes,
+           CAST((SELECT coalesce(sum(ascii(substr(prefix, i, 1))), 0)
+                 FROM unnest(generate_series(1, length(prefix))) AS t(i))
+                AS BIGINT) AS prefix_sum
+    FROM body
+    """,
+    doc="WebDataset tar-shard ingest (sources/webdataset.py) — the "
+        "de-facto container for multimodal training data "
+        "(OpenCLIP/LAION tooling ships image-text pairs as .tar "
+        "shards, samples = consecutive members sharing a key): the "
+        "fixture packs each doc as {key}.txt + {key}.cls members "
+        "plus a keyless README member per shard and one whole junk "
+        "non-tar file in the landing dir; the generic (key, "
+        "parts map<string,binary>) source feeds pure CODEGEN "
+        "expressions — bigint key cast (README rows go null and are "
+        "filtered ON the hash path), map part extraction, "
+        "octet_length, and a char-codepoint prefix fold via "
+        "aggregate(transform(sequence)) — no Python in the fact "
+        "math, only the tar walk itself. Sample-granular torn/bomb "
+        "drops are pinned in tests/test_webdataset.py.",
+)
+def q_webdataset_scan(spark, sf_dir):
+    import json as jsonmod
+    import shutil
+
+    from distributed_computing_projects_spark.queries.ext_pipeline import (
+        _session_scratch,
+    )
+    from distributed_computing_projects_spark.sources import (
+        webdataset as WDS,
+    )
+
+    work = _session_scratch(spark, "wds", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    stage = os.path.join(work, "stage")
+    landing = os.path.join(work, "landing")
+    (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(4)
+        .write.json(stage)
+    )
+    os.makedirs(landing)
+    i = 0
+    for name in sorted(os.listdir(stage)):
+        if not name.startswith("part-"):
+            continue
+        with open(os.path.join(stage, name), "rb") as f:
+            recs = [jsonmod.loads(ln) for ln in f.read().splitlines()
+                    if ln]
+        samples = [("README", {"": b"this shard is a fixture"})]
+        for rec in recs:
+            raw = rec["text"].encode("utf-8")
+            samples.append((f"{rec['doc_id']:012d}", {
+                "txt": raw,
+                "cls": str(len(raw) % 7).encode(),
+            }))
+        with open(os.path.join(landing, f"shard-{i}.tar"), "wb") as f:
+            f.write(WDS.build_shard(samples))
+        i += 1
+    with open(os.path.join(landing, "junk.tar"), "wb") as f:
+        f.write(b"this is not a tar shard")  # whole-file drop
+    shutil.rmtree(stage, ignore_errors=True)
+
+    wd = WDS.read_webdataset(spark, landing)
+    staged = wd.select(
+        F.expr("try_cast(key AS bigint)").alias("id"),
+        F.col("parts").getItem("cls").cast("string").cast("int")
+        .alias("label"),
+        F.octet_length(F.col("parts").getItem("txt")).cast("bigint")
+        .alias("n_text_bytes"),
+        F.expr(f"substr(decode(parts['txt'], 'UTF-8'), 1, "
+               f"{_WDS_PREFIX})").alias("_p"),
+    )
+    return (
+        staged.select(
+            "id", "label", "n_text_bytes",
+            F.expr(
+                "if(char_length(_p) = 0, 0L,"
+                " aggregate(transform(sequence(1, char_length(_p)),"
+                " i -> bigint(ascii(substr(_p, i, 1)))),"
+                " 0L, (a, x) -> a + x))"
+            ).alias("prefix_sum"),
+        )
+        .filter(F.col("id").isNotNull())  # README rows drop here
+    )
+
+
 @query(
     "warc_extract_responses",
     oracle=_WARC_ORACLE,
