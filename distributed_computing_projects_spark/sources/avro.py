@@ -363,13 +363,50 @@ def infer_avro_schema(path: str):
     return head[0]
 
 
+def _field_adapters(avro_schema) -> dict:
+    """name -> (default, promote) for top-level reader fields — the
+    spec's Schema Resolution rules that matter across file
+    generations: a field the writer lacks takes the READER default
+    (spec: error without one; this reader uses the default or null —
+    the drop-tolerant variant of the same rule), int/long promote to
+    float/double, bytes<->string interconvert."""
+    out = {}
+    for f in avro_schema["fields"]:
+        t = f["type"]
+        if isinstance(t, list):
+            branches = [s for s in t if s != "null"]
+            t = branches[0] if len(branches) == 1 else t
+        base = t["type"] if isinstance(t, dict) else t
+        if base in ("float", "double"):
+            def promote(v):
+                return float(v) if isinstance(v, int) else v
+        elif base == "string":
+            def promote(v):
+                return (v.decode("utf-8", "replace")
+                        if isinstance(v, (bytes, bytearray)) else v)
+        elif base == "bytes":
+            def promote(v):
+                return v.encode("utf-8") if isinstance(v, str) else v
+        else:
+            promote = None
+        out[f["name"]] = (f.get("default"), promote)
+    return out
+
+
 def read_avro(spark: SparkSession, path: str, avro_schema) -> DataFrame:
     """DataFrame over ``.avro`` OCF files: binaryFile scan (per-file
     parallelism), stdlib block walk + binary decode inside Arrow
-    ``mapInPandas``, block-granular malformed drops. ``avro_schema``
-    is the expected writer schema (dict form or JSON string) — files
-    whose embedded schema differs structurally simply fail field
-    decode and drop block-granularly, never poison the batch."""
+    ``mapInPandas``, block-granular malformed drops.
+
+    ``avro_schema`` (dict form or JSON string) is the READER schema:
+    each file decodes against its own embedded writer schema, then
+    resolves field-by-name per the spec's Schema Resolution rules —
+    writer-only fields are discarded, reader-only fields take their
+    ``default`` (null without one), int/long promote to float/double,
+    bytes<->string interconvert — so one scan spans shard generations
+    the way real Avro landing zones accrete. A file whose embedded
+    schema is structurally incompatible fails field decode and drops
+    block-granularly, never poisoning the batch."""
     import pandas as pd
 
     if isinstance(avro_schema, str):
@@ -377,6 +414,7 @@ def read_avro(spark: SparkSession, path: str, avro_schema) -> DataFrame:
     ddl = avro_spark_ddl(avro_schema)
     names = [f["name"] for f in avro_schema["fields"]]
     logical = _logical_fields(avro_schema)
+    adapters = _field_adapters(avro_schema)
 
     def gen(batches):
         for pdf in batches:
@@ -385,7 +423,11 @@ def read_avro(spark: SparkSession, path: str, avro_schema) -> DataFrame:
                 n_rows = 0
                 for rec in iter_records(bytes(content)):
                     for n in names:
-                        rows[n].append(rec.get(n))
+                        default, promote = adapters[n]
+                        v = rec.get(n, default)
+                        if promote is not None and v is not None:
+                            v = promote(v)
+                        rows[n].append(v)
                     n_rows += 1
                     if n_rows >= 8192:
                         yield _to_pdf(pd, rows, logical)

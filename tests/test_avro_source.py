@@ -187,3 +187,38 @@ def test_read_avro_spark_end_to_end(spark, tmp_path):
 
     assert got[7].ts == datetime.datetime(1970, 1, 1) + \
         datetime.timedelta(microseconds=1_700_000_000_000_007)
+
+
+def test_schema_resolution_across_generations(spark, tmp_path):
+    """One reader schema spans shard generations: gen-1 lacks a field
+    (reader default fills), gen-2 has an extra field (discarded) and
+    writes ints where the reader expects double (promoted)."""
+    gen1 = {"type": "record", "name": "R", "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "score", "type": "int"},
+    ]}
+    gen2 = {"type": "record", "name": "R", "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "score", "type": "int"},
+        {"name": "tag", "type": "string"},
+        {"name": "extra", "type": "string"},
+    ]}
+    reader = {"type": "record", "name": "R", "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "score", "type": "double"},     # int -> double
+        {"name": "tag", "type": ["null", "string"],
+         "default": "legacy"},                    # missing in gen1
+    ]}
+    from distributed_computing_projects_spark.sources import avro as AV
+
+    (tmp_path / "g1.avro").write_bytes(AV.write_ocf(
+        [{"a": 1, "score": 10}], gen1, codec="deflate"))
+    (tmp_path / "g2.avro").write_bytes(AV.write_ocf(
+        [{"a": 2, "score": 20, "tag": "new", "extra": "x"}], gen2,
+        codec="deflate"))
+    rows = {r.a: r for r in
+            AV.read_avro(spark, str(tmp_path), reader).collect()}
+    assert rows[1].score == 10.0 and isinstance(rows[1].score, float)
+    assert rows[1].tag == "legacy"
+    assert rows[2].score == 20.0 and rows[2].tag == "new"
+    assert not hasattr(rows[2], "extra")
