@@ -281,8 +281,11 @@ def iter_records(data: bytes) -> Iterator[dict]:
         try:
             for _ in range(count):
                 out.append(_decode_value(br, schema))
-        except (EOFError, ValueError):
-            continue  # mis-encoded block: drop it whole
+        except Exception:
+            # mis-encoded block — or a hostile SCHEMA that parsed as
+            # JSON but is not schema-shaped (KeyError/TypeError mid-
+            # walk; found by the mutation fuzz): drop the block whole
+            continue
         yield from out
 
 

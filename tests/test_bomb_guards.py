@@ -125,6 +125,43 @@ def test_mutation_fuzz_never_raises():
         targets.append(
             (MM._decode_heif,
              HL.encode_lossless_rgb(bytes(range(48)), 4, 4)))
+    # r13b seams: avro/webdataset walks are no-raise by contract;
+    # the compressed-line walker likewise; snappy raises ValueError
+    # by design (callers translate), so only ValueError is legal
+    from distributed_computing_projects_spark.functions import (
+        snappy as SN,
+    )
+    from distributed_computing_projects_spark.sources import (
+        avro as AVS,
+        webdataset as WDS,
+    )
+    from distributed_computing_projects_spark.sources.compressed import (
+        decompressor_factory,
+        iter_lines,
+    )
+
+    def _snappy_drop(b):
+        try:
+            SN.decompress(b, 1 << 20)
+        except ValueError:
+            pass
+
+    avro_base = AVS.write_ocf(
+        [{"a": i, "b": f"s{i}"} for i in range(40)],
+        {"type": "record", "name": "R", "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": "string"}]},
+        codec="deflate", records_per_block=8)
+    wds_base = WDS.build_shard(
+        [(f"{i}", {"txt": b"t" * i}) for i in range(12)])
+    targets.append((lambda b: list(AVS.iter_records(b)), avro_base))
+    targets.append((lambda b: list(WDS.iter_samples(b)), wds_base))
+    targets.append((_snappy_drop, SN.compress(text * 8)))
+    if Z.available():
+        targets.append(
+            (lambda b: list(iter_lines(b, decompressor_factory("x.zst"))),
+             __import__("functools").reduce(
+                 lambda acc, i: acc + Z.compress(text), range(3), b"")))
     for fn, base in targets:
         for _ in range(40):
             b = bytearray(base)
