@@ -734,6 +734,64 @@ def test_prop_heif_lossless_roundtrip(px, codec):
 
 
 @PROP
+@given(
+    recs=st.lists(
+        st.fixed_dictionaries({
+            "a": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            "b": st.one_of(st.none(), st.floats(allow_nan=False,
+                                                allow_infinity=False)),
+            "c": st.text(max_size=20),
+            "arr": st.lists(st.integers(-(2**31), 2**31 - 1),
+                            max_size=4),
+        }),
+        max_size=25),
+    codec=st.sampled_from(["null", "deflate", "bzip2", "xz",
+                           "zstandard", "snappy"]),
+    per_block=st.integers(1, 9),
+)
+def test_prop_avro_ocf_roundtrip(recs, codec, per_block):
+    import pytest
+
+    from distributed_computing_projects_spark.sources import avro as AV
+
+    if codec == "zstandard":
+        from distributed_computing_projects_spark.sources.warc import (
+            zstd_backend,
+        )
+        if zstd_backend() is None:
+            pytest.skip("no zstd backend")
+    schema = {"type": "record", "name": "P", "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": ["null", "double"]},
+        {"name": "c", "type": "string"},
+        {"name": "arr", "type": {"type": "array", "items": "int"}},
+    ]}
+    data = AV.write_ocf(recs, schema, codec=codec,
+                        records_per_block=per_block)
+    assert list(AV.iter_records(data)) == recs
+
+
+@PROP
+@given(
+    samples=st.lists(
+        st.tuples(
+            st.text(alphabet="abcdef0123456789_-", min_size=1,
+                    max_size=12),
+            st.dictionaries(
+                st.sampled_from(["txt", "cls", "meta.json", "bin"]),
+                st.binary(max_size=200), min_size=1, max_size=3)),
+        max_size=12, unique_by=lambda s: s[0]),
+)
+def test_prop_webdataset_shard_roundtrip(samples):
+    from distributed_computing_projects_spark.sources import (
+        webdataset as WD,
+    )
+
+    shard = WD.build_shard(samples)
+    assert list(WD.iter_samples(shard)) == samples
+
+
+@PROP
 @given(data=BLOB, cols=st.integers(1, 64))
 def test_prop_tiff_predictor2_roundtrip(data, cols):
     from distributed_computing_projects_spark.sources import pdfobj as PO
