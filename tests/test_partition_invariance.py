@@ -45,3 +45,31 @@ def test_partition_count_does_not_change_values(spark, sf_dir, name):
         spark.conf.set(key, saved)
         spark.catalog.clearCache()
     assert at2 == at17, f"{name} values moved with partition count"
+
+
+FILE_SOURCE_QUERIES = [
+    "jsonl_zst_scan",        # binaryFile + bounded line walker
+    "webdataset_scan",       # tar-shard sample walk
+    "avro_events_roundtrip",  # OCF block walk + binary decode
+]
+
+
+@pytest.mark.parametrize("name", FILE_SOURCE_QUERIES)
+def test_file_grouping_does_not_change_values(spark, sf_dir, name):
+    """The r13 file-walk sources must be invariant to how binaryFile
+    groups shards into partitions — a 1000-executor scan packs files
+    differently than local[4], and per-file decode means the answer
+    cannot depend on the packing."""
+    from distributed_computing_projects_spark.queries import load_registry
+
+    fn = load_registry()[name].fn
+    key = "spark.sql.files.maxPartitionBytes"
+    saved = spark.conf.get(key)
+    try:
+        spark.conf.set(key, str(1 << 14))  # every file its own split
+        at_small = _rows(fn(spark, sf_dir))
+        spark.conf.set(key, str(1 << 30))  # everything packs together
+        at_large = _rows(fn(spark, sf_dir))
+    finally:
+        spark.conf.set(key, saved)
+    assert at_small == at_large and len(at_small) > 0
