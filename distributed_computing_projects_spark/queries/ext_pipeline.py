@@ -382,12 +382,33 @@ _AVRO_EVENTS_SCHEMA = {
         "exactly, max(ts) proving microsecond-exact timestamps.",
 )
 def q_avro_events_roundtrip(spark, sf_dir):
+    from distributed_computing_projects_spark.sources import avro as AV
+
+    _, landing = _build_avro_landing(spark, sf_dir, "avro_events")
+    back = AV.read_avro(spark, landing, _AVRO_EVENTS_SCHEMA)
+    return _avro_events_facts(back)
+
+
+def _avro_events_facts(back):
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+        .alias("total_value"),
+        F.sum("user_id").cast("bigint").alias("sum_user"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+def _build_avro_landing(spark, sf_dir, family):
+    """Fixture stage shared by the batch and streaming Avro queries:
+    stage events as JSONL shards, encode each into one OCF shard
+    cycling the five codecs. Returns (work, landing)."""
     import json as jsonmod
     import shutil
 
     from distributed_computing_projects_spark.sources import avro as AV
 
-    work = _session_scratch(spark, "avro_events", sf_dir)
+    work = _session_scratch(spark, family, sf_dir)
     shutil.rmtree(work, ignore_errors=True)
     stage = os.path.join(work, "stage")
     landing = os.path.join(work, "landing")
@@ -413,15 +434,7 @@ def q_avro_events_roundtrip(spark, sf_dir):
                                  codec=codecs[i % len(codecs)]))
         i += 1
     shutil.rmtree(stage, ignore_errors=True)
-
-    back = AV.read_avro(spark, landing, _AVRO_EVENTS_SCHEMA)
-    return back.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
-        .alias("total_value"),
-        F.sum("user_id").cast("bigint").alias("sum_user"),
-        F.max("ts").alias("max_ts"),
-    )
+    return work, landing
 
 
 SPLIT_WEIGHTS_BP = {"train": 8000, "val": 1000, "test": 1000}

@@ -1129,3 +1129,60 @@ def q_streaming_jsonl_zst_ingest(spark, sf_dir):
         raise TimeoutError(
             "streaming jsonl.zst ingest did not drain in 180 s")
     return spark.read.parquet(store)
+
+
+@query(
+    "streaming_avro_ingest",
+    # the stream route must equal the batch roundtrip row-for-row
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE)
+             AS total_value,
+           CAST(sum(user_id) AS BIGINT) AS sum_user,
+           max(ts) AS max_ts
+    FROM events GROUP BY event_type
+    """,
+    doc="CONTINUOUS-INGEST of Avro OCF shards — the Kafka-archive "
+        "landing-zone shape (.avro files appearing in a directory): "
+        "a readStream(binaryFile) source over the SAME five-codec "
+        "fixture as avro_events_roundtrip feeds the SAME Arrow block "
+        "walk and binary decode (sources/avro.records_from_binary), "
+        "lands in a checkpointed parquet sink with an availableNow "
+        "drain, and the aggregated facts must hash-match the batch "
+        "oracle — block-granular drops, schema resolution, and the "
+        "local-timestamp-micros logical type all riding the one "
+        "shared stage.",
+)
+def q_streaming_avro_ingest(spark, sf_dir):
+    from distributed_computing_projects_spark.queries.ext_pipeline import (
+        _avro_events_facts,
+        _AVRO_EVENTS_SCHEMA,
+        _build_avro_landing,
+    )
+    from distributed_computing_projects_spark.sources.avro import (
+        records_from_binary,
+    )
+
+    work, landing = _build_avro_landing(spark, sf_dir, "stream_avro")
+    store = os.path.join(work, "records")
+    ckpt = os.path.join(work, "ckpt")
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp,"
+                " length long, content binary")
+        .load(landing)
+    )
+    records = records_from_binary(stream, _AVRO_EVENTS_SCHEMA)
+
+    q = (
+        records.writeStream.format("parquet")
+        .option("path", store)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("streaming avro ingest did not drain in 180 s")
+    return _avro_events_facts(spark.read.parquet(store))

@@ -410,6 +410,16 @@ def read_avro(spark: SparkSession, path: str, avro_schema) -> DataFrame:
     the way real Avro landing zones accrete. A file whose embedded
     schema is structurally incompatible fails field decode and drops
     block-granularly, never poisoning the batch."""
+    return records_from_binary(
+        spark.read.format("binaryFile").load(path), avro_schema)
+
+
+def records_from_binary(bin_df: DataFrame, avro_schema) -> DataFrame:
+    """The decode stage of :func:`read_avro` over any binaryFile-shaped
+    DataFrame (``content`` column) — the same Arrow stage serves the
+    batch scan and the streaming landing-zone source
+    (``readStream.format('binaryFile')``), so batch and stream agree
+    record-for-record."""
     import pandas as pd
 
     if isinstance(avro_schema, str):
@@ -439,8 +449,7 @@ def read_avro(spark: SparkSession, path: str, avro_schema) -> DataFrame:
                 if n_rows:
                     yield _to_pdf(pd, rows, logical)
 
-    bin_df = spark.read.format("binaryFile").load(path).select("content")
-    return bin_df.mapInPandas(gen, ddl)
+    return bin_df.select("content").mapInPandas(gen, ddl)
 
 
 def _to_pdf(pd, rows: dict, logical: dict):
