@@ -62,6 +62,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 MAGIC = b"Obj\x01"
 MAX_BLOCK_BYTES = 1 << 28  # 256 MiB decompressed, the codec-walk bound
+MAX_BLOCK_RECORDS = 1 << 22  # count bomb guard: zero-byte records
 _MAX_DEPTH = 64  # schema nesting bound (hostile-schema guard)
 
 
@@ -204,8 +205,13 @@ def _decompress_block(codec: str, data: bytes):
             if backend is None:
                 return None
             d = backend[1]()
-            out = d.decompress(data, MAX_BLOCK_BYTES + 1)
-            if len(out) > MAX_BLOCK_BYTES or not d.eof:
+            try:
+                out = d.decompress(data, MAX_BLOCK_BYTES + 1)
+            except TypeError:
+                # degraded backend (zstandard wheel): no max_length —
+                # one-shot decode, post-hoc length check (warc policy)
+                out = d.decompress(data)
+            if len(out) > MAX_BLOCK_BYTES or not getattr(d, "eof", True):
                 return None
             return out
         if codec == "snappy":
@@ -266,7 +272,13 @@ def iter_records(data: bytes) -> Iterator[dict]:
         try:
             count = r.long()
             size = r.long()
-            if count < 0 or not 0 <= size <= MAX_BLOCK_BYTES:
+            if not 0 <= count <= MAX_BLOCK_RECORDS:
+                # count bomb: a zero-byte-record schema (empty or
+                # all-null fields) makes count the only allocation
+                # bound, so an insane count is untrustable like an
+                # insane size (found by adversarial review)
+                return
+            if not 0 <= size <= MAX_BLOCK_BYTES:
                 return  # insane declared size: offsets untrustable
             raw = r.raw(size)
             if r.raw(16) != sync:
@@ -358,21 +370,43 @@ def _logical_fields(schema) -> dict[str, str]:
 
 def infer_avro_schema(path: str):
     """Writer schema from one local OCF file's header (driver-side
-    peek for interactive use; queries pass schemas explicitly)."""
-    with open(path, "rb") as f:
-        head = parse_header(f.read(1 << 20))
-    if head is None:
-        raise ValueError(f"not an Avro OCF: {path}")
-    return head[0]
+    peek for interactive use; queries pass schemas explicitly). The
+    peek grows until the header fits — wide enterprise schemas can
+    exceed a fixed 1 MiB prefix (adversarial-review finding) — up to
+    a 64 MiB sanity bound."""
+    size = 1 << 20
+    while True:
+        with open(path, "rb") as f:
+            buf = f.read(size)
+        head = parse_header(buf)
+        if head is not None:
+            return head[0]
+        if len(buf) < size or size >= (1 << 26):
+            raise ValueError(f"not an Avro OCF: {path}")
+        size *= 8
+
+
+_TYPE_OK = {
+    "int": (int,), "long": (int,),
+    "float": (float,), "double": (float,),
+    "string": (str,), "enum": (str,),
+    "bytes": (bytes, bytearray), "fixed": (bytes, bytearray),
+    "boolean": (bool,),
+    "array": (list,), "map": (dict,), "record": (dict,),
+}
 
 
 def _field_adapters(avro_schema) -> dict:
-    """name -> (default, promote) for top-level reader fields — the
+    """name -> (default, adapt) for top-level reader fields — the
     spec's Schema Resolution rules that matter across file
     generations: a field the writer lacks takes the READER default
     (spec: error without one; this reader uses the default or null —
     the drop-tolerant variant of the same rule), int/long promote to
-    float/double, bytes<->string interconvert."""
+    float/double, bytes<->string interconvert. After promotion the
+    value is TYPE-CHECKED against the reader type and nulled on
+    mismatch — an unresolvable generation difference must degrade to
+    a null field, never reach Arrow as a mis-typed cell that kills
+    the whole task (adversarial-review finding)."""
     out = {}
     for f in avro_schema["fields"]:
         t = f["type"]
@@ -380,19 +414,29 @@ def _field_adapters(avro_schema) -> dict:
             branches = [s for s in t if s != "null"]
             t = branches[0] if len(branches) == 1 else t
         base = t["type"] if isinstance(t, dict) else t
-        if base in ("float", "double"):
-            def promote(v):
-                return float(v) if isinstance(v, int) else v
-        elif base == "string":
-            def promote(v):
-                return (v.decode("utf-8", "replace")
-                        if isinstance(v, (bytes, bytearray)) else v)
-        elif base == "bytes":
-            def promote(v):
-                return v.encode("utf-8") if isinstance(v, str) else v
-        else:
-            promote = None
-        out[f["name"]] = (f.get("default"), promote)
+        if isinstance(base, (dict, list)):
+            base = "record"  # nested wrapper: container check only
+
+        def make_adapt(base):
+            ok = _TYPE_OK.get(base)
+
+            def adapt(v):
+                if base in ("float", "double") and isinstance(v, int) \
+                        and not isinstance(v, bool):
+                    v = float(v)
+                elif base == "string" and isinstance(
+                        v, (bytes, bytearray)):
+                    v = v.decode("utf-8", "replace")
+                elif base == "bytes" and isinstance(v, str):
+                    v = v.encode("utf-8")
+                if ok is not None and not isinstance(v, ok):
+                    return None
+                if ok == (int,) and isinstance(v, bool):
+                    return None  # bool is not an avro int/long
+                return v
+            return adapt
+
+        out[f["name"]] = (f.get("default"), make_adapt(base))
     return out
 
 
@@ -436,10 +480,10 @@ def records_from_binary(bin_df: DataFrame, avro_schema) -> DataFrame:
                 n_rows = 0
                 for rec in iter_records(bytes(content)):
                     for n in names:
-                        default, promote = adapters[n]
+                        default, adapt = adapters[n]
                         v = rec.get(n, default)
-                        if promote is not None and v is not None:
-                            v = promote(v)
+                        if v is not None:
+                            v = adapt(v)
                         rows[n].append(v)
                     n_rows += 1
                     if n_rows >= 8192:

@@ -53,6 +53,7 @@ from pyspark.sql import DataFrame, SparkSession
 MAX_LINE_BYTES = 1 << 26  # 64 MiB: generous for real JSONL records
 _OUT_CHUNK = 1 << 20      # decode granularity per decompress() call
 _BATCH_LINES = 8192       # Arrow batch size emitted to the JVM
+_DEGRADED_CAP = 1 << 28   # post-hoc bound for no-max_length backends
 
 
 def decompressor_factory(path: str):
@@ -94,10 +95,29 @@ def iter_lines(data: bytes, new_decompressor, *,
     discard = False
     pos = 0
     clean_eof = True
+
+    def _eof(d) -> bool:
+        # degraded backends (the zstandard wheel's zlib-compatible
+        # decompressobj) may lack .eof; a one-shot decode counts as
+        # a completed stream
+        return bool(getattr(d, "eof", True))
+
     while pos < len(data):
         d = new_decompressor()
         try:
             chunk = d.decompress(data[pos:], _OUT_CHUNK)
+        except TypeError:
+            # degraded backend: no max_length support — one-shot
+            # decode with a post-hoc cap (the warc fallback policy;
+            # trades the incremental bound for a length check)
+            try:
+                chunk = d.decompress(data[pos:])
+            except Exception:
+                clean_eof = False
+                break
+            if len(chunk) > _DEGRADED_CAP:
+                clean_eof = False
+                break
         except Exception:  # backend-specific corrupt-stream errors
             clean_eof = False
             break
@@ -116,22 +136,28 @@ def iter_lines(data: bytes, new_decompressor, *,
                 if len(carry) > max_line_bytes:
                     discard = True
                     carry = b""
-            if d.eof:
+            if _eof(d):
                 break
             try:
                 nxt = d.decompress(b"", _OUT_CHUNK)
+            except TypeError:
+                try:
+                    nxt = d.decompress(b"")
+                except Exception:
+                    clean_eof = False
+                    break
             except Exception:
                 clean_eof = False
                 break
-            if not nxt and not d.eof:
+            if not nxt and not _eof(d):
                 # no progress without new input and none exists:
                 # the stream is torn mid-shard
                 clean_eof = False
                 break
             chunk = nxt
-        if not d.eof:
+        if not _eof(d):
             break  # torn: complete lines before the tear survive
-        unused = d.unused_data
+        unused = getattr(d, "unused_data", b"")
         consumed = len(data) - pos - len(unused)
         if consumed <= 0:
             clean_eof = False  # zero-length "stream" would loop

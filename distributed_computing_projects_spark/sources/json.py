@@ -119,10 +119,33 @@ def read_jsonl_auto(
     walker, everything else (plain, ``.gz``, ``.bz2``, ``.lz4``, …)
     through the built-in text scan — Hadoop's bz2 path splits inside
     a file, which the walker cannot, so the built-in wins whenever it
-    can read the codec at all."""
-    p = path.lower().rstrip("*").rstrip("/")
-    if p.endswith(".zst") or p.endswith(".xz"):
+    can read the codec at all. A directory or glob is routed by the
+    suffixes of the files it actually matches (local-FS peek; a
+    non-local path that can't be peeked routes by its own suffix)."""
+
+    def _is_walker_suffix(name: str) -> bool:
+        n = name.lower()
+        return n.endswith(".zst") or n.endswith(".xz")
+
+    p = path.rstrip("*").rstrip("/")
+    if _is_walker_suffix(p):
         return read_jsonl_compressed(spark, path, schema, malformed)
+    try:
+        import glob as globmod
+        import os as osmod
+
+        if osmod.path.isdir(path):
+            names = osmod.listdir(path)
+        else:
+            names = globmod.glob(path)
+        if names and all(_is_walker_suffix(n) for n in names):
+            return read_jsonl_compressed(spark, path, schema, malformed)
+        if names and any(_is_walker_suffix(n) for n in names):
+            raise ValueError(
+                f"{path} mixes walker ({'.zst/.xz'}) and Hadoop-codec "
+                "shards — read the two groups separately")
+    except OSError:
+        pass  # non-local FS: fall through to the suffix route
     return read_jsonl(spark, path, schema, malformed)
 
 

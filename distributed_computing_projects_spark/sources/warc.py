@@ -65,21 +65,31 @@ def zstd_backend():
     member-per-record layout). Two public backends are probed:
     stdlib ``compression.zstd`` (Python 3.14+) whose
     ``ZstdDecompressor`` follows the ``bz2.BZ2Decompressor``
-    ``eof``/``unused_data`` contract exactly, the ``zstandard``
-    wheel via its zlib-compatible ``decompressobj()``, and the
+    ``eof``/``unused_data``/``max_length`` contract exactly, the
     system ``libzstd`` through the ctypes binding in
-    ``functions/zstdlib.py`` (same bz2-style contract; present on
-    virtually every Linux image — it is what ACTIVATES the path in
-    this container). A container with none of the three keeps the
-    dormant-path behavior: ``.warc.zst`` payloads drop the row like
-    any undecodable payload, the fixture builder raises, and the
-    tests skip."""
+    ``functions/zstdlib.py`` (same full contract incl. bounded
+    continuation; present on virtually every Linux image — it is
+    what ACTIVATES the path in this container), and LAST the
+    ``zstandard`` wheel via its zlib-compatible ``decompressobj()``
+    — last because its ``decompress`` takes no ``max_length``
+    (consumers carry a documented TypeError fallback that trades
+    the incremental bomb bound for a post-hoc length check). A
+    container with none of the three keeps the dormant-path
+    behavior: ``.warc.zst`` payloads drop the row like any
+    undecodable payload, the fixture builder raises, and the tests
+    skip."""
     try:
         from compression import zstd as _z  # Python 3.14+ stdlib
 
         return _z.compress, _z.ZstdDecompressor
     except ImportError:
         pass
+    from distributed_computing_projects_spark.functions import (
+        zstdlib as _zl,
+    )
+
+    if _zl.available():
+        return _zl.compress, _zl.ZstdDecompressor
     try:
         import zstandard as _z
 
@@ -92,12 +102,6 @@ def zstd_backend():
         return _compress, _new
     except ImportError:
         pass
-    from distributed_computing_projects_spark.functions import (
-        zstdlib as _zl,
-    )
-
-    if _zl.available():
-        return _zl.compress, _zl.ZstdDecompressor
     return None
 
 

@@ -222,3 +222,39 @@ def test_schema_resolution_across_generations(spark, tmp_path):
     assert rows[1].tag == "legacy"
     assert rows[2].score == 20.0 and rows[2].tag == "new"
     assert not hasattr(rows[2], "extra")
+
+
+def test_count_bomb_block_stops_the_walk():
+    schema = {"type": "record", "name": "Z", "fields": []}
+    data = AV.write_ocf([{} for _ in range(3)], schema, codec="null")
+    _, _, sync, off = AV.parse_header(data)
+    # a block claiming 2^60 zero-byte records with size 0
+    evil = (data[:off] + AV._zigzag(1 << 60) + AV._zigzag(0) + sync
+            + data[off:])
+    assert list(AV.iter_records(evil)) == []
+
+
+def test_unresolvable_type_mismatch_nulls_not_poisons(spark, tmp_path):
+    writer = {"type": "record", "name": "R", "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "c", "type": "long"},   # writer says long
+    ]}
+    reader = {"type": "record", "name": "R", "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "c", "type": "string"},  # reader wants string
+    ]}
+    (tmp_path / "g.avro").write_bytes(
+        AV.write_ocf([{"a": 1, "c": 99}], writer, codec="null"))
+    rows = AV.read_avro(spark, str(tmp_path), reader).collect()
+    assert rows[0].a == 1 and rows[0].c is None  # nulled, not a crash
+
+
+def test_infer_schema_grows_past_fixed_peek(tmp_path):
+    wide = {"type": "record", "name": "W", "fields": [
+        {"name": f"f{i}", "type": "long",
+         "doc": "x" * 200} for i in range(8000)]}
+    data = AV.write_ocf([], wide, codec="null")
+    assert len(data) > (1 << 20)  # header alone exceeds the old peek
+    p = tmp_path / "wide.avro"
+    p.write_bytes(data)
+    assert AV.infer_avro_schema(str(p))["name"] == "W"

@@ -206,3 +206,58 @@ def test_read_jsonl_auto_routes_by_suffix(spark, tmp_path):
     assert read_jsonl_auto(
         spark, str(tmp_path / "g" / "p.jsonl.gz"), schema
     ).collect()[0].a == 8
+
+
+def test_auto_router_peeks_directories_and_globs(spark, tmp_path):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from distributed_computing_projects_spark.sources.json import (
+        read_jsonl_auto,
+    )
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    (d / "p0.jsonl.zst").write_bytes(_zst(b'{"a": 1}\n'))
+    (d / "p1.jsonl.zst").write_bytes(_zst(b'{"a": 2}\n'))
+    schema = StructType([StructField("a", LongType())])
+    # a bare directory of .zst shards must route to the walker
+    assert read_jsonl_auto(spark, str(d), schema).count() == 2
+    # and a glob that matches them
+    assert read_jsonl_auto(
+        spark, str(d / "*.jsonl.zst"), schema).count() == 2
+    # mixed-codec directories are an explicit error, not silence
+    import gzip
+
+    import pytest
+
+    (d / "p2.jsonl.gz").write_bytes(gzip.compress(b'{"a": 3}\n'))
+    with pytest.raises(ValueError, match="mixes"):
+        read_jsonl_auto(spark, str(d), schema)
+
+
+class _NoBoundDecompressor:
+    """The zstandard wheel's shape: decompress(data) only — no
+    max_length, no continuation; eof/unused_data still exposed."""
+
+    def __init__(self):
+        from distributed_computing_projects_spark.functions import (
+            zstdlib as Z,
+        )
+
+        self._inner = Z.ZstdDecompressor()
+        self.eof = False
+        self.unused_data = b""
+
+    def decompress(self, data):
+        out = self._inner.decompress(data)
+        self.eof = self._inner.eof
+        self.unused_data = self._inner.unused_data
+        return out
+
+
+def test_walker_tolerates_no_max_length_backend():
+    # degraded backend: one-shot decode with a post-hoc cap — lines
+    # must still come back (silent-empty was the review finding)
+    payload = _zst(BODY[:30]) + _zst(BODY[30:])
+    got = list(iter_lines(payload, _NoBoundDecompressor))
+    assert got == BODY.split(b"\n")[:-1]
