@@ -49,18 +49,34 @@ _SENT_RE = re.compile(f"{_SENT_A}(\\d+){_SENT_B}")
 
 
 def _protect_one(text: str) -> tuple[str, list[str]]:
+    # sanitize pre-existing sentinel characters FIRST: U+E000/U+E001
+    # are private-use and carry no text meaning, and a corpus document
+    # that happened to contain a sentinel-shaped sequence would
+    # otherwise crash restore (index out of range) or substitute span
+    # content into an unrelated position (adversarial-review finding)
+    text = text.replace(_SENT_A, "").replace(_SENT_B, "")
     spans: list[str] = []
 
     def grab(m: re.Match) -> str:
         spans.append(m.group(1))
         return f"{_SENT_A}{len(spans) - 1}{_SENT_B}"
 
-    out = _NOWIKI_RE.sub(grab, _NOWIKI_NULL_RE.sub("", text))
+    # spans extract BEFORE null-tag removal: MediaWiki ends the
+    # extension tag at the first </nowiki>, so a literal '<nowiki/>'
+    # INSIDE a span is span text, not markup (review finding); null
+    # tags outside spans then render as nothing
+    out = _NOWIKI_NULL_RE.sub("", _NOWIKI_RE.sub(grab, text))
     return out, spans
 
 
 def _restore_one(text: str, spans: list[str]) -> str:
-    return _SENT_RE.sub(lambda m: spans[int(m.group(1))], text)
+    # the bounds guard is belt-and-braces: sanitation above makes an
+    # out-of-range index unreachable, but a crash here would kill the
+    # whole Arrow batch, not drop a row
+    return _SENT_RE.sub(
+        lambda m: (spans[int(m.group(1))]
+                   if int(m.group(1)) < len(spans) else ""),
+        text)
 
 
 def protect(df: DataFrame, col: str,

@@ -1501,15 +1501,16 @@ def q_pdf_tounicode_extract_text(spark, sf_dir):
     """,
     doc="PDF stream-filter matrix, exact-STRING compared: per doc a "
         "classic-xref PDF (sources/pdfobj.py build_pdf_filters) whose "
-        "content stream is encoded through the id%6-th filter — "
+        "content stream is encoded through the id%7-th filter — "
         "LZWDecode (EarlyChange default), LZWDecode /EarlyChange 0, "
         "ASCIIHexDecode, ASCII85Decode (incl. the z zero-group), "
-        "RunLengthDecode, and the chained [/ASCII85Decode /LZWDecode] "
-        "with a deliberately short /DecodeParms [null] list. LZW is "
+        "RunLengthDecode, the chained [/ASCII85Decode /LZWDecode] "
+        "with a deliberately short /DecodeParms [null] list, and "
+        "LZWDecode under TIFF Predictor 2. LZW is "
         "the shared MSB-first codec (functions/lzw.py) the TIFF tier "
         "already uses; real crawl PDFs (especially older ones) carry "
-        "these filters routinely, and a decoder bug in ANY of the six "
-        "variants breaks exact equality for that id class. Out-of-"
+        "these filters routinely, and a decoder bug in ANY of the "
+        "seven variants breaks exact equality for that id class. Out-of-"
         "subset behavior stays record-granular: torn or ill-formed "
         "filter streams drop the stream, never the batch.",
 )

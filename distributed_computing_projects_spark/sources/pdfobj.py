@@ -1245,7 +1245,8 @@ def pdf_tounicode_payloads(df: DataFrame, id_col: str, text_col: str) -> DataFra
 
 def pdf_filters_payloads(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, payload): a classic-xref PDF per row whose content stream
-    is encoded through the ``id % 6``-th entry of the stream-filter
+    is encoded through the ``id % FILTER_VARIANTS`` (= 7)-th entry of
+    the stream-filter
     matrix (see ``build_pdf_filters``) — every non-Flate filter
     ``decode_stream`` supports is on the hash path across the
     corpus."""

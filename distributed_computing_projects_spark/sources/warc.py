@@ -276,14 +276,33 @@ _CE_RE = re.compile(rb"(?im)^content-encoding:[ \t]*([^\r\n]+)")
 
 
 def _inflate_http(body: bytes, wbits: int, max_bytes: int):
-    d = zlib.decompressobj(wbits)
-    try:
-        out = d.decompress(body, max_bytes + 1)
-    except zlib.error:
-        return None
-    if len(out) > max_bytes or not d.eof:
-        return None
-    return out
+    """Inflate an HTTP body; for gzip (wbits=31) concatenated MEMBERS
+    decode in full — CDNs/proxies emit multi-member bodies and a
+    single-member inflate silently TRUNCATES them (adversarial-review
+    finding). Trailing non-member garbage after a clean stream end is
+    a drop (the brotli path's strictness, now consistent)."""
+    out_parts: list[bytes] = []
+    total = 0
+    pos = 0
+    while True:
+        d = zlib.decompressobj(wbits)
+        try:
+            out = d.decompress(body[pos:], max_bytes + 1 - total)
+        except zlib.error:
+            return None
+        total += len(out)
+        if total > max_bytes or not d.eof:
+            return None
+        out_parts.append(out)
+        unused = d.unused_data
+        if not unused:
+            return b"".join(out_parts)
+        if wbits != 31:
+            return None  # trailing bytes after a zlib/raw stream
+        consumed = len(body) - pos - len(unused)
+        if consumed <= 0:
+            return None
+        pos += consumed  # next gzip member (or garbage -> zlib.error)
 
 
 def decode_content_encoding(head: bytes, body: bytes,
@@ -300,11 +319,13 @@ def decode_content_encoding(head: bytes, body: bytes,
     ``None`` — the record-granular drop."""
     if max_bytes is None:
         max_bytes = MAX_MEMBER_BYTES
-    m = _CE_RE.search(head)
-    if m is None:
+    # RFC 9110 §5.3: repeated field lines combine into one list in
+    # order — a response may carry several Content-Encoding headers
+    matches = _CE_RE.findall(head)
+    if not matches:
         return body
-    codings = [c.strip().lower() for c in m.group(1).split(b",")
-               if c.strip()]
+    codings = [c.strip().lower()
+               for m in matches for c in m.split(b",") if c.strip()]
     for coding in reversed(codings):
         if coding == b"identity":
             continue
@@ -615,32 +636,14 @@ def extract_response_bodies(payloads: DataFrame) -> DataFrame:
         for pdf in batches:
             out = {k: [] for k in ("id", "url", "status", "body")}
             for i, payload in zip(pdf["id"], pdf["payload"]):
-                raw = bytes(payload)
-                if raw[:2] == _GZIP_MAGIC:
-                    raw = gunzip_members(raw)
-                elif raw[:4] == _ZSTD_MAGIC:
-                    raw = unzstd_members(raw)
-                if raw is None:
-                    continue
-                records = parse_records(raw)
-                if records is None:
-                    continue
-                for headers, block in records:
-                    if headers.get("warc-type") != "response":
-                        continue
-                    http = split_http_response(block)
-                    if http is None:
-                        continue
-                    status, head, body = http
-                    body = decode_content_encoding(head, body)
-                    if body is None:
-                        continue
+                for url, status, body in iter_http_responses(
+                        bytes(payload)):
                     try:
                         text = body.decode("utf-8")
                     except UnicodeDecodeError:
                         continue
                     out["id"].append(i)
-                    out["url"].append(headers.get("warc-target-uri", ""))
+                    out["url"].append(url)
                     out["status"].append(status)
                     out["body"].append(text)
             yield pd.DataFrame(out)
@@ -648,6 +651,35 @@ def extract_response_bodies(payloads: DataFrame) -> DataFrame:
     return payloads.select("id", "payload").mapInPandas(
         _extract, schema=BODY_SCHEMA
     )
+
+
+def iter_http_responses(raw: bytes):
+    """(url, status, decoded body) per response record of one WARC
+    payload — the ONE record walk both extractors consume (magic
+    sniff, member decode, record parse, response filter, HTTP
+    envelope split, Content-Encoding decode), so a walk fix can never
+    land in one extractor and not the other. Record-granular drops
+    throughout; a non-WARC payload yields nothing."""
+    if raw[:2] == _GZIP_MAGIC:
+        raw = gunzip_members(raw)
+    elif raw[:4] == _ZSTD_MAGIC:
+        raw = unzstd_members(raw)
+    if raw is None:
+        return
+    records = parse_records(raw)
+    if records is None:
+        return
+    for headers, block in records:
+        if headers.get("warc-type") != "response":
+            continue
+        http = split_http_response(block)
+        if http is None:
+            continue
+        status, head, body = http
+        body = decode_content_encoding(head, body)
+        if body is None:
+            continue  # torn/bomb/unsupported coding: drop
+        yield headers.get("warc-target-uri", ""), status, body
 
 
 def extract_responses(payloads: DataFrame) -> DataFrame:
@@ -661,38 +693,18 @@ def extract_responses(payloads: DataFrame) -> DataFrame:
     (:func:`gunzip_members` — ``.warc.gz``, the wire format Common
     Crawl ships), zstd-magic payloads decode frame-wise when a zstd
     backend exists (:func:`unzstd_members` — ``.warc.zst``), so
-    plain, gzip, and zstd WARC read through the one path."""
+    plain, gzip, and zstd WARC read through the one path
+    (:func:`iter_http_responses`)."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in ("id", "url", "status",
                                    "n_body_bytes", "prefix_sum")}
             for i, payload in zip(pdf["id"], pdf["payload"]):
-                raw = bytes(payload)
-                if raw[:2] == _GZIP_MAGIC:
-                    raw = gunzip_members(raw)
-                    if raw is None:
-                        continue
-                elif raw[:4] == _ZSTD_MAGIC:
-                    raw = unzstd_members(raw)
-                    if raw is None:
-                        continue
-                records = parse_records(raw)
-                if records is None:
-                    continue
-                for headers, block in records:
-                    if headers.get("warc-type") != "response":
-                        continue
-                    http = split_http_response(block)
-                    if http is None:
-                        continue
-                    status, head, body = http
-                    body = decode_content_encoding(head, body)
-                    if body is None:
-                        continue  # torn/bomb/unsupported coding: drop
+                for url, status, body in iter_http_responses(
+                        bytes(payload)):
                     out["id"].append(i)
-                    out["url"].append(
-                        headers.get("warc-target-uri", ""))
+                    out["url"].append(url)
                     out["status"].append(status)
                     out["n_body_bytes"].append(len(body))
                     out["prefix_sum"].append(

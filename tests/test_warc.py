@@ -327,3 +327,49 @@ def test_spark_ce_payloads_match_plain(spark):
         tuple(r) for r in W.extract_responses(
             W.warc_ce_payloads(docs, "doc_id", "text", "source")).collect())
     assert ce == plain and len(plain) == docs.count()
+
+
+def test_ce_multi_member_gzip_body_decodes_in_full():
+    """CDNs/proxies emit concatenated gzip members; a single-member
+    inflate silently truncated the body (review finding)."""
+    import gzip
+
+    from distributed_computing_projects_spark.sources import warc as W
+
+    body = gzip.compress(b"part1", mtime=0) + gzip.compress(b"part2",
+                                                            mtime=0)
+    head = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip"
+    assert W.decode_content_encoding(head, body) == b"part1part2"
+    # trailing garbage after a clean member: drop (brotli strictness)
+    assert W.decode_content_encoding(
+        head, gzip.compress(b"x", mtime=0) + b"GARBAGE") is None
+
+
+def test_ce_repeated_header_lines_combine():
+    """RFC 9110 §5.3: repeated Content-Encoding field lines combine
+    into one list in order (review finding)."""
+    from distributed_computing_projects_spark.sources import warc as W
+
+    body = W.encode_http_body(b"payload", "gzip, br")
+    head = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+            b"Content-Encoding: br")
+    assert W.decode_content_encoding(head, body) == b"payload"
+
+
+def test_extractors_share_one_walk():
+    """Both extractors must consume iter_http_responses so a walk fix
+    can never diverge between them."""
+    import inspect
+
+    from distributed_computing_projects_spark.sources import warc as W
+
+    assert "iter_http_responses" in inspect.getsource(
+        W.extract_responses)
+    assert "iter_http_responses" in inspect.getsource(
+        W.extract_response_bodies)
+    info = W.build_record(
+        "warcinfo", {"Content-Type": "application/warc-fields"},
+        b"software: x\r\n")
+    resp = W.build_response_record("https://a/1", b"hello body")
+    got = list(W.iter_http_responses(info + resp))
+    assert got == [("https://a/1", 200, b"hello body")]

@@ -243,3 +243,31 @@ def test_nowiki_through_chain_spark(spark):
     assert out[0]["w"] == "x {{lit|a}} y z"
     assert [f.name for f in NW.restore(stripped, "w").schema.fields] == [
         "id", "w"]
+
+
+def test_nowiki_preexisting_sentinels_sanitize_not_crash():
+    """A corpus document containing PUA sentinel-shaped sequences
+    must neither crash restore nor duplicate span content into
+    unrelated positions (review finding)."""
+    from distributed_computing_projects_spark.functions import nowiki as NW
+
+    # sentinel-shaped sequence, no nowiki tags: must not crash
+    out, spans = NW._protect_one("x 5 y")
+    assert spans == [] and NW._restore_one(out, spans) == "x 5 y"
+    # a real span plus a fake sentinel: no duplication
+    out, spans = NW._protect_one(
+        "<nowiki>SECRET</nowiki> and fake 0")
+    assert NW._restore_one(out, spans) == "SECRET and fake 0"
+
+
+def test_nowiki_null_tag_inside_span_is_literal():
+    """MediaWiki ends the extension tag at the first </nowiki>, so a
+    '<nowiki/>' inside a span is span TEXT (review finding)."""
+    from distributed_computing_projects_spark.functions import nowiki as NW
+
+    out, spans = NW._protect_one("a<nowiki>b<nowiki/>c</nowiki>d")
+    assert spans == ["b<nowiki/>c"]
+    assert NW._restore_one(out, spans) == "ab<nowiki/>cd"
+    # null tags OUTSIDE spans still render as nothing
+    out, spans = NW._protect_one("x<nowiki/>y")
+    assert (out, spans) == ("xy", [])
