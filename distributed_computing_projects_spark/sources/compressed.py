@@ -37,7 +37,11 @@ Backends: zstd through ``sources/warc.zstd_backend()`` (stdlib
 stdlib ``lzma``; bz2 through stdlib ``bz2`` (Hadoop also reads ``.bz2``
 — splittably — so the router in ``sources/json.py`` prefers the
 built-in scan for it; the walker supports it for API uniformity and
-as a third conformance instance of the one decompressor contract).
+as a third conformance instance of the one decompressor contract);
+STANDARD-frame lz4 through the ctypes liblz4 binding in
+``functions/lz4lib.py`` (Hadoop's own ``.lz4`` codec reads a private
+block framing, not the frames the lz4 CLI/Kafka/journald write — the
+router magic-sniffs to send each kind down its working path).
 
 Reference: extension surface — the reference's only record format is
 the plain text line (mp3/src/maple/mapler.go:41-43).
@@ -73,6 +77,19 @@ def decompressor_factory(path: str):
         return lambda: lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
     if p.endswith(".bz2"):
         return bz2.BZ2Decompressor
+    if p.endswith(".lz4"):
+        # STANDARD LZ4 frames (lz4 CLI / Kafka / journald) — which
+        # Hadoop's own .lz4 codec cannot read (it uses a private
+        # block framing; verified empirically). A Hadoop-framed .lz4
+        # fed here fails the frame magic and drops whole — the
+        # router (sources/json.read_jsonl_auto) sniffs the magic to
+        # send each kind down its working path.
+        from distributed_computing_projects_spark.functions import (
+            lz4lib,
+        )
+        if not lz4lib.available():
+            return None
+        return lz4lib.Lz4Decompressor
     return None
 
 

@@ -123,29 +123,54 @@ def read_jsonl_auto(
     suffixes of the files it actually matches (local-FS peek; a
     non-local path that can't be peeked routes by its own suffix)."""
 
-    def _is_walker_suffix(name: str) -> bool:
+    _LZ4_FRAME_MAGIC = b"\x04\x22\x4d\x18"
+
+    def _is_walker_file(name: str) -> bool:
         n = name.lower()
-        return n.endswith(".zst") or n.endswith(".xz")
+        if n.endswith(".zst") or n.endswith(".xz"):
+            return True
+        if n.endswith(".lz4"):
+            # .lz4 is ambiguous: Hadoop's codec reads its OWN block
+            # framing, the rest of the world writes standard frames
+            # (which Hadoop throws on). Sniff the magic when the file
+            # is locally readable; unreadable -> assume standard
+            # frames (the wild's dominant layout).
+            try:
+                with open(name, "rb") as f:
+                    return f.read(4) == _LZ4_FRAME_MAGIC
+            except OSError:
+                return True
+        return False
 
     p = path.rstrip("*").rstrip("/")
-    if _is_walker_suffix(p):
+    if p.lower().endswith((".zst", ".xz")):
         return read_jsonl_compressed(spark, path, schema, malformed)
+    peeked = False
     try:
         import glob as globmod
         import os as osmod
 
         if osmod.path.isdir(path):
-            names = osmod.listdir(path)
+            names = [osmod.path.join(path, n)
+                     for n in osmod.listdir(path)]
         else:
             names = globmod.glob(path)
-        if names and all(_is_walker_suffix(n) for n in names):
-            return read_jsonl_compressed(spark, path, schema, malformed)
-        if names and any(_is_walker_suffix(n) for n in names):
-            raise ValueError(
-                f"{path} mixes walker ({'.zst/.xz'}) and Hadoop-codec "
-                "shards — read the two groups separately")
+        if names:
+            peeked = True
+            if all(_is_walker_file(n) for n in names):
+                return read_jsonl_compressed(spark, path, schema,
+                                             malformed)
+            if any(_is_walker_file(n) for n in names):
+                raise ValueError(
+                    f"{path} mixes walker (.zst/.xz/standard-frame "
+                    ".lz4) and Hadoop-codec shards — read the two "
+                    "groups separately")
     except OSError:
         pass  # non-local FS: fall through to the suffix route
+    if not peeked and p.lower().endswith(".lz4"):
+        # unpeekable .lz4: standard frames are the wild's dominant
+        # layout; Hadoop-framed users call read_jsonl directly
+        return read_jsonl_compressed(spark, path, schema, malformed)
     return read_jsonl(spark, path, schema, malformed)
 
 

@@ -684,7 +684,7 @@ def test_prop_webp_lossless_roundtrip(px):
                                        blacklist_categories=("Cs",)),
                 max_size=40),
         max_size=30),
-    codec=st.sampled_from(["zst", "xz", "bz2"]),
+    codec=st.sampled_from(["zst", "xz", "bz2", "lz4"]),
     cuts=st.lists(st.integers(0, 30), max_size=3),
 )
 def test_prop_compressed_line_walker_roundtrip(lines, codec, cuts):
@@ -702,10 +702,14 @@ def test_prop_compressed_line_walker_roundtrip(lines, codec, cuts):
         iter_lines,
     )
 
+    from distributed_computing_projects_spark.functions import lz4lib
+
     if codec == "zst" and not Z.available():
         pytest.skip("libzstd missing")
+    if codec == "lz4" and not lz4lib.available():
+        pytest.skip("liblz4 missing")
     packer = {"zst": Z.compress, "xz": lzma.compress,
-              "bz2": bz2mod.compress}[codec]
+              "bz2": bz2mod.compress, "lz4": lz4lib.compress}[codec]
     plain = ("\n".join(lines) + "\n").encode("utf-8") if lines else b""
     bounds = sorted({min(c, len(plain)) for c in cuts} | {0, len(plain)})
     payload = b"".join(packer(plain[a:b])
