@@ -412,7 +412,12 @@ def _field_adapters(avro_schema) -> dict:
         t = f["type"]
         if isinstance(t, list):
             branches = [s for s in t if s != "null"]
-            t = branches[0] if len(branches) == 1 else t
+            if len(branches) != 1:
+                # keep in lockstep with avro_spark_ddl, which rejects
+                # these at plan time — a silently-wrong adapter here
+                # would null every value if union DDL support widens
+                raise ValueError("only [null, T] unions map to a column")
+            t = branches[0]
         base = t["type"] if isinstance(t, dict) else t
         if isinstance(base, (dict, list)):
             base = "record"  # nested wrapper: container check only

@@ -155,12 +155,19 @@ def read_jsonl_auto(
                      for n in osmod.listdir(path)]
         else:
             names = globmod.glob(path)
+        # Spark's own InMemoryFileIndex convention: _SUCCESS /
+        # _spark_metadata / .crc sidecars and subdirectories are not
+        # data files and must not sway (or break) the routing
+        names = [n for n in names
+                 if not osmod.path.basename(n).startswith(("_", "."))
+                 and not osmod.path.isdir(n)]
         if names:
             peeked = True
-            if all(_is_walker_file(n) for n in names):
+            flags = [_is_walker_file(n) for n in names]  # one pass
+            if all(flags):
                 return read_jsonl_compressed(spark, path, schema,
                                              malformed)
-            if any(_is_walker_file(n) for n in names):
+            if any(flags):
                 raise ValueError(
                     f"{path} mixes walker (.zst/.xz/standard-frame "
                     ".lz4) and Hadoop-codec shards — read the two "

@@ -279,8 +279,12 @@ def _inflate_http(body: bytes, wbits: int, max_bytes: int):
     """Inflate an HTTP body; for gzip (wbits=31) concatenated MEMBERS
     decode in full — CDNs/proxies emit multi-member bodies and a
     single-member inflate silently TRUNCATES them (adversarial-review
-    finding). Trailing non-member garbage after a clean stream end is
-    a drop (the brotli path's strictness, now consistent)."""
+    finding). Trailing bytes after at least one complete gzip member
+    that do NOT parse as another member are tolerated and ignored
+    (warcio's policy — buggy servers pad gzip bodies with NULs or cut
+    at block boundaries, and dropping those records loses real
+    data); a zlib/raw-deflate stream with trailing bytes stays a
+    drop, matching the brotli path's strictness."""
     out_parts: list[bytes] = []
     total = 0
     pos = 0
@@ -289,6 +293,8 @@ def _inflate_http(body: bytes, wbits: int, max_bytes: int):
         try:
             out = d.decompress(body[pos:], max_bytes + 1 - total)
         except zlib.error:
+            if wbits == 31 and out_parts:
+                return b"".join(out_parts)  # lenient gzip tail
             return None
         total += len(out)
         if total > max_bytes or not d.eof:
@@ -301,8 +307,8 @@ def _inflate_http(body: bytes, wbits: int, max_bytes: int):
             return None  # trailing bytes after a zlib/raw stream
         consumed = len(body) - pos - len(unused)
         if consumed <= 0:
-            return None
-        pos += consumed  # next gzip member (or garbage -> zlib.error)
+            return b"".join(out_parts)
+        pos += consumed  # next gzip member, or a tolerated tail
 
 
 def decode_content_encoding(head: bytes, body: bytes,

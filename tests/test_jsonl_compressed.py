@@ -302,3 +302,26 @@ def test_lz4_router_sniffs_frame_magic(spark, tmp_path):
     df.coalesce(1).write.option("compression", "lz4").text(str(hd))
     assert read_jsonl_auto(spark, str(hd / "*.lz4"), schema
                            ).collect()[0].a == 9
+
+
+def test_auto_router_ignores_spark_sidecars(spark, tmp_path):
+    """_SUCCESS / .crc sidecars and subdirs in a Spark-written landing
+    zone must not sway or break the routing (review finding)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from distributed_computing_projects_spark.sources.json import (
+        read_jsonl_auto,
+    )
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    (d / "part-0.jsonl.zst").write_bytes(_zst(b'{"a": 11}\n'))
+    (d / "_SUCCESS").write_bytes(b"")
+    (d / ".part-0.jsonl.zst.crc").write_bytes(b"\x00" * 8)
+    # NOTE: a _spark_metadata subdir would hand the whole file index
+    # to the streaming-sink metadata log (Spark semantics, orthogonal
+    # to the router); a plain subdir just gets ignored
+    (d / "extra_dir").mkdir()
+    schema = StructType([StructField("a", LongType())])
+    got = read_jsonl_auto(spark, str(d), schema).collect()
+    assert [r.a for r in got] == [11]

@@ -340,9 +340,12 @@ def test_ce_multi_member_gzip_body_decodes_in_full():
                                                             mtime=0)
     head = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip"
     assert W.decode_content_encoding(head, body) == b"part1part2"
-    # trailing garbage after a clean member: drop (brotli strictness)
+    # trailing non-member garbage after a clean member: tolerated and
+    # ignored (warcio's policy — buggy servers pad gzip bodies)
     assert W.decode_content_encoding(
-        head, gzip.compress(b"x", mtime=0) + b"GARBAGE") is None
+        head, gzip.compress(b"x", mtime=0) + b"GARBAGE") == b"x"
+    # but a body that is garbage from byte 0 still drops whole
+    assert W.decode_content_encoding(head, b"NOTGZIP") is None
 
 
 def test_ce_repeated_header_lines_combine():
