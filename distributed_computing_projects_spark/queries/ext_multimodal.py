@@ -1625,6 +1625,98 @@ def q_webdataset_scan(spark, sf_dir):
 
 
 @query(
+    "zip_archive_scan",
+    oracle=f"""
+    WITH body AS (
+      SELECT doc_id AS id,
+             octet_length(encode(text)) AS n_text_bytes,
+             substr(text, 1, {_WDS_PREFIX}) AS prefix
+      FROM documents)
+    SELECT id,
+           CAST(n_text_bytes AS BIGINT) AS n_text_bytes,
+           CAST((SELECT coalesce(sum(ascii(substr(prefix, i, 1))), 0)
+                 FROM unnest(generate_series(1, length(prefix))) AS t(i))
+                AS BIGINT) AS prefix_sum
+    FROM body
+    """,
+    doc="ZIP archive ingest (sources/ziparchive.py) — the container "
+        "document dumps genuinely ship in (open-data portals, arXiv "
+        "bulk files), and one Spark cannot read AT ALL (zip is an "
+        "archive, not a Hadoop codec — no text-scan route exists): "
+        "stdlib central-directory walk with a local-header fallback "
+        "that keeps complete members when the tail is torn (the "
+        "repo's signature torn policy applied to zip), member-"
+        "granular drops for encrypted/unsupported/bomb members. Each "
+        "fixture archive packs per-doc {id}.txt members (deflate) "
+        "plus a manifest.json the name filter must exclude and one "
+        "whole junk non-zip file in the landing dir; the fact math "
+        "(try_cast name key, octet_length, char-codepoint prefix "
+        "fold) is pure codegen over the generic (name, content) "
+        "member table.",
+)
+def q_zip_archive_scan(spark, sf_dir):
+    import json as jsonmod
+    import shutil
+
+    from distributed_computing_projects_spark.queries.ext_pipeline import (
+        _session_scratch,
+    )
+    from distributed_computing_projects_spark.sources import (
+        ziparchive as ZA,
+    )
+
+    work = _session_scratch(spark, "zipscan", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    stage = os.path.join(work, "stage")
+    landing = os.path.join(work, "landing")
+    (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(4)
+        .write.json(stage)
+    )
+    os.makedirs(landing)
+    i = 0
+    for name in sorted(os.listdir(stage)):
+        if not name.startswith("part-"):
+            continue
+        with open(os.path.join(stage, name), "rb") as f:
+            recs = [jsonmod.loads(ln) for ln in f.read().splitlines()
+                    if ln]
+        members = [("manifest.json",
+                    b'{"shard": %d, "n": %d}' % (i, len(recs)))]
+        members += [(f"{rec['doc_id']:012d}.txt",
+                     rec["text"].encode("utf-8")) for rec in recs]
+        with open(os.path.join(landing, f"dump-{i}.zip"), "wb") as f:
+            f.write(ZA.build_zip(members))
+        i += 1
+    with open(os.path.join(landing, "junk.zip"), "wb") as f:
+        f.write(b"this is not a zip archive")  # whole-file drop
+    shutil.rmtree(stage, ignore_errors=True)
+
+    zm = ZA.read_zip(spark, landing)
+    staged = zm.filter(F.col("name").endswith(".txt")).select(
+        F.expr("try_cast(replace(name, '.txt', '') AS bigint)")
+        .alias("id"),
+        F.octet_length("content").cast("bigint").alias("n_text_bytes"),
+        F.expr(f"substr(decode(content, 'UTF-8'), 1, {_WDS_PREFIX})")
+        .alias("_p"),
+    )
+    return (
+        staged.select(
+            "id", "n_text_bytes",
+            F.expr(
+                "if(char_length(_p) = 0, 0L,"
+                " aggregate(transform(sequence(1, char_length(_p)),"
+                " i -> bigint(ascii(substr(_p, i, 1)))),"
+                " 0L, (a, x) -> a + x))"
+            ).alias("prefix_sum"),
+        )
+        .filter(F.col("id").isNotNull())
+    )
+
+
+@query(
     "warc_extract_responses",
     oracle=_WARC_ORACLE,
     doc="WARC source extraction — the container web training corpora "

@@ -154,8 +154,14 @@ def test_mutation_fuzz_never_raises():
         codec="deflate", records_per_block=8)
     wds_base = WDS.build_shard(
         [(f"{i}", {"txt": b"t" * i}) for i in range(12)])
+    from distributed_computing_projects_spark.sources import (
+        ziparchive as ZAS,
+    )
+    zip_base = ZAS.build_zip(
+        [(f"{i}.txt", b"m" * (i + 1)) for i in range(12)])
     targets.append((lambda b: list(AVS.iter_records(b)), avro_base))
     targets.append((lambda b: list(WDS.iter_samples(b)), wds_base))
+    targets.append((lambda b: list(ZAS.iter_zip_members(b)), zip_base))
     targets.append((_snappy_drop, SN.compress(text * 8)))
     if Z.available():
         targets.append(
