@@ -393,6 +393,21 @@ def build_parser() -> argparse.ArgumentParser:
     js.add_argument("--malformed", choices=["drop", "fail", "keep"],
                     default="drop")
 
+    wd = sub.add_parser(
+        "wds-scan",
+        help="WebDataset tar-shard scan (sources/webdataset.py): "
+             "prints per-sample (key, part names, total bytes)",
+    )
+    wd.add_argument("path", help="file/dir/glob of .tar shards")
+
+    zp = sub.add_parser(
+        "zip-scan",
+        help="ZIP archive scan (sources/ziparchive.py, torn-tail "
+             "local-header fallback): prints per-member "
+             "(name, n_bytes)",
+    )
+    zp.add_argument("path", help="file/dir/glob of .zip archives")
+
     av = sub.add_parser(
         "avro-scan",
         help="Avro Object Container File scan (pure-stdlib spec "
@@ -816,6 +831,33 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             schema = _parse_datatype_string(args.schema)
             _emit(read_jsonl_auto(spark, args.path, schema,
                                   malformed=args.malformed))
+        elif args.cmd == "wds-scan":
+            from pyspark.sql import functions as F
+
+            from distributed_computing_projects_spark.sources import (
+                webdataset,
+            )
+
+            wds = webdataset.read_webdataset(spark, args.path)
+            _emit(wds.select(
+                "key",
+                F.concat_ws(",", F.sort_array(F.map_keys("parts")))
+                .alias("part_names"),
+                F.aggregate(F.map_values("parts"), F.lit(0).cast("bigint"),
+                            lambda a, v: a + F.octet_length(v))
+                .alias("n_bytes"),
+            ).orderBy("key"))
+        elif args.cmd == "zip-scan":
+            from pyspark.sql import functions as F
+
+            from distributed_computing_projects_spark.sources import (
+                ziparchive,
+            )
+
+            zm = ziparchive.read_zip(spark, args.path)
+            _emit(zm.select(
+                "name", F.octet_length("content").alias("n_bytes")
+            ).orderBy("name"))
         elif args.cmd == "avro-scan":
             import glob as globmod
             import json as jsonmod

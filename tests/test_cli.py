@@ -522,3 +522,21 @@ def test_cli_avro_scan_with_inference(spark, tmp_path, capsys):
     assert main(["avro-scan", str(tmp_path)], spark=spark) == 0
     out = capsys.readouterr().out.strip().splitlines()
     assert sorted(out) == ["5\tq", "6\tr"]
+
+
+def test_cli_wds_and_zip_scan(spark, tmp_path, capsys):
+    from distributed_computing_projects_spark.sources import (
+        webdataset as WDS,
+        ziparchive as ZA,
+    )
+
+    (tmp_path / "s.tar").write_bytes(WDS.build_shard(
+        [("k1", {"txt": b"abc", "cls": b"7"})]))
+    assert main(["wds-scan", str(tmp_path / "s.tar")],
+                spark=spark) == 0
+    assert capsys.readouterr().out.strip() == "k1\tcls,txt\t4"
+    (tmp_path / "a.zip").write_bytes(ZA.build_zip(
+        [("x.txt", b"hello")]))
+    assert main(["zip-scan", str(tmp_path / "a.zip")],
+                spark=spark) == 0
+    assert capsys.readouterr().out.strip() == "x.txt\t5"
