@@ -356,6 +356,15 @@ def run_factor(spark, factor: int) -> dict:
         timed(spark, m, "avro_events_roundtrip",
               lambda: reg["avro_events_roundtrip"].fn(spark, work)
               .count())
+        spark.catalog.clearCache()
+        # r13c: archive-container walks (tar samples, zip members
+        # with the local-header fallback) — pure per-file stdlib
+        # walks; the claim is linearity in documents
+        timed(spark, m, "webdataset_scan",
+              lambda: reg["webdataset_scan"].fn(spark, work).count())
+        spark.catalog.clearCache()
+        timed(spark, m, "zip_archive_scan",
+              lambda: reg["zip_archive_scan"].fn(spark, work).count())
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.catalog.clearCache()
