@@ -396,6 +396,31 @@ _TYPE_OK = {
 }
 
 
+def _base_type(t) -> str:
+    """The Avro base-type NAME for a field schema, unwrapping
+    ``[null, T]`` unions and WRAPPER-FORM complex types (spec-legal
+    ``{"type": {"type": "array", ...}}`` nesting) exactly the way
+    ``_avro_field_ddl`` recurses — the adapter's container check must
+    stay in lockstep with the DDL, or a wrapper-form array/map field
+    gets ``array<...>`` DDL while the adapter silently nulls every
+    decoded list (whole-column data loss; adversarial-review
+    finding)."""
+    if isinstance(t, list):
+        branches = [s for s in t if s != "null"]
+        if len(branches) != 1:
+            # keep in lockstep with avro_spark_ddl, which rejects
+            # these at plan time — a silently-wrong adapter here
+            # would null every value if union DDL support widens
+            raise ValueError("only [null, T] unions map to a column")
+        return _base_type(branches[0])
+    if isinstance(t, dict):
+        inner = t["type"]
+        if isinstance(inner, (dict, list)):
+            return _base_type(inner)  # wrapper form: follow t['type']
+        return inner  # "array"/"map"/"record"/"enum"/"fixed"/primitive
+    return t
+
+
 def _field_adapters(avro_schema) -> dict:
     """name -> (default, adapt) for top-level reader fields — the
     spec's Schema Resolution rules that matter across file
@@ -409,18 +434,7 @@ def _field_adapters(avro_schema) -> dict:
     the whole task (adversarial-review finding)."""
     out = {}
     for f in avro_schema["fields"]:
-        t = f["type"]
-        if isinstance(t, list):
-            branches = [s for s in t if s != "null"]
-            if len(branches) != 1:
-                # keep in lockstep with avro_spark_ddl, which rejects
-                # these at plan time — a silently-wrong adapter here
-                # would null every value if union DDL support widens
-                raise ValueError("only [null, T] unions map to a column")
-            t = branches[0]
-        base = t["type"] if isinstance(t, dict) else t
-        if isinstance(base, (dict, list)):
-            base = "record"  # nested wrapper: container check only
+        base = _base_type(f["type"])
 
         def make_adapt(base):
             ok = _TYPE_OK.get(base)
@@ -505,12 +519,21 @@ def _to_pdf(pd, rows: dict, logical: dict):
     out = {}
     for n, vals in rows.items():
         lt = logical.get(n)
-        if lt in ("timestamp-micros", "local-timestamp-micros"):
+        if lt in ("timestamp-micros", "timestamp-millis"):
+            # spec: UTC instants. The series must be tz-AWARE UTC:
+            # Arrow localizes naive values to the session timezone, so
+            # a naive series is only correct when the session happens
+            # to pin UTC — a user-supplied session in another zone
+            # would shift every instant (adversarial-review finding).
             out[n] = pd.to_datetime(pd.Series(vals, dtype="Int64"),
-                                    unit="us")
-        elif lt in ("timestamp-millis", "local-timestamp-millis"):
+                                    unit="us" if "micros" in lt
+                                    else "ms", utc=True)
+        elif lt in ("local-timestamp-micros", "local-timestamp-millis"):
+            # zone-less wall-clock (Spark timestamp_ntz): naive is the
+            # correct representation here
             out[n] = pd.to_datetime(pd.Series(vals, dtype="Int64"),
-                                    unit="ms")
+                                    unit="us" if "micros" in lt
+                                    else "ms")
         elif lt == "date":
             out[n] = pd.to_datetime(pd.Series(vals, dtype="Int64"),
                                     unit="D").dt.date

@@ -297,7 +297,16 @@ def _inflate_http(body: bytes, wbits: int, max_bytes: int):
                 return b"".join(out_parts)  # lenient gzip tail
             return None
         total += len(out)
-        if total > max_bytes or not d.eof:
+        if total > max_bytes:
+            return None  # bomb bound: always a drop
+        if not d.eof:
+            # a TORN member decodes partially without raising — same
+            # tolerated-tail policy as the except branch: a torn
+            # SUBSEQUENT gzip member cuts the body at the last member
+            # boundary (warcio: buggy servers cut at block
+            # boundaries); a torn FIRST member stays a drop
+            if wbits == 31 and out_parts:
+                return b"".join(out_parts)
             return None
         out_parts.append(out)
         unused = d.unused_data

@@ -61,11 +61,15 @@ def _inflate_member(comp: bytes, method: int, want: int):
     return None  # bzip2/lzma/ppmd members: outside the stdlib subset
 
 
-def _walk_local_headers(data: bytes) -> Iterator[tuple[str, bytes]]:
-    """Sequential ``PK\\x03\\x04`` walk for archives whose central
-    directory is gone (torn tail): complete members before the tear
-    survive. Stops at the first non-local signature (the central
-    directory start on an intact file) or any inconsistency."""
+def _scan_local_headers(data: bytes) -> Iterator[tuple[str, tuple]]:
+    """Metadata-only sequential ``PK\\x03\\x04`` walk for archives
+    whose central directory is gone (torn tail): yields
+    ``(name, (body_start, csize, method, usize))`` spans for every
+    complete member before the tear, WITHOUT decompressing — the
+    dedupe pass must not buffer member bodies (aggregate memory per
+    archive would be unbounded; only the per-member bound applies).
+    Stops at the first non-local signature (the central directory
+    start on an intact file) or any inconsistency."""
     pos = 0
     while pos + 30 <= len(data):
         if data[pos:pos + 4] != _LOCAL_MAGIC:
@@ -81,23 +85,24 @@ def _walk_local_headers(data: bytes) -> Iterator[tuple[str, bytes]]:
         if body_end > len(data):
             return  # torn mid-member: drop it, keep what came before
         name = data[pos + 30:pos + 30 + nlen].decode("utf-8", "replace")
-        comp = data[hdr_end:body_end]
         pos = body_end
         if name.endswith("/") or flags & 0x01:
             continue  # directory / encrypted member: skip
-        out = _inflate_member(comp, method, usize)
-        if out is None:
-            continue
-        yield name, out
+        yield name, (hdr_end, csize, method, usize)
 
 
 def iter_zip_members(data: bytes) -> Iterator[tuple[str, bytes]]:
     """(name, bytes) per member, central-directory first with the
     local-header fallback (module docstring). Duplicate names: last
-    wins, preserving first-seen order."""
-    out: dict[str, bytes] = {}
+    wins (dedupe happens on METADATA, then members decode and yield
+    ONE AT A TIME — buffering every body before the first yield made
+    aggregate memory per archive unbounded and defeated the caller's
+    batch flush), preserving first-seen order. A duplicate whose
+    winning occurrence is corrupt drops the name (zip semantics: the
+    later entry shadows the earlier one, including its defects)."""
     try:
         zf = zipfile.ZipFile(io.BytesIO(data))
+        winners: dict[str, zipfile.ZipInfo] = {}
         for info in zf.infolist():
             if info.is_dir() or info.flag_bits & 0x01:
                 continue
@@ -106,18 +111,27 @@ def iter_zip_members(data: bytes) -> Iterator[tuple[str, bytes]]:
             if info.compress_type not in (zipfile.ZIP_STORED,
                                           zipfile.ZIP_DEFLATED):
                 continue
-            try:
-                body = zf.read(info.filename)
-            except Exception:
-                continue  # corrupt member: member-granular drop
-            if len(body) != info.file_size:
-                continue
-            out[info.filename] = body
+            winners[info.filename] = info
     except Exception:
-        # no/torn central directory: the local-header fallback
-        for name, body in _walk_local_headers(data):
-            out[name] = body
-    yield from out.items()
+        # no/torn central directory: the local-header fallback —
+        # same shape: metadata-dedupe pass, then streaming decode
+        spans: dict[str, tuple] = {}
+        for name, span in _scan_local_headers(data):
+            spans[name] = span
+        for name, (start, csize, method, usize) in spans.items():
+            body = _inflate_member(data[start:start + csize],
+                                   method, usize)
+            if body is not None:
+                yield name, body
+        return
+    for name, info in winners.items():
+        try:
+            body = zf.read(info)
+        except Exception:
+            continue  # corrupt member: member-granular drop
+        if len(body) != info.file_size:
+            continue
+        yield name, body
 
 
 def read_zip(spark: SparkSession, path: str) -> DataFrame:

@@ -258,3 +258,53 @@ def test_infer_schema_grows_past_fixed_peek(tmp_path):
     p = tmp_path / "wide.avro"
     p.write_bytes(data)
     assert AV.infer_avro_schema(str(p))["name"] == "W"
+
+
+def test_wrapper_form_complex_field_decodes_not_nulls(spark, tmp_path):
+    """Spec-legal WRAPPER-FORM complex types ({"type": {"type":
+    "array", ...}}) get array<...> DDL from _avro_field_ddl; the
+    field adapter must agree, or every decoded list silently nulls —
+    whole-column data loss (review finding)."""
+    schema = {"type": "record", "name": "W", "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "xs", "type": {"type": {"type": "array",
+                                         "items": "long"}}},
+        {"name": "m", "type": {"type": {"type": "map",
+                                        "values": "int"}}},
+    ]}
+    recs = [{"a": i, "xs": [i, i + 1], "m": {"k": i}} for i in range(6)]
+    p = tmp_path / "w.avro"
+    p.write_bytes(AV.write_ocf(recs, schema, codec="null"))
+    rows = {r.a: (list(r.xs), dict(r.m))
+            for r in AV.read_avro(spark, str(p), schema).collect()}
+    assert rows == {i: ([i, i + 1], {"k": i}) for i in range(6)}
+
+
+def test_base_type_unwraps_wrappers_and_unions():
+    assert AV._base_type("long") == "long"
+    assert AV._base_type(["null", "string"]) == "string"
+    assert AV._base_type({"type": "array", "items": "int"}) == "array"
+    assert AV._base_type({"type": {"type": "map",
+                                   "values": "int"}}) == "map"
+    assert AV._base_type(
+        ["null", {"type": {"type": "array", "items": "int"}}]) == "array"
+    with pytest.raises(ValueError):
+        AV._base_type(["int", "string"])
+
+
+def test_timestamp_instants_are_utc_aware_before_arrow():
+    """timestamp-micros/millis are UTC instants per the spec; the
+    pandas series handed to Arrow must be tz-AWARE UTC (a naive
+    series localizes to the session timezone — only correct when the
+    session happens to pin UTC; review finding). local-* variants
+    stay naive (timestamp_ntz)."""
+    import pandas as pd
+
+    pdf = AV._to_pdf(pd, {"t": [86_400_000_000], "lt": [86_400_000],
+                          "a": [1]},
+                     {"t": "timestamp-micros",
+                      "lt": "local-timestamp-millis"})
+    assert str(pdf["t"].dt.tz) == "UTC"
+    assert pdf["lt"].dt.tz is None
+    assert pdf["t"].iloc[0] == pd.Timestamp("1970-01-02", tz="UTC")
+    assert pdf["lt"].iloc[0] == pd.Timestamp("1970-01-02")

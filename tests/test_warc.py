@@ -376,3 +376,26 @@ def test_extractors_share_one_walk():
     resp = W.build_response_record("https://a/1", b"hello body")
     got = list(W.iter_http_responses(info + resp))
     assert got == [("https://a/1", 200, b"hello body")]
+
+
+def test_ce_torn_second_gzip_member_keeps_complete_members():
+    """A truncated SECOND gzip member decodes partially without a
+    zlib.error, so the not-d.eof path must apply the same tolerated-
+    tail policy as the except path: cut at the last complete member
+    boundary. A torn FIRST member and the bomb bound stay whole-body
+    drops (review finding)."""
+    import gzip
+
+    from distributed_computing_projects_spark.sources import warc as W
+
+    head = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip"
+    m1 = gzip.compress(b"part1", mtime=0)
+    m2 = gzip.compress(b"part2-longer-payload" * 20, mtime=0)
+    assert W.decode_content_encoding(head, m1 + m2[:-7]) == b"part1"
+    # torn first member: nothing complete to keep
+    assert W.decode_content_encoding(head, m1[:-3]) is None
+    # bomb bound still drops the whole body even with a complete
+    # first member banked
+    big = gzip.compress(b"x" * 64, mtime=0)
+    assert W.decode_content_encoding(head, m1 + big,
+                                     max_bytes=32) is None

@@ -98,3 +98,54 @@ def test_read_zip_spark(spark, tmp_path):
     rows = {r.name: bytes(r.content)
             for r in read_zip(spark, str(tmp_path)).collect()}
     assert rows == dict(members)
+
+
+def test_members_stream_one_at_a_time(monkeypatch):
+    """iter_zip_members must yield as it decodes — buffering every
+    body before the first yield made aggregate memory per archive
+    unbounded and defeated read_zip's batch flush (review finding).
+    Both walks: after pulling ONE member, at most one body has been
+    decoded."""
+    members = _members(40)
+    data = build_zip(members)
+
+    reads = []
+    real_read = zipfile.ZipFile.read
+
+    def counting_read(self, *a, **k):
+        reads.append(1)
+        return real_read(self, *a, **k)
+
+    monkeypatch.setattr(zipfile.ZipFile, "read", counting_read)
+    gen = iter_zip_members(data)
+    assert next(gen) == members[0]
+    assert len(reads) == 1
+    assert list(gen) == members[1:]
+
+    inflates = []
+    real_inflate = ZA._inflate_member
+    monkeypatch.setattr(
+        ZA, "_inflate_member",
+        lambda *a: inflates.append(1) or real_inflate(*a))
+    cd = data.find(b"PK\x01\x02")
+    gen = iter_zip_members(data[:cd])  # local-header fallback
+    assert next(gen) == members[0]
+    assert len(inflates) == 1
+    assert list(gen) == members[1:]
+
+
+def test_duplicate_with_corrupt_winner_drops_the_name():
+    """Metadata-level last-wins dedupe: the shadowing occurrence is
+    the member, defects included — a corrupt winner drops the name
+    rather than resurrecting the shadowed body (zip semantics)."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        dup = bytearray(build_zip([("a.txt", b"good-one"),
+                                   ("a.txt", b"bad-body")],
+                                  zipfile.ZIP_STORED))
+    # corrupt the SECOND occurrence's bytes so its CRC check fails
+    at = dup.rfind(b"bad-body")
+    dup[at:at + 3] = b"XXX"
+    assert list(iter_zip_members(bytes(dup))) == []
