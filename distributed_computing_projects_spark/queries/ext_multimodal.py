@@ -1716,6 +1716,78 @@ def q_zip_archive_scan(spark, sf_dir):
     )
 
 
+_DOCX_PARA = 64
+
+
+@query(
+    "docx_extract_text",
+    oracle=f"""
+    SELECT doc_id AS id,
+           (SELECT string_agg(substr(text, (i-1)*{_DOCX_PARA}+1,
+                                     {_DOCX_PARA}), chr(10) ORDER BY i)
+            FROM unnest(generate_series(1,
+                 CAST(ceil(length(text)/{_DOCX_PARA}.0) AS INTEGER)))
+                 AS t(i)) AS extracted
+    FROM documents WHERE length(text) >= 1
+    """,
+    doc="DOCX text extraction, exact-STRING compared — the engine's "
+        "zip walk (sources/ziparchive.py) composed with a namespace-"
+        "aware expat parse of word/document.xml (sources/docx.py, "
+        "ECMA-376 WordprocessingML): per doc a real multi-part .docx "
+        "(content types, package rels, a styles.xml decoy the "
+        "extractor must ignore) whose paragraphs are 64-char chunks "
+        "of the doc text, each split into 17-char runs with "
+        "alternating bold w:rPr — so paragraph joining, run "
+        "concatenation, property skipping, and the xml:space "
+        "discipline are all on the hash path. Office dumps from "
+        "open-data portals ship this format constantly and Spark has "
+        "no native route into it.",
+)
+def q_docx_extract_text(spark, sf_dir):
+    from distributed_computing_projects_spark.sources import docx as DX
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 1)
+    return DX.extract_docx(
+        DX.docx_payloads(docs, "doc_id", "text", para_chars=_DOCX_PARA))
+
+
+_EPUB_PARA = 50
+
+
+@query(
+    "epub_extract_text",
+    oracle=f"""
+    SELECT doc_id AS id,
+           (SELECT string_agg(substr(text, (i-1)*{_EPUB_PARA}+1,
+                                     {_EPUB_PARA}), chr(10) ORDER BY i)
+            FROM unnest(generate_series(1,
+                 CAST(ceil(length(text)/{_EPUB_PARA}.0) AS INTEGER)))
+                 AS t(i)) AS extracted
+    FROM documents WHERE length(text) >= 1
+    """,
+    doc="EPUB text extraction, exact-STRING compared — the OCF "
+        "package chain done properly (sources/epub.py): container.xml "
+        "-> OPF manifest+spine -> spine-ordered XHTML chapters, with "
+        "the chapter MEMBERS deliberately written in REVERSED zip "
+        "order and a nav.xhtml decoy present in the manifest but not "
+        "the spine, so member-order concatenation cannot round-trip "
+        "— the spine walk itself is on the hash path. Chapters are "
+        "150-char chunks of the doc text split into 50-char <p> "
+        "paragraphs with alternating <em> inline markup and <br/> "
+        "line breaks restored as newlines.",
+)
+def q_epub_extract_text(spark, sf_dir):
+    from distributed_computing_projects_spark.sources import epub as EP
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 1)
+    return EP.extract_epub(
+        EP.epub_payloads(docs, "doc_id", "text",
+                         chapter_chars=3 * _EPUB_PARA,
+                         para_chars=_EPUB_PARA))
+
+
 @query(
     "warc_extract_responses",
     oracle=_WARC_ORACLE,
