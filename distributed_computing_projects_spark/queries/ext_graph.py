@@ -19,18 +19,24 @@ PAGERANK_TOP_N = 20
 _K_D = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
 
 
-def _pagerank_oracle(n_iters: int = G.N_ITERS) -> str:
-    """The operator's exact integer recurrence, unrolled: r0 = uniform
-    SCALE//N, then per round one edge join + floor-div contribution +
-    BIGINT sum + rebase."""
-    parts = [
-        f"""pairs AS (
+_CLICK_EDGES = f"""pairs AS (
       SELECT DISTINCT user_id * 2 AS u, {_K_D} * 2 + 1 AS i
       FROM events
       WHERE event_type = 'click' AND {_K_D} IS NOT NULL),
     edges AS (
       SELECT u AS src, i AS dst FROM pairs
-      UNION ALL SELECT i AS src, u AS dst FROM pairs),
+      UNION ALL SELECT i AS src, u AS dst FROM pairs)"""
+
+
+def _pagerank_oracle(n_iters: int = G.N_ITERS,
+                     edges_cte: str = _CLICK_EDGES) -> str:
+    """The operator's exact integer recurrence, unrolled: r0 = uniform
+    SCALE//N, then per round one edge join + floor-div contribution +
+    BIGINT sum + rebase. ``edges_cte`` supplies the graph (CTEs
+    ending in ``edges(src, dst)``) — the click graph by default, the
+    WAT link graph for the crawl composition."""
+    parts = [
+        f"""{edges_cte},
     nodes AS (SELECT DISTINCT src AS node FROM edges),
     nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
     deg AS (
@@ -82,6 +88,45 @@ def _pagerank_oracle(n_iters: int = G.N_ITERS) -> str:
 def q_graph_pagerank_topk(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     ranked = G.pagerank_fixedpoint(G.click_graph(ev))
+    w = Window.orderBy(F.desc("rank"), F.asc("node"))
+    return (
+        ranked.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= PAGERANK_TOP_N)
+        .select("node", "degree", F.col("rank").alias("rank_fp"), "rnk")
+    )
+
+
+_WAT_EDGES = """nn0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    edges AS (
+      SELECT d.doc_id AS src,
+             (d.doc_id * 7 + t.j * 13) % nn0.n AS dst
+      FROM documents d CROSS JOIN nn0,
+           LATERAL unnest(generate_series(1, d.doc_id % 3 + 1)) AS t(j))"""
+
+
+@query(
+    "wat_link_pagerank",
+    oracle=_pagerank_oracle(edges_cte=_WAT_EDGES),
+    doc="The crawl-graph composition: WAT metadata records "
+        "(sources/wat.py — warcinfo skip members, asset records with "
+        "no HTML-Metadata contributing zero edges) -> JVM-side "
+        "envelope parse + Links explode -> the integer fixed-point "
+        "PageRank operator (operators/graphrank.py) -> top-20. The "
+        "oracle unrolls the identical BIGINT recurrence over the "
+        "regenerated link multiset, so the WAT walk, the JSON stage, "
+        "AND the rank arithmetic hash-match end-to-end. The fixture "
+        "topology guarantees no dangling nodes (every doc emits >= 1 "
+        "link; every target is a doc), matching the operator's "
+        "contract.",
+)
+def q_wat_link_pagerank(spark, sf_dir):
+    from distributed_computing_projects_spark.sources import wat as WAT
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()  # driver scalar: one count, bounds the link ring
+    edges = WAT.extract_links(
+        WAT.wat_payloads(docs, "doc_id", n)).select("src", "dst")
+    ranked = G.pagerank_fixedpoint(edges)
     w = Window.orderBy(F.desc("rank"), F.asc("node"))
     return (
         ranked.withColumn("rnk", F.row_number().over(w).cast("bigint"))

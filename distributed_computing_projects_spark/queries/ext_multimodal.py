@@ -1789,6 +1789,40 @@ def q_epub_extract_text(spark, sf_dir):
 
 
 @query(
+    "wat_extract_links",
+    headline=True,
+    oracle="""
+    WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+    SELECT d.doc_id AS src,
+           (d.doc_id * 7 + t.j * 13) % nn.n AS dst,
+           'A@/href' AS path
+    FROM documents d CROSS JOIN nn,
+         LATERAL unnest(generate_series(1, d.doc_id % 3 + 1)) AS t(j)
+    """,
+    doc="WAT metadata-record link extraction (sources/wat.py) — the "
+        "third Common Crawl artifact after WARC (raw responses) and "
+        "WET (extracted text): per doc a member-per-record gzip WAT "
+        "(warcinfo skip member + a metadata record whose JSON "
+        "envelope carries the page's outlinks; docs with id%5==0 "
+        "also get a CSS-asset metadata record with NO HTML-Metadata "
+        "that must contribute zero edges). The record walk reuses "
+        "the WARC machinery verbatim; the JSON stage is pure JVM — "
+        "from_json against the dashed-name envelope schema + explode "
+        "over Links + regexp_extract id parse — so the envelope "
+        "layout, the asset-record drop, and the link multiset are "
+        "all on the hash path. Crawl-graph pipelines read WAT, not "
+        "the 10x-bigger WARC.",
+)
+def q_wat_extract_links(spark, sf_dir):
+    from distributed_computing_projects_spark.sources import wat as WAT
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()  # driver scalar: one count, bounds the link ring
+    return WAT.extract_links(
+        WAT.wat_payloads(docs, "doc_id", n))
+
+
+@query(
     "warc_extract_responses",
     oracle=_WARC_ORACLE,
     doc="WARC source extraction — the container web training corpora "
