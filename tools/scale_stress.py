@@ -365,6 +365,19 @@ def run_factor(spark, factor: int) -> dict:
         spark.catalog.clearCache()
         timed(spark, m, "zip_archive_scan",
               lambda: reg["zip_archive_scan"].fn(spark, work).count())
+        spark.catalog.clearCache()
+        # r14: office/ebook zip-of-XML extraction (pure per-row Arrow
+        # walks: zip build + expat parse per doc) and the WAT
+        # metadata walk (record walk in Python, JSON stage JVM-side)
+        # — the claim for all three is linearity in documents
+        timed(spark, m, "docx_extract_text",
+              lambda: reg["docx_extract_text"].fn(spark, work).count())
+        spark.catalog.clearCache()
+        timed(spark, m, "epub_extract_text",
+              lambda: reg["epub_extract_text"].fn(spark, work).count())
+        spark.catalog.clearCache()
+        timed(spark, m, "wat_extract_links",
+              lambda: reg["wat_extract_links"].fn(spark, work).count())
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.catalog.clearCache()
@@ -537,7 +550,27 @@ def _write_md(out: dict) -> None:
         "LINEARITY in docs; at cluster scale the file scan replaces "
         "the build stage and the extraction parallelizes per file "
         "(WARC/PDF are not block-splittable; crawl segments outnumber "
-        "executors).",
+        "executors). The avro_events_roundtrip row — the heaviest in "
+        "the table — was ATTRIBUTED in round 14 "
+        "(tools/avro_attribution.py, factor 100, 10M records): ~89% "
+        "of its wall-clock is FIXTURE construction that only this "
+        "round-trip harness pays — driver-side json.loads of the "
+        "staged shards (157 s) plus the single-threaded pure-Python "
+        "OCF encode (111 s) — while the stage a read_avro USER pays "
+        "(binaryFile scan + block decompress + record decode + fact "
+        "aggregate, local[32]) measured 35.4 s; inside the worker-"
+        "side Python the split is record decode 23.4 s vs block "
+        "decompress 0.6 s single-threaded on a 2.5M-record shard "
+        "(~107k records/s/core), so the convert-once-to-parquet "
+        "discipline documented at sources/avro.py:41-46 is now a "
+        "measured claim: one ~35 s decode pass per 10M rows buys "
+        "every later query the parquet scan instead. The round-14 "
+        "zip-of-XML tier (docx_extract_text, epub_extract_text — "
+        "zip build + expat parse per doc) and the WAT record walk "
+        "(wat_extract_links — Python record walk, JVM JSON stage) "
+        "are the same per-row Arrow shape as the r12 codec tier: "
+        "the claim is linearity in docs, no shuffle beyond spread's "
+        "repartition.",
     ]
     if "candidates" in out:
         lines += _candidates_md(out["candidates"])
