@@ -408,6 +408,29 @@ def build_parser() -> argparse.ArgumentParser:
     )
     zp.add_argument("path", help="file/dir/glob of .zip archives")
 
+    dx = sub.add_parser(
+        "docx-text",
+        help="DOCX text extraction (sources/docx.py, ECMA-376 "
+             "WordprocessingML over the zip walk): prints "
+             "(path, extracted)",
+    )
+    dx.add_argument("path", help="file/dir/glob of .docx files")
+
+    eb = sub.add_parser(
+        "epub-text",
+        help="EPUB text extraction (sources/epub.py, OCF container "
+             "-> OPF spine -> XHTML chapters): prints "
+             "(path, extracted)",
+    )
+    eb.add_argument("path", help="file/dir/glob of .epub files")
+
+    wl = sub.add_parser(
+        "wat-links",
+        help="WAT metadata-record link extraction (sources/wat.py): "
+             "prints (src, dst, path) outlink edges",
+    )
+    wl.add_argument("path", help="file/dir/glob of .wat/.wat.gz files")
+
     av = sub.add_parser(
         "avro-scan",
         help="Avro Object Container File scan (pure-stdlib spec "
@@ -418,6 +441,17 @@ def build_parser() -> argparse.ArgumentParser:
     av.add_argument("path", help="file/dir/glob of .avro OCF files")
     av.add_argument("--schema-json", default=None,
                     help="writer schema as JSON (skips inference)")
+
+    ai = sub.add_parser(
+        "arrow-scan",
+        help="Arrow IPC / Feather scan (sources/arrowipc.py, both "
+             "framings, torn-footer fallback): prints the rows; the "
+             "schema is inferred from the first file unless --ddl "
+             "is given",
+    )
+    ai.add_argument("path", help="file/dir/glob of .arrow/.feather files")
+    ai.add_argument("--ddl", default=None,
+                    help="expected columns as Spark DDL (skips inference)")
 
     return p
 
@@ -858,6 +892,30 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             _emit(zm.select(
                 "name", F.octet_length("content").alias("n_bytes")
             ).orderBy("name"))
+        elif args.cmd in ("docx-text", "epub-text"):
+            from pyspark.sql import functions as F
+
+            from distributed_computing_projects_spark.sources import (
+                docx,
+                epub,
+            )
+
+            reader = (docx.read_docx if args.cmd == "docx-text"
+                      else epub.read_epub)
+            # paragraph newlines escape to literal \n so the output
+            # stays one row per line (the tab-KV sink discipline)
+            _emit(reader(spark, args.path).select(
+                "path",
+                F.replace(F.col("extracted"), F.lit("\n"),
+                          F.lit("\\n")).alias("extracted"),
+            ).orderBy("path"))
+        elif args.cmd == "wat-links":
+            from distributed_computing_projects_spark.sources import (
+                wat,
+            )
+
+            _emit(wat.read_wat(spark, args.path)
+                  .orderBy("src", "dst", "path"))
         elif args.cmd == "avro-scan":
             import glob as globmod
             import json as jsonmod
@@ -875,6 +933,23 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                     raise SystemExit(f"no files match {args.path}")
                 schema = avro.infer_avro_schema(files[0])
             _emit(avro.read_avro(spark, args.path, schema))
+        elif args.cmd == "arrow-scan":
+            import glob as globmod
+
+            from distributed_computing_projects_spark.sources import (
+                arrowipc,
+            )
+
+            ddl = args.ddl
+            if not ddl:
+                pattern = args.path
+                if os.path.isdir(pattern):
+                    pattern = os.path.join(pattern, "*.arrow*")
+                files = sorted(globmod.glob(pattern))
+                if not files:
+                    raise SystemExit(f"no files match {args.path}")
+                ddl = arrowipc.infer_ipc_ddl(files[0])
+            _emit(arrowipc.read_arrow_ipc(spark, args.path, ddl))
         return 0
     finally:
         if own_session:

@@ -399,6 +399,107 @@ def _avro_events_facts(back):
     )
 
 
+@query(
+    "arrow_events_roundtrip",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE)
+             AS total_value,
+           CAST(sum(user_id) AS BIGINT) AS sum_user,
+           max(ts) AS max_ts
+    FROM events GROUP BY event_type
+    """,
+    doc="Arrow IPC / Feather ingest — the in-memory interchange "
+        "format (Feather v2 IS the Arrow IPC file format; pandas/"
+        "polars to_feather, Flight dumps) that this Spark cannot read "
+        "natively (no arrow datasource, verified). Unlike avro, "
+        "pyarrow — the reference implementation — is baked into the "
+        "workers, so sources/arrowipc.py wraps IT in the engine's "
+        "seam discipline instead of re-implementing the wire format: "
+        "one walker for BOTH framings (file with ARROW1 magic + "
+        "footer, bare stream), the zip-shaped torn policy (the "
+        "footer lives at the END like a zip central directory, so a "
+        "torn file falls back to walking the embedded message stream "
+        "keeping complete batches), batch-granular bomb bounds, and "
+        "reader-driven column selection by name. The fixture stages "
+        "events as shards ALTERNATING file/stream framing, one shard "
+        "carrying a writer-only extra column the reader must "
+        "discard, plus a junk non-IPC file that drops whole; facts "
+        "must match the parquet-side oracle with microsecond-exact "
+        "max(ts).",
+)
+def q_arrow_events_roundtrip(spark, sf_dir):
+    from distributed_computing_projects_spark.sources import (
+        arrowipc as AIPC,
+    )
+
+    _, landing = _build_arrow_landing(spark, sf_dir, "arrow_events")
+    back = AIPC.read_arrow_ipc(
+        spark, landing,
+        "event_id bigint, user_id bigint, event_type string, "
+        "value double, ts timestamp_ntz")
+    return _avro_events_facts(back)
+
+
+def _build_arrow_landing(spark, sf_dir, family):
+    """Fixture stage for the Arrow IPC query: stage events as JSONL
+    shards, encode each as one IPC payload alternating file/stream
+    framing (odd shards add a writer-only column the reader
+    discards), plus one junk non-IPC file."""
+    import json as jsonmod
+    import shutil
+
+    import pyarrow as pa
+
+    from distributed_computing_projects_spark.sources import (
+        arrowipc as AIPC,
+    )
+
+    work = _session_scratch(spark, family, sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    stage = os.path.join(work, "stage")
+    landing = os.path.join(work, "landing")
+    (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value",
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                .alias("ts"))
+        .repartition(4)
+        .write.json(stage)
+    )
+    os.makedirs(landing)
+    i = 0
+    for name in sorted(os.listdir(stage)):
+        if not name.startswith("part-"):
+            continue
+        with open(os.path.join(stage, name), "rb") as f:
+            recs = [jsonmod.loads(ln) for ln in f.read().splitlines()
+                    if ln]
+        cols = {
+            "event_id": pa.array([r["event_id"] for r in recs],
+                                 pa.int64()),
+            "user_id": pa.array([r["user_id"] for r in recs],
+                                pa.int64()),
+            "event_type": pa.array([r["event_type"] for r in recs],
+                                   pa.string()),
+            "value": pa.array([r.get("value") for r in recs],
+                              pa.float64()),
+            "ts": pa.array([r["ts"] for r in recs],
+                           pa.timestamp("us")),
+        }
+        if i % 2:
+            cols["extra"] = pa.array(["writer-only"] * len(recs),
+                                     pa.string())
+        framing = "file" if i % 2 == 0 else "stream"
+        with open(os.path.join(landing, f"part-{i}.arrow"), "wb") as f:
+            f.write(AIPC.build_ipc(cols, framing))
+        i += 1
+    with open(os.path.join(landing, "junk.arrow"), "wb") as f:
+        f.write(b"this is not an arrow ipc payload")
+    shutil.rmtree(stage, ignore_errors=True)
+    return work, landing
+
+
 def _build_avro_landing(spark, sf_dir, family):
     """Fixture stage shared by the batch and streaming Avro queries:
     stage events as JSONL shards, encode each into one OCF shard

@@ -1186,3 +1186,62 @@ def q_streaming_avro_ingest(spark, sf_dir):
         q.stop()
         raise TimeoutError("streaming avro ingest did not drain in 180 s")
     return _avro_events_facts(spark.read.parquet(store))
+
+
+_ARROW_EVENTS_DDL = ("event_id bigint, user_id bigint, "
+                     "event_type string, value double, "
+                     "ts timestamp_ntz")
+
+
+@query(
+    "streaming_arrow_ingest",
+    # the stream route must equal the batch roundtrip row-for-row
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE)
+             AS total_value,
+           CAST(sum(user_id) AS BIGINT) AS sum_user,
+           max(ts) AS max_ts
+    FROM events GROUP BY event_type
+    """,
+    doc="CONTINUOUS-INGEST of Arrow IPC shards — the Flight-dump/"
+        "feather landing-zone shape: readStream(binaryFile) over the "
+        "SAME mixed file/stream-framing fixture as "
+        "arrow_events_roundtrip (incl. the writer-only extra column "
+        "and the junk non-IPC file) feeds the SAME bounded batch "
+        "walk (sources/arrowipc.batches_from_binary), lands in a "
+        "checkpointed parquet sink with an availableNow drain, and "
+        "the aggregated facts must hash-match the batch oracle.",
+)
+def q_streaming_arrow_ingest(spark, sf_dir):
+    from distributed_computing_projects_spark.queries.ext_pipeline import (
+        _avro_events_facts,
+        _build_arrow_landing,
+    )
+    from distributed_computing_projects_spark.sources.arrowipc import (
+        batches_from_binary,
+    )
+
+    work, landing = _build_arrow_landing(spark, sf_dir, "stream_arrow")
+    store = os.path.join(work, "records")
+    ckpt = os.path.join(work, "ckpt")
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp,"
+                " length long, content binary")
+        .load(landing)
+    )
+    records = batches_from_binary(stream, _ARROW_EVENTS_DDL)
+
+    q = (
+        records.writeStream.format("parquet")
+        .option("path", store)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("streaming arrow ingest did not drain in 180 s")
+    return _avro_events_facts(spark.read.parquet(store))

@@ -233,6 +233,29 @@ def docx_payloads(df: DataFrame, id_col: str, text_col: str,
                                     schema="id bigint, payload binary")
 
 
+def read_docx(spark, path: str) -> DataFrame:
+    """(path, extracted) over ``.docx`` files on disk: binaryFile
+    scan (per-file parallelism), the extraction walk in Arrow
+    batches, rows without extractable text dropped."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            paths, texts = [], []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                text = extract_docx_text(bytes(content))
+                if text is None:
+                    continue
+                paths.append(p)
+                texts.append(text)
+            yield pd.DataFrame({"path": paths, "extracted": texts})
+
+    return (
+        spark.read.format("binaryFile").load(path)
+        .select("path", "content")
+        .mapInPandas(gen, "path string, extracted string")
+    )
+
+
 def extract_docx(payloads: DataFrame) -> DataFrame:
     """(id, extracted) over an (id, payload) DataFrame; rows whose
     payload yields no text drop (the record-granular policy)."""

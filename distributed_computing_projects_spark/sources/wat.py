@@ -165,6 +165,14 @@ def metadata_records(payloads: DataFrame) -> DataFrame:
         _extract, schema="url string, meta string")
 
 
+def read_wat(spark, path: str) -> DataFrame:
+    """:func:`extract_links` over ``.wat``/``.wat.gz`` files on disk
+    (binaryFile scan, per-file parallelism)."""
+    return extract_links(
+        spark.read.format("binaryFile").load(path)
+        .select(F.col("content").alias("payload")))
+
+
 def extract_links(payloads: DataFrame) -> DataFrame:
     """(src, dst, path) edge rows from WAT payloads: the Python
     record walk feeds a pure-JVM JSON stage — ``from_json`` against

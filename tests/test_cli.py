@@ -540,3 +540,46 @@ def test_cli_wds_and_zip_scan(spark, tmp_path, capsys):
     assert main(["zip-scan", str(tmp_path / "a.zip")],
                 spark=spark) == 0
     assert capsys.readouterr().out.strip() == "x.txt\t5"
+
+
+def test_cli_docx_epub_text_and_wat_links(spark, tmp_path, capsys):
+    import gzip
+
+    from distributed_computing_projects_spark.sources import (
+        docx as DX,
+        epub as EP,
+        wat as WAT,
+    )
+
+    (tmp_path / "a.docx").write_bytes(DX.build_docx(["hello", "world"]))
+    assert main(["docx-text", str(tmp_path / "a.docx")],
+                spark=spark) == 0
+    assert capsys.readouterr().out.strip().endswith("hello\\nworld")
+
+    (tmp_path / "b.epub").write_bytes(EP.build_epub([["ch one"],
+                                                     ["ch two"]]))
+    assert main(["epub-text", str(tmp_path / "b.epub")],
+                spark=spark) == 0
+    assert capsys.readouterr().out.strip().endswith("ch one\\nch two")
+
+    url = "https://corpus.example.com/doc/3"
+    rec = WAT.build_metadata_record(
+        url, WAT.build_envelope(
+            url, ["https://corpus.example.com/doc/8"], "t"))
+    (tmp_path / "c.wat.gz").write_bytes(gzip.compress(rec, mtime=0))
+    assert main(["wat-links", str(tmp_path / "c.wat.gz")],
+                spark=spark) == 0
+    assert capsys.readouterr().out.strip() == "3\t8\tA@/href"
+
+
+def test_cli_arrow_scan_infers_schema(spark, tmp_path, capsys):
+    from distributed_computing_projects_spark.sources import (
+        arrowipc as AI,
+    )
+
+    (tmp_path / "t.arrow").write_bytes(AI.build_ipc(
+        {"a": [1, 2], "b": ["x", "y"]}, "file"))
+    assert main(["arrow-scan", str(tmp_path / "t.arrow")],
+                spark=spark) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert sorted(out) == ["1\tx", "2\ty"]

@@ -36,6 +36,10 @@ EXCHANGE_BUDGET = {
     # self-join's two hash-rows + drop-set distinct + final sort
     "dedup_semantic_twolevel": 6,
     "dedup_simhash": 3,
+    # both: spread's fixture-scale repartition, then the zip-of-XML
+    # build+extract chain is chained mapInPandas — in-partition
+    "docx_extract_text": 1,
+    "epub_extract_text": 1,
     "events_hourly": 1,
     # 3 power iterations x (rank-join shuffle + destination hash-agg)
     # + edge distinct + degree agg + the final top-k window; at cluster
@@ -86,6 +90,9 @@ EXCHANGE_BUDGET = {
     # and gates are codegen projections, then the same dedup window +
     # chunk agg as the summary pipeline
     "training_corpus_wire": 4,
+    # spread repartition before the WAT build+record-walk chain; the
+    # JVM JSON stage (from_json + explode + id parse) is narrow
+    "wat_extract_links": 1,
     "warc_gz_extract_responses": 1,
     "warc_zst_extract_responses": 1,
     # protect -> strip chain -> restore are all narrow (two Arrow
