@@ -416,6 +416,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     dx.add_argument("path", help="file/dir/glob of .docx files")
 
+    ot = sub.add_parser(
+        "odt-text",
+        help="ODT text extraction (sources/odt.py, OpenDocument "
+             "content.xml with encoded-whitespace expansion): prints "
+             "(path, extracted)",
+    )
+    ot.add_argument("path", help="file/dir/glob of .odt files")
+
     eb = sub.add_parser(
         "epub-text",
         help="EPUB text extraction (sources/epub.py, OCF container "
@@ -892,16 +900,18 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             _emit(zm.select(
                 "name", F.octet_length("content").alias("n_bytes")
             ).orderBy("name"))
-        elif args.cmd in ("docx-text", "epub-text"):
+        elif args.cmd in ("docx-text", "epub-text", "odt-text"):
             from pyspark.sql import functions as F
 
             from distributed_computing_projects_spark.sources import (
                 docx,
                 epub,
+                odt,
             )
 
-            reader = (docx.read_docx if args.cmd == "docx-text"
-                      else epub.read_epub)
+            reader = {"docx-text": docx.read_docx,
+                      "epub-text": epub.read_epub,
+                      "odt-text": odt.read_odt}[args.cmd]
             # paragraph newlines escape to literal \n so the output
             # stays one row per line (the tab-KV sink discipline)
             _emit(reader(spark, args.path).select(

@@ -1752,6 +1752,44 @@ def q_docx_extract_text(spark, sf_dir):
         DX.docx_payloads(docs, "doc_id", "text", para_chars=_DOCX_PARA))
 
 
+_ODT_PARA = 72
+
+
+@query(
+    "odt_extract_text",
+    oracle=f"""
+    SELECT doc_id AS id,
+           (SELECT string_agg(substr(text, (i-1)*{_ODT_PARA}+1,
+                                     {_ODT_PARA}), chr(10) ORDER BY i)
+            FROM unnest(generate_series(1,
+                 CAST(ceil(length(text)/{_ODT_PARA}.0) AS INTEGER)))
+                 AS t(i)) AS extracted
+    FROM documents WHERE length(text) >= 1
+    """,
+    doc="ODT (OpenDocument Text) extraction, exact-STRING compared — "
+        "the third zip-of-XML office format (sources/odt.py, OASIS "
+        "ISO/IEC 26300; LibreOffice's native format, standard in "
+        "European public-sector dumps): per doc a real .odt "
+        "(mimetype + manifest + a styles.xml decoy + content.xml) "
+        "whose paragraphs are 72-char chunks split into styled "
+        "text:span runs, every third paragraph a text:h heading, an "
+        "office:annotation decoy riding INSIDE the first paragraph "
+        "(its inner text:p must neither leak nor close the outer "
+        "paragraph), and the format's ENCODED whitespace — space "
+        "runs as text:s with counts, tabs/line-breaks as elements — "
+        "expanded back exactly. All of it is on the hash path "
+        "because the corpus text's own space runs round-trip "
+        "through the encoding.",
+)
+def q_odt_extract_text(spark, sf_dir):
+    from distributed_computing_projects_spark.sources import odt as OD
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 1)
+    return OD.extract_odt(
+        OD.odt_payloads(docs, "doc_id", "text", para_chars=_ODT_PARA))
+
+
 _EPUB_PARA = 50
 
 

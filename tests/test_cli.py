@@ -583,3 +583,12 @@ def test_cli_arrow_scan_infers_schema(spark, tmp_path, capsys):
                 spark=spark) == 0
     out = capsys.readouterr().out.strip().splitlines()
     assert sorted(out) == ["1\tx", "2\ty"]
+
+
+def test_cli_odt_text(spark, tmp_path, capsys):
+    from distributed_computing_projects_spark.sources import odt as OD
+
+    (tmp_path / "d.odt").write_bytes(OD.build_odt(["alpha", "beta"]))
+    assert main(["odt-text", str(tmp_path / "d.odt")],
+                spark=spark) == 0
+    assert capsys.readouterr().out.strip().endswith("alpha\\nbeta")

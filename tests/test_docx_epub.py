@@ -192,3 +192,81 @@ def test_epub_spark_stage(spark):
     assert rows[1] == "\n".join(t1[k:k + 50]
                                 for k in range(0, len(t1), 50))
     assert 2 not in rows
+
+
+# -------------------------------------------------------------- odt
+
+
+from distributed_computing_projects_spark.sources.odt import (  # noqa: E402
+    _NS_TEXT,
+    build_odt,
+    extract_odt_text,
+    parse_content_xml,
+)
+
+ODT_PARAS = ["hello  world   with    space runs",
+             "tab\there and\nbreak inside", "heading three", "",
+             "trailing spaces  "]
+
+
+def test_odt_roundtrip_encoded_whitespace_and_headings():
+    assert extract_odt_text(build_odt(ODT_PARAS)) == "\n".join(ODT_PARAS)
+
+
+def test_odt_builder_deterministic():
+    assert build_odt(ODT_PARAS) == build_odt(ODT_PARAS)
+
+
+def test_odt_annotation_decoy_invisible_and_nonbreaking():
+    """The office:annotation rides INSIDE the first paragraph: its
+    text must not leak AND its inner text:p must not close the outer
+    paragraph."""
+    got = extract_odt_text(build_odt(ODT_PARAS))
+    assert "DECOY" not in got
+    assert got.split("\n")[0] == ODT_PARAS[0]
+
+
+def test_odt_text_s_count_expansion():
+    xml = (f'<?xml version="1.0"?><office:document-content '
+           f'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:'
+           f'office:1.0" xmlns:text="{_NS_TEXT}">'
+           '<office:body><office:text>'
+           '<text:p>a <text:s text:c="3"/>b<text:tab/>c'
+           '<text:line-break/>d<text:s/>e</text:p>'
+           "</office:text></office:body></office:document-content>"
+           ).encode()
+    assert parse_content_xml(xml) == ["a    b\tc\nd e"]
+
+
+def test_odt_torn_xml_keeps_completed_paragraphs():
+    import distributed_computing_projects_spark.sources.ziparchive as ZAW
+
+    xml = dict(ZAW.iter_zip_members(build_odt(ODT_PARAS)))["content.xml"]
+    cut = xml.rfind(b"<text:p")
+    kept = parse_content_xml(xml[:cut])
+    assert kept is not None and kept[:2] == ODT_PARAS[:2]
+
+
+def test_odt_drops_without_content_xml():
+    assert extract_odt_text(b"not a zip") is None
+    assert extract_odt_text(ZA.build_zip([("styles.xml", b"<a/>")])) is None
+    assert extract_odt_text(
+        ZA.build_zip([("content.xml", b"<<<not xml")])) is None
+
+
+def test_odt_spark_stage(spark):
+    from distributed_computing_projects_spark.sources.odt import (
+        extract_odt,
+        odt_payloads,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "delta " * 30), (2, "")], "doc_id bigint, text string")
+    rows = {r.id: r.extracted
+            for r in extract_odt(
+                odt_payloads(df, "doc_id", "text",
+                             para_chars=72)).collect()}
+    t1 = "delta " * 30
+    assert rows[1] == "\n".join(t1[k:k + 72]
+                                for k in range(0, len(t1), 72))
+    assert 2 not in rows
