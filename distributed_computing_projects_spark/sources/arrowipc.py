@@ -72,15 +72,23 @@ def iter_batches(data: bytes):
     if data[:6] == MAGIC:
         try:
             reader = pa.ipc.open_file(pa.BufferReader(data))
-            batches = [reader.get_batch(i)
-                       for i in range(reader.num_record_batches)]
+            n = reader.num_record_batches
         except Exception:
             # torn/absent FOOTER (lives at the END, like the zip
             # central directory): the body after the 8-byte
             # magic+padding is stream-framed — walk it front-to-back
             yield from stream_batches(pa.BufferReader(data[8:]))
             return
-        for batch in batches:
+        # one batch at a time — buffering the whole file's batches
+        # before the first yield would make aggregate memory per file
+        # unbounded (the ziparchive lesson); a batch that fails to
+        # decode under a valid footer ends the walk, complete batches
+        # before it kept
+        for i in range(n):
+            try:
+                batch = reader.get_batch(i)
+            except Exception:
+                return
             if batch.num_rows > MAX_BATCH_ROWS \
                     or batch.nbytes > MAX_BATCH_BYTES:
                 return
@@ -105,13 +113,22 @@ def batches_from_binary(bin_df: DataFrame, ddl: str) -> DataFrame:
     batch scan and the streaming landing-zone twin
     (``readStream.format('binaryFile')``), so batch and stream agree
     record-for-record (the avro ``records_from_binary`` pattern)."""
-    names = [f.split()[0] for f in ddl.split(",")]
+    from pyspark.sql.types import StructType
+
+    # a real DDL parse, not a comma split: nested types
+    # (map<string,int>, decimal(10,2)) carry commas of their own
+    names = [f.name for f in StructType.fromDDL(ddl).fields]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for content in pdf["content"]:
                 for batch in iter_batches(bytes(content)):
-                    cols = batch.to_pandas()
+                    # maps_as_pydicts: Spark's Arrow serializer wants
+                    # map cells as dicts; to_pandas defaults to
+                    # key-value tuple lists ("lossy" = last duplicate
+                    # key wins, the Spark map semantic, instead of
+                    # failing the batch)
+                    cols = batch.to_pandas(maps_as_pydicts="lossy")
                     out = {}
                     for n in names:
                         out[n] = (cols[n] if n in cols.columns

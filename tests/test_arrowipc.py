@@ -83,3 +83,17 @@ def test_spark_read_path_mixed_framings(spark, tmp_path):
         {"a": list(range(100, 250))}, "stream"))
     df = read_arrow_ipc(spark, str(tmp_path), "a bigint")
     assert sorted(r.a for r in df.collect()) == list(range(250))
+
+
+def test_nested_ddl_column_names_parse(spark, tmp_path):
+    """DDL name extraction must survive nested types whose commas a
+    naive split would trip on."""
+    import pyarrow as pa
+
+    (tmp_path / "n.arrow").write_bytes(build_ipc(
+        {"a": [1],
+         "m": pa.array([[("k", 2)]], pa.map_(pa.string(), pa.int64()))},
+        "file"))
+    df = read_arrow_ipc(spark, str(tmp_path), "a bigint, m map<string,bigint>")
+    rows = df.collect()
+    assert rows[0].a == 1 and dict(rows[0].m) == {"k": 2}
