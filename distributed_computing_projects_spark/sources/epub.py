@@ -50,6 +50,15 @@ _NS_CONTAINER = "urn:oasis:names:tc:opendocument:xmlns:container"
 _NS_OPF = "http://www.idpf.org/2007/opf"
 _NS_XHTML = "http://www.w3.org/1999/xhtml"
 
+# The package chain needs RANDOM access to members (spine order !=
+# member order), so unlike the streaming zip scan this extractor
+# materializes the member table — an archive-level bound is needed on
+# top of ziparchive's per-member one, or a many-member deflate bomb
+# expands ~1000x into executor memory before any per-member check
+# trips (the zip-walk buffering lesson, applied to the one consumer
+# that must buffer)
+MAX_TOTAL_BYTES = 1 << 30
+
 
 def _parse_xml(xml_bytes: bytes, start, end=None, chars=None) -> bool:
     """Namespace-aware expat parse; ``False`` on any ExpatError."""
@@ -167,7 +176,13 @@ def extract_epub_text(data: bytes):
     """Plain text from one ``.epub`` byte string (module docstring
     semantics: container -> OPF -> spine-ordered XHTML), or ``None``
     when the package chain is broken or no chapter yields text."""
-    members = dict(iter_zip_members(data))
+    members: dict[str, bytes] = {}
+    total = 0
+    for name, body in iter_zip_members(data):
+        total += len(body)
+        if total > MAX_TOTAL_BYTES:
+            return None  # archive-level decompression bomb: row drop
+        members[name] = body
     container = members.get("META-INF/container.xml")
     if container is None:
         return None

@@ -270,3 +270,15 @@ def test_odt_spark_stage(spark):
     assert rows[1] == "\n".join(t1[k:k + 72]
                                 for k in range(0, len(t1), 72))
     assert 2 not in rows
+
+
+def test_epub_archive_level_bomb_drops_row(monkeypatch):
+    """Per-member bounds are not enough for the one consumer that
+    must buffer the member table: the archive-level total bound
+    drops the row before a many-member bomb materializes."""
+    import distributed_computing_projects_spark.sources.epub as EPM
+
+    monkeypatch.setattr(EPM, "MAX_TOTAL_BYTES", 64)
+    assert extract_epub_text(build_epub(CHAPTERS)) is None
+    monkeypatch.setattr(EPM, "MAX_TOTAL_BYTES", 1 << 30)
+    assert extract_epub_text(build_epub(CHAPTERS)) is not None
