@@ -1721,6 +1721,7 @@ _DOCX_PARA = 64
 
 @query(
     "docx_extract_text",
+    headline=True,
     oracle=f"""
     SELECT doc_id AS id,
            (SELECT string_agg(substr(text, (i-1)*{_DOCX_PARA}+1,
@@ -1795,6 +1796,7 @@ _EPUB_PARA = 50
 
 @query(
     "epub_extract_text",
+    headline=True,
     oracle=f"""
     SELECT doc_id AS id,
            (SELECT string_agg(substr(text, (i-1)*{_EPUB_PARA}+1,
