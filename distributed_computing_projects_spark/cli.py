@@ -450,6 +450,18 @@ def build_parser() -> argparse.ArgumentParser:
     av.add_argument("--schema-json", default=None,
                     help="writer schema as JSON (skips inference)")
 
+    xl = sub.add_parser(
+        "xlsx-scan",
+        help="XLSX sheet scan (sources/xlsx.py: shared/inline "
+             "strings, A1 sparse placement, serial dates): prints "
+             "the rows under --ddl column types",
+    )
+    xl.add_argument("path", help="file/dir/glob of .xlsx workbooks")
+    xl.add_argument("--ddl", required=True,
+                    help="sheet columns IN ORDER as Spark DDL")
+    xl.add_argument("--keep-header", action="store_true",
+                    help="do not skip the first spreadsheet row")
+
     ai = sub.add_parser(
         "arrow-scan",
         help="Arrow IPC / Feather scan (sources/arrowipc.py, both "
@@ -943,6 +955,13 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                     raise SystemExit(f"no files match {args.path}")
                 schema = avro.infer_avro_schema(files[0])
             _emit(avro.read_avro(spark, args.path, schema))
+        elif args.cmd == "xlsx-scan":
+            from distributed_computing_projects_spark.sources import (
+                xlsx,
+            )
+
+            _emit(xlsx.read_xlsx(spark, args.path, args.ddl,
+                                 skip_header=not args.keep_header))
         elif args.cmd == "arrow-scan":
             import glob as globmod
 

@@ -441,6 +441,91 @@ def q_arrow_events_roundtrip(spark, sf_dir):
     return _avro_events_facts(back)
 
 
+@query(
+    "xlsx_events_roundtrip",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE)
+             AS total_value,
+           CAST(sum(user_id) AS BIGINT) AS sum_user,
+           max(date_trunc('second', ts)) AS max_ts
+    FROM events GROUP BY event_type
+    """,
+    doc="XLSX (SpreadsheetML) table ingest — the fourth zip-of-XML "
+        "office format (sources/xlsx.py): the tabular format "
+        "open-data portals ship alongside CSV, with the three "
+        "read-side hazards all on the hash path: VALUE INDIRECTION "
+        "(event_type strings alternate deterministically between "
+        "shared-strings-table cells — some rich-text split into "
+        "runs the reader must concatenate — and inline-string "
+        "cells), SPARSE ROWS (null value cells are omitted "
+        "entirely, so a reader placing cells by element order "
+        "instead of parsed A1 references shifts every later column "
+        "— sum_user and max_ts would both corrupt), and SERIAL "
+        "DATES (ts rides as fractional 1900-epoch days; Excel's "
+        "float serial cannot carry microseconds at modern dates, so "
+        "the contract is SECOND precision — fixture floors to the "
+        "second, oracle date_truncs, and the reader's "
+        "round-after-scale recovers the exact second). Facts must "
+        "match the parquet-side oracle; a junk non-zip file in the "
+        "landing drops whole.",
+)
+def q_xlsx_events_roundtrip(spark, sf_dir):
+    from distributed_computing_projects_spark.sources import xlsx as XL
+
+    _, landing = _build_xlsx_landing(spark, sf_dir, "xlsx_events")
+    back = XL.read_xlsx(
+        spark, landing,
+        "event_id bigint, user_id bigint, event_type string, "
+        "value double, ts timestamp_ntz")
+    return _avro_events_facts(back)
+
+
+def _build_xlsx_landing(spark, sf_dir, family):
+    """Fixture stage for the XLSX query: stage events as JSONL
+    shards, write each as one .xlsx workbook (header row + typed
+    cells, ts as floored-second Excel serial), plus one junk file."""
+    import json as jsonmod
+    import shutil
+
+    from distributed_computing_projects_spark.sources import xlsx as XL
+
+    work = _session_scratch(spark, family, sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    stage = os.path.join(work, "stage")
+    landing = os.path.join(work, "landing")
+    (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value",
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                .alias("ts"))
+        .repartition(4)
+        .write.json(stage)
+    )
+    os.makedirs(landing)
+    i = 0
+    for name in sorted(os.listdir(stage)):
+        if not name.startswith("part-"):
+            continue
+        with open(os.path.join(stage, name), "rb") as f:
+            recs = [jsonmod.loads(ln) for ln in f.read().splitlines()
+                    if ln]
+        rows = [
+            [r["event_id"], r["user_id"], r["event_type"],
+             r.get("value"), XL.ts_to_serial(r["ts"] // 1_000_000)]
+            for r in recs
+        ]
+        with open(os.path.join(landing, f"part-{i}.xlsx"), "wb") as f:
+            f.write(XL.build_xlsx(
+                ["event_id", "user_id", "event_type", "value", "ts"],
+                rows))
+        i += 1
+    with open(os.path.join(landing, "junk.xlsx"), "wb") as f:
+        f.write(b"this is not a spreadsheet")
+    shutil.rmtree(stage, ignore_errors=True)
+    return work, landing
+
+
 def _build_arrow_landing(spark, sf_dir, family):
     """Fixture stage for the Arrow IPC query: stage events as JSONL
     shards, encode each as one IPC payload alternating file/stream

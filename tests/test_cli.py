@@ -592,3 +592,14 @@ def test_cli_odt_text(spark, tmp_path, capsys):
     assert main(["odt-text", str(tmp_path / "d.odt")],
                 spark=spark) == 0
     assert capsys.readouterr().out.strip().endswith("alpha\\nbeta")
+
+
+def test_cli_xlsx_scan(spark, tmp_path, capsys):
+    from distributed_computing_projects_spark.sources import xlsx as XS
+
+    (tmp_path / "t.xlsx").write_bytes(XS.build_xlsx(
+        ["a", "b"], [[1, "x"], [2, "y"]]))
+    assert main(["xlsx-scan", str(tmp_path / "t.xlsx"),
+                 "--ddl", "a bigint, b string"], spark=spark) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert sorted(out) == ["1\tx", "2\ty"]
