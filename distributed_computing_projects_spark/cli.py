@@ -450,6 +450,14 @@ def build_parser() -> argparse.ArgumentParser:
     av.add_argument("--schema-json", default=None,
                     help="writer schema as JSON (skips inference)")
 
+    mb = sub.add_parser(
+        "mbox-extract",
+        help="MBOX email extraction (sources/mbox.py: framing + "
+             "unstuffing, MIME walk, CTE/RFC2047 decode): prints "
+             "(id, subject, sender, extracted)",
+    )
+    mb.add_argument("path", help="file/dir/glob of .mbox files")
+
     xl = sub.add_parser(
         "xlsx-scan",
         help="XLSX sheet scan (sources/xlsx.py: shared/inline "
@@ -955,6 +963,18 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                     raise SystemExit(f"no files match {args.path}")
                 schema = avro.infer_avro_schema(files[0])
             _emit(avro.read_avro(spark, args.path, schema))
+        elif args.cmd == "mbox-extract":
+            from pyspark.sql import functions as F
+
+            from distributed_computing_projects_spark.sources import (
+                mbox,
+            )
+
+            _emit(mbox.read_mbox(spark, args.path).select(
+                "id", "subject", "sender",
+                F.replace(F.col("extracted"), F.lit("\n"),
+                          F.lit("\\n")).alias("extracted"),
+            ).orderBy("id"))
         elif args.cmd == "xlsx-scan":
             from distributed_computing_projects_spark.sources import (
                 xlsx,

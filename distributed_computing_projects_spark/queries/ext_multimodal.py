@@ -1791,6 +1791,38 @@ def q_odt_extract_text(spark, sf_dir):
         OD.odt_payloads(docs, "doc_id", "text", para_chars=_ODT_PARA))
 
 
+@query(
+    "mbox_extract_emails",
+    oracle="""
+    SELECT doc_id AS id,
+           'Doc ' || doc_id || ' – report' AS subject,
+           'corpus-' || source || '@example.com' AS sender,
+           text || chr(10) AS extracted
+    FROM documents WHERE length(text) >= 1
+    """,
+    doc="MBOX / RFC 5322 email extraction (sources/mbox.py) — the "
+        "mailing-list-archive format LLM corpora mine (public list "
+        "archives, Enron-style dumps): per doc a two-message mbox "
+        "whose doc message is multipart/alternative with an html "
+        "DECOY sibling (text/plain is the text of record), the body "
+        "under base64 or quoted-printable per id%2, the subject's "
+        "en-dash forcing RFC 2047 encoded-word round-trip, plus an "
+        "html-ONLY notification message that must drop message-"
+        "granularly — so mbox framing + mboxrd unstuffing, MIME "
+        "tree walk, CTE decode, and header decode are all on the "
+        "exact-string hash path (extracted = text + the newline the "
+        "MIME encoder canonically appends; CRLF wire bodies "
+        "normalize to LF).",
+)
+def q_mbox_extract_emails(spark, sf_dir):
+    from distributed_computing_projects_spark.sources import mbox as MB
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 1)
+    return MB.extract_emails(
+        MB.mbox_payloads(docs, "doc_id", "text", "source"))
+
+
 _EPUB_PARA = 50
 
 

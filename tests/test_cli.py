@@ -603,3 +603,15 @@ def test_cli_xlsx_scan(spark, tmp_path, capsys):
                  "--ddl", "a bigint, b string"], spark=spark) == 0
     out = capsys.readouterr().out.strip().splitlines()
     assert sorted(out) == ["1\tx", "2\ty"]
+
+
+def test_cli_mbox_extract(spark, tmp_path, capsys):
+    from distributed_computing_projects_spark.sources import mbox as MBX
+
+    msg = MBX.build_email("<5@corpus.example.com>", "Doc 5",
+                          "a@example.com", "hello body")
+    (tmp_path / "m.mbox").write_bytes(MBX.build_mbox([msg]))
+    assert main(["mbox-extract", str(tmp_path / "m.mbox")],
+                spark=spark) == 0
+    out = capsys.readouterr().out.strip()
+    assert out == "5\tDoc 5\ta@example.com\thello body\\n"
