@@ -378,6 +378,26 @@ def run_factor(spark, factor: int) -> dict:
         spark.catalog.clearCache()
         timed(spark, m, "wat_extract_links",
               lambda: reg["wat_extract_links"].fn(spark, work).count())
+        spark.catalog.clearCache()
+        # r14b: the rest of the office/interchange tier — odt (third
+        # zip-of-XML walk), xlsx (sheet parse + shared-string
+        # indirection over the scaled EVENTS table), arrow ipc
+        # (pyarrow batch walk, same events), mbox (MIME walk +
+        # CTE decode per doc). Same linearity claim as the family.
+        timed(spark, m, "odt_extract_text",
+              lambda: reg["odt_extract_text"].fn(spark, work).count())
+        spark.catalog.clearCache()
+        timed(spark, m, "xlsx_events_roundtrip",
+              lambda: reg["xlsx_events_roundtrip"].fn(spark, work)
+              .count())
+        spark.catalog.clearCache()
+        timed(spark, m, "arrow_events_roundtrip",
+              lambda: reg["arrow_events_roundtrip"].fn(spark, work)
+              .count())
+        spark.catalog.clearCache()
+        timed(spark, m, "mbox_extract_emails",
+              lambda: reg["mbox_extract_emails"].fn(spark, work)
+              .count())
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.catalog.clearCache()
