@@ -136,6 +136,7 @@ def _parse_sheet(xml_bytes: bytes, shared: list[str]):
     row: dict | None = None
     cell_col: list[int | None] = [None]
     cell_type: list[str] = [""]
+    next_col = [0]  # spec: a cell without r follows the previous cell
     in_v = [0]
     in_is_t = [0]
     buf: list[str] = []
@@ -153,6 +154,7 @@ def _parse_sheet(xml_bytes: bytes, shared: list[str]):
             return
         if local == "row":
             row = {}
+            next_col[0] = 0
         elif local == "c" and row is not None:
             ref = None
             t = ""
@@ -162,8 +164,13 @@ def _parse_sheet(xml_bytes: bytes, shared: list[str]):
                     ref = v
                 elif lk == "t":
                     t = v
-            cell_col[0] = (col_index(ref) if ref is not None
-                           else len(row))
+            col = col_index(ref) if ref is not None else None
+            if col is None:
+                # positional cell: one past the previous cell — NOT
+                # len(row), which undercounts after sparse/empty cells
+                col = next_col[0]
+            cell_col[0] = col
+            next_col[0] = col + 1
             cell_type[0] = t
             n_cells += 1
             if n_cells > MAX_CELLS:

@@ -130,3 +130,17 @@ def test_spark_read_path(spark, tmp_path):
     assert rows[1].flag is True
     assert str(rows[1].ts) == "1970-01-02 00:00:00"
     assert rows[3].ts is None
+
+
+def test_cells_without_r_follow_previous_cell():
+    """Spec: a <c> without an r attribute occupies the column after
+    the previous cell — even when earlier cells stored nothing."""
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    sheet = (f'<?xml version="1.0"?><worksheet xmlns="{ns}">'
+             '<sheetData><row r="1">'
+             '<c r="C1"><v>3.0</v></c>'   # explicit C
+             "<c><v>4.0</v></c>"          # positional -> D
+             "<c><v>5.0</v></c>"          # positional -> E
+             '</row></sheetData></worksheet>').encode()
+    rows = _parse_sheet(sheet, [])
+    assert rows == [{2: 3.0, 3: 4.0, 4: 5.0}]
