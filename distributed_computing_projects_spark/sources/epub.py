@@ -195,11 +195,16 @@ def extract_epub_text(data: bytes):
     manifest, spine = parsed
     base = posixpath.dirname(opf_path)
     chapters: list[str] = []
+    from urllib.parse import unquote
+
     for idref in spine:
         href = manifest.get(idref)
         if href is None:
             continue  # dangling idref: chapter-granular drop
-        doc = members.get(posixpath.normpath(posixpath.join(base, href)))
+        # hrefs are URIs (spec): percent-encoded names ("ch%201
+        # .xhtml") must decode before the member lookup
+        doc = members.get(
+            posixpath.normpath(posixpath.join(base, unquote(href))))
         if doc is None:
             continue  # missing/torn member: chapter-granular drop
         paras = xhtml_paragraphs(doc)

@@ -293,11 +293,15 @@ def rows_from_binary(bin_df: DataFrame, ddl: str,
             return [v if isinstance(v, bool) else None for v in vals]
         if kind in ("timestamp", "timestamp_ntz"):
             # Excel serial days -> epoch seconds; SECOND precision is
-            # the format's honest contract (float serial)
+            # the format's honest contract (float serial). For the
+            # INSTANT type the series must be tz-aware UTC — Arrow
+            # localizes naive values to the session timezone (the
+            # avro lesson); ntz stays naive.
             s = pd.to_numeric(pd.Series(vals, dtype="object"),
                               errors="coerce")
             secs = ((s - _UNIX_EPOCH_SERIAL) * 86400.0).round()
-            return pd.to_datetime(secs, unit="s")
+            return pd.to_datetime(secs, unit="s",
+                                  utc=(kind == "timestamp"))
         return [v if isinstance(v, str) else
                 (None if v is None else str(v)) for v in vals]
 

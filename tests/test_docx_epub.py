@@ -282,3 +282,19 @@ def test_epub_archive_level_bomb_drops_row(monkeypatch):
     assert extract_epub_text(build_epub(CHAPTERS)) is None
     monkeypatch.setattr(EPM, "MAX_TOTAL_BYTES", 1 << 30)
     assert extract_epub_text(build_epub(CHAPTERS)) is not None
+
+
+def test_epub_percent_encoded_hrefs_resolve():
+    """OPF hrefs are URIs: percent-encoded member names must decode
+    before the member lookup."""
+    import distributed_computing_projects_spark.sources.epub as EPM
+
+    data = build_epub([["only chapter"]])
+    members = []
+    for n, b in ZA.iter_zip_members(data):
+        if n == "OEBPS/chap0.xhtml":
+            n = "OEBPS/chap 0.xhtml"
+        if n == "OEBPS/content.opf":
+            b = b.replace(b'href="chap0.xhtml"', b'href="chap%200.xhtml"')
+        members.append((n, b))
+    assert EPM.extract_epub_text(ZA.build_zip(members)) == "only chapter"
