@@ -481,10 +481,21 @@ def q_xlsx_events_roundtrip(spark, sf_dir):
     return _avro_events_facts(back)
 
 
-def _build_xlsx_landing(spark, sf_dir, family):
+_XLSX_ROWS_PER_BOOK = 250_000
+
+
+def _build_xlsx_landing(spark, sf_dir, family,
+                        rows_per_book: int = _XLSX_ROWS_PER_BOOK):
     """Fixture stage for the XLSX query: stage events as JSONL
-    shards, write each as one .xlsx workbook (header row + typed
-    cells, ts as floored-second Excel serial), plus one junk file."""
+    shards, write them as .xlsx workbooks PAGINATED at
+    ``rows_per_book`` (header row + typed cells, ts as
+    floored-second Excel serial), plus one junk file.
+
+    Pagination is not a convenience: Excel itself caps a sheet at
+    1,048,576 rows, so real exporters paginate workbooks — and an
+    unpaginated multi-million-row sheet's XML exceeds the zip walk's
+    256 MiB member bound and (correctly) drops, which the 100x SCALE
+    run caught as a silent rows=0 before this fix."""
     import json as jsonmod
     import shutil
 
@@ -510,16 +521,18 @@ def _build_xlsx_landing(spark, sf_dir, family):
         with open(os.path.join(stage, name), "rb") as f:
             recs = [jsonmod.loads(ln) for ln in f.read().splitlines()
                     if ln]
-        rows = [
-            [r["event_id"], r["user_id"], r["event_type"],
-             r.get("value"), XL.ts_to_serial(r["ts"] // 1_000_000)]
-            for r in recs
-        ]
-        with open(os.path.join(landing, f"part-{i}.xlsx"), "wb") as f:
-            f.write(XL.build_xlsx(
-                ["event_id", "user_id", "event_type", "value", "ts"],
-                rows))
-        i += 1
+        for at in range(0, len(recs), rows_per_book):
+            rows = [
+                [r["event_id"], r["user_id"], r["event_type"],
+                 r.get("value"), XL.ts_to_serial(r["ts"] // 1_000_000)]
+                for r in recs[at:at + rows_per_book]
+            ]
+            with open(os.path.join(landing, f"part-{i}.xlsx"),
+                      "wb") as f:
+                f.write(XL.build_xlsx(
+                    ["event_id", "user_id", "event_type", "value",
+                     "ts"], rows))
+            i += 1
     with open(os.path.join(landing, "junk.xlsx"), "wb") as f:
         f.write(b"this is not a spreadsheet")
     shutil.rmtree(stage, ignore_errors=True)

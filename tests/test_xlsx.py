@@ -144,3 +144,30 @@ def test_cells_without_r_follow_previous_cell():
              '</row></sheetData></worksheet>').encode()
     rows = _parse_sheet(sheet, [])
     assert rows == [{2: 3.0, 3: 4.0, 4: 5.0}]
+
+
+def test_landing_paginates_workbooks(spark, sf_dir):
+    """Excel caps a sheet at 1,048,576 rows and an unpaginated
+    multi-million-row sheet's XML exceeds the zip member bound (the
+    100x SCALE run caught a silent rows=0): the fixture stage must
+    split workbooks at rows_per_book."""
+    import os
+
+    from distributed_computing_projects_spark.queries.ext_pipeline import (
+        _build_xlsx_landing,
+    )
+
+    _, landing = _build_xlsx_landing(spark, sf_dir, "xlsx_page_test",
+                                     rows_per_book=100)
+    books = [f for f in os.listdir(landing) if f != "junk.xlsx"]
+    n = spark.read.json(os.path.join(landing, "..", "stage")) \
+        if False else None
+    assert len(books) > 4  # paginated well past one-per-shard
+    ddl = ("event_id bigint, user_id bigint, event_type string, "
+           "value double, ts timestamp_ntz")
+    total = read_xlsx(spark, landing, ddl).count()
+    import duckdb
+
+    want = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/events.parquet'").fetchone()[0]
+    assert total == want

@@ -130,7 +130,24 @@ def build_stressed(spark, factor: int, out_dir: str) -> tuple[str, str]:
     return dp, ep
 
 
+# --only re-measure filter (None = measure everything). Metrics whose
+# timed() call CREATES state a later metric reads must re-measure as a
+# family — enforced in main().
+ONLY: set[str] | None = None
+
+_FAMILIES = [
+    {"bandstore_write", "bandstore_probe_500_docs",
+     "bandstore_probe_after_5_epochs", "bandstore_compact",
+     "bandstore_probe_after_compact"},
+    {"ivfpq_store_write", "ivfpq_store_probe"},
+    {"dedup_minhash_lsh_pairs", "dedup_clusters"},
+]
+
+
 def timed(spark, metrics: dict, name: str, fn, **extra) -> None:
+    if ONLY is not None and name not in ONLY:
+        return  # --only re-measure: unlisted metrics neither run nor
+        # record (family guard in main() keeps dependencies whole)
     # min of 2 with the cache cleared between reps (so the repeat
     # measures real recompute, not a cache read): one rep is exposed
     # to the shared host's multi-x contention blips, which would read
@@ -188,8 +205,12 @@ def run_factor(spark, factor: int) -> dict:
         # same epoch (the worst-case duplicate pattern retries
         # produce) grow the store and the probe with it; compaction
         # must return probe cost to the single-epoch line
-        for _ in range(5):
-            BS.append_bands(batch, store, "doc_id", "text")
+        if ONLY is None or ONLY & _FAMILIES[0]:
+            # epoch appends feed only the bandstore family's rows —
+            # skip the (store-growing) side work under a foreign
+            # --only re-measure
+            for _ in range(5):
+                BS.append_bands(batch, store, "doc_id", "text")
         timed(spark, m, "bandstore_probe_after_5_epochs",
               lambda: BS.incremental_pairs_against_store(
                   spark, store, batch, "doc_id", "text",
@@ -220,7 +241,10 @@ def run_factor(spark, factor: int) -> dict:
         # cells' code rows (compressed), not the corpus vector bytes
         pq_store = os.path.join(work, "ivfpq")
         q_vec = [0.1] * 64
-        cents = PQ.train(spark, emb, "vec_id", "embedding")
+        # PQ training is eager (driver-collected codebooks) and feeds
+        # only the ivfpq rows — skip under a foreign --only re-measure
+        cents = (PQ.train(spark, emb, "vec_id", "embedding")
+                 if ONLY is None or ONLY & _FAMILIES[1] else None)
         timed(spark, m, "ivfpq_store_write", lambda: PQ.write_ivfpq(
             spark, emb, pq_store, "vec_id", "embedding",
             centroids=cents) or None)
@@ -412,8 +436,27 @@ def main() -> int:
     # are contaminated (SCALE has no canary to normalize with, unlike
     # bench.py) — the honest fix is a clean re-measure of just those
     # factors, via the tool, never a hand edit.
-    args = [a for a in sys.argv[1:] if a != "--merge"]
-    merge = "--merge" in sys.argv[1:]
+    # --only m1,m2: re-measure ONLY those metrics (after a fixture or
+    # query fix) and splice them into the committed runs METRIC-level
+    # — the same no-hand-edits rule at finer grain. Requires --merge.
+    global ONLY
+    argv = sys.argv[1:]
+    if "--only" in argv:
+        at = argv.index("--only")
+        ONLY = set(argv[at + 1].split(","))
+        argv = argv[:at] + argv[at + 2:]
+        for fam in _FAMILIES:
+            hit = ONLY & fam
+            if hit and hit != fam:
+                raise SystemExit(
+                    f"--only must take the whole family {sorted(fam)} "
+                    f"(asked for {sorted(hit)}): its timed() calls "
+                    "share created state")
+        if "--merge" not in argv:
+            raise SystemExit("--only requires --merge (splicing into "
+                             "the committed runs is its only mode)")
+    args = [a for a in argv if a != "--merge"]
+    merge = "--merge" in argv
     factors = ([int(x) for x in args[0].split(",")]
                if args else [2, 5, 10])
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -445,11 +488,25 @@ def main() -> int:
     scale_path = os.path.join(REPO, "SCALE.json")
     if merge and os.path.exists(scale_path):
         prior_runs = json.load(open(scale_path)).get("runs", [])
-        fresh = {r["factor"] for r in runs}
-        out["runs"] = sorted(
-            runs + [r for r in prior_runs if r["factor"] not in fresh],
-            key=lambda r: r["factor"],
-        )
+        if ONLY is not None:
+            # metric-level splice: fresh metrics overwrite their rows
+            # inside the committed factor runs; everything else keeps
+            prior_by_factor = {r["factor"]: r for r in prior_runs}
+            for r in runs:
+                prior = prior_by_factor.get(r["factor"])
+                if prior is None:
+                    prior_by_factor[r["factor"]] = r
+                else:
+                    prior["metrics"].update(r["metrics"])
+            out["runs"] = sorted(prior_by_factor.values(),
+                                 key=lambda r: r["factor"])
+        else:
+            fresh = {r["factor"] for r in runs}
+            out["runs"] = sorted(
+                runs + [r for r in prior_runs
+                        if r["factor"] not in fresh],
+                key=lambda r: r["factor"],
+            )
         runs = out["runs"]
     if os.path.exists(scale_path):
         prior = json.load(open(scale_path))
