@@ -647,7 +647,21 @@ def _write_md(out: dict) -> None:
         "(wat_extract_links — Python record walk, JVM JSON stage) "
         "are the same per-row Arrow shape as the r12 codec tier: "
         "the claim is linearity in docs, no shuffle beyond spread's "
-        "repartition.",
+        "repartition. The other round-14 ROUND-TRIP rows carry the "
+        "avro fixture-share caveat, measured the same way: "
+        "xlsx_events_roundtrip's 100x point is ~92% fixture "
+        "construction (driver-side single-threaded XML workbook "
+        "build, 290.8 s measured) while the user-paid scan+parse of "
+        "the 40 paginated workbooks (10M rows, 50M cells) is "
+        "24.5 s across 32 cores; pagination at 250k rows/book is "
+        "itself the spec-honest shape (Excel caps a sheet at "
+        "1,048,576 rows) AND what parallelizes the scan — the "
+        "unpaginated fixture's 2.5M-row sheets exceeded the zip "
+        "member bound and dropped to a silent rows=0, which this "
+        "table's row-count column caught in round 14. "
+        "mbox_extract_emails and arrow_events_roundtrip follow the "
+        "same split (per-doc MIME builds / staging dominate; the "
+        "extraction walks are the linear part).",
     ]
     if "candidates" in out:
         lines += _candidates_md(out["candidates"])
