@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 from distributed_computing_projects_spark.operators import graphrank as G
 from distributed_computing_projects_spark.queries import query
 from distributed_computing_projects_spark.sources.registry import load_table
+from distributed_computing_projects_spark.sources.wat import (
+    LINK_FAN, LINK_MULT, LINK_STEP)
 
 PAGERANK_TOP_N = 20
 
@@ -96,12 +98,15 @@ def q_graph_pagerank_topk(spark, sf_dir):
     )
 
 
-_WAT_EDGES = """nn0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+# fixture constants interpolated from sources/wat.py — single source
+# of truth, so a LINK_* change cannot silently desync fixture and oracle
+_WAT_EDGES = f"""nn0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
     edges AS (
       SELECT d.doc_id AS src,
-             (d.doc_id * 7 + t.j * 13) % nn0.n AS dst
+             (d.doc_id * {LINK_MULT} + t.j * {LINK_STEP}) % nn0.n AS dst
       FROM documents d CROSS JOIN nn0,
-           LATERAL unnest(generate_series(1, d.doc_id % 3 + 1)) AS t(j))"""
+           LATERAL unnest(generate_series(1, d.doc_id % {LINK_FAN} + 1))
+             AS t(j))"""
 
 
 @query(

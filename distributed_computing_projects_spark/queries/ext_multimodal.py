@@ -30,6 +30,8 @@ from distributed_computing_projects_spark.sources import pdfobj as PDFO
 from distributed_computing_projects_spark.sources import wikidump as WD
 from distributed_computing_projects_spark.sources import warc as W
 from distributed_computing_projects_spark.sources.registry import load_table
+from distributed_computing_projects_spark.sources.wat import (
+    LINK_FAN, LINK_MULT, LINK_STEP)
 from distributed_computing_projects_spark.queries.ext_fragments import (
     _BAND_SELECTS,
     _BAND_SELECTS_SRC,
@@ -1863,13 +1865,16 @@ def q_epub_extract_text(spark, sf_dir):
 @query(
     "wat_extract_links",
     headline=True,
-    oracle="""
+    # fixture constants interpolated from sources/wat.py — single
+    # source of truth with the builder (see ext_graph._WAT_EDGES)
+    oracle=f"""
     WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
     SELECT d.doc_id AS src,
-           (d.doc_id * 7 + t.j * 13) % nn.n AS dst,
+           (d.doc_id * {LINK_MULT} + t.j * {LINK_STEP}) % nn.n AS dst,
            'A@/href' AS path
     FROM documents d CROSS JOIN nn,
-         LATERAL unnest(generate_series(1, d.doc_id % 3 + 1)) AS t(j)
+         LATERAL unnest(generate_series(1, d.doc_id % {LINK_FAN} + 1))
+           AS t(j)
     """,
     doc="WAT metadata-record link extraction (sources/wat.py) — the "
         "third Common Crawl artifact after WARC (raw responses) and "

@@ -117,7 +117,45 @@ def batches_from_binary(bin_df: DataFrame, ddl: str) -> DataFrame:
 
     # a real DDL parse, not a comma split: nested types
     # (map<string,int>, decimal(10,2)) carry commas of their own
-    names = [f.name for f in StructType.fromDDL(ddl).fields]
+    fields = StructType.fromDDL(ddl).fields
+    names = [f.name for f in fields]
+    kinds = {f.name: f.dataType.simpleString() for f in fields}
+
+    def coerce(kind: str, s: pd.Series) -> pd.Series:
+        # one scan spans shard generations: a shard whose column type
+        # drifted (string vs double, tz-aware vs ntz timestamp) must
+        # null / convert per-CELL like the avro and xlsx adapters, not
+        # kill the task in Spark's Arrow serializer
+        if kind in ("bigint", "int", "smallint", "tinyint"):
+            return pd.to_numeric(s, errors="coerce").round() \
+                .astype("Int64")
+        if kind in ("double", "float"):
+            return pd.to_numeric(s, errors="coerce").astype("float64")
+        if kind == "boolean":
+            return pd.Series(
+                [bool(v) if isinstance(v, (bool,)) or
+                 (isinstance(v, (int,)) and v in (0, 1)) else None
+                 for v in s], dtype="object")
+        if kind in ("timestamp", "timestamp_ntz"):
+            out = pd.to_datetime(pd.Series(list(s), dtype="object"),
+                                 errors="coerce", utc=True)
+            # INSTANT must be tz-aware UTC (Arrow localizes naive
+            # values to the session tz — the avro lesson); ntz naive
+            return out if kind == "timestamp" \
+                else out.dt.tz_localize(None)
+        if kind == "string":
+            return pd.Series(
+                [v if isinstance(v, str)
+                 else (None if v is None or v != v else str(v))
+                 for v in s], dtype="object")
+        if kind == "binary":
+            return pd.Series(
+                [bytes(v) if isinstance(v, (bytes, bytearray,
+                                            memoryview)) else None
+                 for v in s], dtype="object")
+        # nested types (array/map/struct): pass through — drift here
+        # stays task-fatal by design (no lossless per-cell coercion)
+        return s
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -131,7 +169,8 @@ def batches_from_binary(bin_df: DataFrame, ddl: str) -> DataFrame:
                     cols = batch.to_pandas(maps_as_pydicts="lossy")
                     out = {}
                     for n in names:
-                        out[n] = (cols[n] if n in cols.columns
+                        out[n] = (coerce(kinds[n], cols[n])
+                                  if n in cols.columns
                                   else [None] * batch.num_rows)
                     yield pd.DataFrame(out)
 

@@ -179,6 +179,11 @@ def parse_document_xml(xml_bytes: bytes):
             if depth_in_p == 0 and cur is not None:
                 paras.append("".join(cur))
                 cur = None
+            elif cur is not None:
+                # nested w:p (textbox w:txbxContent) closing: keep the
+                # inner paragraph boundary as a newline inside the host
+                # paragraph instead of silently concatenating the runs
+                cur.append("\n")
 
     def chars(data):
         if in_t and cur is not None:

@@ -189,10 +189,18 @@ def _parse_sheet(xml_bytes: bytes, shared: list[str]):
         t = cell_type[0]
         if t == "s":
             try:
-                row[cell_col[0]] = shared[int(text)]
+                idx = int(text)
+                if idx < 0:
+                    raise IndexError  # Python wraps negatives; spec says dangling
+                row[cell_col[0]] = shared[idx]
             except (ValueError, IndexError):
                 pass  # dangling shared index: cell nulls
-        elif t in ("str", "inlineStr"):
+        elif t == "inlineStr":
+            # <is> may carry multiple rich-text runs (<r><t>..</t></r>...);
+            # each </t> lands here, so concatenate like _parse_shared_strings
+            prev = row.get(cell_col[0])
+            row[cell_col[0]] = (prev + text) if isinstance(prev, str) else text
+        elif t == "str":
             row[cell_col[0]] = text
         elif t == "b":
             row[cell_col[0]] = text.strip() == "1"

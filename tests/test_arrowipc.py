@@ -76,6 +76,40 @@ def test_reader_schema_selects_by_name(spark, tmp_path):
     assert df.columns == ["a", "c"]
 
 
+def test_type_drift_coerces_per_cell(spark, tmp_path):
+    """A shard whose column TYPE drifted across generations (string
+    vs double, numeric-as-string) must coerce / null per cell like
+    the avro and xlsx adapters — not kill the task in Spark's Arrow
+    serializer."""
+    (tmp_path / "g1.arrow").write_bytes(build_ipc(
+        {"a": [1, 2], "v": [1.5, 2.5]}, "file"))
+    # drifted generation: a became string, v became string-of-number
+    (tmp_path / "g2.arrow").write_bytes(build_ipc(
+        {"a": ["3", "oops"], "v": ["9.5", "bad"]}, "stream"))
+    df = read_arrow_ipc(spark, str(tmp_path), "a bigint, v double")
+    rows = sorted(((r.a, r.v) for r in df.collect()),
+                  key=lambda t: (t[0] is None, t[0]))
+    assert rows == [(1, 1.5), (2, 2.5), (3, 9.5), (None, None)]
+
+
+def test_timestamp_tz_drift_coerces(spark, tmp_path):
+    """tz-aware vs naive timestamp drift: both generations land as
+    INSTANT values instead of failing the serializer."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    aware = [dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)]
+    naive = [dt.datetime(2026, 1, 2)]
+    (tmp_path / "g1.arrow").write_bytes(build_ipc(
+        {"t": pa.array(aware, pa.timestamp("us", "UTC"))}, "file"))
+    (tmp_path / "g2.arrow").write_bytes(build_ipc(
+        {"t": pa.array(naive, pa.timestamp("us"))}, "stream"))
+    df = read_arrow_ipc(spark, str(tmp_path), "t timestamp")
+    days = sorted(r.t.day for r in df.collect())
+    assert days == [1, 2]
+
+
 def test_spark_read_path_mixed_framings(spark, tmp_path):
     (tmp_path / "p1.arrow").write_bytes(build_ipc(
         {"a": list(range(100))}, "file"))

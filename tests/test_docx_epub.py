@@ -66,6 +66,22 @@ def test_docx_foreign_namespace_text_is_invisible():
     assert parse_document_xml(xml) == ["real"]
 
 
+def test_docx_nested_paragraph_keeps_boundary():
+    """Textbox content (w:p > ... > w:txbxContent > w:p) emits with
+    the inner paragraph boundary preserved as a newline inside the
+    host paragraph — not silently concatenated into one string."""
+    xml = (b'<?xml version="1.0"?>'
+           b'<w:document xmlns:w="' + _WML_NS[0].encode() +
+           b'"><w:body><w:p><w:r><w:t>host</w:t></w:r>'
+           b"<w:txbxContent>"
+           b"<w:p><w:r><w:t>inner1</w:t></w:r></w:p>"
+           b"<w:p><w:r><w:t>inner2</w:t></w:r></w:p>"
+           b"</w:txbxContent>"
+           b"<w:r><w:t>tail</w:t></w:r></w:p>"
+           b"</w:body></w:document>")
+    assert parse_document_xml(xml) == ["hostinner1\ninner2\ntail"]
+
+
 def test_docx_torn_xml_keeps_completed_paragraphs():
     data = build_docx(PARAS)
     xml = dict(ZA.iter_zip_members(data))["word/document.xml"]

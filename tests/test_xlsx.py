@@ -95,6 +95,33 @@ def test_dangling_shared_index_nulls_cell():
     assert got is not None and got[0][0] == 1.0
 
 
+_SHEET_NS = (b'<worksheet xmlns="http://schemas.openxmlformats.org/'
+             b'spreadsheetml/2006/main">')
+
+
+def test_negative_shared_index_nulls_cell():
+    # Python negative indexing must NOT wrap to the last shared string
+    sheet = (b'<?xml version="1.0"?>' + _SHEET_NS +
+             b'<sheetData><row r="1">'
+             b'<c r="A1" t="s"><v>-1</v></c>'
+             b'<c r="B1"><v>7</v></c>'
+             b"</row></sheetData></worksheet>")
+    got = _parse_sheet(sheet, ["zero", "last"])
+    assert got == [{1: 7.0}]  # A1 nulls (absent), not "last"
+
+
+def test_inline_rich_text_runs_concatenate():
+    # spec-legal Excel output: <is> with multiple <r><t> runs must
+    # concatenate like the shared-strings path, not keep the last run
+    sheet = (b'<?xml version="1.0"?>' + _SHEET_NS +
+             b'<sheetData><row r="1">'
+             b'<c r="A1" t="inlineStr"><is>'
+             b"<r><t>foo</t></r><r><t>bar</t></r>"
+             b"</is></c></row></sheetData></worksheet>")
+    got = _parse_sheet(sheet, [])
+    assert got == [{0: "foobar"}]
+
+
 def test_torn_sheet_keeps_completed_rows():
     members = _members(build_xlsx(HDR, ROWS))
     sheet = members["xl/worksheets/sheet1.xml"]
