@@ -470,6 +470,19 @@ def build_parser() -> argparse.ArgumentParser:
     xl.add_argument("--keep-header", action="store_true",
                     help="do not skip the first spreadsheet row")
 
+    tfr = sub.add_parser(
+        "tfrecord-scan",
+        help="TFRecord scan (sources/tfrecord.py: masked-CRC-32C "
+             "framing + tf.train.Example wire decode, pure stdlib): "
+             "prints the rows under --ddl column types",
+    )
+    tfr.add_argument("path", help="file/dir/glob of .tfrecord files")
+    tfr.add_argument("--ddl", required=True,
+                     help="feature columns as Spark DDL (features "
+                          "resolve by name; scalars demand "
+                          "single-element lists, array<...> takes "
+                          "the list)")
+
     ai = sub.add_parser(
         "arrow-scan",
         help="Arrow IPC / Feather scan (sources/arrowipc.py, both "
@@ -982,6 +995,12 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
 
             _emit(xlsx.read_xlsx(spark, args.path, args.ddl,
                                  skip_header=not args.keep_header))
+        elif args.cmd == "tfrecord-scan":
+            from distributed_computing_projects_spark.sources import (
+                tfrecord,
+            )
+
+            _emit(tfrecord.read_tfrecord(spark, args.path, args.ddl))
         elif args.cmd == "arrow-scan":
             import glob as globmod
 

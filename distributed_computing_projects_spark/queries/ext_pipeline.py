@@ -598,6 +598,111 @@ def _build_arrow_landing(spark, sf_dir, family):
     return work, landing
 
 
+def _build_tfrecord_landing(spark, sf_dir, family):
+    """Fixture stage for the TFRecord queries: stage an events subset
+    as JSONL shards, frame each into one .tfrecord shard with the
+    full decoy set — a corrupt-PAYLOAD record at the head (data-CRC
+    flipped: must drop record-granularly while the walk continues), a
+    TORN record at the tail (truncated mid-payload: complete records
+    before it survive), a writer-only multi-element Int64List feature
+    on every record (reader DDL discards it), and one junk file that
+    is not a TFRecord at all (file-granular drop). Returns (work,
+    landing)."""
+    import json as jsonmod
+    import shutil
+
+    from distributed_computing_projects_spark.sources import (
+        tfrecord as TFR,
+    )
+
+    work = _session_scratch(spark, family, sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    stage = os.path.join(work, "stage")
+    landing = os.path.join(work, "landing")
+    (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 3 == 1)
+        .select("event_id", "user_id", "event_type", "value")
+        .repartition(4)
+        .write.json(stage)
+    )
+    os.makedirs(landing)
+
+    def decoy(eid):
+        return TFR.build_example(
+            {"event_id": eid, "user_id": eid, "event_type": "bogus",
+             "value": -1.0, "extra_tokens": [9, 9, 9]})
+
+    i = 0
+    for name in sorted(os.listdir(stage)):
+        if not name.startswith("part-"):
+            continue
+        with open(os.path.join(stage, name), "rb") as f:
+            recs = [jsonmod.loads(ln) for ln in f.read().splitlines()
+                    if ln]
+        payloads = [TFR.build_example(
+            {"event_id": r["event_id"], "user_id": r["user_id"],
+             "event_type": r["event_type"], "value": r.get("value"),
+             "extra_tokens": [r["event_id"] % 7, 1, 2]})
+            for r in recs]
+        corrupt = bytearray(TFR.frame_record(decoy(999_000_000 + i)))
+        corrupt[12] ^= 0xFF  # flip the first payload byte
+        torn = TFR.frame_record(decoy(998_000_000 + i))[:-7]
+        with open(os.path.join(landing, f"part-{i}.tfrecord"),
+                  "wb") as f:
+            f.write(bytes(corrupt)
+                    + TFR.build_tfrecord(payloads) + torn)
+        i += 1
+    with open(os.path.join(landing, "junk.tfrecord"), "wb") as f:
+        f.write(b"this is not a tfrecord file at all\n" * 4)
+    shutil.rmtree(stage, ignore_errors=True)
+    return work, landing
+
+
+@query(
+    "tfrecord_scan",
+    headline=True,
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(CAST(value AS REAL) AS DOUBLE) AS value
+    FROM events WHERE event_id % 3 = 1
+    """,
+    doc="TFRecord ingest — the training-data container TensorFlow / "
+        "JAX pipelines ship (TFDS exports, YouTube-8M; the one major "
+        "corpus container the engine could not read), with no "
+        "TensorFlow anywhere in this deployment: sources/tfrecord.py "
+        "implements the public record framing (uint64 length + "
+        "masked CRC-32C of length and data, Castagnoli CRC "
+        "table-driven pure stdlib) and a three-level protobuf wire "
+        "walk for tf.train.Example (varint / length-delimited fields "
+        "only — the avro zigzag-varint discipline applied to plain "
+        "two's-complement varints). The fixture stages an events "
+        "subset as 4 shards, each carrying a corrupt-payload decoy "
+        "record at the HEAD (data-CRC flipped: record-granular drop, "
+        "walk continues — the length CRC still validates framing), a "
+        "torn record at the TAIL (complete records before it "
+        "survive), and a writer-only multi-element Int64List feature "
+        "(discarded by the reader DDL); a junk non-TFRecord file "
+        "drops whole. FloatList is float32 BY SPEC, so the oracle "
+        "applies the same IEEE-754 single rounding "
+        "(CAST(value AS REAL)) — both engines round the identical "
+        "double, making the precision contract itself hash-checked.",
+)
+def q_tfrecord_scan(spark, sf_dir):
+    from distributed_computing_projects_spark.sources import (
+        tfrecord as TFR,
+    )
+
+    _, landing = _build_tfrecord_landing(spark, sf_dir, "tfrecord")
+    back = TFR.read_tfrecord(
+        spark, landing,
+        "event_id bigint, user_id bigint, event_type string, "
+        "value float")
+    return back.select(
+        "event_id", "user_id", "event_type",
+        F.col("value").cast("double").alias("value"))
+
+
 def _build_avro_landing(spark, sf_dir, family):
     """Fixture stage shared by the batch and streaming Avro queries:
     stage events as JSONL shards, encode each into one OCF shard

@@ -83,6 +83,11 @@ EXCHANGE_BUDGET = {
     "repetition_stats": 2,
     # distinct on (grp,h) + the window re-key to grp, both hash-rows
     "sketch_distinct_tokens": 2,
+    # binaryFile scan -> Arrow frame walk + Example decode -> cast
+    # projection: zero exchanges — per-FILE parallelism is the whole
+    # model (the jsonl_zst_scan shape); the fixture build's
+    # repartition+write is an eager side stage, not the plan
+    "tfrecord_scan": 0,
     "tfidf_top_terms": 4,
     "training_corpus_summary": 3,
     # the wire stage adds ONE exchange (spread's fixture-scale
