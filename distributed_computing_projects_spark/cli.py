@@ -432,6 +432,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     eb.add_argument("path", help="file/dir/glob of .epub files")
 
+    pt = sub.add_parser(
+        "pptx-text",
+        help="PPTX text extraction (sources/pptx.py, ECMA-376 "
+             "PresentationML: presentation.xml -> rels -> ordered "
+             "slide parts; notes never leak): prints "
+             "(path, extracted)",
+    )
+    pt.add_argument("path", help="file/dir/glob of .pptx files")
+
     wl = sub.add_parser(
         "wat-links",
         help="WAT metadata-record link extraction (sources/wat.py): "
@@ -933,18 +942,21 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             _emit(zm.select(
                 "name", F.octet_length("content").alias("n_bytes")
             ).orderBy("name"))
-        elif args.cmd in ("docx-text", "epub-text", "odt-text"):
+        elif args.cmd in ("docx-text", "epub-text", "odt-text",
+                          "pptx-text"):
             from pyspark.sql import functions as F
 
             from distributed_computing_projects_spark.sources import (
                 docx,
                 epub,
                 odt,
+                pptx,
             )
 
             reader = {"docx-text": docx.read_docx,
                       "epub-text": epub.read_epub,
-                      "odt-text": odt.read_odt}[args.cmd]
+                      "odt-text": odt.read_odt,
+                      "pptx-text": pptx.read_pptx}[args.cmd]
             # paragraph newlines escape to literal \n so the output
             # stays one row per line (the tab-KV sink discipline)
             _emit(reader(spark, args.path).select(

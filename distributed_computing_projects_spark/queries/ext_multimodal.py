@@ -1862,6 +1862,46 @@ def q_epub_extract_text(spark, sf_dir):
                          para_chars=_EPUB_PARA))
 
 
+_PPTX_PARA = 68
+
+
+@query(
+    "pptx_extract_text",
+    headline=True,
+    oracle=f"""
+    SELECT doc_id AS id,
+           (SELECT string_agg(substr(text, (i-1)*{_PPTX_PARA}+1,
+                                     {_PPTX_PARA}), chr(10) ORDER BY i)
+            FROM unnest(generate_series(1,
+                 CAST(ceil(length(text)/{_PPTX_PARA}.0) AS INTEGER)))
+                 AS t(i)) AS extracted
+    FROM documents WHERE length(text) >= 1
+    """,
+    doc="PPTX text extraction, exact-STRING compared — the fifth "
+        "zip-of-XML office format (sources/pptx.py, ECMA-376 "
+        "PresentationML), with the reading order done per spec: "
+        "p:sldIdLst relationship ids -> presentation.xml.rels -> "
+        "slide parts, NOT member order (slide10.xml sorts before "
+        "slide2.xml, so lexicographic extraction scrambles any deck "
+        "past nine slides — the fixture writes slide members AND "
+        "assigns rIds in reversed order to put the chain itself on "
+        "the hash path). Every slide carries a notesSlide decoy part "
+        "full of a:t runs that must NOT leak (speaker notes are not "
+        "slide text), and a notesMaster r:id rides outside sldIdLst. "
+        "Slides are 3x68-char chunks of the doc text split into "
+        "68-char a:p paragraphs with alternating bold a:rPr runs.",
+)
+def q_pptx_extract_text(spark, sf_dir):
+    from distributed_computing_projects_spark.sources import pptx as PX
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 1)
+    return PX.extract_pptx(
+        PX.pptx_payloads(docs, "doc_id", "text",
+                         slide_chars=3 * _PPTX_PARA,
+                         para_chars=_PPTX_PARA))
+
+
 @query(
     "wat_extract_links",
     headline=True,

@@ -64,6 +64,9 @@ EXCHANGE_BUDGET = {
     # build+extract chain (two chained mapInPandas, no exchange
     # between them)
     "pdf_extract_text": 1,
+    # same spread-then-Arrow-chain shape as docx/epub: one exchange,
+    # the fixture-scale repartition before build+extract
+    "pptx_extract_text": 1,
     # same spread-then-Arrow-chain shape as pdf_extract_text: the one
     # exchange is spread's fixture-scale repartition; the object-model
     # walk (objstm/xref-stream) and CMap mapping are in-partition
