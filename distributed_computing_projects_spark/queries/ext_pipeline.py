@@ -340,6 +340,104 @@ def q_jsonl_xz_scan(spark, sf_dir):
     return _compressed_jsonl_scan(spark, sf_dir, "xz")
 
 
+_SEEK_ORACLE = """
+    SELECT event_id, user_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events WHERE event_id % 3 = 2
+    """
+
+
+def _build_seekable_landing(spark, sf_dir, family):
+    """Fixture stage for the seekable-zstd query: stage an events
+    subset as JSONL, concatenate MOST shards into ONE seekable .zst
+    whose frames cut at arbitrary 4 KiB byte positions (deliberately
+    mid-line — the split protocol is the thing under test), keep the
+    last shard as a plain NON-seekable .zst (the per-file fallback on
+    the same hash path), and inject a malformed line at the head and
+    tail of each stream. Returns (work, landing)."""
+    import shutil
+
+    from distributed_computing_projects_spark.sources import (
+        zstdseek as ZS,
+    )
+    from distributed_computing_projects_spark.sources.warc import (
+        zstd_backend,
+    )
+
+    backend = zstd_backend()
+    if backend is None:
+        raise RuntimeError("no zstd backend (sources/warc)")
+    work = _session_scratch(spark, family, sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    stage = os.path.join(work, "stage")
+    landing = os.path.join(work, "landing")
+    (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 3 == 2)
+        .select("event_id", "user_id", "event_type", "value")
+        .repartition(4)
+        .write.json(stage)
+    )
+    os.makedirs(landing)
+    shard_lines = []
+    for name in sorted(os.listdir(stage)):
+        if name.startswith("part-"):
+            with open(os.path.join(stage, name), "rb") as f:
+                shard_lines.append(
+                    [ln for ln in f.read().split(b"\n") if ln])
+    big = shard_lines[:-1] or shard_lines
+    rest = shard_lines[-1] if len(shard_lines) > 1 else []
+    big_lines = [b'{"event_id": 999999999, "user_id": tru']
+    for chunk in big:
+        big_lines.extend(chunk)
+    big_lines.append(b"not json at all")
+    with open(os.path.join(landing, "big.jsonl.zst"), "wb") as f:
+        f.write(ZS.write_seekable(b"\n".join(big_lines) + b"\n",
+                                  frame_bytes=1 << 12))
+    if rest:
+        tail = [b'{"event_id": 999999998, "user_id": fal'] + rest \
+            + [b"still not json"]
+        with open(os.path.join(landing, "plain.jsonl.zst"), "wb") as f:
+            f.write(backend[0](b"\n".join(tail) + b"\n"))
+    shutil.rmtree(stage, ignore_errors=True)
+    return work, landing
+
+
+@query(
+    "jsonl_zst_seekable_scan",
+    headline=True,
+    oracle=_SEEK_ORACLE,
+    doc="Zstd SEEKABLE-format splittable ingest (sources/zstdseek.py) "
+        "— the answer to the one scale caveat the per-file .zst walk "
+        "carries (a single over-large shard is ONE task no matter how "
+        "many executors idle): the public seekable format's skippable-"
+        "frame seek table lets one huge .jsonl.zst split across tasks "
+        "at frame boundaries, with Hadoop's text-split protocol in "
+        "decompressed coordinates — a split owns the lines STARTING "
+        "in its frame range, skips through its first newline unless "
+        "at offset 0, and extends its last line into following frames "
+        "until it terminates. The fixture's frames cut every 4 KiB "
+        "mid-LINE on purpose, so the skip/extend protocol itself is "
+        "on the hash path (any off-by-one duplicates or loses a "
+        "boundary line); a plain non-seekable .zst shard rides "
+        "alongside through the whole-file fallback, and malformed "
+        "head/tail lines exercise the same from_json drop policy as "
+        "every JSONL producer. Plan-time cost is one bounded tail "
+        "read per file — the Hadoop split-computation shape.",
+)
+def q_jsonl_zst_seekable_scan(spark, sf_dir):
+    from distributed_computing_projects_spark.sources import (
+        zstdseek as ZS,
+    )
+
+    _, landing = _build_seekable_landing(spark, sf_dir,
+                                         "jsonl_seek")
+    back = ZS.read_jsonl_zst_seekable(
+        spark, landing, _CJSONL_SCHEMA, malformed="drop",
+        target_bytes=1 << 16)
+    return back.select("event_id", "user_id", "event_type", "value")
+
+
 _AVRO_EVENTS_SCHEMA = {
     "type": "record", "name": "Event", "fields": [
         {"name": "event_id", "type": "long"},

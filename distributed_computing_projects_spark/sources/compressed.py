@@ -17,6 +17,9 @@ Design (the 100 TB shape):
   parallel unit IS the file; corpus shards (~100 MB-1 GB each)
   outnumber executors by orders of magnitude, which is exactly how
   gzip WARC/WET reads scale too (sources/warc.py's documented model).
+  For the one layout where that fails — a single over-large shard —
+  the zstd SEEKABLE format's embedded seek table lets one file split
+  across tasks: ``sources/zstdseek.py``.
 - Incremental decode inside Arrow ``mapInPandas``: the decompressor's
   bz2-style ``decompress(data, max_length)`` contract yields output
   in bounded slices, lines are split and emitted in bounded batches,

@@ -52,6 +52,10 @@ EXCHANGE_BUDGET = {
     # whole model (non-splittable shards, like gzip); the fixture
     # build's repartition+write is an eager side stage, not the plan
     "jsonl_zst_scan": 0,
+    # ONE exchange: the split-table repartition (one task per frame
+    # range — the intra-file parallelism that is the whole point);
+    # decode + from_json are narrow on top of it
+    "jsonl_zst_seekable_scan": 1,
     "knn_join_topk": 2,
     # 2 of 5 are data-sized (the grams-side join input + the per-doc
     # agg); the model tables (uni x2 via the cached explode, bi) are
