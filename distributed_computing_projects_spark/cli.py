@@ -432,6 +432,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     eb.add_argument("path", help="file/dir/glob of .epub files")
 
+    rt = sub.add_parser(
+        "rtf-text",
+        help="RTF text extraction (sources/rtf.py, RTF 1.9.1 "
+             "control-word walk: destinations, \\uN/\\ucN, "
+             "code-page escapes): prints (path, extracted)",
+    )
+    rt.add_argument("path", help="file/dir/glob of .rtf files")
+
     pt = sub.add_parser(
         "pptx-text",
         help="PPTX text extraction (sources/pptx.py, ECMA-376 "
@@ -943,7 +951,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 "name", F.octet_length("content").alias("n_bytes")
             ).orderBy("name"))
         elif args.cmd in ("docx-text", "epub-text", "odt-text",
-                          "pptx-text"):
+                          "pptx-text", "rtf-text"):
             from pyspark.sql import functions as F
 
             from distributed_computing_projects_spark.sources import (
@@ -951,12 +959,14 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 epub,
                 odt,
                 pptx,
+                rtf,
             )
 
             reader = {"docx-text": docx.read_docx,
                       "epub-text": epub.read_epub,
                       "odt-text": odt.read_odt,
-                      "pptx-text": pptx.read_pptx}[args.cmd]
+                      "pptx-text": pptx.read_pptx,
+                      "rtf-text": rtf.read_rtf}[args.cmd]
             # paragraph newlines escape to literal \n so the output
             # stays one row per line (the tab-KV sink discipline)
             _emit(reader(spark, args.path).select(

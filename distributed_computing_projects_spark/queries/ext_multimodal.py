@@ -1862,6 +1862,44 @@ def q_epub_extract_text(spark, sf_dir):
                          para_chars=_EPUB_PARA))
 
 
+_RTF_PARA = 76
+
+
+@query(
+    "rtf_extract_text",
+    oracle=f"""
+    SELECT doc_id AS id,
+           (SELECT string_agg(substr(text, (i-1)*{_RTF_PARA}+1,
+                                     {_RTF_PARA}), chr(10) ORDER BY i)
+            FROM unnest(generate_series(1,
+                 CAST(ceil(length(text)/{_RTF_PARA}.0) AS INTEGER)))
+                 AS t(i)) AS extracted
+    FROM documents WHERE length(text) >= 1
+    """,
+    doc="RTF text extraction, exact-STRING compared — the remaining "
+        "legacy office text format in public document dumps (court "
+        "filings, government archives): sources/rtf.py walks the "
+        "RTF 1.9.1 control-word token stream — groups, destination "
+        "skipping (fonttbl/colortbl/stylesheet/info/pict and every "
+        "unknown {\\\\*...} per the spec's ignorable-destination "
+        "rule), field INSTRUCTIONS dropped while field results pass, "
+        "code-page \\\\'hh escapes through \\\\ansicpg, \\\\uN "
+        "Unicode with the \\\\ucN fallback-skip protocol, \\\\binN "
+        "raw-byte skip. The fixture splits each 76-char paragraph "
+        "into 23-char runs with alternating \\\\b groups and escapes "
+        "non-ASCII through BOTH forms (cp1252 range as \\\\'hh, the "
+        "rest as \\\\uN with a '?' fallback), so whatever scripts "
+        "the corpus carries put the escape decode on the hash path.",
+)
+def q_rtf_extract_text(spark, sf_dir):
+    from distributed_computing_projects_spark.sources import rtf as RT
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 1)
+    return RT.extract_rtf(
+        RT.rtf_payloads(docs, "doc_id", "text", para_chars=_RTF_PARA))
+
+
 _PPTX_PARA = 68
 
 
