@@ -1194,6 +1194,73 @@ _ARROW_EVENTS_DDL = ("event_id bigint, user_id bigint, "
 
 
 @query(
+    "streaming_tfrecord_ingest",
+    # the stream route must equal the batch scan row-for-row
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(user_id) AS BIGINT) AS sum_user,
+           CAST(SUM(CAST(CAST(value AS REAL) AS DECIMAL(14,2)))
+                AS DOUBLE) AS total_value
+    FROM events WHERE event_id % 3 = 1 GROUP BY event_type
+    """,
+    doc="CONTINUOUS-INGEST of TFRecord shards — the TFDS-export "
+        "landing-zone shape: readStream(binaryFile) over the SAME "
+        "decoy-laden fixture as tfrecord_scan (corrupt-payload head "
+        "record, torn tail, writer-only feature, junk file) feeds "
+        "the SAME frame-walk + Example-decode stage "
+        "(sources/tfrecord.examples_from_binary), lands in a "
+        "checkpointed parquet sink with an availableNow drain, and "
+        "the aggregated facts must hash-match the batch oracle — "
+        "float32 rounding included (the oracle sums REAL-rounded "
+        "values).",
+)
+def q_streaming_tfrecord_ingest(spark, sf_dir):
+    from pyspark.sql import functions as SF
+
+    from distributed_computing_projects_spark.queries.ext_pipeline import (
+        _build_tfrecord_landing,
+    )
+    from distributed_computing_projects_spark.sources.tfrecord import (
+        examples_from_binary,
+    )
+
+    work, landing = _build_tfrecord_landing(spark, sf_dir,
+                                            "stream_tfrecord")
+    store = os.path.join(work, "records")
+    ckpt = os.path.join(work, "ckpt")
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp,"
+                " length long, content binary")
+        .load(landing)
+    )
+    records = examples_from_binary(
+        stream,
+        "event_id bigint, user_id bigint, event_type string, "
+        "value float")
+
+    q = (
+        records.writeStream.format("parquet")
+        .option("path", store)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError(
+            "streaming tfrecord ingest did not drain in 180 s")
+    back = spark.read.parquet(store)
+    return back.groupBy("event_type").agg(
+        SF.count("*").alias("n"),
+        SF.sum("user_id").cast("bigint").alias("sum_user"),
+        SF.sum(SF.col("value").cast("decimal(14,2)")).cast("double")
+        .alias("total_value"),
+    )
+
+
+@query(
     "streaming_arrow_ingest",
     # the stream route must equal the batch roundtrip row-for-row
     oracle="""
