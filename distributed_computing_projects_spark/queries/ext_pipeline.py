@@ -433,8 +433,7 @@ def q_jsonl_zst_seekable_scan(spark, sf_dir):
     _, landing = _build_seekable_landing(spark, sf_dir,
                                          "jsonl_seek")
     back = ZS.read_jsonl_zst_seekable(
-        spark, landing, _CJSONL_SCHEMA, malformed="drop",
-        target_bytes=1 << 16)
+        spark, landing, _CJSONL_SCHEMA, malformed="drop")
     return back.select("event_id", "user_id", "event_type", "value")
 
 

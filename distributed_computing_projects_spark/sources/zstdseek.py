@@ -127,14 +127,15 @@ def read_seek_table(path: str):
     return parse_seek_table(tail, size)
 
 
-def plan_splits(paths, target_bytes: int = 1 << 27):
+def plan_splits(paths, target_bytes: int = 1 << 27, tables=None):
     """Split rows over seekable files: consecutive frames grouped
     until ``target_bytes`` DECOMPRESSED bytes (the executor-memory
     coordinate). Non-seekable files become one streaming whole-file
     split each. Returns dict rows for ``createDataFrame``."""
     splits = []
     for path in paths:
-        entries = read_seek_table(path)
+        entries = tables[path] if tables is not None \
+            else read_seek_table(path)
         if not entries:
             splits.append(dict(
                 path=path, c_off=0,
@@ -341,12 +342,18 @@ def _resolve(path: str):
 
 
 def seekable_lines(spark: SparkSession, path: str,
-                   target_bytes: int = 1 << 27) -> DataFrame:
+                   target_bytes: int | None = None) -> DataFrame:
     """``value: string`` lines over seekable ``.zst`` files with
     INTRA-file parallelism: plan-time tail reads build the split
     table, one task decodes one frame range. Non-UTF-8 lines drop
     (the compressed_lines policy); non-seekable files degrade to one
-    whole-file split through ``compressed.iter_lines``."""
+    whole-file split through ``compressed.iter_lines``.
+
+    ``target_bytes=None`` sizes splits ADAPTIVELY — total decompressed
+    bytes over ``2 x defaultParallelism``, clamped to [64 KiB,
+    128 MiB] (Spark's own maxPartitionBytes/minPartitionNum shape):
+    small fixtures still exercise >1 split, huge shards neither
+    fragment into thousand-task confetti nor under-parallelize."""
     import pandas as pd
 
     from distributed_computing_projects_spark.sources.compressed import (
@@ -354,7 +361,14 @@ def seekable_lines(spark: SparkSession, path: str,
     )
 
     files = _resolve(path)
-    splits = plan_splits(files, target_bytes)
+    tables = {p: read_seek_table(p) for p in files}
+    if target_bytes is None:
+        total = sum(
+            sum(d for _, _, d in t) if t else os.path.getsize(p)
+            for p, t in tables.items())
+        par = max(spark.sparkContext.defaultParallelism, 1)
+        target_bytes = min(max(total // (par * 2), 1 << 16), 1 << 27)
+    splits = plan_splits(files, target_bytes, tables=tables)
     if not splits:
         return spark.createDataFrame([], "value string")
     rows = [(s["path"], s["c_off"], s["c_len"], s["d_off"],
@@ -403,7 +417,8 @@ def seekable_lines(spark: SparkSession, path: str,
 
 def read_jsonl_zst_seekable(spark: SparkSession, path: str, schema,
                             malformed: str = "drop",
-                            target_bytes: int = 1 << 27) -> DataFrame:
+                            target_bytes: int | None = None
+                            ) -> DataFrame:
     """``read_jsonl`` over seekable ``.jsonl.zst`` with intra-file
     splits — the same ``parse_jsonl_lines`` stage and malformed
     policy as every other JSONL producer."""
