@@ -154,9 +154,9 @@ def test_spark_stage(spark):
     assert rows[1] == want
 
 
-def test_cli_pptx_text(tmp_path, capsys):
+def test_cli_pptx_text(spark, tmp_path, capsys):
     from distributed_computing_projects_spark.cli import main
 
     (tmp_path / "deck.pptx").write_bytes(build_pptx([["hello deck"]]))
-    assert main(["pptx-text", str(tmp_path)]) == 0
+    assert main(["pptx-text", str(tmp_path)], spark=spark) == 0
     assert "hello deck" in capsys.readouterr().out

@@ -121,9 +121,9 @@ def test_spark_stage(spark):
     assert out[2] == "short café"
 
 
-def test_cli_rtf_text(tmp_path, capsys):
+def test_cli_rtf_text(spark, tmp_path, capsys):
     from distributed_computing_projects_spark.cli import main
 
     (tmp_path / "doc.rtf").write_bytes(build_rtf(["cli rtf body"]))
-    assert main(["rtf-text", str(tmp_path)]) == 0
+    assert main(["rtf-text", str(tmp_path)], spark=spark) == 0
     assert "cli rtf body" in capsys.readouterr().out

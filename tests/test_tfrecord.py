@@ -166,13 +166,13 @@ def test_float32_precision_contract():
     assert feats["v"][1][0] != v
 
 
-def test_cli_tfrecord_scan(tmp_path, capsys):
+def test_cli_tfrecord_scan(spark, tmp_path, capsys):
     from distributed_computing_projects_spark.cli import main
 
     (tmp_path / "a.tfrecord").write_bytes(build_tfrecord(
         [build_example({"id": i, "name": f"n{i}"}) for i in range(3)]))
     rc = main(["tfrecord-scan", str(tmp_path),
-               "--ddl", "id bigint, name string"])
+               "--ddl", "id bigint, name string"], spark=spark)
     assert rc == 0
     out = capsys.readouterr().out
     assert "n2" in out

@@ -422,6 +422,32 @@ def run_factor(spark, factor: int) -> dict:
         timed(spark, m, "mbox_extract_emails",
               lambda: reg["mbox_extract_emails"].fn(spark, work)
               .count())
+        spark.catalog.clearCache()
+        # r15: tfrecord (CRC-32C frame walk + protobuf Example decode
+        # over the scaled events), pptx (fifth zip-of-XML walk incl.
+        # the presentation->rels chain), rtf (control-word token
+        # walk) — linearity in rows/docs like the rest of the family
+        timed(spark, m, "tfrecord_scan",
+              lambda: reg["tfrecord_scan"].fn(spark, work).count())
+        spark.catalog.clearCache()
+        timed(spark, m, "pptx_extract_text",
+              lambda: reg["pptx_extract_text"].fn(spark, work)
+              .count())
+        spark.catalog.clearCache()
+        timed(spark, m, "rtf_extract_text",
+              lambda: reg["rtf_extract_text"].fn(spark, work).count())
+        spark.catalog.clearCache()
+        # r15: the seekable-zstd splittable scan. The claim is not
+        # just linearity but INTRA-FILE parallelism — one big .zst,
+        # many tasks — so the split count rides in the row (tasks=).
+        # The DataFrame is built ONCE outside timed(): the lambda
+        # then measures the user-paid split decode, not the fixture
+        # staging (the avro-attribution lesson, applied up front).
+        if ONLY is None or "jsonl_zst_seekable_scan" in ONLY:
+            seek_df = reg["jsonl_zst_seekable_scan"].fn(spark, work)
+            timed(spark, m, "jsonl_zst_seekable_scan",
+                  lambda: seek_df.count(),
+                  tasks=seek_df.rdd.getNumPartitions())
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.catalog.clearCache()
@@ -546,7 +572,14 @@ def _write_md(out: dict) -> None:
         n for r in runs for n in r["metrics"]
     ))
     for name in names:
-        secs = [str(r["metrics"].get(name, {}).get("sec", "—"))
+        # the one DESIGNED gap gets an explicit label, so the only
+        # non-numeric cell in the table is documented, not ambiguous:
+        # sized_exact is the agreement oracle for the two-level path
+        # and runs factors <= 10 by design (it is exact-pair O(cell^2)
+        # ground truth, not a scaled operator)
+        absent = ("n/a (agreement oracle, factors <=10 by design)"
+                  if name == "dedup_semantic_sized_exact" else "—")
+        secs = [str(r["metrics"].get(name, {}).get("sec", absent))
                 for r in runs]
         v = next(r["metrics"][name] for r in reversed(runs)
                  if name in r["metrics"])
