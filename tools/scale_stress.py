@@ -694,7 +694,29 @@ def _write_md(out: dict) -> None:
         "table's row-count column caught in round 14. "
         "mbox_extract_emails and arrow_events_roundtrip follow the "
         "same split (per-doc MIME builds / staging dominate; the "
-        "extraction walks are the linear part).",
+        "extraction walks are the linear part). Round 15: "
+        "tfrecord_scan's 332.6 s at 100x was ATTRIBUTED the same way "
+        "(tools/tfrecord_attribution.py, 3.33M records): 83.9% is "
+        "fixture construction only the harness pays — the driver's "
+        "single-threaded Example encode + CRC framing (198.6 s) and "
+        "json.loads staging (28.3 s) — while the stage a "
+        "read_tfrecord USER pays measured 45.2 s, and even that is "
+        "bounded by the fixture's FOUR shard files (per-file "
+        "parallelism, 4 of 32 cores busy): the single-threaded "
+        "per-record Python cost is 65 us/record (frame walk + "
+        "CRC-32C 19.6 s + Example decode 34.6 s per 833k-record "
+        "shard), so a realistic many-shard landing zone decodes "
+        "~10M rows in ~7 s on 32 cores — and the "
+        "convert-once-to-parquet discipline applies as with avro. "
+        "pptx_extract_text and rtf_extract_text are the per-row "
+        "Arrow extraction shape (linear in docs: 35.0 s / 12.4 s at "
+        "500k). jsonl_zst_seekable_scan is the round-15 scale "
+        "HEADLINE of this table: ONE seekable .zst file carrying "
+        "3.33M rows decodes in 5.8 s across tasks=62 intra-file "
+        "frame-range splits (the tasks column is measured from the "
+        "plan) — at 2x..100x the row stays near-flat (0.84 -> 5.8 s) "
+        "because added data buys added splits, which is exactly the "
+        "property the per-file .zst walk could not offer.",
     ]
     if "candidates" in out:
         lines += _candidates_md(out["candidates"])
