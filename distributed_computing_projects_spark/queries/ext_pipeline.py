@@ -437,6 +437,89 @@ def q_jsonl_zst_seekable_scan(spark, sf_dir):
     return back.select("event_id", "user_id", "event_type", "value")
 
 
+_BGZF_ORACLE = """
+    SELECT event_id, user_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events WHERE event_id % 5 = 3
+    """
+
+
+def _build_bgzf_landing(spark, sf_dir, family):
+    """Fixture stage for the BGZF query: stage an events subset as
+    JSONL, concatenate MOST shards into ONE .jsonl.gz whose BGZF
+    members cut every 16 KiB at arbitrary byte positions (mid-line on
+    purpose), keep the last shard as PLAIN single-stream gzip (the
+    whole-file fallback on the same hash path), inject malformed
+    lines at head and tail of both. Returns (work, landing)."""
+    import gzip as gzmod
+    import shutil
+
+    from distributed_computing_projects_spark.sources import bgzf as BG
+
+    work = _session_scratch(spark, family, sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    stage = os.path.join(work, "stage")
+    landing = os.path.join(work, "landing")
+    (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 5 == 3)
+        .select("event_id", "user_id", "event_type", "value")
+        .repartition(4)
+        .write.json(stage)
+    )
+    os.makedirs(landing)
+    shard_lines = []
+    for name in sorted(os.listdir(stage)):
+        if name.startswith("part-"):
+            with open(os.path.join(stage, name), "rb") as f:
+                shard_lines.append(
+                    [ln for ln in f.read().split(b"\n") if ln])
+    big = shard_lines[:-1] or shard_lines
+    rest = shard_lines[-1] if len(shard_lines) > 1 else []
+    big_lines = [b'{"event_id": 999999999, "user_id": tru']
+    for chunk in big:
+        big_lines.extend(chunk)
+    big_lines.append(b"not json at all")
+    with open(os.path.join(landing, "big.jsonl.gz"), "wb") as f:
+        f.write(BG.write_bgzf(b"\n".join(big_lines) + b"\n",
+                              member_bytes=1 << 14))
+    if rest:
+        tail = [b'{"event_id": 999999998, "user_id": fal'] + rest \
+            + [b"still not json"]
+        with open(os.path.join(landing, "plain.jsonl.gz"), "wb") as f:
+            f.write(gzmod.compress(b"\n".join(tail) + b"\n"))
+    shutil.rmtree(stage, ignore_errors=True)
+    return work, landing
+
+
+@query(
+    "jsonl_bgzf_scan",
+    oracle=_BGZF_ORACLE,
+    doc="BGZF splittable gzip ingest (sources/bgzf.py) — the OTHER "
+        "standard splittable compressed container next to "
+        "seekable-zstd, from the public SAM/BAM spec: every gzip "
+        "member's compressed length rides in its own BC extra "
+        "subfield, so the member chain IS the seek index (no tail "
+        "table) and a bgzip'd .jsonl.gz splits across tasks from a "
+        "~18-bytes-per-member driver-side header hop. Line ownership "
+        "REUSES the seekable-zstd split walker verbatim — "
+        "zlib.decompressobj(wbits=31) satisfies the same bz2-style "
+        "contract, one protocol across zstd frames and gzip members "
+        "— with the fixture's members cut every 16 KiB mid-LINE so "
+        "the skip/extend protocol is on the hash path; a PLAIN "
+        "single-stream gzip shard rides alongside through the "
+        "whole-file fallback, and malformed head/tail lines exercise "
+        "the shared from_json drop policy.",
+)
+def q_jsonl_bgzf_scan(spark, sf_dir):
+    from distributed_computing_projects_spark.sources import bgzf as BG
+
+    _, landing = _build_bgzf_landing(spark, sf_dir, "jsonl_bgzf")
+    back = BG.read_jsonl_bgzf(
+        spark, landing, _CJSONL_SCHEMA, malformed="drop")
+    return back.select("event_id", "user_id", "event_type", "value")
+
+
 _AVRO_EVENTS_SCHEMA = {
     "type": "record", "name": "Event", "fields": [
         {"name": "event_id", "type": "long"},
