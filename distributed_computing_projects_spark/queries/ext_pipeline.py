@@ -437,6 +437,48 @@ def q_jsonl_zst_seekable_scan(spark, sf_dir):
     return back.select("event_id", "user_id", "event_type", "value")
 
 
+@query(
+    "seekable_sink_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events WHERE event_id % 7 = 2
+    """,
+    doc="SEEKABLE-zstd sink/source roundtrip — the write side of the "
+        "splittable loop (sources/zstdseek.write_jsonl_seekable): "
+        "every partition streams its JSON lines into ONE seekable "
+        ".jsonl.zst shard, frames cut at 4 KiB BYTE positions with "
+        "the spec seek table appended, committed by write-to-temp + "
+        "atomic os.replace (a task retry can never publish a torn "
+        "shard). The shards are then read back through the "
+        "SPLITTABLE reader — so the sink's frame framing, the seek "
+        "table it writes, AND the reader's ownership protocol over "
+        "the sink's mid-line frame cuts all sit on one hash path "
+        "against the parquet-side oracle. The 100 TB point: engine "
+        "exports stop being one-file-one-task no matter how large a "
+        "shard grows.",
+)
+def q_seekable_sink_roundtrip(spark, sf_dir):
+    import shutil
+
+    from distributed_computing_projects_spark.sources import (
+        zstdseek as ZS,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 7 == 2)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    work = _session_scratch(spark, "seek_sink", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    out = os.path.join(work, "out")
+    ZS.write_jsonl_seekable(ev.repartition(4), out,
+                            frame_bytes=1 << 12)
+    back = ZS.read_jsonl_zst_seekable(spark, out, _CJSONL_SCHEMA)
+    return back.select("event_id", "user_id", "event_type", "value")
+
+
 _BGZF_ORACLE = """
     SELECT event_id, user_id, event_type,
            CAST(value AS DOUBLE) AS value

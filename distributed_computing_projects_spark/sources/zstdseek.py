@@ -430,6 +430,86 @@ def read_jsonl_zst_seekable(spark: SparkSession, path: str, schema,
         seekable_lines(spark, path, target_bytes), schema, malformed)
 
 
+# ---------------------------------------------------------- sink
+
+
+def write_jsonl_seekable(df, path: str, frame_bytes: int = 1 << 22,
+                         level: int = 3) -> int:
+    """Distributed SEEKABLE-zstd sink: every partition writes ONE
+    ``part-NNNNN.jsonl.zst`` shard — JSON lines cut into
+    ``frame_bytes`` frames with the spec seek table appended — via
+    write-to-temp + atomic ``os.replace`` (the catalog commit
+    discipline: a task retry can never leave a torn shard visible).
+    Returns the number of shards written.
+
+    This closes the loop the reader opened: an engine EXPORT is
+    re-readable with intra-file parallelism no matter how large one
+    shard grows, so downstream jobs never hit the one-file-one-task
+    wall that plain ``.jsonl.zst`` exports carry. Frames cut at byte
+    positions (not line boundaries) — the reader's ownership
+    protocol owns that case by construction."""
+    from pyspark import TaskContext
+    from pyspark.sql import functions as F
+
+    backend = zstd_backend()
+    if backend is None:
+        raise RuntimeError("no zstd backend (sources/warc)")
+    os.makedirs(path, exist_ok=True)
+    lines = df.select(
+        F.to_json(F.struct(*df.columns)).alias("value"))
+
+    compress = backend[0]
+
+    def write_partition(rows):
+        # frames stream to the temp file as they fill — task memory
+        # is O(frame_bytes), never O(partition)
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        final = os.path.join(path, f"part-{pid:05d}.jsonl.zst")
+        tmp = final + f".tmp-{ctx.taskAttemptId() if ctx else 0}"
+        entries = []
+        buf = bytearray()
+        f = None
+        try:
+            for row in rows:
+                if f is None:
+                    f = open(tmp, "wb")
+                buf += row.value.encode("utf-8") + b"\n"
+                while len(buf) >= frame_bytes:
+                    plain = bytes(buf[:frame_bytes])
+                    del buf[:frame_bytes]
+                    frame = compress(plain, level)
+                    entries.append((len(frame), len(plain)))
+                    f.write(frame)
+            if f is None:
+                return iter(())  # empty partition: no shard
+            if buf:
+                frame = compress(bytes(buf), level)
+                entries.append((len(frame), len(buf)))
+                f.write(frame)
+            content = b"".join(struct.pack("<II", c, d)
+                               for c, d in entries)
+            content += struct.pack("<IBI", len(entries), 0,
+                                   SEEKABLE_MAGIC)
+            f.write(struct.pack("<II", SKIPPABLE_MAGIC, len(content))
+                    + content)
+            f.close()
+            f = None
+            os.replace(tmp, final)  # atomic publish (retry-safe)
+            return iter((1,))
+        finally:
+            if f is not None:
+                f.close()
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+
+    # foreachPartition-shaped sink; the tiny count() drives execution
+    # and returns the shard tally (one element per non-empty part)
+    return lines.rdd.mapPartitions(write_partition).count()
+
+
 # ------------------------------------------------------ fixture twin
 
 

@@ -140,6 +140,45 @@ def test_spark_intra_file_parallelism(spark, tmp_path):
     assert lines.count() == 20000
 
 
+def test_sink_roundtrip_and_atomicity(spark, tmp_path):
+    """The distributed sink writes one seekable shard per non-empty
+    partition (atomic rename: no .tmp files survive), each carrying
+    a valid seek table, and the splittable reader round-trips the
+    rows exactly."""
+    from distributed_computing_projects_spark.sources.zstdseek import (
+        write_jsonl_seekable,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"name-{i}") for i in range(5000)], "id bigint, s string")
+    out = tmp_path / "out"
+    n = write_jsonl_seekable(df.repartition(3), str(out),
+                             frame_bytes=1 << 10)
+    assert n == 3
+    files = sorted(os.listdir(out))
+    assert files == [f"part-{i:05d}.jsonl.zst" for i in range(3)]
+    assert not any(".tmp" in f for f in files)
+    for f in files:
+        entries = read_seek_table(str(out / f))
+        assert entries is not None and len(entries) > 1
+    lines = seekable_lines(spark, str(out), target_bytes=1 << 12)
+    assert lines.count() == 5000
+    got = sorted(int(v.split('"id":')[1].split(",")[0].strip("} "))
+                 for v in (r.value for r in lines.collect()))
+    assert got == list(range(5000))
+
+
+def test_sink_skips_empty_partitions(spark, tmp_path):
+    from distributed_computing_projects_spark.sources.zstdseek import (
+        write_jsonl_seekable,
+    )
+
+    df = spark.createDataFrame([(1,)], "id bigint").repartition(8)
+    out = tmp_path / "out"
+    n = write_jsonl_seekable(df, str(out), frame_bytes=1 << 10)
+    assert n == 1 and len(os.listdir(out)) == 1
+
+
 def test_spark_read_jsonl_mixed_landing(spark, tmp_path):
     from pyspark.sql.types import LongType, StructField, StructType
 
