@@ -437,6 +437,95 @@ def q_jsonl_zst_seekable_scan(spark, sf_dir):
     return back.select("event_id", "user_id", "event_type", "value")
 
 
+def _build_xzblocks_landing(spark, sf_dir, family):
+    """Fixture stage for the multi-block xz query: most shards into
+    ONE multi-block .jsonl.xz (4 KiB blocks cut mid-line, CRC32
+    check), the last shard as SINGLE-block plain lzma.compress (the
+    whole-file fallback), malformed lines at head and tail of both.
+    Returns (work, landing)."""
+    import lzma as lzmod
+    import shutil
+
+    from distributed_computing_projects_spark.sources import (
+        xzseek as XZ,
+    )
+
+    work = _session_scratch(spark, family, sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    stage = os.path.join(work, "stage")
+    landing = os.path.join(work, "landing")
+    (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 7 == 5)
+        .select("event_id", "user_id", "event_type", "value")
+        .repartition(4)
+        .write.json(stage)
+    )
+    os.makedirs(landing)
+    shard_lines = []
+    for name in sorted(os.listdir(stage)):
+        if name.startswith("part-"):
+            with open(os.path.join(stage, name), "rb") as f:
+                shard_lines.append(
+                    [ln for ln in f.read().split(b"\n") if ln])
+    big = shard_lines[:-1] or shard_lines
+    rest = shard_lines[-1] if len(shard_lines) > 1 else []
+    big_lines = [b'{"event_id": 999999999, "user_id": tru']
+    for chunk in big:
+        big_lines.extend(chunk)
+    big_lines.append(b"not json at all")
+    with open(os.path.join(landing, "big.jsonl.xz"), "wb") as f:
+        f.write(XZ.write_multiblock_xz(b"\n".join(big_lines) + b"\n",
+                                       block_bytes=1 << 12))
+    if rest:
+        tail = [b'{"event_id": 999999998, "user_id": fal'] + rest \
+            + [b"still not json"]
+        with open(os.path.join(landing, "plain.jsonl.xz"), "wb") as f:
+            f.write(lzmod.compress(b"\n".join(tail) + b"\n"))
+    shutil.rmtree(stage, ignore_errors=True)
+    return work, landing
+
+
+@query(
+    "jsonl_xz_blocks_scan",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events WHERE event_id % 7 = 5
+    """,
+    doc="Multi-block XZ splittable ingest (sources/xzseek.py) — the "
+        "THIRD splittable container on the one split protocol: "
+        "xz -T0 (how anyone compresses a big file on a multi-core "
+        "box) writes a multi-BLOCK stream whose tail index records "
+        "every block's compressed AND decompressed size, so the big "
+        ".jsonl.xz shards in the wild are usually splittable already "
+        "— the engine now exploits it. Per-block decode runs "
+        "containerless: a _BlockDecompressor parses the block "
+        "header, decodes raw LZMA2 through FORMAT_RAW (max_length "
+        "honored — the bomb-bound discipline), verifies CRC32/SHA256 "
+        "checks (CRC64 parsed, not verified — no stdlib CRC64; "
+        "LZMA2's own structure fails corrupt data loudly), and hands "
+        "the rest back as unused_data — satisfying the SAME "
+        "concatenated-frames contract the seekable-zstd walker "
+        "targets, so line ownership reuses zstdseek.split_lines "
+        "verbatim. The fixture's 4 KiB blocks cut mid-line; a "
+        "SINGLE-block plain-lzma shard rides the whole-file "
+        "fallback; malformed head/tail lines exercise the shared "
+        "from_json drop policy. The companion pytest proves the xz "
+        "CLI decodes the builder's stream byte-exact AND that a real "
+        "xz -T4 --block-size CLI file splits and reads exactly.",
+)
+def q_jsonl_xz_blocks_scan(spark, sf_dir):
+    from distributed_computing_projects_spark.sources import (
+        xzseek as XZ,
+    )
+
+    _, landing = _build_xzblocks_landing(spark, sf_dir, "jsonl_xzb")
+    back = XZ.read_jsonl_xz_blocks(
+        spark, landing, _CJSONL_SCHEMA, malformed="drop")
+    return back.select("event_id", "user_id", "event_type", "value")
+
+
 @query(
     "seekable_sink_roundtrip",
     oracle="""
