@@ -487,6 +487,17 @@ def build_parser() -> argparse.ArgumentParser:
     xl.add_argument("--keep-header", action="store_true",
                     help="do not skip the first spreadsheet row")
 
+    bsc = sub.add_parser(
+        "bson-scan",
+        help="BSON dump scan (sources/bsonfile.py: mongodump layout, "
+             "size-framed document walk, pure stdlib): prints the "
+             "rows under --ddl column types",
+    )
+    bsc.add_argument("path", help="file/dir/glob of .bson dumps")
+    bsc.add_argument("--ddl", required=True,
+                     help="fields as Spark DDL (resolve by name; "
+                          "mis-typed cells null)")
+
     tfr = sub.add_parser(
         "tfrecord-scan",
         help="TFRecord scan (sources/tfrecord.py: masked-CRC-32C "
@@ -1017,6 +1028,12 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
 
             _emit(xlsx.read_xlsx(spark, args.path, args.ddl,
                                  skip_header=not args.keep_header))
+        elif args.cmd == "bson-scan":
+            from distributed_computing_projects_spark.sources import (
+                bsonfile,
+            )
+
+            _emit(bsonfile.read_bson(spark, args.path, args.ddl))
         elif args.cmd == "tfrecord-scan":
             from distributed_computing_projects_spark.sources import (
                 tfrecord,

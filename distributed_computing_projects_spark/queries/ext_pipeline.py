@@ -437,6 +437,96 @@ def q_jsonl_zst_seekable_scan(spark, sf_dir):
     return back.select("event_id", "user_id", "event_type", "value")
 
 
+def _build_bson_landing(spark, sf_dir, family):
+    """Fixture stage for the BSON query: stage an events subset as
+    JSONL, encode each shard as one mongodump-layout .bson with the
+    decoy set — a size-framed document with an UNKNOWN element type
+    at the head (record-granular drop, walk continues: the frame is
+    still trusted), a writer-only nested field on every document, a
+    torn EXTRA document at the tail (complete documents before it
+    survive), and one junk non-BSON file. Returns (work, landing)."""
+    import json as jsonmod
+    import shutil
+    import struct as structmod
+
+    from distributed_computing_projects_spark.sources import (
+        bsonfile as BS,
+    )
+
+    work = _session_scratch(spark, family, sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    stage = os.path.join(work, "stage")
+    landing = os.path.join(work, "landing")
+    (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 7 == 6)
+        .select("event_id", "user_id", "event_type", "value")
+        .repartition(4)
+        .write.json(stage)
+    )
+    os.makedirs(landing)
+    bad_body = bytes([0xEE]) + b"poison\x00"  # unknown element type
+    bad_doc = structmod.pack("<i", len(bad_body) + 5) \
+        + bad_body + b"\x00"
+    i = 0
+    for name in sorted(os.listdir(stage)):
+        if not name.startswith("part-"):
+            continue
+        with open(os.path.join(stage, name), "rb") as f:
+            recs = [jsonmod.loads(ln) for ln in f.read().splitlines()
+                    if ln]
+        docs = [{"event_id": r["event_id"], "user_id": r["user_id"],
+                 "event_type": r["event_type"],
+                 "value": r.get("value"),
+                 "meta": {"writer": "only", "n": i}} for r in recs]
+        torn = BS.build_bson_doc({"event_id": 999_000_000 + i})[:-3]
+        with open(os.path.join(landing, f"part-{i}.bson"), "wb") as f:
+            f.write(bad_doc + BS.build_bson_dump(docs) + torn)
+        i += 1
+    with open(os.path.join(landing, "junk.bson"), "wb") as f:
+        f.write(b"this is not bson" * 3)
+    shutil.rmtree(stage, ignore_errors=True)
+    return work, landing
+
+
+@query(
+    "bson_events_scan",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events WHERE event_id % 7 = 6
+    """,
+    doc="BSON dump ingest (sources/bsonfile.py) — the .bson files "
+        "mongodump writes (MongoDB archives are a real corpus "
+        "source: forum dumps, product catalogs, scraped-site "
+        "databases), which nothing in Spark reads: a pure-stdlib "
+        "walk of the public BSON 1.1 spec — size-framed documents "
+        "concatenated with no container header, elements decoded by "
+        "type byte (int32/int64/double/string/bool/null/binary/"
+        "ObjectId/datetime/embedded docs/arrays), DDL-by-name "
+        "resolution with per-cell nulling adapters. Drop granularity "
+        "is frame-derived like TFRecord: a document whose ELEMENTS "
+        "are malformed drops record-granularly (the leading size "
+        "still locates the next document — the fixture plants an "
+        "unknown-type decoy at every shard head), while an absurd "
+        "size or torn tail stops the stream keeping complete "
+        "documents (a truncated extra document rides every shard "
+        "tail). Writer-only nested fields are discarded; BSON "
+        "doubles are IEEE 8-byte so value survives bit-exact.",
+)
+def q_bson_events_scan(spark, sf_dir):
+    from distributed_computing_projects_spark.sources import (
+        bsonfile as BS,
+    )
+
+    _, landing = _build_bson_landing(spark, sf_dir, "bson_events")
+    back = BS.read_bson(
+        spark, landing,
+        "event_id bigint, user_id bigint, event_type string, "
+        "value double")
+    return back.select("event_id", "user_id", "event_type", "value")
+
+
 def _build_xzblocks_landing(spark, sf_dir, family):
     """Fixture stage for the multi-block xz query: most shards into
     ONE multi-block .jsonl.xz (4 KiB blocks cut mid-line, CRC32
