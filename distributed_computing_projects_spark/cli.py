@@ -511,6 +511,21 @@ def build_parser() -> argparse.ArgumentParser:
                           "single-element lists, array<...> takes "
                           "the list)")
 
+    sq = sub.add_parser(
+        "sqlite-scan",
+        help="SQLite database scan (sources/sqlitefile.py: b-tree "
+             "page walk of the public file format, pure stdlib): "
+             "prints one table's rows under --ddl column types",
+    )
+    sq.add_argument("path", help="file/dir/glob of .sqlite/.db files")
+    sq.add_argument("--table", required=True,
+                    help="table name (rowid tables only; WITHOUT "
+                         "ROWID tables drop)")
+    sq.add_argument("--ddl", required=True,
+                    help="columns as Spark DDL (resolve by name "
+                         "against CREATE TABLE; mis-typed cells "
+                         "null)")
+
     ai = sub.add_parser(
         "arrow-scan",
         help="Arrow IPC / Feather scan (sources/arrowipc.py, both "
@@ -1040,6 +1055,13 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             )
 
             _emit(tfrecord.read_tfrecord(spark, args.path, args.ddl))
+        elif args.cmd == "sqlite-scan":
+            from distributed_computing_projects_spark.sources import (
+                sqlitefile,
+            )
+
+            _emit(sqlitefile.read_sqlite(spark, args.path,
+                                         args.table, args.ddl))
         elif args.cmd == "arrow-scan":
             import glob as globmod
 

@@ -1682,3 +1682,119 @@ def q_training_corpus_wire(spark, sf_dir):
             F.sum("n_tokens").alias("total_chunk_tokens"),
         )
     )
+
+
+def _build_sqlite_landing(spark, sf_dir, family):
+    """Fixture stage for the SQLite query: stage an events subset as
+    JSONL, write each shard as one .sqlite database THROUGH THE
+    FORMAT'S REFERENCE IMPLEMENTATION (stdlib sqlite3 — no builder
+    twin: every fixture byte is SQLite's own), with the decoy set —
+    a writer-only long-text column FIRST in the column order (so the
+    real columns ride behind overflow chains at the 1 KiB page
+    geometry), event_id as INTEGER PRIMARY KEY (stored NULL in
+    records, its value only recoverable through the rowid-alias
+    rule), a decoy index + view + second table with clashing values,
+    a WITHOUT ROWID decoy table, one UTF-16 shard, one database
+    missing the target table, and one junk non-SQLite file.
+    Returns (work, landing)."""
+    import json as jsonmod
+    import shutil
+    import sqlite3
+
+    work = _session_scratch(spark, family, sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    stage = os.path.join(work, "stage")
+    landing = os.path.join(work, "landing")
+    (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 7 == 4)
+        .select("event_id", "user_id", "event_type", "value")
+        .repartition(4)
+        .write.json(stage)
+    )
+    os.makedirs(landing)
+    i = 0
+    for name in sorted(os.listdir(stage)):
+        if not name.startswith("part-"):
+            continue
+        with open(os.path.join(stage, name), "rb") as f:
+            recs = [jsonmod.loads(ln) for ln in f.read().splitlines()
+                    if ln]
+        db_path = os.path.join(landing, f"part-{i}.sqlite")
+        con = sqlite3.connect(db_path)
+        if i == 1:
+            con.execute("PRAGMA encoding='UTF-16'")  # enc decoy
+        con.execute("PRAGMA page_size=1024")
+        con.execute(
+            "CREATE TABLE events (note TEXT, event_id INTEGER "
+            "PRIMARY KEY, user_id INTEGER, event_type TEXT, "
+            "value REAL)")
+        con.executemany(
+            "INSERT INTO events VALUES (?,?,?,?,?)",
+            [("overflow " * 150 if r["event_id"] % 16 == 0
+              else "short", r["event_id"], r["user_id"],
+              r["event_type"], r.get("value")) for r in recs])
+        con.execute("CREATE INDEX ix_events ON events(user_id)")
+        con.execute("CREATE VIEW events_vw AS SELECT event_id "
+                    "FROM events")
+        con.execute("CREATE TABLE decoy (event_id INTEGER, "
+                    "user_id INTEGER)")
+        con.execute("INSERT INTO decoy VALUES (123456789, 1)")
+        con.execute("CREATE TABLE wr (k TEXT PRIMARY KEY, "
+                    "v INTEGER) WITHOUT ROWID")
+        con.execute("INSERT INTO wr VALUES ('poison', 42)")
+        con.commit()
+        con.close()
+        i += 1
+    con = sqlite3.connect(os.path.join(landing, "no-table.sqlite"))
+    con.execute("CREATE TABLE other (x INTEGER)")
+    con.commit()
+    con.close()
+    with open(os.path.join(landing, "junk.sqlite"), "wb") as f:
+        f.write(b"this is not a sqlite file" * 4)
+    shutil.rmtree(stage, ignore_errors=True)
+    return work, landing
+
+
+@query(
+    "sqlite_events_scan",
+    headline=True,
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events WHERE event_id % 7 = 4
+    """,
+    doc="SQLite database file ingest (sources/sqlitefile.py) — the "
+        ".sqlite/.db container that application exports, research "
+        "datasets, and open-data dumps ship, which Spark cannot read "
+        "at all (a JDBC hop needs a server a pile of dump files does "
+        "not have): a pure-stdlib walk of the public file-format "
+        "spec — header geometry, interior/leaf table b-trees via the "
+        "cell pointer array, the local-payload formula + overflow "
+        "chains, serial-type record decode in all three text "
+        "encodings, the INTEGER-PRIMARY-KEY rowid-alias rule "
+        "recovered from the stored CREATE TABLE text. The fixture is "
+        "written by the format's REFERENCE IMPLEMENTATION (stdlib "
+        "sqlite3), so reader and fixture share no code; the decoys "
+        "put every hazard on the hash path: a long writer-only "
+        "column FIRST pushes real columns into overflow chains, "
+        "event_id arrives only through the rowid alias, index/view/"
+        "decoy-table/WITHOUT-ROWID neighbours must stay invisible, "
+        "one shard is UTF-16, one database lacks the table (TABLE "
+        "drop), one file is junk (FILE drop). Drops are "
+        "pointer-granular: a malformed cell drops the ROW, the array "
+        "locates the rest. REAL doubles are IEEE 8-byte so value "
+        "survives bit-exact.",
+)
+def q_sqlite_events_scan(spark, sf_dir):
+    from distributed_computing_projects_spark.sources import (
+        sqlitefile as SQ,
+    )
+
+    _, landing = _build_sqlite_landing(spark, sf_dir,
+                                       "sqlite_events")
+    back = SQ.read_sqlite(
+        spark, landing, "events",
+        "event_id bigint, user_id bigint, event_type string, "
+        "value double")
+    return back.select("event_id", "user_id", "event_type", "value")
