@@ -526,6 +526,22 @@ def build_parser() -> argparse.ArgumentParser:
                          "against CREATE TABLE; mis-typed cells "
                          "null)")
 
+    dl = sub.add_parser(
+        "delta-scan",
+        help="Delta Lake table read (sources/deltalake.py: public "
+             "transaction-log protocol — checkpoint + JSON replay, "
+             "tombstones, partition values from the log): prints "
+             "the table's committed rows",
+    )
+    dl.add_argument("path", help="Delta table root (contains "
+                                 "_delta_log/)")
+    dl.add_argument("--version", type=int, default=None,
+                    help="time-travel to this commit version")
+    dl.add_argument("--partition", action="append", default=None,
+                    metavar="COL=VALUE",
+                    help="equality partition prune (repeatable); "
+                         "files are skipped before any I/O")
+
     ai = sub.add_parser(
         "arrow-scan",
         help="Arrow IPC / Feather scan (sources/arrowipc.py, both "
@@ -1062,6 +1078,18 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
 
             _emit(sqlitefile.read_sqlite(spark, args.path,
                                          args.table, args.ddl))
+        elif args.cmd == "delta-scan":
+            from distributed_computing_projects_spark.sources import (
+                deltalake,
+            )
+
+            parts = None
+            if args.partition:
+                parts = dict(kv.split("=", 1)
+                             for kv in args.partition)
+            _emit(deltalake.read_delta(spark, args.path,
+                                       version=args.version,
+                                       partitions=parts))
         elif args.cmd == "arrow-scan":
             import glob as globmod
 

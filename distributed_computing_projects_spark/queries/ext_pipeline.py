@@ -1798,3 +1798,170 @@ def q_sqlite_events_scan(spark, sf_dir):
         "event_id bigint, user_id bigint, event_type string, "
         "value double")
     return back.select("event_id", "user_id", "event_type", "value")
+
+
+def _build_delta_landing(spark, sf_dir, family):
+    """Fixture stage for the Delta queries: an events subset becomes
+    a PARTITIONED Delta table (by event_type; the partition column is
+    absent from the data files per the protocol), with the log
+    history that puts every replay rule on the hash path —
+    v0 adds all five partitions (two files each), v1 DELETEs the
+    'error' partition (tombstoned files STAY on disk: reading the
+    directory double-counts), v2 deletes 'signup' AND compacts
+    'view' (remove two files + re-add one with the same rows — a
+    path-reconciliation trap), then a CHECKPOINT parquet at v2, then
+    v3 deletes 'purchase' (post-checkpoint JSON replay), plus an
+    orphan parquet never committed. Current state = click + view.
+    Returns (work, table_path)."""
+    import shutil
+
+    from distributed_computing_projects_spark.sources import (
+        deltalake as DL,
+    )
+
+    work = _session_scratch(spark, family, sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    table = os.path.join(work, "table")
+    os.makedirs(table)
+    subset = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 7 == 1)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    etypes = ["click", "error", "purchase", "signup", "view"]
+
+    def _stage_files(df_part, etype, names):
+        """Write df_part as len(names) data files under the
+        partition dir; returns [(relpath, size)]."""
+        stage = os.path.join(work, f"stage-{etype}-{len(names)}")
+        (df_part.repartition(len(names))
+         .write.mode("overwrite").parquet(stage))
+        parts = [n for n in sorted(os.listdir(stage))
+                 if n.startswith("part-") and n.endswith(".parquet")]
+        out = []
+        os.makedirs(os.path.join(table, f"event_type={etype}"),
+                    exist_ok=True)
+        for src, dst in zip(parts, names):
+            rel = f"event_type={etype}/{dst}"
+            os.replace(os.path.join(stage, src),
+                       os.path.join(table, rel))
+            out.append((rel, os.path.getsize(
+                os.path.join(table, rel))))
+        shutil.rmtree(stage, ignore_errors=True)
+        return out
+
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("event_type", StringType()),
+    ])
+    v0_acts = [DL.protocol_action(),
+               DL.metadata_action(schema, ["event_type"])]
+    part_files = {}
+    for et in etypes:
+        files = _stage_files(
+            subset.filter(F.col("event_type") == et)
+            .select("event_id", "user_id", "value"),
+            et, [f"part-{et}-0.parquet", f"part-{et}-1.parquet"])
+        part_files[et] = files
+        for rel, size in files:
+            v0_acts.append(
+                DL.add_action(rel, {"event_type": et}, size))
+    DL.commit_json(table, 0, v0_acts)
+    DL.commit_json(table, 1, [
+        DL.remove_action(rel) for rel, _s in part_files["error"]])
+    compacted = _stage_files(
+        subset.filter(F.col("event_type") == "view")
+        .select("event_id", "user_id", "value"),
+        "view", ["part-view-compact.parquet"])
+    DL.commit_json(table, 2, [
+        *[DL.remove_action(rel) for rel, _s in part_files["signup"]],
+        *[DL.remove_action(rel) for rel, _s in part_files["view"]],
+        *[DL.add_action(rel, {"event_type": "view"}, size)
+          for rel, size in compacted],
+    ])
+    DL.write_checkpoint(spark, table, 2)
+    DL.commit_json(table, 3, [
+        DL.remove_action(rel)
+        for rel, _s in part_files["purchase"]])
+    # uncommitted orphan: in the directory, not in the log
+    orphan_stage = os.path.join(work, "orphan-stage")
+    (spark.createDataFrame(
+        [(999_999_999, 1, -1.0)],
+        StructType(schema.fields[:3]))
+     .coalesce(1).write.mode("overwrite").parquet(orphan_stage))
+    part = next(n for n in sorted(os.listdir(orphan_stage))
+                if n.startswith("part-") and n.endswith(".parquet"))
+    os.replace(os.path.join(orphan_stage, part),
+               os.path.join(table, "event_type=click",
+                            "orphan.parquet"))
+    shutil.rmtree(orphan_stage, ignore_errors=True)
+    return work, table
+
+
+@query(
+    "delta_table_scan",
+    headline=True,
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events
+    WHERE event_id % 7 = 1 AND event_type IN ('click', 'view')
+    """,
+    doc="Delta Lake table read (sources/deltalake.py) — the "
+        "lakehouse format large corpora already sit in, read from "
+        "the PUBLIC transaction-log protocol with no delta-spark "
+        "dependency: a Delta table is a parquet directory plus a "
+        "log, and reading just the directory reads WRONG data. The "
+        "fixture's log puts every replay rule on the hash path: "
+        "tombstoned partition deletes whose files STAY on disk "
+        "(directory readers double-count), a compaction that "
+        "removes two files and re-adds their rows as one, a "
+        "CHECKPOINT parquet seeding the replay with a later JSON "
+        "commit applied on top, an uncommitted orphan parquet that "
+        "must stay invisible, and partition values that exist ONLY "
+        "in the log (data files lack the event_type column — it is "
+        "attached by a broadcast map-join on input_file_name and "
+        "cast from the log's string serialization). The scan itself "
+        "is ONE native parquet FileScan over the active file list "
+        "with the metaData schema pinned; unsupported features "
+        "(reader v2+, column mapping, deletion vectors) refuse "
+        "loudly rather than read wrong.",
+)
+def q_delta_table_scan(spark, sf_dir):
+    from distributed_computing_projects_spark.sources import (
+        deltalake as DL,
+    )
+
+    _, table = _build_delta_landing(spark, sf_dir, "delta_scan")
+    df = DL.read_delta(spark, table)
+    return df.select("event_id", "user_id", "event_type", "value")
+
+
+@query(
+    "delta_time_travel_scan",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events
+    WHERE event_id % 7 = 1 AND event_type <> 'error'
+    """,
+    doc="Delta Lake TIME TRAVEL (sources/deltalake.py, version=1) — "
+        "the replay stops at the requested commit: the v2 "
+        "compaction, the v2 CHECKPOINT (which is NEWER than the "
+        "target and must be ignored — a reader that seeds from any "
+        "available checkpoint reads the future), and the v3 delete "
+        "must all be invisible, so the result is the v1 state: "
+        "everything except the 'error' partition deleted at v1. "
+        "Same table fixture as delta_table_scan; the two oracles "
+        "differ exactly by the post-v1 history.",
+)
+def q_delta_time_travel_scan(spark, sf_dir):
+    from distributed_computing_projects_spark.sources import (
+        deltalake as DL,
+    )
+
+    _, table = _build_delta_landing(spark, sf_dir, "delta_tt")
+    df = DL.read_delta(spark, table, version=1)
+    return df.select("event_id", "user_id", "event_type", "value")
