@@ -542,6 +542,22 @@ def build_parser() -> argparse.ArgumentParser:
                     help="equality partition prune (repeatable); "
                          "files are skipped before any I/O")
 
+    ib = sub.add_parser(
+        "iceberg-scan",
+        help="Apache Iceberg table read (sources/iceberg.py: "
+             "metadata -> manifest-list -> manifest chain through "
+             "the engine's own Avro decoder, native parquet scan): "
+             "prints the snapshot's rows",
+    )
+    ib.add_argument("path", help="Iceberg table root (contains "
+                                 "metadata/)")
+    ib.add_argument("--snapshot-id", type=int, default=None,
+                    help="time-travel to this snapshot")
+    ib.add_argument("--partition", action="append", default=None,
+                    metavar="COL=VALUE",
+                    help="equality prune at the manifest layer "
+                         "(identity transforms only; repeatable)")
+
     ai = sub.add_parser(
         "arrow-scan",
         help="Arrow IPC / Feather scan (sources/arrowipc.py, both "
@@ -1090,6 +1106,18 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             _emit(deltalake.read_delta(spark, args.path,
                                        version=args.version,
                                        partitions=parts))
+        elif args.cmd == "iceberg-scan":
+            from distributed_computing_projects_spark.sources import (
+                iceberg,
+            )
+
+            parts = None
+            if args.partition:
+                parts = dict(kv.split("=", 1)
+                             for kv in args.partition)
+            _emit(iceberg.read_iceberg(
+                spark, args.path, snapshot_id=args.snapshot_id,
+                partitions=parts))
         elif args.cmd == "arrow-scan":
             import glob as globmod
 

@@ -1965,3 +1965,228 @@ def q_delta_time_travel_scan(spark, sf_dir):
     _, table = _build_delta_landing(spark, sf_dir, "delta_tt")
     df = DL.read_delta(spark, table, version=1)
     return df.select("event_id", "user_id", "event_type", "value")
+
+
+def _build_iceberg_landing(spark, sf_dir, family):
+    """Fixture stage for the Iceberg queries: an events subset
+    becomes an Iceberg v2 table (identity-partitioned by event_type;
+    unlike Delta, the data files CONTAIN the partition column per
+    the spec). Snapshot history on the hash path — snapshot 1 adds
+    all five partitions (two files each); snapshot 2's manifest
+    marks the 'error' files DELETED (they stay on disk) and compacts
+    'view' (two deleted + one added with the same rows), carries the
+    other partitions as EXISTING, and its manifest list includes a
+    DEAD delete manifest (content=1, all entries deleted — must be
+    skipped, not refused). An orphan parquet is never referenced.
+    Manifests and manifest lists are written through the engine's
+    own Avro OCF writer and read back through its own decoder.
+    Returns (work, table_path)."""
+    import shutil
+
+    from distributed_computing_projects_spark.sources import (
+        iceberg as IC,
+    )
+
+    work = _session_scratch(spark, family, sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    table = os.path.join(work, "table")
+    mdir = os.path.join(table, "metadata")
+    os.makedirs(mdir)
+    subset = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 7 == 0)
+        .select("event_id", "user_id", "value", "event_type")
+    )
+    etypes = ["click", "error", "purchase", "signup", "view"]
+    pfields = [("event_type", "string")]
+
+    def _stage_files(df_part, etype, names):
+        stage = os.path.join(work, f"stage-{etype}-{len(names)}")
+        (df_part.repartition(len(names))
+         .write.mode("overwrite").parquet(stage))
+        parts = [n for n in sorted(os.listdir(stage))
+                 if n.startswith("part-") and n.endswith(".parquet")]
+        out = []
+        os.makedirs(os.path.join(table, "data",
+                                 f"event_type={etype}"),
+                    exist_ok=True)
+        for src, dst in zip(parts, names):
+            dest = os.path.join(table, "data",
+                                f"event_type={etype}", dst)
+            os.replace(os.path.join(stage, src), dest)
+            out.append(dest)
+        shutil.rmtree(stage, ignore_errors=True)
+        return out
+
+    def _entry(status, path, etype):
+        return {"status": status, "snapshot_id": 1,
+                "data_file": {"content": 0, "file_path": path,
+                              "file_format": "PARQUET",
+                              "partition": {"event_type": etype},
+                              "record_count": 1,
+                              "file_size_in_bytes":
+                                  os.path.getsize(path)}}
+
+    part_files = {}
+    for et in etypes:
+        part_files[et] = _stage_files(
+            subset.filter(F.col("event_type") == et), et,
+            [f"f-{et}-0.parquet", f"f-{et}-1.parquet"])
+    compacted = _stage_files(
+        subset.filter(F.col("event_type") == "view"), "view",
+        ["f-view-compact.parquet"])
+    _stage_files(
+        spark.createDataFrame(
+            [(999_999_999, 1, -1.0, "click")],
+            "event_id bigint, user_id bigint, value double, "
+            "event_type string"),
+        "click", ["orphan.parquet"])
+
+    m1 = os.path.join(mdir, "m1.avro")
+    s1 = IC.write_manifest(
+        m1, [_entry(1, p, et) for et in etypes
+             for p in part_files[et]], pfields)
+    ml1 = os.path.join(mdir, "snap-1.avro")
+    IC.write_manifest_list(ml1, [
+        {"manifest_path": m1, "manifest_length": s1,
+         "partition_spec_id": 0, "content": 0,
+         "sequence_number": 1, "min_sequence_number": 1,
+         "added_snapshot_id": 1}])
+    m2 = os.path.join(mdir, "m2.avro")
+    entries2 = []
+    for et in etypes:
+        if et == "error":
+            status = 2
+        elif et == "view":
+            status = 2
+        else:
+            status = 0
+        entries2.extend(_entry(status, p, et)
+                        for p in part_files[et])
+    entries2.append(_entry(1, compacted[0], "view"))
+    s2 = IC.write_manifest(m2, entries2, pfields)
+    dead = os.path.join(mdir, "dead-deletes.avro")
+    sd = IC.write_manifest(
+        dead, [{"status": 2, "snapshot_id": 2,
+                "data_file": {"content": 1,
+                              "file_path": os.path.join(
+                                  table, "gone.parquet"),
+                              "file_format": "PARQUET",
+                              "partition": {"event_type": "view"},
+                              "record_count": 0,
+                              "file_size_in_bytes": 0}}], pfields)
+    ml2 = os.path.join(mdir, "snap-2.avro")
+    IC.write_manifest_list(ml2, [
+        {"manifest_path": m2, "manifest_length": s2,
+         "partition_spec_id": 0, "content": 0,
+         "sequence_number": 2, "min_sequence_number": 1,
+         "added_snapshot_id": 2},
+        {"manifest_path": dead, "manifest_length": sd,
+         "partition_spec_id": 0, "content": 1,
+         "sequence_number": 2, "min_sequence_number": 2,
+         "added_snapshot_id": 2}])
+    schema = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "event_id", "required": False,
+         "type": "long"},
+        {"id": 2, "name": "user_id", "required": False,
+         "type": "long"},
+        {"id": 3, "name": "value", "required": False,
+         "type": "double"},
+        {"id": 4, "name": "event_type", "required": False,
+         "type": "string"}]}
+    meta = {
+        "format-version": 2, "table-uuid":
+            "00000000-0000-0000-0000-000000000015",
+        "location": f"file://{table}", "last-sequence-number": 2,
+        "last-updated-ms": 0, "last-column-id": 4,
+        "current-schema-id": 0, "schemas": [schema],
+        "default-spec-id": 0, "partition-specs": [
+            {"spec-id": 0, "fields": [
+                {"name": "event_type", "transform": "identity",
+                 "source-id": 4, "field-id": 1000}]}],
+        "last-partition-id": 1000, "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": 2,
+        "snapshots": [
+            {"snapshot-id": 1, "sequence-number": 1,
+             "timestamp-ms": 0, "manifest-list": ml1,
+             "schema-id": 0, "summary": {"operation": "append"}},
+            {"snapshot-id": 2, "sequence-number": 2,
+             "timestamp-ms": 1, "manifest-list": ml2,
+             "schema-id": 0, "summary": {"operation": "replace"}}],
+        "snapshot-log": [], "metadata-log": [],
+    }
+    import json as jsonmod
+
+    with open(os.path.join(mdir, "v2.metadata.json"), "w",
+              encoding="utf-8") as f:
+        jsonmod.dump(meta, f)
+    return work, table
+
+
+@query(
+    "iceberg_table_scan",
+    headline=True,
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events
+    WHERE event_id % 7 = 0 AND event_type <> 'error'
+    """,
+    doc="Apache Iceberg table read (sources/iceberg.py) — the "
+        "second lakehouse format, read from the public table spec "
+        "with no iceberg-spark runtime by COMPOSING the engine's own "
+        "layers: the metadata->manifest-list->manifest chain is Avro "
+        "and the engine's from-scratch OCF decoder (sources/avro.py) "
+        "reads it (OCF is self-describing, so real writers' richer "
+        "schemas read unchanged); the data files are parquet and "
+        "Spark's native FileScan reads those in ONE scan with the "
+        "converted schema pinned. The fixture's snapshot history "
+        "puts the spec's rules on the hash path: status=DELETED "
+        "entries whose files stay on disk (the 'error' partition "
+        "and the pre-compaction 'view' files double-count if "
+        "read), a compaction re-adding the same rows through one "
+        "file, a DEAD delete manifest (content=1, all entries "
+        "deleted) that must be skipped while LIVE delete files "
+        "refuse loudly, an unreferenced orphan parquet, and "
+        "column-rename detection across historical schemas (name-"
+        "based resolution refuses when any field id ever renamed). "
+        "Unlike Delta, data files CONTAIN identity partition "
+        "columns, so no value injection happens; partitions= prunes "
+        "at the MANIFEST layer before any data I/O.",
+)
+def q_iceberg_table_scan(spark, sf_dir):
+    from distributed_computing_projects_spark.sources import (
+        iceberg as IC,
+    )
+
+    _, table = _build_iceberg_landing(spark, sf_dir, "iceberg_scan")
+    df = IC.read_iceberg(spark, table)
+    return df.select("event_id", "user_id", "event_type", "value")
+
+
+@query(
+    "iceberg_snapshot_scan",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events WHERE event_id % 7 = 0
+    """,
+    doc="Iceberg SNAPSHOT time travel (sources/iceberg.py, "
+        "snapshot_id=1) — Iceberg snapshots are self-contained file "
+        "listings (the structural contrast to Delta's incremental "
+        "log replay, which the engine also implements): reading "
+        "snapshot 1 must see the pre-delete, pre-compaction state — "
+        "all five partitions including 'error' — while the CURRENT "
+        "metadata file already points at snapshot 2. Same table "
+        "fixture as iceberg_table_scan; the two oracles differ "
+        "exactly by the snapshot-2 delete.",
+)
+def q_iceberg_snapshot_scan(spark, sf_dir):
+    from distributed_computing_projects_spark.sources import (
+        iceberg as IC,
+    )
+
+    _, table = _build_iceberg_landing(spark, sf_dir, "iceberg_tt")
+    df = IC.read_iceberg(spark, table, snapshot_id=1)
+    return df.select("event_id", "user_id", "event_type", "value")

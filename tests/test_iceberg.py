@@ -1,0 +1,324 @@
+"""Iceberg reader (sources/iceberg.py): metadata->manifest-list->
+manifest->parquet chain through our own Avro decoder, snapshot time
+travel, manifest-layer pruning, loud refusal of renames/deletes."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+import pytest
+
+from distributed_computing_projects_spark.sources import iceberg as IC
+
+
+SCHEMA = {"type": "struct", "schema-id": 0, "fields": [
+    {"id": 1, "name": "k", "required": False, "type": "long"},
+    {"id": 2, "name": "x", "required": False, "type": "double"},
+    {"id": 3, "name": "et", "required": False, "type": "string"},
+]}
+SPEC = {"spec-id": 0, "fields": [
+    {"name": "et", "transform": "identity", "source-id": 3,
+     "field-id": 1000}]}
+PFIELDS = [("et", "string")]
+
+
+def _write_parquet(spark, dest, rows):
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+    schema = StructType([StructField("k", LongType()),
+                         StructField("x", DoubleType()),
+                         StructField("et", StringType())])
+    stage = dest + ".stage"
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(stage)
+    part = next(n for n in sorted(os.listdir(stage))
+                if n.startswith("part-") and n.endswith(".parquet"))
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    os.replace(os.path.join(stage, part), dest)
+    shutil.rmtree(stage, ignore_errors=True)
+    return os.path.getsize(dest)
+
+
+def _entry(status, path, et, n=1, size=1):
+    return {"status": status, "snapshot_id": 1,
+            "data_file": {"content": 0, "file_path": path,
+                          "file_format": "PARQUET",
+                          "partition": {"et": et},
+                          "record_count": n,
+                          "file_size_in_bytes": size}}
+
+
+def _mref(path, size, content=0):
+    return {"manifest_path": path, "manifest_length": size,
+            "partition_spec_id": 0, "content": content,
+            "sequence_number": 1, "min_sequence_number": 1,
+            "added_snapshot_id": 1}
+
+
+def _write_metadata(table, snapshots, current, version=2,
+                    schemas=None):
+    meta = {
+        "format-version": 2, "table-uuid": str(uuid.uuid4()),
+        "location": f"file://{table}", "last-sequence-number": 2,
+        "last-updated-ms": 0, "last-column-id": 3,
+        "current-schema-id": 0, "schemas": schemas or [SCHEMA],
+        "default-spec-id": 0, "partition-specs": [SPEC],
+        "last-partition-id": 1000, "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": current, "snapshots": snapshots,
+        "snapshot-log": [], "metadata-log": [],
+    }
+    p = os.path.join(table, "metadata",
+                     f"v{version}.metadata.json")
+    with open(p, "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def _make_table(spark, tmp_path):
+    """snap 1: a(click)+b(view)+c(view); snap 2: c deleted, b+c
+    compacted into d(view) — the deleted files STAY on disk; an
+    orphan parquet is never referenced."""
+    table = str(tmp_path / "t")
+    mdir = os.path.join(table, "metadata")
+    os.makedirs(mdir)
+    a = os.path.join(table, "data/et=click/a.parquet")
+    b = os.path.join(table, "data/et=view/b.parquet")
+    c = os.path.join(table, "data/et=view/c.parquet")
+    d = os.path.join(table, "data/et=view/d.parquet")
+    _write_parquet(spark, a, [(1, 1.0, "click")])
+    _write_parquet(spark, b, [(2, 2.0, "view")])
+    _write_parquet(spark, c, [(3, 3.0, "view")])
+    _write_parquet(spark, d, [(2, 2.0, "view"), (3, 3.0, "view")])
+    _write_parquet(spark,
+                   os.path.join(table, "data/et=click/orphan.parquet"),
+                   [(99, -1.0, "click")])
+    m1 = os.path.join(mdir, "m1.avro")
+    s1 = IC.write_manifest(
+        m1, [_entry(1, a, "click"), _entry(1, b, "view"),
+             _entry(1, c, "view")], PFIELDS)
+    ml1 = os.path.join(mdir, "snap-1.avro")
+    IC.write_manifest_list(ml1, [_mref(m1, s1)])
+    m2 = os.path.join(mdir, "m2.avro")
+    s2 = IC.write_manifest(
+        m2, [_entry(0, a, "click"), _entry(2, b, "view"),
+             _entry(2, c, "view"), _entry(1, d, "view")], PFIELDS)
+    ml2 = os.path.join(mdir, "snap-2.avro")
+    IC.write_manifest_list(ml2, [_mref(m2, s2)])
+    snaps = [
+        {"snapshot-id": 1, "sequence-number": 1, "timestamp-ms": 0,
+         "manifest-list": ml1, "schema-id": 0,
+         "summary": {"operation": "append"}},
+        {"snapshot-id": 2, "sequence-number": 2, "timestamp-ms": 1,
+         "manifest-list": ml2, "schema-id": 0,
+         "summary": {"operation": "replace"}},
+    ]
+    _write_metadata(table, snaps, 2)
+    return table
+
+
+def _collect(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_current_snapshot_reads_active_files_only(spark, tmp_path):
+    table = _make_table(spark, tmp_path)
+    # deleted + orphan files are still on disk
+    assert os.path.exists(
+        os.path.join(table, "data/et=view/b.parquet"))
+    got = _collect(IC.read_iceberg(spark, table))
+    assert got == [(1, 1.0, "click"), (2, 2.0, "view"),
+                   (3, 3.0, "view")]
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    table = _make_table(spark, tmp_path)
+    got = _collect(IC.read_iceberg(spark, table, snapshot_id=1))
+    assert got == [(1, 1.0, "click"), (2, 2.0, "view"),
+                   (3, 3.0, "view")]
+    with pytest.raises(ValueError, match="not in table"):
+        IC.read_iceberg(spark, table, snapshot_id=42)
+
+
+def test_manifest_layer_partition_prune(spark, tmp_path):
+    table = _make_table(spark, tmp_path)
+    snap = IC.resolve_snapshot(table)
+    assert len(snap.files) == 2  # a + d
+    got = _collect(IC.read_iceberg(spark, table,
+                                   partitions={"et": "click"}))
+    assert got == [(1, 1.0, "click")]
+    with pytest.raises(ValueError, match="non-partition"):
+        IC.read_iceberg(spark, table, partitions={"k": 1})
+
+
+def test_non_identity_transform_refuses_prune(spark, tmp_path):
+    table = _make_table(spark, tmp_path)
+    mpath = IC.latest_metadata_path(table)
+    with open(mpath, "r", encoding="utf-8") as f:
+        meta = json.load(f)
+    meta["partition-specs"][0]["fields"][0]["transform"] = \
+        "bucket[16]"
+    with open(mpath, "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+    # reading without a prune still works...
+    assert len(_collect(IC.read_iceberg(spark, table))) == 3
+    # ...but pruning by source value on a bucket transform refuses
+    with pytest.raises(ValueError, match="transform"):
+        IC.read_iceberg(spark, table, partitions={"et": "click"})
+
+
+def test_live_delete_files_refuse(spark, tmp_path):
+    table = _make_table(spark, tmp_path)
+    mdir = os.path.join(table, "metadata")
+    dm = os.path.join(mdir, "del-1.avro")
+    size = IC.write_manifest(dm, [_entry(1, "pos-del.parquet",
+                                         "view")], PFIELDS)
+    ml3 = os.path.join(mdir, "snap-3.avro")
+    m2 = os.path.join(mdir, "m2.avro")
+    IC.write_manifest_list(ml3, [
+        _mref(m2, os.path.getsize(m2)),
+        _mref(dm, size, content=1)])
+    with open(IC.latest_metadata_path(table), "r",
+              encoding="utf-8") as f:
+        meta = json.load(f)
+    meta["snapshots"].append(
+        {"snapshot-id": 3, "sequence-number": 3, "timestamp-ms": 2,
+         "manifest-list": ml3, "schema-id": 0,
+         "summary": {"operation": "delete"}})
+    meta["current-snapshot-id"] = 3
+    with open(os.path.join(mdir, "v3.metadata.json"), "w",
+              encoding="utf-8") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="delete files"):
+        IC.read_iceberg(spark, table)
+    # a delete manifest whose entries are all status=deleted is dead
+    IC.write_manifest(dm, [_entry(2, "pos-del.parquet", "view")],
+                      PFIELDS)
+    IC.write_manifest_list(ml3, [
+        _mref(m2, os.path.getsize(m2)),
+        _mref(dm, os.path.getsize(dm), content=1)])
+    assert len(_collect(IC.read_iceberg(spark, table))) == 3
+
+
+def test_column_rename_detected_and_refused(spark, tmp_path):
+    table = _make_table(spark, tmp_path)
+    old = {"type": "struct", "schema-id": 1, "fields": [
+        {"id": 1, "name": "key_old", "required": False,
+         "type": "long"}]}
+    mpath = IC.latest_metadata_path(table)
+    with open(mpath, "r", encoding="utf-8") as f:
+        meta = json.load(f)
+    meta["schemas"].append(old)
+    with open(mpath, "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="rename"):
+        IC.read_iceberg(spark, table)
+
+
+def test_unsupported_format_and_file_kind(spark, tmp_path):
+    table = _make_table(spark, tmp_path)
+    mpath = IC.latest_metadata_path(table)
+    with open(mpath, "r", encoding="utf-8") as f:
+        meta = json.load(f)
+    meta["format-version"] = 4
+    with open(os.path.join(table, "metadata",
+                           "v9.metadata.json"), "w",
+              encoding="utf-8") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="format-version"):
+        IC.read_iceberg(spark, table)
+    os.remove(os.path.join(table, "metadata", "v9.metadata.json"))
+
+    mdir = os.path.join(table, "metadata")
+    m = os.path.join(mdir, "m-avrofile.avro")
+    e = _entry(1, "f.avro", "click")
+    e["data_file"]["file_format"] = "AVRO"
+    size = IC.write_manifest(m, [e], PFIELDS)
+    ml = os.path.join(mdir, "snap-9.avro")
+    IC.write_manifest_list(ml, [_mref(m, size)])
+    meta["format-version"] = 2
+    meta["snapshots"].append(
+        {"snapshot-id": 9, "sequence-number": 9, "timestamp-ms": 9,
+         "manifest-list": ml, "schema-id": 0,
+         "summary": {"operation": "append"}})
+    with open(os.path.join(mdir, "v4.metadata.json"), "w",
+              encoding="utf-8") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="file format"):
+        IC.read_iceberg(spark, table, snapshot_id=9)
+
+
+def test_v1_format_inline_manifests(spark, tmp_path):
+    table = str(tmp_path / "v1")
+    mdir = os.path.join(table, "metadata")
+    os.makedirs(mdir)
+    a = os.path.join(table, "data/a.parquet")
+    _write_parquet(spark, a, [(1, 1.0, "click")])
+    m1 = os.path.join(mdir, "m1.avro")
+    IC.write_manifest(m1, [_entry(1, a, "click")], PFIELDS)
+    meta = {
+        "format-version": 1, "table-uuid": str(uuid.uuid4()),
+        "location": f"file://{table}",
+        "last-updated-ms": 0, "last-column-id": 3,
+        "schema": SCHEMA,
+        "partition-spec": SPEC["fields"],
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 0,
+                       "manifests": [m1]}],
+    }
+    with open(os.path.join(mdir, "v1.metadata.json"), "w",
+              encoding="utf-8") as f:
+        json.dump(meta, f)
+    got = _collect(IC.read_iceberg(spark, table))
+    assert got == [(1, 1.0, "click")]
+
+
+def test_relocated_table_re_roots_absolute_paths(spark, tmp_path):
+    table = _make_table(spark, tmp_path)
+    moved = str(tmp_path / "moved")
+    shutil.move(table, moved)
+    got = _collect(IC.read_iceberg(spark, moved))
+    assert got == [(1, 1.0, "click"), (2, 2.0, "view"),
+                   (3, 3.0, "view")]
+
+
+def test_empty_table_no_snapshot(spark, tmp_path):
+    table = str(tmp_path / "empty")
+    os.makedirs(os.path.join(table, "metadata"))
+    _write_metadata(table, [], -1)
+    df = IC.read_iceberg(spark, table)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["k", "x", "et"]
+
+
+def test_type_mapping():
+    import pyspark.sql.types as T
+
+    assert IC._iceberg_to_spark_type("decimal(10, 2)") == \
+        T.DecimalType(10, 2)
+    assert IC._iceberg_to_spark_type("fixed[16]") == T.BinaryType()
+    assert IC._iceberg_to_spark_type("timestamptz") == \
+        T.TimestampType()
+    assert IC._iceberg_to_spark_type("timestamp") == \
+        T.TimestampNTZType()
+    nested = IC._iceberg_to_spark_type(
+        {"type": "list", "element": "long",
+         "element-required": True})
+    assert nested == T.ArrayType(T.LongType(), False)
+    with pytest.raises(ValueError, match="unsupported"):
+        IC._iceberg_to_spark_type("time")
+
+
+def test_cli_iceberg_scan(spark, tmp_path, capsys):
+    from distributed_computing_projects_spark.cli import main
+
+    table = _make_table(spark, tmp_path)
+    rc = main(["iceberg-scan", table, "--partition", "et=click"],
+              spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "click" in out and "view" not in out
