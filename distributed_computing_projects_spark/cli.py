@@ -558,6 +558,21 @@ def build_parser() -> argparse.ArgumentParser:
                     help="equality prune at the manifest layer "
                          "(identity transforms only; repeatable)")
 
+    hu = sub.add_parser(
+        "hudi-scan",
+        help="Apache Hudi CoW table read (sources/hudi.py: timeline "
+             "replay, latest file slice per group, replacecommits): "
+             "prints the snapshot's rows under --ddl column types",
+    )
+    hu.add_argument("path", help="Hudi table root (contains "
+                                 ".hoodie/)")
+    hu.add_argument("--ddl", required=True,
+                    help="columns to read as Spark DDL (_hoodie_* "
+                         "meta columns prune away unless asked for)")
+    hu.add_argument("--as-of", default=None,
+                    help="time-travel to the latest instant at or "
+                         "before this timestamp string")
+
     ai = sub.add_parser(
         "arrow-scan",
         help="Arrow IPC / Feather scan (sources/arrowipc.py, both "
@@ -1118,6 +1133,13 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             _emit(iceberg.read_iceberg(
                 spark, args.path, snapshot_id=args.snapshot_id,
                 partitions=parts))
+        elif args.cmd == "hudi-scan":
+            from distributed_computing_projects_spark.sources import (
+                hudi,
+            )
+
+            _emit(hudi.read_hudi(spark, args.path, args.ddl,
+                                 as_of=args.as_of))
         elif args.cmd == "arrow-scan":
             import glob as globmod
 

@@ -2190,3 +2190,160 @@ def q_iceberg_snapshot_scan(spark, sf_dir):
     _, table = _build_iceberg_landing(spark, sf_dir, "iceberg_tt")
     df = IC.read_iceberg(spark, table, snapshot_id=1)
     return df.select("event_id", "user_id", "event_type", "value")
+
+
+def _build_hudi_landing(spark, sf_dir, family):
+    """Fixture stage for the Hudi queries: an events subset becomes
+    a Hudi COPY_ON_WRITE table (one file group per (event_type,
+    half) — ten groups), with the timeline that puts the reader's
+    rules on the hash path: instant 001 writes all groups; instant
+    002 UPDATES the 'click' groups (value doubled — the superseded
+    base files STAY on disk, so latest-slice selection is the only
+    correct read); instant 003 is a REPLACECOMMIT removing the
+    'error' groups (delete_partition); a torn instant 004 exists
+    only as requested+inflight markers with its data file on disk
+    (must stay invisible). Returns (work, table_path)."""
+    import shutil
+
+    from distributed_computing_projects_spark.sources import (
+        hudi as HU,
+    )
+
+    work = _session_scratch(spark, family, sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    table = os.path.join(work, "table")
+    HU.init_table(table)
+    subset = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 7 == 3)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    etypes = ["click", "error", "purchase", "signup", "view"]
+
+    def _stage_group(df_half, rel):
+        stage = os.path.join(work, "stage")
+        df_half.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(n for n in sorted(os.listdir(stage))
+                    if n.startswith("part-")
+                    and n.endswith(".parquet"))
+        dest = os.path.join(table, rel)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        os.replace(os.path.join(stage, part), dest)
+        shutil.rmtree(stage, ignore_errors=True)
+
+    stats1 = {}
+    for et in etypes:
+        stats1[f"p={et}"] = []
+        for half in (0, 1):
+            fid = f"g-{et}-{half}"
+            rel = f"p={et}/{HU.base_file_name(fid, '001')}"
+            _stage_group(
+                subset.filter((F.col("event_type") == et)
+                              & (F.col("event_id") % 2 == half)),
+                rel)
+            stats1[f"p={et}"].append(
+                {"fileId": fid, "path": rel, "numWrites": 1})
+    HU.commit_instant(table, "001", stats1)
+    stats2 = {"p=click": []}
+    for half in (0, 1):
+        fid = f"g-click-{half}"
+        rel = f"p=click/{HU.base_file_name(fid, '002')}"
+        _stage_group(
+            subset.filter((F.col("event_type") == "click")
+                          & (F.col("event_id") % 2 == half))
+            .withColumn("value", F.col("value") * 2),
+            rel)
+        stats2["p=click"].append(
+            {"fileId": fid, "path": rel, "numWrites": 1})
+    HU.commit_instant(table, "002", stats2)
+    HU.commit_instant(
+        table, "003", {},
+        replace_file_ids={"p=error": ["g-error-0", "g-error-1"]})
+    # torn instant 004: markers only, its data file on disk
+    hoodie = os.path.join(table, ".hoodie")
+    for state in ("requested", "inflight"):
+        with open(os.path.join(hoodie, f"004.commit.{state}"),
+                  "w", encoding="utf-8"):
+            pass
+    rel = f"p=view/{HU.base_file_name('g-view-0', '004')}"
+    _stage_group(
+        spark.createDataFrame(
+            [(999_999_999, 1, "view", -1.0)],
+            "event_id bigint, user_id bigint, event_type string, "
+            "value double"),
+        rel)
+    return work, table
+
+
+_HUDI_DDL = ("event_id bigint, user_id bigint, event_type string, "
+             "value double")
+
+
+@query(
+    "hudi_table_scan",
+    headline=True,
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(CASE WHEN event_type = 'click' THEN value * 2
+                ELSE value END AS DOUBLE) AS value
+    FROM events
+    WHERE event_id % 7 = 3 AND event_type <> 'error'
+    """,
+    doc="Apache Hudi Copy-on-Write table read (sources/hudi.py) — "
+        "the THIRD lakehouse format, completing the triad next to "
+        "Delta (incremental log replay) and Iceberg (self-contained "
+        "snapshot listings): Hudi is the third distinct structure, "
+        "a TIMELINE of instants over FILE GROUPS where each commit "
+        "writes a new version of a group and a snapshot read takes "
+        "the latest committed version of each. The fixture's "
+        "timeline puts the rules on the hash path: an UPDATE "
+        "rewrites the 'click' groups with doubled values while the "
+        "superseded base files STAY on disk (a directory reader "
+        "returns both versions), a REPLACECOMMIT removes the "
+        "'error' groups (delete_partition), and a TORN instant "
+        "(requested+inflight markers, data file present, no "
+        "completed metadata) must stay invisible — the timeline's "
+        "atomicity contract. MERGE_ON_READ tables and the 1.x "
+        "timeline layout refuse loudly. The resolved list reads in "
+        "ONE native parquet FileScan with the DDL pinned (Hudi's "
+        "_hoodie_* meta columns prune away at the scan); doubling "
+        "is IEEE-exact so the value oracle is bit-exact.",
+)
+def q_hudi_table_scan(spark, sf_dir):
+    from distributed_computing_projects_spark.sources import (
+        hudi as HU,
+    )
+
+    _, table = _build_hudi_landing(spark, sf_dir, "hudi_scan")
+    df = HU.read_hudi(spark, table, _HUDI_DDL)
+    return df.select("event_id", "user_id", "event_type", "value")
+
+
+@query(
+    "hudi_time_travel_scan",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(CASE WHEN event_type = 'click' THEN value * 2
+                ELSE value END AS DOUBLE) AS value
+    FROM events WHERE event_id % 7 = 3
+    """,
+    doc="Hudi AS-OF time travel (sources/hudi.py, as_of='002') — "
+        "the timeline replay stops at the requested instant: the "
+        "002 state carries the click UPDATE but still has the "
+        "'error' partition the 003 replacecommit later removed, and "
+        "the torn 004 instant stays invisible at every point. "
+        "Hudi's instants are lexicographic timestamps, so as-of is "
+        "a sorted prefix of the timeline — the third time-travel "
+        "semantic in the lakehouse triad (Delta: version replay; "
+        "Iceberg: snapshot id; Hudi: instant prefix). Same table "
+        "fixture as hudi_table_scan; the two oracles differ exactly "
+        "by the 003 delete.",
+)
+def q_hudi_time_travel_scan(spark, sf_dir):
+    from distributed_computing_projects_spark.sources import (
+        hudi as HU,
+    )
+
+    _, table = _build_hudi_landing(spark, sf_dir, "hudi_tt")
+    df = HU.read_hudi(spark, table, _HUDI_DDL, as_of="002")
+    return df.select("event_id", "user_id", "event_type", "value")

@@ -468,6 +468,31 @@ def run_factor(spark, factor: int) -> dict:
             timed(spark, m, "seekable_sink_roundtrip",
                   lambda: reg["seekable_sink_roundtrip"]
                   .fn(spark, work).count())
+        # r15c: bson (size-framed document walk over the scaled
+        # events — linearity in rows, per-file parallelism), sqlite
+        # (b-tree page walk: the fixture's driver-side sqlite3
+        # INSERTs dominate the round-trip like the avro/xlsx rows;
+        # the user-paid page walk is the linear part), and the two
+        # LAKEHOUSE reads (delta log replay / iceberg manifest chain
+        # + ONE native parquet FileScan over the scaled events —
+        # the claim is that metadata cost stays flat while data
+        # scales, i.e. the curve tracks the parquet scan)
+        timed(spark, m, "bson_events_scan",
+              lambda: reg["bson_events_scan"].fn(spark, work)
+              .count())
+        spark.catalog.clearCache()
+        timed(spark, m, "sqlite_events_scan",
+              lambda: reg["sqlite_events_scan"].fn(spark, work)
+              .count())
+        spark.catalog.clearCache()
+        timed(spark, m, "delta_table_scan",
+              lambda: reg["delta_table_scan"].fn(spark, work)
+              .count())
+        spark.catalog.clearCache()
+        timed(spark, m, "iceberg_table_scan",
+              lambda: reg["iceberg_table_scan"].fn(spark, work)
+              .count())
+        spark.catalog.clearCache()
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.catalog.clearCache()
