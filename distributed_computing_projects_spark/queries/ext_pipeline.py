@@ -2347,3 +2347,51 @@ def q_hudi_time_travel_scan(spark, sf_dir):
     _, table = _build_hudi_landing(spark, sf_dir, "hudi_tt")
     df = HU.read_hudi(spark, table, _HUDI_DDL, as_of="002")
     return df.select("event_id", "user_id", "event_type", "value")
+
+
+@query(
+    "delta_sink_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events WHERE event_id % 5 = 1
+    """,
+    doc="Delta SINK roundtrip (sources/deltalake.write_delta) — the "
+        "write side of the lakehouse tier: engine exports become "
+        "TRANSACTIONAL tables instead of bare parquet directories. "
+        "Data files stage through Spark's parquet writer "
+        "(partitioned by event_type — the partition column leaves "
+        "the data files and rides the log per the protocol), then "
+        "ONE atomic put-if-absent commit (os.link, not os.replace: "
+        "two racing writers can never both claim a version) "
+        "publishes them, so a torn export is invisible to every "
+        "reader. The query appends in TWO commits split by user_id "
+        "parity and reads the table back through the log-replay "
+        "reader — sink partition-value extraction (incl. the "
+        "__HIVE_DEFAULT_PARTITION__ null convention), the schema-"
+        "match append gate, and the reader's broadcast partition "
+        "attach all sit on one hash path against the parquet-side "
+        "oracle. The 100 TB point: exports gain snapshot isolation "
+        "and time travel for the cost of one KB-sized log write.",
+)
+def q_delta_sink_roundtrip(spark, sf_dir):
+    import shutil
+
+    from distributed_computing_projects_spark.sources import (
+        deltalake as DL,
+    )
+
+    work = _session_scratch(spark, "delta_sink", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    table = os.path.join(work, "table")
+    subset = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 5 == 1)
+        .select("event_id", "user_id", "value", "event_type")
+    )
+    DL.write_delta(subset.filter(F.col("user_id") % 2 == 0),
+                   table, partition_by=["event_type"])
+    DL.write_delta(subset.filter(F.col("user_id") % 2 == 1),
+                   table, partition_by=["event_type"])
+    back = DL.read_delta(spark, table)
+    return back.select("event_id", "user_id", "event_type", "value")

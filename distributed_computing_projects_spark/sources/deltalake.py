@@ -454,3 +454,117 @@ def write_checkpoint(spark: SparkSession, table_path: str,
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump({"version": version, "size": len(rows)}, f)
     os.replace(tmp, hint)
+
+
+def _next_version(table_path: str) -> int:
+    try:
+        commits, checkpoints = _log_listing(table_path)
+    except FileNotFoundError:
+        return 0
+    versions = list(commits) + list(checkpoints)
+    return max(versions) + 1 if versions else 0
+
+
+def _commit_exclusive(table_path: str, version: int,
+                      actions: list[dict]) -> bool:
+    """Publish one commit IF AND ONLY IF the version slot is free —
+    the protocol's put-if-absent contract (os.link fails on an
+    existing target, unlike os.replace), so two racing writers can
+    never both claim a version."""
+    log_dir = os.path.join(table_path, "_delta_log")
+    os.makedirs(log_dir, exist_ok=True)
+    path = os.path.join(log_dir, f"{version:020d}.json")
+    tmp = path + f".tmp-{os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        for a in actions:
+            f.write(json.dumps(a, separators=(",", ":")) + "\n")
+    try:
+        os.link(tmp, path)
+        return True
+    except FileExistsError:
+        return False  # lost the race: caller retries at a new version
+    finally:
+        os.unlink(tmp)
+
+
+def write_delta(df: DataFrame, table_path: str,
+                partition_by: list[str] | None = None,
+                mode: str = "append") -> int:
+    """Delta SINK: make engine exports TRANSACTIONAL — data files
+    stage through Spark's parquet writer, then ONE atomic
+    put-if-absent commit publishes them, so a failed or torn export
+    is invisible to every reader (the seekable-sink discipline,
+    lifted to table level). ``mode='overwrite'`` additionally
+    tombstones the previous snapshot's files in the same commit.
+    Returns the committed version. Appends verify the schema matches
+    the table's metaData (a silent widen would corrupt every later
+    read); the first commit writes protocol+metaData."""
+    import shutil
+    import uuid as uuidmod
+
+    spark = df.sparkSession
+    part_cols = list(partition_by or [])
+    os.makedirs(table_path, exist_ok=True)
+    schema = df.schema
+    existing_version = _next_version(table_path)
+    if existing_version > 0:
+        snap = resolve_snapshot(spark, table_path)
+        want = snap.schema_json
+        have = schema.jsonValue()
+        if want != have:
+            raise ValueError(
+                "delta append schema mismatch: table "
+                f"{json.dumps(want)} vs dataframe "
+                f"{json.dumps(have)}")
+        if part_cols != snap.partition_columns:
+            raise ValueError(
+                f"delta append partitioning mismatch: table "
+                f"{snap.partition_columns} vs {part_cols}")
+
+    stage = os.path.join(table_path,
+                         f"_staging-{uuidmod.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(stage)
+
+    adds = []
+    n = 0
+    for root, _dirs, names in os.walk(stage):
+        for name in sorted(names):
+            if not (name.startswith("part-")
+                    and name.endswith(".parquet")):
+                continue
+            rel_dir = os.path.relpath(root, stage)
+            pv = {}
+            if rel_dir != ".":
+                for piece in rel_dir.split(os.sep):
+                    col, _, raw = piece.partition("=")
+                    pv[col] = (None
+                               if raw == "__HIVE_DEFAULT_PARTITION__"
+                               else urllib.parse.unquote(raw))
+            uniq = f"part-{uuidmod.uuid4().hex}-{n:05d}.parquet"
+            rel = os.path.join(rel_dir, uniq) if rel_dir != "." \
+                else uniq
+            dest = os.path.join(table_path, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.replace(os.path.join(root, name), dest)
+            adds.append(add_action(rel.replace(os.sep, "/"), pv,
+                                   os.path.getsize(dest)))
+            n += 1
+    shutil.rmtree(stage, ignore_errors=True)
+
+    while True:
+        version = _next_version(table_path)
+        actions: list[dict] = []
+        if version == 0:
+            actions += [protocol_action(),
+                        metadata_action(schema, part_cols)]
+        if mode == "overwrite" and version > 0:
+            snap = resolve_snapshot(spark, table_path)
+            actions += [
+                remove_action(os.path.relpath(p, table_path))
+                for p, _pv in snap.files]
+        actions += adds
+        if _commit_exclusive(table_path, version, actions):
+            return version

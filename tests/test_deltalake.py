@@ -296,3 +296,40 @@ def test_cli_delta_scan(spark, tmp_path, capsys):
     rc = main(["delta-scan", table, "--version", "0"], spark=spark)
     assert rc == 0
     assert "three" in capsys.readouterr().out
+
+
+def test_write_delta_sink_roundtrip(spark, tmp_path):
+    table = str(tmp_path / "sink")
+    df1 = spark.createDataFrame(
+        [(1, 1.0, "a"), (2, 2.0, "b"), (3, 3.0, None)],
+        "k bigint, x double, bucket string")
+    v = DL.write_delta(df1, table, partition_by=["bucket"])
+    assert v == 0
+    df2 = spark.createDataFrame([(4, 4.0, "a")],
+                                "k bigint, x double, bucket string")
+    assert DL.write_delta(df2, table, partition_by=["bucket"]) == 1
+    got = _collect(DL.read_delta(spark, table))
+    assert got == [(1, 1.0, "a"), (2, 2.0, "b"), (3, 3.0, None),
+                   (4, 4.0, "a")]
+    # partition values ride the log, not the data files
+    snap = DL.resolve_snapshot(spark, table)
+    assert snap.partition_columns == ["bucket"]
+    assert all("bucket" in pv for _p, pv in snap.files)
+    # version 0 is still readable: time travel over sink commits
+    assert len(_collect(DL.read_delta(spark, table, version=0))) == 3
+
+
+def test_write_delta_overwrite_and_schema_gate(spark, tmp_path):
+    table = str(tmp_path / "ow")
+    df1 = spark.createDataFrame([(1, "one")], "k bigint, v string")
+    DL.write_delta(df1, table)
+    df2 = spark.createDataFrame([(9, "nine")], "k bigint, v string")
+    DL.write_delta(df2, table, mode="overwrite")
+    assert _collect(DL.read_delta(spark, table)) == [(9, "nine")]
+    assert _collect(DL.read_delta(spark, table, version=0)) == \
+        [(1, "one")]
+    bad = spark.createDataFrame([(1.5, "x")], "k double, v string")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        DL.write_delta(bad, table)
+    with pytest.raises(ValueError, match="partitioning mismatch"):
+        DL.write_delta(df2, table, partition_by=["v"])
