@@ -1081,3 +1081,80 @@ def q_text_nfc_normalize(spark, sf_dir):
         F.col("id").alias("doc_id"),
         "normalized", "n_chars_before", "n_chars_after",
     )
+
+
+from distributed_computing_projects_spark.operators import (  # noqa: E402
+    hll as HLL,
+)
+
+
+_HLL_RHO_D = HLL.HLL_RHO.format(w="w")
+
+_HLL_PAIRS_D = f"""
+    hll_pairs AS (
+      SELECT DISTINCT lang AS grp,
+             {T.hash32('token', 'duck')} % {HLL.HLL_M} AS bucket,
+             {HLL.hash32b('token', 'duck')} AS w
+      FROM (SELECT lang, unnest({_TOKS_D}) AS token FROM documents)
+    ),
+    hll_regs AS (
+      SELECT grp, bucket, max({_HLL_RHO_D}) AS r,
+             count(*) AS cnt
+      FROM hll_pairs GROUP BY grp, bucket
+    )
+"""
+
+
+@query(
+    "sketch_hll_tokens",
+    oracle=f"""
+    WITH {_HLL_PAIRS_D},
+    agg AS (
+      SELECT grp,
+             CAST(count(*) AS BIGINT) AS n_registers_hit,
+             sum(CAST(1 AS BIGINT) << ({HLL.HLL_SCALE} - r))
+               AS harmonic_present,
+             CAST(sum(cnt) AS BIGINT) AS exact_distinct_hashes
+      FROM hll_regs GROUP BY grp
+    )
+    SELECT grp AS lang, n_registers_hit,
+           CAST({HLL.HLL_M} - n_registers_hit AS BIGINT)
+             AS n_zero_registers,
+           CAST(harmonic_present
+                + ({HLL.HLL_M} - n_registers_hit)
+                  * (CAST(1 AS BIGINT) << {HLL.HLL_SCALE})
+                AS BIGINT) AS harmonic_scaled,
+           {HLL.HLL_NUM!r} / CAST(harmonic_present
+                + ({HLL.HLL_M} - n_registers_hit)
+                  * (CAST(1 AS BIGINT) << {HLL.HLL_SCALE})
+                AS DOUBLE) AS est_distinct,
+           ({HLL.HLL_NUM!r} / CAST(harmonic_present
+                + ({HLL.HLL_M} - n_registers_hit)
+                  * (CAST(1 AS BIGINT) << {HLL.HLL_SCALE})
+                AS DOUBLE) <= {2.5 * HLL.HLL_M!r})
+             AND ({HLL.HLL_M} - n_registers_hit) > 0 AS small_range,
+           exact_distinct_hashes
+    FROM agg
+    """,
+    doc="HyperLogLog distinct-count sketch per language — ENGINE-"
+        "EXACT registers and estimate, closing the limitation the "
+        "KMV docstring recorded (the textbook estimator's float SUM "
+        "of 2^-rho is order-dependent, so two engines were not "
+        "expected to agree): every register contributes the exact "
+        "BIGINT 2^(40-rho) (rho <= 33, from length(bin(w)) — "
+        "integer leading-zero count, no float log), the harmonic "
+        "denominator is an exactly-agreed integer, and the estimate "
+        "is ONE IEEE division of a shared double literal by it — "
+        "the KMV one-division discipline, applied to the harder "
+        "sketch. m=1024 registers from the first md5 half, pattern "
+        "word from the second; the distinct is the only data-sized "
+        "shuffle, then two constant-size partial aggregates; "
+        "exact_distinct_hashes rides the same pass for calibration. "
+        "The spec's small-range ln() correction stays OUT of "
+        "est_distinct (last-ulp engine variance) — n_zero_registers "
+        "carries what a caller needs to apply it, and the small_range boolean (a deterministic comparison) flags the regime explicitly.",
+)
+def q_sketch_hll_tokens(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = HLL.token_hll_pairs(docs, "lang", "text")
+    return HLL.hll_sketch(pairs).withColumnRenamed("grp", "lang")

@@ -214,3 +214,36 @@ def test_bloom_duplicate_probe_rows_cannot_false_negative(spark):
     )
     out = SK.bloom_hits(probe, bits).collect()
     assert [(r["n_grams"], r["n_bloom_hits"]) for r in out] == [(1, 1)]
+
+
+def test_hll_estimate_accuracy_and_exactness(spark):
+    """HLL with m=1024 has ~3.25% std error; seeded corpora with
+    known cardinalities must estimate within 3 sigma, and the
+    harmonic denominator must be an exact integer (bit-stable)."""
+    import distributed_computing_projects_spark.operators.hll as SK
+
+    rows = [(f"g{g}", f"tok-{g}-{i % n}")
+            for g, n in ((0, 500), (1, 5000), (2, 20000))
+            for i in range(n)]
+    docs = spark.createDataFrame(
+        [(g, " ".join(t for gg, t in rows if gg == g))
+         for g in ("g0", "g1", "g2")], "lang string, text string")
+    pairs = SK.token_hll_pairs(docs, "lang", "text")
+    out = {r["grp"]: r for r in SK.hll_sketch(pairs).collect()}
+    for g, n in (("g0", 500), ("g1", 5000), ("g2", 20000)):
+        r = out[g]
+        assert r["exact_distinct_hashes"] == n
+        if n >= 2560:  # 2.5 * m: above the small-range regime
+            assert abs(r["est_distinct"] - n) / n < 0.10
+        assert isinstance(r["harmonic_scaled"], int)
+        assert r["n_registers_hit"] + r["n_zero_registers"] \
+            == SK.HLL_M
+
+
+def test_hll_register_terms_are_integral(spark):
+    """rho <= 33 < SCALE: every 2^(SCALE-rho) term is integral, so
+    the scaled harmonic sum is exact in BIGINT by construction."""
+    import distributed_computing_projects_spark.operators.hll as SK
+
+    assert SK.HLL_SCALE > 33
+    assert SK.HLL_M * (1 << SK.HLL_SCALE) < (1 << 62)

@@ -493,6 +493,10 @@ def run_factor(spark, factor: int) -> dict:
               lambda: reg["iceberg_table_scan"].fn(spark, work)
               .count())
         spark.catalog.clearCache()
+        timed(spark, m, "hudi_table_scan",
+              lambda: reg["hudi_table_scan"].fn(spark, work)
+              .count())
+        spark.catalog.clearCache()
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.catalog.clearCache()
@@ -772,7 +776,33 @@ def _write_md(out: dict) -> None:
         "7.8 s end-to-end at 1.43M rows — the sink makes engine "
         "exports re-readable with intra-file parallelism, so the "
         "one-file-one-task wall cannot come back through the "
-        "engine's own outputs.",
+        "engine's own outputs. Round 15c — the lakehouse tier and "
+        "the page/document walks: bson_events_scan and "
+        "sqlite_events_scan grow LINEARLY in rows (28.4 s / 26.5 s "
+        "at 1.43M rows, 100x) and both carry the avro fixture-share "
+        "caveat — the round-trip harness pays a driver-side "
+        "single-threaded encode (mongodump layout build / sqlite3 "
+        "INSERTs) that a real user never does, while the user-paid "
+        "decode (size-framed document walk / b-tree page walk over "
+        "binaryFile, 32 cores) is the linear minority and both "
+        "formats follow the convert-once-to-parquet discipline. The "
+        "LAKEHOUSE rows make the opposite claim and the curve shows "
+        "it: metadata cost is FLAT while data scales, because the "
+        "data path is one native parquet FileScan over the resolved "
+        "file list — iceberg_table_scan holds 1.64 -> 1.95 s across "
+        "2x..10x (manifest chain constant: the same 11 manifests "
+        "whatever the row count) and reaches only 6.3 s at 100x "
+        "(1.15M rows — the scan, not the metadata, grew); "
+        "delta_table_scan sits on an ~11 s FIXTURE floor at every "
+        "factor (the fixture stages five partitions x two commits + "
+        "a Spark-written checkpoint — ~10 small Spark jobs a real "
+        "table's writer already paid) and adds only ~5 s of scan "
+        "from 2x to 100x (569k rows); hudi_table_scan (measured in "
+        "the follow-up merge) reads through the same one-FileScan "
+        "shape. At the 100 TB tier this is exactly the property "
+        "that matters: the log/manifest/timeline replay is "
+        "KB-sized driver work however large the table, and the "
+        "scan inherits Spark's parquet parallelism.",
     ]
     if "candidates" in out:
         lines += _candidates_md(out["candidates"])
