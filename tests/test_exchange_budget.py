@@ -88,6 +88,19 @@ EXCHANGE_BUDGET = {
     "quality_classifier_confusion": 12,
     "range_join_clicks_before_purchase": 1,
     "repetition_stats": 2,
+    # binaryFile scan -> Arrow b-tree page walk: zero exchanges —
+    # per-FILE parallelism is the whole model (SQLite files are a
+    # page-pointer forest, not splittable; the tfrecord/bson shape)
+    "sqlite_events_scan": 0,
+    # the lakehouse triad reads are ONE native parquet FileScan over
+    # the log/manifest/timeline-resolved file list: delta's partition
+    # values attach via a BROADCAST map-join (a BroadcastExchange,
+    # which this pin's regex rightly does not count as a shuffle);
+    # iceberg/hudi data files carry their columns, so the plan is the
+    # bare pruned scan
+    "delta_table_scan": 0,
+    "iceberg_table_scan": 0,
+    "hudi_table_scan": 0,
     # distinct on (grp,h) + the window re-key to grp, both hash-rows
     "sketch_distinct_tokens": 2,
     # binaryFile scan -> Arrow frame walk + Example decode -> cast
