@@ -1312,3 +1312,72 @@ def q_streaming_arrow_ingest(spark, sf_dir):
         q.stop()
         raise TimeoutError("streaming arrow ingest did not drain in 180 s")
     return _avro_events_facts(spark.read.parquet(store))
+
+
+@query(
+    "streaming_sqlite_ingest",
+    # the stream route must equal the batch scan row-for-row
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(user_id) AS BIGINT) AS sum_user,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE)
+             AS total_value
+    FROM events WHERE event_id % 7 = 4 GROUP BY event_type
+    """,
+    doc="CONTINUOUS-INGEST of SQLite database files — the app-export "
+        "landing-zone shape (the twelfth ingest-store loop): "
+        "readStream(binaryFile) over the SAME decoy-laden fixture as "
+        "sqlite_events_scan (overflow chains behind a writer-only "
+        "long-text column, the INTEGER-PRIMARY-KEY rowid alias, "
+        "index/view/decoy-table/WITHOUT-ROWID neighbours, a UTF-16 "
+        "shard, a no-table database, a junk file) feeds the SAME "
+        "b-tree page walk (sources/sqlitefile.rows_from_binary), "
+        "lands in a checkpointed parquet sink with an availableNow "
+        "drain, and the aggregated facts must hash-match the batch "
+        "oracle — REAL doubles are IEEE 8-byte so values survive "
+        "bit-exact through the whole loop.",
+)
+def q_streaming_sqlite_ingest(spark, sf_dir):
+    from pyspark.sql import functions as SF
+
+    from distributed_computing_projects_spark.queries.ext_pipeline import (
+        _build_sqlite_landing,
+    )
+    from distributed_computing_projects_spark.sources.sqlitefile import (
+        rows_from_binary,
+    )
+
+    work, landing = _build_sqlite_landing(spark, sf_dir,
+                                          "stream_sqlite")
+    store = os.path.join(work, "rows")
+    ckpt = os.path.join(work, "ckpt")
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp,"
+                " length long, content binary")
+        .load(landing)
+    )
+    rows = rows_from_binary(
+        stream, "events",
+        "event_id bigint, user_id bigint, event_type string, "
+        "value double")
+
+    q = (
+        rows.writeStream.format("parquet")
+        .option("path", store)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError(
+            "streaming sqlite ingest did not drain in 180 s")
+    back = spark.read.parquet(store)
+    return back.groupBy("event_type").agg(
+        SF.count("*").alias("n"),
+        SF.sum("user_id").cast("bigint").alias("sum_user"),
+        SF.sum(SF.col("value").cast("decimal(14,2)")).cast("double")
+        .alias("total_value"),
+    )
