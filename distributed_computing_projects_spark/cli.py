@@ -573,6 +573,17 @@ def build_parser() -> argparse.ArgumentParser:
                     help="time-travel to the latest instant at or "
                          "before this timestamp string")
 
+    mp = sub.add_parser(
+        "msgpack-scan",
+        help="MessagePack dump scan (sources/msgpackfile.py: "
+             "type-derived value walk, pure stdlib): prints the "
+             "str-keyed map rows under --ddl column types",
+    )
+    mp.add_argument("path", help="file/dir/glob of .msgpack dumps")
+    mp.add_argument("--ddl", required=True,
+                    help="fields as Spark DDL (resolve by name; "
+                         "mis-typed cells null)")
+
     ai = sub.add_parser(
         "arrow-scan",
         help="Arrow IPC / Feather scan (sources/arrowipc.py, both "
@@ -1140,6 +1151,13 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
 
             _emit(hudi.read_hudi(spark, args.path, args.ddl,
                                  as_of=args.as_of))
+        elif args.cmd == "msgpack-scan":
+            from distributed_computing_projects_spark.sources import (
+                msgpackfile,
+            )
+
+            _emit(msgpackfile.read_msgpack(spark, args.path,
+                                           args.ddl))
         elif args.cmd == "arrow-scan":
             import glob as globmod
 

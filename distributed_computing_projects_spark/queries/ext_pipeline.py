@@ -2395,3 +2395,109 @@ def q_delta_sink_roundtrip(spark, sf_dir):
                    table, partition_by=["event_type"])
     back = DL.read_delta(spark, table)
     return back.select("event_id", "user_id", "event_type", "value")
+
+
+def _build_msgpack_landing(spark, sf_dir, family):
+    """Fixture stage for the MessagePack query: stage an events
+    subset as JSONL, encode each shard as one concatenated .msgpack
+    stream with the decoy set — a non-map top-level value and an
+    int-keyed map at every shard head (ROW drops: the walk
+    continues, boundaries stay trusted), a writer-only nested field
+    on every row, ts as the spec's TIMESTAMP EXTENSION (the 64-bit
+    nanos+secs form), a structurally TORN value at the tail (stream
+    stop keeps completed rows), and one junk file leading with the
+    reserved 0xc1 byte. Returns (work, landing)."""
+    import json as jsonmod
+    import shutil
+
+    from distributed_computing_projects_spark.sources import (
+        msgpackfile as MP,
+    )
+
+    work = _session_scratch(spark, family, sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    stage = os.path.join(work, "stage")
+    landing = os.path.join(work, "landing")
+    (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 11 == 5)
+        # ts stages as epoch MICROS: the JSON writer's ISO string
+        # truncates to milliseconds, and the timestamp extension
+        # must round-trip the parquet column's full precision
+        .select("event_id",
+                # events.ts is NTZ; the session TZ is pinned UTC, so
+                # the cast fixes the instant without shifting it
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                .alias("ts_us"),
+                "user_id", "event_type", "value")
+        .repartition(4)
+        .write.json(stage)
+    )
+    os.makedirs(landing)
+    i = 0
+    for name in sorted(os.listdir(stage)):
+        if not name.startswith("part-"):
+            continue
+        with open(os.path.join(stage, name), "rb") as f:
+            recs = [jsonmod.loads(ln) for ln in f.read().splitlines()
+                    if ln]
+        vals = []
+        for r in recs:
+            us = r["ts_us"]
+            sec, rem = divmod(us, 1_000_000)  # floor: pre-epoch safe
+            nsec = rem * 1000
+            vals.append({"event_id": r["event_id"],
+                         "ts": MP.timestamp(sec, nsec),
+                         "user_id": r["user_id"],
+                         "event_type": r["event_type"],
+                         "value": r.get("value"),
+                         "meta": {"writer": "only", "n": i}})
+        torn = MP.encode({"event_id": 999_000_000 + i})[:-2]
+        with open(os.path.join(landing, f"part-{i}.msgpack"),
+                  "wb") as f:
+            f.write(MP.encode("not a row") + MP.encode({7: "int"})
+                    + MP.build_msgpack_dump(vals) + torn)
+        i += 1
+    with open(os.path.join(landing, "junk.msgpack"), "wb") as f:
+        f.write(b"\xc1" + b"reserved byte leads" * 2)
+    shutil.rmtree(stage, ignore_errors=True)
+    return work, landing
+
+
+@query(
+    "msgpack_events_scan",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events WHERE event_id % 11 = 5
+    """,
+    doc="MessagePack stream ingest (sources/msgpackfile.py) — the "
+        ".msgpack dumps scraped-data pipelines and key-value exports "
+        "ship, pure-stdlib from the public spec: a concatenation of "
+        "SELF-FRAMING values (the BSON shape with the length "
+        "implicit in the type bytes instead of a leading size), "
+        "decoded across the full type table incl. the three-width "
+        "TIMESTAMP extension (ts rides the 64-bit nanos+secs form "
+        "on the hash path, emitted tz-aware — the avro lesson). The "
+        "drop granularity is type-derived and honestly ASYMMETRIC: "
+        "a value that decodes but is not a str-keyed map drops the "
+        "ROW (the walk continues — the fixture plants a string and "
+        "an int-keyed map at every shard head), while a STRUCTURAL "
+        "failure stops the stream (no resync marker exists — a torn "
+        "value rides every tail, and the junk file leads with the "
+        "reserved 0xc1 byte). Writer-only nested fields discard; "
+        "float64 is IEEE 8-byte so value survives bit-exact.",
+)
+def q_msgpack_events_scan(spark, sf_dir):
+    from distributed_computing_projects_spark.sources import (
+        msgpackfile as MP,
+    )
+
+    _, landing = _build_msgpack_landing(spark, sf_dir,
+                                        "msgpack_events")
+    back = MP.read_msgpack(
+        spark, landing,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double")
+    return back.select("event_id", "ts", "user_id", "event_type",
+                       "value")
