@@ -1158,3 +1158,64 @@ def q_sketch_hll_tokens(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = HLL.token_hll_pairs(docs, "lang", "text")
     return HLL.hll_sketch(pairs).withColumnRenamed("grp", "lang")
+
+
+from distributed_computing_projects_spark.operators import (  # noqa: E402
+    histsketch as HS,
+)
+
+
+@query(
+    "sketch_value_quantiles",
+    oracle=f"""
+    WITH bins AS (
+      SELECT event_type AS grp,
+             CAST(floor(value * {float(HS.WIDTH_INV)!r}) AS BIGINT)
+               AS bin,
+             count(*) AS n
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT grp, bin, n,
+             sum(n) OVER (PARTITION BY grp ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n) OVER (PARTITION BY grp) AS total
+      FROM bins
+    )
+    SELECT grp AS event_type, CAST(sum(n) AS BIGINT) AS n,
+           CAST(min(CASE WHEN cum >=
+                  CAST(ceil(0.5 * total) AS BIGINT)
+                  THEN bin END) AS DOUBLE)
+             / {float(HS.WIDTH_INV)!r} AS q50_est,
+           CAST(min(CASE WHEN cum >=
+                  CAST(ceil(0.9 * total) AS BIGINT)
+                  THEN bin END) AS DOUBLE)
+             / {float(HS.WIDTH_INV)!r} AS q90_est,
+           CAST(min(CASE WHEN cum >=
+                  CAST(ceil(0.99 * total) AS BIGINT)
+                  THEN bin END) AS DOUBLE)
+             / {float(HS.WIDTH_INV)!r} AS q99_est
+    FROM cum GROUP BY grp
+    """,
+    doc="Histogram quantile sketch per event_type — the quantile "
+        "member of the engine-exact sketch tier (KMV = cardinality, "
+        "CMS = frequency, Bloom = membership, HLL = cardinality at "
+        "fixed memory, this = quantiles): GK/t-digest/KLL carry "
+        "merge-order-dependent float centroids, so a FIXED-WIDTH "
+        "histogram trades adaptivity for exactness — the bin is one "
+        "IEEE multiply + floor (both exactly rounded, engines agree "
+        "bit-for-bit), counts are integers whose map-side partial "
+        "aggregation IS the sketch merge, and each quantile reads "
+        "off cumulative BIN counts (a window over groups x occupied "
+        "bins, not data rows) as the lower edge of the bin holding "
+        "the ceil(q*n)-th value — one division of exactly-"
+        "determined integers, error bounded by the stated bin "
+        "width (1/16). One data-sized shuffle total.",
+)
+def q_sketch_value_quantiles(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        HS.quantile_sketch(ev, "event_type", "value")
+        .withColumnRenamed("grp", "event_type")
+    )

@@ -247,3 +247,43 @@ def test_hll_register_terms_are_integral(spark):
 
     assert SK.HLL_SCALE > 33
     assert SK.HLL_M * (1 << SK.HLL_SCALE) < (1 << 62)
+
+
+def test_hist_quantile_error_bound_and_merge(spark):
+    """Estimates must be within one bin width below the exact
+    discrete quantile, and the sketch must merge by plain SUM:
+    sketching two halves then merging equals sketching the whole."""
+    import pyspark.sql.functions as SF
+
+    import distributed_computing_projects_spark.operators.histsketch as HS
+
+    rows = [("g", i, i * 0.37) for i in range(2000)]
+    df = spark.createDataFrame(rows, "grp string, k bigint, v double")
+    out = HS.quantile_sketch(df, "grp", "v").collect()[0]
+    vals = sorted(r[2] for r in rows)
+    import math
+    for q, est in ((0.5, out["q50_est"]), (0.9, out["q90_est"]),
+                   (0.99, out["q99_est"])):
+        exact = vals[math.ceil(q * len(vals)) - 1]
+        assert est <= exact < est + 1.0 / HS.WIDTH_INV
+    assert out["n"] == 2000
+
+    halves = [HS.value_bins(df.filter(f"k % 2 = {h}"), "grp", "v")
+              for h in (0, 1)]
+    merged = (halves[0].unionByName(halves[1])
+              .groupBy("grp", "bin").agg(SF.sum("n").alias("n")))
+    direct = {(r["grp"], r["bin"]): r["n"]
+              for r in HS.value_bins(df, "grp", "v").collect()}
+    got = {(r["grp"], r["bin"]): r["n"] for r in merged.collect()}
+    assert got == direct
+
+
+def test_hist_quantile_negative_and_null_values(spark):
+    import distributed_computing_projects_spark.operators.histsketch as HS
+
+    df = spark.createDataFrame(
+        [("g", -5.0), ("g", -1.0), ("g", None), ("g", 3.0)],
+        "grp string, v double")
+    out = HS.quantile_sketch(df, "grp", "v", qs=(0.5,)).collect()[0]
+    assert out["n"] == 3  # nulls are not observations
+    assert out["q50_est"] <= -1.0 < out["q50_est"] + 1.0 / 16
