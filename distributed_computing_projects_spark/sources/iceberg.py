@@ -29,8 +29,9 @@ Metadata chain (the spec's read path):
   resolves columns by field ID; this reader resolves by name, which
   is only sound when no rename ever happened — the metadata keeps
   every historical schema, so renames are DETECTED and refused
-  rather than guessed), and non-identity partition transforms under
-  a ``partitions=`` prune all raise ``ValueError``.
+  rather than guessed), and partition transforms other than
+  identity/bucket under a ``partitions=`` prune all raise
+  ``ValueError``.
 
 Scan shape (the 100 TB properties):
 
@@ -42,7 +43,10 @@ Scan shape (the 100 TB properties):
 - ``partitions=`` equality-prunes at the MANIFEST layer — entries
   carry their partition tuple, so files are skipped driver-side
   before any data I/O, exactly the file-skipping a native reader
-  does (identity transforms only; others refuse).
+  does. Identity transforms match directly; ``bucket[N]`` fields
+  prune by SOURCE value through the spec's murmur3_x86_32 bucket
+  function (Appendix B — the murmur3 core is differentially tested
+  against Spark's own ``hash()``); other transforms refuse.
 - Manifest I/O is tiny (KBs of Avro per manifest) and driver-side;
   data I/O is all JVM-side.
 
@@ -263,20 +267,42 @@ def read_iceberg(spark: SparkSession, table_path: str,
         spec_fields = {f["name"]: f
                        for f in (snap.partition_spec or
                                  {}).get("fields", [])}
-        for col in partitions:
-            f = spec_fields.get(col)
+        # a filter may also name the SOURCE column of a transformed
+        # partition field (bucket[N] fields are conventionally named
+        # col_bucket; callers think in source columns)
+        id_to_name = {f["id"]: f["name"]
+                      for f in snap.schema["fields"]}
+        by_source = {}
+        for f in spec_fields.values():
+            src = id_to_name.get(f.get("source-id"))
+            if src is not None:
+                by_source.setdefault(src, f)
+        matches = {}
+        for col, v in partitions.items():
+            f = spec_fields.get(col) or by_source.get(col)
             if f is None:
                 raise ValueError(
                     f"partitions filter on non-partition field "
                     f"{col!r}")
-            if f.get("transform", "identity") != "identity":
-                raise ValueError(
-                    f"partition field {col!r} uses transform "
-                    f"{f['transform']!r}; only identity values are "
-                    f"prunable by source value — refusing")
+            tr = f.get("transform", "identity")
+            if tr == "identity":
+                matches[f["name"]] = v
+            else:
+                m = re.match(r"^bucket\[(\d+)\]$", tr)
+                if not m:
+                    raise ValueError(
+                        f"partition field {col!r} uses transform "
+                        f"{tr!r}; only identity and bucket[N] are "
+                        f"prunable by source value — refusing")
+                if v is None:
+                    raise ValueError(
+                        "bucket transform of null is undefined for "
+                        "pruning; filter on the partition field "
+                        "value instead")
+                matches[f["name"]] = bucket_value(v, int(m.group(1)))
         files = [(p, pv) for p, pv in files
-                 if all(pv.get(c) == v
-                        for c, v in partitions.items())]
+                 if all(pv.get(name) == mv
+                        for name, mv in matches.items())]
 
     spark_schema = StructType([
         StructField(f["name"], _iceberg_to_spark_type(f["type"]),
@@ -350,3 +376,58 @@ def write_manifest_list(path: str, manifests: list[dict]) -> None:
     with open(tmp, "wb") as f:
         f.write(data)
     os.replace(tmp, path)
+
+
+# ------------------------------------------------ bucket transform
+# Iceberg's bucket[N] partition transform (spec Appendix B): the
+# 32-bit x86 murmur3 of the value's single-value binary form, seed 0;
+# bucket = (hash & Int.MaxValue) % N. Implementing it upgrades the
+# partitions= refusal on bucketed tables into real manifest-layer
+# pruning. The murmur3 core is differentially tested against Spark's
+# own hash() (murmur3_x86_32, seed 42) in pytest, so the only
+# spec-trusted parts are the seed and the value serialization.
+
+
+def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
+    """Signed 32-bit murmur3 (Austin Appleby's public algorithm)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    for i in range(0, n - n % 4, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[n - n % 4:]
+    if tail:
+        k = int.from_bytes(tail, "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def bucket_value(v, n: int) -> int:
+    """The spec's bucket[N] of one source value. Int and long share
+    the 8-byte little-endian form (so bucket(34) is width-agnostic);
+    strings hash their UTF-8 bytes; binary hashes raw."""
+    if isinstance(v, int):
+        data = v.to_bytes(8, "little", signed=True)
+    elif isinstance(v, str):
+        data = v.encode("utf-8")
+    elif isinstance(v, (bytes, bytearray)):
+        data = bytes(v)
+    else:
+        raise ValueError(
+            f"bucket transform over unsupported type {type(v)}")
+    return (murmur3_x86_32(data) & 0x7FFFFFFF) % n

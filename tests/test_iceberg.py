@@ -155,20 +155,84 @@ def test_manifest_layer_partition_prune(spark, tmp_path):
         IC.read_iceberg(spark, table, partitions={"k": 1})
 
 
-def test_non_identity_transform_refuses_prune(spark, tmp_path):
-    table = _make_table(spark, tmp_path)
-    mpath = IC.latest_metadata_path(table)
-    with open(mpath, "r", encoding="utf-8") as f:
-        meta = json.load(f)
-    meta["partition-specs"][0]["fields"][0]["transform"] = \
-        "bucket[16]"
-    with open(mpath, "w", encoding="utf-8") as f:
+def test_murmur3_differential_vs_spark_hash(spark):
+    """Spark's hash() IS murmur3_x86_32 at seed 42 over Spark's own
+    encodings (int: 4-byte LE; long: 8-byte LE; string: UTF-8) — a
+    third-party differential for the murmur3 core, leaving only the
+    seed-0 + value-serialization layer to the Iceberg spec."""
+    rows = spark.sql(
+        "SELECT hash(34), hash(CAST(34 AS BIGINT)),"
+        " hash(CAST(-7 AS INT)), hash(CAST(-7 AS BIGINT))"
+    ).collect()[0]
+    assert IC.murmur3_x86_32((34).to_bytes(4, "little"), 42) == rows[0]
+    assert IC.murmur3_x86_32((34).to_bytes(8, "little"), 42) == rows[1]
+    assert IC.murmur3_x86_32(
+        (-7).to_bytes(4, "little", signed=True), 42) == rows[2]
+    assert IC.murmur3_x86_32(
+        (-7).to_bytes(8, "little", signed=True), 42) == rows[3]
+    # Spark's STRING/binary hash uses a per-byte tail mix (not the
+    # canonical murmur3 tail), so the tail path is pinned against
+    # the Iceberg spec's published Appendix B vectors instead:
+    # long 34 -> 2017239379 (aligned, seed 0), string 'iceberg'
+    # (7 bytes: one word + a 3-byte tail) -> 1210000089
+    assert IC.murmur3_x86_32((34).to_bytes(8, "little")) == 2017239379
+    assert IC.murmur3_x86_32(b"iceberg") == 1210000089
+    # spec property: int and long share the 8-byte form
+    assert IC.bucket_value(34, 97) == \
+        (IC.murmur3_x86_32((34).to_bytes(8, "little"))
+         & 0x7FFFFFFF) % 97
+
+
+def test_bucket_transform_prunes_by_source_value(spark, tmp_path):
+    """bucket[N] partition fields prune by SOURCE value: the filter
+    computes the spec's murmur3 bucket and matches manifest
+    partition tuples; unsupported transforms still refuse."""
+    table = str(tmp_path / "b")
+    mdir = os.path.join(table, "metadata")
+    os.makedirs(mdir)
+    n_buckets = 4
+    by_bucket = {}
+    for k in range(10):
+        by_bucket.setdefault(IC.bucket_value(k, n_buckets),
+                             []).append(k)
+    pfields = [("k_bucket", "int")]
+    entries = []
+    for b, ks in sorted(by_bucket.items()):
+        path = os.path.join(table, f"data/b={b}/f.parquet")
+        _write_parquet(spark, path,
+                       [(k, float(k), "x") for k in ks])
+        e = _entry(1, path, None)
+        e["data_file"]["partition"] = {"k_bucket": b}
+        entries.append(e)
+    m1 = os.path.join(mdir, "m1.avro")
+    s1 = IC.write_manifest(m1, entries, pfields)
+    ml1 = os.path.join(mdir, "snap-1.avro")
+    IC.write_manifest_list(ml1, [_mref(m1, s1)])
+    meta = _write_metadata(
+        table, [{"snapshot-id": 1, "sequence-number": 1,
+                 "timestamp-ms": 0, "manifest-list": ml1,
+                 "schema-id": 0,
+                 "summary": {"operation": "append"}}], 1)
+    meta["partition-specs"] = [{"spec-id": 0, "fields": [
+        {"name": "k_bucket", "transform": f"bucket[{n_buckets}]",
+         "source-id": 1, "field-id": 1000}]}]
+    with open(os.path.join(mdir, "v2.metadata.json"), "w",
+              encoding="utf-8") as f:
         json.dump(meta, f)
-    # reading without a prune still works...
-    assert len(_collect(IC.read_iceberg(spark, table))) == 3
-    # ...but pruning by source value on a bucket transform refuses
+    # filter by the SOURCE column: only k=7's bucket is scanned
+    got = _collect(IC.read_iceberg(spark, table,
+                                   partitions={"k": 7}))
+    want_bucket = IC.bucket_value(7, n_buckets)
+    assert {r[0] for r in got} == set(by_bucket[want_bucket])
+    snap = IC.resolve_snapshot(table)
+    assert len(snap.files) == len(by_bucket)  # pruning < full scan
+    meta["partition-specs"][0]["fields"][0]["transform"] = \
+        "truncate[4]"
+    with open(os.path.join(mdir, "v3.metadata.json"), "w",
+              encoding="utf-8") as f:
+        json.dump(meta, f)
     with pytest.raises(ValueError, match="transform"):
-        IC.read_iceberg(spark, table, partitions={"et": "click"})
+        IC.read_iceberg(spark, table, partitions={"k": 7})
 
 
 def test_live_delete_files_refuse(spark, tmp_path):
