@@ -288,18 +288,22 @@ def read_iceberg(spark: SparkSession, table_path: str,
             if tr == "identity":
                 matches[f["name"]] = v
             else:
-                m = re.match(r"^bucket\[(\d+)\]$", tr)
-                if not m:
+                mb = re.match(r"^bucket\[(\d+)\]$", tr)
+                mt = re.match(r"^truncate\[(\d+)\]$", tr)
+                if not mb and not mt:
                     raise ValueError(
                         f"partition field {col!r} uses transform "
-                        f"{tr!r}; only identity and bucket[N] are "
-                        f"prunable by source value — refusing")
+                        f"{tr!r}; only identity, bucket[N], and "
+                        f"truncate[W] are prunable by source value "
+                        f"— refusing")
                 if v is None:
                     raise ValueError(
-                        "bucket transform of null is undefined for "
-                        "pruning; filter on the partition field "
-                        "value instead")
-                matches[f["name"]] = bucket_value(v, int(m.group(1)))
+                        f"{tr} of null is undefined for pruning; "
+                        "filter on the partition field value "
+                        "instead")
+                matches[f["name"]] = (
+                    bucket_value(v, int(mb.group(1))) if mb
+                    else truncate_value(v, int(mt.group(1))))
         files = [(p, pv) for p, pv in files
                  if all(pv.get(name) == mv
                         for name, mv in matches.items())]
@@ -431,3 +435,18 @@ def bucket_value(v, n: int) -> int:
         raise ValueError(
             f"bucket transform over unsupported type {type(v)}")
     return (murmur3_x86_32(data) & 0x7FFFFFFF) % n
+
+
+def truncate_value(v, w: int):
+    """The spec's truncate[W]: ints truncate toward negative
+    infinity (``v - (((v % W) + W) % W)`` — Python's % is already
+    floored, kept in the portable double-mod form the spec writes);
+    strings truncate to W Unicode codepoints; binary to W bytes."""
+    if isinstance(v, int):
+        return v - (((v % w) + w) % w)
+    if isinstance(v, str):
+        return v[:w]
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v[:w])
+    raise ValueError(
+        f"truncate transform over unsupported type {type(v)}")

@@ -226,8 +226,7 @@ def test_bucket_transform_prunes_by_source_value(spark, tmp_path):
     assert {r[0] for r in got} == set(by_bucket[want_bucket])
     snap = IC.resolve_snapshot(table)
     assert len(snap.files) == len(by_bucket)  # pruning < full scan
-    meta["partition-specs"][0]["fields"][0]["transform"] = \
-        "truncate[4]"
+    meta["partition-specs"][0]["fields"][0]["transform"] = "year"
     with open(os.path.join(mdir, "v3.metadata.json"), "w",
               encoding="utf-8") as f:
         json.dump(meta, f)
@@ -386,3 +385,12 @@ def test_cli_iceberg_scan(spark, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "click" in out and "view" not in out
+
+
+def test_truncate_transform_values():
+    assert IC.truncate_value(17, 10) == 10
+    assert IC.truncate_value(-1, 10) == -10   # floored, per spec
+    assert IC.truncate_value(-10, 10) == -10
+    assert IC.truncate_value(0, 10) == 0
+    assert IC.truncate_value("iceberg", 3) == "ice"
+    assert IC.truncate_value(b"\x01\x02\x03\x04", 2) == b"\x01\x02"
