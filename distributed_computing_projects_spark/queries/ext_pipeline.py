@@ -2550,3 +2550,50 @@ def q_msgpack_events_scan(spark, sf_dir):
         "event_type string, value double")
     return back.select("event_id", "ts", "user_id", "event_type",
                        "value")
+
+
+@query(
+    "iceberg_sink_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events WHERE event_id % 11 = 7
+    """,
+    doc="Iceberg SINK roundtrip (sources/iceberg.write_iceberg) — "
+        "the write symmetry of the lakehouse tier: with write_delta, "
+        "engine exports now publish as EITHER table format. Data "
+        "files stage through Spark's parquet writer (a duplicated "
+        "staging column keeps the partition column IN the files per "
+        "the spec), the ADDED-entries manifest and a manifest list "
+        "REUSING the prior snapshot's manifests (the spec's fast-"
+        "append: appending costs one manifest, not a listing "
+        "rewrite) are written through the engine's own Avro OCF "
+        "writer, and the new metadata file publishes via exclusive "
+        "os.link — racing writers can never both claim a version. "
+        "The query appends in TWO snapshots split by user_id parity "
+        "and reads the table back through the manifest-chain "
+        "reader, so the sink's manifests, the fast-append reuse, "
+        "and the reader's snapshot resolution all sit on one hash "
+        "path against the parquet-side oracle.",
+)
+def q_iceberg_sink_roundtrip(spark, sf_dir):
+    import shutil
+
+    from distributed_computing_projects_spark.sources import (
+        iceberg as IC,
+    )
+
+    work = _session_scratch(spark, "iceberg_sink", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    table = os.path.join(work, "table")
+    subset = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 11 == 7)
+        .select("event_id", "user_id", "value", "event_type")
+    )
+    IC.write_iceberg(subset.filter(F.col("user_id") % 2 == 0),
+                     table, partition_by=["event_type"])
+    IC.write_iceberg(subset.filter(F.col("user_id") % 2 == 1),
+                     table, partition_by=["event_type"])
+    back = IC.read_iceberg(spark, table)
+    return back.select("event_id", "user_id", "event_type", "value")

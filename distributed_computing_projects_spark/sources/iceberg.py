@@ -450,3 +450,208 @@ def truncate_value(v, w: int):
         return bytes(v[:w])
     raise ValueError(
         f"truncate transform over unsupported type {type(v)}")
+
+
+# ----------------------------------------------------------- sink
+
+
+def _spark_to_iceberg_type(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    simple = {
+        T.BooleanType(): "boolean", T.IntegerType(): "int",
+        T.LongType(): "long", T.FloatType(): "float",
+        T.DoubleType(): "double", T.StringType(): "string",
+        T.BinaryType(): "binary", T.DateType(): "date",
+        T.TimestampType(): "timestamptz",
+        T.TimestampNTZType(): "timestamp",
+    }
+    if dt in simple:
+        return simple[dt]
+    raise ValueError(f"unsupported sink column type {dt}")
+
+
+def write_iceberg(df: DataFrame, table_path: str,
+                  partition_by: list[str] | None = None,
+                  mode: str = "append") -> int:
+    """Iceberg SINK — the write symmetry of :func:`read_iceberg`
+    (with `deltalake.write_delta`, engine exports now publish as
+    either lakehouse format): data files stage through Spark's
+    parquet writer (identity partitioning; a duplicated staging
+    column keeps the partition column IN the data files per the
+    spec), one ADDED-entries manifest and a manifest list reusing
+    the prior snapshot's manifests (the spec's fast-append shape —
+    append cost is one manifest, not a rewrite) are written through
+    the engine's own Avro OCF writer, and the new metadata file
+    publishes via exclusive `os.link` — two racing writers can never
+    both claim a metadata version. `mode='overwrite'` lists only the
+    new manifest (prior snapshots keep reading their own files —
+    snapshot isolation is the format). Returns the snapshot id."""
+    import shutil
+    import uuid as uuidmod
+
+    part_cols = list(partition_by or [])
+    mdir = os.path.join(table_path, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+
+    schema_fields = [
+        {"id": i + 1, "name": f.name, "required": False,
+         "type": _spark_to_iceberg_type(f.dataType)}
+        for i, f in enumerate(df.schema.fields)]
+    schema_json = {"type": "struct", "schema-id": 0,
+                   "fields": schema_fields}
+    by_name = {f["name"]: f for f in schema_fields}
+    for c in part_cols:
+        if c not in by_name:
+            raise ValueError(f"partition column {c!r} not in schema")
+        if by_name[c]["type"] != "string":
+            # manifest partition structs carry TYPED values; this
+            # sink stages values through hive dir names (strings),
+            # so a non-string identity partition would desync the
+            # reader's manifest-layer pruning — refuse loudly
+            raise ValueError(
+                f"sink supports string identity partition columns "
+                f"only; {c!r} is {by_name[c]['type']}")
+    spec = {"spec-id": 0, "fields": [
+        {"name": c, "transform": "identity",
+         "source-id": by_name[c]["id"], "field-id": 1000 + i}
+        for i, c in enumerate(part_cols)]}
+
+    try:
+        with open(latest_metadata_path(table_path), "r",
+                  encoding="utf-8") as f:
+            meta = json.load(f)
+        have = meta["schemas"][0] if "schemas" in meta \
+            else meta["schema"]
+        if [(f["name"], f["type"]) for f in have["fields"]] != \
+                [(f["name"], f["type"]) for f in schema_fields]:
+            raise ValueError("iceberg append schema mismatch")
+        prior_spec = meta.get("partition-specs", [{}])[0]
+        if [f["name"] for f in prior_spec.get("fields", [])] != \
+                part_cols:
+            raise ValueError("iceberg append partitioning mismatch")
+    except (ValueError, FileNotFoundError, OSError) as e:
+        if "mismatch" in str(e):
+            raise
+        meta = None
+
+    # stage data files (duplicated staging column keeps partition
+    # columns in the files, as the spec requires)
+    stage = os.path.join(table_path,
+                         f"_staging-{uuidmod.uuid4().hex}")
+    if part_cols:
+        staged = df
+        for c in part_cols:
+            staged = staged.withColumn(f"_ice_{c}", df[c])
+        (staged.write.partitionBy(*[f"_ice_{c}" for c in part_cols])
+         .mode("overwrite").parquet(stage))
+    else:
+        df.write.mode("overwrite").parquet(stage)
+
+    entries = []
+    snap_id = (max((s["snapshot-id"] for s in
+                    (meta or {}).get("snapshots", [])), default=0)
+               + 1)
+    seq = ((meta or {}).get("last-sequence-number", 0)) + 1
+    n = 0
+    for root, _dirs, names in os.walk(stage):
+        for name in sorted(names):
+            if not (name.startswith("part-")
+                    and name.endswith(".parquet")):
+                continue
+            rel_dir = os.path.relpath(root, stage)
+            pv = {}
+            if rel_dir != ".":
+                for piece in rel_dir.split(os.sep):
+                    col, _, raw = piece.partition("=")
+                    pv[col.removeprefix("_ice_")] = (
+                        None if raw == "__HIVE_DEFAULT_PARTITION__"
+                        else raw)
+            ddir = os.path.join(
+                "data", *[f"{c}={pv[c]}" for c in part_cols
+                          if pv.get(c) is not None]) \
+                if part_cols else "data"
+            os.makedirs(os.path.join(table_path, ddir),
+                        exist_ok=True)
+            dest = os.path.join(
+                table_path, ddir,
+                f"f-{uuidmod.uuid4().hex}-{n:05d}.parquet")
+            os.replace(os.path.join(root, name), dest)
+            entries.append({
+                "status": 1, "snapshot_id": snap_id,
+                "data_file": {
+                    "content": 0, "file_path": dest,
+                    "file_format": "PARQUET", "partition": pv,
+                    "record_count": 0,
+                    "file_size_in_bytes": os.path.getsize(dest)}})
+            n += 1
+    shutil.rmtree(stage, ignore_errors=True)
+
+    pfields = [(c, "string") for c in part_cols]
+    mpath = os.path.join(mdir, f"m-{snap_id}-{uuidmod.uuid4().hex}"
+                               f".avro")
+    msize = write_manifest(mpath, entries, pfields)
+    refs = [{"manifest_path": mpath, "manifest_length": msize,
+             "partition_spec_id": 0, "content": 0,
+             "sequence_number": seq, "min_sequence_number": seq,
+             "added_snapshot_id": snap_id}]
+    if mode == "append" and meta is not None \
+            and meta.get("current-snapshot-id", -1) not in (None, -1):
+        cur = next(s for s in meta["snapshots"]
+                   if s["snapshot-id"] == meta["current-snapshot-id"])
+        refs += [
+            {"manifest_path": m["manifest_path"],
+             "manifest_length": m["manifest_length"],
+             "partition_spec_id": 0,
+             "content": m.get("content", 0),
+             "sequence_number": m.get("sequence_number", seq - 1),
+             "min_sequence_number":
+                 m.get("min_sequence_number", seq - 1),
+             "added_snapshot_id": m.get("added_snapshot_id",
+                                        snap_id - 1)}
+            for m in _read_avro_records(
+                _localize(cur["manifest-list"], table_path))]
+    ml = os.path.join(mdir, f"snap-{snap_id}-"
+                            f"{uuidmod.uuid4().hex}.avro")
+    write_manifest_list(ml, refs)
+
+    snapshot = {"snapshot-id": snap_id, "sequence-number": seq,
+                "timestamp-ms": 0, "manifest-list": ml,
+                "schema-id": 0,
+                "summary": {"operation":
+                            "append" if mode == "append"
+                            else "overwrite"}}
+    if meta is None:
+        meta = {
+            "format-version": 2,
+            "table-uuid": str(uuidmod.uuid4()),
+            "location": f"file://{table_path}",
+            "last-updated-ms": 0,
+            "last-column-id": len(schema_fields),
+            "current-schema-id": 0, "schemas": [schema_json],
+            "default-spec-id": 0, "partition-specs": [spec],
+            "last-partition-id": 1000 + max(len(part_cols) - 1, 0),
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "snapshots": [], "snapshot-log": [], "metadata-log": [],
+        }
+    meta["last-sequence-number"] = seq
+    meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
+    meta["current-snapshot-id"] = snap_id
+
+    while True:
+        versions = [int(_META_RE.match(x).group(1))
+                    for x in os.listdir(mdir) if _META_RE.match(x)]
+        v = max(versions, default=0) + 1
+        final = os.path.join(mdir, f"v{v}.metadata.json")
+        tmp = final + f".tmp-{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(meta, f)
+        try:
+            os.link(tmp, final)  # put-if-absent: losers re-version
+            os.unlink(tmp)
+            return snap_id
+        except FileExistsError:
+            os.unlink(tmp)

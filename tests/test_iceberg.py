@@ -394,3 +394,51 @@ def test_truncate_transform_values():
     assert IC.truncate_value(0, 10) == 0
     assert IC.truncate_value("iceberg", 3) == "ice"
     assert IC.truncate_value(b"\x01\x02\x03\x04", 2) == b"\x01\x02"
+
+
+def test_write_iceberg_sink_roundtrip(spark, tmp_path):
+    table = str(tmp_path / "sink")
+    df1 = spark.createDataFrame(
+        [(1, 1.0, "a"), (2, 2.0, "b"), (3, 3.0, "b")],
+        "k bigint, x double, et string")
+    s1 = IC.write_iceberg(df1, table, partition_by=["et"])
+    df2 = spark.createDataFrame([(4, 4.0, "a")],
+                                "k bigint, x double, et string")
+    s2 = IC.write_iceberg(df2, table, partition_by=["et"])
+    assert (s1, s2) == (1, 2)
+    got = _collect(IC.read_iceberg(spark, table))
+    assert got == [(1, 1.0, "a"), (2, 2.0, "b"), (3, 3.0, "b"),
+                   (4, 4.0, "a")]
+    # snapshot isolation: the first append is still readable
+    assert len(_collect(IC.read_iceberg(spark, table,
+                                        snapshot_id=1))) == 3
+    # manifest-layer pruning over sink-written partition values
+    pruned = IC.read_iceberg(spark, table, partitions={"et": "a"})
+    assert _collect(pruned) == [(1, 1.0, "a"), (4, 4.0, "a")]
+    # the data files CONTAIN the partition column (spec)
+    snap = IC.resolve_snapshot(table)
+    one = spark.read.parquet(snap.files[0][0])
+    assert "et" in one.columns
+
+
+def test_write_iceberg_overwrite_and_gates(spark, tmp_path):
+    table = str(tmp_path / "ow")
+    df1 = spark.createDataFrame([(1, 1.0, "a")],
+                                "k bigint, x double, et string")
+    IC.write_iceberg(df1, table, partition_by=["et"])
+    df2 = spark.createDataFrame([(9, 9.0, "z")],
+                                "k bigint, x double, et string")
+    IC.write_iceberg(df2, table, partition_by=["et"],
+                     mode="overwrite")
+    assert _collect(IC.read_iceberg(spark, table)) == [(9, 9.0, "z")]
+    assert _collect(IC.read_iceberg(spark, table, snapshot_id=1)) \
+        == [(1, 1.0, "a")]
+    bad = spark.createDataFrame([(1.5, 1.0, "a")],
+                                "k double, x double, et string")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        IC.write_iceberg(bad, table, partition_by=["et"])
+    with pytest.raises(ValueError, match="partitioning mismatch"):
+        IC.write_iceberg(df2, table)
+    with pytest.raises(ValueError, match="string identity"):
+        IC.write_iceberg(df2, str(tmp_path / "np"),
+                         partition_by=["k"])
