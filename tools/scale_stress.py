@@ -789,17 +789,17 @@ def _write_md(out: dict) -> None:
         "LAKEHOUSE rows make the opposite claim and the curve shows "
         "it: metadata cost is FLAT while data scales, because the "
         "data path is one native parquet FileScan over the resolved "
-        "file list — iceberg_table_scan holds 1.64 -> 1.95 s across "
-        "2x..10x (manifest chain constant: the same 11 manifests "
-        "whatever the row count) and reaches only 6.3 s at 100x "
+        "file list — iceberg_table_scan holds ~0.95-1.1 s across "
+        "2x..10x (manifest chain constant: the same manifests "
+        "whatever the row count) and reaches only 3.5 s at 100x "
         "(1.15M rows — the scan, not the metadata, grew); "
-        "delta_table_scan sits on an ~11 s FIXTURE floor at every "
-        "factor (the fixture stages five partitions x two commits + "
-        "a Spark-written checkpoint — ~10 small Spark jobs a real "
-        "table's writer already paid) and adds only ~5 s of scan "
-        "from 2x to 100x (569k rows); hudi_table_scan (measured in "
-        "the follow-up merge) reads through the same one-FileScan "
-        "shape. At the 100 TB tier this is exactly the property "
+        "delta_table_scan and hudi_table_scan carry a smaller fixed "
+        "FIXTURE floor (commit/checkpoint staging a real table's "
+        "writer already paid — cut in-round by staging each initial "
+        "snapshot through ONE partitionBy write instead of a "
+        "per-partition job loop) and add only a few seconds of scan "
+        "through 100x (569k / 1.15M rows); all three read through "
+        "the same one-FileScan shape. At the 100 TB tier this is exactly the property "
         "that matters: the log/manifest/timeline replay is "
         "KB-sized driver work however large the table, and the "
         "scan inherits Spark's parquet parallelism.",
