@@ -120,3 +120,30 @@ def test_cli_msgpack_scan(spark, tmp_path, capsys):
                "--ddl", "id bigint, name string"], spark=spark)
     assert rc == 0
     assert "n2" in capsys.readouterr().out
+
+
+def test_property_roundtrip_arbitrary_values():
+    """Hypothesis: any nested value the builder can encode decodes
+    back identically (the codec's structural invariant)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    scalars = st.one_of(
+        st.none(), st.booleans(),
+        st.integers(min_value=-(1 << 63), max_value=(1 << 64) - 1),
+        st.floats(allow_nan=False),
+        st.text(max_size=40), st.binary(max_size=40))
+    values = st.recursive(
+        scalars,
+        lambda kids: st.one_of(
+            st.lists(kids, max_size=6),
+            st.dictionaries(st.text(max_size=8), kids, max_size=6)),
+        max_leaves=25)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(values, max_size=5))
+    def run(vals):
+        data = build_msgpack_dump(vals)
+        assert list(iter_msgpack_values(data)) == vals
+
+    run()
