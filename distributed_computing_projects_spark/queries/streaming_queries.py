@@ -1381,3 +1381,69 @@ def q_streaming_sqlite_ingest(spark, sf_dir):
         SF.sum(SF.col("value").cast("decimal(14,2)")).cast("double")
         .alias("total_value"),
     )
+
+
+@query(
+    "streaming_msgpack_ingest",
+    # the stream route must equal the batch scan row-for-row
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(user_id) AS BIGINT) AS sum_user,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE)
+             AS total_value
+    FROM events WHERE event_id % 11 = 5 GROUP BY event_type
+    """,
+    doc="CONTINUOUS-INGEST of MessagePack dumps — the thirteenth "
+        "ingest-store loop: readStream(binaryFile) over the SAME "
+        "decoy-laden fixture as msgpack_events_scan (non-map and "
+        "int-keyed-map heads, timestamp-extension ts, torn tail, "
+        "reserved-byte junk file) feeds the SAME type-derived value "
+        "walk (sources/msgpackfile.values_from_binary), lands in a "
+        "checkpointed parquet sink with an availableNow drain, and "
+        "the aggregated facts must hash-match the batch oracle — "
+        "float64 is IEEE 8-byte so values survive bit-exact.",
+)
+def q_streaming_msgpack_ingest(spark, sf_dir):
+    from pyspark.sql import functions as SF
+
+    from distributed_computing_projects_spark.queries.ext_pipeline import (
+        _build_msgpack_landing,
+    )
+    from distributed_computing_projects_spark.sources.msgpackfile import (
+        values_from_binary,
+    )
+
+    work, landing = _build_msgpack_landing(spark, sf_dir,
+                                           "stream_msgpack")
+    store = os.path.join(work, "rows")
+    ckpt = os.path.join(work, "ckpt")
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp,"
+                " length long, content binary")
+        .load(landing)
+    )
+    rows = values_from_binary(
+        stream,
+        "event_id bigint, user_id bigint, event_type string, "
+        "value double")
+
+    q = (
+        rows.writeStream.format("parquet")
+        .option("path", store)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError(
+            "streaming msgpack ingest did not drain in 180 s")
+    back = spark.read.parquet(store)
+    return back.groupBy("event_type").agg(
+        SF.count("*").alias("n"),
+        SF.sum("user_id").cast("bigint").alias("sum_user"),
+        SF.sum(SF.col("value").cast("decimal(14,2)")).cast("double")
+        .alias("total_value"),
+    )
