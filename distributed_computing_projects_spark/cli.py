@@ -584,6 +584,18 @@ def build_parser() -> argparse.ArgumentParser:
                     help="fields as Spark DDL (resolve by name; "
                          "mis-typed cells null)")
 
+    cb = sub.add_parser(
+        "cbor-scan",
+        help="CBOR sequence scan (sources/cborfile.py: RFC 8949 "
+             "item walk incl. indefinite-length forms, pure "
+             "stdlib): prints the text-keyed map rows under --ddl "
+             "column types",
+    )
+    cb.add_argument("path", help="file/dir/glob of .cbor sequences")
+    cb.add_argument("--ddl", required=True,
+                    help="fields as Spark DDL (resolve by name; "
+                         "mis-typed cells null)")
+
     ai = sub.add_parser(
         "arrow-scan",
         help="Arrow IPC / Feather scan (sources/arrowipc.py, both "
@@ -1158,6 +1170,12 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
 
             _emit(msgpackfile.read_msgpack(spark, args.path,
                                            args.ddl))
+        elif args.cmd == "cbor-scan":
+            from distributed_computing_projects_spark.sources import (
+                cborfile,
+            )
+
+            _emit(cborfile.read_cbor(spark, args.path, args.ddl))
         elif args.cmd == "arrow-scan":
             import glob as globmod
 

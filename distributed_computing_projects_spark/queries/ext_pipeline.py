@@ -2597,3 +2597,110 @@ def q_iceberg_sink_roundtrip(spark, sf_dir):
                      table, partition_by=["event_type"])
     back = IC.read_iceberg(spark, table)
     return back.select("event_id", "user_id", "event_type", "value")
+
+
+def _build_cbor_landing(spark, sf_dir, family):
+    """Fixture stage for the CBOR query: stage an events subset as
+    JSONL, encode each shard as one RFC 8742 sequence with the decoy
+    set — every FOURTH item in INDEFINITE framing (maps and strings
+    open-ended until break — the format's distinguishing hazard), a
+    duplicate-key map and a non-map value at every shard head (ROW
+    drops), ts as tag-1 integer epoch seconds, a torn tail whose
+    truncated HEAD must stop the stream (int.from_bytes of a short
+    slice silently yields a smaller value — the reader checks length
+    first), and a junk file leading with reserved additional-info
+    0x1C. Returns (work, landing)."""
+    import json as jsonmod
+    import shutil
+
+    from distributed_computing_projects_spark.sources import (
+        cborfile as CBOR,
+    )
+
+    work = _session_scratch(spark, family, sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    stage = os.path.join(work, "stage")
+    landing = os.path.join(work, "landing")
+    (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 11 == 3)
+        .select("event_id",
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                .alias("ts_us"),
+                "user_id", "event_type", "value")
+        .repartition(4)
+        .write.json(stage)
+    )
+    os.makedirs(landing)
+    i = 0
+    for name in sorted(os.listdir(stage)):
+        if not name.startswith("part-"):
+            continue
+        with open(os.path.join(stage, name), "rb") as f:
+            recs = [jsonmod.loads(ln) for ln in f.read().splitlines()
+                    if ln]
+        vals = []
+        for r in recs:
+            # tag-1 epoch carries whole seconds; the oracle truncates
+            # to second precision to match (binary-fraction float
+            # epochs cannot carry exact microseconds — documented)
+            vals.append({"event_id": r["event_id"],
+                         "ts": CBOR.timestamp(
+                             r["ts_us"] // 1_000_000),
+                         "user_id": r["user_id"],
+                         "event_type": r["event_type"],
+                         "value": r.get("value"),
+                         "writer_only": [1, {"deep": i}]})
+        dup = (b"\xa2" + CBOR.encode("k") + CBOR.encode(1)
+               + CBOR.encode("k") + CBOR.encode(2))
+        torn = CBOR.encode({"event_id": 999_000_000 + i})[:-1]
+        with open(os.path.join(landing, f"part-{i}.cbor"),
+                  "wb") as f:
+            f.write(CBOR.encode("not a row") + dup
+                    + CBOR.build_cbor_sequence(vals,
+                                               indefinite_every=4)
+                    + torn)
+        i += 1
+    with open(os.path.join(landing, "junk.cbor"), "wb") as f:
+        f.write(bytes([0x1C]) + b"reserved additional info leads")
+    shutil.rmtree(stage, ignore_errors=True)
+    return work, landing
+
+
+@query(
+    "cbor_events_scan",
+    oracle="""
+    SELECT event_id, date_trunc('second', ts) AS ts, user_id,
+           event_type, CAST(value AS DOUBLE) AS value
+    FROM events WHERE event_id % 11 = 3
+    """,
+    doc="CBOR sequence ingest (sources/cborfile.py) — RFC 8949/8742 "
+        "pure-stdlib: the serialization COSE/WebAuthn tooling and "
+        "IoT collectors dump, the msgpack shape with the two twists "
+        "this reader makes first-class and the fixture puts on the "
+        "hash path: INDEFINITE-length containers and strings (every "
+        "fourth item frames open-ended until break — chunked text "
+        "reassembles, nested indefinite forms recurse) and the TAG "
+        "system (ts rides tag-1 integer epoch seconds; unknown tags "
+        "stay opaque, never silently unwrapped). Drops are the "
+        "msgpack asymmetry plus the RFC's validity layer: a "
+        "WELL-FORMED-BUT-INVALID item (duplicate map keys) drops "
+        "the ROW while the walk continues; structural failures — "
+        "including a torn HEAD, where int.from_bytes of a short "
+        "slice would silently decode a smaller value if length were "
+        "not checked first (a real bug this fixture caught "
+        "in-round) — stop the stream. Float16/32/64 all decode; "
+        "the junk file leads with reserved additional-info 0x1C.",
+)
+def q_cbor_events_scan(spark, sf_dir):
+    from distributed_computing_projects_spark.sources import (
+        cborfile as CBOR,
+    )
+
+    _, landing = _build_cbor_landing(spark, sf_dir, "cbor_events")
+    back = CBOR.read_cbor(
+        spark, landing,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double")
+    return back.select("event_id", "ts", "user_id", "event_type",
+                       "value")
