@@ -1447,3 +1447,69 @@ def q_streaming_msgpack_ingest(spark, sf_dir):
         SF.sum(SF.col("value").cast("decimal(14,2)")).cast("double")
         .alias("total_value"),
     )
+
+
+@query(
+    "streaming_cbor_ingest",
+    # the stream route must equal the batch scan row-for-row
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(user_id) AS BIGINT) AS sum_user,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE)
+             AS total_value
+    FROM events WHERE event_id % 11 = 3 GROUP BY event_type
+    """,
+    doc="CONTINUOUS-INGEST of CBOR sequences — the fourteenth "
+        "ingest-store loop: readStream(binaryFile) over the SAME "
+        "decoy-laden fixture as cbor_events_scan (indefinite "
+        "framing every fourth item, duplicate-key and non-map "
+        "heads, tag-1 epochs, torn-head tail, reserved-ai junk "
+        "file) feeds the SAME RFC 8949 item walk "
+        "(sources/cborfile.values_from_binary), lands in a "
+        "checkpointed parquet sink with an availableNow drain, and "
+        "the aggregated facts must hash-match the batch oracle.",
+)
+def q_streaming_cbor_ingest(spark, sf_dir):
+    from pyspark.sql import functions as SF
+
+    from distributed_computing_projects_spark.queries.ext_pipeline import (
+        _build_cbor_landing,
+    )
+    from distributed_computing_projects_spark.sources.cborfile import (
+        values_from_binary,
+    )
+
+    work, landing = _build_cbor_landing(spark, sf_dir,
+                                        "stream_cbor")
+    store = os.path.join(work, "rows")
+    ckpt = os.path.join(work, "ckpt")
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp,"
+                " length long, content binary")
+        .load(landing)
+    )
+    rows = values_from_binary(
+        stream,
+        "event_id bigint, user_id bigint, event_type string, "
+        "value double")
+
+    q = (
+        rows.writeStream.format("parquet")
+        .option("path", store)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError(
+            "streaming cbor ingest did not drain in 180 s")
+    back = spark.read.parquet(store)
+    return back.groupBy("event_type").agg(
+        SF.count("*").alias("n"),
+        SF.sum("user_id").cast("bigint").alias("sum_user"),
+        SF.sum(SF.col("value").cast("decimal(14,2)")).cast("double")
+        .alias("total_value"),
+    )
