@@ -596,6 +596,23 @@ def build_parser() -> argparse.ArgumentParser:
                     help="fields as Spark DDL (resolve by name; "
                          "mis-typed cells null)")
 
+    pb = sub.add_parser(
+        "pb-scan",
+        help="Varint-delimited protobuf stream scan "
+             "(sources/pbstream.py: writeDelimitedTo framing, "
+             "schema-free wire walk, pure stdlib): prints the rows "
+             "under --ddl with --field name=number mappings",
+    )
+    pb.add_argument("path", help="file/dir/glob of delimited "
+                                 "protobuf streams")
+    pb.add_argument("--ddl", required=True,
+                    help="columns as Spark DDL (types pick the wire "
+                         "interpretation)")
+    pb.add_argument("--field", action="append", required=True,
+                    metavar="COL=NUMBER[:sint]",
+                    help="column -> protobuf field number "
+                         "(repeatable; ':sint' for zigzag ints)")
+
     ai = sub.add_parser(
         "arrow-scan",
         help="Arrow IPC / Feather scan (sources/arrowipc.py, both "
@@ -1176,6 +1193,20 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             )
 
             _emit(cborfile.read_cbor(spark, args.path, args.ddl))
+        elif args.cmd == "pb-scan":
+            from distributed_computing_projects_spark.sources import (
+                pbstream,
+            )
+
+            fmap = {}
+            for kv in args.field:
+                col, _, num = kv.partition("=")
+                if num.endswith(":sint"):
+                    fmap[col] = (int(num[:-5]), "sint")
+                else:
+                    fmap[col] = int(num)
+            _emit(pbstream.read_pbstream(spark, args.path, args.ddl,
+                                         fmap))
         elif args.cmd == "arrow-scan":
             import glob as globmod
 

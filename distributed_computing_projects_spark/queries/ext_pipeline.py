@@ -2704,3 +2704,99 @@ def q_cbor_events_scan(spark, sf_dir):
         "event_type string, value double")
     return back.select("event_id", "ts", "user_id", "event_type",
                        "value")
+
+
+def _build_pbstream_landing(spark, sf_dir, family):
+    """Fixture stage for the protobuf-stream query: stage an events
+    subset as JSONL, encode each shard as one varint-delimited
+    stream with the decoy set — a record whose wire walk fails (a
+    deprecated GROUP wire type) at every shard head (RECORD drop:
+    the leading length still locates the next record), user_id as a
+    SINT zigzag field, a writer-only extension field on every
+    message (skipped by the wire grammar), a torn length varint at
+    the tail (stream stop), and one junk file whose leading varint
+    runs past end. Returns (work, landing)."""
+    import json as jsonmod
+    import shutil
+
+    from distributed_computing_projects_spark.sources import (
+        pbstream as PB,
+    )
+
+    work = _session_scratch(spark, family, sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    stage = os.path.join(work, "stage")
+    landing = os.path.join(work, "landing")
+    (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 11 == 2)
+        .select("event_id", "user_id", "event_type", "value")
+        .repartition(4)
+        .write.json(stage)
+    )
+    os.makedirs(landing)
+    i = 0
+    for name in sorted(os.listdir(stage)):
+        if not name.startswith("part-"):
+            continue
+        with open(os.path.join(stage, name), "rb") as f:
+            recs = [jsonmod.loads(ln) for ln in f.read().splitlines()
+                    if ln]
+        msgs = []
+        for r in recs:
+            parts = [(1, "int", r["event_id"]),
+                     (2, "sint", r["user_id"]),
+                     (3, "string", r["event_type"]),
+                     (9, "string", "writer-only extension")]
+            if r.get("value") is not None:
+                parts.insert(3, (4, "double", r["value"]))
+            msgs.append(PB.encode_message(parts))
+        bad = PB._enc_uvarint(1 << 3 | 3)  # group wire type
+        with open(os.path.join(landing, f"part-{i}.pb"), "wb") as f:
+            f.write(PB.build_pbstream([bad] + msgs)
+                    + PB._enc_uvarint(99))
+        i += 1
+    with open(os.path.join(landing, "junk.pb"), "wb") as f:
+        f.write(b"\xff" * 24)
+    shutil.rmtree(stage, ignore_errors=True)
+    return work, landing
+
+
+@query(
+    "pbstream_events_scan",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events WHERE event_id % 11 = 2
+    """,
+    doc="Varint-delimited protobuf stream ingest "
+        "(sources/pbstream.py) — the writeDelimitedTo container of "
+        "protobuf log pipelines, the CRC-less sibling of TFRecord "
+        "that takes ANY message instead of tf.train.Example: a "
+        "schema-free wire walk (varint/fixed64/length-delimited/"
+        "fixed32) collects occurrences per field number, and the "
+        "caller's field map + DDL types give them meaning — "
+        "event_id as a plain int64 varint, user_id through the "
+        "SINT ZIGZAG form, value as fixed64, absent values nulling. "
+        "Drops are length-frame-derived like BSON: a record whose "
+        "wire walk fails (the fixture plants a deprecated GROUP "
+        "wire type at every shard head) drops record-granularly, "
+        "while a torn length varint stops the stream; writer-only "
+        "extension fields are skipped BY THE WIRE GRAMMAR — the "
+        "protobuf compatibility story inherited for free. Fixed64 "
+        "doubles are IEEE 8-byte so value survives bit-exact.",
+)
+def q_pbstream_events_scan(spark, sf_dir):
+    from distributed_computing_projects_spark.sources import (
+        pbstream as PB,
+    )
+
+    _, landing = _build_pbstream_landing(spark, sf_dir,
+                                         "pbstream_events")
+    back = PB.read_pbstream(
+        spark, landing,
+        "event_id bigint, user_id bigint, event_type string, "
+        "value double",
+        {"event_id": 1, "user_id": (2, "sint"), "event_type": 3,
+         "value": 4})
+    return back.select("event_id", "user_id", "event_type", "value")
