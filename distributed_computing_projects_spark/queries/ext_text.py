@@ -1219,3 +1219,82 @@ def q_sketch_value_quantiles(spark, sf_dir):
         HS.quantile_sketch(ev, "event_type", "value")
         .withColumnRenamed("grp", "event_type")
     )
+
+
+from distributed_computing_projects_spark.operators import (  # noqa: E402
+    thetasketch as TH,
+)
+
+_THETA_A, _THETA_B = "src1", "src2"
+
+_THETA_KEPT_D = f"""
+    th_pairs AS (
+      SELECT DISTINCT source AS grp,
+             {T.hash32('token', 'duck')} AS h
+      FROM (SELECT source, unnest({_TOKS_D}) AS token
+            FROM documents
+            WHERE source IN ('{_THETA_A}', '{_THETA_B}'))
+    ),
+    th_kept AS (
+      SELECT grp, h,
+             row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+      FROM th_pairs
+    ),
+    th_theta AS (
+      SELECT min(CASE WHEN n_kept < {SK.K_DEFAULT}
+                      THEN {SK.HASH_SPACE} ELSE kth END) AS theta
+      FROM (SELECT grp,
+                   max(CASE WHEN rn <= {SK.K_DEFAULT} THEN h END)
+                     AS kth,
+                   CAST(count(CASE WHEN rn <= {SK.K_DEFAULT}
+                              THEN 1 END) AS BIGINT) AS n_kept
+            FROM th_kept GROUP BY grp)
+    ),
+    th_common AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_common_below_theta
+      FROM th_kept a JOIN th_kept b USING (h), th_theta
+      WHERE a.grp = '{_THETA_A}' AND b.grp = '{_THETA_B}'
+        AND a.rn <= {SK.K_DEFAULT} AND b.rn <= {SK.K_DEFAULT}
+        AND h < theta
+    ),
+    th_exact AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_common_hashes
+      FROM th_pairs a JOIN th_pairs b USING (h)
+      WHERE a.grp = '{_THETA_A}' AND b.grp = '{_THETA_B}'
+    )
+"""
+
+
+@query(
+    "sketch_intersect_distinct",
+    oracle=f"""
+    WITH {_THETA_KEPT_D}
+    SELECT '{_THETA_A}' AS grp_a, '{_THETA_B}' AS grp_b,
+           CAST(theta AS BIGINT) AS theta, n_common_below_theta,
+           (CAST(n_common_below_theta AS DOUBLE)
+            * {float(SK.HASH_SPACE)!r}) / CAST(theta AS DOUBLE)
+             AS est_common,
+           exact_common_hashes
+    FROM th_theta, th_common, th_exact
+    """,
+    doc="Theta-style KMV INTERSECTION estimate between two sources' "
+        "distinct-token sets — the set-algebra member of the exact-"
+        "sketch tier (KMV union merge already exists; this adds the "
+        "operation unions cannot give): with theta = min of the two "
+        "kth minima (a not-full sketch is COMPLETE, so its theta is "
+        "the whole hash space), every hash below theta is in both "
+        "kept sets iff it is in the intersection, so the estimate "
+        "is an exact integer count times HASH_SPACE over an exactly-"
+        "determined integer theta — one multiply and one divide of "
+        "exact values, both engines bit-identical. The kept sets "
+        "are k rows each, so the intersection join is k x k at "
+        "most — broadcast territory at any corpus size; the one "
+        "data-sized exchange is the same distinct (grp, h) shuffle "
+        "the KMV queries pay. exact_common_hashes rides the full "
+        "pair table for calibration.",
+)
+def q_sketch_intersect_distinct(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin([_THETA_A, _THETA_B]))
+    pairs = SK.token_hashes(docs, "source", "text")
+    return TH.intersect_estimate(pairs, _THETA_A, _THETA_B)

@@ -287,3 +287,42 @@ def test_hist_quantile_negative_and_null_values(spark):
     out = HS.quantile_sketch(df, "grp", "v", qs=(0.5,)).collect()[0]
     assert out["n"] == 3  # nulls are not observations
     assert out["q50_est"] <= -1.0 < out["q50_est"] + 1.0 / 16
+
+
+def test_theta_intersection_exact_when_sketches_complete(spark):
+    """Sets with < k distinct hashes are COMPLETE sketches: theta is
+    the full hash space and the estimate equals the exact
+    intersection with zero error, by construction."""
+    import distributed_computing_projects_spark.operators.sketches as SK
+    import distributed_computing_projects_spark.operators.thetasketch as TH
+
+    docs = spark.createDataFrame(
+        [("a", " ".join(f"t{i}" for i in range(60))),
+         ("b", " ".join(f"t{i}" for i in range(40, 100)))],
+        "grp string, text string")
+    pairs = SK.token_hashes(docs, "grp", "text")
+    row = TH.intersect_estimate(pairs, "a", "b").collect()[0]
+    assert row["theta"] == SK.HASH_SPACE
+    assert row["exact_common_hashes"] == 20  # t40..t59
+    assert row["n_common_below_theta"] == 20
+    assert row["est_common"] == 20.0
+
+
+def test_theta_intersection_estimates_large_overlap(spark):
+    """Above k the estimate must land near the true overlap (KMV
+    relative error ~1/sqrt(k) per sketch; 3-sigma-ish bound)."""
+    import distributed_computing_projects_spark.operators.sketches as SK
+    import distributed_computing_projects_spark.operators.thetasketch as TH
+
+    n, overlap = 4000, 1500
+    a_toks = [f"a{i}" for i in range(n - overlap)] \
+        + [f"c{i}" for i in range(overlap)]
+    b_toks = [f"b{i}" for i in range(n - overlap)] \
+        + [f"c{i}" for i in range(overlap)]
+    docs = spark.createDataFrame(
+        [("a", " ".join(a_toks)), ("b", " ".join(b_toks))],
+        "grp string, text string")
+    pairs = SK.token_hashes(docs, "grp", "text")
+    row = TH.intersect_estimate(pairs, "a", "b").collect()[0]
+    assert row["exact_common_hashes"] == overlap
+    assert abs(row["est_common"] - overlap) / overlap < 0.35
