@@ -59,6 +59,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -563,14 +564,22 @@ def write_iceberg(df: DataFrame, table_path: str,
                 continue
             rel_dir = os.path.relpath(root, stage)
             pv = {}
+            raw_tok = {}
             if rel_dir != ".":
                 for piece in rel_dir.split(os.sep):
                     col, _, raw = piece.partition("=")
-                    pv[col.removeprefix("_ice_")] = (
+                    c = col.removeprefix("_ice_")
+                    raw_tok[c] = raw
+                    # the hive dir token is percent-ESCAPED (space,
+                    # '%', ':', '/', ...); the manifest partition
+                    # struct must carry the TRUE value or manifest-
+                    # layer pruning and external readers desync —
+                    # the write_delta discipline (deltalake.py)
+                    pv[c] = (
                         None if raw == "__HIVE_DEFAULT_PARTITION__"
-                        else raw)
+                        else urllib.parse.unquote(raw))
             ddir = os.path.join(
-                "data", *[f"{c}={pv[c]}" for c in part_cols
+                "data", *[f"{c}={raw_tok[c]}" for c in part_cols
                           if pv.get(c) is not None]) \
                 if part_cols else "data"
             os.makedirs(os.path.join(table_path, ddir),

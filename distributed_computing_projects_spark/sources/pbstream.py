@@ -140,6 +140,14 @@ def _scalar(occ, want: str, enc: str):
         if wt == 5:
             return float(struct.unpack("<f", v)[0])
         return None
+    if want == "float":
+        if wt == 5:
+            return struct.unpack("<f", v)[0]
+        if wt == 1:
+            # a double written where the DDL says float: downcast
+            # (mirrors the double branch's widening of fixed32)
+            return struct.unpack("<d", v)[0]
+        return None
     if want == "string":
         return v.decode("utf-8", "replace") if wt == 2 else None
     if want == "binary":
@@ -163,6 +171,11 @@ def _unpack_packed(blob: bytes, want: str, enc: str) -> list:
             return [struct.unpack_from("<d", blob, i)[0]
                     for i in range(0, len(blob), 8)]
         return []
+    if want == "float":
+        if len(blob) % 4 == 0:
+            return [struct.unpack_from("<f", blob, i)[0]
+                    for i in range(0, len(blob), 4)]
+        return []
     return []
 
 
@@ -173,7 +186,7 @@ def _adapter(sql_type: str, enc: str):
         if sql_type.startswith("array<"):
             inner = sql_type[6:-1]
             if len(occs) == 1 and occs[0][0] == 2 \
-                    and inner in ("bigint", "double"):
+                    and inner in ("bigint", "double", "float"):
                 return _unpack_packed(occs[0][1], inner, enc)
             return [_scalar(o, inner, enc) for o in occs]
         return _scalar(occs[-1], sql_type, enc)  # last wins
@@ -252,7 +265,7 @@ def _enc_uvarint(v: int) -> bytes:
 
 def encode_field(fno: int, kind: str, v) -> bytes:
     """One wire field: kind in int/sint/bool/double/float/bytes/
-    string/packed_int/packed_double."""
+    string/packed_int/packed_double/packed_float."""
     if kind in ("int", "bool"):
         return _enc_uvarint(fno << 3 | 0) + _enc_uvarint(int(v))
     if kind == "sint":
@@ -271,6 +284,10 @@ def encode_field(fno: int, kind: str, v) -> bytes:
                 + _enc_uvarint(len(blob)) + blob)
     if kind == "packed_double":
         blob = b"".join(struct.pack("<d", x) for x in v)
+        return (_enc_uvarint(fno << 3 | 2)
+                + _enc_uvarint(len(blob)) + blob)
+    if kind == "packed_float":
+        blob = b"".join(struct.pack("<f", x) for x in v)
         return (_enc_uvarint(fno << 3 | 2)
                 + _enc_uvarint(len(blob)) + blob)
     raise ValueError(f"unknown kind {kind!r}")

@@ -223,8 +223,13 @@ def _parse_record(payload: bytes, encoding: str):
             out.append(None)
         elif 1 <= st <= 6:
             n = (0, 1, 2, 3, 4, 6, 8)[st]
-            out.append(int.from_bytes(
-                payload[pos:pos + n], "big", signed=True))
+            raw = payload[pos:pos + n]
+            if len(raw) != n:
+                # a short slice would silently decode a SMALLER value
+                # (int.from_bytes accepts any length) — the torn-head
+                # hazard; a truncated integer must drop the row
+                raise ValueError("integer body past payload")
+            out.append(int.from_bytes(raw, "big", signed=True))
             pos += n
         elif st == 7:
             (v,) = struct.unpack_from(">d", payload, pos)

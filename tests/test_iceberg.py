@@ -421,6 +421,28 @@ def test_write_iceberg_sink_roundtrip(spark, tmp_path):
     assert "et" in one.columns
 
 
+def test_write_iceberg_escaped_partition_values(spark, tmp_path):
+    # Spark percent-escapes special chars in hive dir names (space,
+    # '%', ':', '/'); the manifest partition struct must carry the
+    # TRUE value, not the escaped dir token, or manifest-layer
+    # pruning silently matches nothing (the write_delta discipline)
+    table = str(tmp_path / "esc")
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "x:y/z"), (3, "50%"), (4, "plain")],
+        "k bigint, et string")
+    IC.write_iceberg(df, table, partition_by=["et"])
+    snap = IC.resolve_snapshot(table)
+    assert sorted(pv["et"] for _p, pv in snap.files) == [
+        "50%", "a b", "plain", "x:y/z"]
+    for val, k in [("a b", 1), ("x:y/z", 2), ("50%", 3)]:
+        got = _collect(IC.read_iceberg(spark, table,
+                                       partitions={"et": val}))
+        assert got == [(k, val)]
+    # round-trip: the data files under the escaped dirs still read
+    assert sorted(_collect(IC.read_iceberg(spark, table))) == [
+        (1, "a b"), (2, "x:y/z"), (3, "50%"), (4, "plain")]
+
+
 def test_write_iceberg_overwrite_and_gates(spark, tmp_path):
     table = str(tmp_path / "ow")
     df1 = spark.createDataFrame([(1, 1.0, "a")],

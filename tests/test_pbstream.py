@@ -79,6 +79,29 @@ def test_packed_and_repeated_arrays(spark, tmp_path):
     assert got[2] == ([7, 8], [2.5])
 
 
+def test_float_cells_and_packed_floats(spark, tmp_path):
+    # float DDL reads fixed32 exactly, downcasts a fixed64 double,
+    # and takes the packed form — closing the docstring/CLI promise
+    # that float-typed cells read fixed32 (previously only 'double'
+    # had a branch and float columns silently nulled)
+    msgs = [
+        encode_message([(1, "int", 1), (2, "float", 2.5),
+                        (3, "packed_float", [0.5, 1.25, -3.0])]),
+        encode_message([(1, "int", 2), (2, "double", 7.5),
+                        (3, "float", 9.5)]),
+        encode_message([(1, "int", 3), (2, "string", "not-a-num")]),
+    ]
+    with open(tmp_path / "f.pb", "wb") as f:
+        f.write(build_pbstream(msgs))
+    df = read_pbstream(
+        spark, str(tmp_path), "k bigint, v float, vs array<float>",
+        {"k": 1, "v": 2, "vs": 3})
+    got = {r.k: (r.v, r.vs) for r in df.collect()}
+    assert got[1] == (2.5, [0.5, 1.25, -3.0])
+    assert got[2] == (7.5, [9.5])
+    assert got[3] == (None, None)  # mis-typed cell nulls
+
+
 def test_spark_read_with_field_map(spark, tmp_path):
     msgs = [_msg(i) for i in range(40)]
     with open(tmp_path / "part-0.pb", "wb") as f:

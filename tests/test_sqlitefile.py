@@ -51,6 +51,19 @@ def test_scalar_kinds_roundtrip(tmp_path):
     ]
 
 
+def test_truncated_integer_body_drops_not_shrinks():
+    # serial type 6 declares an 8-byte big-endian int; a body torn
+    # mid-integer must raise (row drop), not silently decode the
+    # short slice as a SMALLER value (int.from_bytes accepts any
+    # length) — the torn-head hazard the text/blob branch already
+    # guarded against
+    full = bytes([2, 6]) + (1 << 40).to_bytes(8, "big")
+    assert SQ._parse_record(full, "utf-8") == [1 << 40]
+    torn = bytes([2, 6]) + (1 << 40).to_bytes(8, "big")[:4]
+    with pytest.raises(ValueError, match="integer body"):
+        SQ._parse_record(torn, "utf-8")
+
+
 def test_differential_random_vs_sqlite3(tmp_path):
     """Seeded random rows: our walk must equal SELECT * exactly."""
     rng = random.Random(42)
