@@ -2446,6 +2446,181 @@ def q_delta_sink_roundtrip(spark, sf_dir):
     return back.select("event_id", "user_id", "event_type", "value")
 
 
+def _build_delta_dv_landing(spark, sf_dir, family):
+    """Fixture stage for the deletion-vector query: an events subset
+    becomes a PARTITIONED Delta table whose v1 commit attaches
+    deletion vectors killing every ``event_id % 3 == 0`` row in the
+    click/view/purchase partitions — one partition per DV STORAGE
+    TYPE (click: inline ``i``; view: both files' bitmaps at
+    different offsets of ONE shared ``u`` sidecar under a random
+    prefix dir; purchase: an absolute-path ``p`` sidecar), while
+    signup/error keep their % 3 rows (scope stays on the hash
+    path). A checkpoint at v1 carries the descriptors; v2 then
+    deletes 'error' post-checkpoint; an uncommitted orphan parquet
+    sits in the directory. Returns (work, table_path)."""
+    import shutil
+
+    from distributed_computing_projects_spark.sources import (
+        deltadv as DVC,
+    )
+    from distributed_computing_projects_spark.sources import (
+        deltalake as DL,
+    )
+
+    work = _session_scratch(spark, family, sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    table = os.path.join(work, "table")
+    os.makedirs(table)
+    subset = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 7 == 4)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    etypes = ["click", "error", "purchase", "signup", "view"]
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("event_type", StringType()),
+    ])
+    v0_acts = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        DL.metadata_action(schema, ["event_type"]),
+    ]
+    stage = os.path.join(work, "stage-v0")
+    (subset.repartition(2, F.col("event_id") % 2)
+     .write.partitionBy("event_type").parquet(stage))
+    part_files = {}
+    sizes = {}
+    for et in etypes:
+        sdir = os.path.join(stage, f"event_type={et}")
+        parts = [n for n in sorted(os.listdir(sdir))
+                 if n.startswith("part-") and n.endswith(".parquet")]
+        os.makedirs(os.path.join(table, f"event_type={et}"),
+                    exist_ok=True)
+        part_files[et] = []
+        for half, src in enumerate(parts):
+            rel = f"event_type={et}/part-{et}-{half}.parquet"
+            os.replace(os.path.join(sdir, src),
+                       os.path.join(table, rel))
+            part_files[et].append(rel)
+            sizes[rel] = os.path.getsize(os.path.join(table, rel))
+            v0_acts.append(
+                DL.add_action(rel, {"event_type": et}, sizes[rel]))
+    shutil.rmtree(stage, ignore_errors=True)
+    DL.commit_json(table, 0, v0_acts)
+
+    # dead positions per file, from ONE scan of the three target
+    # partitions (the reader's _metadata.row_index is the same
+    # per-file index the DV bitmaps address)
+    targets = (part_files["click"] + part_files["view"]
+               + part_files["purchase"])
+    pos_rows = (
+        spark.read.schema(StructType(schema.fields[:3]))
+        .parquet(*[os.path.join(table, r) for r in targets])
+        .select(F.element_at(F.split(F.input_file_name(), "/"), -1)
+                .alias("f"),
+                F.col("_metadata.row_index").alias("i"), "event_id")
+        .filter(F.col("event_id") % 3 == 0)
+        .collect())
+    dead: dict = {}
+    for r in pos_rows:
+        dead.setdefault(r.f, []).append(int(r.i))
+
+    def _dv_adds(rel, desc):
+        return [DL.remove_action(rel),
+                DL.add_action(rel, {"event_type":
+                                    rel.split("/")[0].split("=")[1]},
+                              sizes[rel], deletion_vector=desc)]
+
+    v1_acts = []
+    for rel in part_files["click"]:
+        idx = dead.get(os.path.basename(rel))
+        if idx:
+            v1_acts += _dv_adds(rel, DVC.inline_descriptor(idx))
+    view_rels = [rel for rel in part_files["view"]
+                 if dead.get(os.path.basename(rel))]
+    if view_rels:
+        descs = DVC.file_descriptors(
+            table, [dead[os.path.basename(r)] for r in view_rels],
+            prefix="ab")
+        for rel, desc in zip(view_rels, descs):
+            v1_acts += _dv_adds(rel, desc)
+    purch = [rel for rel in part_files["purchase"]
+             if dead.get(os.path.basename(rel))]
+    if purch:
+        sidecar = os.path.join(work, "external-dv.bin")
+        payloads = [DVC.encode_bitmap(dead[os.path.basename(r)])
+                    for r in purch]
+        offsets = DVC.write_dv_file(sidecar, payloads)
+        for rel, off, data in zip(purch, offsets, payloads):
+            v1_acts += _dv_adds(rel, {
+                "storageType": "p", "pathOrInlineDv": sidecar,
+                "offset": off, "sizeInBytes": len(data),
+                "cardinality": len(dead[os.path.basename(rel)])})
+    DL.commit_json(table, 1, v1_acts)
+    DL.write_checkpoint(spark, table, 1)
+    DL.commit_json(table, 2, [
+        DL.remove_action(rel) for rel in part_files["error"]])
+    orphan_stage = os.path.join(work, "orphan-stage")
+    (spark.createDataFrame(
+        [(999_999_999, 1, -1.0)],
+        StructType(schema.fields[:3]))
+     .coalesce(1).write.mode("overwrite").parquet(orphan_stage))
+    part = next(n for n in sorted(os.listdir(orphan_stage))
+                if n.startswith("part-") and n.endswith(".parquet"))
+    os.replace(os.path.join(orphan_stage, part),
+               os.path.join(table, "event_type=view",
+                            "orphan.parquet"))
+    shutil.rmtree(orphan_stage, ignore_errors=True)
+    return work, table
+
+
+@query(
+    "delta_dv_table_scan",
+    headline=True,
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events
+    WHERE event_id % 7 = 4 AND event_type <> 'error'
+      AND NOT (event_id % 3 = 0
+               AND event_type IN ('click', 'view', 'purchase'))
+    """,
+    doc="Delta Lake DELETION-VECTOR read (sources/deltadv.py + "
+        "deltalake.py) — deletion vectors are ON BY DEFAULT in "
+        "modern Delta writers: a DELETE no longer rewrites the data "
+        "file, it publishes a KB-sized roaring bitmap of dead row "
+        "indexes beside it, so a reader without DV support either "
+        "refuses the table or silently RESURRECTS deleted rows. "
+        "The codec chain is pure stdlib from the public PROTOCOL: "
+        "z85 payloads, the portable RoaringBitmapArray form (magic "
+        "+ keyed 32-bit bitmaps; array/bitmap/run containers all "
+        "parse), and the sidecar .bin layout with size + CRC-32 "
+        "verified against the descriptor (cardinality too — a "
+        "swapped bitmap must never delete the wrong rows). The "
+        "fixture covers all three storage types in one table "
+        "(inline 'i'; two bitmaps at different OFFSETS of one "
+        "shared 'u' sidecar under a random prefix; absolute-path "
+        "'p'), DV descriptors riding a CHECKPOINT, the remove+"
+        "re-add DV update shape, and a post-checkpoint partition "
+        "delete. The scan stays one native parquet FileScan: "
+        "bitmaps decode driver-side and dead (file, row) pairs "
+        "anti-join against _metadata.row_index via ONE broadcast — "
+        "zero shuffles, column pruning intact.",
+)
+def q_delta_dv_table_scan(spark, sf_dir):
+    from distributed_computing_projects_spark.sources import (
+        deltalake as DL,
+    )
+
+    _, table = _build_delta_dv_landing(spark, sf_dir, "delta_dv")
+    df = DL.read_delta(spark, table)
+    return df.select("event_id", "user_id", "event_type", "value")
+
+
 def _build_msgpack_landing(spark, sf_dir, family):
     """Fixture stage for the MessagePack query: stage an events
     subset as JSONL, encode each shard as one concatenated .msgpack

@@ -31,11 +31,19 @@ Log replay (the protocol's snapshot reconstruction):
   ``add`` upserts, ``remove`` tombstones. The last ``metaData`` wins
   (``schemaString`` is a Spark StructType JSON — the native schema
   language here); ``protocol`` gates reading.
+- **Deletion vectors** (default-on in modern writers) are READ: an
+  ``add`` may carry a ``deletionVector`` descriptor whose roaring
+  bitmap marks dead row indexes inside an otherwise-live file;
+  ``sources/deltadv.py`` decodes it (z85 + portable roaring + the
+  sidecar ``.bin`` layout, all from PROTOCOL.md) driver-side and the
+  scan anti-joins ``(file, _metadata.row_index)`` pairs out via one
+  broadcast — a reader that ignores DVs RESURRECTS deleted rows.
 - **Loud unsupported, never silent wrong**: ``minReaderVersion`` > 1
-  (unless 3 with only supported ``readerFeatures``), column mapping
-  (``delta.columnMapping.mode`` != none), or any ``add`` carrying a
-  ``deletionVector`` raise ``ValueError`` — each would change WHAT
-  the parquet bytes mean, so refusing is the only correct read.
+  (unless 3 with only supported ``readerFeatures`` —
+  ``timestampNtz`` and ``deletionVectors``) or column mapping
+  (``delta.columnMapping.mode`` != none) raise ``ValueError`` —
+  each would change WHAT the parquet bytes mean, so refusing is the
+  only correct read.
 
 Scan shape (the 100 TB properties):
 
@@ -78,7 +86,8 @@ _CKPT_RE = re.compile(
 
 # readerFeatures this implementation actually implements (version-3
 # tables advertise capabilities; anything outside this set refuses)
-_SUPPORTED_READER_FEATURES = frozenset({"timestampNtz"})
+_SUPPORTED_READER_FEATURES = frozenset({"timestampNtz",
+                                        "deletionVectors"})
 
 
 class DeltaSnapshot:
@@ -86,11 +95,15 @@ class DeltaSnapshot:
 
     def __init__(self, version: int, schema_json: dict,
                  partition_columns: list[str],
-                 files: list[tuple[str, dict]]):
+                 files: list[tuple[str, dict]],
+                 dvs: dict[str, dict] | None = None):
         self.version = version
         self.schema_json = schema_json
         self.partition_columns = partition_columns
         self.files = files  # [(absolute path, partitionValues), ...]
+        # absolute path -> deletionVector descriptor, for the subset
+        # of active files carrying one (sources/deltadv.py decodes)
+        self.dvs = dvs or {}
 
 
 def _log_listing(table_path: str):
@@ -134,12 +147,13 @@ def _check_metadata(meta: dict) -> None:
 def _apply_action(state: dict, action: dict) -> None:
     if "add" in action:
         a = action["add"]
-        if a.get("deletionVector"):
-            raise ValueError(
-                "unsupported Delta deletion vectors: rows would be "
-                "silently resurrected; refusing")
-        state["files"][urllib.parse.unquote(a["path"])] = \
-            a.get("partitionValues") or {}
+        # an add for an already-active path UPSERTS (the protocol's
+        # DV-update shape: remove + re-add with a new bitmap)
+        dv = a.get("deletionVector") or None
+        if dv and not dv.get("storageType"):
+            dv = None  # all-null checkpoint struct == no DV
+        state["files"][urllib.parse.unquote(a["path"])] = (
+            a.get("partitionValues") or {}, dv)
     elif "remove" in action:
         state["files"].pop(
             urllib.parse.unquote(action["remove"]["path"]), None)
@@ -210,9 +224,14 @@ def resolve_snapshot(spark: SparkSession, table_path: str,
         raise ValueError("Delta log carries no metaData action")
     schema_json = json.loads(state["meta"]["schemaString"])
     part_cols = list(state["meta"].get("partitionColumns") or [])
-    files = [(os.path.join(table_path, rel), pv)
-             for rel, pv in sorted(state["files"].items())]
-    return DeltaSnapshot(reached, schema_json, part_cols, files)
+    files = []
+    dvs = {}
+    for rel, (pv, dv) in sorted(state["files"].items()):
+        abs_path = os.path.join(table_path, rel)
+        files.append((abs_path, pv))
+        if dv:
+            dvs[abs_path] = dv
+    return DeltaSnapshot(reached, schema_json, part_cols, files, dvs)
 
 
 def _field_type_ddl(schema_json: dict, name: str) -> str:
@@ -258,14 +277,47 @@ def read_delta(spark: SparkSession, table_path: str,
         return spark.createDataFrame([], full).select(*order)
 
     paths = [p for p, _pv in files]
+    path_set = set(paths)
+    dv_map = {p: d for p, d in snap.dvs.items() if p in path_set}
+    basenames = [os.path.basename(p) for p in paths]
+    unique_names = len(set(basenames)) == len(basenames)
+    if dv_map and not unique_names:
+        # the anti-join keys on basename (Delta writer filenames are
+        # UUIDs); a colliding hand-built layout with DVs could delete
+        # rows of the WRONG file — refuse, never guess
+        raise ValueError(
+            "deletion vectors over colliding data-file basenames; "
+            "refusing")
+
     df = spark.read.schema(data_schema).parquet(*paths)
+    if dv_map or (part_cols and unique_names):
+        df = df.withColumn(
+            "_delta_file",
+            F.element_at(F.split(F.input_file_name(), "/"), -1))
+    if dv_map:
+        # decode each bitmap driver-side (KBs), expand to (file,
+        # row-in-file) pairs, anti-join against the parquet reader's
+        # own per-file row index (_metadata.row_index) — all
+        # JVM-side, broadcast, zero shuffles
+        from distributed_computing_projects_spark.sources import (
+            deltadv as DVC,
+        )
+
+        dead = [(os.path.basename(p), int(i))
+                for p, desc in sorted(dv_map.items())
+                for i in DVC.resolve_dv(desc, table_path)]
+        dead_df = spark.createDataFrame(
+            dead, "`_delta_file` string, `_dv_row` bigint")
+        df = (df.withColumn("_dv_row", F.col("_metadata.row_index"))
+              .join(F.broadcast(dead_df),
+                    ["_delta_file", "_dv_row"], "left_anti")
+              .drop("_dv_row"))
     if not part_cols:
         return df.select(*order)
 
     part_types = {c: _field_type_ddl(snap.schema_json, c)
                   for c in part_cols}
-    basenames = [os.path.basename(p) for p in paths]
-    if len(set(basenames)) == len(basenames):
+    if unique_names:
         # one scan + broadcast (basename -> partition values) join:
         # the scale path — a single FileScan over every active file
         rows = [(os.path.basename(p),
@@ -277,12 +329,7 @@ def read_delta(spark: SparkSession, table_path: str,
             ["`_delta_file` string"]
             + [f"`_pv_{c}` string" for c in part_cols])
         map_df = spark.createDataFrame(rows, map_ddl)
-        joined = (
-            df.withColumn(
-                "_delta_file",
-                F.element_at(F.split(F.input_file_name(), "/"), -1))
-            .join(F.broadcast(map_df), "_delta_file", "left")
-        )
+        joined = df.join(F.broadcast(map_df), "_delta_file", "left")
         for c in part_cols:
             joined = joined.withColumn(
                 c, F.col(f"_pv_{c}").cast(part_types[c]))
@@ -346,11 +393,15 @@ def protocol_action(min_reader: int = 1, min_writer: int = 2) -> dict:
 
 
 def add_action(rel_path: str, partition_values: dict,
-               size: int, data_change: bool = True) -> dict:
-    return {"add": {"path": urllib.parse.quote(rel_path),
-                    "partitionValues": partition_values,
-                    "size": size, "modificationTime": 0,
-                    "dataChange": data_change}}
+               size: int, data_change: bool = True,
+               deletion_vector: dict | None = None) -> dict:
+    a = {"path": urllib.parse.quote(rel_path),
+         "partitionValues": partition_values,
+         "size": size, "modificationTime": 0,
+         "dataChange": data_change}
+    if deletion_vector:
+        a["deletionVector"] = deletion_vector
+    return {"add": a}
 
 
 def remove_action(rel_path: str, data_change: bool = True) -> dict:
@@ -390,6 +441,13 @@ def write_checkpoint(spark: SparkSession, table_path: str,
                     meta = act["metaData"]
                 if "protocol" in act:
                     proto = act["protocol"]
+    dv_t = StructType([
+        StructField("storageType", StringType()),
+        StructField("pathOrInlineDv", StringType()),
+        StructField("offset", LongType()),
+        StructField("sizeInBytes", LongType()),
+        StructField("cardinality", LongType()),
+    ])
     add_t = StructType([
         StructField("path", StringType()),
         StructField("partitionValues",
@@ -397,6 +455,7 @@ def write_checkpoint(spark: SparkSession, table_path: str,
         StructField("size", LongType()),
         StructField("modificationTime", LongType()),
         StructField("dataChange", BooleanType()),
+        StructField("deletionVector", dv_t),
     ])
     meta_t = StructType([
         StructField("id", StringType()),
@@ -414,6 +473,8 @@ def write_checkpoint(spark: SparkSession, table_path: str,
     proto_t = StructType([
         StructField("minReaderVersion", LongType()),
         StructField("minWriterVersion", LongType()),
+        StructField("readerFeatures", ArrayType(StringType())),
+        StructField("writerFeatures", ArrayType(StringType())),
     ])
     ckpt_t = StructType([
         StructField("protocol", proto_t),
@@ -423,7 +484,9 @@ def write_checkpoint(spark: SparkSession, table_path: str,
     proto = proto or {"minReaderVersion": 1, "minWriterVersion": 2}
     rows = [
         ((int(proto.get("minReaderVersion", 1)),
-          int(proto.get("minWriterVersion", 2))),
+          int(proto.get("minWriterVersion", 2)),
+          proto.get("readerFeatures"),
+          proto.get("writerFeatures")),
          None, None),
         (None,
          (meta["id"], (meta["format"]["provider"],
@@ -436,9 +499,17 @@ def write_checkpoint(spark: SparkSession, table_path: str,
     ]
     for abs_path, pv in snap.files:
         rel = os.path.relpath(abs_path, table_path)
+        dv = snap.dvs.get(abs_path)
+        dv_row = None
+        if dv:
+            dv_row = (dv.get("storageType"),
+                      dv.get("pathOrInlineDv"),
+                      dv.get("offset"),
+                      dv.get("sizeInBytes"),
+                      dv.get("cardinality"))
         rows.append((None, None,
                      (urllib.parse.quote(rel), pv,
-                      os.path.getsize(abs_path), 0, True)))
+                      os.path.getsize(abs_path), 0, True, dv_row)))
     log_dir = os.path.join(table_path, "_delta_log")
     stage = os.path.join(log_dir, f".ckpt-stage-{version}")
     (spark.createDataFrame(rows, ckpt_t)

@@ -1,0 +1,336 @@
+"""Delta deletion vectors (sources/deltadv.py + the read_delta
+integration): z85, the portable RoaringBitmapArray form, the sidecar
+file layout, descriptor resolution, and the anti-join scan."""
+
+from __future__ import annotations
+
+import os
+import struct
+import uuid
+import zlib
+
+import pytest
+
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from distributed_computing_projects_spark.sources import deltadv as DV
+from distributed_computing_projects_spark.sources import deltalake as DL
+
+from tests.test_deltalake import SCHEMA, _write_file
+
+
+def _collect(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ------------------------------------------------------------- z85
+
+
+def test_z85_zeromq_reference_vector():
+    # the spec's own test case (rfc.zeromq.org/spec/32)
+    data = bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    assert DV.z85_encode(data) == "HelloWorld"
+    assert DV.z85_decode("HelloWorld") == data
+
+
+def test_z85_round_trip_and_strictness():
+    for n in (0, 4, 16, 64):
+        data = bytes(range(n))
+        assert DV.z85_decode(DV.z85_encode(data)) == data
+    with pytest.raises(ValueError, match="multiple of 4"):
+        DV.z85_encode(b"abc")
+    with pytest.raises(ValueError, match="multiple of 5"):
+        DV.z85_decode("abcd")
+    with pytest.raises(ValueError, match="invalid z85"):
+        DV.z85_decode("abc~d")
+    with pytest.raises(ValueError, match="overflows"):
+        DV.z85_decode("#####")  # 84 * 85^4 + ... > 2^32
+
+
+# --------------------------------------------------------- roaring
+
+
+def test_roaring_array_containers_round_trip():
+    idx = [0, 1, 5, 100, 65535, 65536, 70000, 1 << 20]
+    assert DV.decode_bitmap(DV.encode_bitmap(idx)) == sorted(idx)
+
+
+def test_roaring_bitmap_container_round_trip():
+    # > 4096 values in one 2^16 chunk forces the bitmap container
+    idx = list(range(0, 10000, 2)) + [1 << 16 | 7]
+    assert DV.decode_bitmap(DV.encode_bitmap(idx)) == sorted(idx)
+
+
+def test_roaring_beyond_32_bits():
+    # row indexes past 2^32 land in a second keyed bitmap
+    idx = [3, (1 << 32) + 5, (3 << 32) + 9]
+    assert DV.decode_bitmap(DV.encode_bitmap(idx)) == idx
+
+
+def test_roaring_run_cookie_parses():
+    """Hand-built run-container form (cookie 12347): the parser must
+    read what OTHER writers emit even though ours never runs-encode.
+    One run container [10..15] + one array container, 2 containers
+    -> below the no-offset threshold, so NO offset header."""
+    n = 2
+    cookie = struct.pack("<I", 12347 | ((n - 1) << 16))
+    run_flags = bytes([0b01])  # container 0 is runs
+    desc = struct.pack("<HH", 0, 6 - 1)          # key 0, card 6
+    desc += struct.pack("<HH", 1, 2 - 1)         # key 1, card 2
+    runs = struct.pack("<H", 1) + struct.pack("<HH", 10, 5)
+    arr = struct.pack("<2H", 4, 9)
+    rb32 = cookie + run_flags + desc + runs + arr
+    data = (struct.pack("<iq", DV.MAGIC, 1)
+            + struct.pack("<i", 0) + rb32)
+    got = DV.decode_bitmap(data)
+    assert got == [10, 11, 12, 13, 14, 15,
+                   (1 << 16) + 4, (1 << 16) + 9]
+
+
+def test_roaring_run_cookie_with_offsets():
+    """>= 4 containers with the run cookie DO carry offsets."""
+    n = 4
+    cookie = struct.pack("<I", 12347 | ((n - 1) << 16))
+    run_flags = bytes([0b0000])  # all arrays
+    desc = b"".join(struct.pack("<HH", k, 0) for k in range(4))
+    offs = struct.pack("<4I", 0, 0, 0, 0)  # parser skips them
+    arrs = b"".join(struct.pack("<H", k + 1) for k in range(4))
+    rb32 = cookie + run_flags + desc + offs + arrs
+    data = (struct.pack("<iq", DV.MAGIC, 1)
+            + struct.pack("<i", 0) + rb32)
+    assert DV.decode_bitmap(data) == [
+        (k << 16) + k + 1 for k in range(4)]
+
+
+def test_roaring_corruption_refuses():
+    good = DV.encode_bitmap([1, 2, 3])
+    with pytest.raises(ValueError, match="magic"):
+        DV.decode_bitmap(b"\x00" * 16)
+    with pytest.raises(ValueError, match="trailing"):
+        DV.decode_bitmap(good + b"\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        DV.decode_bitmap(good[:-1])
+    rb = DV._encode_rb32([3])
+    out_of_order = (struct.pack("<iq", DV.MAGIC, 2)
+                    + struct.pack("<i", 7) + rb
+                    + struct.pack("<i", 2) + rb)
+    with pytest.raises(ValueError, match="increasing"):
+        DV.decode_bitmap(out_of_order)
+
+
+# --------------------------------------------------- file + descr
+
+
+def test_dv_file_layout_and_verification(tmp_path):
+    p = str(tmp_path / "dv.bin")
+    d1, d2 = DV.encode_bitmap([1, 5]), DV.encode_bitmap([2, 3, 9])
+    off1, off2 = DV.write_dv_file(p, [d1, d2])
+    assert off1 == 1  # right after the version byte
+    assert DV.read_dv_payload(p, off1, len(d1)) == d1
+    assert DV.read_dv_payload(p, off2, len(d2)) == d2
+    with pytest.raises(ValueError, match="sizeInBytes"):
+        DV.read_dv_payload(p, off1, len(d1) + 2)
+    # flip one data byte -> CRC mismatch
+    raw = bytearray(open(p, "rb").read())
+    raw[off1 + 4 + 2] ^= 0xFF
+    bad = str(tmp_path / "bad.bin")
+    open(bad, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="checksum"):
+        DV.read_dv_payload(bad, off1, len(d1))
+    # wrong version byte
+    raw[0] = 2
+    open(bad, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="version"):
+        DV.read_dv_payload(bad, off1, len(d1))
+
+
+def test_inline_descriptor_round_trip(tmp_path):
+    desc = DV.inline_descriptor([0, 2, 700])
+    assert desc["storageType"] == "i"
+    assert DV.resolve_dv(desc, str(tmp_path)) == [0, 2, 700]
+    # cardinality mismatch refuses
+    desc2 = dict(desc, cardinality=5)
+    with pytest.raises(ValueError, match="cardinality"):
+        DV.resolve_dv(desc2, str(tmp_path))
+
+
+def test_u_storage_descriptor_with_prefix(tmp_path):
+    table = str(tmp_path)
+    descs = DV.file_descriptors(table, [[1, 2], [700]], prefix="ab")
+    assert [d["cardinality"] for d in descs] == [2, 1]
+    assert all(d["pathOrInlineDv"].startswith("ab") for d in descs)
+    assert DV.resolve_dv(descs[0], table) == [1, 2]
+    assert DV.resolve_dv(descs[1], table) == [700]
+    # the sidecar actually lives under the prefix dir
+    uid = uuid.UUID(bytes=DV.z85_decode(
+        descs[0]["pathOrInlineDv"][2:]))
+    assert os.path.exists(
+        os.path.join(table, "ab", f"deletion_vector_{uid}.bin"))
+
+
+def test_p_storage_and_unknown_type(tmp_path):
+    data = DV.encode_bitmap([4])
+    p = str(tmp_path / "abs.bin")
+    (off,) = DV.write_dv_file(p, [data])
+    desc = {"storageType": "p", "pathOrInlineDv": p, "offset": off,
+            "sizeInBytes": len(data), "cardinality": 1}
+    assert DV.resolve_dv(desc, "/nonexistent-table") == [4]
+    with pytest.raises(ValueError, match="storageType"):
+        DV.resolve_dv({"storageType": "x"}, str(tmp_path))
+
+
+# ---------------------------------------------- read_delta scans
+
+
+def _dv_table(spark, tmp_path):
+    """Unpartitioned two-file table; v1 attaches DVs: a.parquet rows
+    {0, 2} dead via INLINE, b.parquet row {1} dead via a sidecar."""
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    data_schema = StructType(SCHEMA.fields)
+    sa = _write_file(spark, table, "a.parquet",
+                     [(1, "one"), (2, "two"), (3, "three")],
+                     data_schema)
+    sb = _write_file(spark, table, "b.parquet",
+                     [(4, "four"), (5, "five")], data_schema)
+    DL.commit_json(table, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        DL.metadata_action(SCHEMA, []),
+        DL.add_action("a.parquet", {}, sa),
+        DL.add_action("b.parquet", {}, sb),
+    ])
+    (sidecar,) = DV.file_descriptors(table, [[1]])
+    DL.commit_json(table, 1, [
+        DL.remove_action("a.parquet"),
+        DL.add_action("a.parquet", {}, sa,
+                      deletion_vector=DV.inline_descriptor([0, 2])),
+        DL.remove_action("b.parquet"),
+        DL.add_action("b.parquet", {}, sb,
+                      deletion_vector=sidecar),
+    ])
+    return table
+
+
+def test_dv_scan_removes_dead_rows(spark, tmp_path):
+    table = _dv_table(spark, tmp_path)
+    assert _collect(DL.read_delta(spark, table)) == [
+        (2, "two"), (4, "four")]
+    # time travel to v0: everything is back
+    assert len(_collect(DL.read_delta(spark, table, version=0))) == 5
+
+
+def test_dv_update_supersedes_and_checkpoint_carries(spark,
+                                                     tmp_path):
+    table = _dv_table(spark, tmp_path)
+    # v2 GROWS a.parquet's DV (the remove+re-add update shape):
+    # now rows {0, 1, 2} dead -> only b's surviving row remains + a
+    # has none
+    sa = os.path.getsize(os.path.join(table, "a.parquet"))
+    DL.commit_json(table, 2, [
+        DL.remove_action("a.parquet"),
+        DL.add_action(
+            "a.parquet", {}, sa,
+            deletion_vector=DV.inline_descriptor([0, 1, 2])),
+    ])
+    assert _collect(DL.read_delta(spark, table)) == [(4, "four")]
+    # checkpoint at v2 must PRESERVE both descriptors; wipe the
+    # json commits it covers and re-read through the checkpoint
+    DL.write_checkpoint(spark, table, 2)
+    for v in range(3):
+        os.remove(os.path.join(table, "_delta_log",
+                               f"{v:020d}.json"))
+    assert _collect(DL.read_delta(spark, table)) == [(4, "four")]
+    snap = DL.resolve_snapshot(spark, table)
+    assert len(snap.dvs) == 2
+
+
+def test_dv_with_partition_columns(spark, tmp_path):
+    """DV anti-join and broadcast partition attach share one scan."""
+    table = str(tmp_path / "pt")
+    os.makedirs(table)
+    part_schema = StructType([
+        StructField("k", LongType()),
+        StructField("v", StringType()),
+        StructField("b", StringType()),
+    ])
+    data_schema = StructType(part_schema.fields[:2])
+    sizes = {}
+    for b, rows in (("x", [(1, "one"), (2, "two")]),
+                    ("y", [(3, "three"), (4, "four")])):
+        sizes[b] = _write_file(spark, table, f"b={b}/f.parquet",
+                               rows, data_schema)
+    DL.commit_json(table, 0, [
+        DL.protocol_action(),
+        DL.metadata_action(part_schema, ["b"]),
+        DL.add_action("b=x/f.parquet", {"b": "x"}, sizes["x"]),
+        DL.add_action("b=y/f.parquet", {"b": "y"}, sizes["y"]),
+    ])
+    DL.commit_json(table, 1, [
+        DL.remove_action("b=y/f.parquet"),
+        DL.add_action("b=y/f.parquet", {"b": "y"}, sizes["y"],
+                      deletion_vector=DV.inline_descriptor([0])),
+    ])
+    # wait: both files are named f.parquet -> basename collision
+    # with a DV must REFUSE (documented policy)
+    with pytest.raises(ValueError, match="colliding"):
+        DL.read_delta(spark, table)
+
+
+def test_dv_partitioned_unique_names(spark, tmp_path):
+    table = str(tmp_path / "pu")
+    os.makedirs(table)
+    part_schema = StructType([
+        StructField("k", LongType()),
+        StructField("v", StringType()),
+        StructField("b", StringType()),
+    ])
+    data_schema = StructType(part_schema.fields[:2])
+    sx = _write_file(spark, table, "b=x/fx.parquet",
+                     [(1, "one"), (2, "two")], data_schema)
+    sy = _write_file(spark, table, "b=y/fy.parquet",
+                     [(3, "three"), (4, "four")], data_schema)
+    DL.commit_json(table, 0, [
+        DL.protocol_action(),
+        DL.metadata_action(part_schema, ["b"]),
+        DL.add_action("b=x/fx.parquet", {"b": "x"}, sx),
+        DL.add_action("b=y/fy.parquet", {"b": "y"}, sy),
+    ])
+    DL.commit_json(table, 1, [
+        DL.remove_action("b=y/fy.parquet"),
+        DL.add_action("b=y/fy.parquet", {"b": "y"}, sy,
+                      deletion_vector=DV.inline_descriptor([1])),
+    ])
+    got = _collect(DL.read_delta(spark, table))
+    assert got == [(1, "one", "x"), (2, "two", "x"),
+                   (3, "three", "y")]
+    # partition pruning composes with the DV anti-join
+    assert _collect(DL.read_delta(spark, table,
+                                  partitions={"b": "y"})) == [
+        (3, "three", "y")]
+
+
+def test_dv_torn_sidecar_refuses(spark, tmp_path):
+    table = _dv_table(spark, tmp_path)
+    # truncate the sidecar mid-payload
+    snap = DL.resolve_snapshot(spark, table)
+    desc = snap.dvs[os.path.join(table, "b.parquet")]
+    tok = desc["pathOrInlineDv"]
+    uid = uuid.UUID(bytes=DV.z85_decode(tok[-20:]))
+    sidecar = os.path.join(table, DV.dv_file_name(tok[:-20], uid))
+    raw = open(sidecar, "rb").read()
+    open(sidecar, "wb").write(raw[:len(raw) - 3])
+    with pytest.raises(ValueError, match="truncated"):
+        DL.read_delta(spark, table).collect()
+
+
+def test_crc32_matches_zlib():
+    # the file layout stores CRC-32 of the bitmap data; sanity-pin
+    # the polynomial choice against a known vector
+    assert zlib.crc32(b"123456789") == 0xCBF43926

@@ -190,13 +190,20 @@ def test_unsupported_features_refuse_loudly(spark, tmp_path):
     with pytest.raises(ValueError, match="column mapping"):
         DL.read_delta(spark, table2)
 
+    # deletion vectors are now READ (tests/test_deltadv.py); an
+    # unknown DV storage type still refuses at scan time
     table3 = str(tmp_path / "bad3")
     os.makedirs(table3)
-    add = DL.add_action("x.parquet", {}, 1)
-    add["add"]["deletionVector"] = {"storageType": "u"}
+    data3 = StructType(SCHEMA.fields)
+    size3 = _write_file(spark, table3, "x.parquet", [(1, "one")],
+                        data3)
+    add = DL.add_action("x.parquet", {}, size3)
+    add["add"]["deletionVector"] = {
+        "storageType": "z", "pathOrInlineDv": "?", "sizeInBytes": 1,
+        "cardinality": 1}
     DL.commit_json(table3, 0, [DL.protocol_action(),
                                DL.metadata_action(SCHEMA, []), add])
-    with pytest.raises(ValueError, match="deletion vectors"):
+    with pytest.raises(ValueError, match="storageType"):
         DL.read_delta(spark, table3)
 
     # reader version 3 with only supported features is fine

@@ -99,6 +99,9 @@ EXCHANGE_BUDGET = {
     # iceberg/hudi data files carry their columns, so the plan is the
     # bare pruned scan
     "delta_table_scan": 0,
+    # DV scan adds a broadcast LeftAnti on (file, _metadata
+    # .row_index) over the same single FileScan — still no shuffle
+    "delta_dv_table_scan": 0,
     "iceberg_table_scan": 0,
     "hudi_table_scan": 0,
     # distinct on (grp,h) + the window re-key to grp, both hash-rows
