@@ -2227,6 +2227,148 @@ def q_iceberg_snapshot_scan(spark, sf_dir):
     return df.select("event_id", "user_id", "event_type", "value")
 
 
+def _build_iceberg_posdel_landing(spark, sf_dir, family):
+    """Snapshot 3 on top of the Iceberg landing: a LIVE position-
+    delete manifest (seq 3) whose parquet kills every
+    ``event_id % 11 == 0`` row in the click/purchase/signup files,
+    plus one row referencing a path outside the snapshot (ignored
+    per spec), plus a DECOY delete manifest at seq 1 targeting the
+    compacted view file (data seq 2) — the v2 sequence rule says an
+    older delete cannot touch a newer rewrite, so applying it is a
+    catchable wrong answer. Returns (work, table_path)."""
+    import json as jsonmod
+    import shutil
+
+    from distributed_computing_projects_spark.sources import (
+        iceberg as IC,
+    )
+
+    work, table = _build_iceberg_landing(spark, sf_dir, family)
+    mdir = os.path.join(table, "metadata")
+    snap = IC.resolve_snapshot(table)
+    by_et: dict = {}
+    for p, pv in snap.files:
+        by_et.setdefault(pv["event_type"], []).append(p)
+    targets = (by_et["click"] + by_et["purchase"]
+               + by_et["signup"])
+
+    def _stage_del(dest, rows):
+        stage = dest + ".stage"
+        (spark.createDataFrame(rows, "file_path string, pos bigint")
+         .coalesce(1).write.mode("overwrite").parquet(stage))
+        part = next(n for n in sorted(os.listdir(stage))
+                    if n.startswith("part-")
+                    and n.endswith(".parquet"))
+        os.replace(os.path.join(stage, part), dest)
+        shutil.rmtree(stage, ignore_errors=True)
+
+    pos_rows = (
+        spark.read
+        .schema("event_id bigint, user_id bigint, value double, "
+                "event_type string")
+        .parquet(*targets)
+        .select(F.input_file_name().alias("f"),
+                F.col("_metadata.row_index").alias("i"), "event_id")
+        .filter(F.col("event_id") % 11 == 0)
+        .collect())
+    base_to_path = {os.path.basename(p): p for p in targets}
+    del_rows = [(base_to_path[os.path.basename(r.f)], int(r.i))
+                for r in pos_rows]
+    del_rows.append((os.path.join(table, "data", "ghost.parquet"),
+                     3))
+    live = os.path.join(table, "data", "pdel-live.parquet")
+    _stage_del(live, del_rows)
+    decoy = os.path.join(table, "data", "pdel-decoy.parquet")
+    _stage_del(decoy, [(by_et["view"][0], 0),
+                       (by_et["view"][0], 1)])
+
+    pfields = [("event_type", "string")]
+
+    def _del_entry(path):
+        return {"status": 1, "snapshot_id": 3,
+                "data_file": {"content": 1, "file_path": path,
+                              "file_format": "PARQUET",
+                              "partition": {"event_type": None},
+                              "record_count": 1,
+                              "file_size_in_bytes":
+                                  os.path.getsize(path)}}
+
+    m2 = os.path.join(mdir, "m2.avro")
+    dm_live = os.path.join(mdir, "del-live.avro")
+    s_live = IC.write_manifest(dm_live, [_del_entry(live)], pfields)
+    dm_decoy = os.path.join(mdir, "del-decoy.avro")
+    s_decoy = IC.write_manifest(dm_decoy, [_del_entry(decoy)],
+                                pfields)
+    ml3 = os.path.join(mdir, "snap-3.avro")
+    IC.write_manifest_list(ml3, [
+        {"manifest_path": m2,
+         "manifest_length": os.path.getsize(m2),
+         "partition_spec_id": 0, "content": 0,
+         "sequence_number": 2, "min_sequence_number": 1,
+         "added_snapshot_id": 2},
+        {"manifest_path": dm_live, "manifest_length": s_live,
+         "partition_spec_id": 0, "content": 1,
+         "sequence_number": 3, "min_sequence_number": 3,
+         "added_snapshot_id": 3},
+        {"manifest_path": dm_decoy, "manifest_length": s_decoy,
+         "partition_spec_id": 0, "content": 1,
+         "sequence_number": 1, "min_sequence_number": 1,
+         "added_snapshot_id": 3},
+    ])
+    with open(os.path.join(mdir, "v2.metadata.json"), "r",
+              encoding="utf-8") as f:
+        meta = jsonmod.load(f)
+    meta["last-sequence-number"] = 3
+    meta["snapshots"].append(
+        {"snapshot-id": 3, "sequence-number": 3, "timestamp-ms": 2,
+         "manifest-list": ml3, "schema-id": 0,
+         "summary": {"operation": "delete"}})
+    meta["current-snapshot-id"] = 3
+    with open(os.path.join(mdir, "v3.metadata.json"), "w",
+              encoding="utf-8") as f:
+        jsonmod.dump(meta, f)
+    return work, table
+
+
+@query(
+    "iceberg_pos_delete_scan",
+    headline=True,
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events
+    WHERE event_id % 7 = 0 AND event_type <> 'error'
+      AND NOT (event_id % 11 = 0
+               AND event_type IN ('click', 'purchase', 'signup'))
+    """,
+    doc="Iceberg v2 POSITION-DELETE read (sources/iceberg.py) — the "
+        "row-level-delete half of the lakehouse tier's modern-table "
+        "story next to Delta's deletion vectors: a v2 delete "
+        "manifest lists parquet files of (file_path, pos) and a "
+        "reader that skips them RESURRECTS deleted rows. The scan "
+        "reads the delete parquet through Spark, matches data files "
+        "by verified-unique basename (a delete row referencing a "
+        "path outside the snapshot drops in the join — ignored per "
+        "spec, never a crash), enforces the SEQUENCE rule (a delete "
+        "applies only to data files with data seq <= the delete's — "
+        "the fixture plants a seq-1 DECOY targeting the seq-2 "
+        "compacted file, so applying old deletes to newer rewrites "
+        "is a catchable wrong answer), and anti-joins dead (file, "
+        "_metadata.row_index) pairs via broadcasts over the same "
+        "single data FileScan — zero shuffles. Equality deletes "
+        "refuse loudly.",
+)
+def q_iceberg_pos_delete_scan(spark, sf_dir):
+    from distributed_computing_projects_spark.sources import (
+        iceberg as IC,
+    )
+
+    _, table = _build_iceberg_posdel_landing(spark, sf_dir,
+                                             "iceberg_pd")
+    df = IC.read_iceberg(spark, table)
+    return df.select("event_id", "user_id", "event_type", "value")
+
+
 def _build_hudi_landing(spark, sf_dir, family):
     """Fixture stage for the Hudi queries: an events subset becomes
     a Hudi COPY_ON_WRITE table (one file group per (event_type,

@@ -22,15 +22,21 @@ Metadata chain (the spec's read path):
   decoded by ``avro.iter_records`` — OCF is self-describing, so the
   reader is schema-agnostic key access and reads real writers'
   richer schemas unchanged.
-- **Loud unsupported, never silent wrong**: v2 DELETE manifests with
-  live delete files (position/equality deletes change what data
-  rows exist), non-parquet data files, a current schema whose field
-  IDs carry DIFFERENT NAMES in any historical schema (Iceberg
-  resolves columns by field ID; this reader resolves by name, which
-  is only sound when no rename ever happened — the metadata keeps
-  every historical schema, so renames are DETECTED and refused
-  rather than guessed), and partition transforms other than
-  identity/bucket under a ``partitions=`` prune all raise
+- **v2 POSITION deletes are APPLIED**: live delete manifests list
+  parquet files of ``(file_path, pos)``; each applies to data files
+  with data sequence number <= the delete's (explicit entry seq,
+  else inherited from the manifest-list ref). The scan anti-joins
+  dead ``(file, _metadata.row_index)`` pairs out via broadcasts —
+  zero shuffles; a delete row referencing a path outside the
+  snapshot is ignored per spec.
+- **Loud unsupported, never silent wrong**: EQUALITY delete files
+  (value-level matching), non-parquet data files, a current schema
+  whose field IDs carry DIFFERENT NAMES in any historical schema
+  (Iceberg resolves columns by field ID; this reader resolves by
+  name, which is only sound when no rename ever happened — the
+  metadata keeps every historical schema, so renames are DETECTED
+  and refused rather than guessed), and partition transforms other
+  than identity/bucket under a ``partitions=`` prune all raise
   ``ValueError``.
 
 Scan shape (the 100 TB properties):
@@ -159,11 +165,19 @@ def _check_no_renames(meta: dict, current: dict) -> None:
 
 class IcebergSnapshot:
     def __init__(self, snapshot_id, schema, partition_spec,
-                 files: list[tuple[str, dict]]):
+                 files: list[tuple[str, dict]],
+                 file_seqs: dict[str, int] | None = None,
+                 deletes: list[tuple[str, int]] | None = None):
         self.snapshot_id = snapshot_id
         self.schema = schema              # iceberg schema JSON
         self.partition_spec = partition_spec
         self.files = files                # [(path, partition dict)]
+        # path -> data sequence number (explicit on the entry, else
+        # inherited from the manifest-list ref — the v2 rule)
+        self.file_seqs = file_seqs or {}
+        # live POSITION-delete files as (path, sequence number);
+        # a delete applies to data files with data seq <= delete seq
+        self.deletes = deletes or []
 
 
 def _read_avro_records(path: str) -> list[dict]:
@@ -217,41 +231,57 @@ def resolve_snapshot(table_path: str,
     if "manifest-list" in snap:
         mlist = _read_avro_records(
             _localize(snap["manifest-list"], table_path))
-        manifest_refs = [(m["manifest_path"], m.get("content", 0))
+        manifest_refs = [(m["manifest_path"], m.get("content", 0),
+                          m.get("sequence_number", 0))
                          for m in mlist]
     else:  # v1 inline form
-        manifest_refs = [(p, 0) for p in snap.get("manifests", [])]
+        manifest_refs = [(p, 0, 0) for p in snap.get("manifests", [])]
 
     files: list[tuple[str, dict]] = []
-    for mpath, content in manifest_refs:
+    file_seqs: dict[str, int] = {}
+    deletes: list[tuple[str, int]] = []
+    for mpath, content, ref_seq in manifest_refs:
         entries = _read_avro_records(_localize(mpath, table_path))
-        if content == 1:  # delete manifest
-            live = [e for e in entries
-                    if e.get("status") != _STATUS_DELETED]
-            if live:
-                raise ValueError(
-                    "iceberg table carries live delete files "
-                    "(position/equality deletes); reading without "
-                    "applying them returns deleted rows — refusing")
-            continue
         for e in entries:
             if e.get("status") == _STATUS_DELETED:
                 continue
             df_ = e["data_file"]
-            if df_.get("content", 0) != 0:
+            kind = df_.get("content", 0)
+            seq = e.get("sequence_number")
+            seq = ref_seq if seq is None else seq
+            fmt = str(df_.get("file_format", "")).upper()
+            if content == 1:  # delete manifest
+                if kind == 2:
+                    raise ValueError(
+                        "iceberg table carries live EQUALITY delete "
+                        "files; applying them needs value-level "
+                        "matching this reader does not do — "
+                        "refusing, never resurrecting")
+                if kind != 1:
+                    raise ValueError(
+                        "data file inside a delete manifest — "
+                        "refusing")
+                if fmt != "PARQUET":
+                    raise ValueError(
+                        f"unsupported iceberg delete file format "
+                        f"{fmt!r}")
+                deletes.append((
+                    _localize(df_["file_path"], table_path), seq))
+                continue
+            if kind != 0:
                 raise ValueError(
                     "delete file inside a data manifest — refusing")
-            fmt = str(df_.get("file_format", "")).upper()
             if fmt != "PARQUET":
                 raise ValueError(
                     f"unsupported iceberg data file format {fmt!r}")
-            files.append((
-                _localize(df_["file_path"], table_path),
-                dict(df_.get("partition") or {})))
+            path = _localize(df_["file_path"], table_path)
+            files.append((path, dict(df_.get("partition") or {})))
+            file_seqs[path] = seq
     spec = specs.get(snap.get("spec-id", meta.get("default-spec-id",
                                                   0)))
     files.sort(key=lambda fp: fp[0])
-    return IcebergSnapshot(target, schema, spec, files)
+    return IcebergSnapshot(target, schema, spec, files, file_seqs,
+                           sorted(deletes))
 
 
 def read_iceberg(spark: SparkSession, table_path: str,
@@ -316,8 +346,64 @@ def read_iceberg(spark: SparkSession, table_path: str,
     order = [f.name for f in spark_schema.fields]
     if not files:
         return spark.createDataFrame([], spark_schema).select(*order)
-    return spark.read.schema(spark_schema).parquet(
-        *[p for p, _pv in files]).select(*order)
+    paths = [p for p, _pv in files]
+    df = spark.read.schema(spark_schema).parquet(*paths)
+    if snap.deletes:
+        df = _apply_position_deletes(spark, df, snap, paths)
+    return df.select(*order)
+
+
+def _apply_position_deletes(spark: SparkSession, df: DataFrame,
+                            snap: IcebergSnapshot,
+                            paths: list[str]) -> DataFrame:
+    """v2 position deletes: delete files are parquet of
+    ``(file_path, pos)``; a row is dead when some delete file with
+    sequence number >= the data file's records its position. The
+    match keys on FILE BASENAME (iceberg writer names are UUIDs;
+    uniqueness is VERIFIED across the snapshot, collisions refuse) so
+    a relocated table still matches, and a delete row referencing a
+    path outside the snapshot drops in the inner join — ignored per
+    spec, never a crash. All joins are broadcast; the data read
+    stays ONE FileScan with zero shuffles."""
+    from pyspark.sql import functions as F
+
+    all_base = [os.path.basename(p) for p, _pv in snap.files]
+    if len(set(all_base)) != len(all_base):
+        raise ValueError(
+            "position deletes over colliding data-file basenames; "
+            "refusing")
+    seq_map = spark.createDataFrame(
+        [(os.path.basename(p), int(snap.file_seqs.get(p, 0)))
+         for p in paths],
+        "`_ice_file` string, `_data_seq` bigint")
+
+    by_seq: dict[int, list[str]] = {}
+    for dpath, dseq in snap.deletes:
+        by_seq.setdefault(int(dseq), []).append(dpath)
+    del_df = None
+    for dseq in sorted(by_seq):
+        part = (spark.read.schema("`file_path` string, `pos` bigint")
+                .parquet(*sorted(by_seq[dseq]))
+                .withColumn("_del_seq", F.lit(dseq)))
+        del_df = part if del_df is None else del_df.unionByName(part)
+    dead = (
+        del_df
+        .withColumn("_ice_file",
+                    F.element_at(F.split(F.col("file_path"), "/"),
+                                 -1))
+        .join(F.broadcast(seq_map), "_ice_file")
+        .filter(F.col("_del_seq") >= F.col("_data_seq"))
+        .select("_ice_file", F.col("pos").alias("_ice_row"))
+    )
+    return (
+        df.withColumn(
+            "_ice_file",
+            F.element_at(F.split(F.input_file_name(), "/"), -1))
+        .withColumn("_ice_row", F.col("_metadata.row_index"))
+        .join(F.broadcast(dead), ["_ice_file", "_ice_row"],
+              "left_anti")
+        .drop("_ice_file", "_ice_row")
+    )
 
 
 # ----------------------------------------------------- builder twin
@@ -358,12 +444,19 @@ def manifest_entry_schema(partition_fields: list[tuple[str, str]]):
         {"name": "status", "type": "int", "field-id": 0},
         {"name": "snapshot_id", "type": ["null", "long"],
          "field-id": 1},
+        {"name": "sequence_number", "type": ["null", "long"],
+         "field-id": 3},
         {"name": "data_file", "type": data_file, "field-id": 2},
     ]}
 
 
 def write_manifest(path: str, entries: list[dict],
                    partition_fields: list[tuple[str, str]]) -> int:
+    for e in entries:
+        # null sequence number inherits the manifest-list ref's (the
+        # v2 rule for ADDED entries); carried EXISTING entries should
+        # set it explicitly
+        e.setdefault("sequence_number", None)
     data = AV.write_ocf(entries,
                         manifest_entry_schema(partition_fields),
                         codec="deflate")

@@ -103,6 +103,10 @@ EXCHANGE_BUDGET = {
     # .row_index) over the same single FileScan — still no shuffle
     "delta_dv_table_scan": 0,
     "iceberg_table_scan": 0,
+    # position deletes add a broadcast chain (delete parquet ->
+    # seq-rule filter -> LeftAnti on (file, row_index)) over the
+    # same single data FileScan — still no shuffle
+    "iceberg_pos_delete_scan": 0,
     "hudi_table_scan": 0,
     # distinct on (grp,h) + the window re-key to grp, both hash-rows
     "sketch_distinct_tokens": 2,

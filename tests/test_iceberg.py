@@ -234,36 +234,97 @@ def test_bucket_transform_prunes_by_source_value(spark, tmp_path):
         IC.read_iceberg(spark, table, partitions={"k": 7})
 
 
-def test_live_delete_files_refuse(spark, tmp_path):
-    table = _make_table(spark, tmp_path)
+def _write_del_parquet(spark, dest, rows):
+    """A position-delete file: parquet of (file_path, pos)."""
+    stage = dest + ".stage"
+    spark.createDataFrame(rows, "file_path string, pos bigint") \
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(n for n in sorted(os.listdir(stage))
+                if n.startswith("part-") and n.endswith(".parquet"))
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    os.replace(os.path.join(stage, part), dest)
+    shutil.rmtree(stage, ignore_errors=True)
+    return os.path.getsize(dest)
+
+
+def _del_entry(path, et="view", content=1, seq=None):
+    return {"status": 1, "snapshot_id": 3, "sequence_number": seq,
+            "data_file": {"content": content, "file_path": path,
+                          "file_format": "PARQUET",
+                          "partition": {"et": et},
+                          "record_count": 1,
+                          "file_size_in_bytes": 1}}
+
+
+def _snapshot3(table, manifest_entries, seq=3):
+    """Append snapshot 3 = m2's data files + one delete manifest."""
     mdir = os.path.join(table, "metadata")
-    dm = os.path.join(mdir, "del-1.avro")
-    size = IC.write_manifest(dm, [_entry(1, "pos-del.parquet",
-                                         "view")], PFIELDS)
-    ml3 = os.path.join(mdir, "snap-3.avro")
     m2 = os.path.join(mdir, "m2.avro")
+    dm = os.path.join(mdir, "del-1.avro")
+    size = IC.write_manifest(dm, manifest_entries, PFIELDS)
+    ml3 = os.path.join(mdir, "snap-3.avro")
+    dref = _mref(dm, size, content=1)
+    dref["sequence_number"] = seq
+    dref["min_sequence_number"] = seq
     IC.write_manifest_list(ml3, [
-        _mref(m2, os.path.getsize(m2)),
-        _mref(dm, size, content=1)])
+        _mref(m2, os.path.getsize(m2)), dref])
     with open(IC.latest_metadata_path(table), "r",
               encoding="utf-8") as f:
         meta = json.load(f)
     meta["snapshots"].append(
-        {"snapshot-id": 3, "sequence-number": 3, "timestamp-ms": 2,
+        {"snapshot-id": 3, "sequence-number": seq, "timestamp-ms": 2,
          "manifest-list": ml3, "schema-id": 0,
          "summary": {"operation": "delete"}})
     meta["current-snapshot-id"] = 3
     with open(os.path.join(mdir, "v3.metadata.json"), "w",
               encoding="utf-8") as f:
         json.dump(meta, f)
-    with pytest.raises(ValueError, match="delete files"):
+
+
+def test_position_deletes_apply(spark, tmp_path):
+    table = _make_table(spark, tmp_path)
+    d = os.path.join(table, "data/et=view/d.parquet")
+    delfile = os.path.join(table, "data/del-0001.parquet")
+    # kill d's row 0 = (2, 2.0, 'view'); the second row references a
+    # path outside the snapshot -> ignored per spec, not a crash
+    _write_del_parquet(spark, delfile, [
+        (d, 0), (os.path.join(table, "data/nonexistent.parquet"), 5)])
+    _snapshot3(table, [_del_entry(delfile)])
+    assert _collect(IC.read_iceberg(spark, table)) == [
+        (1, 1.0, "click"), (3, 3.0, "view")]
+    # time travel to snapshot 2 pre-dates the delete
+    assert len(_collect(IC.read_iceberg(spark, table,
+                                        snapshot_id=2))) == 3
+    # partition pruning composes with the delete anti-join
+    assert _collect(IC.read_iceberg(
+        spark, table, partitions={"et": "view"})) == [
+        (3, 3.0, "view")]
+
+
+def test_position_delete_sequence_rule(spark, tmp_path):
+    # a delete with seq LOWER than the data file's must NOT apply:
+    # m2's files carry (inherited) data seq 1, the delete rides at
+    # seq 0 — an old delete cannot touch newer rewrites
+    table = _make_table(spark, tmp_path)
+    a = os.path.join(table, "data/et=click/a.parquet")
+    delfile = os.path.join(table, "data/del-0002.parquet")
+    _write_del_parquet(spark, delfile, [(a, 0)])
+    _snapshot3(table, [_del_entry(delfile, et="click", seq=0)],
+               seq=3)
+    assert len(_collect(IC.read_iceberg(spark, table))) == 3
+
+
+def test_equality_deletes_and_dead_manifests(spark, tmp_path):
+    table = _make_table(spark, tmp_path)
+    delfile = os.path.join(table, "data/del-0003.parquet")
+    _write_del_parquet(spark, delfile, [("x", 0)])
+    _snapshot3(table, [_del_entry(delfile, content=2)])
+    with pytest.raises(ValueError, match="EQUALITY"):
         IC.read_iceberg(spark, table)
     # a delete manifest whose entries are all status=deleted is dead
-    IC.write_manifest(dm, [_entry(2, "pos-del.parquet", "view")],
-                      PFIELDS)
-    IC.write_manifest_list(ml3, [
-        _mref(m2, os.path.getsize(m2)),
-        _mref(dm, os.path.getsize(dm), content=1)])
+    dead = _del_entry(delfile)
+    dead["status"] = 2
+    _snapshot3(table, [dead])
     assert len(_collect(IC.read_iceberg(spark, table))) == 3
 
 
