@@ -2763,6 +2763,146 @@ def q_delta_dv_table_scan(spark, sf_dir):
     return df.select("event_id", "user_id", "event_type", "value")
 
 
+def _build_delta_cm_landing(spark, sf_dir, family):
+    """Fixture stage for the column-mapping query: an events subset
+    becomes a name-mode Delta table whose parquet files carry
+    PHYSICAL column names (col-eid/col-uid/col-val) and whose value
+    column was RENAMED mid-history — v0 writes the even-user half
+    under logical name 'val', v1 renames it to 'value' (physical
+    name unchanged: the whole point of name mode) and adds the odd
+    half. partitionColumns and partitionValues are keyed by the
+    PHYSICAL partition name col-et per the protocol's writer
+    requirements. Returns (work, table_path)."""
+    import json as jsonmod
+    import shutil
+
+    from distributed_computing_projects_spark.sources import (
+        deltalake as DL,
+    )
+
+    work = _session_scratch(spark, family, sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    table = os.path.join(work, "table")
+    os.makedirs(table)
+    subset = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 7 == 2)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+    def _cm_meta(logical_val):
+        fields = [
+            {"name": "event_id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName":
+                              "col-eid"}},
+            {"name": "user_id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName":
+                              "col-uid"}},
+            {"name": logical_val, "type": "double",
+             "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName":
+                              "col-val"}},
+            {"name": "event_type", "type": "string",
+             "nullable": True,
+             "metadata": {"delta.columnMapping.id": 4,
+                          "delta.columnMapping.physicalName":
+                              "col-et"}},
+        ]
+        return {"metaData": {
+            "id": "0" * 32,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": jsonmod.dumps(
+                {"type": "struct", "fields": fields}),
+            "partitionColumns": ["col-et"],
+            "configuration": {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": "4"},
+            "createdTime": 0}}
+
+    def _stage_half(df_half, tag):
+        """Physical-named data files, one per partition; returns
+        [(rel, size, event_type)]."""
+        stage = os.path.join(work, f"stage-{tag}")
+        (df_half.select(F.col("event_id").alias("col-eid"),
+                        F.col("user_id").alias("col-uid"),
+                        F.col("value").alias("col-val"),
+                        "event_type")
+         .coalesce(1).write.partitionBy("event_type")
+         .parquet(stage))
+        out = []
+        for name in sorted(os.listdir(stage)):
+            if not name.startswith("event_type="):
+                continue
+            et = name.split("=", 1)[1]
+            sdir = os.path.join(stage, name)
+            parts = [n for n in sorted(os.listdir(sdir))
+                     if n.startswith("part-")
+                     and n.endswith(".parquet")]
+            os.makedirs(os.path.join(table, f"col-et={et}"),
+                        exist_ok=True)
+            for i, src in enumerate(parts):
+                rel = f"col-et={et}/part-{tag}-{et}-{i}.parquet"
+                os.replace(os.path.join(sdir, src),
+                           os.path.join(table, rel))
+                out.append((rel, os.path.getsize(
+                    os.path.join(table, rel)), et))
+        shutil.rmtree(stage, ignore_errors=True)
+        return out
+
+    even = _stage_half(subset.filter(F.col("user_id") % 2 == 0),
+                       "v0")
+    odd = _stage_half(subset.filter(F.col("user_id") % 2 == 1),
+                      "v1")
+    DL.commit_json(table, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        _cm_meta("val"),
+        *[DL.add_action(rel, {"col-et": et}, size)
+          for rel, size, et in even],
+    ])
+    DL.commit_json(table, 1, [
+        _cm_meta("value"),
+        *[DL.add_action(rel, {"col-et": et}, size)
+          for rel, size, et in odd],
+    ])
+    return work, table
+
+
+@query(
+    "delta_column_mapping_scan",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events WHERE event_id % 7 = 2
+    """,
+    doc="Delta COLUMN MAPPING read, name mode (sources/deltalake.py "
+        "_column_mapping) — any table that ever renamed a column "
+        "has delta.columnMapping.mode=name, so the old refusal "
+        "locked those out. The parquet files carry PHYSICAL column "
+        "names (col-eid/col-uid/col-val here) annotated in the "
+        "metaData schema's delta.columnMapping.physicalName; the "
+        "scan pins the PHYSICAL schema and renames to logical right "
+        "after, so Catalyst's pruning/pushdown see one consistent "
+        "scan. The fixture's history RENAMES the value column (v0 "
+        "logical 'val', v1 'value' — physical name unchanged, the "
+        "whole point of name mode) with data files added both "
+        "before and after the rename; partition values are keyed by "
+        "the physical partition name per the protocol's writer "
+        "requirements and looked up through the mapping. Id-mode "
+        "and nested-field renames refuse loudly.",
+)
+def q_delta_column_mapping_scan(spark, sf_dir):
+    from distributed_computing_projects_spark.sources import (
+        deltalake as DL,
+    )
+
+    _, table = _build_delta_cm_landing(spark, sf_dir, "delta_cm")
+    df = DL.read_delta(spark, table)
+    return df.select("event_id", "user_id", "event_type", "value")
+
+
 def _build_msgpack_landing(spark, sf_dir, family):
     """Fixture stage for the MessagePack query: stage an events
     subset as JSONL, encode each shard as one concatenated .msgpack

@@ -38,12 +38,20 @@ Log replay (the protocol's snapshot reconstruction):
   sidecar ``.bin`` layout, all from PROTOCOL.md) driver-side and the
   scan anti-joins ``(file, _metadata.row_index)`` pairs out via one
   broadcast — a reader that ignores DVs RESURRECTS deleted rows.
-- **Loud unsupported, never silent wrong**: ``minReaderVersion`` > 1
+- **Column mapping, name mode** (on in any table that ever renamed
+  a column) is READ: the parquet files carry PHYSICAL column names
+  from the metaData schema's ``delta.columnMapping.physicalName``
+  annotations; the scan pins the physical schema and renames to
+  logical right after, and partition values are looked up through
+  the mapping (``partitionValues`` keys are physical per the
+  protocol's writer requirements; a logical-keyed fallback tolerates
+  nonconforming writers).
+- **Loud unsupported, never silent wrong**: ``minReaderVersion`` > 2
   (unless 3 with only supported ``readerFeatures`` —
-  ``timestampNtz`` and ``deletionVectors``) or column mapping
-  (``delta.columnMapping.mode`` != none) raise ``ValueError`` —
-  each would change WHAT the parquet bytes mean, so refusing is the
-  only correct read.
+  ``timestampNtz``, ``deletionVectors``, ``columnMapping``),
+  id-mode column mapping, or a mapping that renames a NESTED field
+  raise ``ValueError`` — each would change WHAT the parquet bytes
+  mean, so refusing is the only correct read.
 
 Scan shape (the 100 TB properties):
 
@@ -87,7 +95,8 @@ _CKPT_RE = re.compile(
 # readerFeatures this implementation actually implements (version-3
 # tables advertise capabilities; anything outside this set refuses)
 _SUPPORTED_READER_FEATURES = frozenset({"timestampNtz",
-                                        "deletionVectors"})
+                                        "deletionVectors",
+                                        "columnMapping"})
 
 
 class DeltaSnapshot:
@@ -96,7 +105,8 @@ class DeltaSnapshot:
     def __init__(self, version: int, schema_json: dict,
                  partition_columns: list[str],
                  files: list[tuple[str, dict]],
-                 dvs: dict[str, dict] | None = None):
+                 dvs: dict[str, dict] | None = None,
+                 column_mapping: dict | None = None):
         self.version = version
         self.schema_json = schema_json
         self.partition_columns = partition_columns
@@ -104,6 +114,9 @@ class DeltaSnapshot:
         # absolute path -> deletionVector descriptor, for the subset
         # of active files carrying one (sources/deltadv.py decodes)
         self.dvs = dvs or {}
+        # name-mode column mapping: logical name -> physical parquet
+        # column name (None when the table has no mapping)
+        self.column_mapping = column_mapping
 
 
 def _log_listing(table_path: str):
@@ -124,7 +137,9 @@ def _log_listing(table_path: str):
 
 def _check_protocol(proto: dict) -> None:
     v = proto.get("minReaderVersion", 1)
-    if v <= 1:
+    if v <= 2:
+        # reader version 2 = column mapping, which this reader
+        # implements in name mode (id mode refuses at metaData time)
         return
     if v == 3:
         extra = set(proto.get("readerFeatures") or []) \
@@ -139,9 +154,47 @@ def _check_protocol(proto: dict) -> None:
 def _check_metadata(meta: dict) -> None:
     mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none")
-    if mode != "none":
+    if mode not in ("none", "name"):
         raise ValueError(
             f"unsupported Delta column mapping mode {mode!r}")
+
+
+def _column_mapping(schema_json: dict, mode: str) -> dict | None:
+    """``name``-mode mapping: logical top-level column -> physical
+    parquet column, from the metaData schema's
+    ``delta.columnMapping.physicalName`` annotations. A NESTED field
+    whose physical name differs refuses (renaming inside a struct
+    would need a recursive projection this reader does not build —
+    loud beats silently reading the wrong nested column)."""
+    if mode != "name":
+        return None
+
+    def _nested_ok(t) -> None:
+        if isinstance(t, dict) and t.get("type") == "struct":
+            for f in t["fields"]:
+                phys = (f.get("metadata") or {}).get(
+                    "delta.columnMapping.physicalName", f["name"])
+                if phys != f["name"]:
+                    raise ValueError(
+                        f"column mapping renames NESTED field "
+                        f"{f['name']!r} -> {phys!r}; unsupported")
+                _nested_ok(f["type"])
+        elif isinstance(t, dict) and t.get("type") == "array":
+            _nested_ok(t.get("elementType"))
+        elif isinstance(t, dict) and t.get("type") == "map":
+            _nested_ok(t.get("keyType"))
+            _nested_ok(t.get("valueType"))
+
+    mapping = {}
+    for f in schema_json["fields"]:
+        phys = (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"])
+        mapping[f["name"]] = phys
+        _nested_ok(f["type"])
+    if len(set(mapping.values())) != len(mapping):
+        raise ValueError(
+            "column mapping physical names collide")
+    return mapping
 
 
 def _apply_action(state: dict, action: dict) -> None:
@@ -223,7 +276,17 @@ def resolve_snapshot(spark: SparkSession, table_path: str,
     if state["meta"] is None:
         raise ValueError("Delta log carries no metaData action")
     schema_json = json.loads(state["meta"]["schemaString"])
+    mode = (state["meta"].get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none")
+    mapping = _column_mapping(schema_json, mode)
     part_cols = list(state["meta"].get("partitionColumns") or [])
+    if mapping:
+        # partitionColumns may carry logical OR physical names
+        # depending on the writer; normalize to LOGICAL (the
+        # partitionValues keys stay physical per the protocol's
+        # writer requirements and are looked up through the mapping)
+        phys_to_log = {p: c for c, p in mapping.items()}
+        part_cols = [phys_to_log.get(c, c) for c in part_cols]
     files = []
     dvs = {}
     for rel, (pv, dv) in sorted(state["files"].items()):
@@ -231,7 +294,8 @@ def resolve_snapshot(spark: SparkSession, table_path: str,
         files.append((abs_path, pv))
         if dv:
             dvs[abs_path] = dv
-    return DeltaSnapshot(reached, schema_json, part_cols, files, dvs)
+    return DeltaSnapshot(reached, schema_json, part_cols, files, dvs,
+                         mapping)
 
 
 def _field_type_ddl(schema_json: dict, name: str) -> str:
@@ -245,6 +309,17 @@ def _field_type_ddl(schema_json: dict, name: str) -> str:
     raise ValueError(f"partition column {name} not in schema")
 
 
+def _pv_get(pv: dict, col: str, mapping: dict | None):
+    """partitionValues lookup for a LOGICAL column: keys are physical
+    names under column mapping (the protocol's writer requirement),
+    with a logical-keyed fallback for nonconforming writers."""
+    if mapping:
+        phys = mapping.get(col, col)
+        if phys in pv:
+            return pv.get(phys)
+    return pv.get(col)
+
+
 def read_delta(spark: SparkSession, table_path: str,
                version: int | None = None,
                partitions: dict | None = None) -> DataFrame:
@@ -255,6 +330,7 @@ def read_delta(spark: SparkSession, table_path: str,
 
     snap = resolve_snapshot(spark, table_path, version)
     part_cols = snap.partition_columns
+    mapping = snap.column_mapping
     files = snap.files
     if partitions:
         unknown = set(partitions) - set(part_cols)
@@ -263,13 +339,17 @@ def read_delta(spark: SparkSession, table_path: str,
                 f"partitions filter on non-partition column(s) "
                 f"{sorted(unknown)}")
         files = [(p, pv) for p, pv in files
-                 if all(pv.get(c) == str(v) if v is not None
-                        else pv.get(c) is None
+                 if all(_pv_get(pv, c, mapping) == str(v)
+                        if v is not None
+                        else _pv_get(pv, c, mapping) is None
                         for c, v in partitions.items())]
 
     full = StructType.fromJson(snap.schema_json)
+    # under name-mode column mapping the parquet files carry PHYSICAL
+    # column names: scan physical, rename to logical right after
     data_schema = StructType(
-        [StructField(f.name, f.dataType, True)
+        [StructField(mapping.get(f.name, f.name) if mapping
+                     else f.name, f.dataType, True)
          for f in full.fields if f.name not in part_cols])
     order = [f.name for f in full.fields]
 
@@ -290,6 +370,13 @@ def read_delta(spark: SparkSession, table_path: str,
             "refusing")
 
     df = spark.read.schema(data_schema).parquet(*paths)
+    if mapping:
+        renames = {mapping[f.name]: f.name
+                   for f in full.fields
+                   if f.name not in part_cols
+                   and mapping.get(f.name, f.name) != f.name}
+        if renames:
+            df = df.withColumnsRenamed(renames)
     if dv_map or (part_cols and unique_names):
         df = df.withColumn(
             "_delta_file",
@@ -321,7 +408,7 @@ def read_delta(spark: SparkSession, table_path: str,
         # one scan + broadcast (basename -> partition values) join:
         # the scale path — a single FileScan over every active file
         rows = [(os.path.basename(p),
-                 *[pv.get(c) for c in part_cols])
+                 *[_pv_get(pv, c, mapping) for c in part_cols])
                 for p, pv in files]
         # explicit all-string schema: the log serializes partition
         # values as strings and a column may be entirely null
@@ -339,7 +426,8 @@ def read_delta(spark: SparkSession, table_path: str,
     groups: dict[tuple, list[str]] = {}
     for p, pv in files:
         groups.setdefault(
-            tuple(pv.get(c) for c in part_cols), []).append(p)
+            tuple(_pv_get(pv, c, mapping) for c in part_cols),
+            []).append(p)
     out = None
     for key, gpaths in sorted(groups.items(),
                               key=lambda kv: tuple(

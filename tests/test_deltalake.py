@@ -175,17 +175,18 @@ def test_unsupported_features_refuse_loudly(spark, tmp_path):
     table = str(tmp_path / "bad")
     os.makedirs(table)
     DL.commit_json(table, 0, [
-        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"protocol": {"minReaderVersion": 4, "minWriterVersion": 5}},
         DL.metadata_action(SCHEMA, []),
     ])
     with pytest.raises(ValueError, match="minReaderVersion"):
         DL.read_delta(spark, table)
 
+    # name mode reads (test_column_mapping_*); id mode still refuses
     table2 = str(tmp_path / "bad2")
     os.makedirs(table2)
     meta = DL.metadata_action(SCHEMA, [])
     meta["metaData"]["configuration"] = {
-        "delta.columnMapping.mode": "name"}
+        "delta.columnMapping.mode": "id"}
     DL.commit_json(table2, 0, [DL.protocol_action(), meta])
     with pytest.raises(ValueError, match="column mapping"):
         DL.read_delta(spark, table2)
@@ -220,6 +221,122 @@ def test_unsupported_features_refuse_loudly(spark, tmp_path):
         DL.add_action("a.parquet", {}, size),
     ])
     assert _collect(DL.read_delta(spark, table4)) == [(1, "one")]
+
+
+def _cm_meta(logical_val):
+    """name-mode metaData whose value column's LOGICAL name varies
+    across history while the physical name stays col-bbb."""
+    fields = [
+        {"name": "k", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName":
+                          "col-aaa"}},
+        {"name": logical_val, "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName":
+                          "col-bbb"}},
+        {"name": "b", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 3,
+                      "delta.columnMapping.physicalName":
+                          "col-ccc"}},
+    ]
+    return {"metaData": {
+        "id": "0" * 32,
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps({"type": "struct",
+                                    "fields": fields}),
+        "partitionColumns": ["col-ccc"],  # physical-keyed writer
+        "configuration": {"delta.columnMapping.mode": "name",
+                          "delta.columnMapping.maxColumnId": "3"},
+        "createdTime": 0}}
+
+
+def test_column_mapping_name_mode(spark, tmp_path):
+    from pyspark.sql.types import StructType as ST
+
+    table = str(tmp_path / "cm")
+    os.makedirs(table)
+    phys_schema = ST([
+        StructField("col-aaa", LongType()),
+        StructField("col-bbb", StringType()),
+    ])
+    s1 = _write_file(spark, table, "p=x/f1.parquet",
+                     [(1, "one"), (2, "two")], phys_schema)
+    s2 = _write_file(spark, table, "p=y/f2.parquet",
+                     [(3, "three")], phys_schema)
+    DL.commit_json(table, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        _cm_meta("val"),
+        DL.add_action("p=x/f1.parquet", {"col-ccc": "x"}, s1),
+    ])
+    # v1 RENAMES logical val -> value (physical name unchanged: the
+    # whole point of name mode) and adds a second partition
+    DL.commit_json(table, 1, [
+        _cm_meta("value"),
+        DL.add_action("p=y/f2.parquet", {"col-ccc": "y"}, s2),
+    ])
+    df = DL.read_delta(spark, table)
+    assert df.columns == ["k", "value", "b"]
+    assert _collect(df) == [(1, "one", "x"), (2, "two", "x"),
+                            (3, "three", "y")]
+    # time travel to v0 sees the OLD logical name, same bytes
+    df0 = DL.read_delta(spark, table, version=0)
+    assert df0.columns == ["k", "val", "b"]
+    assert _collect(df0) == [(1, "one", "x"), (2, "two", "x")]
+    # partition pruning by LOGICAL column name
+    assert _collect(DL.read_delta(spark, table,
+                                  partitions={"b": "y"})) == [
+        (3, "three", "y")]
+
+
+def test_column_mapping_nested_rename_refuses(spark, tmp_path):
+    table = str(tmp_path / "cmn")
+    os.makedirs(table)
+    fields = [
+        {"name": "s", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "s"},
+         "type": {"type": "struct", "fields": [
+             {"name": "a", "type": "long", "nullable": True,
+              "metadata": {"delta.columnMapping.physicalName":
+                           "col-zzz"}}]}},
+    ]
+    meta = {"metaData": {
+        "id": "0" * 32,
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps({"type": "struct",
+                                    "fields": fields}),
+        "partitionColumns": [],
+        "configuration": {"delta.columnMapping.mode": "name"},
+        "createdTime": 0}}
+    DL.commit_json(table, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        meta])
+    with pytest.raises(ValueError, match="NESTED"):
+        DL.read_delta(spark, table)
+
+
+def test_column_mapping_physical_collision_refuses(spark, tmp_path):
+    table = str(tmp_path / "cmc")
+    os.makedirs(table)
+    fields = [
+        {"name": "a", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-x"}},
+        {"name": "b", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-x"}},
+    ]
+    meta = {"metaData": {
+        "id": "0" * 32,
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps({"type": "struct",
+                                    "fields": fields}),
+        "partitionColumns": [],
+        "configuration": {"delta.columnMapping.mode": "name"},
+        "createdTime": 0}}
+    DL.commit_json(table, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        meta])
+    with pytest.raises(ValueError, match="collide"):
+        DL.read_delta(spark, table)
 
 
 def test_log_gap_raises_for_explicit_version(spark, tmp_path):
