@@ -2369,6 +2369,129 @@ def q_iceberg_pos_delete_scan(spark, sf_dir):
     return df.select("event_id", "user_id", "event_type", "value")
 
 
+def _build_iceberg_orc_landing(spark, sf_dir, family):
+    """A small Iceberg table MIXING data-file formats: the click/
+    purchase/signup rows land in one parquet file, the view/error
+    rows in one ORC file (file_format=ORC in its manifest entry),
+    single snapshot. Returns (work, table_path)."""
+    import json as jsonmod
+    import shutil
+
+    from distributed_computing_projects_spark.sources import (
+        iceberg as IC,
+    )
+
+    work = _session_scratch(spark, family, sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    table = os.path.join(work, "table")
+    mdir = os.path.join(table, "metadata")
+    os.makedirs(mdir)
+    subset = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 11 == 3)
+        .select("event_id", "user_id", "value", "event_type")
+    )
+
+    def _stage_one(df_part, rel, fmt):
+        stage = os.path.join(work, "stage")
+        w = df_part.coalesce(1).write.mode("overwrite")
+        (w.orc(stage) if fmt == "ORC" else w.parquet(stage))
+        ext = ".orc" if fmt == "ORC" else ".parquet"
+        part = next(n for n in sorted(os.listdir(stage))
+                    if n.startswith("part-") and n.endswith(ext))
+        dest = os.path.join(table, rel)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        os.replace(os.path.join(stage, part), dest)
+        shutil.rmtree(stage, ignore_errors=True)
+        return dest
+
+    grp_a = F.col("event_type").isin("click", "purchase", "signup")
+    pq = _stage_one(subset.filter(grp_a), "data/g=a/f-a.parquet",
+                    "PARQUET")
+    orc = _stage_one(subset.filter(~grp_a), "data/g=b/f-b.orc",
+                     "ORC")
+
+    def _entry(path, grp, fmt):
+        return {"status": 1, "snapshot_id": 1,
+                "data_file": {"content": 0, "file_path": path,
+                              "file_format": fmt,
+                              "partition": {"g": grp},
+                              "record_count": 1,
+                              "file_size_in_bytes":
+                                  os.path.getsize(path)}}
+
+    m1 = os.path.join(mdir, "m1.avro")
+    s1 = IC.write_manifest(
+        m1, [_entry(pq, "a", "PARQUET"), _entry(orc, "b", "ORC")],
+        [("g", "string")])
+    ml1 = os.path.join(mdir, "snap-1.avro")
+    IC.write_manifest_list(ml1, [
+        {"manifest_path": m1, "manifest_length": s1,
+         "partition_spec_id": 0, "content": 0,
+         "sequence_number": 1, "min_sequence_number": 1,
+         "added_snapshot_id": 1}])
+    schema = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "event_id", "required": False,
+         "type": "long"},
+        {"id": 2, "name": "user_id", "required": False,
+         "type": "long"},
+        {"id": 3, "name": "value", "required": False,
+         "type": "double"},
+        {"id": 4, "name": "event_type", "required": False,
+         "type": "string"}]}
+    meta = {
+        "format-version": 2, "table-uuid":
+            "00000000-0000-0000-0000-000000000016",
+        "location": f"file://{table}", "last-sequence-number": 1,
+        "last-updated-ms": 0, "last-column-id": 4,
+        "current-schema-id": 0, "schemas": [schema],
+        "default-spec-id": 0, "partition-specs": [
+            {"spec-id": 0, "fields": []}],
+        "last-partition-id": 999, "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": 1,
+        "snapshots": [
+            {"snapshot-id": 1, "sequence-number": 1,
+             "timestamp-ms": 0, "manifest-list": ml1,
+             "schema-id": 0, "summary": {"operation": "append"}}],
+        "snapshot-log": [], "metadata-log": [],
+    }
+    with open(os.path.join(mdir, "v1.metadata.json"), "w",
+              encoding="utf-8") as f:
+        jsonmod.dump(meta, f)
+    return work, table
+
+
+@query(
+    "iceberg_orc_mixed_scan",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events WHERE event_id % 11 = 3
+    """,
+    doc="Iceberg MIXED-FORMAT read (sources/iceberg.py) — tables in "
+        "the wild carry both parquet and ORC data files (a format "
+        "migration, or engines with different defaults appending to "
+        "one table); refusing the ORC entries would refuse the "
+        "table. The reader routes each manifest entry by its "
+        "file_format to Spark's NATIVE parquet or ORC scan — both "
+        "vectorized, both pruned, schema pinned on each — and "
+        "unions by name; manifest-layer partition pruning applies "
+        "before either scan. Position deletes over ORC files refuse "
+        "loudly (the anti-join key _metadata.row_index is a "
+        "parquet-reader feature).",
+)
+def q_iceberg_orc_mixed_scan(spark, sf_dir):
+    from distributed_computing_projects_spark.sources import (
+        iceberg as IC,
+    )
+
+    _, table = _build_iceberg_orc_landing(spark, sf_dir,
+                                          "iceberg_orc")
+    df = IC.read_iceberg(spark, table)
+    return df.select("event_id", "user_id", "event_type", "value")
+
+
 def _build_hudi_landing(spark, sf_dir, family):
     """Fixture stage for the Hudi queries: an events subset becomes
     a Hudi COPY_ON_WRITE table (one file group per (event_type,

@@ -29,8 +29,12 @@ Metadata chain (the spec's read path):
   dead ``(file, _metadata.row_index)`` pairs out via broadcasts —
   zero shuffles; a delete row referencing a path outside the
   snapshot is ignored per spec.
+- **ORC data files read too** (tables in the wild mix formats):
+  entries route by ``file_format`` to Spark's native parquet or ORC
+  scan and union by name — both vectorized, both pruned; position
+  deletes over ORC refuse (``_metadata.row_index`` is parquet-side).
 - **Loud unsupported, never silent wrong**: EQUALITY delete files
-  (value-level matching), non-parquet data files, a current schema
+  (value-level matching), AVRO data files, a current schema
   whose field IDs carry DIFFERENT NAMES in any historical schema
   (Iceberg resolves columns by field ID; this reader resolves by
   name, which is only sound when no rename ever happened — the
@@ -178,6 +182,8 @@ class IcebergSnapshot:
         # live POSITION-delete files as (path, sequence number);
         # a delete applies to data files with data seq <= delete seq
         self.deletes = deletes or []
+        # path -> "PARQUET" | "ORC" (tables in the wild do mix)
+        self.file_formats: dict[str, str] = {}
 
 
 def _read_avro_records(path: str) -> list[dict]:
@@ -239,6 +245,7 @@ def resolve_snapshot(table_path: str,
 
     files: list[tuple[str, dict]] = []
     file_seqs: dict[str, int] = {}
+    file_formats: dict[str, str] = {}
     deletes: list[tuple[str, int]] = []
     for mpath, content, ref_seq in manifest_refs:
         entries = _read_avro_records(_localize(mpath, table_path))
@@ -271,17 +278,20 @@ def resolve_snapshot(table_path: str,
             if kind != 0:
                 raise ValueError(
                     "delete file inside a data manifest — refusing")
-            if fmt != "PARQUET":
+            if fmt not in ("PARQUET", "ORC"):
                 raise ValueError(
                     f"unsupported iceberg data file format {fmt!r}")
             path = _localize(df_["file_path"], table_path)
             files.append((path, dict(df_.get("partition") or {})))
             file_seqs[path] = seq
+            file_formats[path] = fmt
     spec = specs.get(snap.get("spec-id", meta.get("default-spec-id",
                                                   0)))
     files.sort(key=lambda fp: fp[0])
-    return IcebergSnapshot(target, schema, spec, files, file_seqs,
-                           sorted(deletes))
+    out = IcebergSnapshot(target, schema, spec, files, file_seqs,
+                          sorted(deletes))
+    out.file_formats = file_formats
+    return out
 
 
 def read_iceberg(spark: SparkSession, table_path: str,
@@ -347,9 +357,26 @@ def read_iceberg(spark: SparkSession, table_path: str,
     if not files:
         return spark.createDataFrame([], spark_schema).select(*order)
     paths = [p for p, _pv in files]
-    df = spark.read.schema(spark_schema).parquet(*paths)
-    if snap.deletes:
-        df = _apply_position_deletes(spark, df, snap, paths)
+    pq = [p for p in paths
+          if snap.file_formats.get(p, "PARQUET") == "PARQUET"]
+    orc = [p for p in paths if p not in set(pq)]
+    if orc and snap.deletes:
+        # _metadata.row_index (the position-delete anti-join key) is
+        # a parquet-reader feature; deletes + ORC would need a
+        # row-number path this reader does not build — loud refusal
+        # beats resurrecting or over-deleting rows
+        raise ValueError(
+            "position deletes over ORC data files; refusing")
+    df = None
+    if pq:
+        df = spark.read.schema(spark_schema).parquet(*pq)
+        if snap.deletes:
+            df = _apply_position_deletes(spark, df, snap, pq)
+    if orc:
+        # the wild does mix: route ORC entries to Spark's native ORC
+        # scan (still vectorized, still pruned) and union by name
+        odf = spark.read.schema(spark_schema).orc(*orc)
+        df = odf if df is None else df.unionByName(odf)
     return df.select(*order)
 
 

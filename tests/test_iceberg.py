@@ -328,6 +328,69 @@ def test_equality_deletes_and_dead_manifests(spark, tmp_path):
     assert len(_collect(IC.read_iceberg(spark, table))) == 3
 
 
+def _write_orc(spark, dest, rows):
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+    schema = StructType([StructField("k", LongType()),
+                         StructField("x", DoubleType()),
+                         StructField("et", StringType())])
+    stage = dest + ".stage"
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.mode("overwrite").orc(stage)
+    part = next(n for n in sorted(os.listdir(stage))
+                if n.startswith("part-") and n.endswith(".orc"))
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    os.replace(os.path.join(stage, part), dest)
+    shutil.rmtree(stage, ignore_errors=True)
+    return os.path.getsize(dest)
+
+
+def test_mixed_orc_and_parquet_data_files(spark, tmp_path):
+    table = str(tmp_path / "mix")
+    mdir = os.path.join(table, "metadata")
+    os.makedirs(mdir)
+    a = os.path.join(table, "data/et=click/a.parquet")
+    o = os.path.join(table, "data/et=view/o.orc")
+    _write_parquet(spark, a, [(1, 1.0, "click")])
+    _write_orc(spark, o, [(2, 2.0, "view"), (3, 3.0, "view")])
+    oe = _entry(1, o, "view")
+    oe["data_file"]["file_format"] = "ORC"
+    m1 = os.path.join(mdir, "m1.avro")
+    s1 = IC.write_manifest(m1, [_entry(1, a, "click"), oe], PFIELDS)
+    ml1 = os.path.join(mdir, "snap-1.avro")
+    IC.write_manifest_list(ml1, [_mref(m1, s1)])
+    _write_metadata(table, [
+        {"snapshot-id": 1, "sequence-number": 1, "timestamp-ms": 0,
+         "manifest-list": ml1, "schema-id": 0,
+         "summary": {"operation": "append"}}], 1)
+    assert _collect(IC.read_iceberg(spark, table)) == [
+        (1, 1.0, "click"), (2, 2.0, "view"), (3, 3.0, "view")]
+    # manifest-layer pruning still applies to the ORC entry
+    assert _collect(IC.read_iceberg(spark, table,
+                                    partitions={"et": "view"})) == [
+        (2, 2.0, "view"), (3, 3.0, "view")]
+    # position deletes + ORC refuse (row_index is parquet-side)
+    delfile = os.path.join(table, "data/pd.parquet")
+    _write_del_parquet(spark, delfile, [(a, 0)])
+    mdel = os.path.join(mdir, "del.avro")
+    sdel = IC.write_manifest(mdel, [_del_entry(delfile)], PFIELDS)
+    ml2 = os.path.join(mdir, "snap-2.avro")
+    dref = _mref(mdel, sdel, content=1)
+    dref["sequence_number"] = 2
+    IC.write_manifest_list(ml2, [_mref(m1, os.path.getsize(m1)),
+                                 dref])
+    _write_metadata(table, [
+        {"snapshot-id": 1, "sequence-number": 1, "timestamp-ms": 0,
+         "manifest-list": ml1, "schema-id": 0,
+         "summary": {"operation": "append"}},
+        {"snapshot-id": 2, "sequence-number": 2, "timestamp-ms": 1,
+         "manifest-list": ml2, "schema-id": 0,
+         "summary": {"operation": "delete"}}], 2, version=2)
+    with pytest.raises(ValueError, match="ORC"):
+        IC.read_iceberg(spark, table)
+
+
 def test_column_rename_detected_and_refused(spark, tmp_path):
     table = _make_table(spark, tmp_path)
     old = {"type": "struct", "schema-id": 1, "fields": [
