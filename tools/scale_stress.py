@@ -802,7 +802,21 @@ def _write_md(out: dict) -> None:
         "the same one-FileScan shape. At the 100 TB tier this is exactly the property "
         "that matters: the log/manifest/timeline replay is "
         "KB-sized driver work however large the table, and the "
-        "scan inherits Spark's parquet parallelism.",
+        "scan inherits Spark's parquet parallelism. Round 16 made "
+        "the delta/hudi fixture floors a MEASURED split "
+        "(tools/lakehouse_attribution.py at the bench scale "
+        "sf0.1, local[32]): delta_table_scan = fixture build "
+        "~10-17 s (Spark stages + commits + checkpoint the harness "
+        "pays each rep; the spread is JVM warm-up on the first "
+        "table) / log replay 0.38 s / scan 1.6 s; "
+        "delta_dv_table_scan = fixture 10.5 s (incl. the dead-"
+        "position probe scan + DV encode) / replay + DV decode "
+        "0.16 s / scan 1.1 s; hudi_table_scan = fixture 5.7 s / "
+        "timeline replay <0.01 s / scan 0.15 s — so of the "
+        "~11 s / ~5.6 s BENCH entries, the part a reader of an "
+        "EXISTING table pays is the replay+scan tail (~0.2-2 s), "
+        "the same order as iceberg's, and the rest is table "
+        "construction a real writer already paid.",
     ]
     if "candidates" in out:
         lines += _candidates_md(out["candidates"])
