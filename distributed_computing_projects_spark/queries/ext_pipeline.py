@@ -2663,6 +2663,165 @@ def q_hudi_time_travel_scan(spark, sf_dir):
     return df.select("event_id", "user_id", "event_type", "value")
 
 
+def _build_hudi_mor_landing(spark, sf_dir, family):
+    """Fixture stage for the MERGE_ON_READ query: an events subset
+    becomes a MOR table — instant 001 (commit) writes one base file
+    group per event_type; deltacommit 002 appends log blocks
+    UPSERTING every click row at value*3; deltacommit 003 layers a
+    second upsert (value*5 for even user_ids — last-wins over 002)
+    and DELETES (_hoodie_is_deleted) every view row with
+    event_id % 13 == 0; the click log also carries a block at 004
+    with NO completed deltacommit (torn append — invisible) plus a
+    rollback command for it (both invisibility mechanisms on the
+    hash path). Returns (work, table_path)."""
+    import shutil
+
+    from distributed_computing_projects_spark.sources import (
+        hudi as HU,
+    )
+    from distributed_computing_projects_spark.sources import (
+        hudimor as HM,
+    )
+
+    work = _session_scratch(spark, family, sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    table = os.path.join(work, "table")
+    HU.init_table(table, table_type="MERGE_ON_READ",
+                  recordkey_fields="event_id")
+    subset = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 7 == 6)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    avsc = {"type": "record", "name": "ev", "fields": [
+        {"name": "event_id", "type": ["null", "long"]},
+        {"name": "user_id", "type": ["null", "long"]},
+        {"name": "event_type", "type": ["null", "string"]},
+        {"name": "value", "type": ["null", "double"]},
+        {"name": "_hoodie_is_deleted", "type": ["null", "boolean"]},
+    ]}
+
+    # 001: base file groups via ONE partitionBy write
+    stage = os.path.join(work, "stage-001")
+    (subset.withColumn("et_part", F.col("event_type"))
+     .repartition(2, F.col("event_id") % 2)
+     .write.partitionBy("et_part").parquet(stage))
+    stats1: dict = {}
+    for name in sorted(os.listdir(stage)):
+        if not name.startswith("et_part="):
+            continue
+        et = name.split("=", 1)[1]
+        sdir = os.path.join(stage, name)
+        parts = [n for n in sorted(os.listdir(sdir))
+                 if n.startswith("part-") and n.endswith(".parquet")]
+        os.makedirs(os.path.join(table, f"p={et}"), exist_ok=True)
+        stats1.setdefault(f"p={et}", [])
+        for half, src in enumerate(parts):
+            fid = f"g-{et}-{half}"
+            rel = f"p={et}/{HU.base_file_name(fid, '001')}"
+            os.replace(os.path.join(sdir, src),
+                       os.path.join(table, rel))
+            stats1[f"p={et}"].append({"fileId": fid, "path": rel,
+                                      "numWrites": 1})
+    shutil.rmtree(stage, ignore_errors=True)
+    HU.commit_instant(table, "001", stats1)
+
+    def _row(r, mult=None, deleted=False):
+        v = r.value
+        if mult is not None and v is not None:
+            v = v * mult
+        return {"event_id": r.event_id, "user_id": r.user_id,
+                "event_type": r.event_type, "value": v,
+                "_hoodie_is_deleted": True if deleted else None}
+
+    # driver-side collects are BOUNDED fixture staging (the affected
+    # subset only), the same budget every landing builder pays
+    clicks = (subset.filter(F.col("event_type") == "click")
+              .collect())
+    dead_views = (subset.filter(
+        (F.col("event_type") == "view")
+        & (F.col("event_id") % 13 == 0)).collect())
+    click_fid = stats1["p=click"][0]["fileId"]
+    view_fid = stats1["p=view"][0]["fileId"]
+    click_log = f"p=click/{HM.log_file_name(click_fid, '001')}"
+    view_log = f"p=view/{HM.log_file_name(view_fid, '001')}"
+    HM.append_log_blocks(table, click_log, [
+        HM.data_block("002", avsc, [_row(r, 3) for r in clicks]),
+        HM.data_block("003", avsc,
+                      [_row(r, 5) for r in clicks
+                       if r.user_id % 2 == 0]),
+        HM.data_block("004", avsc,
+                      [{"event_id": 999_999_999,
+                        "user_id": 1, "event_type": "click",
+                        "value": -1.0,
+                        "_hoodie_is_deleted": None}]),
+        HM.rollback_block("005", "004"),
+    ])
+    HM.append_log_blocks(table, view_log, [
+        HM.data_block("003", avsc,
+                      [_row(r, deleted=True)
+                       for r in dead_views])])
+    HU.commit_instant(table, "002",
+                      {"p=click": [{"fileId": click_fid,
+                                    "path": click_log}]},
+                      action="deltacommit")
+    HU.commit_instant(table, "003",
+                      {"p=click": [{"fileId": click_fid,
+                                    "path": click_log}],
+                       "p=view": [{"fileId": view_fid,
+                                   "path": view_log}]},
+                      action="deltacommit")
+    return work, table
+
+
+_HUDI_MOR_DDL = ("event_id bigint, user_id bigint, "
+                 "event_type string, value double")
+
+
+@query(
+    "hudi_mor_snapshot_scan",
+    headline=True,
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(CASE WHEN event_type = 'click' AND user_id % 2 = 0
+                         THEN value * 5
+                     WHEN event_type = 'click' THEN value * 3
+                     ELSE value END AS DOUBLE) AS value
+    FROM events
+    WHERE event_id % 7 = 6
+      AND NOT (event_id % 13 = 0 AND event_type = 'view')
+    """,
+    doc="Hudi MERGE_ON_READ snapshot read (sources/hudimor.py) — "
+        "the log-file half of the Hudi layout and the lakehouse "
+        "triad's last refusal closed: MOR writes land as deltacommit "
+        "log blocks appended next to the base files, so reading the "
+        "base alone returns STALE rows and reading the directory "
+        "double-counts. The log-block framing is from the public "
+        "tech spec (#HUDI# magic, big-endian frames, ordinal-keyed "
+        "header maps, avro data blocks decoded by the engine's OWN "
+        "avro datum codec — a genuine composition like the Iceberg "
+        "manifest chain). Visibility is the timeline's: blocks of "
+        "uncommitted instants are INVISIBLE (the fixture plants a "
+        "torn 004 block AND its rollback command — both mechanisms "
+        "on the hash path), upserts LAYER (002's value*3 beaten by "
+        "003's value*5 for even user_ids — last-wins), deletes ride "
+        "the documented _hoodie_is_deleted sentinel, and delete/"
+        "hfile/parquet blocks refuse loudly. The scan: base files "
+        "in ONE native parquet FileScan, log decode executor-side "
+        "via Arrow over the distributed path list, then ONE window "
+        "over the record key — the single shuffle a MOR merge "
+        "inherently pays (folding it away is what compaction does).",
+)
+def q_hudi_mor_snapshot_scan(spark, sf_dir):
+    from distributed_computing_projects_spark.sources import (
+        hudimor as HM,
+    )
+
+    _, table = _build_hudi_mor_landing(spark, sf_dir, "hudi_mor")
+    df = HM.read_hudi_mor(spark, table, _HUDI_MOR_DDL)
+    return df.select("event_id", "user_id", "event_type", "value")
+
+
 @query(
     "delta_sink_roundtrip",
     oracle="""

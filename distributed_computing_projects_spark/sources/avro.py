@@ -459,6 +459,31 @@ def _field_adapters(avro_schema) -> dict:
     return out
 
 
+def decode_datum(data: bytes, avro_schema) -> dict:
+    """One schema-framed binary datum (NO container) against a known
+    writer schema — the form Avro takes inside other formats'
+    envelopes (Hudi log blocks frame per-record avro bytes; Kafka
+    wire format strips the OCF too). Trailing bytes refuse: a datum
+    is exactly one value."""
+    if isinstance(avro_schema, str):
+        avro_schema = json.loads(avro_schema)
+    r = _Reader(data)
+    v = _decode_value(r, avro_schema)
+    if r.pos != r.end:
+        raise ValueError(
+            f"{r.end - r.pos} trailing bytes after avro datum")
+    return v
+
+
+def encode_datum(avro_schema, value) -> bytes:
+    """The builder twin of :func:`decode_datum`."""
+    if isinstance(avro_schema, str):
+        avro_schema = json.loads(avro_schema)
+    w = io.BytesIO()
+    _encode_value(w, avro_schema, value)
+    return w.getvalue()
+
+
 def read_avro(spark: SparkSession, path: str, avro_schema) -> DataFrame:
     """DataFrame over ``.avro`` OCF files: binaryFile scan (per-file
     parallelism), stdlib block walk + binary decode inside Arrow

@@ -154,26 +154,34 @@ def read_hudi(spark: SparkSession, table_path: str, ddl: str,
 # parses only what real Hudi writers leave on disk.
 
 
-def init_table(table_path: str, name: str = "fixture") -> None:
+def init_table(table_path: str, name: str = "fixture",
+               table_type: str = "COPY_ON_WRITE",
+               recordkey_fields: str | None = None) -> None:
     hoodie = os.path.join(table_path, ".hoodie")
     os.makedirs(hoodie, exist_ok=True)
     with open(os.path.join(hoodie, "hoodie.properties"), "w",
               encoding="utf-8") as f:
         f.write("#Updated at fixture build\n")
         f.write(f"hoodie.table.name={name}\n")
-        f.write("hoodie.table.type=COPY_ON_WRITE\n")
+        f.write(f"hoodie.table.type={table_type}\n")
         f.write("hoodie.table.version=6\n")
         f.write("hoodie.timeline.layout.version=1\n")
+        if recordkey_fields:
+            f.write(f"hoodie.table.recordkey.fields="
+                    f"{recordkey_fields}\n")
 
 
 def commit_instant(table_path: str, instant: str,
                    write_stats: dict[str, list[dict]],
                    replace_file_ids: dict[str, list[str]]
-                   | None = None) -> None:
+                   | None = None,
+                   action: str | None = None) -> None:
     """One completed instant: requested + inflight markers (the real
-    writer's lifecycle) then the completed metadata, atomically."""
+    writer's lifecycle) then the completed metadata, atomically.
+    ``action`` overrides for MOR fixtures (``deltacommit``)."""
     hoodie = os.path.join(table_path, ".hoodie")
-    action = "replacecommit" if replace_file_ids else "commit"
+    if action is None:
+        action = "replacecommit" if replace_file_ids else "commit"
     for state in ("requested", "inflight"):
         marker = os.path.join(hoodie, f"{instant}.{action}.{state}")
         with open(marker, "w", encoding="utf-8"):

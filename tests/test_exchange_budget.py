@@ -108,6 +108,10 @@ EXCHANGE_BUDGET = {
     # same single data FileScan — still no shuffle
     "iceberg_pos_delete_scan": 0,
     "hudi_table_scan": 0,
+    # MOR merge: base FileScan union executor-decoded log upserts,
+    # then ONE window over the record key — the single shuffle a MOR
+    # snapshot read inherently pays (compaction's job to remove)
+    "hudi_mor_snapshot_scan": 1,
     # distinct on (grp,h) + the window re-key to grp, both hash-rows
     "sketch_distinct_tokens": 2,
     # binaryFile scan -> Arrow frame walk + Example decode -> cast
