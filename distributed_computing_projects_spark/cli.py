@@ -573,6 +573,22 @@ def build_parser() -> argparse.ArgumentParser:
                     help="time-travel to the latest instant at or "
                          "before this timestamp string")
 
+    hm = sub.add_parser(
+        "hudi-mor-scan",
+        help="Apache Hudi MERGE_ON_READ snapshot read "
+             "(sources/hudimor.py: base files + log-block merge, "
+             "last-wins per record key, _hoodie_is_deleted "
+             "sentinel): prints the merged rows under --ddl",
+    )
+    hm.add_argument("path", help="Hudi MOR table root (contains "
+                                 ".hoodie/)")
+    hm.add_argument("--ddl", required=True,
+                    help="columns to read as Spark DDL (must "
+                         "include the record key fields)")
+    hm.add_argument("--as-of", default=None,
+                    help="time-travel to the latest instant at or "
+                         "before this timestamp string")
+
     mp = sub.add_parser(
         "msgpack-scan",
         help="MessagePack dump scan (sources/msgpackfile.py: "
@@ -1180,6 +1196,13 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
 
             _emit(hudi.read_hudi(spark, args.path, args.ddl,
                                  as_of=args.as_of))
+        elif args.cmd == "hudi-mor-scan":
+            from distributed_computing_projects_spark.sources import (
+                hudimor,
+            )
+
+            _emit(hudimor.read_hudi_mor(spark, args.path, args.ddl,
+                                        as_of=args.as_of))
         elif args.cmd == "msgpack-scan":
             from distributed_computing_projects_spark.sources import (
                 msgpackfile,

@@ -211,6 +211,16 @@ def test_cow_table_routes_to_cow_reader(spark, tmp_path):
         HU.resolve_files(table2)
 
 
+def test_cli_hudi_mor_scan(spark, tmp_path, capsys):
+    from distributed_computing_projects_spark.cli import main
+
+    table = _mor_table(spark, tmp_path)
+    rc = main(["hudi-mor-scan", table, "--ddl", DDL], spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "THREE" in out and "GHOST" not in out
+
+
 def test_missing_recordkey_refuses(spark, tmp_path):
     table = str(tmp_path / "nokey")
     HU.init_table(table, table_type="MERGE_ON_READ")
