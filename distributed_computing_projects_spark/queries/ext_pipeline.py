@@ -3045,6 +3045,57 @@ def q_delta_dv_table_scan(spark, sf_dir):
     return df.select("event_id", "user_id", "event_type", "value")
 
 
+@query(
+    "delta_dv_delete_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events
+    WHERE event_id % 5 = 2
+      AND NOT (event_type = 'error' OR event_id % 3 = 0)
+    """,
+    doc="Delta deletion-vector WRITE side "
+        "(sources/deltalake.delete_where) — the modern writer's "
+        "DELETE shape, completing the DV read path's symmetry: one "
+        "scan finds matching (file, _metadata.row_index) positions, "
+        "each affected file's roaring bitmap lands in ONE shared "
+        "u-storage sidecar, and a single put-if-absent commit "
+        "publishes the remove+re-add pairs — NO data file is "
+        "rewritten, a delete costs KBs of bitmap however large the "
+        "files. The same commit upgrades the protocol to advertise "
+        "deletionVectors (reader v3 / writer v7, existing features "
+        "preserved) so conforming readers cannot resurrect. Files "
+        "whose merged vector covers every physical row are dropped "
+        "outright (the 'error' partition here — a bare remove, no "
+        "all-ones bitmap). The query stages an events subset "
+        "through write_delta, DELETEs a predicate spanning a whole "
+        "partition AND scattered rows, and reads the table back "
+        "through the DV-applying reader against the parquet-side "
+        "oracle.",
+)
+def q_delta_dv_delete_roundtrip(spark, sf_dir):
+    import shutil
+
+    from distributed_computing_projects_spark.sources import (
+        deltalake as DL,
+    )
+
+    work = _session_scratch(spark, "delta_dv_del", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    table = os.path.join(work, "table")
+    subset = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 5 == 2)
+        .select("event_id", "user_id", "value", "event_type")
+    )
+    DL.write_delta(subset, table, partition_by=["event_type"])
+    DL.delete_where(
+        spark, table,
+        "event_type = 'error' OR event_id % 3 = 0")
+    back = DL.read_delta(spark, table)
+    return back.select("event_id", "user_id", "event_type", "value")
+
+
 def _build_delta_cm_landing(spark, sf_dir, family):
     """Fixture stage for the column-mapping query: an events subset
     becomes a name-mode Delta table whose parquet files carry

@@ -117,6 +117,9 @@ class DeltaSnapshot:
         # name-mode column mapping: logical name -> physical parquet
         # column name (None when the table has no mapping)
         self.column_mapping = column_mapping
+        # last protocol action seen in the replay (None for tables
+        # whose log never wrote one — implicit reader/writer 1/2)
+        self.protocol: dict | None = None
 
 
 def _log_listing(table_path: str):
@@ -215,6 +218,7 @@ def _apply_action(state: dict, action: dict) -> None:
         state["meta"] = action["metaData"]
     elif "protocol" in action:
         _check_protocol(action["protocol"])
+        state["proto"] = action["protocol"]
 
 
 def resolve_snapshot(spark: SparkSession, table_path: str,
@@ -230,7 +234,7 @@ def resolve_snapshot(spark: SparkSession, table_path: str,
             and version not in checkpoints:
         raise ValueError(f"Delta version {version} not in log")
 
-    state: dict = {"files": {}, "meta": None}
+    state: dict = {"files": {}, "meta": None, "proto": None}
     base = -1
     usable = [v for v in checkpoints if v <= target]
     if usable:
@@ -242,8 +246,10 @@ def resolve_snapshot(spark: SparkSession, table_path: str,
         # protocol/metaData gate first: refuse before trusting adds
         for r in rows:
             d = r.asDict(recursive=True)
-            if d.get("protocol"):
+            if d.get("protocol") and d["protocol"].get(
+                    "minReaderVersion") is not None:
                 _check_protocol(d["protocol"])
+                state["proto"] = d["protocol"]
             if d.get("metaData"):
                 m = d["metaData"]
                 if isinstance(m.get("schemaString"), str):
@@ -294,8 +300,10 @@ def resolve_snapshot(spark: SparkSession, table_path: str,
         files.append((abs_path, pv))
         if dv:
             dvs[abs_path] = dv
-    return DeltaSnapshot(reached, schema_json, part_cols, files, dvs,
+    snap = DeltaSnapshot(reached, schema_json, part_cols, files, dvs,
                          mapping)
+    snap.protocol = state["proto"]
+    return snap
 
 
 def _field_type_ddl(schema_json: dict, name: str) -> str:
@@ -644,6 +652,142 @@ def _commit_exclusive(table_path: str, version: int,
         return False  # lost the race: caller retries at a new version
     finally:
         os.unlink(tmp)
+
+
+def delete_where(spark: SparkSession, table_path: str,
+                 condition: str) -> int:
+    """Row-level DELETE that publishes DELETION VECTORS instead of
+    rewriting data files — the modern writer's shape and the write
+    symmetry of the DV read path: one scan finds matching
+    ``(file, _metadata.row_index)`` positions, each affected file's
+    bitmap (merged with any EXISTING DV — a second delete grows the
+    vector, never loses the first) lands in ONE shared ``u``-storage
+    sidecar, and a single put-if-absent commit publishes the
+    remove+re-add pairs. A file whose merged vector covers EVERY
+    physical row is dropped outright (a bare ``remove`` — no point
+    shipping an all-ones bitmap). ``condition`` is a Spark SQL
+    boolean over the table's logical columns (partition columns
+    included — they attach before the filter). Returns the committed
+    version. Driver memory is O(deleted positions) — the same order
+    the read path broadcasts."""
+    from pyspark.sql.types import StructField, StructType
+
+    from distributed_computing_projects_spark.sources import (
+        deltadv as DVC,
+    )
+
+    snap = resolve_snapshot(spark, table_path)
+    mapping = snap.column_mapping
+    part_cols = snap.partition_columns
+    full = StructType.fromJson(snap.schema_json)
+    data_schema = StructType(
+        [StructField(mapping.get(f.name, f.name) if mapping
+                     else f.name, f.dataType, True)
+         for f in full.fields if f.name not in part_cols])
+    files = snap.files
+    if not files:
+        raise ValueError("delete_where on an empty table")
+    paths = [p for p, _pv in files]
+    basenames = [os.path.basename(p) for p in paths]
+    if len(set(basenames)) != len(basenames):
+        raise ValueError(
+            "delete_where over colliding data-file basenames; "
+            "refusing")
+
+    df = spark.read.schema(data_schema).parquet(*paths)
+    if mapping:
+        renames = {mapping[f.name]: f.name
+                   for f in full.fields
+                   if f.name not in part_cols
+                   and mapping.get(f.name, f.name) != f.name}
+        if renames:
+            df = df.withColumnsRenamed(renames)
+    df = (df
+          .withColumn(
+              "_delta_file",
+              F.element_at(F.split(F.input_file_name(), "/"), -1))
+          # the hidden _metadata column only resolves against the
+          # file source itself — select it BEFORE any join
+          .withColumn("_dv_row", F.col("_metadata.row_index")))
+    if part_cols:
+        part_types = {c: _field_type_ddl(snap.schema_json, c)
+                      for c in part_cols}
+        rows = [(os.path.basename(p),
+                 *[_pv_get(pv, c, mapping) for c in part_cols])
+                for p, pv in files]
+        map_ddl = ", ".join(
+            ["`_delta_file` string"]
+            + [f"`_pv_{c}` string" for c in part_cols])
+        df = df.join(F.broadcast(
+            spark.createDataFrame(rows, map_ddl)), "_delta_file",
+            "left")
+        for c in part_cols:
+            df = df.withColumn(
+                c, F.col(f"_pv_{c}").cast(part_types[c]))
+    # one aggregate over the scan: per file, the physical row count
+    # AND the matching positions (map-side combined, tiny result)
+    agg = (df
+           .withColumn("_m", F.expr(condition))
+           .groupBy("_delta_file")
+           .agg(F.count(F.lit(1)).alias("_n"),
+                F.sort_array(F.collect_list(
+                    F.when(F.col("_m"), F.col("_dv_row"))))
+                .alias("_hits"))
+           .collect())
+    by_base = {os.path.basename(p): (p, pv) for p, pv in files}
+    removes: list[str] = []
+    grow: list[tuple[str, dict, list[int]]] = []  # rel, pv, idx
+    for r in agg:
+        hits = [int(i) for i in r._hits]
+        if not hits:
+            continue
+        path, pv = by_base[r._delta_file]
+        old = snap.dvs.get(path)
+        merged = sorted(set(hits) | set(
+            DVC.resolve_dv(old, table_path) if old else []))
+        rel = os.path.relpath(path, table_path)
+        if len(merged) >= int(r._n):
+            removes.append(rel)
+        else:
+            grow.append((rel, pv, merged))
+    if not removes and not grow:
+        raise ValueError(
+            f"delete_where matched no rows: {condition!r}")
+    actions: list[dict] = []
+    if grow:
+        # the table now CONTAINS deletion vectors: the protocol must
+        # advertise the feature (spec: reader v3 + writer v7) or a
+        # conforming reader would wrongly accept-and-resurrect;
+        # existing features are preserved, never clobbered
+        proto = snap.protocol or {"minReaderVersion": 1,
+                                  "minWriterVersion": 2}
+        rfeat = set(proto.get("readerFeatures") or [])
+        if proto.get("minReaderVersion", 1) < 3 \
+                or "deletionVectors" not in rfeat:
+            if proto.get("minReaderVersion", 1) == 2:
+                rfeat.add("columnMapping")
+            rfeat.add("deletionVectors")
+            wfeat = set(proto.get("writerFeatures") or [])
+            wfeat.add("deletionVectors")
+            actions.append({"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": sorted(rfeat),
+                "writerFeatures": sorted(wfeat)}})
+    actions += [remove_action(rel) for rel in removes]
+    if grow:
+        descs = DVC.file_descriptors(
+            table_path, [idx for _rel, _pv, idx in grow],
+            prefix="ab")
+        for (rel, pv, _idx), desc in zip(grow, descs):
+            actions.append(remove_action(rel, data_change=False))
+            actions.append(add_action(
+                rel, pv, os.path.getsize(
+                    os.path.join(table_path, rel)),
+                data_change=False, deletion_vector=desc))
+    while True:
+        version = _next_version(table_path)
+        if _commit_exclusive(table_path, version, actions):
+            return version
 
 
 def write_delta(df: DataFrame, table_path: str,

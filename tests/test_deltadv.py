@@ -330,6 +330,38 @@ def test_dv_torn_sidecar_refuses(spark, tmp_path):
         DL.read_delta(spark, table).collect()
 
 
+def test_delete_where_publishes_dvs(spark, tmp_path):
+    table = str(tmp_path / "dw")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", "x" if i < 4 else "y") for i in range(8)],
+        "k bigint, v string, b string")
+    DL.write_delta(df, table, partition_by=["b"])
+    ver = DL.delete_where(spark, table, "k % 2 = 1")
+    assert _collect(DL.read_delta(spark, table)) == [
+        (0, "v0", "x"), (2, "v2", "x"), (4, "v4", "y"),
+        (6, "v6", "y")]
+    snap = DL.resolve_snapshot(spark, table)
+    assert snap.dvs  # no data file rewritten: bitmaps attached
+    # the protocol now advertises the feature (spec: v3 + v7)
+    assert snap.protocol["minReaderVersion"] == 3
+    assert "deletionVectors" in snap.protocol["readerFeatures"]
+    # time travel to just before the delete sees every row
+    assert len(_collect(DL.read_delta(spark, table,
+                                      version=ver - 1))) == 8
+    # a second delete GROWS the vector (never loses the first)
+    DL.delete_where(spark, table, "k = 2")
+    assert _collect(DL.read_delta(spark, table)) == [
+        (0, "v0", "x"), (4, "v4", "y"), (6, "v6", "y")]
+    # a delete covering a file's every remaining row drops the FILE
+    # (bare remove, no all-ones bitmap)
+    DL.delete_where(spark, table, "b = 'y'")
+    assert _collect(DL.read_delta(spark, table)) == [(0, "v0", "x")]
+    snap2 = DL.resolve_snapshot(spark, table)
+    assert all(pv.get("b") != "y" for _p, pv in snap2.files)
+    with pytest.raises(ValueError, match="matched no rows"):
+        DL.delete_where(spark, table, "k = 999")
+
+
 def test_crc32_matches_zlib():
     # the file layout stores CRC-32 of the bitmap data; sanity-pin
     # the polynomial choice against a known vector

@@ -497,6 +497,24 @@ def run_factor(spark, factor: int) -> dict:
               lambda: reg["hudi_table_scan"].fn(spark, work)
               .count())
         spark.catalog.clearCache()
+        # r16: the modern-table lakehouse reads — deletion vectors
+        # (delta), position deletes (iceberg), and the MOR log-block
+        # merge (hudi). The claim is the same flat-metadata shape:
+        # DV/delete-file decode is KB-sized driver/broadcast work,
+        # so the curves track the parquet scan; the MOR row adds the
+        # one record-key window shuffle its merge inherently pays
+        timed(spark, m, "delta_dv_table_scan",
+              lambda: reg["delta_dv_table_scan"].fn(spark, work)
+              .count())
+        spark.catalog.clearCache()
+        timed(spark, m, "iceberg_pos_delete_scan",
+              lambda: reg["iceberg_pos_delete_scan"].fn(spark, work)
+              .count())
+        spark.catalog.clearCache()
+        timed(spark, m, "hudi_mor_snapshot_scan",
+              lambda: reg["hudi_mor_snapshot_scan"].fn(spark, work)
+              .count())
+        spark.catalog.clearCache()
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.catalog.clearCache()
