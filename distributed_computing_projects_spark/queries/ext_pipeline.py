@@ -3389,6 +3389,54 @@ def q_iceberg_sink_roundtrip(spark, sf_dir):
     return back.select("event_id", "user_id", "event_type", "value")
 
 
+@query(
+    "iceberg_pos_delete_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events
+    WHERE event_id % 5 = 3
+      AND NOT (event_type = 'error' OR event_id % 3 = 0)
+    """,
+    doc="Iceberg position-delete WRITE side "
+        "(sources/iceberg.delete_where) — the Iceberg twin of "
+        "delta_dv_delete_roundtrip, completing the row-level-delete "
+        "symmetry on the second lakehouse format: one scan finds "
+        "matching (file, _metadata.row_index) positions, they land "
+        "in ONE v2 position-delete parquet of (file_path, pos) rows "
+        "(file-then-position sorted, the spec's order), and a new "
+        "snapshot publishes a delete manifest at the next sequence "
+        "number alongside the prior snapshot's manifests — no data "
+        "file rewritten, prior snapshots still read their own state. "
+        "The query stages an events subset through write_iceberg, "
+        "DELETEs a predicate spanning a whole partition and "
+        "scattered rows, and reads back through the sequence-rule-"
+        "enforcing position-delete reader against the parquet-side "
+        "oracle.",
+)
+def q_iceberg_pos_delete_roundtrip(spark, sf_dir):
+    import shutil
+
+    from distributed_computing_projects_spark.sources import (
+        iceberg as IC,
+    )
+
+    work = _session_scratch(spark, "iceberg_pd_sink", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    table = os.path.join(work, "table")
+    subset = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 5 == 3)
+        .select("event_id", "user_id", "value", "event_type")
+    )
+    IC.write_iceberg(subset, table, partition_by=["event_type"])
+    IC.delete_where(
+        spark, table,
+        "event_type = 'error' OR event_id % 3 = 0")
+    back = IC.read_iceberg(spark, table)
+    return back.select("event_id", "user_id", "event_type", "value")
+
+
 def _build_cbor_landing(spark, sf_dir, family):
     """Fixture stage for the CBOR query: stage an events subset as
     JSONL, encode each shard as one RFC 8742 sequence with the decoy

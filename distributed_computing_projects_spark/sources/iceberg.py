@@ -576,6 +576,141 @@ def truncate_value(v, w: int):
 # ----------------------------------------------------------- sink
 
 
+def delete_where(spark: SparkSession, table_path: str,
+                 condition: str) -> int:
+    """Row-level DELETE that publishes v2 POSITION-DELETE files —
+    the write symmetry of the position-delete read path and the
+    Iceberg twin of ``deltalake.delete_where``: one scan finds
+    matching ``(data file, _metadata.row_index)`` positions, they
+    land in ONE delete parquet of ``(file_path, pos)`` rows (sorted
+    by file then position, the spec's required order), and a new
+    snapshot publishes a delete manifest at the next sequence
+    number alongside the prior snapshot's manifests — NO data file
+    is rewritten, and older snapshots keep reading their own state
+    (snapshot isolation is the format). Fully-deleted files stay as
+    position deletes rather than manifest rewrites (compaction's
+    job). ``condition`` is a Spark SQL boolean over the table's
+    columns (identity partition columns live IN the files, so no
+    attach step is needed — the Delta contrast). Returns the new
+    snapshot id. Driver memory is O(deleted positions)."""
+    import shutil
+    import uuid as uuidmod
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    snap = resolve_snapshot(table_path)
+    if not snap.files:
+        raise ValueError("delete_where on an empty table")
+    spark_schema = StructType([
+        StructField(f["name"], _iceberg_to_spark_type(f["type"]),
+                    True)
+        for f in snap.schema["fields"]])
+    paths = [p for p, _pv in snap.files]
+    basenames = [os.path.basename(p) for p in paths]
+    if len(set(basenames)) != len(basenames):
+        raise ValueError(
+            "delete_where over colliding data-file basenames; "
+            "refusing")
+    if any(snap.file_formats.get(p, "PARQUET") != "PARQUET"
+           for p in paths):
+        raise ValueError(
+            "delete_where over ORC data files; refusing "
+            "(_metadata.row_index is parquet-side)")
+    hits = (
+        spark.read.schema(spark_schema).parquet(*paths)
+        .withColumn("_ice_file",
+                    F.element_at(F.split(F.input_file_name(), "/"),
+                                 -1))
+        .withColumn("_ice_row", F.col("_metadata.row_index"))
+        .filter(F.expr(condition))
+        .select("_ice_file", "_ice_row")
+        .collect())
+    if not hits:
+        raise ValueError(
+            f"delete_where matched no rows: {condition!r}")
+    by_base = {os.path.basename(p): p for p in paths}
+    del_rows = sorted((by_base[r._ice_file], int(r._ice_row))
+                      for r in hits)
+
+    stage = os.path.join(table_path,
+                         f"_staging-{uuidmod.uuid4().hex}")
+    (spark.createDataFrame(del_rows, "`file_path` string, "
+                                     "`pos` bigint")
+     .coalesce(1).write.mode("overwrite").parquet(stage))
+    part = next(n for n in sorted(os.listdir(stage))
+                if n.startswith("part-") and n.endswith(".parquet"))
+    os.makedirs(os.path.join(table_path, "data"), exist_ok=True)
+    delfile = os.path.join(
+        table_path, "data",
+        f"pd-{uuidmod.uuid4().hex}.parquet")
+    os.replace(os.path.join(stage, part), delfile)
+    shutil.rmtree(stage, ignore_errors=True)
+
+    mdir = os.path.join(table_path, "metadata")
+    with open(latest_metadata_path(table_path), "r",
+              encoding="utf-8") as f:
+        meta = json.load(f)
+    snap_id = max((s["snapshot-id"]
+                   for s in meta.get("snapshots", [])), default=0) + 1
+    seq = meta.get("last-sequence-number", 0) + 1
+    part_cols = [f["name"] for f in
+                 (snap.partition_spec or {}).get("fields", [])]
+    dm = os.path.join(mdir,
+                      f"delm-{snap_id}-{uuidmod.uuid4().hex}.avro")
+    dsize = write_manifest(dm, [{
+        "status": 1, "snapshot_id": snap_id,
+        "sequence_number": seq,
+        "data_file": {"content": 1, "file_path": delfile,
+                      "file_format": "PARQUET",
+                      "partition": {c: None for c in part_cols},
+                      "record_count": len(del_rows),
+                      "file_size_in_bytes":
+                          os.path.getsize(delfile)}}],
+        [(c, "string") for c in part_cols])
+    cur = next(s for s in meta["snapshots"]
+               if s["snapshot-id"] == meta["current-snapshot-id"])
+    refs = list(_read_avro_records(
+        _localize(cur["manifest-list"], table_path)))
+    refs.append({"manifest_path": dm, "manifest_length": dsize,
+                 "partition_spec_id": 0, "content": 1,
+                 "sequence_number": seq, "min_sequence_number": seq,
+                 "added_snapshot_id": snap_id})
+    ml = os.path.join(mdir, f"snap-{snap_id}-"
+                            f"{uuidmod.uuid4().hex}.avro")
+    write_manifest_list(ml, [
+        {"manifest_path": m["manifest_path"],
+         "manifest_length": m["manifest_length"],
+         "partition_spec_id": m.get("partition_spec_id", 0),
+         "content": m.get("content", 0),
+         "sequence_number": m.get("sequence_number", seq - 1),
+         "min_sequence_number": m.get("min_sequence_number",
+                                      seq - 1),
+         "added_snapshot_id": m.get("added_snapshot_id", snap_id)}
+        for m in refs])
+    meta["last-sequence-number"] = seq
+    meta["snapshots"].append(
+        {"snapshot-id": snap_id, "sequence-number": seq,
+         "timestamp-ms": 0, "manifest-list": ml, "schema-id":
+             meta.get("current-schema-id", 0),
+         "summary": {"operation": "delete"}})
+    meta["current-snapshot-id"] = snap_id
+    while True:
+        versions = [int(_META_RE.match(x).group(1))
+                    for x in os.listdir(mdir) if _META_RE.match(x)]
+        v = max(versions, default=0) + 1
+        final = os.path.join(mdir, f"v{v}.metadata.json")
+        tmp = final + f".tmp-{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(meta, f)
+        try:
+            os.link(tmp, final)  # put-if-absent: losers re-version
+            os.unlink(tmp)
+            return snap_id
+        except FileExistsError:
+            os.unlink(tmp)
+
+
 def _spark_to_iceberg_type(dt) -> str:
     from pyspark.sql import types as T
 

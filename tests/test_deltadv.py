@@ -330,6 +330,48 @@ def test_dv_torn_sidecar_refuses(spark, tmp_path):
         DL.read_delta(spark, table).collect()
 
 
+def test_dv_composes_with_column_mapping(spark, tmp_path):
+    """Both modern-table features on one scan: physical-name files
+    + a DV killing rows, read back under logical names."""
+    import json
+
+    table = str(tmp_path / "cmdv")
+    os.makedirs(table)
+    phys = StructType([StructField("col-k", LongType()),
+                       StructField("col-v", StringType())])
+    size = _write_file(spark, table, "f.parquet",
+                       [(1, "a"), (2, "b"), (3, "c")], phys)
+    fields = [
+        {"name": "k", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-k"}},
+        {"name": "v", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-v"}},
+    ]
+    meta = {"metaData": {
+        "id": "0" * 32,
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps({"type": "struct",
+                                    "fields": fields}),
+        "partitionColumns": [],
+        "configuration": {"delta.columnMapping.mode": "name"},
+        "createdTime": 0}}
+    DL.commit_json(table, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["columnMapping",
+                                         "deletionVectors"],
+                      "writerFeatures": []}},
+        meta,
+        DL.add_action("f.parquet", {}, size,
+                      deletion_vector=DV.inline_descriptor([1])),
+    ])
+    df = DL.read_delta(spark, table)
+    assert df.columns == ["k", "v"]
+    assert _collect(df) == [(1, "a"), (3, "c")]
+    # and delete_where over the mapped table grows the vector
+    DL.delete_where(spark, table, "k = 3")
+    assert _collect(DL.read_delta(spark, table)) == [(1, "a")]
+
+
 def test_delete_where_publishes_dvs(spark, tmp_path):
     table = str(tmp_path / "dw")
     df = spark.createDataFrame(

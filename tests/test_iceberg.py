@@ -567,6 +567,37 @@ def test_write_iceberg_escaped_partition_values(spark, tmp_path):
         (1, "a b"), (2, "x:y/z"), (3, "50%"), (4, "plain")]
 
 
+def test_delete_where_publishes_position_deletes(spark, tmp_path):
+    table = str(tmp_path / "dw")
+    df = spark.createDataFrame(
+        [(i, float(i), "a" if i < 4 else "b") for i in range(8)],
+        "k bigint, x double, et string")
+    s1 = IC.write_iceberg(df, table, partition_by=["et"])
+    s2 = IC.delete_where(spark, table, "k % 2 = 1")
+    got = _collect(IC.read_iceberg(spark, table))
+    assert got == [(0, 0.0, "a"), (2, 2.0, "a"), (4, 4.0, "b"),
+                   (6, 6.0, "b")]
+    # snapshot isolation: the pre-delete snapshot still reads whole
+    assert len(_collect(IC.read_iceberg(spark, table,
+                                        snapshot_id=s1))) == 8
+    # a second delete layers (the first's manifest is preserved)
+    s3 = IC.delete_where(spark, table, "k = 2")
+    assert _collect(IC.read_iceberg(spark, table)) == [
+        (0, 0.0, "a"), (4, 4.0, "b"), (6, 6.0, "b")]
+    assert s3 > s2 > s1
+    # no data file was rewritten
+    snap = IC.resolve_snapshot(table)
+    assert len(snap.deletes) == 2
+    with pytest.raises(ValueError, match="matched no rows"):
+        IC.delete_where(spark, table, "k = 999")
+    # appends after a delete still read correctly on top
+    IC.write_iceberg(spark.createDataFrame(
+        [(9, 9.0, "a")], "k bigint, x double, et string"),
+        table, partition_by=["et"])
+    assert _collect(IC.read_iceberg(spark, table)) == [
+        (0, 0.0, "a"), (4, 4.0, "b"), (6, 6.0, "b"), (9, 9.0, "a")]
+
+
 def test_write_iceberg_overwrite_and_gates(spark, tmp_path):
     table = str(tmp_path / "ow")
     df1 = spark.createDataFrame([(1, 1.0, "a")],
