@@ -1513,3 +1513,173 @@ def q_streaming_cbor_ingest(spark, sf_dir):
         SF.sum(SF.col("value").cast("decimal(14,2)")).cast("double")
         .alias("total_value"),
     )
+
+
+@query(
+    "streaming_delta_sink_ingest",
+    # the stream route must equal the parquet-side batch facts
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(user_id) AS BIGINT) AS sum_user,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE)
+             AS total_value
+    FROM events WHERE event_id % 11 = 9 GROUP BY event_type
+    """,
+    doc="CONTINUOUS-INGEST into the TRANSACTIONAL Delta sink — the "
+        "sixteenth ingest-store loop and the first whose STORE is a "
+        "lakehouse table rather than a bare parquet directory: "
+        "readStream over staged JSONL shards drains via foreachBatch "
+        "into deltalake.write_delta, so every micro-batch publishes "
+        "as ONE atomic put-if-absent commit (a torn batch is "
+        "invisible to every reader — exactly the exactly-once story "
+        "a landing zone wants from its store), partitioned by "
+        "event_type with the partition values riding the log. The "
+        "read-back goes through the log-replay reader, so the "
+        "multi-commit append chain, the schema-match append gate, "
+        "and the broadcast partition attach all sit on the hash "
+        "path against the parquet-side oracle.",
+)
+def q_streaming_delta_sink_ingest(spark, sf_dir):
+    import shutil
+
+    from pyspark.sql import functions as SF
+
+    from distributed_computing_projects_spark.queries.ext_pipeline import (
+        _session_scratch,
+    )
+    from distributed_computing_projects_spark.sources import (
+        deltalake as DL,
+    )
+    from distributed_computing_projects_spark.sources.registry import (
+        load_table,
+    )
+
+    work = _session_scratch(spark, "stream_delta_sink", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    landing = os.path.join(work, "landing")
+    table = os.path.join(work, "table")
+    (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 11 == 9)
+        .select("event_id", "user_id", "event_type", "value")
+        .repartition(4)
+        .write.json(landing)
+    )
+
+    stream = (
+        spark.readStream
+        .schema("event_id bigint, user_id bigint, "
+                "event_type string, value double")
+        .option("maxFilesPerTrigger", 2)  # several commits drain
+        .json(landing)
+    )
+
+    def land_batch(batch_df, _batch_id):
+        DL.write_delta(
+            batch_df.select("event_id", "user_id", "value",
+                            "event_type"),
+            table, partition_by=["event_type"])
+
+    ckpt = os.path.join(work, "ckpt")
+    q = (
+        stream.writeStream.foreachBatch(land_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError(
+            "streaming delta-sink ingest did not drain in 180 s")
+    back = DL.read_delta(spark, table)
+    return back.groupBy("event_type").agg(
+        SF.count("*").alias("n"),
+        SF.sum("user_id").cast("bigint").alias("sum_user"),
+        SF.sum(SF.col("value").cast("decimal(14,2)")).cast("double")
+        .alias("total_value"),
+    )
+
+
+@query(
+    "streaming_iceberg_sink_ingest",
+    # the stream route must equal the parquet-side batch facts
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(user_id) AS BIGINT) AS sum_user,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE)
+             AS total_value
+    FROM events WHERE event_id % 11 = 10 GROUP BY event_type
+    """,
+    doc="CONTINUOUS-INGEST into the Iceberg sink — the seventeenth "
+        "ingest-store loop and the Delta loop's format twin: every "
+        "micro-batch drains via foreachBatch into "
+        "iceberg.write_iceberg as one FAST-APPEND snapshot (the "
+        "spec's append shape: one new manifest, the manifest list "
+        "reusing every prior manifest — append cost does not grow "
+        "with table size, exactly what a continuously-landing zone "
+        "needs), metadata publishing via exclusive os.link so racing "
+        "drains can never both claim a version. The read-back walks "
+        "the full metadata->manifest-list->manifest chain through "
+        "the engine's own Avro decoder, so the multi-snapshot "
+        "append chain sits on the hash path against the parquet-"
+        "side oracle.",
+)
+def q_streaming_iceberg_sink_ingest(spark, sf_dir):
+    import shutil
+
+    from pyspark.sql import functions as SF
+
+    from distributed_computing_projects_spark.queries.ext_pipeline import (
+        _session_scratch,
+    )
+    from distributed_computing_projects_spark.sources import (
+        iceberg as IC,
+    )
+    from distributed_computing_projects_spark.sources.registry import (
+        load_table,
+    )
+
+    work = _session_scratch(spark, "stream_iceberg_sink", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    landing = os.path.join(work, "landing")
+    table = os.path.join(work, "table")
+    (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 11 == 10)
+        .select("event_id", "user_id", "event_type", "value")
+        .repartition(4)
+        .write.json(landing)
+    )
+
+    stream = (
+        spark.readStream
+        .schema("event_id bigint, user_id bigint, "
+                "event_type string, value double")
+        .option("maxFilesPerTrigger", 2)  # several snapshots drain
+        .json(landing)
+    )
+
+    def land_batch(batch_df, _batch_id):
+        IC.write_iceberg(
+            batch_df.select("event_id", "user_id", "value",
+                            "event_type"),
+            table, partition_by=["event_type"])
+
+    ckpt = os.path.join(work, "ckpt")
+    q = (
+        stream.writeStream.foreachBatch(land_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError(
+            "streaming iceberg-sink ingest did not drain in 180 s")
+    back = IC.read_iceberg(spark, table)
+    return back.groupBy("event_type").agg(
+        SF.count("*").alias("n"),
+        SF.sum("user_id").cast("bigint").alias("sum_user"),
+        SF.sum(SF.col("value").cast("decimal(14,2)")).cast("double")
+        .alias("total_value"),
+    )
