@@ -3096,6 +3096,103 @@ def q_delta_dv_delete_roundtrip(spark, sf_dir):
     return back.select("event_id", "user_id", "event_type", "value")
 
 
+@query(
+    "delta_optimize_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events
+    WHERE event_id % 11 = 4 AND NOT event_id % 3 = 0
+    """,
+    doc="Delta OPTIMIZE — bin-packing compaction that MATERIALIZES "
+        "deletion vectors (sources/deltalake.optimize): per "
+        "partition the active files rewrite into target-size files "
+        "and ONE commit swaps them with dataChange=false (layout "
+        "changed, rows did not — streaming readers must not "
+        "re-emit); the rewrite reads through the DV-applying scan, "
+        "so dead rows physically leave the data files and the new "
+        "adds carry no vector — compaction is how DV debt gets paid "
+        "down, the small-files AND the dead-rows problem in one "
+        "maintenance op. The query stages two appends (several "
+        "small files per partition), DELETEs via deletion vectors, "
+        "OPTIMIZEs, and reads back through the log-replay reader — "
+        "the pre-OPTIMIZE history stays time-travelable because the "
+        "swap is append-only log work.",
+)
+def q_delta_optimize_roundtrip(spark, sf_dir):
+    import shutil
+
+    from distributed_computing_projects_spark.sources import (
+        deltalake as DL,
+    )
+
+    work = _session_scratch(spark, "delta_opt", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    table = os.path.join(work, "table")
+    subset = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 11 == 4)
+        .select("event_id", "user_id", "value", "event_type")
+    )
+    DL.write_delta(subset.filter(F.col("user_id") % 2 == 0),
+                   table, partition_by=["event_type"])
+    DL.write_delta(subset.filter(F.col("user_id") % 2 == 1),
+                   table, partition_by=["event_type"])
+    DL.delete_where(spark, table, "event_id % 3 = 0")
+    DL.optimize(spark, table)
+    back = DL.read_delta(spark, table)
+    return back.select("event_id", "user_id", "event_type", "value")
+
+
+@query(
+    "delta_restore_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events WHERE event_id % 11 = 6
+    """,
+    doc="Delta RESTORE — roll the table back to an earlier version "
+        "as a NEW commit (sources/deltalake.restore_version): files "
+        "active now but not at the target remove, files active at "
+        "the target but not now (or carrying a different deletion "
+        "vector) re-add with the target's partition values and DV, "
+        "and the target metaData re-commits when it differs. "
+        "History stays append-only — the restored-over delete is "
+        "still time-travelable — and no data file is touched: a "
+        "restore is a KB-sized log write however large the table "
+        "(the 100 TB property). The query appends in two commits, "
+        "DELETEs a third of the rows via deletion vectors, RESTOREs "
+        "to the pre-delete version, and reads back the FULL subset "
+        "through the log-replay reader — the oracle is exactly the "
+        "undeleted state, so a restore that missed a tombstone or "
+        "kept a vector hashes red.",
+)
+def q_delta_restore_roundtrip(spark, sf_dir):
+    import shutil
+
+    from distributed_computing_projects_spark.sources import (
+        deltalake as DL,
+    )
+
+    work = _session_scratch(spark, "delta_restore", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    table = os.path.join(work, "table")
+    subset = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 11 == 6)
+        .select("event_id", "user_id", "value", "event_type")
+    )
+    DL.write_delta(subset.filter(F.col("user_id") % 2 == 0),
+                   table, partition_by=["event_type"])
+    pre_delete = DL.write_delta(
+        subset.filter(F.col("user_id") % 2 == 1),
+        table, partition_by=["event_type"])
+    DL.delete_where(spark, table, "event_id % 3 = 0")
+    DL.restore_version(spark, table, pre_delete)
+    back = DL.read_delta(spark, table)
+    return back.select("event_id", "user_id", "event_type", "value")
+
+
 def _build_delta_cm_landing(spark, sf_dir, family):
     """Fixture stage for the column-mapping query: an events subset
     becomes a name-mode Delta table whose parquet files carry

@@ -120,6 +120,9 @@ class DeltaSnapshot:
         # last protocol action seen in the replay (None for tables
         # whose log never wrote one — implicit reader/writer 1/2)
         self.protocol: dict | None = None
+        # the surviving metaData action verbatim (RESTORE re-commits
+        # it when the schema changed after the restore point)
+        self.meta: dict | None = None
 
 
 def _log_listing(table_path: str):
@@ -303,6 +306,7 @@ def resolve_snapshot(spark: SparkSession, table_path: str,
     snap = DeltaSnapshot(reached, schema_json, part_cols, files, dvs,
                          mapping)
     snap.protocol = state["proto"]
+    snap.meta = state["meta"]
     return snap
 
 
@@ -788,6 +792,145 @@ def delete_where(spark: SparkSession, table_path: str,
         version = _next_version(table_path)
         if _commit_exclusive(table_path, version, actions):
             return version
+
+
+def optimize(spark: SparkSession, table_path: str,
+             target_file_bytes: int = 128 << 20) -> int:
+    """Bin-packing COMPACTION (the OPTIMIZE maintenance op): per
+    partition, the active files rewrite into ~``target_file_bytes``
+    files and one commit swaps them (removes + adds with
+    ``dataChange=false`` — a compaction changes LAYOUT, not rows, so
+    streaming readers must not re-emit). Deletion vectors are
+    MATERIALIZED: the rewrite reads through the DV-applying scan, so
+    dead rows leave the data files and the new adds carry no DV —
+    compaction is exactly how DV debt gets paid down. Tables with
+    column mapping refuse (the rewrite would have to re-emit
+    physical names; loud beats a silent logical-name write that
+    poisons every later read). Returns the committed version, or -1
+    when nothing needed compacting (single-file partitions with no
+    DV are left alone — an empty OPTIMIZE commit is noise)."""
+    import math
+    import shutil
+    import uuid as uuidmod
+
+    from pyspark.sql.types import StructField, StructType
+
+    from distributed_computing_projects_spark.sources import (
+        deltadv as DVC,
+    )
+
+    snap = resolve_snapshot(spark, table_path)
+    if snap.column_mapping:
+        raise ValueError(
+            "optimize over a column-mapped table; refusing (the "
+            "rewrite would need physical-name re-emission)")
+    part_cols = snap.partition_columns
+    full = StructType.fromJson(snap.schema_json)
+    data_schema = StructType(
+        [StructField(f.name, f.dataType, True)
+         for f in full.fields if f.name not in part_cols])
+    data_cols = [f.name for f in data_schema.fields]
+
+    groups: dict[tuple, list[tuple[str, dict]]] = {}
+    for p, pv in snap.files:
+        groups.setdefault(
+            tuple(sorted(pv.items())), []).append((p, pv))
+
+    removes: list[str] = []
+    adds: list[dict] = []
+    n = 0
+    for key, members in sorted(groups.items()):
+        has_dv = any(p in snap.dvs for p, _pv in members)
+        if len(members) < 2 and not has_dv:
+            continue  # already compact, nothing dead to drop
+        pv = dict(key)
+        paths = [p for p, _pv in members]
+        g = spark.read.schema(data_schema).parquet(*paths)
+        if has_dv:
+            dead = [(os.path.basename(p), int(i))
+                    for p in paths if p in snap.dvs
+                    for i in DVC.resolve_dv(snap.dvs[p],
+                                            table_path)]
+            dead_df = spark.createDataFrame(
+                dead, "`_delta_file` string, `_dv_row` bigint")
+            g = (g.withColumn(
+                "_delta_file",
+                F.element_at(F.split(F.input_file_name(), "/"), -1))
+                .withColumn("_dv_row", F.col("_metadata.row_index"))
+                .join(F.broadcast(dead_df),
+                      ["_delta_file", "_dv_row"], "left_anti")
+                .select(*data_cols))
+        total = sum(os.path.getsize(p) for p in paths)
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        stage = os.path.join(table_path,
+                             f"_staging-{uuidmod.uuid4().hex}")
+        g.coalesce(n_out).write.mode("overwrite").parquet(stage)
+        rel_dir = os.path.dirname(
+            os.path.relpath(paths[0], table_path))
+        for name in sorted(os.listdir(stage)):
+            if not (name.startswith("part-")
+                    and name.endswith(".parquet")):
+                continue
+            uniq = f"part-{uuidmod.uuid4().hex}-{n:05d}.parquet"
+            rel = os.path.join(rel_dir, uniq) if rel_dir else uniq
+            dest = os.path.join(table_path, rel)
+            os.makedirs(os.path.dirname(dest) or table_path,
+                        exist_ok=True)
+            os.replace(os.path.join(stage, name), dest)
+            adds.append(add_action(rel.replace(os.sep, "/"), pv,
+                                   os.path.getsize(dest),
+                                   data_change=False))
+            n += 1
+        shutil.rmtree(stage, ignore_errors=True)
+        removes += [os.path.relpath(p, table_path) for p in paths]
+    if not removes:
+        return -1
+    actions = [remove_action(r, data_change=False)
+               for r in removes] + adds
+    while True:
+        version = _next_version(table_path)
+        if _commit_exclusive(table_path, version, actions):
+            return version
+
+
+def restore_version(spark: SparkSession, table_path: str,
+                    version: int) -> int:
+    """RESTORE the table to its state at ``version`` — as a NEW
+    commit (history is append-only; the restored-over commits stay
+    time-travelable): files active now but not at the target are
+    removed, files active at the target but not now (or carrying a
+    DIFFERENT deletion vector now) are re-added with the target's
+    partition values and DV, and the target's metaData re-commits
+    when it differs (a post-target schema change rolls back too).
+    Data files are never touched — a restore is a KB-sized log
+    write. Returns the new version."""
+    target = resolve_snapshot(spark, table_path, version)
+    current = resolve_snapshot(spark, table_path)
+    cur_state = {os.path.relpath(p, table_path):
+                 (pv, current.dvs.get(p)) for p, pv in current.files}
+    tgt_state = {os.path.relpath(p, table_path):
+                 (pv, target.dvs.get(p)) for p, pv in target.files}
+    actions: list[dict] = []
+    if target.meta != current.meta and target.meta is not None:
+        actions.append({"metaData": target.meta})
+    for rel in sorted(set(cur_state) - set(tgt_state)):
+        actions.append(remove_action(rel))
+    for rel, (pv, dv) in sorted(tgt_state.items()):
+        if cur_state.get(rel) != (pv, dv):
+            missing = os.path.join(table_path, rel)
+            if not os.path.exists(missing):
+                raise ValueError(
+                    f"restore target file vanished (vacuumed?): "
+                    f"{rel}")
+            actions.append(add_action(
+                rel, pv, os.path.getsize(missing),
+                deletion_vector=dv))
+    if not actions:
+        return current.version  # already at the target state
+    while True:
+        v = _next_version(table_path)
+        if _commit_exclusive(table_path, v, actions):
+            return v
 
 
 def write_delta(df: DataFrame, table_path: str,

@@ -404,6 +404,64 @@ def test_delete_where_publishes_dvs(spark, tmp_path):
         DL.delete_where(spark, table, "k = 999")
 
 
+def test_optimize_compacts_and_materializes_dvs(spark, tmp_path):
+    table = str(tmp_path / "opt")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", "x" if i % 2 == 0 else "y")
+         for i in range(10)],
+        "k bigint, v string, b string")
+    # two single-task appends -> exactly 2 files per partition
+    DL.write_delta(df.filter("k < 5").coalesce(1), table,
+                   partition_by=["b"])
+    DL.write_delta(df.filter("k >= 5").coalesce(1), table,
+                   partition_by=["b"])
+    DL.delete_where(spark, table, "k IN (2, 3)")
+    before = DL.resolve_snapshot(spark, table)
+    assert len(before.files) >= 4 and before.dvs
+    ver = DL.optimize(spark, table)
+    after = DL.resolve_snapshot(spark, table)
+    # one file per partition, no deletion vectors left
+    assert len(after.files) == 2
+    assert not after.dvs
+    got = _collect(DL.read_delta(spark, table))
+    assert got == sorted(
+        (i, f"v{i}", "x" if i % 2 == 0 else "y")
+        for i in range(10) if i not in (2, 3))
+    # dead rows are PHYSICALLY gone from the new files
+    raw = spark.read.parquet(*[p for p, _pv in after.files])
+    assert raw.count() == 8
+    # layout-only commit: time travel before OPTIMIZE still works
+    assert len(_collect(DL.read_delta(spark, table,
+                                      version=ver - 1))) == 8
+    # nothing left to compact -> no empty commit
+    assert DL.optimize(spark, table) == -1
+
+
+def test_restore_version_rolls_back_as_new_commit(spark, tmp_path):
+    table = str(tmp_path / "rst")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(6)], "k bigint, v string")
+    v0 = DL.write_delta(df.filter("k < 3"), table)
+    v1 = DL.write_delta(df.filter("k >= 3"), table)
+    v2 = DL.delete_where(spark, table, "k IN (1, 4)")
+    assert (v0, v1, v2) == (0, 1, 2)
+    assert len(_collect(DL.read_delta(spark, table))) == 4
+    # restore to v1: the delete rolls back, files untouched
+    v3 = DL.restore_version(spark, table, v1)
+    assert v3 == 3
+    assert len(_collect(DL.read_delta(spark, table))) == 6
+    # restore to v0: the second append rolls back too
+    DL.restore_version(spark, table, v0)
+    assert _collect(DL.read_delta(spark, table)) == [
+        (0, "v0"), (1, "v1"), (2, "v2")]
+    # the restored-over history is still time-travelable
+    assert len(_collect(DL.read_delta(spark, table,
+                                      version=v2))) == 4
+    # restoring to the current state is a no-op, not a commit
+    cur = DL.resolve_snapshot(spark, table).version
+    assert DL.restore_version(spark, table, cur) == cur
+
+
 def test_crc32_matches_zlib():
     # the file layout stores CRC-32 of the bitmap data; sanity-pin
     # the polynomial choice against a known vector
