@@ -2823,6 +2823,44 @@ def q_hudi_mor_snapshot_scan(spark, sf_dir):
 
 
 @query(
+    "hudi_mor_compact_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(CASE WHEN event_type = 'click' AND user_id % 2 = 0
+                         THEN value * 5
+                     WHEN event_type = 'click' THEN value * 3
+                     ELSE value END AS DOUBLE) AS value
+    FROM events
+    WHERE event_id % 7 = 6
+      AND NOT (event_id % 13 = 0 AND event_type = 'view')
+    """,
+    doc="Hudi MOR COMPACTION roundtrip (sources/hudimor.compact) — "
+        "the maintenance op that pays down log debt: each file "
+        "group's blocks fold into a fresh base file published as a "
+        "commit instant (exactly what a real compactor writes), "
+        "after which the group's older logs no longer apply and "
+        "snapshot reads become pure FileScans again; deletes "
+        "MATERIALIZE (_hoodie_is_deleted keys physically leave the "
+        "data). The query compacts the same upsert+delete+torn-"
+        "block fixture as hudi_mor_snapshot_scan and reads back "
+        "through the MOR reader — the oracle is IDENTICAL to the "
+        "uncompacted scan's, so a compaction that loses an upsert "
+        "layer, resurrects a deleted key, or replays a stale log "
+        "hashes red.",
+)
+def q_hudi_mor_compact_roundtrip(spark, sf_dir):
+    from distributed_computing_projects_spark.sources import (
+        hudimor as HM,
+    )
+
+    _, table = _build_hudi_mor_landing(spark, sf_dir,
+                                       "hudi_mor_compact")
+    HM.compact(spark, table, _HUDI_MOR_DDL, "900")
+    df = HM.read_hudi_mor(spark, table, _HUDI_MOR_DDL)
+    return df.select("event_id", "user_id", "event_type", "value")
+
+
+@query(
     "delta_sink_roundtrip",
     oracle="""
     SELECT event_id, user_id, event_type,

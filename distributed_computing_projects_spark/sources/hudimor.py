@@ -274,8 +274,9 @@ def blocks_to_records(data: bytes, completed: frozenset[str],
 
 
 def resolve_slices(table_path: str, as_of: str | None = None):
-    """Per file group: (base path or None, [(instant, log path)...],
-    base instant). Bases come from commit/replacecommit write stats
+    """Per file group: (fileId, base path or None,
+    [(instant, log path)...], base instant). Bases come from
+    commit/replacecommit write stats
     (a MOR ``commit`` is a compaction), logs from deltacommit write
     stats; logs at or before a group's base instant no longer apply
     (the compaction folded them). Returns (slices, completed set)."""
@@ -344,7 +345,8 @@ def resolve_slices(table_path: str, as_of: str | None = None):
         base_t = base[0] if base else ""
         flogs = sorted((t, p) for t, p in logs.get(fid, ())
                        if t > base_t)
-        slices.append((base[1] if base else None, flogs, base_t))
+        slices.append((fid, base[1] if base else None, flogs,
+                       base_t))
     return slices, frozenset(completed)
 
 
@@ -359,10 +361,6 @@ def read_hudi_mor(spark: SparkSession, table_path: str, ddl: str,
     TABLE-WIDE (the global-index configuration); under a partition-
     scoped index a key reused across partitions would merge across
     them — documented boundary, not detectable from the layout."""
-    import pandas as pd  # noqa: F401 (mapInPandas requirement)
-
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
     props = _read_properties(
@@ -386,9 +384,72 @@ def read_hudi_mor(spark: SparkSession, table_path: str, ddl: str,
             f"record key field(s) {missing} not in the DDL")
 
     slices, completed = resolve_slices(table_path, as_of)
-    base_files = [b for b, _lg, _t in slices if b]
-    log_files = [p for _b, lg, _t in slices for _t2, p in lg]
+    base_files = [b for _f, b, _lg, _t in slices if b]
+    log_files = [p for _f, _b, lg, _t in slices for _t2, p in lg]
+    return _merge(spark, schema, base_files, log_files, completed,
+                  as_of, key_fields)
 
+
+def _log_records_df(spark, log_files: list[str],
+                    completed: frozenset, as_of: str | None,
+                    names: list[str], ddl_types: dict):
+    """Executor-side log decode over the distributed path list."""
+    out_ddl = (", ".join(f"`{n}` {ddl_types[n]}" for n in names)
+               + ", `_mor_instant` string, `_mor_seq` bigint, "
+                 "`_mor_del` boolean")
+
+    def gen(batches):
+        import pandas as pd2
+
+        for pdf in batches:
+            for path in pdf["path"]:
+                # open-by-path inside the Arrow worker: Hudi log
+                # files are DOT-PREFIXED and Hadoop's listing
+                # filter hides them from binaryFile (verified),
+                # so the path list rides a tiny DataFrame and
+                # each task reads its own files — same per-file
+                # parallelism, decode still executor-side
+                with open(path, "rb") as f:
+                    data = f.read()
+                recs = blocks_to_records(data, completed, as_of)
+                if not recs:
+                    continue
+                rows = {n: [] for n in names}
+                rows["_mor_instant"] = []
+                rows["_mor_seq"] = []
+                rows["_mor_del"] = []
+                for seq, (instant, rec) in enumerate(recs):
+                    for n in names:
+                        rows[n].append(rec.get(n))
+                    rows["_mor_instant"].append(instant)
+                    rows["_mor_seq"].append(seq)
+                    rows["_mor_del"].append(
+                        bool(rec.get(DELETED_FIELD, False)))
+                yield pd2.DataFrame(rows)
+
+    # dedup (several deltacommits reference the same log file — a
+    # double read would double-apply its records), then slice the
+    # path list at creation: parallelize() distributes WITHOUT a
+    # shuffle exchange, unlike repartition()
+    uniq = sorted(set(log_files))
+    n_slices = max(1, min(
+        len(uniq), spark.sparkContext.defaultParallelism))
+    paths_df = spark.createDataFrame(
+        spark.sparkContext.parallelize([(p,) for p in uniq],
+                                       n_slices),
+        "`path` string")
+    return paths_df.mapInPandas(gen, out_ddl)
+
+
+def _merge(spark, schema, base_files: list[str],
+           log_files: list[str], completed: frozenset,
+           as_of: str | None, key_fields: list[str]):
+    """base FileScan union decoded log upserts -> last-wins window
+    over the record key -> deleted sentinels dropped."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    order = [f.name for f in schema.fields]
     base = (spark.read.schema(schema).parquet(*base_files)
             if base_files
             else spark.createDataFrame([], schema))
@@ -396,60 +457,13 @@ def read_hudi_mor(spark: SparkSession, table_path: str, ddl: str,
             .withColumn("_mor_instant", F.lit(""))
             .withColumn("_mor_seq", F.lit(-1).cast("bigint"))
             .withColumn("_mor_del", F.lit(False)))
-
     if log_files:
         ddl_types = {f.name: f.dataType.simpleString()
                      for f in schema.fields}
-        names = order
-        out_ddl = (", ".join(f"`{n}` {ddl_types[n]}" for n in names)
-                   + ", `_mor_instant` string, `_mor_seq` bigint, "
-                     "`_mor_del` boolean")
-
-        def gen(batches):
-            import pandas as pd2
-
-            for pdf in batches:
-                for path in pdf["path"]:
-                    # open-by-path inside the Arrow worker: Hudi log
-                    # files are DOT-PREFIXED and Hadoop's listing
-                    # filter hides them from binaryFile (verified),
-                    # so the path list rides a tiny DataFrame and
-                    # each task reads its own files — same per-file
-                    # parallelism, decode still executor-side
-                    with open(path, "rb") as f:
-                        data = f.read()
-                    recs = blocks_to_records(data, completed, as_of)
-                    if not recs:
-                        continue
-                    rows = {n: [] for n in names}
-                    rows["_mor_instant"] = []
-                    rows["_mor_seq"] = []
-                    rows["_mor_del"] = []
-                    for seq, (instant, rec) in enumerate(recs):
-                        for n in names:
-                            rows[n].append(rec.get(n))
-                        rows["_mor_instant"].append(instant)
-                        rows["_mor_seq"].append(seq)
-                        rows["_mor_del"].append(
-                            bool(rec.get(DELETED_FIELD, False)))
-                    yield pd2.DataFrame(rows)
-
-        # dedup (several deltacommits reference the same log file —
-        # a double read would double-apply its records), then slice
-        # the path list at creation: parallelize() distributes
-        # WITHOUT a shuffle exchange, unlike repartition()
-        uniq = sorted(set(log_files))
-        slices = max(1, min(
-            len(uniq), spark.sparkContext.defaultParallelism))
-        paths_df = spark.createDataFrame(
-            spark.sparkContext.parallelize(
-                [(p,) for p in uniq], slices),
-            "`path` string")
-        logs_df = paths_df.mapInPandas(gen, out_ddl)
-        merged = base.unionByName(logs_df)
+        merged = base.unionByName(_log_records_df(
+            spark, log_files, completed, as_of, order, ddl_types))
     else:
         merged = base
-
     w = (Window.partitionBy(*key_fields)
          .orderBy(F.col("_mor_instant").desc(),
                   F.col("_mor_seq").desc()))
@@ -458,6 +472,67 @@ def read_hudi_mor(spark: SparkSession, table_path: str, ddl: str,
             .filter(F.col("_mor_rn") == 1)
             .filter(~F.col("_mor_del"))
             .select(*order))
+
+
+def compact(spark: SparkSession, table_path: str, ddl: str,
+            instant: str) -> dict:
+    """MOR COMPACTION: fold each file group's log blocks into a
+    fresh base file published as a ``commit`` instant (exactly what
+    a real compactor writes — after it, the group's older logs no
+    longer apply and snapshot reads become pure FileScans again).
+    Deletes materialize (``_hoodie_is_deleted`` keys leave the data;
+    a fully-deleted group writes an empty base). Runs the same
+    last-wins merge PER GROUP — one small job per group, the shape a
+    native compactor's per-group tasks take. Returns the
+    partition -> write-stats mapping it committed."""
+    import shutil
+    import uuid as uuidmod
+
+    from distributed_computing_projects_spark.sources import (
+        hudi as HU,
+    )
+
+    from pyspark.sql.types import StructType
+
+    props = _read_properties(
+        os.path.join(table_path, ".hoodie", "hoodie.properties"))
+    if props.get("hoodie.table.type") != "MERGE_ON_READ":
+        raise ValueError("compact() is a MOR op")
+    key_fields = [c for c in props.get(
+        "hoodie.table.recordkey.fields", "").split(",") if c]
+    if not key_fields:
+        raise ValueError(
+            "MOR compaction needs hoodie.table.recordkey.fields")
+    schema = StructType.fromDDL(ddl)
+    slices, completed = resolve_slices(table_path)
+    stats: dict[str, list[dict]] = {}
+    for fid, base, flogs, _base_t in slices:
+        if not flogs:
+            continue  # nothing to fold for this group
+        merged = _merge(spark, schema, [base] if base else [],
+                        [p for _t, p in flogs], completed, None,
+                        key_fields)
+        ref = base or flogs[0][1]
+        rel_dir = os.path.dirname(
+            os.path.relpath(ref, table_path))
+        stage = os.path.join(table_path,
+                             f"_staging-{uuidmod.uuid4().hex}")
+        merged.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(n for n in sorted(os.listdir(stage))
+                    if n.startswith("part-")
+                    and n.endswith(".parquet"))
+        rel = os.path.join(rel_dir,
+                           HU.base_file_name(fid, instant))
+        dest = os.path.join(table_path, rel)
+        os.replace(os.path.join(stage, part), dest)
+        shutil.rmtree(stage, ignore_errors=True)
+        stats.setdefault(rel_dir, []).append(
+            {"fileId": fid, "path": rel.replace(os.sep, "/"),
+             "numWrites": 1})
+    if not stats:
+        raise ValueError("nothing to compact: no group carries logs")
+    HU.commit_instant(table_path, instant, stats)
+    return stats
 
 
 # ----------------------------------------------------- builder twin

@@ -211,6 +211,36 @@ def test_cow_table_routes_to_cow_reader(spark, tmp_path):
         HU.resolve_files(table2)
 
 
+def test_compact_folds_logs_into_new_base(spark, tmp_path):
+    table = _mor_table(spark, tmp_path)
+    want = _collect(M.read_hudi_mor(spark, table, DDL))
+    stats = M.compact(spark, table, DDL, "007")
+    # the snapshot read is unchanged...
+    assert _collect(M.read_hudi_mor(spark, table, DDL)) == want
+    # ...but now resolves to a bare base file with no applicable logs
+    slices, _c = M.resolve_slices(table)
+    (g0,) = [s for s in slices if s[0] == "g0"]
+    assert g0[1] is not None and g0[1].endswith("_007.parquet")
+    assert g0[2] == []  # the 001-era log no longer applies
+    # deletes MATERIALIZED: the new base physically lacks key 1
+    raw = spark.read.parquet(g0[1])
+    assert sorted(r.k for r in raw.collect()) == [2, 3]
+    assert stats["p"][0]["fileId"] == "g0"
+    # a post-compaction deltacommit lands on the new base
+    rel = f"p/{M.log_file_name('g0', '007')}"
+    M.append_log_blocks(table, rel, [
+        M.data_block("008", AVSCHEMA, [{"k": 8, "v": "eight"}])])
+    HU.commit_instant(table, "008", {"p": [{"fileId": "g0",
+                                            "path": rel}]},
+                      action="deltacommit")
+    assert _collect(M.read_hudi_mor(spark, table, DDL)) == [
+        (2, "TWO"), (3, "THREE"), (8, "eight")]
+    # nothing left to compact raises rather than committing a no-op
+    M.compact(spark, table, DDL, "009")
+    with pytest.raises(ValueError, match="nothing to compact"):
+        M.compact(spark, table, DDL, "010")
+
+
 def test_cli_hudi_mor_scan(spark, tmp_path, capsys):
     from distributed_computing_projects_spark.cli import main
 
