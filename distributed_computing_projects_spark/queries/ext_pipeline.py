@@ -3231,6 +3231,53 @@ def q_delta_restore_roundtrip(spark, sf_dir):
     return back.select("event_id", "user_id", "event_type", "value")
 
 
+@query(
+    "delta_vacuum_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events
+    WHERE event_id % 11 = 8 AND NOT event_id % 3 = 0
+    """,
+    doc="Delta VACUUM roundtrip (sources/deltalake.vacuum) — the "
+        "space-reclaim maintenance op: data files not referenced by "
+        "the CURRENT snapshot (an overwritten first append's files, "
+        "uncommitted orphans, stray DV sidecars) delete from disk "
+        "while live files AND the sidecars active deletion-vector "
+        "descriptors point at survive — the op that keeps a "
+        "continuously-rewritten landing zone from accreting forever. "
+        "The query overwrites an initial append, DELETEs a third of "
+        "the rows via deletion vectors (so a LIVE sidecar is in "
+        "play), VACUUMs, and reads back through the log-replay "
+        "reader: a vacuum that reclaimed a live data file or a live "
+        "sidecar hashes red, and the reclaimed-history boundary is "
+        "loud (restore to vacuumed versions raises).",
+)
+def q_delta_vacuum_roundtrip(spark, sf_dir):
+    import shutil
+
+    from distributed_computing_projects_spark.sources import (
+        deltalake as DL,
+    )
+
+    work = _session_scratch(spark, "delta_vacuum", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    table = os.path.join(work, "table")
+    subset = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 11 == 8)
+        .select("event_id", "user_id", "value", "event_type")
+    )
+    DL.write_delta(subset.filter(F.col("user_id") % 2 == 0),
+                   table, partition_by=["event_type"])
+    DL.write_delta(subset, table, partition_by=["event_type"],
+                   mode="overwrite")
+    DL.delete_where(spark, table, "event_id % 3 = 0")
+    DL.vacuum(spark, table)
+    back = DL.read_delta(spark, table)
+    return back.select("event_id", "user_id", "event_type", "value")
+
+
 def _build_delta_cm_landing(spark, sf_dir, family):
     """Fixture stage for the column-mapping query: an events subset
     becomes a name-mode Delta table whose parquet files carry

@@ -893,6 +893,63 @@ def optimize(spark: SparkSession, table_path: str,
             return version
 
 
+def vacuum(spark: SparkSession, table_path: str,
+           dry_run: bool = False) -> list[str]:
+    """Delete data files not referenced by the CURRENT snapshot —
+    tombstoned old versions, superseded compaction inputs, and
+    uncommitted orphans (the torn-writer litter every landing zone
+    accrues). DV sidecars referenced by active descriptors are kept;
+    unreferenced ``deletion_vector_*.bin`` files go too. Like the
+    real VACUUM, this TRADES history for space: time travel to
+    versions whose files were reclaimed stops working (RESTORE
+    detects the gap loudly — `restore target file vanished`), so
+    the op is explicit and supports ``dry_run``. The ``_delta_log``
+    itself is never touched. Returns the deleted (or would-delete)
+    paths, table-relative."""
+    import uuid as uuidmod
+
+    from distributed_computing_projects_spark.sources import (
+        deltadv as DVC,
+    )
+
+    snap = resolve_snapshot(spark, table_path)
+    keep = {os.path.relpath(p, table_path) for p, _pv in snap.files}
+    for desc in snap.dvs.values():
+        if desc.get("storageType") == "u":
+            tok = desc["pathOrInlineDv"]
+            uid = uuidmod.UUID(bytes=DVC.z85_decode(tok[-20:]))
+            keep.add(DVC.dv_file_name(tok[:-20], uid))
+        elif desc.get("storageType") == "p":
+            rel = os.path.relpath(desc["pathOrInlineDv"],
+                                  table_path)
+            if not rel.startswith(".."):
+                keep.add(rel)
+    doomed = []
+    for root, dirs, names in os.walk(table_path):
+        rel_root = os.path.relpath(root, table_path)
+        if rel_root.split(os.sep)[0] == "_delta_log":
+            continue
+        dirs[:] = [d for d in dirs if d != "_delta_log"
+                   and not d.startswith("_staging-")]
+        for name in names:
+            if not (name.endswith(".parquet")
+                    or name.endswith(".bin")):
+                continue
+            rel = (os.path.join(rel_root, name)
+                   if rel_root != "." else name)
+            if rel not in keep:
+                doomed.append(rel)
+    doomed.sort()
+    if not dry_run:
+        for rel in doomed:
+            os.remove(os.path.join(table_path, rel))
+        # prune now-empty partition dirs (cosmetic, bounded)
+        for root, dirs, names in os.walk(table_path, topdown=False):
+            if root != table_path and not dirs and not names:
+                os.rmdir(root)
+    return doomed
+
+
 def restore_version(spark: SparkSession, table_path: str,
                     version: int) -> int:
     """RESTORE the table to its state at ``version`` — as a NEW

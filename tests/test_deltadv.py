@@ -462,6 +462,34 @@ def test_restore_version_rolls_back_as_new_commit(spark, tmp_path):
     assert DL.restore_version(spark, table, cur) == cur
 
 
+def test_vacuum_reclaims_unreferenced_files(spark, tmp_path):
+    table = str(tmp_path / "vac")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(6)], "k bigint, v string")
+    DL.write_delta(df.coalesce(1), table)
+    DL.write_delta(df.coalesce(1), table, mode="overwrite")
+    DL.delete_where(spark, table, "k = 1")  # keeps a live sidecar
+    # an orphan parquet and a stray DV sidecar
+    open(os.path.join(table, "deletion_vector_junk.bin"),
+         "wb").write(b"\x01junk")
+    snap = DL.resolve_snapshot(spark, table)
+    plan = DL.vacuum(spark, table, dry_run=True)
+    assert plan  # the overwritten v0 file + the stray .bin at least
+    assert "deletion_vector_junk.bin" in plan
+    # dry run touched nothing
+    assert os.path.exists(os.path.join(
+        table, "deletion_vector_junk.bin"))
+    gone = DL.vacuum(spark, table)
+    assert gone == plan
+    # current snapshot reads unaffected, live DV sidecar survived
+    assert len(_collect(DL.read_delta(spark, table))) == 5
+    snap2 = DL.resolve_snapshot(spark, table)
+    assert snap2.dvs
+    # history whose files were reclaimed: restore detects loudly
+    with pytest.raises(ValueError, match="vanished"):
+        DL.restore_version(spark, table, 0)
+
+
 def test_crc32_matches_zlib():
     # the file layout stores CRC-32 of the bitmap data; sanity-pin
     # the polynomial choice against a known vector
