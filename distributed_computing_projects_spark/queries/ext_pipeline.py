@@ -3619,6 +3619,53 @@ def q_iceberg_pos_delete_roundtrip(spark, sf_dir):
     return back.select("event_id", "user_id", "event_type", "value")
 
 
+@query(
+    "iceberg_expire_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events WHERE event_id % 11 = 2
+    """,
+    doc="Iceberg EXPIRE-SNAPSHOTS roundtrip "
+        "(sources/iceberg.expire_snapshots) — the Iceberg space-"
+        "reclaim twin of delta_vacuum_roundtrip: all but the newest "
+        "snapshot expire from the metadata (published as a NEW "
+        "metadata version via the exclusive-link loop), and files "
+        "reachable ONLY from expired snapshots — their manifest "
+        "lists, manifests, and data files — delete from disk, while "
+        "any path MENTIONED by a retained manifest chain survives "
+        "whatever its entry status (the conservative rule: reclaim "
+        "follows the manifest that references a file, never "
+        "precedes it). The query appends, OVERWRITES (so the first "
+        "snapshot's whole chain becomes expired-only), expires to "
+        "keep=1, and reads back through the manifest chain: an "
+        "expire that reclaimed a live file hashes red, and the "
+        "expired snapshot id refuses loudly.",
+)
+def q_iceberg_expire_roundtrip(spark, sf_dir):
+    import shutil
+
+    from distributed_computing_projects_spark.sources import (
+        iceberg as IC,
+    )
+
+    work = _session_scratch(spark, "iceberg_expire", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    table = os.path.join(work, "table")
+    subset = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 11 == 2)
+        .select("event_id", "user_id", "value", "event_type")
+    )
+    IC.write_iceberg(subset.filter(F.col("user_id") % 2 == 0),
+                     table, partition_by=["event_type"])
+    IC.write_iceberg(subset, table, partition_by=["event_type"],
+                     mode="overwrite")
+    IC.expire_snapshots(table, keep=1)
+    back = IC.read_iceberg(spark, table)
+    return back.select("event_id", "user_id", "event_type", "value")
+
+
 def _build_cbor_landing(spark, sf_dir, family):
     """Fixture stage for the CBOR query: stage an events subset as
     JSONL, encode each shard as one RFC 8742 sequence with the decoy

@@ -711,6 +711,87 @@ def delete_where(spark: SparkSession, table_path: str,
             os.unlink(tmp)
 
 
+def expire_snapshots(table_path: str, keep: int = 1,
+                     dry_run: bool = False) -> list[str]:
+    """Expire all but the newest ``keep`` snapshots — the Iceberg
+    space-reclaim twin of ``deltalake.vacuum``: expired snapshots
+    leave the metadata (published as a NEW metadata version via the
+    same exclusive-link loop as every write), and files reachable
+    ONLY from expired snapshots delete from disk — their manifest
+    lists, their manifests, and their data/delete files. The rule is
+    conservative by construction: any path MENTIONED by a retained
+    snapshot's manifest chain survives, whatever its entry status
+    (a retained manifest that records a file as DELETED still
+    references it; reclaim happens when that manifest itself
+    expires). The current snapshot must be retained. Older
+    ``vN.metadata.json`` files stay (KB-sized; the format keeps its
+    metadata log). Returns the deleted (or would-delete) paths."""
+    import uuid as uuidmod  # noqa: F401 (same publish idiom)
+
+    with open(latest_metadata_path(table_path), "r",
+              encoding="utf-8") as f:
+        meta = json.load(f)
+    snaps = meta.get("snapshots") or []
+    if keep < 1:
+        raise ValueError("expire_snapshots keeps at least 1")
+    if len(snaps) <= keep:
+        return []
+    retained = snaps[-keep:]
+    expired = snaps[:-keep]
+    cur = meta.get("current-snapshot-id")
+    if cur not in {s["snapshot-id"] for s in retained}:
+        raise ValueError(
+            "current snapshot is older than the retention window; "
+            "refusing to expire it")
+
+    def mentioned(s) -> set[str]:
+        ml = _localize(s["manifest-list"], table_path)
+        paths = {ml}
+        for m in _read_avro_records(ml):
+            mp = _localize(m["manifest_path"], table_path)
+            paths.add(mp)
+            for e in _read_avro_records(mp):
+                paths.add(_localize(e["data_file"]["file_path"],
+                                    table_path))
+        return paths
+
+    keep_paths: set[str] = set()
+    for s in retained:
+        keep_paths |= mentioned(s)
+    dead: set[str] = set()
+    for s in expired:
+        dead |= mentioned(s)
+    dead -= keep_paths
+    doomed = sorted(dead)
+    if dry_run:
+        return doomed
+
+    meta["snapshots"] = retained
+    kept_ids = {s["snapshot-id"] for s in retained}
+    meta["snapshot-log"] = [
+        e for e in meta.get("snapshot-log", [])
+        if e.get("snapshot-id") in kept_ids]
+    mdir = os.path.join(table_path, "metadata")
+    while True:
+        versions = [int(_META_RE.match(x).group(1))
+                    for x in os.listdir(mdir) if _META_RE.match(x)]
+        v = max(versions, default=0) + 1
+        final = os.path.join(mdir, f"v{v}.metadata.json")
+        tmp = final + f".tmp-{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(meta, f)
+        try:
+            os.link(tmp, final)
+            os.unlink(tmp)
+            break
+        except FileExistsError:
+            os.unlink(tmp)
+    for p in doomed:
+        if os.path.exists(p):
+            os.remove(p)
+    return doomed
+
+
 def _spark_to_iceberg_type(dt) -> str:
     from pyspark.sql import types as T
 

@@ -598,6 +598,45 @@ def test_delete_where_publishes_position_deletes(spark, tmp_path):
         (0, 0.0, "a"), (4, 4.0, "b"), (6, 6.0, "b"), (9, 9.0, "a")]
 
 
+def test_expire_snapshots_reclaims_expired_only(spark, tmp_path):
+    table = str(tmp_path / "exp")
+    df1 = spark.createDataFrame([(1, 1.0, "a"), (2, 2.0, "b")],
+                                "k bigint, x double, et string")
+    IC.write_iceberg(df1, table, partition_by=["et"])
+    snap1 = IC.resolve_snapshot(table)
+    old_files = [p for p, _pv in snap1.files]
+    df2 = spark.createDataFrame([(9, 9.0, "z")],
+                                "k bigint, x double, et string")
+    # overwrite: snapshot 2's manifest list carries ONLY the new
+    # manifest, so snapshot 1's whole chain becomes expired-only
+    IC.write_iceberg(df2, table, partition_by=["et"],
+                     mode="overwrite")
+    plan = IC.expire_snapshots(table, keep=1, dry_run=True)
+    assert set(old_files) <= set(plan)
+    assert all(os.path.exists(p) for p in plan)  # dry run
+    gone = IC.expire_snapshots(table, keep=1)
+    assert gone == plan
+    assert not any(os.path.exists(p) for p in gone)
+    # the retained snapshot reads untouched
+    assert _collect(IC.read_iceberg(spark, table)) == [(9, 9.0, "z")]
+    # the expired snapshot is out of the metadata
+    with pytest.raises(ValueError, match="not in table"):
+        IC.read_iceberg(spark, table, snapshot_id=1)
+    # nothing further to expire
+    assert IC.expire_snapshots(table, keep=1) == []
+    # a retained APPEND chain keeps shared manifests: files
+    # mentioned by retained manifests survive whatever their status
+    table2 = str(tmp_path / "exp2")
+    IC.write_iceberg(df1, table2, partition_by=["et"])
+    IC.write_iceberg(df2, table2, partition_by=["et"])  # fast-append
+    gone2 = IC.expire_snapshots(table2, keep=1)
+    assert _collect(IC.read_iceberg(spark, table2)) == [
+        (1, 1.0, "a"), (2, 2.0, "b"), (9, 9.0, "z")]
+    # snapshot 1's manifest is REUSED by snapshot 2's list: only
+    # snapshot 1's own manifest LIST file was reclaimable
+    assert all(p.endswith(".avro") for p in gone2)
+
+
 def test_write_iceberg_overwrite_and_gates(spark, tmp_path):
     table = str(tmp_path / "ow")
     df1 = spark.createDataFrame([(1, 1.0, "a")],
