@@ -2823,6 +2823,39 @@ def q_hudi_mor_snapshot_scan(spark, sf_dir):
 
 
 @query(
+    "hudi_clean_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(CASE WHEN event_type = 'click' THEN value * 2
+                ELSE value END AS DOUBLE) AS value
+    FROM events
+    WHERE event_id % 7 = 3 AND event_type <> 'error'
+    """,
+    doc="Hudi CLEANER roundtrip (sources/hudi.clean) — the third "
+        "leg of the lakehouse maintenance triad next to "
+        "delta_vacuum_roundtrip and iceberg_expire_roundtrip: "
+        "parquet files the CURRENT snapshot does not reference "
+        "delete from disk — the superseded pre-UPDATE click bases, "
+        "the replacecommit-removed error groups, and the torn "
+        "instant's litter — while the timeline itself stays intact "
+        "under .hoodie/. The query cleans the same "
+        "update+replace+torn fixture as hudi_table_scan and reads "
+        "back with the IDENTICAL oracle: a cleaner that reclaimed a "
+        "live file-slice hashes red, and as-of reads to cleaned "
+        "instants fail loudly rather than silently shrinking.",
+)
+def q_hudi_clean_roundtrip(spark, sf_dir):
+    from distributed_computing_projects_spark.sources import (
+        hudi as HU,
+    )
+
+    _, table = _build_hudi_landing(spark, sf_dir, "hudi_clean")
+    HU.clean(table)
+    df = HU.read_hudi(spark, table, _HUDI_DDL)
+    return df.select("event_id", "user_id", "event_type", "value")
+
+
+@query(
     "hudi_mor_compact_roundtrip",
     oracle="""
     SELECT event_id, user_id, event_type,

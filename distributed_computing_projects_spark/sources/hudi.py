@@ -149,6 +149,45 @@ def read_hudi(spark: SparkSession, table_path: str, ddl: str,
     return spark.read.schema(schema).parquet(*files).select(*order)
 
 
+def clean(table_path: str, dry_run: bool = False) -> list[str]:
+    """The CLEANER service for CoW tables — Hudi's space-reclaim op,
+    completing the maintenance triad with ``deltalake.vacuum`` and
+    ``iceberg.expire_snapshots``: parquet files in the partition
+    dirs that the CURRENT snapshot does not reference delete from
+    disk — superseded file-group versions an UPDATE left behind,
+    groups a replacecommit removed, and torn writers' litter (a
+    data file whose instant never completed). ``.hoodie/`` is never
+    touched, so the timeline itself stays intact; like the real
+    cleaner this trades as-of time travel to cleaned instants for
+    space (the read refuses loudly when an as-of file is gone —
+    Spark's scan raises on the missing path rather than silently
+    shrinking). Returns the deleted (or would-delete) paths,
+    table-relative."""
+    active = {os.path.relpath(p, table_path)
+              for p in resolve_files(table_path)}
+    doomed = []
+    for root, dirs, names in os.walk(table_path):
+        rel_root = os.path.relpath(root, table_path)
+        if rel_root.split(os.sep)[0] == ".hoodie":
+            continue
+        dirs[:] = [d for d in dirs if d != ".hoodie"]
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            rel = (os.path.join(rel_root, name)
+                   if rel_root != "." else name)
+            if rel not in active:
+                doomed.append(rel)
+    doomed.sort()
+    if not dry_run:
+        for rel in doomed:
+            os.remove(os.path.join(table_path, rel))
+        for root, dirs, names in os.walk(table_path, topdown=False):
+            if root != table_path and not dirs and not names:
+                os.rmdir(root)
+    return doomed
+
+
 # ----------------------------------------------------- builder twin
 # Spec-shaped writers for fixtures and engine exports; the reader
 # parses only what real Hudi writers leave on disk.

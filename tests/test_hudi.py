@@ -92,6 +92,29 @@ def test_as_of_time_travel(spark, tmp_path):
         HU.read_hudi(spark, table, DDL, as_of="000")
 
 
+def test_clean_reclaims_superseded_and_torn(spark, tmp_path):
+    table = _make_table(spark, tmp_path)
+    # torn litter: a data file whose instant never completed
+    torn = f"p=a/{HU.base_file_name('g9', '004')}"
+    _write_parquet(spark, os.path.join(table, torn),
+                   [(99, "ghost")])
+    plan = HU.clean(table, dry_run=True)
+    assert f"p=a/{HU.base_file_name('g1', '001')}" in plan  # update
+    assert f"p=b/{HU.base_file_name('g2', '001')}" in plan  # replace
+    assert torn in plan
+    assert os.path.exists(os.path.join(table, torn))  # dry run
+    gone = HU.clean(table)
+    assert gone == plan
+    # the snapshot read is unchanged; timeline intact
+    assert _collect(HU.read_hudi(spark, table, DDL)) == [
+        (1, "one-v2"), (2, "two-clustered"), (3, "three")]
+    assert HU.clean(table) == []
+    # as-of to a cleaned instant fails LOUDLY (missing path), never
+    # silently shrinks
+    with pytest.raises(Exception):
+        HU.read_hudi(spark, table, DDL, as_of="001").collect()
+
+
 def test_inflight_commits_invisible(spark, tmp_path):
     table = _make_table(spark, tmp_path)
     hoodie = os.path.join(table, ".hoodie")
