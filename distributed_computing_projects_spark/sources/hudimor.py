@@ -139,10 +139,12 @@ def _parse_map(buf: bytes, pos: int):
 
 def avro_block_content(payloads: list[bytes],
                        content_version: int = 1) -> bytes:
-    out = struct.pack(">ii", content_version, len(payloads))
-    for p in payloads:
-        out += struct.pack(">i", len(p)) + p
-    return out
+    # join, not bytes +=: appending to an immutable accumulator is
+    # quadratic in the record count (measured 40 s per 100k records
+    # before; the 100x fixture frames ~400k)
+    return b"".join(
+        [struct.pack(">ii", content_version, len(payloads))]
+        + [struct.pack(">i", len(p)) + p for p in payloads])
 
 
 def write_block(block_type: int, header: dict[int, str],
@@ -555,9 +557,14 @@ def append_log_blocks(table_path: str, rel: str,
 
 def data_block(instant: str, avro_schema, records: list[dict]
                ) -> bytes:
+    # parse the schema ONCE — passing the JSON string through would
+    # make encode_datum re-parse it per record (measured 400 us/rec
+    # vs 7.5 us once fixed; the 100x fixture encodes ~400k records)
+    obj = (json.loads(avro_schema)
+           if isinstance(avro_schema, str) else avro_schema)
     sjson = (avro_schema if isinstance(avro_schema, str)
              else json.dumps(avro_schema, separators=(",", ":")))
-    payloads = [AV.encode_datum(sjson, r) for r in records]
+    payloads = [AV.encode_datum(obj, r) for r in records]
     return write_block(
         AVRO_DATA_BLOCK,
         {INSTANT_TIME: instant, SCHEMA_KEY: sjson},

@@ -50,14 +50,23 @@ def main() -> int:
 
     from distributed_computing_projects_spark.queries.ext_pipeline import (
         _HUDI_DDL,
+        _HUDI_MOR_DDL,
         _build_delta_dv_landing,
         _build_delta_landing,
         _build_hudi_landing,
+        _build_hudi_mor_landing,
+        _build_iceberg_posdel_landing,
     )
     from distributed_computing_projects_spark.sources import (
         deltalake as DL,
     )
     from distributed_computing_projects_spark.sources import hudi as HU
+    from distributed_computing_projects_spark.sources import (
+        hudimor as HM,
+    )
+    from distributed_computing_projects_spark.sources import (
+        iceberg as IC,
+    )
 
     out = {"sf_dir": sf_dir, "cpus": cpus}
 
@@ -95,6 +104,20 @@ def main() -> int:
         lambda: _build_hudi_landing(spark, sf_dir, "attr_hudi")[1],
         lambda t: len(HU.resolve_files(t)),
         lambda t: HU.read_hudi(spark, t, _HUDI_DDL).count(),
+    )
+    split(
+        "iceberg_pos_delete_scan",
+        lambda: _build_iceberg_posdel_landing(spark, sf_dir,
+                                              "attr_ice_pd")[1],
+        lambda t: len(IC.resolve_snapshot(t).files),
+        lambda t: IC.read_iceberg(spark, t).count(),
+    )
+    split(
+        "hudi_mor_snapshot_scan",
+        lambda: _build_hudi_mor_landing(spark, sf_dir,
+                                        "attr_mor")[1],
+        lambda t: len(HM.resolve_slices(t)[0]),
+        lambda t: HM.read_hudi_mor(spark, t, _HUDI_MOR_DDL).count(),
     )
     print(json.dumps(out))
     return 0
