@@ -3311,6 +3311,55 @@ def q_delta_vacuum_roundtrip(spark, sf_dir):
     return back.select("event_id", "user_id", "event_type", "value")
 
 
+@query(
+    "delta_incremental_scan",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events
+    WHERE event_id % 11 = 1 AND user_id % 3 <> 0
+    """,
+    doc="Delta INCREMENTAL read "
+        "(sources/deltalake.read_delta_changes) — the tail-"
+        "consumption story a 100 TB landing table needs: a "
+        "downstream consumer polls commits (from, to] and reads "
+        "ONLY the files those commits added — KBs of log plus the "
+        "new data, never a rescan of the table. The fixture appends "
+        "in THREE commits split by user_id % 3 and reads the "
+        "changes AFTER the first — exactly the rows of commits 2 "
+        "and 3, with partition values attached from the log like "
+        "the full scan. Semantics are honest: dataChange=false "
+        "actions (OPTIMIZE's layout swaps) are invisible to "
+        "consumers, while a range containing a data-changing remove "
+        "or a deletion-vector add refuses loudly (append-only "
+        "semantics do not hold across a DELETE — a full change "
+        "feed would need before/after images).",
+)
+def q_delta_incremental_scan(spark, sf_dir):
+    import shutil
+
+    from distributed_computing_projects_spark.sources import (
+        deltalake as DL,
+    )
+
+    work = _session_scratch(spark, "delta_incr", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    table = os.path.join(work, "table")
+    subset = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 11 == 1)
+        .select("event_id", "user_id", "value", "event_type")
+    )
+    first = DL.write_delta(subset.filter(F.col("user_id") % 3 == 0),
+                           table, partition_by=["event_type"])
+    DL.write_delta(subset.filter(F.col("user_id") % 3 == 1),
+                   table, partition_by=["event_type"])
+    DL.write_delta(subset.filter(F.col("user_id") % 3 == 2),
+                   table, partition_by=["event_type"])
+    back = DL.read_delta_changes(spark, table, first)
+    return back.select("event_id", "user_id", "event_type", "value")
+
+
 def _build_delta_cm_landing(spark, sf_dir, family):
     """Fixture stage for the column-mapping query: an events subset
     becomes a name-mode Delta table whose parquet files carry

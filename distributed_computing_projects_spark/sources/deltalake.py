@@ -783,15 +783,122 @@ def delete_where(spark: SparkSession, table_path: str,
             table_path, [idx for _rel, _pv, idx in grow],
             prefix="ab")
         for (rel, pv, _idx), desc in zip(grow, descs):
-            actions.append(remove_action(rel, data_change=False))
+            # dataChange=TRUE: a DELETE changes rows (the spec's
+            # rule; optimize's layout-only swaps are the false case)
+            actions.append(remove_action(rel))
             actions.append(add_action(
                 rel, pv, os.path.getsize(
                     os.path.join(table_path, rel)),
-                data_change=False, deletion_vector=desc))
+                deletion_vector=desc))
     while True:
         version = _next_version(table_path)
         if _commit_exclusive(table_path, version, actions):
             return version
+
+
+def read_delta_changes(spark: SparkSession, table_path: str,
+                       from_version: int,
+                       to_version: int | None = None) -> DataFrame:
+    """APPEND-ONLY incremental read: the rows ADDED in commits
+    ``(from_version, to_version]`` — how a downstream consumer tails
+    a landing table without rescanning it (the 100 TB consumption
+    story: each poll reads only the new files, KB of log + the new
+    data). Loud refusal when the range contains a DATA-CHANGING
+    remove or a deletion-vector add (an update/delete makes
+    append-only semantics wrong — a full CDF would need before/after
+    images; ``optimize``'s dataChange=false swaps are correctly
+    invisible). Partition values attach exactly as in
+    :func:`read_delta`; column mapping applies."""
+    from pyspark.sql.types import StructField, StructType
+
+    snap = resolve_snapshot(spark, table_path,
+                            to_version)  # schema AS OF the range end
+    if to_version is None:
+        to_version = snap.version
+    if from_version >= to_version:
+        raise ValueError(
+            f"empty incremental range ({from_version}, "
+            f"{to_version}]")
+    commits, _ckpts = _log_listing(table_path)
+    mapping = snap.column_mapping
+    part_cols = snap.partition_columns
+    added: dict[str, dict] = {}
+    for v in range(from_version + 1, to_version + 1):
+        path = commits.get(v)
+        if path is None:
+            raise ValueError(
+                f"incremental range needs commit json for version "
+                f"{v} (checkpoint-only history cannot attribute "
+                f"rows to commits)")
+        with open(path, "r", encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                act = json.loads(line)
+                if "add" in act:
+                    a = act["add"]
+                    if a.get("dataChange", True) is False:
+                        continue  # compaction re-add: same rows
+                    if a.get("deletionVector"):
+                        raise ValueError(
+                            f"version {v} adds a deletion vector; "
+                            f"append-only incremental semantics "
+                            f"do not hold — refusing")
+                    added[urllib.parse.unquote(a["path"])] = \
+                        a.get("partitionValues") or {}
+                elif "remove" in act:
+                    if act["remove"].get("dataChange", True):
+                        raise ValueError(
+                            f"version {v} removes data "
+                            f"(delete/overwrite); append-only "
+                            f"incremental semantics do not hold — "
+                            f"refusing")
+
+    full = StructType.fromJson(snap.schema_json)
+    data_schema = StructType(
+        [StructField(mapping.get(f.name, f.name) if mapping
+                     else f.name, f.dataType, True)
+         for f in full.fields if f.name not in part_cols])
+    order = [f.name for f in full.fields]
+    if not added:
+        return spark.createDataFrame([], full).select(*order)
+    files = sorted(
+        (os.path.join(table_path, rel), pv)
+        for rel, pv in added.items())
+    paths = [p for p, _pv in files]
+    df = spark.read.schema(data_schema).parquet(*paths)
+    if mapping:
+        renames = {mapping[f.name]: f.name
+                   for f in full.fields
+                   if f.name not in part_cols
+                   and mapping.get(f.name, f.name) != f.name}
+        if renames:
+            df = df.withColumnsRenamed(renames)
+    if not part_cols:
+        return df.select(*order)
+    part_types = {c: _field_type_ddl(snap.schema_json, c)
+                  for c in part_cols}
+    basenames = [os.path.basename(p) for p in paths]
+    if len(set(basenames)) != len(basenames):
+        raise ValueError(
+            "incremental read over colliding basenames; refusing")
+    rows = [(os.path.basename(p),
+             *[_pv_get(pv, c, mapping) for c in part_cols])
+            for p, pv in files]
+    map_ddl = ", ".join(
+        ["`_delta_file` string"]
+        + [f"`_pv_{c}` string" for c in part_cols])
+    joined = (
+        df.withColumn(
+            "_delta_file",
+            F.element_at(F.split(F.input_file_name(), "/"), -1))
+        .join(F.broadcast(spark.createDataFrame(rows, map_ddl)),
+              "_delta_file", "left"))
+    for c in part_cols:
+        joined = joined.withColumn(
+            c, F.col(f"_pv_{c}").cast(part_types[c]))
+    return joined.select(*order)
 
 
 def optimize(spark: SparkSession, table_path: str,

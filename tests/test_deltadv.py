@@ -462,6 +462,39 @@ def test_restore_version_rolls_back_as_new_commit(spark, tmp_path):
     assert DL.restore_version(spark, table, cur) == cur
 
 
+def test_incremental_read_tails_appends(spark, tmp_path):
+    table = str(tmp_path / "inc")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", "x" if i % 2 == 0 else "y")
+         for i in range(9)],
+        "k bigint, v string, b string")
+    v0 = DL.write_delta(df.filter("k < 3"), table,
+                        partition_by=["b"])
+    v1 = DL.write_delta(df.filter("k >= 3 AND k < 6"), table,
+                        partition_by=["b"])
+    v2 = DL.write_delta(df.filter("k >= 6"), table,
+                        partition_by=["b"])
+    got = sorted(tuple(r) for r in DL.read_delta_changes(
+        spark, table, v0).collect())
+    assert [r[0] for r in got] == [3, 4, 5, 6, 7, 8]
+    assert got[0] == (3, "v3", "y")  # partition values attach
+    got01 = DL.read_delta_changes(spark, table, v0, v1).collect()
+    assert sorted(r.k for r in got01) == [3, 4, 5]
+    # optimize's dataChange=false swap is invisible to consumers
+    DL.optimize(spark, table)
+    v4 = DL.write_delta(df.filter("k < 1"), table,
+                        partition_by=["b"])
+    tail = DL.read_delta_changes(spark, table, v4 - 1, v4).collect()
+    assert sorted(r.k for r in tail) == [0]
+    # a data-changing delete in the range refuses loudly
+    DL.delete_where(spark, table, "k = 4")
+    with pytest.raises(ValueError, match="deletion vector|removes"):
+        DL.read_delta_changes(spark, table, v2)
+    cur = DL.resolve_snapshot(spark, table).version
+    with pytest.raises(ValueError, match="empty incremental"):
+        DL.read_delta_changes(spark, table, cur, cur)
+
+
 def test_vacuum_reclaims_unreferenced_files(spark, tmp_path):
     table = str(tmp_path / "vac")
     df = spark.createDataFrame(
