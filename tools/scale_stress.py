@@ -834,7 +834,28 @@ def _write_md(out: dict) -> None:
         "~11 s / ~5.6 s BENCH entries, the part a reader of an "
         "EXISTING table pays is the replay+scan tail (~0.2-2 s), "
         "the same order as iceberg's, and the rest is table "
-        "construction a real writer already paid.",
+        "construction a real writer already paid. The three NEW "
+        "r16 rows hold the same flat-metadata shape: "
+        "delta_dv_table_scan 13.1 -> 19.7 s and "
+        "iceberg_pos_delete_scan 12.3 -> 17.7 s across 2x..100x "
+        "while rows grow 50x — both floors are fixture construction "
+        "plus --only-session warm-up (the full-matrix r15 runs "
+        "amortized warm-up across dozens of earlier metrics; "
+        "tools/lakehouse_attribution.py splits posdel at sf0.1 as "
+        "fixture 11.4 s / replay <1 ms / scan 0.8 s), and the DV / "
+        "delete-file decode is KB-sized driver+broadcast work at "
+        "every factor. hudi_mor_snapshot_scan reads 1.6 -> 19.1 s "
+        "across 2x..100x (1.4M rows merged): the row was first "
+        "measured at 146.5 s, which the stage split attributed to a "
+        "QUADRATIC bytes-append in the fixture's log-block framing "
+        "(40 s per 100k records re-copying an immutable "
+        "accumulator) — fixed to a join (4 s per 400k) and "
+        "re-measured; what remains is the merge itself, bounded by "
+        "the fixture's ONE click log file (one decode task) plus "
+        "the record-key window — a realistic many-group zone "
+        "decodes per log file in parallel, and compaction "
+        "(hudi_mor_compact_roundtrip) is the lever that folds the "
+        "log debt back into pure FileScans.",
     ]
     if "candidates" in out:
         lines += _candidates_md(out["candidates"])
