@@ -542,6 +542,33 @@ def build_parser() -> argparse.ArgumentParser:
                     help="equality partition prune (repeatable); "
                          "files are skipped before any I/O")
 
+    dm = sub.add_parser(
+        "lake-maint",
+        help="Lakehouse maintenance/DML ops (round 16): "
+             "delta delete/optimize/vacuum/restore/changes, "
+             "iceberg delete/expire, hudi clean, hudi-mor compact",
+    )
+    dm.add_argument("op", choices=[
+        "delta-delete", "delta-optimize", "delta-vacuum",
+        "delta-restore", "delta-changes", "iceberg-delete",
+        "iceberg-expire", "hudi-clean", "hudi-mor-compact"])
+    dm.add_argument("path", help="table root")
+    dm.add_argument("--where", default=None,
+                    help="Spark SQL predicate (delta-delete / "
+                         "iceberg-delete)")
+    dm.add_argument("--version", type=int, default=None,
+                    help="target version (delta-restore) or range "
+                         "start (delta-changes)")
+    dm.add_argument("--keep", type=int, default=1,
+                    help="snapshots to retain (iceberg-expire)")
+    dm.add_argument("--ddl", default=None,
+                    help="columns as Spark DDL (hudi-mor-compact)")
+    dm.add_argument("--instant", default=None,
+                    help="new instant id (hudi-mor-compact)")
+    dm.add_argument("--dry-run", action="store_true",
+                    help="plan only (delta-vacuum / iceberg-expire "
+                         "/ hudi-clean)")
+
     ib = sub.add_parser(
         "iceberg-scan",
         help="Apache Iceberg table read (sources/iceberg.py: "
@@ -1165,6 +1192,53 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
 
             _emit(sqlitefile.read_sqlite(spark, args.path,
                                          args.table, args.ddl))
+        elif args.cmd == "lake-maint":
+            from distributed_computing_projects_spark.sources import (
+                deltalake,
+                hudi,
+                hudimor,
+                iceberg,
+            )
+
+            if args.op == "delta-delete":
+                v = deltalake.delete_where(spark, args.path,
+                                           args.where)
+                print(f"committed version {v}")
+            elif args.op == "delta-optimize":
+                v = deltalake.optimize(spark, args.path)
+                print("nothing to compact" if v < 0
+                      else f"committed version {v}")
+            elif args.op == "delta-vacuum":
+                for rel in deltalake.vacuum(spark, args.path,
+                                            dry_run=args.dry_run):
+                    print(rel)
+            elif args.op == "delta-restore":
+                v = deltalake.restore_version(spark, args.path,
+                                              args.version)
+                print(f"committed version {v}")
+            elif args.op == "delta-changes":
+                _emit(deltalake.read_delta_changes(
+                    spark, args.path, args.version))
+            elif args.op == "iceberg-delete":
+                s = iceberg.delete_where(spark, args.path,
+                                         args.where)
+                print(f"committed snapshot {s}")
+            elif args.op == "iceberg-expire":
+                for p in iceberg.expire_snapshots(
+                        args.path, keep=args.keep,
+                        dry_run=args.dry_run):
+                    print(p)
+            elif args.op == "hudi-clean":
+                for rel in hudi.clean(args.path,
+                                      dry_run=args.dry_run):
+                    print(rel)
+            elif args.op == "hudi-mor-compact":
+                stats = hudimor.compact(spark, args.path, args.ddl,
+                                        args.instant)
+                for part, entries in sorted(stats.items()):
+                    for st in entries:
+                        print(f"{part}\t{st['fileId']}\t"
+                              f"{st['path']}")
         elif args.cmd == "delta-scan":
             from distributed_computing_projects_spark.sources import (
                 deltalake,

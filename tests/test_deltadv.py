@@ -523,6 +523,33 @@ def test_vacuum_reclaims_unreferenced_files(spark, tmp_path):
         DL.restore_version(spark, table, 0)
 
 
+def test_cli_lake_maint(spark, tmp_path, capsys):
+    from distributed_computing_projects_spark.cli import main
+
+    table = str(tmp_path / "cli")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(6)], "k bigint, v string")
+    DL.write_delta(df.coalesce(1), table)
+    rc = main(["lake-maint", "delta-delete", table,
+               "--where", "k % 2 = 1"], spark=spark)
+    assert rc == 0
+    assert "committed version 1" in capsys.readouterr().out
+    rc = main(["lake-maint", "delta-optimize", table], spark=spark)
+    assert rc == 0
+    rc = main(["lake-maint", "delta-vacuum", table, "--dry-run"],
+              spark=spark)
+    assert rc == 0
+    assert capsys.readouterr()  # plan printed
+    v = DL.write_delta(
+        spark.createDataFrame([(10, "ten")], "k bigint, v string"),
+        table)
+    rc = main(["lake-maint", "delta-changes", table,
+               "--version", str(v - 1)], spark=spark)
+    assert rc == 0
+    assert "ten" in capsys.readouterr().out
+    assert len(_collect(DL.read_delta(spark, table))) == 4
+
+
 def test_crc32_matches_zlib():
     # the file layout stores CRC-32 of the bitmap data; sanity-pin
     # the polynomial choice against a known vector
