@@ -3360,6 +3360,54 @@ def q_delta_incremental_scan(spark, sf_dir):
     return back.select("event_id", "user_id", "event_type", "value")
 
 
+@query(
+    "delta_schema_evolution_scan",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(value AS DOUBLE) AS amount,
+           CAST(NULL AS VARCHAR) AS note
+    FROM events WHERE event_id % 11 = 5
+    """,
+    doc="Delta SCHEMA EVOLUTION scan "
+        "(sources/deltalake.rename_column + add_column) — the ALTER "
+        "TABLE tier, both metadata-only: RENAME upgrades the table "
+        "to name-mode column mapping on first use (every field "
+        "annotated with its current name as physicalName, so "
+        "existing files keep reading unchanged) then flips the "
+        "LOGICAL name while the physical stays; ADD COLUMN grows "
+        "the schema with a nullable field that pre-existing files "
+        "null at scan time (the reader pins the metaData schema, "
+        "so drift cannot flip types mid-scan). Neither touches a "
+        "data file — each is one KB-sized commit however large the "
+        "table, and time travel to before the rename still shows "
+        "the OLD logical name. The query writes events through the "
+        "sink, renames value -> amount, adds a note column, and "
+        "reads back through the mapping-aware reader against the "
+        "parquet-side oracle.",
+)
+def q_delta_schema_evolution_scan(spark, sf_dir):
+    import shutil
+
+    from distributed_computing_projects_spark.sources import (
+        deltalake as DL,
+    )
+
+    work = _session_scratch(spark, "delta_evolve", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    table = os.path.join(work, "table")
+    subset = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 11 == 5)
+        .select("event_id", "user_id", "value", "event_type")
+    )
+    DL.write_delta(subset, table, partition_by=["event_type"])
+    DL.rename_column(spark, table, "value", "amount")
+    DL.add_column(spark, table, "note", "string")
+    back = DL.read_delta(spark, table)
+    return back.select("event_id", "user_id", "event_type",
+                       "amount", "note")
+
+
 def _build_delta_cm_landing(spark, sf_dir, family):
     """Fixture stage for the column-mapping query: an events subset
     becomes a name-mode Delta table whose parquet files carry

@@ -1000,6 +1000,119 @@ def optimize(spark: SparkSession, table_path: str,
             return version
 
 
+def rename_column(spark: SparkSession, table_path: str,
+                  old: str, new: str) -> int:
+    """ALTER TABLE RENAME COLUMN — metadata-only, the operation
+    column mapping exists FOR: the first rename upgrades the table
+    to name mode (protocol reader v2 semantics via v3 + the
+    columnMapping feature; every field annotated with its CURRENT
+    name as ``physicalName``, so existing data files keep reading
+    unchanged), then the logical name flips while the physical name
+    stays — no data file is touched, a rename is one KB-sized
+    commit however large the table. Partition columns rename too
+    (partitionValues keys are physical and unchanged). Returns the
+    committed version."""
+    snap = resolve_snapshot(spark, table_path)
+    if snap.meta is None:
+        raise ValueError("rename_column on an empty table")
+    schema = json.loads(snap.meta["schemaString"])
+    names = [f["name"] for f in schema["fields"]]
+    if old not in names:
+        raise ValueError(f"no column {old!r} (have {names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    fields = []
+    for f in schema["fields"]:
+        f = dict(f)
+        md = dict(f.get("metadata") or {})
+        md.setdefault("delta.columnMapping.physicalName", f["name"])
+        f["metadata"] = md
+        if f["name"] == old:
+            f["name"] = new
+        fields.append(f)
+    meta = dict(snap.meta)
+    meta["schemaString"] = json.dumps(
+        {"type": "struct", "fields": fields})
+    conf = dict(meta.get("configuration") or {})
+    conf["delta.columnMapping.mode"] = "name"
+    conf.setdefault("delta.columnMapping.maxColumnId",
+                    str(len(fields)))
+    meta["configuration"] = conf
+    # partitionColumns may hold the renamed LOGICAL name: keep the
+    # physical form there (resolve_snapshot normalizes either way)
+    meta["partitionColumns"] = [
+        (c if c != old else
+         next(f0["metadata"]["delta.columnMapping.physicalName"]
+              for f0 in fields if f0["name"] == new))
+        for c in (meta.get("partitionColumns") or [])]
+    actions: list[dict] = []
+    proto = snap.protocol or {"minReaderVersion": 1,
+                              "minWriterVersion": 2}
+    rfeat = set(proto.get("readerFeatures") or [])
+    if proto.get("minReaderVersion", 1) < 2 \
+            or (proto.get("minReaderVersion", 1) == 3
+                and "columnMapping" not in rfeat):
+        rfeat.add("columnMapping")
+        wfeat = set(proto.get("writerFeatures") or [])
+        wfeat.add("columnMapping")
+        actions.append({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": sorted(rfeat),
+            "writerFeatures": sorted(wfeat)}})
+    actions.append({"metaData": meta})
+    while True:
+        v = _next_version(table_path)
+        if _commit_exclusive(table_path, v, actions):
+            return v
+
+
+def add_column(spark: SparkSession, table_path: str,
+               name: str, ddl_type: str) -> int:
+    """ALTER TABLE ADD COLUMN — metadata-only: the schema grows one
+    nullable field and every file written BEFORE it simply nulls
+    the column at scan time (the reader pins the metaData schema,
+    so schema drift cannot flip types mid-scan). KB-sized commit,
+    no data rewrite. Returns the committed version."""
+    from pyspark.sql.types import StructField, _parse_datatype_string
+
+    snap = resolve_snapshot(spark, table_path)
+    if snap.meta is None:
+        raise ValueError("add_column on an empty table")
+    schema = json.loads(snap.meta["schemaString"])
+    if name in [f["name"] for f in schema["fields"]]:
+        raise ValueError(f"column {name!r} already exists")
+    dt = _parse_datatype_string(ddl_type)
+    new_field = StructField(name, dt, True).jsonValue()
+    if snap.column_mapping:
+        max_id = int((snap.meta.get("configuration") or {}).get(
+            "delta.columnMapping.maxColumnId", "0")) + 1
+        taken = {(f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"])
+            for f in schema["fields"]}
+        pid = max_id
+        while f"col-{pid}" in taken:
+            pid += 1  # a collision would brick every later resolve
+        new_field["metadata"] = {
+            "delta.columnMapping.id": max_id,
+            # a FRESH physical name: files written before the add
+            # cannot collide with it even after later renames
+            "delta.columnMapping.physicalName": f"col-{pid}",
+        }
+    schema["fields"].append(new_field)
+    meta = dict(snap.meta)
+    meta["schemaString"] = json.dumps(schema)
+    if snap.column_mapping:
+        conf = dict(meta.get("configuration") or {})
+        conf["delta.columnMapping.maxColumnId"] = str(
+            int(conf.get("delta.columnMapping.maxColumnId", "0"))
+            + 1)
+        meta["configuration"] = conf
+    while True:
+        v = _next_version(table_path)
+        if _commit_exclusive(table_path, v, [{"metaData": meta}]):
+            return v
+
+
 def vacuum(spark: SparkSession, table_path: str,
            dry_run: bool = False) -> list[str]:
     """Delete data files not referenced by the CURRENT snapshot —

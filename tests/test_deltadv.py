@@ -523,6 +523,48 @@ def test_vacuum_reclaims_unreferenced_files(spark, tmp_path):
         DL.restore_version(spark, table, 0)
 
 
+def test_rename_and_add_column_metadata_only(spark, tmp_path):
+    table = str(tmp_path / "alter")
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "k bigint, v string, "
+                                        "b string")
+    DL.write_delta(df.coalesce(1), table, partition_by=["b"])
+    files_before = sorted(
+        p for p, _pv in DL.resolve_snapshot(spark, table).files)
+    v1 = DL.rename_column(spark, table, "v", "label")
+    got = DL.read_delta(spark, table)
+    assert got.columns == ["k", "label", "b"]
+    assert _collect(got) == [(1, "a", "x"), (2, "b", "y")]
+    # metadata-only: identical data files, mapping now on
+    snap = DL.resolve_snapshot(spark, table)
+    assert sorted(p for p, _pv in snap.files) == files_before
+    assert snap.column_mapping == {"k": "k", "label": "v",
+                                   "b": "b"}
+    # time travel to before the rename: old logical name
+    assert DL.read_delta(spark, table,
+                         version=v1 - 1).columns == ["k", "v", "b"]
+    # rename a PARTITION column too
+    DL.rename_column(spark, table, "b", "bucket")
+    got2 = DL.read_delta(spark, table)
+    assert got2.columns == ["k", "label", "bucket"]
+    assert _collect(DL.read_delta(spark, table,
+                                  partitions={"bucket": "y"})) == [
+        (2, "b", "y")]
+    # add a column: pre-existing files null it
+    DL.add_column(spark, table, "score", "double")
+    got3 = DL.read_delta(spark, table)
+    assert got3.columns == ["k", "label", "bucket", "score"]
+    assert all(r.score is None for r in got3.collect())
+    # delete_where still composes on the fully-evolved table
+    DL.delete_where(spark, table, "label = 'a'")
+    assert _collect(DL.read_delta(spark, table)) == [
+        (2, "b", "y", None)]
+    with pytest.raises(ValueError, match="already exists"):
+        DL.rename_column(spark, table, "k", "label")
+    with pytest.raises(ValueError, match="already exists"):
+        DL.add_column(spark, table, "k", "bigint")
+
+
 def test_cli_lake_maint(spark, tmp_path, capsys):
     from distributed_computing_projects_spark.cli import main
 
