@@ -2008,10 +2008,16 @@ def _build_iceberg_landing(spark, sf_dir, family):
     table = os.path.join(work, "table")
     mdir = os.path.join(table, "metadata")
     os.makedirs(mdir)
+    _ids = {"event_id": 1, "user_id": 2, "value": 3,
+            "event_type": 4}
     subset = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_id") % 7 == 0)
-        .select("event_id", "user_id", "value", "event_type")
+        # parquet.field.id stamped: spec-conformant data files, and
+        # the reader's field-ID resolution applies to them
+        .select(*[F.col(c).alias(c,
+                                 metadata={"parquet.field.id": i})
+                  for c, i in _ids.items()])
     )
     etypes = ["click", "error", "purchase", "signup", "view"]
     pfields = [("event_type", "string")]
@@ -2386,10 +2392,16 @@ def _build_iceberg_orc_landing(spark, sf_dir, family):
     table = os.path.join(work, "table")
     mdir = os.path.join(table, "metadata")
     os.makedirs(mdir)
+    _ids = {"event_id": 1, "user_id": 2, "value": 3,
+            "event_type": 4}
     subset = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_id") % 11 == 3)
-        .select("event_id", "user_id", "value", "event_type")
+        # parquet side carries spec-required field ids; the ORC
+        # writer ignores the metadata (ORC resolves by name)
+        .select(*[F.col(c).alias(c,
+                                 metadata={"parquet.field.id": i})
+                  for c, i in _ids.items()])
     )
 
     def _stage_one(df_part, rel, fmt):
@@ -3794,6 +3806,53 @@ def q_iceberg_expire_roundtrip(spark, sf_dir):
     IC.expire_snapshots(table, keep=1)
     back = IC.read_iceberg(spark, table)
     return back.select("event_id", "user_id", "event_type", "value")
+
+
+@query(
+    "iceberg_rename_scan",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(value AS DOUBLE) AS amount
+    FROM events WHERE event_id % 11 = 0
+    """,
+    doc="Iceberg RENAME COLUMN scan (sources/iceberg.rename_column "
+        "+ field-ID resolution) — the round-16 upgrade of the old "
+        "rename REFUSAL into the spec's own rule: Iceberg schemas "
+        "are keyed by FIELD ID and data files carry those ids in "
+        "their parquet footers, so a rename is a metadata-only new "
+        "schema (same ids, one new name) and the scan resolves "
+        "columns by id (spark.sql.parquet.fieldId.read), reading "
+        "files whose parquet column still carries the OLD name "
+        "correctly — while a NON-conformant id-less file now fails "
+        "loudly instead of silently matching names. The sink stamps "
+        "parquet.field.id on every data file it writes (the spec "
+        "requires ids), historical names keep manifest-layer "
+        "pruning working after partition-column renames, and the "
+        "ORC path — name-resolved — still refuses renamed "
+        "histories. The query writes events through the sink, "
+        "renames value -> amount, and reads back against the "
+        "aliased oracle.",
+)
+def q_iceberg_rename_scan(spark, sf_dir):
+    import shutil
+
+    from distributed_computing_projects_spark.sources import (
+        iceberg as IC,
+    )
+
+    work = _session_scratch(spark, "iceberg_rename", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    table = os.path.join(work, "table")
+    subset = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 11 == 0)
+        .select("event_id", "user_id", "value", "event_type")
+    )
+    IC.write_iceberg(subset, table, partition_by=["event_type"])
+    IC.rename_column(table, "value", "amount")
+    back = IC.read_iceberg(spark, table)
+    return back.select("event_id", "user_id", "event_type",
+                       "amount")
 
 
 def _build_cbor_landing(spark, sf_dir, family):

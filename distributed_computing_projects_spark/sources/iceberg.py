@@ -142,6 +142,22 @@ def _iceberg_to_spark_type(t):
     raise ValueError(f"unsupported iceberg type {t!r}")
 
 
+def _spark_schema(schema: dict, with_ids: bool):
+    """Iceberg schema JSON -> Spark StructType; ``with_ids`` stamps
+    each top-level field with ``parquet.field.id`` so Spark's
+    parquet reader resolves columns by FIELD ID — the spec's own
+    resolution rule, which makes renamed columns read correctly and
+    makes a non-conformant file (no ids in its footer) fail LOUDLY
+    instead of silently matching the wrong name."""
+    from pyspark.sql import types as T
+
+    return T.StructType([
+        T.StructField(
+            f["name"], _iceberg_to_spark_type(f["type"]), True,
+            {"parquet.field.id": f["id"]} if with_ids else None)
+        for f in schema["fields"]])
+
+
 def _id_name_pairs(schema: dict, prefix: str = ""):
     for f in schema["fields"]:
         yield f["id"], prefix + f["name"]
@@ -151,20 +167,19 @@ def _id_name_pairs(schema: dict, prefix: str = ""):
                                       prefix + f["name"] + ".")
 
 
-def _check_no_renames(meta: dict, current: dict) -> None:
-    """Name-based column resolution is sound only if no field ID
-    ever carried a different name — verify against every historical
-    schema kept in the metadata; refuse otherwise."""
+def _renames_detected(meta: dict, current: dict) -> str | None:
+    """Did any field ID ever carry a different name? Returns a
+    description of the first rename, or None. Parquet data files
+    resolve by FIELD ID (the spec's rule, via Spark's
+    parquet.field.id matching) so renames are safe there; the ORC
+    path resolves by name and must refuse when one happened."""
     current_names = dict(_id_name_pairs(current))
     for s in meta.get("schemas", []):
         for fid, name in _id_name_pairs(s):
             cur = current_names.get(fid)
             if cur is not None and cur != name:
-                raise ValueError(
-                    f"iceberg column rename detected (field id "
-                    f"{fid}: {name!r} -> {cur!r}); name-based "
-                    f"resolution would read the wrong column — "
-                    f"refusing")
+                return f"field id {fid}: {name!r} -> {cur!r}"
+    return None
 
 
 class IcebergSnapshot:
@@ -184,6 +199,14 @@ class IcebergSnapshot:
         self.deletes = deletes or []
         # path -> "PARQUET" | "ORC" (tables in the wild do mix)
         self.file_formats: dict[str, str] = {}
+        # description of a historical column rename, or None — the
+        # parquet path resolves by field ID so renames are safe;
+        # the ORC path (name resolution) refuses when one happened
+        self.renamed: str | None = None
+        # field id -> every name it ever carried (old manifests key
+        # partition structs by the name current AT WRITE TIME, so
+        # pruning after a rename must match historical names too)
+        self.hist_names: dict[int, set] = {}
 
 
 def _read_avro_records(path: str) -> list[dict]:
@@ -219,16 +242,23 @@ def resolve_snapshot(table_path: str,
                       if s.get("schema-id", 0) == sid)
     else:
         schema = meta["schema"]
-    _check_no_renames(meta, schema)
+    renamed = _renames_detected(meta, schema)
+    hist_names: dict[int, set] = {}
+    for s in meta.get("schemas", [schema]):
+        for fid, nm in _id_name_pairs(s):
+            hist_names.setdefault(fid, set()).add(nm)
     specs = {s.get("spec-id", 0): s
              for s in meta.get("partition-specs", [])}
     snaps = meta.get("snapshots") or []
     target = snapshot_id if snapshot_id is not None \
         else meta.get("current-snapshot-id")
     if target is None or target == -1:
-        return IcebergSnapshot(None, schema,
-                               specs.get(meta.get("default-spec-id",
-                                                  0)), [])
+        out = IcebergSnapshot(None, schema,
+                              specs.get(meta.get("default-spec-id",
+                                                 0)), [])
+        out.renamed = renamed
+        out.hist_names = hist_names
+        return out
     snap = next((s for s in snaps if s["snapshot-id"] == target),
                 None)
     if snap is None:
@@ -291,6 +321,8 @@ def resolve_snapshot(table_path: str,
     out = IcebergSnapshot(target, schema, spec, files, file_seqs,
                           sorted(deletes))
     out.file_formats = file_formats
+    out.renamed = renamed
+    out.hist_names = hist_names
     return out
 
 
@@ -300,8 +332,6 @@ def read_iceberg(spark: SparkSession, table_path: str,
     """DataFrame over one Iceberg table snapshot. ``snapshot_id``
     time-travels; ``partitions`` equality-prunes at the manifest
     layer (identity transforms only)."""
-    from pyspark.sql.types import StructField, StructType
-
     snap = resolve_snapshot(table_path, snapshot_id)
     files = snap.files
     if partitions:
@@ -318,7 +348,7 @@ def read_iceberg(spark: SparkSession, table_path: str,
             src = id_to_name.get(f.get("source-id"))
             if src is not None:
                 by_source.setdefault(src, f)
-        matches = {}
+        matches = []
         for col, v in partitions.items():
             f = spec_fields.get(col) or by_source.get(col)
             if f is None:
@@ -327,7 +357,7 @@ def read_iceberg(spark: SparkSession, table_path: str,
                     f"{col!r}")
             tr = f.get("transform", "identity")
             if tr == "identity":
-                matches[f["name"]] = v
+                mv = v
             else:
                 mb = re.match(r"^bucket\[(\d+)\]$", tr)
                 mt = re.match(r"^truncate\[(\d+)\]$", tr)
@@ -342,20 +372,32 @@ def read_iceberg(spark: SparkSession, table_path: str,
                         f"{tr} of null is undefined for pruning; "
                         "filter on the partition field value "
                         "instead")
-                matches[f["name"]] = (
-                    bucket_value(v, int(mb.group(1))) if mb
-                    else truncate_value(v, int(mt.group(1))))
-        files = [(p, pv) for p, pv in files
-                 if all(pv.get(name) == mv
-                        for name, mv in matches.items())]
+                mv = (bucket_value(v, int(mb.group(1))) if mb
+                      else truncate_value(v, int(mt.group(1))))
+            # old manifests key the partition struct by the name
+            # current AT WRITE TIME: match the field's every
+            # historical name (same field id), not just today's
+            cand = {f["name"]}
+            src = f.get("source-id")
+            if src is not None:
+                cand |= snap.hist_names.get(src, set())
+            matches.append((tuple(sorted(cand)), mv))
 
-    spark_schema = StructType([
-        StructField(f["name"], _iceberg_to_spark_type(f["type"]),
-                    True)
-        for f in snap.schema["fields"]])
-    order = [f.name for f in spark_schema.fields]
+        def _pv_value(pv, cand):
+            for n in cand:
+                if n in pv:
+                    return pv[n]
+            return None
+
+        files = [(p, pv) for p, pv in files
+                 if all(_pv_value(pv, cand) == mv
+                        for cand, mv in matches)]
+
+    id_schema = _spark_schema(snap.schema, with_ids=True)
+    name_schema = _spark_schema(snap.schema, with_ids=False)
+    order = [f.name for f in id_schema.fields]
     if not files:
-        return spark.createDataFrame([], spark_schema).select(*order)
+        return spark.createDataFrame([], name_schema).select(*order)
     paths = [p for p, _pv in files]
     pq = [p for p in paths
           if snap.file_formats.get(p, "PARQUET") == "PARQUET"]
@@ -367,15 +409,28 @@ def read_iceberg(spark: SparkSession, table_path: str,
         # beats resurrecting or over-deleting rows
         raise ValueError(
             "position deletes over ORC data files; refusing")
+    if orc and snap.renamed:
+        # ORC resolves by NAME; after a rename that reads the wrong
+        # (or no) column — the parquet path is immune via field IDs
+        raise ValueError(
+            f"iceberg column rename detected ({snap.renamed}) and "
+            f"the table carries ORC data files; name-based ORC "
+            f"resolution would read the wrong column — refusing")
     df = None
     if pq:
-        df = spark.read.schema(spark_schema).parquet(*pq)
+        # field-ID resolution (spark.sql.parquet.fieldId.read) is
+        # the spec's rule: data files MUST carry ids, renames are
+        # metadata-only, and an id-less non-conformant file errors
+        # loudly rather than matching names silently
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled",
+                       "true")
+        df = spark.read.schema(id_schema).parquet(*pq)
         if snap.deletes:
             df = _apply_position_deletes(spark, df, snap, pq)
     if orc:
         # the wild does mix: route ORC entries to Spark's native ORC
         # scan (still vectorized, still pruned) and union by name
-        odf = spark.read.schema(spark_schema).orc(*orc)
+        odf = spark.read.schema(name_schema).orc(*orc)
         df = odf if df is None else df.unionByName(odf)
     return df.select(*order)
 
@@ -597,15 +652,12 @@ def delete_where(spark: SparkSession, table_path: str,
     import uuid as uuidmod
 
     from pyspark.sql import functions as F
-    from pyspark.sql.types import StructField, StructType
 
     snap = resolve_snapshot(table_path)
     if not snap.files:
         raise ValueError("delete_where on an empty table")
-    spark_schema = StructType([
-        StructField(f["name"], _iceberg_to_spark_type(f["type"]),
-                    True)
-        for f in snap.schema["fields"]])
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    spark_schema = _spark_schema(snap.schema, with_ids=True)
     paths = [p for p, _pv in snap.files]
     basenames = [os.path.basename(p) for p in paths]
     if len(set(basenames)) != len(basenames):
@@ -707,6 +759,64 @@ def delete_where(spark: SparkSession, table_path: str,
             os.link(tmp, final)  # put-if-absent: losers re-version
             os.unlink(tmp)
             return snap_id
+        except FileExistsError:
+            os.unlink(tmp)
+
+
+def rename_column(table_path: str, old: str, new: str) -> int:
+    """ALTER TABLE RENAME COLUMN — Iceberg's native strength: the
+    schema is keyed by FIELD ID, so a rename is a new schema with
+    the same ids and one new name, published as a new metadata
+    version; data files (which carry ids, not meaning-bearing
+    names) are untouched and the reader's field-ID resolution keeps
+    reading them correctly. The old schema stays in ``schemas`` —
+    exactly the historical record `_renames_detected` reads for the
+    ORC-path guard. Returns the new metadata version number."""
+    with open(latest_metadata_path(table_path), "r",
+              encoding="utf-8") as f:
+        meta = json.load(f)
+    if "schemas" in meta:
+        sid = meta.get("current-schema-id", 0)
+        cur = next(s for s in meta["schemas"]
+                   if s.get("schema-id", 0) == sid)
+    else:
+        cur = meta["schema"]
+        meta["schemas"] = [cur]
+        meta["current-schema-id"] = cur.get("schema-id", 0)
+    names = [f["name"] for f in cur["fields"]]
+    if old not in names:
+        raise ValueError(f"no column {old!r} (have {names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    new_schema = {
+        "type": "struct",
+        "schema-id": max(s.get("schema-id", 0)
+                         for s in meta["schemas"]) + 1,
+        "fields": [
+            dict(f, name=new) if f["name"] == old else dict(f)
+            for f in cur["fields"]],
+    }
+    meta["schemas"].append(new_schema)
+    meta["current-schema-id"] = new_schema["schema-id"]
+    # partition spec field names follow the source column rename
+    for spec in meta.get("partition-specs", []):
+        for pf in spec.get("fields", []):
+            if pf.get("name") == old \
+                    and pf.get("transform") == "identity":
+                pf["name"] = new
+    mdir = os.path.join(table_path, "metadata")
+    while True:
+        versions = [int(_META_RE.match(x).group(1))
+                    for x in os.listdir(mdir) if _META_RE.match(x)]
+        v = max(versions, default=0) + 1
+        final = os.path.join(mdir, f"v{v}.metadata.json")
+        tmp = final + f".tmp-{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(meta, f)
+        try:
+            os.link(tmp, final)
+            os.unlink(tmp)
+            return v
         except FileExistsError:
             os.unlink(tmp)
 
@@ -875,17 +985,27 @@ def write_iceberg(df: DataFrame, table_path: str,
         meta = None
 
     # stage data files (duplicated staging column keeps partition
-    # columns in the files, as the spec requires)
+    # columns in the files, as the spec requires); every data column
+    # is stamped with its parquet.field.id so the files are
+    # SPEC-CONFORMANT (field ids are required) and the reader's
+    # field-ID resolution — rename-safe — applies to them
+    from pyspark.sql import functions as F
+
+    ids = {f["name"]: f["id"] for f in schema_fields}
+    stamped = df.select(*[
+        F.col(f.name).alias(
+            f.name, metadata={"parquet.field.id": ids[f.name]})
+        for f in df.schema.fields])
     stage = os.path.join(table_path,
                          f"_staging-{uuidmod.uuid4().hex}")
     if part_cols:
-        staged = df
+        staged = stamped
         for c in part_cols:
-            staged = staged.withColumn(f"_ice_{c}", df[c])
+            staged = staged.withColumn(f"_ice_{c}", F.col(c))
         (staged.write.partitionBy(*[f"_ice_{c}" for c in part_cols])
          .mode("overwrite").parquet(stage))
     else:
-        df.write.mode("overwrite").parquet(stage)
+        stamped.write.mode("overwrite").parquet(stage)
 
     entries = []
     snap_id = (max((s["snapshot-id"] for s in

@@ -29,9 +29,14 @@ def _write_parquet(spark, dest, rows):
     from pyspark.sql.types import (
         DoubleType, LongType, StringType, StructField, StructType,
     )
-    schema = StructType([StructField("k", LongType()),
-                         StructField("x", DoubleType()),
-                         StructField("et", StringType())])
+    # ids stamped: the spec REQUIRES field ids in data files, and
+    # the reader resolves parquet columns by them (rename-safe)
+    schema = StructType([
+        StructField("k", LongType(), True, {"parquet.field.id": 1}),
+        StructField("x", DoubleType(), True,
+                    {"parquet.field.id": 2}),
+        StructField("et", StringType(), True,
+                    {"parquet.field.id": 3})])
     stage = dest + ".stage"
     spark.createDataFrame(rows, schema).coalesce(1) \
         .write.mode("overwrite").parquet(stage)
@@ -391,18 +396,52 @@ def test_mixed_orc_and_parquet_data_files(spark, tmp_path):
         IC.read_iceberg(spark, table)
 
 
-def test_column_rename_detected_and_refused(spark, tmp_path):
+def test_column_rename_reads_by_field_id(spark, tmp_path):
+    """Renames are Iceberg's native strength: data files carry
+    field IDs, the schema is keyed by them, so a renamed column
+    reads correctly while the parquet column keeps its old name."""
     table = _make_table(spark, tmp_path)
-    old = {"type": "struct", "schema-id": 1, "fields": [
-        {"id": 1, "name": "key_old", "required": False,
-         "type": "long"}]}
-    mpath = IC.latest_metadata_path(table)
-    with open(mpath, "r", encoding="utf-8") as f:
-        meta = json.load(f)
-    meta["schemas"].append(old)
-    with open(mpath, "w", encoding="utf-8") as f:
-        json.dump(meta, f)
-    with pytest.raises(ValueError, match="rename"):
+    v = IC.rename_column(table, "k", "key")
+    assert v >= 3
+    df = IC.read_iceberg(spark, table)
+    assert df.columns == ["key", "x", "et"]
+    assert _collect(df) == [(1, 1.0, "click"),
+                            (2, 2.0, "view"), (3, 3.0, "view")]
+    # rename an identity PARTITION column: the spec field follows
+    IC.rename_column(table, "et", "kind")
+    assert _collect(IC.read_iceberg(
+        spark, table, partitions={"kind": "view"})) == [
+        (2, 2.0, "view"), (3, 3.0, "view")]
+    # delete_where composes on the renamed table
+    IC.delete_where(spark, table, "key = 2")
+    assert _collect(IC.read_iceberg(spark, table)) == [
+        (1, 1.0, "click"), (3, 3.0, "view")]
+    with pytest.raises(ValueError, match="already exists"):
+        IC.rename_column(table, "x", "key")
+    with pytest.raises(ValueError, match="no column"):
+        IC.rename_column(table, "zzz", "y")
+
+
+def test_rename_plus_orc_refuses(spark, tmp_path):
+    # ORC resolves by NAME; a renamed history + ORC files refuses
+    table = str(tmp_path / "mixren")
+    mdir = os.path.join(table, "metadata")
+    os.makedirs(mdir)
+    o = os.path.join(table, "data/et=view/o.orc")
+    _write_orc(spark, o, [(2, 2.0, "view")])
+    oe = _entry(1, o, "view")
+    oe["data_file"]["file_format"] = "ORC"
+    m1 = os.path.join(mdir, "m1.avro")
+    s1 = IC.write_manifest(m1, [oe], PFIELDS)
+    ml1 = os.path.join(mdir, "snap-1.avro")
+    IC.write_manifest_list(ml1, [_mref(m1, s1)])
+    _write_metadata(table, [
+        {"snapshot-id": 1, "sequence-number": 1, "timestamp-ms": 0,
+         "manifest-list": ml1, "schema-id": 0,
+         "summary": {"operation": "append"}}], 1)
+    assert len(_collect(IC.read_iceberg(spark, table))) == 1
+    IC.rename_column(table, "k", "key")
+    with pytest.raises(ValueError, match="ORC"):
         IC.read_iceberg(spark, table)
 
 
