@@ -2188,10 +2188,12 @@ def _build_iceberg_landing(spark, sf_dir, family):
         "and the pre-compaction 'view' files double-count if "
         "read), a compaction re-adding the same rows through one "
         "file, a DEAD delete manifest (content=1, all entries "
-        "deleted) that must be skipped while LIVE delete files "
-        "refuse loudly, an unreferenced orphan parquet, and "
-        "column-rename detection across historical schemas (name-"
-        "based resolution refuses when any field id ever renamed). "
+        "deleted) that must be skipped while live EQUALITY deletes "
+        "refuse loudly (position deletes APPLY — "
+        "iceberg_pos_delete_scan), an unreferenced orphan parquet, "
+        "and FIELD-ID column resolution (data files carry "
+        "parquet.field.id per the spec; the scan resolves by id, so "
+        "renamed tables read correctly — iceberg_rename_scan). "
         "Unlike Delta, data files CONTAIN identity partition "
         "columns, so no value injection happens; partitions= prunes "
         "at the MANIFEST layer before any data I/O.",
