@@ -1903,10 +1903,13 @@ def _build_delta_landing(spark, sf_dir, family):
         for rel, _s in part_files["purchase"]])
     # uncommitted orphan: in the directory, not in the log
     orphan_stage = os.path.join(work, "orphan-stage")
+    # repartition(1), not coalesce(1): coalesce over a parallelized
+    # local relation serializes a Python-worker round trip per slice
+    # into one task (~4 s at local[32]; see deltalake.write_checkpoint)
     (spark.createDataFrame(
         [(999_999_999, 1, -1.0)],
         StructType(schema.fields[:3]))
-     .coalesce(1).write.mode("overwrite").parquet(orphan_stage))
+     .repartition(1).write.mode("overwrite").parquet(orphan_stage))
     part = next(n for n in sorted(os.listdir(orphan_stage))
                 if n.startswith("part-") and n.endswith(".parquet"))
     os.replace(os.path.join(orphan_stage, part),
@@ -2262,8 +2265,9 @@ def _build_iceberg_posdel_landing(spark, sf_dir, family):
 
     def _stage_del(dest, rows):
         stage = dest + ".stage"
+        # repartition(1), not coalesce(1) — see _build_delta_landing
         (spark.createDataFrame(rows, "file_path string, pos bigint")
-         .coalesce(1).write.mode("overwrite").parquet(stage))
+         .repartition(1).write.mode("overwrite").parquet(stage))
         part = next(n for n in sorted(os.listdir(stage))
                     if n.startswith("part-")
                     and n.endswith(".parquet"))
@@ -2536,7 +2540,8 @@ def _build_hudi_landing(spark, sf_dir, family):
 
     def _stage_group(df_half, rel):
         stage = os.path.join(work, "stage")
-        df_half.coalesce(1).write.mode("overwrite").parquet(stage)
+        # repartition(1), not coalesce(1) — see _build_delta_landing
+        df_half.repartition(1).write.mode("overwrite").parquet(stage)
         part = next(n for n in sorted(os.listdir(stage))
                     if n.startswith("part-")
                     and n.endswith(".parquet"))
@@ -3074,10 +3079,11 @@ def _build_delta_dv_landing(spark, sf_dir, family):
     DL.commit_json(table, 2, [
         DL.remove_action(rel) for rel in part_files["error"]])
     orphan_stage = os.path.join(work, "orphan-stage")
+    # repartition(1), not coalesce(1) — see _build_delta_landing
     (spark.createDataFrame(
         [(999_999_999, 1, -1.0)],
         StructType(schema.fields[:3]))
-     .coalesce(1).write.mode("overwrite").parquet(orphan_stage))
+     .repartition(1).write.mode("overwrite").parquet(orphan_stage))
     part = next(n for n in sorted(os.listdir(orphan_stage))
                 if n.startswith("part-") and n.endswith(".parquet"))
     os.replace(os.path.join(orphan_stage, part),

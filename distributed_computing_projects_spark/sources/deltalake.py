@@ -612,8 +612,14 @@ def write_checkpoint(spark: SparkSession, table_path: str,
                       os.path.getsize(abs_path), 0, True, dv_row)))
     log_dir = os.path.join(table_path, "_delta_log")
     stage = os.path.join(log_dir, f".ckpt-stage-{version}")
+    # repartition(1), NOT coalesce(1): a local-relation DataFrame is
+    # parallelized over defaultParallelism slices, and coalesce folds
+    # all of them into ONE task that pays each slice's Python-worker
+    # round trip SEQUENTIALLY (~4 s for a KB-sized checkpoint at
+    # local[32]); repartition evaluates the slices in parallel and
+    # shuffles the KBs to one writer task (~0.4 s measured)
     (spark.createDataFrame(rows, ckpt_t)
-     .coalesce(1).write.mode("overwrite").parquet(stage))
+     .repartition(1).write.mode("overwrite").parquet(stage))
     part = next(n for n in sorted(os.listdir(stage))
                 if n.startswith("part-") and n.endswith(".parquet"))
     final = os.path.join(log_dir,

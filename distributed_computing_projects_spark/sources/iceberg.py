@@ -687,9 +687,13 @@ def delete_where(spark: SparkSession, table_path: str,
 
     stage = os.path.join(table_path,
                          f"_staging-{uuidmod.uuid4().hex}")
+    # repartition(1), not coalesce(1): coalesce over a parallelized
+    # local relation serializes one Python-worker round trip per
+    # slice into a single task (~4 s at local[32]; see
+    # deltalake.write_checkpoint)
     (spark.createDataFrame(del_rows, "`file_path` string, "
                                      "`pos` bigint")
-     .coalesce(1).write.mode("overwrite").parquet(stage))
+     .repartition(1).write.mode("overwrite").parquet(stage))
     part = next(n for n in sorted(os.listdir(stage))
                 if n.startswith("part-") and n.endswith(".parquet"))
     os.makedirs(os.path.join(table_path, "data"), exist_ok=True)
