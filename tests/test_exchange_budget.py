@@ -41,11 +41,15 @@ EXCHANGE_BUDGET = {
     "docx_extract_text": 1,
     "epub_extract_text": 1,
     "events_hourly": 1,
-    # 3 power iterations x (rank-join shuffle + destination hash-agg)
-    # + edge distinct + degree agg + the final top-k window; at cluster
-    # scale the edge table would be bucketed by src so the per-round
-    # join side stops re-shuffling — here each round pays its exchange
-    "graph_pagerank_topk": 12,
+    # r16 optimization: 12 -> 8. The node set now projects from the
+    # degree aggregate (distinct exchange gone) and the degree joins
+    # the persisted edge table ONCE instead of per round (3 exchanges
+    # gone), at +1 for that (src, dst, d) build join. Remaining: edge
+    # distinct + degree agg + ed build + 3 x (rank join + dest agg
+    # collapsing into one exchange pair each) + final top-k window;
+    # at cluster scale the edge table would be bucketed by src so the
+    # per-round join side stops re-shuffling
+    "graph_pagerank_topk": 8,
     "grep": 0,
     # the RETURNED plan is binaryFile scan -> Arrow line walk ->
     # from_json filter: zero exchanges — per-FILE parallelism is the
