@@ -139,6 +139,82 @@ def _events_roundtrip_facts(back):
     )
 
 
+# ------------------------------------------------ pyarrow staging
+# Driver-side fixture staging for the lakehouse landing builders
+# (r16 optimization round): the staged tables are KBs-to-MBs of an
+# events subset, and staging them through Spark write jobs cost
+# 0.3-0.5 s of fixed job latency PER FILE SET — the dominant term of
+# every lakehouse bench entry after the coalesce(1) fix, none of it
+# work a real table's reader pays (tools/lakehouse_attribution.py).
+# pyarrow writes the same parquet driver-side in milliseconds, and
+# is ALSO the better differential fixture: the engine's Spark-native
+# read paths now scan parquet produced by an independent writer
+# rather than by Spark itself. The READ side of every query is
+# unchanged and stays Spark-native. At the SCALE-stress 100x factor
+# the staged subsets are ~10^6 rows — comfortably driver-sized (the
+# same bound the builders' own driver-side log/manifest staging
+# already assumes).
+
+
+def _pa_events_subset(sf_dir, mod, rem, cols):
+    """events.parquet filtered to ``event_id % mod == rem`` and
+    projected to ``cols``, as a pyarrow Table (driver-side)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                      columns=list(cols))
+    eid = t.column("event_id").to_numpy()
+    return t.filter(pa.array(eid % mod == rem))
+
+
+def _pa_col_eq(tbl, col, value):
+    """tbl rows where ``col == value`` (pyarrow compute filter)."""
+    import pyarrow.compute as pc
+
+    return tbl.filter(pc.equal(tbl.column(col), value))
+
+
+def _pa_halves(tbl):
+    """The fixture's two-files-per-partition split: rows with even /
+    odd event_id. (The former ``repartition(2, event_id % 2)`` hash
+    split happened to land BOTH parities in one task — Murmur3 of 0
+    and 1 agree mod 2 — so the old layout quietly wrote one file per
+    partition; this split makes the documented two-files shape real.
+    Only the file-level grouping changes — every reader resolves
+    files through its log or manifest, and the row SET per partition
+    is unchanged.)"""
+    import pyarrow as pa
+
+    eid = tbl.column("event_id").to_numpy()
+    return [tbl.filter(pa.array(eid % 2 == h)) for h in (0, 1)]
+
+
+def _pa_write(tbl, dest, field_ids=None):
+    """Write one parquet file; returns its size. ``field_ids``
+    (name -> int) stamps parquet field ids the way the Spark writer
+    does for ``parquet.field.id`` column metadata — required for
+    spec-conformant Iceberg data files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if field_ids:
+        schema = pa.schema([
+            pa.field(f.name, f.type, f.nullable,
+                     {b"PARQUET:field_id":
+                      str(field_ids[f.name]).encode()})
+            for f in tbl.schema])
+        tbl = pa.table(tbl.columns, schema=schema)
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    pq.write_table(tbl, dest)
+    return os.path.getsize(dest)
+
+
+def _pa_rows(tbl):
+    """The table as a list of per-row dicts (fixture log staging)."""
+    return tbl.to_pylist()
+
+
 
 @query(
     "orc_events_roundtrip",
@@ -1009,54 +1085,73 @@ def _build_tfrecord_landing(spark, sf_dir, family):
     on every record (reader DDL discards it), and one junk file that
     is not a TFRecord at all (file-granular drop). Returns (work,
     landing)."""
-    import json as jsonmod
     import shutil
-
-    from distributed_computing_projects_spark.sources import (
-        tfrecord as TFR,
-    )
 
     work = _session_scratch(spark, family, sf_dir)
     shutil.rmtree(work, ignore_errors=True)
-    stage = os.path.join(work, "stage")
     landing = os.path.join(work, "landing")
+    os.makedirs(landing)
+
+    # Shards are encoded EXECUTOR-SIDE, one task per shard (r16
+    # optimization): the former shape staged JSONL through a Spark
+    # write, re-parsed it driver-side, and ran the Example encode +
+    # CRC framing single-threaded (~2 s of the bench entry at sf0.1);
+    # mapInPandas fans the identical encode across the 4 shard tasks
+    # and skips the JSON round-trip entirely. Same decoy set per
+    # shard (corrupt head / torn tail / junk file), same surviving
+    # rows — the oracle hash is unchanged. Atomic tmp+rename publish
+    # keeps task retries idempotent (the zstdseek sink discipline).
+    def write_shard(batches):
+        from pyspark import TaskContext
+
+        from distributed_computing_projects_spark.sources import (
+            tfrecord as TFR,
+        )
+
+        def decoy(eid):
+            return TFR.build_example(
+                {"event_id": eid, "user_id": eid,
+                 "event_type": "bogus", "value": -1.0,
+                 "extra_tokens": [9, 9, 9]})
+
+        tc = TaskContext.get()
+        i = tc.partitionId()
+        payloads = []
+        for pdf in batches:
+            vals = pdf["value"].astype(object).where(
+                pdf["value"].notna(), None)
+            payloads += [TFR.build_example(
+                {"event_id": int(e), "user_id": int(u),
+                 "event_type": t, "value": v,
+                 "extra_tokens": [int(e) % 7, 1, 2]})
+                for e, u, t, v in zip(
+                    pdf["event_id"], pdf["user_id"],
+                    pdf["event_type"], vals)]
+        if payloads:
+            corrupt = bytearray(
+                TFR.frame_record(decoy(999_000_000 + i)))
+            corrupt[12] ^= 0xFF  # flip the first payload byte
+            torn = TFR.frame_record(decoy(998_000_000 + i))[:-7]
+            final = os.path.join(landing, f"part-{i}.tfrecord")
+            tmp = f"{final}.tmp-{tc.taskAttemptId()}"
+            with open(tmp, "wb") as f:
+                f.write(bytes(corrupt)
+                        + TFR.build_tfrecord(payloads) + torn)
+            os.replace(tmp, final)
+        import pandas as pd
+
+        yield pd.DataFrame({"n": [len(payloads)]})
+
     (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_id") % 3 == 1)
         .select("event_id", "user_id", "event_type", "value")
         .repartition(4)
-        .write.json(stage)
+        .mapInPandas(write_shard, "n bigint")
+        .count()
     )
-    os.makedirs(landing)
-
-    def decoy(eid):
-        return TFR.build_example(
-            {"event_id": eid, "user_id": eid, "event_type": "bogus",
-             "value": -1.0, "extra_tokens": [9, 9, 9]})
-
-    i = 0
-    for name in sorted(os.listdir(stage)):
-        if not name.startswith("part-"):
-            continue
-        with open(os.path.join(stage, name), "rb") as f:
-            recs = [jsonmod.loads(ln) for ln in f.read().splitlines()
-                    if ln]
-        payloads = [TFR.build_example(
-            {"event_id": r["event_id"], "user_id": r["user_id"],
-             "event_type": r["event_type"], "value": r.get("value"),
-             "extra_tokens": [r["event_id"] % 7, 1, 2]})
-            for r in recs]
-        corrupt = bytearray(TFR.frame_record(decoy(999_000_000 + i)))
-        corrupt[12] ^= 0xFF  # flip the first payload byte
-        torn = TFR.frame_record(decoy(998_000_000 + i))[:-7]
-        with open(os.path.join(landing, f"part-{i}.tfrecord"),
-                  "wb") as f:
-            f.write(bytes(corrupt)
-                    + TFR.build_tfrecord(payloads) + torn)
-        i += 1
     with open(os.path.join(landing, "junk.tfrecord"), "wb") as f:
         f.write(b"this is not a tfrecord file at all\n" * 4)
-    shutil.rmtree(stage, ignore_errors=True)
     return work, landing
 
 
@@ -1815,6 +1910,8 @@ def _build_delta_landing(spark, sf_dir, family):
     Returns (work, table_path)."""
     import shutil
 
+    import pyarrow as pa
+
     from distributed_computing_projects_spark.sources import (
         deltalake as DL,
     )
@@ -1823,32 +1920,12 @@ def _build_delta_landing(spark, sf_dir, family):
     shutil.rmtree(work, ignore_errors=True)
     table = os.path.join(work, "table")
     os.makedirs(table)
-    subset = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_id") % 7 == 1)
-        .select("event_id", "user_id", "event_type", "value")
-    )
+    # fixture staging is driver-side pyarrow (see "pyarrow staging"
+    # above): the former per-build Spark write jobs were the bench
+    # entry's dominant term and none of a real reader's cost
+    subset = _pa_events_subset(
+        sf_dir, 7, 1, ("event_id", "user_id", "value", "event_type"))
     etypes = ["click", "error", "purchase", "signup", "view"]
-
-    def _stage_files(df_part, etype, names):
-        """Write df_part as len(names) data files under the
-        partition dir; returns [(relpath, size)]."""
-        stage = os.path.join(work, f"stage-{etype}-{len(names)}")
-        (df_part.repartition(len(names))
-         .write.mode("overwrite").parquet(stage))
-        parts = [n for n in sorted(os.listdir(stage))
-                 if n.startswith("part-") and n.endswith(".parquet")]
-        out = []
-        os.makedirs(os.path.join(table, f"event_type={etype}"),
-                    exist_ok=True)
-        for src, dst in zip(parts, names):
-            rel = f"event_type={etype}/{dst}"
-            os.replace(os.path.join(stage, src),
-                       os.path.join(table, rel))
-            out.append((rel, os.path.getsize(
-                os.path.join(table, rel))))
-        shutil.rmtree(stage, ignore_errors=True)
-        return out
 
     schema = StructType([
         StructField("event_id", LongType()),
@@ -1859,63 +1936,45 @@ def _build_delta_landing(spark, sf_dir, family):
     v0_acts = [DL.protocol_action(),
                DL.metadata_action(schema, ["event_type"])]
     part_files = {}
-    # ONE staged write for all five partitions (partitionBy drops
-    # the partition column from the data files — exactly the Delta
-    # layout): the per-partition-loop version cost ~10 tiny Spark
-    # jobs of bench fixture floor
-    stage = os.path.join(work, "stage-v0")
-    (subset.repartition(2, F.col("event_id") % 2)
-     .write.partitionBy("event_type").parquet(stage))
     for et in etypes:
-        sdir = os.path.join(stage, f"event_type={et}")
-        parts = [n for n in sorted(os.listdir(sdir))
-                 if n.startswith("part-") and n.endswith(".parquet")]
+        # partition column dropped from the data files — exactly the
+        # Delta layout
+        sub = _pa_col_eq(subset, "event_type", et).select(
+            ["event_id", "user_id", "value"])
         files = []
-        os.makedirs(os.path.join(table, f"event_type={et}"),
-                    exist_ok=True)
-        for half, src in enumerate(parts):
+        for half, piece in enumerate(_pa_halves(sub)):
+            if piece.num_rows == 0:
+                continue
             rel = f"event_type={et}/part-{et}-{half}.parquet"
-            os.replace(os.path.join(sdir, src),
-                       os.path.join(table, rel))
-            files.append((rel, os.path.getsize(
-                os.path.join(table, rel))))
+            size = _pa_write(piece, os.path.join(table, rel))
+            files.append((rel, size))
         part_files[et] = files
         for rel, size in files:
             v0_acts.append(
                 DL.add_action(rel, {"event_type": et}, size))
-    shutil.rmtree(stage, ignore_errors=True)
     DL.commit_json(table, 0, v0_acts)
     DL.commit_json(table, 1, [
         DL.remove_action(rel) for rel, _s in part_files["error"]])
-    compacted = _stage_files(
-        subset.filter(F.col("event_type") == "view")
-        .select("event_id", "user_id", "value"),
-        "view", ["part-view-compact.parquet"])
+    view_all = _pa_col_eq(subset, "event_type", "view").select(
+        ["event_id", "user_id", "value"])
+    compact_rel = "event_type=view/part-view-compact.parquet"
+    compact_size = _pa_write(view_all, os.path.join(table, compact_rel))
     DL.commit_json(table, 2, [
         *[DL.remove_action(rel) for rel, _s in part_files["signup"]],
         *[DL.remove_action(rel) for rel, _s in part_files["view"]],
-        *[DL.add_action(rel, {"event_type": "view"}, size)
-          for rel, size in compacted],
+        DL.add_action(compact_rel, {"event_type": "view"},
+                      compact_size),
     ])
     DL.write_checkpoint(spark, table, 2)
     DL.commit_json(table, 3, [
         DL.remove_action(rel)
         for rel, _s in part_files["purchase"]])
     # uncommitted orphan: in the directory, not in the log
-    orphan_stage = os.path.join(work, "orphan-stage")
-    # repartition(1), not coalesce(1): coalesce over a parallelized
-    # local relation serializes a Python-worker round trip per slice
-    # into one task (~4 s at local[32]; see deltalake.write_checkpoint)
-    (spark.createDataFrame(
-        [(999_999_999, 1, -1.0)],
-        StructType(schema.fields[:3]))
-     .repartition(1).write.mode("overwrite").parquet(orphan_stage))
-    part = next(n for n in sorted(os.listdir(orphan_stage))
-                if n.startswith("part-") and n.endswith(".parquet"))
-    os.replace(os.path.join(orphan_stage, part),
-               os.path.join(table, "event_type=click",
-                            "orphan.parquet"))
-    shutil.rmtree(orphan_stage, ignore_errors=True)
+    _pa_write(
+        pa.table({"event_id": pa.array([999_999_999], pa.int64()),
+                  "user_id": pa.array([1], pa.int64()),
+                  "value": pa.array([-1.0], pa.float64())}),
+        os.path.join(table, "event_type=click", "orphan.parquet"))
     return work, table
 
 
@@ -2002,6 +2061,8 @@ def _build_iceberg_landing(spark, sf_dir, family):
     Returns (work, table_path)."""
     import shutil
 
+    import pyarrow as pa
+
     from distributed_computing_projects_spark.sources import (
         iceberg as IC,
     )
@@ -2011,37 +2072,16 @@ def _build_iceberg_landing(spark, sf_dir, family):
     table = os.path.join(work, "table")
     mdir = os.path.join(table, "metadata")
     os.makedirs(mdir)
+    # parquet.field.id stamped on every data column (_pa_write):
+    # spec-conformant data files, and the reader's field-ID
+    # resolution applies to them; staging is driver-side pyarrow —
+    # see "pyarrow staging" above
     _ids = {"event_id": 1, "user_id": 2, "value": 3,
             "event_type": 4}
-    subset = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_id") % 7 == 0)
-        # parquet.field.id stamped: spec-conformant data files, and
-        # the reader's field-ID resolution applies to them
-        .select(*[F.col(c).alias(c,
-                                 metadata={"parquet.field.id": i})
-                  for c, i in _ids.items()])
-    )
+    subset = _pa_events_subset(
+        sf_dir, 7, 0, ("event_id", "user_id", "value", "event_type"))
     etypes = ["click", "error", "purchase", "signup", "view"]
     pfields = [("event_type", "string")]
-
-    def _stage_files(df_part, etype, names):
-        stage = os.path.join(work, f"stage-{etype}-{len(names)}")
-        (df_part.repartition(len(names))
-         .write.mode("overwrite").parquet(stage))
-        parts = [n for n in sorted(os.listdir(stage))
-                 if n.startswith("part-") and n.endswith(".parquet")]
-        out = []
-        os.makedirs(os.path.join(table, "data",
-                                 f"event_type={etype}"),
-                    exist_ok=True)
-        for src, dst in zip(parts, names):
-            dest = os.path.join(table, "data",
-                                f"event_type={etype}", dst)
-            os.replace(os.path.join(stage, src), dest)
-            out.append(dest)
-        shutil.rmtree(stage, ignore_errors=True)
-        return out
 
     def _entry(status, path, etype):
         return {"status": status, "snapshot_id": 1,
@@ -2053,38 +2093,29 @@ def _build_iceberg_landing(spark, sf_dir, family):
                                   os.path.getsize(path)}}
 
     part_files = {}
-    # ONE staged write for all five partitions: partitionBy consumes
-    # a DUPLICATE column (et_part) so event_type itself stays IN the
-    # data files, as the Iceberg spec requires for identity
-    # partitions — the per-partition loop cost ~10 tiny Spark jobs
-    # of bench fixture floor
-    stage = os.path.join(work, "stage-s1")
-    (subset.withColumn("et_part", F.col("event_type"))
-     .repartition(2, F.col("event_id") % 2)
-     .write.partitionBy("et_part").parquet(stage))
     for et in etypes:
-        sdir = os.path.join(stage, f"et_part={et}")
-        parts = [n for n in sorted(os.listdir(sdir))
-                 if n.startswith("part-") and n.endswith(".parquet")]
-        os.makedirs(os.path.join(table, "data",
-                                 f"event_type={et}"),
-                    exist_ok=True)
+        # the data files CONTAIN event_type, as the Iceberg spec
+        # requires for identity partitions (the Delta contrast)
+        sub = _pa_col_eq(subset, "event_type", et)
         part_files[et] = []
-        for half, src in enumerate(parts):
+        for half, piece in enumerate(_pa_halves(sub)):
+            if piece.num_rows == 0:
+                continue
             dest = os.path.join(table, "data", f"event_type={et}",
                                 f"f-{et}-{half}.parquet")
-            os.replace(os.path.join(sdir, src), dest)
+            _pa_write(piece, dest, field_ids=_ids)
             part_files[et].append(dest)
-    shutil.rmtree(stage, ignore_errors=True)
-    compacted = _stage_files(
-        subset.filter(F.col("event_type") == "view"), "view",
-        ["f-view-compact.parquet"])
-    _stage_files(
-        spark.createDataFrame(
-            [(999_999_999, 1, -1.0, "click")],
-            "event_id bigint, user_id bigint, value double, "
-            "event_type string"),
-        "click", ["orphan.parquet"])
+    compacted = [os.path.join(table, "data", "event_type=view",
+                              "f-view-compact.parquet")]
+    _pa_write(_pa_col_eq(subset, "event_type", "view"), compacted[0],
+              field_ids=_ids)
+    _pa_write(
+        pa.table({"event_id": pa.array([999_999_999], pa.int64()),
+                  "user_id": pa.array([1], pa.int64()),
+                  "value": pa.array([-1.0], pa.float64()),
+                  "event_type": pa.array(["click"], pa.string())}),
+        os.path.join(table, "data", "event_type=click",
+                     "orphan.parquet"))
 
     m1 = os.path.join(mdir, "m1.avro")
     s1 = IC.write_manifest(
@@ -2248,7 +2279,9 @@ def _build_iceberg_posdel_landing(spark, sf_dir, family):
     older delete cannot touch a newer rewrite, so applying it is a
     catchable wrong answer. Returns (work, table_path)."""
     import json as jsonmod
-    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     from distributed_computing_projects_spark.sources import (
         iceberg as IC,
@@ -2264,28 +2297,23 @@ def _build_iceberg_posdel_landing(spark, sf_dir, family):
                + by_et["signup"])
 
     def _stage_del(dest, rows):
-        stage = dest + ".stage"
-        # repartition(1), not coalesce(1) — see _build_delta_landing
-        (spark.createDataFrame(rows, "file_path string, pos bigint")
-         .repartition(1).write.mode("overwrite").parquet(stage))
-        part = next(n for n in sorted(os.listdir(stage))
-                    if n.startswith("part-")
-                    and n.endswith(".parquet"))
-        os.replace(os.path.join(stage, part), dest)
-        shutil.rmtree(stage, ignore_errors=True)
+        # driver-side pyarrow write — see "pyarrow staging" above
+        _pa_write(pa.table(
+            {"file_path": pa.array([r[0] for r in rows],
+                                   pa.string()),
+             "pos": pa.array([r[1] for r in rows], pa.int64())}),
+            dest)
 
-    pos_rows = (
-        spark.read
-        .schema("event_id bigint, user_id bigint, value double, "
-                "event_type string")
-        .parquet(*targets)
-        .select(F.input_file_name().alias("f"),
-                F.col("_metadata.row_index").alias("i"), "event_id")
-        .filter(F.col("event_id") % 11 == 0)
-        .collect())
-    base_to_path = {os.path.basename(p): p for p in targets}
-    del_rows = [(base_to_path[os.path.basename(r.f)], int(r.i))
-                for r in pos_rows]
+    # dead positions per target file, driver-side: a row's index in
+    # its file is its write-order position — the same per-file index
+    # the reader's _metadata.row_index addresses (file column reads
+    # are KB-sized; no probe scan job)
+    del_rows = []
+    for p in targets:
+        eids = pq.read_table(p, columns=["event_id"]) \
+            .column("event_id").to_pylist()
+        del_rows += [(p, i) for i, e in enumerate(eids)
+                     if e % 11 == 0]
     del_rows.append((os.path.join(table, "data", "ghost.parquet"),
                      3))
     live = os.path.join(table, "data", "pdel-live.parquet")
@@ -2523,6 +2551,9 @@ def _build_hudi_landing(spark, sf_dir, family):
     (must stay invisible). Returns (work, table_path)."""
     import shutil
 
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     from distributed_computing_projects_spark.sources import (
         hudi as HU,
     )
@@ -2531,63 +2562,39 @@ def _build_hudi_landing(spark, sf_dir, family):
     shutil.rmtree(work, ignore_errors=True)
     table = os.path.join(work, "table")
     HU.init_table(table)
-    subset = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_id") % 7 == 3)
-        .select("event_id", "user_id", "event_type", "value")
-    )
+    # driver-side pyarrow staging — see "pyarrow staging" above;
+    # the data files keep event_type (Hudi partition dirs carry it
+    # too, but the files are self-contained)
+    subset = _pa_events_subset(
+        sf_dir, 7, 3, ("event_id", "user_id", "event_type", "value"))
     etypes = ["click", "error", "purchase", "signup", "view"]
 
-    def _stage_group(df_half, rel):
-        stage = os.path.join(work, "stage")
-        # repartition(1), not coalesce(1) — see _build_delta_landing
-        df_half.repartition(1).write.mode("overwrite").parquet(stage)
-        part = next(n for n in sorted(os.listdir(stage))
-                    if n.startswith("part-")
-                    and n.endswith(".parquet"))
-        dest = os.path.join(table, rel)
-        os.makedirs(os.path.dirname(dest), exist_ok=True)
-        os.replace(os.path.join(stage, part), dest)
-        shutil.rmtree(stage, ignore_errors=True)
-
-    def _stage_instant(df, instant, stats):
-        """ONE partitionBy write stages every file group of one
-        instant (a DUPLICATE et_part column keeps event_type in the
-        data files); each task's file per partition dir becomes one
-        group — the per-group loop cost ~13 tiny Spark jobs of
-        bench fixture floor."""
-        stage = os.path.join(work, f"stage-{instant}")
-        (df.withColumn("et_part", F.col("event_type"))
-         .repartition(2, F.col("event_id") % 2)
-         .write.partitionBy("et_part").parquet(stage))
-        for name in sorted(os.listdir(stage)):
-            if not name.startswith("et_part="):
+    def _stage_instant(tbl, instant, stats):
+        """One file group per (event_type, half) of one instant."""
+        for et in etypes:
+            sub = _pa_col_eq(tbl, "event_type", et)
+            if sub.num_rows == 0:
                 continue
-            et = name.split("=", 1)[1]
-            sdir = os.path.join(stage, name)
-            parts = [n for n in sorted(os.listdir(sdir))
-                     if n.startswith("part-")
-                     and n.endswith(".parquet")]
-            os.makedirs(os.path.join(table, f"p={et}"),
-                        exist_ok=True)
             stats.setdefault(f"p={et}", [])
-            for half, src in enumerate(parts):
+            for half, piece in enumerate(_pa_halves(sub)):
+                if piece.num_rows == 0:
+                    continue
                 fid = f"g-{et}-{half}"
                 rel = f"p={et}/{HU.base_file_name(fid, instant)}"
-                os.replace(os.path.join(sdir, src),
-                           os.path.join(table, rel))
+                _pa_write(piece, os.path.join(table, rel))
                 stats[f"p={et}"].append(
                     {"fileId": fid, "path": rel, "numWrites": 1})
-        shutil.rmtree(stage, ignore_errors=True)
 
     stats1: dict = {}
     _stage_instant(subset, "001", stats1)
     HU.commit_instant(table, "001", stats1)
     stats2: dict = {}
-    _stage_instant(
-        subset.filter(F.col("event_type") == "click")
-        .withColumn("value", F.col("value") * 2),
-        "002", stats2)
+    clicks = _pa_col_eq(subset, "event_type", "click")
+    # value doubled — IEEE-exact whichever engine computes it
+    clicks = clicks.set_column(
+        clicks.schema.get_field_index("value"), "value",
+        pc.multiply(clicks.column("value"), pa.scalar(2.0)))
+    _stage_instant(clicks, "002", stats2)
     HU.commit_instant(table, "002", stats2)
     HU.commit_instant(
         table, "003", {},
@@ -2599,12 +2606,12 @@ def _build_hudi_landing(spark, sf_dir, family):
                   "w", encoding="utf-8"):
             pass
     rel = f"p=view/{HU.base_file_name('g-view-0', '004')}"
-    _stage_group(
-        spark.createDataFrame(
-            [(999_999_999, 1, "view", -1.0)],
-            "event_id bigint, user_id bigint, event_type string, "
-            "value double"),
-        rel)
+    _pa_write(
+        pa.table({"event_id": pa.array([999_999_999], pa.int64()),
+                  "user_id": pa.array([1], pa.int64()),
+                  "event_type": pa.array(["view"], pa.string()),
+                  "value": pa.array([-1.0], pa.float64())}),
+        os.path.join(table, rel))
     return work, table
 
 
@@ -2695,6 +2702,8 @@ def _build_hudi_mor_landing(spark, sf_dir, family):
     hash path). Returns (work, table_path)."""
     import shutil
 
+    import pyarrow as pa
+
     from distributed_computing_projects_spark.sources import (
         hudi as HU,
     )
@@ -2707,11 +2716,9 @@ def _build_hudi_mor_landing(spark, sf_dir, family):
     table = os.path.join(work, "table")
     HU.init_table(table, table_type="MERGE_ON_READ",
                   recordkey_fields="event_id")
-    subset = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_id") % 7 == 6)
-        .select("event_id", "user_id", "event_type", "value")
-    )
+    # driver-side pyarrow staging — see "pyarrow staging" above
+    subset = _pa_events_subset(
+        sf_dir, 7, 6, ("event_id", "user_id", "event_type", "value"))
     avsc = {"type": "record", "name": "ev", "fields": [
         {"name": "event_id", "type": ["null", "long"]},
         {"name": "user_id", "type": ["null", "long"]},
@@ -2720,30 +2727,31 @@ def _build_hudi_mor_landing(spark, sf_dir, family):
         {"name": "_hoodie_is_deleted", "type": ["null", "boolean"]},
     ]}
 
-    # 001: base file groups via ONE partitionBy write
-    stage = os.path.join(work, "stage-001")
-    (subset.withColumn("et_part", F.col("event_type"))
-     .repartition(2, F.col("event_id") % 2)
-     .write.partitionBy("et_part").parquet(stage))
+    # 001: ONE base file group per event_type (the log blocks below
+    # target a group by fileId, and every record key of a partition
+    # must live in the group its log rides — Hudi's upsert routing
+    # invariant; compaction folds per group, so a cross-group delete
+    # would resurrect rows there while the global snapshot window
+    # still masked it)
     stats1: dict = {}
-    for name in sorted(os.listdir(stage)):
-        if not name.startswith("et_part="):
+    etypes = sorted(set(subset.column("event_type").to_pylist()))
+    for et in etypes:
+        sub = _pa_col_eq(subset, "event_type", et)
+        if sub.num_rows == 0:
             continue
-        et = name.split("=", 1)[1]
-        sdir = os.path.join(stage, name)
-        parts = [n for n in sorted(os.listdir(sdir))
-                 if n.startswith("part-") and n.endswith(".parquet")]
-        os.makedirs(os.path.join(table, f"p={et}"), exist_ok=True)
-        stats1.setdefault(f"p={et}", [])
-        for half, src in enumerate(parts):
-            fid = f"g-{et}-{half}"
-            rel = f"p={et}/{HU.base_file_name(fid, '001')}"
-            os.replace(os.path.join(sdir, src),
-                       os.path.join(table, rel))
-            stats1[f"p={et}"].append({"fileId": fid, "path": rel,
-                                      "numWrites": 1})
-    shutil.rmtree(stage, ignore_errors=True)
+        fid = f"g-{et}-0"
+        rel = f"p={et}/{HU.base_file_name(fid, '001')}"
+        _pa_write(sub, os.path.join(table, rel))
+        stats1[f"p={et}"] = [{"fileId": fid, "path": rel,
+                              "numWrites": 1}]
     HU.commit_instant(table, "001", stats1)
+
+    class _R:
+        __slots__ = ("event_id", "user_id", "event_type", "value")
+
+        def __init__(self, d):
+            for k in self.__slots__:
+                setattr(self, k, d[k])
 
     def _row(r, mult=None, deleted=False):
         v = r.value
@@ -2753,13 +2761,13 @@ def _build_hudi_mor_landing(spark, sf_dir, family):
                 "event_type": r.event_type, "value": v,
                 "_hoodie_is_deleted": True if deleted else None}
 
-    # driver-side collects are BOUNDED fixture staging (the affected
-    # subset only), the same budget every landing builder pays
-    clicks = (subset.filter(F.col("event_type") == "click")
-              .collect())
-    dead_views = (subset.filter(
-        (F.col("event_type") == "view")
-        & (F.col("event_id") % 13 == 0)).collect())
+    # driver-side log staging over the affected subset only — the
+    # same bounded budget every landing builder pays
+    clicks = [_R(d) for d in _pa_rows(
+        _pa_col_eq(subset, "event_type", "click"))]
+    views = _pa_col_eq(subset, "event_type", "view")
+    dead_views = [_R(d) for d in _pa_rows(views)
+                  if d["event_id"] % 13 == 0]
     click_fid = stats1["p=click"][0]["fileId"]
     view_fid = stats1["p=view"][0]["fileId"]
     click_log = f"p=click/{HM.log_file_name(click_fid, '001')}"
@@ -2974,6 +2982,8 @@ def _build_delta_dv_landing(spark, sf_dir, family):
     sits in the directory. Returns (work, table_path)."""
     import shutil
 
+    import pyarrow as pa
+
     from distributed_computing_projects_spark.sources import (
         deltadv as DVC,
     )
@@ -2985,11 +2995,9 @@ def _build_delta_dv_landing(spark, sf_dir, family):
     shutil.rmtree(work, ignore_errors=True)
     table = os.path.join(work, "table")
     os.makedirs(table)
-    subset = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_id") % 7 == 4)
-        .select("event_id", "user_id", "event_type", "value")
-    )
+    # driver-side pyarrow staging — see "pyarrow staging" above
+    subset = _pa_events_subset(
+        sf_dir, 7, 4, ("event_id", "user_id", "value", "event_type"))
     etypes = ["click", "error", "purchase", "signup", "view"]
     schema = StructType([
         StructField("event_id", LongType()),
@@ -3003,45 +3011,32 @@ def _build_delta_dv_landing(spark, sf_dir, family):
                       "writerFeatures": ["deletionVectors"]}},
         DL.metadata_action(schema, ["event_type"]),
     ]
-    stage = os.path.join(work, "stage-v0")
-    (subset.repartition(2, F.col("event_id") % 2)
-     .write.partitionBy("event_type").parquet(stage))
     part_files = {}
     sizes = {}
+    # dead positions per file: the row's index within its data file
+    # IS its write-order position (the same per-file index the
+    # reader's _metadata.row_index addresses), so the staging loop
+    # records event_id % 3 == 0 positions directly — no probe scan
+    dead: dict = {}
     for et in etypes:
-        sdir = os.path.join(stage, f"event_type={et}")
-        parts = [n for n in sorted(os.listdir(sdir))
-                 if n.startswith("part-") and n.endswith(".parquet")]
-        os.makedirs(os.path.join(table, f"event_type={et}"),
-                    exist_ok=True)
+        sub = _pa_col_eq(subset, "event_type", et).select(
+            ["event_id", "user_id", "value"])
         part_files[et] = []
-        for half, src in enumerate(parts):
+        for half, piece in enumerate(_pa_halves(sub)):
+            if piece.num_rows == 0:
+                continue
             rel = f"event_type={et}/part-{et}-{half}.parquet"
-            os.replace(os.path.join(sdir, src),
-                       os.path.join(table, rel))
+            sizes[rel] = _pa_write(piece, os.path.join(table, rel))
             part_files[et].append(rel)
-            sizes[rel] = os.path.getsize(os.path.join(table, rel))
             v0_acts.append(
                 DL.add_action(rel, {"event_type": et}, sizes[rel]))
-    shutil.rmtree(stage, ignore_errors=True)
+            if et in ("click", "view", "purchase"):
+                idx = [i for i, e in enumerate(
+                    piece.column("event_id").to_pylist())
+                    if e % 3 == 0]
+                if idx:
+                    dead[os.path.basename(rel)] = idx
     DL.commit_json(table, 0, v0_acts)
-
-    # dead positions per file, from ONE scan of the three target
-    # partitions (the reader's _metadata.row_index is the same
-    # per-file index the DV bitmaps address)
-    targets = (part_files["click"] + part_files["view"]
-               + part_files["purchase"])
-    pos_rows = (
-        spark.read.schema(StructType(schema.fields[:3]))
-        .parquet(*[os.path.join(table, r) for r in targets])
-        .select(F.element_at(F.split(F.input_file_name(), "/"), -1)
-                .alias("f"),
-                F.col("_metadata.row_index").alias("i"), "event_id")
-        .filter(F.col("event_id") % 3 == 0)
-        .collect())
-    dead: dict = {}
-    for r in pos_rows:
-        dead.setdefault(r.f, []).append(int(r.i))
 
     def _dv_adds(rel, desc):
         return [DL.remove_action(rel),
@@ -3078,18 +3073,11 @@ def _build_delta_dv_landing(spark, sf_dir, family):
     DL.write_checkpoint(spark, table, 1)
     DL.commit_json(table, 2, [
         DL.remove_action(rel) for rel in part_files["error"]])
-    orphan_stage = os.path.join(work, "orphan-stage")
-    # repartition(1), not coalesce(1) — see _build_delta_landing
-    (spark.createDataFrame(
-        [(999_999_999, 1, -1.0)],
-        StructType(schema.fields[:3]))
-     .repartition(1).write.mode("overwrite").parquet(orphan_stage))
-    part = next(n for n in sorted(os.listdir(orphan_stage))
-                if n.startswith("part-") and n.endswith(".parquet"))
-    os.replace(os.path.join(orphan_stage, part),
-               os.path.join(table, "event_type=view",
-                            "orphan.parquet"))
-    shutil.rmtree(orphan_stage, ignore_errors=True)
+    _pa_write(
+        pa.table({"event_id": pa.array([999_999_999], pa.int64()),
+                  "user_id": pa.array([1], pa.int64()),
+                  "value": pa.array([-1.0], pa.float64())}),
+        os.path.join(table, "event_type=view", "orphan.parquet"))
     return work, table
 
 
