@@ -215,6 +215,28 @@ def _pa_rows(tbl):
     return tbl.to_pylist()
 
 
+def _pa_jsonl_shards(sf_dir, mod, rem, cols, n_shards):
+    """The events subset as ``n_shards`` JSONL line lists (bytes),
+    sharded by ``event_id % n_shards`` — replaces the former
+    write.json Spark job + driver re-read for the container fixture
+    builders. None fields are omitted (the Spark json writer's
+    convention); numeric round-trip is value-identical either way
+    (shortest-repr doubles parse to the same IEEE value). Every
+    consumer projects per RECORD, so shard membership cannot affect
+    any result hash. Empty shards are dropped (the Spark writer
+    skipped empty partitions the same way)."""
+    import json as jsonmod
+
+    tbl = _pa_events_subset(sf_dir, mod, rem, cols)
+    shards: list[list[bytes]] = [[] for _ in range(n_shards)]
+    for r in tbl.to_pylist():
+        line = jsonmod.dumps(
+            {k: v for k, v in r.items() if v is not None},
+            separators=(",", ":")).encode()
+        shards[r["event_id"] % n_shards].append(line)
+    return [s for s in shards if s]
+
+
 
 @query(
     "orc_events_roundtrip",
@@ -305,14 +327,11 @@ def _build_cjsonl_landing(spark, sf_dir, ext, family):
 
     work = _session_scratch(spark, family, sf_dir)
     shutil.rmtree(work, ignore_errors=True)
-    stage = os.path.join(work, "stage")
     landing = os.path.join(work, "landing")
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_id") % 3 == 0)
-        .select("event_id", "user_id", "event_type", "value")
-    )
-    ev.repartition(4).write.json(stage)
+    # driver-side pyarrow staging — see "pyarrow staging" above
+    shard_lines = _pa_jsonl_shards(
+        sf_dir, 3, 0, ("event_id", "user_id", "event_type", "value"),
+        4)
     os.makedirs(landing)
 
     if ext == "zst":
@@ -339,19 +358,13 @@ def _build_cjsonl_landing(spark, sf_dir, ext, family):
             return (lzma.compress(b"\n".join(lines[:half]) + b"\n")
                     + lzma.compress(b"\n".join(lines[half:]) + b"\n"))
 
-    i = 0
-    for name in sorted(os.listdir(stage)):
-        if not name.startswith("part-"):
-            continue
-        with open(os.path.join(stage, name), "rb") as f:
-            lines = [ln for ln in f.read().split(b"\n") if ln]
+    for i, lines in enumerate(shard_lines):
+        lines = list(lines)
         lines.insert(0, b'{"event_id": 999999999, "user_id": tru')
         lines.append(b"not json at all")
         with open(os.path.join(landing, f"part-{i}.jsonl.{ext}"),
                   "wb") as f:
             f.write(pack(lines))
-        i += 1
-    shutil.rmtree(stage, ignore_errors=True)
     return work, landing
 
 
@@ -445,22 +458,12 @@ def _build_seekable_landing(spark, sf_dir, family):
         raise RuntimeError("no zstd backend (sources/warc)")
     work = _session_scratch(spark, family, sf_dir)
     shutil.rmtree(work, ignore_errors=True)
-    stage = os.path.join(work, "stage")
     landing = os.path.join(work, "landing")
-    (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_id") % 3 == 2)
-        .select("event_id", "user_id", "event_type", "value")
-        .repartition(4)
-        .write.json(stage)
-    )
+    # driver-side pyarrow staging — see "pyarrow staging" above
+    shard_lines = _pa_jsonl_shards(
+        sf_dir, 3, 2, ("event_id", "user_id", "event_type", "value"),
+        4)
     os.makedirs(landing)
-    shard_lines = []
-    for name in sorted(os.listdir(stage)):
-        if name.startswith("part-"):
-            with open(os.path.join(stage, name), "rb") as f:
-                shard_lines.append(
-                    [ln for ln in f.read().split(b"\n") if ln])
     big = shard_lines[:-1] or shard_lines
     rest = shard_lines[-1] if len(shard_lines) > 1 else []
     big_lines = [b'{"event_id": 999999999, "user_id": tru']
@@ -475,7 +478,6 @@ def _build_seekable_landing(spark, sf_dir, family):
             + [b"still not json"]
         with open(os.path.join(landing, "plain.jsonl.zst"), "wb") as f:
             f.write(backend[0](b"\n".join(tail) + b"\n"))
-    shutil.rmtree(stage, ignore_errors=True)
     return work, landing
 
 
@@ -1792,29 +1794,21 @@ def _build_sqlite_landing(spark, sf_dir, family):
     a WITHOUT ROWID decoy table, one UTF-16 shard, one database
     missing the target table, and one junk non-SQLite file.
     Returns (work, landing)."""
-    import json as jsonmod
     import shutil
     import sqlite3
 
     work = _session_scratch(spark, family, sf_dir)
     shutil.rmtree(work, ignore_errors=True)
-    stage = os.path.join(work, "stage")
     landing = os.path.join(work, "landing")
-    (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_id") % 7 == 4)
-        .select("event_id", "user_id", "event_type", "value")
-        .repartition(4)
-        .write.json(stage)
-    )
+    # driver-side pyarrow staging — see "pyarrow staging" above
+    # (sharded by event_id % 4; every consumer projects per record)
+    subset = _pa_events_subset(
+        sf_dir, 7, 4, ("event_id", "user_id", "event_type", "value"))
+    rows = _pa_rows(subset)
+    shards = [[r for r in rows if r["event_id"] % 4 == s]
+              for s in range(4)]
     os.makedirs(landing)
-    i = 0
-    for name in sorted(os.listdir(stage)):
-        if not name.startswith("part-"):
-            continue
-        with open(os.path.join(stage, name), "rb") as f:
-            recs = [jsonmod.loads(ln) for ln in f.read().splitlines()
-                    if ln]
+    for i, recs in enumerate(s for s in shards if s):
         db_path = os.path.join(landing, f"part-{i}.sqlite")
         con = sqlite3.connect(db_path)
         if i == 1:
@@ -1828,7 +1822,7 @@ def _build_sqlite_landing(spark, sf_dir, family):
             "INSERT INTO events VALUES (?,?,?,?,?)",
             [("overflow " * 150 if r["event_id"] % 16 == 0
               else "short", r["event_id"], r["user_id"],
-              r["event_type"], r.get("value")) for r in recs])
+              r["event_type"], r["value"]) for r in recs])
         con.execute("CREATE INDEX ix_events ON events(user_id)")
         con.execute("CREATE VIEW events_vw AS SELECT event_id "
                     "FROM events")
@@ -1840,14 +1834,12 @@ def _build_sqlite_landing(spark, sf_dir, family):
         con.execute("INSERT INTO wr VALUES ('poison', 42)")
         con.commit()
         con.close()
-        i += 1
     con = sqlite3.connect(os.path.join(landing, "no-table.sqlite"))
     con.execute("CREATE TABLE other (x INTEGER)")
     con.commit()
     con.close()
     with open(os.path.join(landing, "junk.sqlite"), "wb") as f:
         f.write(b"this is not a sqlite file" * 4)
-    shutil.rmtree(stage, ignore_errors=True)
     return work, landing
 
 
