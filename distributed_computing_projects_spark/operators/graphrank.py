@@ -115,26 +115,44 @@ def pagerank_fixedpoint(
     # degree rides the edge row once; iterations stop re-joining deg
     ed = edges.join(deg, "src").persist()
     base = (3 * SCALE) // (DAMP_DEN * n)  # (1-d)*SCALE/N, floored
-    r = nodes.withColumn("r", F.lit(SCALE // n).cast("bigint"))
+    # The rank table never materializes between rounds: round t's
+    # rank is base + coalesce(s_t, 0) where s_t is round t's
+    # destination sum, so the NEXT round's contribution folds that
+    # expression into a LEFT join of ed against s_t directly — the
+    # per-round nodes join disappears, and round 1 (rank == the
+    # uniform SCALE DIV n constant) needs no join at all. Identical
+    # BIGINT arithmetic, per-round plan = one left equi-join + one
+    # hash aggregate.
     persist_iterates = n_iters > LINEAGE_PERSIST_ITERS
+    summed = None
     prev = None
     for _ in range(n_iters):
-        contrib = ed.join(r, ed["src"] == r["node"]).select(
-            "dst",
-            F.expr(f"(r * {DAMP_NUM}) DIV ({DAMP_DEN} * d)").alias("c"),
-        )
+        if summed is None:
+            contrib = ed.select(
+                "dst",
+                F.expr(f"(CAST({SCALE // n} AS BIGINT)"
+                       f" * {DAMP_NUM})"
+                       f" DIV ({DAMP_DEN} * d)").alias("c"),
+            )
+        else:
+            # summed derives from ed, so the join is a self-join by
+            # lineage: the aggregate key is renamed to keep every
+            # output column name unambiguous
+            contrib = (
+                ed.join(summed, F.col("src") == F.col("sdst"),
+                        "left")
+                .select(
+                    F.col("dst"),
+                    F.expr(
+                        f"((CAST({base} AS BIGINT)"
+                        f" + coalesce(s, CAST(0 AS BIGINT)))"
+                        f" * {DAMP_NUM}) DIV ({DAMP_DEN} * d)"
+                    ).alias("c"),
+                )
+            )
         summed = contrib.groupBy("dst").agg(
             F.sum("c").cast("bigint").alias("s")
-        )
-        r = (
-            nodes.join(summed, nodes["node"] == summed["dst"], "left")
-            .select(
-                "node",
-                (F.lit(base) + F.coalesce(F.col("s"), F.lit(0)))
-                .cast("bigint")
-                .alias("r"),
-            )
-        )
+        ).withColumnRenamed("dst", "sdst")
         if persist_iterates:
             # superseded iterates must not accumulate in executor
             # storage when callers crank --iters: the new iterate is
@@ -142,10 +160,24 @@ def pagerank_fixedpoint(
             # exists the old handle can drop (blocking=False: lazily
             # evicted; if the final action recomputes through it the
             # lineage is intact)
-            r = r.persist()
+            summed = summed.persist()
             if prev is not None:
                 prev.unpersist()
-            prev = r
+            prev = summed
+    if summed is None:  # n_iters == 0: the uniform initial rank
+        r = nodes.withColumn(
+            "r", F.lit(SCALE // n).cast("bigint"))
+    else:
+        r = (
+            nodes.join(summed, nodes["node"] == summed["sdst"],
+                       "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("s"), F.lit(0)))
+                .cast("bigint")
+                .alias("r"),
+            )
+        )
     return (
         r.join(deg, r["node"] == deg["src"])
         .select("node", F.col("d").alias("degree"), F.col("r").alias("rank"))
