@@ -46,6 +46,15 @@ from distributed_computing_projects_spark.operators import similarity as S
 TRAIN_SAMPLE_MOD = 5
 N_ITERS = 2
 
+# Driver-replay bound for :func:`train`: samples at or below this many
+# rows are collected ONCE and the Lloyd rounds replayed driver-side
+# (bit-exactly — see _train_local); larger samples keep the
+# distributed per-round aggregate. 100k rows x EMBEDDING_DIM doubles
+# is ~50 MB of payload — comfortably driver-sized, and a k-means
+# TRAINING sample beyond that is past the method's own diminishing
+# returns (the sample bounds the quantizer, not the corpus).
+MAX_DRIVER_TRAIN_ROWS = 100_000
+
 
 def _sum_fold(j: int, dialect: str) -> str:
     """Left-to-right double sum of dimension ``j`` over the sorted
@@ -104,6 +113,70 @@ def assign_cell_expr(
     )
 
 
+def _train_local(
+    rows, n_iters: int
+) -> list[tuple[int, list[float]]]:
+    """Driver-side bit-exact replay of the distributed Lloyd rounds
+    over an already-collected sample (r17 optimization: one collect
+    job replaces one agg+collect job PER ROUND).
+
+    Exactness argument, op by op (pinned against the distributed path
+    in tests/test_ivf_train.py):
+
+    - assignment score ``c2 - 2*<v,c>``: ``c2`` is the same Python
+      double the expression builders bake as a ``repr`` literal
+      (round-trips exactly); the dot is ``functions.text.dot``'s
+      left-to-right fold from 0.0 — replayed as a sequential loop
+      over DIMENSIONS with one numpy elementwise multiply-then-add
+      per step (numpy does not fuse or reorder within an elementwise
+      op, so each row's fold order and rounding are identical to the
+      codegen fold; 0.0 + x == x exactly, covering DuckDB's
+      first-element seed too);
+    - argmin: ``np.argmin`` takes the FIRST minimum over the
+      ascending-cell score rows — exactly
+      ``array_position(A, array_min(A))`` / the (score, cell)
+      ORDER BY tie-break;
+    - centroid mean: members sorted by (id, v) — the
+      ``sort_array(collect_list(struct(id, v)))`` order — then one
+      numpy vector add per member, i.e. the same per-dimension
+      left-to-right fold from 0.0 as ``_sum_fold``, and the same
+      sum/n double division.
+    """
+    import numpy as np
+
+    ordered = sorted(rows, key=lambda r: (r["id"], tuple(r["v"])))
+    V = np.asarray([r["v"] for r in ordered], dtype=np.float64)
+    n, d = V.shape
+    cents: list[tuple[int, list[float]]] | None = None
+    for _ in range(n_iters):
+        cent_list = (
+            list(enumerate(S.IVF_CENTROIDS)) if cents is None
+            else sorted(cents)
+        )
+        scores = np.empty((len(cent_list), n), dtype=np.float64)
+        for k, (_, cent) in enumerate(cent_list):
+            # same seed-at-zero builtin sum the expression bakes
+            c2 = sum(float(x) * float(x) for x in cent)
+            acc = np.zeros(n, dtype=np.float64)
+            for j in range(d):
+                acc = acc + V[:, j] * float(cent[j])
+            scores[k] = c2 - 2.0 * acc
+        assign = np.argmin(scores, axis=0)
+        new_cents: list[tuple[int, list[float]]] = []
+        for k, (cell, _) in enumerate(cent_list):
+            members = V[assign == k]
+            if len(members) == 0:
+                continue
+            acc = np.zeros(d, dtype=np.float64)
+            for m in members:
+                acc = acc + m
+            new_cents.append(
+                (int(cell), [float(x) / len(members) for x in acc])
+            )
+        cents = sorted(new_cents)
+    return cents if cents is not None else []
+
+
 def train(
     spark,
     emb: DataFrame,
@@ -114,11 +187,21 @@ def train(
 ) -> list[tuple[int, list[float]]]:
     """``n_iters`` Lloyd rounds on the deterministic sample; returns
     sorted (cell, centroid) pairs — cells that lost every sample member
-    drop out (their inverted list would be empty)."""
+    drop out (their inverted list would be empty).
+
+    When the sample fits the driver (``MAX_DRIVER_TRAIN_ROWS``), the
+    sample is collected ONCE and the rounds replayed driver-side,
+    bit-identically (see :func:`_train_local`) — one Spark job instead
+    of one agg+collect job per round. Oversized samples keep the
+    distributed per-round aggregate below."""
     dims = range(T.EMBEDDING_DIM)
     sample = emb.filter(F.col(id_col) % sample_mod == 0).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     )
+    if n_iters > 0:
+        probe = sample.limit(MAX_DRIVER_TRAIN_ROWS + 1).collect()
+        if len(probe) <= MAX_DRIVER_TRAIN_ROWS:
+            return _train_local(probe, n_iters)
     cents: list[tuple[int, list[float]]] | None = None
     for _ in range(n_iters):
         cell = (

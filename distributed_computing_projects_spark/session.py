@@ -50,6 +50,58 @@ def hadoop_conf_from_env(env=None) -> dict[str, str]:
     return out
 
 
+# ---------------------------------------------------------------------
+# Per-query runtime-SQL-conf scoping (r17). Some queries want AQE to
+# coalesce post-shuffle partitions BY BYTES (parallelismFirst=false:
+# honor advisoryPartitionSizeInBytes) — the documented production
+# setting for shuffle-latency-bound iterative plans like PageRank,
+# where keeping ~defaultParallelism KB-sized partitions per round is
+# pure scheduling overhead (measured: the r16 bench anti-scaled 8 vs
+# 32 cores, pagerank ratio 0.40). A BLANKET flip is a measured
+# pessimization for CPU-dense post-shuffle stages (condorcet_round1
+# 1.4 -> 3.4 s: its per-order aggregate collapsed to one partition at
+# bench scale), so the flip is scoped per query through a SIBLING
+# SparkSession: same SparkContext (same executors, caches, JVM), own
+# SQLConf, so the conf is live when the CALLER's action later executes
+# the returned lazy DataFrame — a plain spark.conf.set inside a query
+# function would be reset long before the bench's count() runs.
+# Sessions are memoized per (base session, conf) so bench reps reuse
+# one sibling instead of leaking SessionStates.
+
+_DERIVED_SESSIONS: dict[tuple[int, tuple[tuple[str, str], ...]],
+                        SparkSession] = {}
+
+
+def derived_session(spark: SparkSession,
+                    confs: dict[str, str]) -> SparkSession:
+    """A sibling session of ``spark`` with ``confs`` applied to its
+    (separate) runtime SQLConf. The base session's conf is untouched."""
+    key = (id(spark._jsparkSession), tuple(sorted(confs.items())))
+    s = _DERIVED_SESSIONS.get(key)
+    if s is None:
+        s = spark.newSession()
+        for k, v in confs.items():
+            s.conf.set(k, v)
+        _DERIVED_SESSIONS[key] = s
+    return s
+
+
+# At 100 TB the same seam carries the full production recommendation
+# (advisory 256m); locally the inherited 64m default keeps bench-scale
+# single-partition coalescing while staying byte-driven at any scale.
+BYTE_COALESCE_CONFS = {
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+}
+
+
+def byte_coalesced(spark: SparkSession) -> SparkSession:
+    """Sibling session where AQE coalesces post-shuffle partitions by
+    target BYTES rather than keeping local-parallelism-many tiny
+    partitions — scale-adaptive by construction (partition count
+    follows shuffle bytes / advisory size at any data size)."""
+    return derived_session(spark, BYTE_COALESCE_CONFS)
+
+
 def get_spark(
     app_name: str = "dcp-spark-engine",
     cpus: int | None = None,

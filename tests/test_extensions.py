@@ -128,13 +128,14 @@ def test_neardup_clusters_chain_and_components(spark):
 
 
 def test_neardup_clusters_action_budget(spark):
-    """Pin the driver-side action count per convergence round: one
-    localCheckpoint materialization + one count, plus one
-    exceptAll().isEmpty() only on rounds where the counts agree. The
-    former check ran count+count+subtract().count() (the subtract a
-    full extra shuffle) EVERY round — a regression back to that shape
-    trips this budget. Jobs are counted via a dedicated job group
-    (statusTracker survives across tests; a fresh group isolates us)."""
+    """Pin the driver-side action count per convergence round: ONE
+    fused action (the r17 join-agg producing |nxt| and |nxt ∩ edges|
+    together, which also materializes nxt's lazy checkpoint). The r16
+    shape paid one count per round plus an exceptAll().isEmpty() on
+    count-equal rounds; the r15 shape ran count+count+subtract().count()
+    EVERY round — a regression back to either trips this budget. Jobs
+    are counted via a dedicated job group (statusTracker survives
+    across tests; a fresh group isolates us)."""
     sc = spark.sparkContext
     group = "neardup-action-budget"
     pairs = spark.createDataFrame(
@@ -147,11 +148,12 @@ def test_neardup_clusters_action_budget(spark):
     finally:
         sc.setJobGroup(None, None)
     jobs = len(sc.statusTracker().getJobIdsForGroup(group))
-    # AQE materializes several jobs per action, so the budget is measured,
-    # not derived: this 17-edge fixture runs ~68 jobs end-to-end with the
-    # count+isEmpty check, vs ~93 for the old triple's convergence LOOP
-    # ALONE (before the assign/sizes phase). 80 sits between the two.
-    assert jobs <= 80, f"action budget blown: {jobs} jobs"
+    # AQE materializes several jobs per action, so the budget is
+    # measured, not derived: this 17-edge fixture runs ~47 jobs
+    # end-to-end with the fused one-action-per-round check, vs ~68 for
+    # the r16 count+isEmpty shape and ~93 for the r15 triple's
+    # convergence LOOP ALONE. 55 sits between the first two.
+    assert jobs <= 55, f"action budget blown: {jobs} jobs"
 
 
 def test_neardup_clusters_raises_when_not_converged(spark):

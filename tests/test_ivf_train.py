@@ -31,6 +31,24 @@ def test_train_deterministic(spark):
         assert len(cent) == T.EMBEDDING_DIM
 
 
+def test_driver_replay_matches_distributed_training(spark, monkeypatch):
+    """The r17 driver-side Lloyd replay must be BIT-identical to the
+    distributed agg+collect rounds it replaces (same folds, same
+    argmin tie-breaks, same sum/n division) — compared as exact float
+    equality over every centroid component, for 1 and 2 rounds."""
+    emb = _emb(spark)
+    for n_iters in (1, 2):
+        fast = IVT.train(spark, emb, "vec_id", "embedding",
+                         n_iters=n_iters)
+        monkeypatch.setattr(IVT, "MAX_DRIVER_TRAIN_ROWS", 0)
+        slow = IVT.train(spark, emb, "vec_id", "embedding",
+                         n_iters=n_iters)
+        monkeypatch.undo()
+        assert [c for c, _ in fast] == [c for c, _ in slow]
+        for (_, fc), (_, sc) in zip(fast, slow):
+            assert all(a == b for a, b in zip(fc, sc)) and len(fc) == len(sc)
+
+
 def test_assign_expr_matches_driver_scorer(spark):
     """The baked argmin expression and probe_cells share score math:
     every vector's assigned cell must be its own 1-probe cell."""
