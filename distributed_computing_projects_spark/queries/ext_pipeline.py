@@ -157,13 +157,16 @@ def _events_roundtrip_facts(back):
 
 
 def _pa_events_subset(sf_dir, mod, rem, cols):
-    """events.parquet filtered to ``event_id % mod == rem`` and
-    projected to ``cols``, as a pyarrow Table (driver-side)."""
+    """events.parquet filtered to ``event_id % mod == rem`` (no
+    filter when ``mod`` is None) and projected to ``cols``, as a
+    pyarrow Table (driver-side)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
                       columns=list(cols))
+    if mod is None:
+        return t
     eid = t.column("event_id").to_numpy()
     return t.filter(pa.array(eid % mod == rem))
 
@@ -215,7 +218,7 @@ def _pa_rows(tbl):
     return tbl.to_pylist()
 
 
-def _pa_jsonl_shards(sf_dir, mod, rem, cols, n_shards):
+def _pa_jsonl_shards(sf_dir, mod, rem, cols, n_shards, ts_us=None):
     """The events subset as ``n_shards`` JSONL line lists (bytes),
     sharded by ``event_id % n_shards`` — replaces the former
     write.json Spark job + driver re-read for the container fixture
@@ -224,12 +227,36 @@ def _pa_jsonl_shards(sf_dir, mod, rem, cols, n_shards):
     (shortest-repr doubles parse to the same IEEE value). Every
     consumer projects per RECORD, so shard membership cannot affect
     any result hash. Empty shards are dropped (the Spark writer
-    skipped empty partitions the same way)."""
+    skipped empty partitions the same way).
+
+    ``ts_us``: optional output field name for events.ts floored to
+    epoch MICROSECONDS — the ``unix_micros(cast(ts as timestamp))``
+    the former Spark staging selects computed (events.ts is
+    TIMESTAMP(NANOS) in parquet at µs resolution; int64 ns floor-div
+    1000 is the identical value, pre-epoch included)."""
     import json as jsonmod
 
-    tbl = _pa_events_subset(sf_dir, mod, rem, cols)
+    import pyarrow as pa
+
+    read_cols = list(cols) + (["ts"] if ts_us else [])
+    tbl = _pa_events_subset(sf_dir, mod, rem, read_cols)
+    ts_vals = None
+    if ts_us:
+        # normalize whatever unit the file's arrow type carries to µs
+        # (floor division — pre-epoch safe, matches unix_micros)
+        unit = tbl.column("ts").type.unit
+        div = {"s": None, "ms": None, "us": 1, "ns": 1000}[unit]
+        raw = tbl.column("ts").cast(pa.int64()).to_numpy()
+        if div is None:
+            mul = {"s": 1_000_000, "ms": 1_000}[unit]
+            ts_vals = raw * mul
+        else:
+            ts_vals = raw // div
+        tbl = tbl.drop_columns(["ts"])
     shards: list[list[bytes]] = [[] for _ in range(n_shards)]
-    for r in tbl.to_pylist():
+    for i, r in enumerate(tbl.to_pylist()):
+        if ts_vals is not None:
+            r[ts_us] = int(ts_vals[i])
         line = jsonmod.dumps(
             {k: v for k, v in r.items() if v is not None},
             separators=(",", ":")).encode()
@@ -533,26 +560,15 @@ def _build_bson_landing(spark, sf_dir, family):
 
     work = _session_scratch(spark, family, sf_dir)
     shutil.rmtree(work, ignore_errors=True)
-    stage = os.path.join(work, "stage")
     landing = os.path.join(work, "landing")
-    (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_id") % 7 == 6)
-        .select("event_id", "user_id", "event_type", "value")
-        .repartition(4)
-        .write.json(stage)
-    )
+    shard_lines = _pa_jsonl_shards(
+        sf_dir, 7, 6, ("event_id", "user_id", "event_type", "value"), 4)
     os.makedirs(landing)
     bad_body = bytes([0xEE]) + b"poison\x00"  # unknown element type
     bad_doc = structmod.pack("<i", len(bad_body) + 5) \
         + bad_body + b"\x00"
-    i = 0
-    for name in sorted(os.listdir(stage)):
-        if not name.startswith("part-"):
-            continue
-        with open(os.path.join(stage, name), "rb") as f:
-            recs = [jsonmod.loads(ln) for ln in f.read().splitlines()
-                    if ln]
+    for i, lines in enumerate(shard_lines):
+        recs = [jsonmod.loads(ln) for ln in lines]
         docs = [{"event_id": r["event_id"], "user_id": r["user_id"],
                  "event_type": r["event_type"],
                  "value": r.get("value"),
@@ -560,10 +576,8 @@ def _build_bson_landing(spark, sf_dir, family):
         torn = BS.build_bson_doc({"event_id": 999_000_000 + i})[:-3]
         with open(os.path.join(landing, f"part-{i}.bson"), "wb") as f:
             f.write(bad_doc + BS.build_bson_dump(docs) + torn)
-        i += 1
     with open(os.path.join(landing, "junk.bson"), "wb") as f:
         f.write(b"this is not bson" * 3)
-    shutil.rmtree(stage, ignore_errors=True)
     return work, landing
 
 
@@ -620,22 +634,10 @@ def _build_xzblocks_landing(spark, sf_dir, family):
 
     work = _session_scratch(spark, family, sf_dir)
     shutil.rmtree(work, ignore_errors=True)
-    stage = os.path.join(work, "stage")
     landing = os.path.join(work, "landing")
-    (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_id") % 7 == 5)
-        .select("event_id", "user_id", "event_type", "value")
-        .repartition(4)
-        .write.json(stage)
-    )
+    shard_lines = _pa_jsonl_shards(
+        sf_dir, 7, 5, ("event_id", "user_id", "event_type", "value"), 4)
     os.makedirs(landing)
-    shard_lines = []
-    for name in sorted(os.listdir(stage)):
-        if name.startswith("part-"):
-            with open(os.path.join(stage, name), "rb") as f:
-                shard_lines.append(
-                    [ln for ln in f.read().split(b"\n") if ln])
     big = shard_lines[:-1] or shard_lines
     rest = shard_lines[-1] if len(shard_lines) > 1 else []
     big_lines = [b'{"event_id": 999999999, "user_id": tru']
@@ -650,7 +652,6 @@ def _build_xzblocks_landing(spark, sf_dir, family):
             + [b"still not json"]
         with open(os.path.join(landing, "plain.jsonl.xz"), "wb") as f:
             f.write(lzmod.compress(b"\n".join(tail) + b"\n"))
-    shutil.rmtree(stage, ignore_errors=True)
     return work, landing
 
 
@@ -757,22 +758,10 @@ def _build_bgzf_landing(spark, sf_dir, family):
 
     work = _session_scratch(spark, family, sf_dir)
     shutil.rmtree(work, ignore_errors=True)
-    stage = os.path.join(work, "stage")
     landing = os.path.join(work, "landing")
-    (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_id") % 5 == 3)
-        .select("event_id", "user_id", "event_type", "value")
-        .repartition(4)
-        .write.json(stage)
-    )
+    shard_lines = _pa_jsonl_shards(
+        sf_dir, 5, 3, ("event_id", "user_id", "event_type", "value"), 4)
     os.makedirs(landing)
-    shard_lines = []
-    for name in sorted(os.listdir(stage)):
-        if name.startswith("part-"):
-            with open(os.path.join(stage, name), "rb") as f:
-                shard_lines.append(
-                    [ln for ln in f.read().split(b"\n") if ln])
     big = shard_lines[:-1] or shard_lines
     rest = shard_lines[-1] if len(shard_lines) > 1 else []
     big_lines = [b'{"event_id": 999999999, "user_id": tru']
@@ -787,7 +776,6 @@ def _build_bgzf_landing(spark, sf_dir, family):
             + [b"still not json"]
         with open(os.path.join(landing, "plain.jsonl.gz"), "wb") as f:
             f.write(gzmod.compress(b"\n".join(tail) + b"\n"))
-    shutil.rmtree(stage, ignore_errors=True)
     return work, landing
 
 
@@ -982,24 +970,14 @@ def _build_xlsx_landing(spark, sf_dir, family,
 
     work = _session_scratch(spark, family, sf_dir)
     shutil.rmtree(work, ignore_errors=True)
-    stage = os.path.join(work, "stage")
     landing = os.path.join(work, "landing")
-    (
-        load_table(spark, sf_dir, "events")
-        .select("event_id", "user_id", "event_type", "value",
-                F.unix_micros(F.col("ts").cast("timestamp"))
-                .alias("ts"))
-        .repartition(4)
-        .write.json(stage)
-    )
+    shard_lines = _pa_jsonl_shards(
+        sf_dir, None, 0, ("event_id", "user_id", "event_type", "value"),
+        4, ts_us="ts")
     os.makedirs(landing)
     i = 0
-    for name in sorted(os.listdir(stage)):
-        if not name.startswith("part-"):
-            continue
-        with open(os.path.join(stage, name), "rb") as f:
-            recs = [jsonmod.loads(ln) for ln in f.read().splitlines()
-                    if ln]
+    for lines in shard_lines:
+        recs = [jsonmod.loads(ln) for ln in lines]
         for at in range(0, len(recs), rows_per_book):
             rows = [
                 [r["event_id"], r["user_id"], r["event_type"],
@@ -1014,7 +992,6 @@ def _build_xlsx_landing(spark, sf_dir, family,
             i += 1
     with open(os.path.join(landing, "junk.xlsx"), "wb") as f:
         f.write(b"this is not a spreadsheet")
-    shutil.rmtree(stage, ignore_errors=True)
     return work, landing
 
 
@@ -1034,24 +1011,14 @@ def _build_arrow_landing(spark, sf_dir, family):
 
     work = _session_scratch(spark, family, sf_dir)
     shutil.rmtree(work, ignore_errors=True)
-    stage = os.path.join(work, "stage")
     landing = os.path.join(work, "landing")
-    (
-        load_table(spark, sf_dir, "events")
-        .select("event_id", "user_id", "event_type", "value",
-                F.unix_micros(F.col("ts").cast("timestamp"))
-                .alias("ts"))
-        .repartition(4)
-        .write.json(stage)
-    )
+    shard_lines = _pa_jsonl_shards(
+        sf_dir, None, 0, ("event_id", "user_id", "event_type", "value"),
+        4, ts_us="ts")
     os.makedirs(landing)
     i = 0
-    for name in sorted(os.listdir(stage)):
-        if not name.startswith("part-"):
-            continue
-        with open(os.path.join(stage, name), "rb") as f:
-            recs = [jsonmod.loads(ln) for ln in f.read().splitlines()
-                    if ln]
+    for lines in shard_lines:
+        recs = [jsonmod.loads(ln) for ln in lines]
         cols = {
             "event_id": pa.array([r["event_id"] for r in recs],
                                  pa.int64()),
@@ -1073,7 +1040,6 @@ def _build_arrow_landing(spark, sf_dir, family):
         i += 1
     with open(os.path.join(landing, "junk.arrow"), "wb") as f:
         f.write(b"this is not an arrow ipc payload")
-    shutil.rmtree(stage, ignore_errors=True)
     return work, landing
 
 
@@ -1212,30 +1178,17 @@ def _build_avro_landing(spark, sf_dir, family):
 
     work = _session_scratch(spark, family, sf_dir)
     shutil.rmtree(work, ignore_errors=True)
-    stage = os.path.join(work, "stage")
     landing = os.path.join(work, "landing")
-    (
-        load_table(spark, sf_dir, "events")
-        .select("event_id", "user_id", "event_type", "value",
-                F.unix_micros(F.col("ts").cast("timestamp"))
-                .alias("ts"))
-        .repartition(4)
-        .write.json(stage)
-    )
+    shard_lines = _pa_jsonl_shards(
+        sf_dir, None, 0, ("event_id", "user_id", "event_type", "value"),
+        4, ts_us="ts")
     os.makedirs(landing)
     codecs = ["deflate", "zstandard", "xz", "null", "snappy"]
-    i = 0
-    for name in sorted(os.listdir(stage)):
-        if not name.startswith("part-"):
-            continue
-        with open(os.path.join(stage, name), "rb") as f:
-            recs = [jsonmod.loads(ln) for ln in f.read().splitlines()
-                    if ln]
+    for i, lines in enumerate(shard_lines):
+        recs = [jsonmod.loads(ln) for ln in lines]
         with open(os.path.join(landing, f"part-{i}.avro"), "wb") as f:
             f.write(AV.write_ocf(recs, _AVRO_EVENTS_SCHEMA,
                                  codec=codecs[i % len(codecs)]))
-        i += 1
-    shutil.rmtree(stage, ignore_errors=True)
     return work, landing
 
 
@@ -3567,31 +3520,16 @@ def _build_msgpack_landing(spark, sf_dir, family):
 
     work = _session_scratch(spark, family, sf_dir)
     shutil.rmtree(work, ignore_errors=True)
-    stage = os.path.join(work, "stage")
     landing = os.path.join(work, "landing")
-    (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_id") % 11 == 5)
-        # ts stages as epoch MICROS: the JSON writer's ISO string
-        # truncates to milliseconds, and the timestamp extension
-        # must round-trip the parquet column's full precision
-        .select("event_id",
-                # events.ts is NTZ; the session TZ is pinned UTC, so
-                # the cast fixes the instant without shifting it
-                F.unix_micros(F.col("ts").cast("timestamp"))
-                .alias("ts_us"),
-                "user_id", "event_type", "value")
-        .repartition(4)
-        .write.json(stage)
-    )
+    # ts stages as epoch MICROS (the timestamp extension must
+    # round-trip the parquet column's full precision)
+    shard_lines = _pa_jsonl_shards(
+        sf_dir, 11, 5, ("event_id", "user_id", "event_type", "value"),
+        4, ts_us="ts_us")
     os.makedirs(landing)
     i = 0
-    for name in sorted(os.listdir(stage)):
-        if not name.startswith("part-"):
-            continue
-        with open(os.path.join(stage, name), "rb") as f:
-            recs = [jsonmod.loads(ln) for ln in f.read().splitlines()
-                    if ln]
+    for lines in shard_lines:
+        recs = [jsonmod.loads(ln) for ln in lines]
         vals = []
         for r in recs:
             us = r["ts_us"]
@@ -3611,7 +3549,6 @@ def _build_msgpack_landing(spark, sf_dir, family):
         i += 1
     with open(os.path.join(landing, "junk.msgpack"), "wb") as f:
         f.write(b"\xc1" + b"reserved byte leads" * 2)
-    shutil.rmtree(stage, ignore_errors=True)
     return work, landing
 
 
@@ -3863,26 +3800,14 @@ def _build_cbor_landing(spark, sf_dir, family):
 
     work = _session_scratch(spark, family, sf_dir)
     shutil.rmtree(work, ignore_errors=True)
-    stage = os.path.join(work, "stage")
     landing = os.path.join(work, "landing")
-    (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_id") % 11 == 3)
-        .select("event_id",
-                F.unix_micros(F.col("ts").cast("timestamp"))
-                .alias("ts_us"),
-                "user_id", "event_type", "value")
-        .repartition(4)
-        .write.json(stage)
-    )
+    shard_lines = _pa_jsonl_shards(
+        sf_dir, 11, 3, ("event_id", "user_id", "event_type", "value"),
+        4, ts_us="ts_us")
     os.makedirs(landing)
     i = 0
-    for name in sorted(os.listdir(stage)):
-        if not name.startswith("part-"):
-            continue
-        with open(os.path.join(stage, name), "rb") as f:
-            recs = [jsonmod.loads(ln) for ln in f.read().splitlines()
-                    if ln]
+    for lines in shard_lines:
+        recs = [jsonmod.loads(ln) for ln in lines]
         vals = []
         for r in recs:
             # tag-1 epoch carries whole seconds; the oracle truncates
@@ -3907,7 +3832,6 @@ def _build_cbor_landing(spark, sf_dir, family):
         i += 1
     with open(os.path.join(landing, "junk.cbor"), "wb") as f:
         f.write(bytes([0x1C]) + b"reserved additional info leads")
-    shutil.rmtree(stage, ignore_errors=True)
     return work, landing
 
 
@@ -3969,23 +3893,13 @@ def _build_pbstream_landing(spark, sf_dir, family):
 
     work = _session_scratch(spark, family, sf_dir)
     shutil.rmtree(work, ignore_errors=True)
-    stage = os.path.join(work, "stage")
     landing = os.path.join(work, "landing")
-    (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_id") % 11 == 2)
-        .select("event_id", "user_id", "event_type", "value")
-        .repartition(4)
-        .write.json(stage)
-    )
+    shard_lines = _pa_jsonl_shards(
+        sf_dir, 11, 2, ("event_id", "user_id", "event_type", "value"), 4)
     os.makedirs(landing)
     i = 0
-    for name in sorted(os.listdir(stage)):
-        if not name.startswith("part-"):
-            continue
-        with open(os.path.join(stage, name), "rb") as f:
-            recs = [jsonmod.loads(ln) for ln in f.read().splitlines()
-                    if ln]
+    for lines in shard_lines:
+        recs = [jsonmod.loads(ln) for ln in lines]
         msgs = []
         for r in recs:
             parts = [(1, "int", r["event_id"]),
@@ -4002,7 +3916,6 @@ def _build_pbstream_landing(spark, sf_dir, family):
         i += 1
     with open(os.path.join(landing, "junk.pb"), "wb") as f:
         f.write(b"\xff" * 24)
-    shutil.rmtree(stage, ignore_errors=True)
     return work, landing
 
 

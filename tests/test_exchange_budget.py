@@ -22,7 +22,12 @@ EXCHANGE_BUDGET = {
     "boilerplate_ngrams": 1,
     "chunk_documents": 0,
     "condorcet_round1": 2,
-    "dedup_clusters": 4,
+    # r17: at test scale the edge set is under MAX_DRIVER_EDGES, so
+    # the RETURNED frame is the driver union-find's local relation (0
+    # exchanges; the LSH pair computation runs eagerly at build time).
+    # The distributed star path keeps its shape — pinned by the
+    # forced-path tests in test_extensions.py, not by this plan count.
+    "dedup_clusters": 0,
     "dedup_incremental": 3,
     "dedup_minhash_lsh": 4,
     # assignment is a baked codegen argmin (0 exchanges); the 3 are the

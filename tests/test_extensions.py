@@ -127,7 +127,27 @@ def test_neardup_clusters_chain_and_components(spark):
     assert keepers == {0, 100, 200}
 
 
-def test_neardup_clusters_action_budget(spark):
+def test_neardup_clusters_driver_and_star_paths_agree(spark, monkeypatch):
+    """The r17 size-adaptive split: edge sets under MAX_DRIVER_EDGES
+    resolve by driver union-find, larger ones by the distributed star
+    rounds. Components are unique, so the two paths must return
+    IDENTICAL rows (schema + values) on the same graph — pinned here
+    on a chain + triangle + pair fixture by forcing each path."""
+    chain = [(i, i + 1) for i in range(30)]
+    tri = [(100, 101), (101, 102), (100, 102)]
+    pairs = spark.createDataFrame(
+        chain + tri + [(200, 201)], "id_a long, id_b long"
+    )
+    fast_df = D.neardup_clusters(pairs, max_iter=10)
+    monkeypatch.setattr(D, "MAX_DRIVER_EDGES", 0)  # force star rounds
+    slow_df = D.neardup_clusters(pairs, max_iter=10)
+    monkeypatch.undo()
+    assert fast_df.schema == slow_df.schema
+    assert (sorted(map(tuple, fast_df.collect()))
+            == sorted(map(tuple, slow_df.collect())))
+
+
+def test_neardup_clusters_action_budget(spark, monkeypatch):
     """Pin the driver-side action count per convergence round: ONE
     fused action (the r17 join-agg producing |nxt| and |nxt ∩ edges|
     together, which also materializes nxt's lazy checkpoint). The r16
@@ -142,6 +162,7 @@ def test_neardup_clusters_action_budget(spark):
         [(i, i + 1) for i in range(16)] + [(100, 101)],
         "id_a long, id_b long",
     )
+    monkeypatch.setattr(D, "MAX_DRIVER_EDGES", 0)  # pin the STAR path
     sc.setJobGroup(group, "convergence action budget")
     try:
         D.neardup_clusters(pairs, max_iter=10).collect()
@@ -156,9 +177,11 @@ def test_neardup_clusters_action_budget(spark):
     assert jobs <= 55, f"action budget blown: {jobs} jobs"
 
 
-def test_neardup_clusters_raises_when_not_converged(spark):
+def test_neardup_clusters_raises_when_not_converged(spark, monkeypatch):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(20)],
                                   "id_a long, id_b long")
+    monkeypatch.setattr(D, "MAX_DRIVER_EDGES", 0)  # the star path is
+    # what carries the convergence contract; union-find cannot fail
     with pytest.raises(RuntimeError):
         D.neardup_clusters(pairs, max_iter=1)
 
@@ -760,6 +783,8 @@ def test_neardup_clusters_durable_checkpoint_swap(spark, tmp_path, monkeypatch):
 
     chain = [(i, i + 1) for i in range(12)] + [(100, 101)]
     pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    monkeypatch.setattr(D, "MAX_DRIVER_EDGES", 0)  # checkpoint swap
+    # only exists on the star path; union-find never checkpoints
     want = sorted(map(tuple, D.neardup_clusters(pairs, max_iter=10)
                       .collect()))
     monkeypatch.setattr(DataFrame, "localCheckpoint", durable)
