@@ -61,13 +61,16 @@ def click_graph(events: DataFrame) -> DataFrame:
     return fwd.unionByName(rev)
 
 
-# Above this many iterations, iterates persist+unpersist as they are
-# superseded: each un-persisted round nests (join + agg + join) one
-# level deeper and Catalyst analysis cost grows with plan depth. At
-# the default 3 rounds the linear lineage is shallow and skipping the
-# per-iterate persist saves ~0.2 s/round of materialization overhead
-# (measured sf0.1/local[32]; the iterate has exactly ONE consumer —
-# the next round — so caching buys no reuse within the final action).
+# STRICTLY above this many iterations, every LINEAGE_PERSIST_ITERS-th
+# iterate is EAGERLY localCheckpoint'ed: each round nests (join + agg)
+# one level deeper and Catalyst analysis cost grows with plan depth;
+# checkpointing actually truncates the logical plan (persist() — the
+# r16 shape — did not: it neither materialized without an action nor
+# cut the analyzed plan, per the r16 ADVICE audit). At the default 3
+# rounds the linear lineage is shallow and the checkpoint action's
+# ~0.2 s/round overhead is skipped. localCheckpoint trades fault
+# recovery for speed — the dedup.neardup_clusters caveat applies
+# (swap in checkpoint() + setCheckpointDir for multi-hour runs).
 LINEAGE_PERSIST_ITERS = 4
 
 
@@ -123,10 +126,9 @@ def pagerank_fixedpoint(
     # uniform SCALE DIV n constant) needs no join at all. Identical
     # BIGINT arithmetic, per-round plan = one left equi-join + one
     # hash aggregate.
-    persist_iterates = n_iters > LINEAGE_PERSIST_ITERS
+    truncate_lineage = n_iters > LINEAGE_PERSIST_ITERS
     summed = None
-    prev = None
-    for _ in range(n_iters):
+    for it in range(n_iters):
         if summed is None:
             contrib = ed.select(
                 "dst",
@@ -153,17 +155,14 @@ def pagerank_fixedpoint(
         summed = contrib.groupBy("dst").agg(
             F.sum("c").cast("bigint").alias("s")
         ).withColumnRenamed("dst", "sdst")
-        if persist_iterates:
-            # superseded iterates must not accumulate in executor
-            # storage when callers crank --iters: the new iterate is
-            # the only consumer of the old one, so once the new one
-            # exists the old handle can drop (blocking=False: lazily
-            # evicted; if the final action recomputes through it the
-            # lineage is intact)
-            summed = summed.persist()
-            if prev is not None:
-                prev.unpersist()
-            prev = summed
+        if truncate_lineage and (it + 1) % LINEAGE_PERSIST_ITERS == 0:
+            # eager checkpoint: materializes the node-sized iterate
+            # (one small job) and REPLACES its nested logical plan
+            # with the materialized RDD, so analysis cost stays
+            # bounded however far callers crank --iters; superseded
+            # checkpoint blocks are dropped by Spark's ContextCleaner
+            # as the old frames go unreferenced
+            summed = summed.localCheckpoint()
     if summed is None:  # n_iters == 0: the uniform initial rank
         r = nodes.withColumn(
             "r", F.lit(SCALE // n).cast("bigint"))

@@ -1055,6 +1055,17 @@ def _build_tfrecord_landing(spark, sf_dir, family):
     landing)."""
     import shutil
 
+    # The executor tasks below publish shards via plain local-path
+    # open()/os.replace(): valid only when driver and executors share
+    # a filesystem. True for every local[*] deployment this engine
+    # targets; on a real cluster the build would silently produce an
+    # empty landing dir — fail loudly instead (r16 ADVICE).
+    if not spark.sparkContext.master.startswith("local"):
+        raise RuntimeError(
+            "_build_tfrecord_landing writes shards from executor "
+            "tasks to a driver-local path; it requires a local[*] "
+            "master (single-node shared filesystem)")
+
     work = _session_scratch(spark, family, sf_dir)
     shutil.rmtree(work, ignore_errors=True)
     landing = os.path.join(work, "landing")

@@ -229,22 +229,38 @@ def _read_checkpoint_rows(paths: list[str]) -> list[dict]:
     column-pruned to the four read-relevant action columns, as
     plain dicts (map columns — partitionValues, configuration,
     format.options — normalized from arrow's (k, v) pair lists)."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    def _fix(v):
-        if isinstance(v, list) and v and isinstance(v[0], tuple):
-            return dict(v)
-        if isinstance(v, dict):
-            return {k: _fix(x) for k, x in v.items()}
-        return v
+    # Normalize by SCHEMA TYPE, not by value shape: arrow's to_pylist
+    # renders map cells as (k, v) pair lists, so an EMPTY map is []
+    # — indistinguishable from an empty list by inspection, and the
+    # former value-shaped fix left it a list (a .items()/.get() on
+    # snap.meta fields would raise only on the checkpoint path — r16
+    # ADVICE). Driving the walk from the arrow type makes every map
+    # column a dict, empty included. (pyarrow 16's Table.to_pylist
+    # has no maps_as_pydicts kwarg yet; this is the version-proof
+    # equivalent.)
+    def _pyval(val, typ):
+        if val is None:
+            return None
+        if pa.types.is_map(typ):
+            return {k: _pyval(v, typ.item_type) for k, v in val}
+        if pa.types.is_struct(typ):
+            return {f.name: _pyval(val.get(f.name), f.type)
+                    for f in typ}
+        if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+            return [_pyval(x, typ.value_type) for x in val]
+        return val
 
     rows: list[dict] = []
     for path in paths:
         t = pq.read_table(path, columns=[
             c for c in ("protocol", "metaData", "add", "remove")
             if c in pq.read_schema(path).names])
+        fields = [(f.name, f.type) for f in t.schema]
         for d in t.to_pylist():
-            rows.append({k: _fix(v) for k, v in d.items()})
+            rows.append({n: _pyval(d[n], ty) for n, ty in fields})
     return rows
 
 

@@ -137,6 +137,23 @@ def test_checkpoint_seeds_replay_after_log_cleanup(spark, tmp_path):
     # the checkpoint itself is a valid time-travel target
     assert _collect(DL.read_delta(spark, table, version=1)) == \
         [(1, "one"), (2, "two"), (4, "four")]
+    # r17 (r16 ADVICE): checkpoint-derived MAP columns come back as
+    # dicts EVEN WHEN EMPTY — the former pair-list normalization left
+    # empty maps as [] (so a .items()/.get() on snap.meta fields
+    # would raise only on the checkpoint path). Assert at the seam:
+    ckpt = os.path.join(table, "_delta_log",
+                        f"{1:020d}.checkpoint.parquet")
+    saw_map = False
+    for row in DL._read_checkpoint_rows([ckpt]):
+        add = row.get("add")
+        if add is not None:
+            assert isinstance(add["partitionValues"], dict)  # {} not []
+            saw_map = True
+        md = row.get("metaData")
+        if md is not None:
+            assert isinstance(md["configuration"], dict)
+            assert isinstance(md["format"]["options"], dict)
+    assert saw_map
 
 
 def test_schema_evolution_nulls_old_files(spark, tmp_path):

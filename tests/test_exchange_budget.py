@@ -46,14 +46,17 @@ EXCHANGE_BUDGET = {
     "docx_extract_text": 1,
     "epub_extract_text": 1,
     "events_hourly": 1,
-    # r16 optimization: 12 -> 8. The node set now projects from the
-    # degree aggregate (distinct exchange gone) and the degree joins
-    # the persisted edge table ONCE instead of per round (3 exchanges
-    # gone), at +1 for that (src, dst, d) build join. Remaining: edge
-    # distinct + degree agg + ed build + 3 x (rank join + dest agg
-    # collapsing into one exchange pair each) + final top-k window;
-    # at cluster scale the edge table would be bucketed by src so the
-    # per-round join side stops re-shuffling
+    # r16 optimization: 12 -> 8, summing exactly as the printed plan
+    # shows (r16 ADVICE asked for arithmetic that reaches 8): pairs
+    # distinct on (u,i) x3 — the canonical copy plus one per union
+    # side of the persisted edge table, plan-duplicated but runtime-
+    # REUSED — + hashpartitioning(src) x2 (degree agg + the ed build
+    # join's edge side) + dest agg x3 (one per round; round 1 folds
+    # the uniform rank constant so NO rank join exists, and rounds
+    # 2..3's rank joins are node-sized BROADCASTS, not shuffles).
+    # The final top-k is TakeOrderedAndProject + a 20-row window —
+    # no exchange. At cluster scale the edge table would be bucketed
+    # by src so the per-round join side stops re-shuffling
     "graph_pagerank_topk": 8,
     "grep": 0,
     # the RETURNED plan is binaryFile scan -> Arrow line walk ->

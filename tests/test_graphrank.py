@@ -40,6 +40,19 @@ def test_pagerank_matches_python_reference_exactly(spark):
     assert len(set(want_r.values())) == len(want_r)
 
 
+def test_pagerank_long_run_checkpoint_truncation_exact(spark):
+    """n_iters past LINEAGE_PERSIST_ITERS crosses the r17 eager
+    localCheckpoint boundary (the r16 persist gating neither
+    materialized nor truncated — ADVICE audit); the checkpointed run
+    must equal the pure-Python recurrence bit-for-bit."""
+    edges = [(2, 1), (3, 1), (4, 1), (1, 2), (2, 3), (3, 4), (4, 2)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    n_iters = G.LINEAGE_PERSIST_ITERS + 2
+    got = {r["node"]: r["rank"]
+           for r in G.pagerank_fixedpoint(df, n_iters=n_iters).collect()}
+    assert got == _py_pagerank(edges, n_iters)
+
+
 def test_pagerank_invariant_under_partitioning(spark):
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     edges = G.click_graph(ev)
