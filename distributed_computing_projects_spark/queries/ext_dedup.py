@@ -23,7 +23,6 @@ from distributed_computing_projects_spark.operators import similarity as S
 from distributed_computing_projects_spark.operators import sketches as SK
 from distributed_computing_projects_spark.operators import textstats as X
 from distributed_computing_projects_spark.queries import query
-from distributed_computing_projects_spark.session import byte_coalesced
 from distributed_computing_projects_spark.sources.registry import load_table
 from distributed_computing_projects_spark.queries.ext_fragments import (
     _BAND_SELECTS,
@@ -266,13 +265,6 @@ def q_dedup_embedding_cosine_fine(spark, sf_dir):
         "100 TB path).",
 )
 def q_dedup_clusters(spark, sf_dir):
-    # iterative star rounds over KB-sized edge exchanges: byte-
-    # coalesced sibling session (see session.byte_coalesced; measured
-    # 3.73 -> 2.75 s at sf0.1/local[32], r17). The one-shot dedup
-    # queries (simhash/minhash/incremental) measured NEUTRAL-to-worse
-    # under the same flip — their post-shuffle est-jaccard work is
-    # CPU-dense like condorcet's — and keep the base session.
-    spark = byte_coalesced(spark)
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(docs, "doc_id", "text",
                                 threshold=MINHASH_THRESHOLD)
@@ -365,8 +357,6 @@ def q_decontaminate_eval(spark, sf_dir):
         "it broadcasts.",
 )
 def q_dedup_survivors(spark, sf_dir):
-    spark = byte_coalesced(spark)  # same star-rounds rationale as
-    # dedup_clusters (this query runs the identical convergence loop)
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(docs, "doc_id", "text",
                                 threshold=MINHASH_THRESHOLD)

@@ -12,7 +12,6 @@ from pyspark.sql import functions as F
 
 from distributed_computing_projects_spark.operators import graphrank as G
 from distributed_computing_projects_spark.queries import query
-from distributed_computing_projects_spark.session import byte_coalesced
 from distributed_computing_projects_spark.sources.registry import load_table
 from distributed_computing_projects_spark.sources.wat import (
     LINK_FAN, LINK_MULT, LINK_STEP)
@@ -89,11 +88,9 @@ def _pagerank_oracle(n_iters: int = G.N_ITERS,
         "collected state) is the 100 TB-legal one.",
 )
 def q_graph_pagerank_topk(spark, sf_dir):
-    # Iterative KB-sized exchanges every round: coalesce post-shuffle
-    # partitions by BYTES (scoped sibling session — see session.py
-    # byte_coalesced; r16 measured 32 tiny per-round partitions as
-    # pure scheduler latency: 8-core bench BEAT 32-core 0.40x here)
-    spark = byte_coalesced(spark)
+    # runs on the byte-coalesced sibling via the registry wrapper
+    # (queries/_byte_coalesced.py): 32 tiny per-round partitions were
+    # pure scheduler latency — the 8-core bench BEAT 32-core 0.40x here
     ev = load_table(spark, sf_dir, "events")
     ranked = G.pagerank_fixedpoint(G.click_graph(ev))
     w = Window.orderBy(F.desc("rank"), F.asc("node"))
@@ -133,7 +130,6 @@ _WAT_EDGES = f"""nn0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
 def q_wat_link_pagerank(spark, sf_dir):
     from distributed_computing_projects_spark.sources import wat as WAT
 
-    spark = byte_coalesced(spark)  # same iterative-exchange rationale
     docs = load_table(spark, sf_dir, "documents")
     n = docs.count()  # driver scalar: one count, bounds the link ring
     edges = WAT.extract_links(

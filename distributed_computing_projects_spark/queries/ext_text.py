@@ -21,7 +21,6 @@ from distributed_computing_projects_spark.operators import sampling as SP
 from distributed_computing_projects_spark.operators import similarity as S
 from distributed_computing_projects_spark.operators import textstats as X
 from distributed_computing_projects_spark.queries import query
-from distributed_computing_projects_spark.session import byte_coalesced
 from distributed_computing_projects_spark.sources.registry import load_table
 from distributed_computing_projects_spark.queries.ext_fragments import (
     _BAND_SELECTS,
@@ -333,10 +332,6 @@ TFIDF_TOP_N = 3
         "score gaps orders of magnitude above ulp).",
 )
 def q_tfidf_top_terms(spark, sf_dir):
-    # persisted TF feeds two consumers through KB-sized exchanges:
-    # byte-coalesced sibling session (see session.byte_coalesced;
-    # measured 1.03 -> 0.88 s at sf0.1/local[32], r17)
-    spark = byte_coalesced(spark)
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
